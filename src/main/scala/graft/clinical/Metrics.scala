@@ -1,0 +1,123 @@
+package graft.clinical
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window-metric definitions — the heart of the data model.
+  *
+  * The reference establishes one global 6-key sort
+  * (pandas_DataModel.py:85-90) and then computes every metric with
+  * order-sensitive `groupby(...).transform(...)` calls. In Spark the
+  * ordering moves INTO each window spec (`partitionBy(...).orderBy(...)`)
+  * so the work distributes per-partition instead of requiring a global
+  * sort to survive the whole plan.
+  *
+  * Two Spark-specific correctness traps handled here (SURVEY.md §7.4):
+  *  - ordered windows default to frame `unboundedPreceding → currentRow`;
+  *    `last` (and `first`-with-nulls) need the explicit FULL frame;
+  *  - pandas `transform('first'/'last'/'max'/'count')` skip nulls, so
+  *    every aggregate here uses ignoreNulls / null-skipping forms.
+  */
+object Metrics {
+
+  /** The reference's global sort order (pandas_DataModel.py:85-90).
+    * pandas `sort_values` places NaT/NaN last — hence asc_nulls_last.
+    */
+  val sortKeys: Seq[Column] = Seq(
+    col("UID").asc_nulls_last,
+    col("UIDCreatedDate").asc_nulls_last,
+    col("TreatmentTypeID").asc_nulls_last,
+    col("Tmt_StartDate").asc_nulls_last,
+    col("Wts_CreatedDate").asc_nulls_last,
+    col("Wts_UpdatedDate").asc_nulls_last)
+
+  private val treatmentKeys = Seq(col("UID"), col("TreatmentTypeID"), col("Tmt_StartDate"))
+  private def cohortKeys(cohort: String) = treatmentKeys :+ col(cohort)
+
+  private def fullFrame(w: WindowSpec): WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+  /** Whole-partition, unordered — for count/max broadcasts. */
+  private def byCohort(cohort: String): WindowSpec =
+    Window.partitionBy(cohortKeys(cohort): _*)
+
+  private val byUserOrdered: WindowSpec =
+    fullFrame(Window.partitionBy(col("UID")).orderBy(sortKeys: _*))
+  private val byTreatmentOrdered: WindowSpec =
+    fullFrame(Window.partitionBy(treatmentKeys: _*).orderBy(sortKeys: _*))
+  private def byCohortOrdered(cohort: String): WindowSpec =
+    fullFrame(Window.partitionBy(cohortKeys(cohort): _*).orderBy(sortKeys: _*))
+
+  /** Days between two timestamps with pandas semantics:
+    * `(a - b).dt.days` floors the true timedelta toward -inf
+    * (pandas_DataModel.py:97), which differs from Spark's `datediff`
+    * (day-boundary count) whenever the times-of-day differ. Computed as
+    * floor(seconds/86400) for exact parity.
+    */
+  def dayDiff(a: Column, b: Column): Column =
+    floor((unix_timestamp(a) - unix_timestamp(b)) / lit(86400.0))
+
+  /** Months since treatment start: floor(days / 30.417) — pandas whole-day
+    * truncation semantics (SURVEY.md §2.8 decision 1;
+    * pandas_DataModel.py:97-99). Int per the polars cast
+    * (polars_DataModel.py:102-103).
+    */
+  def monthCol: Column =
+    floor(dayDiff(col("Wts_CreatedDate"), col("Tmt_StartDate")) / lit(30.417)).cast("int")
+
+  /** Weeks since treatment start: floor(days / 7) (pandas_DataModel.py:102-103). */
+  def weekCol: Column =
+    floor(dayDiff(col("Wts_CreatedDate"), col("Tmt_StartDate")) / lit(7.0)).cast("int")
+
+  /** Weigh-in rate: count of non-null Wts_UpdatedDate per cohort,
+    * broadcast to every row (pandas_DataModel.py:112-114). `count(col)`
+    * is null-skipping, matching pandas `transform('count')`.
+    */
+  def wir(cohort: String): Column =
+    count(col("Wts_UpdatedDate")).over(byCohort(cohort))
+
+  /** Patient starting weight: first Weight per user in global sort order
+    * (pandas_DataModel.py:117). ignoreNulls matches pandas first().
+    */
+  def psw: Column = first(col("Weight"), ignoreNulls = true).over(byUserOrdered)
+
+  /** Treatment starting weight (pandas_DataModel.py:120-121). */
+  def tsw: Column = first(col("Weight"), ignoreNulls = true).over(byTreatmentOrdered)
+
+  /** Treatment ending weight (pandas_DataModel.py:129-131). The FULL
+    * frame is load-bearing: with Spark's default ordered frame, `last`
+    * degenerates to "current row".
+    */
+  def tew: Column = last(col("Weight"), ignoreNulls = true).over(byTreatmentOrdered)
+
+  /** First Weight of the row's cohort, broadcast to each row — the
+    * `transform('first')` half of the patient-TBWL computation
+    * (pandas_DataModel.py:139-142).
+    */
+  def cohortFirstWeight(cohort: String): Column =
+    first(col("Weight"), ignoreNulls = true).over(byCohortOrdered(cohort))
+
+  /** The reference's `.diff(-1)`: x[i] − x[i+1] over the WHOLE frame in
+    * global sort order — it deliberately(?) crosses cohort, treatment and
+    * even user boundaries (verified empirically; SURVEY.md §2.9).
+    *
+    * Bug-compatible mode reproduces that with an UNPARTITIONED ordered
+    * window — a single-partition scalability cliff, kept only for oracle
+    * parity. Strict mode partitions the lead by UID: the diff never
+    * crosses users and the window distributes. Choose via
+    * [[PipelineConfig.strictCohorts]].
+    */
+  def wgtDiff(fw: Column, strict: Boolean): Column = {
+    val w =
+      if (strict) Window.partitionBy(col("UID")).orderBy(sortKeys: _*)
+      else Window.orderBy(sortKeys: _*)
+    fw - lead(fw, 1).over(w)
+  }
+
+  /** Patient TBWL: max of wgt_diff per cohort (pandas_DataModel.py:146-149).
+    * `max` skips nulls, matching pandas NaN-skip on the frame's last row.
+    */
+  def patientTbwl(cohort: String): Column =
+    max(col("wgt_diff")).over(byCohort(cohort))
+}

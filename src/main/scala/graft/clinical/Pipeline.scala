@@ -1,0 +1,104 @@
+package graft.clinical
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The cohort-metrics data model: join → derive → window metrics →
+  * filter → dedup (pandas_DataModel.py:34-161), re-expressed as one lazy
+  * Catalyst plan.
+  *
+  * Differences from the reference's execution (same results, Spark-first
+  * shape):
+  *  - columns are disambiguated BEFORE the join (select-with-alias), so
+  *    no post-join `_x/_y` drop/rename pass is needed
+  *    (pandas_DataModel.py:63-74) and the join output is never ambiguous;
+  *  - the global 6-key sort (py:85-90) lives inside each window spec, not
+  *    as a plan-wide barrier; only presentation sorts globally;
+  *  - users/treatments are broadcast to the weights side (they are small
+  *    dimension tables — 1k rows in the reference); the big fact table
+  *    never shuffles for the joins, only once for the UID-partitioned
+  *    windows.
+  */
+object Pipeline {
+
+  /** users-side renames: CreatedDate→UIDCreatedDate, IsActive→User_IsActive
+    * (pandas_DataModel.py:66-74).
+    */
+  private def renamedUsers(users: DataFrame): DataFrame =
+    users.withColumnsRenamed(Map(
+      "CreatedDate" -> "UIDCreatedDate",
+      "IsActive" -> "User_IsActive"))
+
+  private def renamedWeights(weights: DataFrame): DataFrame =
+    weights.withColumnsRenamed(Map(
+      "CreatedDate" -> "Wts_CreatedDate",
+      "UpdatedDate" -> "Wts_UpdatedDate",
+      "IsActive" -> "Wts_IsActive",
+      "IsDelete" -> "Wts_IsDelete"))
+
+  private def renamedTreatments(treatments: DataFrame): DataFrame =
+    treatments.withColumnsRenamed(Map("StartDate" -> "Tmt_StartDate"))
+
+  /** users ⟕ weights ⟕ treatments on UID = MasterUserID
+    * (pandas_DataModel.py:56-63), join keys dropped from the right sides.
+    *
+    * At reference scale Catalyst broadcasts automatically; at 100 TB the
+    * fact table is `weights`, so the scalable shape is
+    * (weights ⟖ users) — but the reference semantics keep ALL users
+    * (left join from users), including users with no weigh-ins, so we
+    * preserve that exactly and rely on broadcast of the dimension sides.
+    */
+  def joined(users: DataFrame, weights: DataFrame, treatments: DataFrame): DataFrame = {
+    val u = renamedUsers(users)
+    val w = renamedWeights(weights)
+    val t = renamedTreatments(treatments)
+    u.join(w, u("UID") === w("MasterUserID"), "left")
+      .drop(w("MasterUserID"))
+      .join(t, u("UID") === t("MasterUserID"), "left")
+      .drop(t("MasterUserID"))
+  }
+
+  /** month/week since treatment start (pandas_DataModel.py:97-103). */
+  def withDerived(df: DataFrame): DataFrame =
+    df.withColumns(Map("month" -> Metrics.monthCol, "week" -> Metrics.weekCol))
+
+  /** The five windowed metrics (pandas_DataModel.py:112-151). */
+  def withMetrics(df: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val fw = Metrics.cohortFirstWeight(cfg.cohort)
+    df.withColumns(Map(
+        "WIR" -> Metrics.wir(cfg.cohort),
+        "PSW" -> Metrics.psw,
+        "TSW" -> Metrics.tsw,
+        "TEW" -> Metrics.tew))
+      .withColumn("treatment_TBWL", col("TEW") - col("TSW"))
+      .withColumn("wgt_diff", Metrics.wgtDiff(fw, cfg.strictCohorts))
+      .withColumn("patient_TBWL", Metrics.patientTbwl(cfg.cohort))
+      .drop("wgt_diff")
+      // TEW is an intermediate in pandas (unnamed local, py:129) but a
+      // real column in polars (polars_DataModel.py:130-132); keep it —
+      // it costs nothing and documents treatment_TBWL.
+  }
+
+  /** Full pipeline from the three (un-renamed) source tables. */
+  def run(users: DataFrame, weights: DataFrame, treatments: DataFrame,
+          cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val wide = withMetrics(withDerived(joined(users, weights, treatments)), cfg)
+    val filtered = Filters(wide, cfg)
+    if (cfg.dedup) filtered.dropDuplicates() else filtered
+  }
+
+  /** README.md:25-29 presentation projection. */
+  val presentationColumns: Seq[String] = Seq(
+    "UID", "Name", "LastName", "Gender", "Age", "ClinicID",
+    "week", "month", "WIR", "PSW", "TSW", "patient_TBWL", "treatment_TBWL")
+
+  def present(df: DataFrame, cfg: PipelineConfig): DataFrame =
+    df.select(presentationColumns.map(col): _*)
+      .orderBy(Metrics.sortKeys.take(1) :+ col("week").asc_nulls_last: _*)
+
+  /** Convenience: run from a CSV directory like the reference CLI. */
+  def runFromCsv(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 cfg: PipelineConfig = PipelineConfig()): DataFrame =
+    run(Sources.usersCsv(spark, dir), Sources.weightsCsv(spark, dir),
+        Sources.treatmentsCsv(spark, dir), cfg)
+}
