@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.clinical.{Pipeline, PipelineConfig}
+import graft.sources.Tables
+
+/** The full clinical cohort-metrics pipeline pushed through the driver's
+  * DuckDB hash gate.
+  *
+  * The driver's testdata has no clinical tables, so we derive
+  * clinical-shaped users/weights/treatments DETERMINISTICALLY from
+  * customer/orders (same arithmetic on both the Spark and DuckDB sides),
+  * then run the real [[graft.clinical.Pipeline]]. This exercises every
+  * reference operator — left joins, renames, day-diff derivation, all
+  * five window metrics including the §2.9 global diff(-1) — under the
+  * hash compare, at every scale factor.
+  */
+object Clinical {
+
+  private val userEpoch = 1672531200L  // 2023-01-01 00:00:00 UTC
+  private val tmtEpoch = 694224000L    // 1992-01-01 00:00:00 UTC
+
+  /** customer → users (UID zero-padded so string sort == numeric sort). */
+  def syntheticUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      lpad(col("c_custkey").cast("string"), 8, "0").as("UID"),
+      col("c_name").as("Name"),
+      lit("X").as("LastName"),
+      when(col("c_custkey") % 2 === 0, "Male").otherwise("Female").as("Gender"),
+      lit(1L).as("Unit"),
+      timestamp_seconds(lit(userEpoch)).as("Birthday"),
+      (lit(18L) + col("c_custkey") % 55).as("Age"),
+      lit(170L).as("Height"),
+      timestamp_seconds(lit(userEpoch) + col("c_custkey")).as("CreatedDate"),
+      lit(true).as("IsActive"),
+      (col("c_nationkey") % 3).cast("long").as("ClinicID"),
+      lit(null).cast("double").as("loginId"),
+      lit(true).as("success"))
+
+  /** orders → weights. Wts_CreatedDate = o_orderdate + o_orderkey seconds
+    * makes the 6-key sort order total (no ties → deterministic
+    * first/last/lead on both engines); UpdatedDate is nulled for every
+    * 7th orderkey to exercise WIR's non-null count.
+    */
+  def syntheticWeights(spark: SparkSession, dir: String): DataFrame = {
+    val created = timestamp_seconds(unix_timestamp(col("o_orderdate")) + col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      lpad(col("o_custkey").cast("string"), 8, "0").as("MasterUserID"),
+      (col("o_totalprice") / 1000.0).as("Weight"),
+      lit(25.0).as("BMI"), lit(20.0).as("BodyFat"), lit(55.0).as("BodyWater"),
+      lit(2.9).as("Bone"), lit(9.7).as("VisceralFat"), lit(1500.0).as("BMR"),
+      lit(47.4).as("MuscleMass"),
+      created.as("CreatedDate"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("timestamp"))
+        .otherwise(created).as("UpdatedDate"),
+      lit(true).as("IsActive"), lit(false).as("IsDelete"))
+  }
+
+  /** customer → treatments (one per user, staggered start dates). */
+  def syntheticTreatments(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      lpad(col("c_custkey").cast("string"), 8, "0").as("MasterUserID"),
+      (col("c_custkey") % 3 + 1).as("TreatmentTypeID"),
+      timestamp_seconds(lit(tmtEpoch) + col("c_custkey") * 60).as("StartDate"))
+
+  private val outCols = Seq("UID", "Gender", "Age", "ClinicID", "Weight",
+    "Wts_CreatedDate", "week", "WIR", "PSW", "TSW", "TEW",
+    "treatment_TBWL", "patient_TBWL")
+
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PipelineConfig(cohort = "week", gender = "Male",
+      minAge = 20, maxAge = 60, clinicId = 1, dedup = false)
+    Pipeline.run(
+        syntheticUsers(spark, dir),
+        syntheticWeights(spark, dir),
+        syntheticTreatments(spark, dir), cfg)
+      .select(
+        (outCols.filterNot(Set("Weight", "PSW", "TSW", "TEW", "treatment_TBWL", "patient_TBWL"))
+          .map(col)) ++
+        Seq("Weight", "PSW", "TSW", "TEW", "treatment_TBWL", "patient_TBWL")
+          .map(c => round(col(c), 6).as(c)): _*)
+  }
+
+  /** Strict-cohort variant: per-user lead, no single-partition window —
+    * the shape that survives scale-up. Oracle differs only in the lead's
+    * PARTITION BY.
+    */
+  def pipelineStrict(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PipelineConfig(cohort = "week", gender = "Male",
+      minAge = 20, maxAge = 60, clinicId = 1, dedup = false, strictCohorts = true)
+    Pipeline.run(
+        syntheticUsers(spark, dir),
+        syntheticWeights(spark, dir),
+        syntheticTreatments(spark, dir), cfg)
+      .select(
+        (outCols.filterNot(Set("Weight", "PSW", "TSW", "TEW", "treatment_TBWL", "patient_TBWL"))
+          .map(col)) ++
+        Seq("Weight", "PSW", "TSW", "TEW", "treatment_TBWL", "patient_TBWL")
+          .map(c => round(col(c), 6).as(c)): _*)
+  }
+
+  /** DuckDB re-statement of the synthetic tables + pipeline. Same
+    * arithmetic, same window frames, same null ordering.
+    */
+  private def oracle(leadPartition: String): String =
+    s"""WITH users AS (
+       |  SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS UID,
+       |         CASE WHEN c_custkey % 2 = 0 THEN 'Male' ELSE 'Female' END AS Gender,
+       |         18 + c_custkey % 55 AS Age,
+       |         CAST(c_nationkey % 3 AS BIGINT) AS ClinicID,
+       |         make_timestamp(($userEpoch + c_custkey) * 1000000) AS UIDCreatedDate
+       |  FROM customer),
+       |weights AS (
+       |  SELECT lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS MasterUserID,
+       |         o_totalprice / 1000.0 AS Weight,
+       |         make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey) * 1000000) AS Wts_CreatedDate,
+       |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+       |              ELSE make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey) * 1000000)
+       |         END AS Wts_UpdatedDate
+       |  FROM orders),
+       |treatments AS (
+       |  SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS MasterUserID,
+       |         c_custkey % 3 + 1 AS TreatmentTypeID,
+       |         make_timestamp(($tmtEpoch + c_custkey * 60) * 1000000) AS Tmt_StartDate
+       |  FROM customer),
+       |joined AS (
+       |  SELECT u.UID, u.Gender, u.Age, u.ClinicID, u.UIDCreatedDate,
+       |         w.Weight, w.Wts_CreatedDate, w.Wts_UpdatedDate,
+       |         t.TreatmentTypeID, t.Tmt_StartDate
+       |  FROM users u
+       |  LEFT JOIN weights w ON u.UID = w.MasterUserID
+       |  LEFT JOIN treatments t ON u.UID = t.MasterUserID),
+       |derived AS (
+       |  SELECT *, CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT) AS week
+       |  FROM joined),
+       |fw AS (
+       |  SELECT *,
+       |    count(Wts_UpdatedDate) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week) AS WIR,
+       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS PSW,
+       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS TSW,
+       |    last_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS TEW,
+       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cohort_fw
+       |  FROM derived),
+       |diffed AS (
+       |  SELECT *, cohort_fw - lead(cohort_fw) OVER ($leadPartition ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST) AS wgt_diff
+       |  FROM fw),
+       |final AS (
+       |  SELECT *, max(wgt_diff) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week) AS patient_TBWL
+       |  FROM diffed)
+       |SELECT UID, Gender, Age, ClinicID,
+       |       round(Weight, 6) AS Weight, Wts_CreatedDate, week, WIR,
+       |       round(PSW, 6) AS PSW, round(TSW, 6) AS TSW, round(TEW, 6) AS TEW,
+       |       round(TEW - TSW, 6) AS treatment_TBWL,
+       |       round(patient_TBWL, 6) AS patient_TBWL
+       |FROM final
+       |WHERE Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_clinical_pipeline" -> (pipeline _),
+    "q31_clinical_pipeline_strict" -> (pipelineStrict _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_clinical_pipeline" -> oracle(""),
+    "q31_clinical_pipeline_strict" -> oracle("PARTITION BY UID"))
+}
