@@ -17,7 +17,11 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
-      (Clinical.queries, Clinical.oracles))
+      (Joins.queries, Joins.oracles),
+      (Shapes.queries, Shapes.oracles),
+      (WindowsQ.queries, WindowsQ.oracles),
+      (Clinical.queries, Clinical.oracles),
+      (EventsQ.queries, EventsQ.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Filters, projections, sorts, dedup, set operations, multi-level
+  * aggregates and the scalar-function surface — the query shapes the
+  * reference either has (filters #19-21, sort #7, dedup #23, projection
+  * #22, scalar arithmetic #8-10) or conspicuously lacks (SURVEY.md §2
+  * "no representative" list: set ops, limits, rollup/cube, string/math
+  * functions).
+  */
+object Shapes {
+
+  /** Range + equality filter with a 2-column projection — the shape that
+    * must reach the parquet scan as PushedFilters + pruned ReadSchema.
+    */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_quantity"))
+
+  /** Global multi-key sort + top-k (deterministic: full key is unique). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .limit(100)
+
+  /** DISTINCT projection (reference op #23's SQL-visible half). */
+  def distinctProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+
+  /** Deterministic dedup-keep-first: first order per customer in
+    * (date, orderkey) order. `dropDuplicates(subset)` keeps an ARBITRARY
+    * row — this is the reproducible form, and what our engine prescribes
+    * when the choice of survivor matters.
+    */
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
+  /** CASE-expression bucketing + aggregate. */
+  def caseBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+
+  /** Datetime function surface: trunc/extract/datediff/add. */
+  def datetimeFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start_epoch"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).as("days_since_92"),
+        col("o_orderkey"))
+
+  /** String function surface on part. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        lower(col("p_type")).as("type_lower"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"),
+        when(col("p_type").contains("BRASS"), 1).otherwise(0).as("is_brass"),
+        trim(lit("  pad  ")).as("trimmed"))
+
+  /** Math scalar surface (floor/ceil/round/abs/pow/sqrt/ln/mod). */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") / 1000.0).as("price_k_floor"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        round(col("l_extendedprice") * col("l_tax"), 3).as("tax_amt"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        round(pow(col("l_quantity"), 2), 6).as("qty_sq"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        (col("l_orderkey") % 10).as("key_mod"))
+
+  /** UNION ALL of disjoint slices + UNION (distinct) of overlapping ones. */
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 250000)
+      .select(col("o_orderkey"), lit("high").as("band"))
+    val lo = o.filter(col("o_totalprice") < 20000)
+      .select(col("o_orderkey"), lit("low").as("band"))
+    hi.unionAll(lo)
+  }
+
+  /** INTERSECT / EXCEPT via order-year slices of customers. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val both = buyers(1994).intersect(buyers(1995))
+      .withColumn("relation", lit("both_94_95"))
+    val only94 = buyers(1994).except(buyers(1995))
+      .withColumn("relation", lit("only_94"))
+    both.unionAll(only94)
+  }
+
+  /** ROLLUP: subtotals + grand total over two group keys. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** CUBE over two independent dimensions. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+
+  /** Aggregate-function surface: min/max/avg/stddev/count distinct +
+    * conditional aggregation (the FILTER/CASE pattern pivot reduces to).
+    */
+  def aggFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+        round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
+
+  /** Manual pivot: one column per order-priority class (groupBy().pivot()
+    * reduces to exactly this conditional-agg plan).
+    */
+  def pivotPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def cnt(p: String) = count(when(col("o_orderpriority") === p, 1)).as("p" + p.charAt(0))
+    o.groupBy(col("o_orderstatus"))
+      .agg(cnt("1-URGENT"), cnt("2-HIGH"), cnt("3-MEDIUM"), cnt("4-NOT SPECIFIED"), cnt("5-LOW"))
+  }
+
+  /** Correlated scalar subquery: orders above their customer's average. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgPer = o.groupBy(col("o_custkey").as("k"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    o.join(broadcast(avgPer), col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_filter_pushdown" -> (filterPushdown _),
+    "q11_sort_limit" -> (sortLimit _),
+    "q12_distinct" -> (distinctProjection _),
+    "q13_dedup_keep_first" -> (dedupKeepFirst _),
+    "q14_case_buckets" -> (caseBuckets _),
+    "q15_datetime_funcs" -> (datetimeFuncs _),
+    "q16_string_funcs" -> (stringFuncs _),
+    "q17_math_funcs" -> (mathFuncs _),
+    "q18_union_all" -> (unionAll _),
+    "q19_set_ops" -> (setOps _),
+    "q20_rollup" -> (rollupAgg _),
+    "q21_cube" -> (cubeAgg _),
+    "q22_agg_funcs" -> (aggFuncs _),
+    "q23_pivot" -> (pivotPriorities _),
+    "q24_scalar_subquery" -> (scalarSubquery _))
+
+  val oracles: Map[String, String] = Map(
+    "q10_filter_pushdown" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'""".stripMargin,
+    "q11_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+    "q12_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q13_dedup_keep_first" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q14_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q15_datetime_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_92,
+        |  o_orderkey
+        |FROM orders""".stripMargin,
+    "q16_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper, lower(p_type) AS type_lower,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+        |  CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+        |  trim('  pad  ') AS trimmed
+        |FROM part""".stripMargin,
+    "q17_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  round(l_extendedprice * l_tax, 3) AS tax_amt,
+        |  abs(l_quantity - 25) AS qty_dev,
+        |  round(pow(l_quantity, 2), 6) AS qty_sq,
+        |  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  l_orderkey % 10 AS key_mod
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+    "q18_union_all" ->
+      """SELECT o_orderkey, 'high' AS band FROM orders WHERE o_totalprice > 250000
+        |UNION ALL
+        |SELECT o_orderkey, 'low' AS band FROM orders WHERE o_totalprice < 20000""".stripMargin,
+    "q19_set_ops" ->
+      """WITH b94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+        |     b95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |SELECT o_custkey, 'both_94_95' AS relation FROM (SELECT * FROM b94 INTERSECT SELECT * FROM b95)
+        |UNION ALL
+        |SELECT o_custkey, 'only_94' AS relation FROM (SELECT * FROM b94 EXCEPT SELECT * FROM b95)""".stripMargin,
+    "q20_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q21_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q22_agg_funcs" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(avg(o_totalprice), 2) AS avg_price,
+        |  round(stddev_samp(o_totalprice), 2) AS sd_price,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q23_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q24_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+}

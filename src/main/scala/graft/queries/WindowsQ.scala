@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Analytic window functions beyond the reference's first/last/count/max
+  * (SURVEY.md §2: "no ranking/analytic functions" — these complete the
+  * surface). Every window here is PARTITIONED (by customer or by year) —
+  * no global single-partition windows outside the clinical bug-compat
+  * mode; that is the scale rule.
+  */
+object WindowsQ {
+
+  /** Top-3 orders per customer — row_number with a total (deterministic)
+    * tie-break.
+    */
+  def rankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** lag/lead navigation within each customer's order history. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta_prev"))
+  }
+
+  /** Running (cumulative) aggregates per customer. */
+  def runningAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("run_total"),
+        count(lit(1)).over(w).as("run_n"))
+  }
+
+  /** ntile / percent_rank / cume_dist within each order-year. */
+  def distribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(year(col("o_orderdate")))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("y"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  /** RANGE frame: count + sum of each customer's orders in the
+    * trailing-30-day value window (as-of-style trailing aggregate).
+    */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("day_no", days)
+      .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+        count(lit(1)).over(w).as("n_trailing_30d"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_trailing_30d"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_window_topk" -> (rankTopK _),
+    "q26_window_lag_lead" -> (lagLead _),
+    "q27_window_running" -> (runningAgg _),
+    "q28_window_distribution" -> (distribution _),
+    "q29_window_range_frame" -> (rangeFrame _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_window_topk" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    CAST(rank() OVER w AS INT) AS rk,
+        |    CAST(dense_rank() OVER w AS INT) AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3""".stripMargin,
+    "q26_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "q27_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER w, 2) AS run_total,
+        |  count(*) OVER w AS run_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q28_window_distribution" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY year(o_orderdate) ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    "q29_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day_no,
+        |  count(*) OVER w AS n_trailing_30d,
+        |  round(sum(o_totalprice) OVER w, 2) AS spend_trailing_30d
+        |FROM (SELECT *, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin)
+}
