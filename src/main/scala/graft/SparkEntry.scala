@@ -21,7 +21,9 @@ object SparkEntry {
       (Shapes.queries, Shapes.oracles),
       (WindowsQ.queries, WindowsQ.oracles),
       (Clinical.queries, Clinical.oracles),
-      (EventsQ.queries, EventsQ.oracles))
+      (EventsQ.queries, EventsQ.oracles),
+      (TextQ.queries, TextQ.oracles),
+      (VectorQ.queries, VectorQ.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

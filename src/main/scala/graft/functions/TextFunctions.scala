@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for large-scale corpus processing: tokenizing,
+  * shingling, quality scoring, language ID, fingerprinting. All pure
+  * `functions._` compositions (codegen'd, no UDFs) so they stay inside
+  * whole-stage codegen on a 100 TB scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased text (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword segmentation: splits on word/number/punctuation
+    * boundaries like a GPT-style pre-tokenizer regex (letters runs,
+    * digit runs, single non-space punctuation).
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word k-shingles (k consecutive tokens joined by a space); the
+    * near-dup unit for MinHash/Jaccard. Documents shorter than k tokens
+    * get their whole token string as a single shingle.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) <= k, array(concat_ws(" ", ts)))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - k),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+  }
+
+  /** Distinct shingles — the set form used for exact Jaccard. */
+  def shingleSet(text: Column, k: Int): Column = array_distinct(shingles(text, k))
+
+  // ---- quality scoring (length / punctuation / stopword ratios) ----
+
+  /** The (tiny, English) stopword list used by [[stopwordRatio]]. */
+  val stopwordList: Seq[String] = Seq("the", "a", "an", "of", "to", "in", "and",
+    "is", "on", "for", "with", "as", "at", "by", "it", "be", "this", "that")
+  private def stopwords = stopwordList
+
+  /** Fraction of characters that are letters. */
+  def alphaRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / total)
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / total)
+  }
+
+  /** Fraction of tokens that are (English) stopwords — a proxy for
+    * natural-language-ness; word soup and code score near 0.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val sw = typedLit(stopwords)
+    when(size(ts) === 0, 0.0).otherwise(
+      size(filter(ts, t => array_contains(sw, t))).cast("double") / size(ts))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Composite quality score in [0,1]: blend of length band, alpha
+    * ratio, stopword presence and sane mean token length.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val tokLen = meanTokenLen(text)
+    val tokScore = when(tokLen.between(3.0, 10.0), 1.0).otherwise(0.3)
+    round(lenScore * 0.25 + alpha * 0.25 + stop * 0.25 + tokScore * 0.25, 6)
+  }
+
+  // ---- language identification (character n-gram heuristic) ----
+
+  /** Tiny per-language marker sets: highest-frequency function words +
+    * diacritic classes. A real system would use trained n-gram profiles;
+    * the shape (score-per-language then greatest) is the same.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
+    "es" -> Seq(" el ", " la ", " los ", " que ", " y ", "ción"),
+    "fr" -> Seq(" le ", " la ", " les ", " est ", " une ", " dans "),
+    "de" -> Seq(" der ", " die ", " das ", " und ", " ist ", "sch"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map(m =>
+      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+        / m.length).reduce(_ + _)
+  }
+
+  /** Best-scoring language code, "und" when nothing matches. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (code, ms) => (code, langScore(text, ms)) }
+    // greatest-by: fold over (bestScore, bestCode) pairs
+    val init = struct(lit(-1L).as("s"), lit("und").as("c"))
+    scored.foldLeft(init) { case (best, (code, s)) =>
+      when(s > best.getField("s"), struct(s.cast("long").as("s"), lit(code).as("c")))
+        .otherwise(best)
+    }.getField("c")
+  }
+
+  // ---- fingerprinting ----
+
+  /** Order-sensitive 64-bit document fingerprint: rolling hash over the
+    * token sequence — each step hashes (accumulator, token) with
+    * xxHash64, so the chain is order-sensitive and never overflows
+    * (a plain acc*31+h polynomial trips ANSI-mode overflow checks).
+    * Pure higher-order-function fold — distributed, no UDF. Equal texts
+    * (after whitespace normalization) get equal fingerprints; any token
+    * edit changes it.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions.{cosine_similarity, simhash64}
+
+/** Corpus deduplication — the operator family a training-data pipeline
+  * runs over its whole corpus before anything else.
+  *
+  * Scale design notes (all variants):
+  *  - every method is a pure shuffle-on-key plan: hash keys (content
+  *    hash, LSH band bucket, SimHash block) distribute uniformly by
+  *    construction, so there is no skew to salt away;
+  *  - candidate generation NEVER compares all pairs — buckets bound the
+  *    quadratic term to within-bucket pairs;
+  *  - signatures are computed in one projection pass over the corpus
+  *    (codegen'd expressions, no UDFs), so the expensive scan happens
+  *    exactly once.
+  */
+object Dedup {
+
+  /** Canonical text for exact dedup: lowercased, whitespace-collapsed. */
+  def canonicalText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Exact dedup: keep the lowest-id document of each canonical-text
+    * group. groupBy on the 128-bit content hash — never on the raw text,
+    * so wide documents don't travel through the shuffle.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol).asc)
+    docs
+      .withColumn("content_hash", md5(canonicalText(col(textCol))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Groups of exact duplicates (size > 1), for reporting. */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(canonicalText(col(textCol))))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"),
+        collect_list(col(idCol)).as("doc_ids"))
+      .filter(col("n_dups") > 1)
+
+  /** MinHash signature: numHashes independent min-hashes of the
+    * document's shingle set. Implemented entirely with codegen'd builtin
+    * functions: shingle → xxhash64 → per-function re-hash (xxhash64 with
+    * the function index as an extra column) → array_min.
+    */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val hashes = transform(TextFunctions.shingleSet(text, shingleK), s => xxhash64(s))
+    array((0 until numHashes).map(j =>
+      array_min(transform(hashes, h => xxhash64(h, lit(j))))): _*)
+  }
+
+  /** MinHash + LSH near-dup pairs.
+    *
+    * signature (numHashes) → bands of `rowsPerBand` → band-hash bucket →
+    * self-join within bucket → distinct candidate pair → exact Jaccard
+    * on shingle sets → threshold.
+    *
+    * The band self-join is the only shuffle-join; its key
+    * (band_id, band_hash) is uniform. Exact verification re-reads only
+    * candidate docs' shingle sets (joined by id), not the whole corpus.
+    */
+  def minhashLsh(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
+                 rowsPerBand: Int = 4, jaccardThreshold: Double = 0.8,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val withSig = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+
+    val banded = withSig.select(col("id"), explode(
+      array((0 until numBands).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>").cast("string"), lit(b)).as("band_hash"))): _*))
+      .as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_hash"))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val sets = docs.select(col(idCol).as("id"),
+      TextFunctions.shingleSet(col(textCol), shingleK).as("sh"))
+    candidates
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, 4 blocks of 16 bits; two
+    * docs within `maxHamming` (< 16) bits must share at least one block
+    * (pigeonhole for maxHamming ≤ 3), so block-equality buckets are a
+    * complete candidate generator. Verification = bit_count(a^b).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sk = docs.select(col(idCol).as("id"),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sk"))
+    val blocked = sk.select(col("id"), col("sk"), explode(
+      array((0 until 4).map(b => struct(lit(b).as("block_id"),
+        shiftright(col("sk"), b * 16).bitwiseAND(0xFFFFL).as("block_val"))): _*))
+      .as("blk"))
+      .select(col("id"), col("sk"), col("blk.block_id"), col("blk.block_val"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.block_id") === col("b.block_id") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking
+    * key (e.g. same language) — the verification-only path when
+    * candidate sets are already small.
+    */
+  def ngramJaccardPairs(docs: DataFrame, shingleK: Int, threshold: Double,
+                        blockCol: String, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sets = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      TextFunctions.shingleSet(col(textCol), shingleK).as("sh"))
+    sets.as("a").join(sets.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH with `numTables`
+    * independent tables (sign bits of `numBits` fixed pseudo-random
+    * projections per table, packed into a long), then exact cosine
+    * within bucket. A near pair straddling a hyperplane in one table is
+    * caught by another — recall ≈ 1-(1-p^bits)^tables. Deterministic:
+    * hyperplanes derive from a seeded generator at plan build.
+    */
+  def embeddingNearDups(embs: DataFrame, dim: Int, cosineThreshold: Double = 0.9,
+                        numBits: Int = 12, numTables: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecd = embs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val bucketed = vecd.select(col("id"), col("v"), explode(
+      array((0 until numTables).map { t =>
+        val planes = hyperplanes(numBits, dim, seed = 42L + 1000L * t)
+        struct(lit(t).as("table_id"), lshBucket(col("v"), planes).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.table_id"), col("tb.bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(cosine_similarity(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= cosineThreshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
+  private[operators] def hyperplanes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(numBits, dim)((next().toDouble / Long.MaxValue))
+  }
+
+  /** Sign-bit bucket id of v against the fixed hyperplanes — a pure
+    * expression tree (dot products unrolled per plane via aggregate over
+    * zip_with would re-read v numBits times; instead each plane is a
+    * literal array and we fold with the builtin HOFs once per plane).
+    */
+  private[operators] def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(v, typedLit(p.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

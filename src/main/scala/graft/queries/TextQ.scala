@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Text-analysis + dedup queries over the `documents` table — the
+  * training-data-pipeline surface (language ID, quality scoring, token
+  * counting, fingerprinting, exact/fuzzy dedup). SQL-expressible parts
+  * carry DuckDB oracles; sketch-based ops (minhash/simhash/fingerprint)
+  * are engine-defined and get the driver's rows-only check.
+  */
+object TextQ {
+
+  /** Per-document token/char/ratio statistics. The token array is
+    * materialized ONCE per row (ratios reuse it) — inlining tokens()
+    * into each metric would blow the codegen method past the JIT limit
+    * and recompute the split 4×.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        round(alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(when(size(col("toks")) === 0, 0.0).otherwise(
+          size(filter(col("toks"), t => array_contains(typedLit(stopwordList), t))).cast("double")
+            / size(col("toks"))), 6).as("stopword_ratio"),
+        round(when(size(col("toks")) === 0, 0.0).otherwise(
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / size(col("toks"))), 6).as("mean_token_len"))
+
+  /** Token-count histogram (decade buckets). */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(floor(tokenCount(col("text")) / 10).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+
+  /** Exact-dup groups by canonical content hash (full-corpus report). */
+  def exactDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(Dedup.canonicalText(col("text"))))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+
+  /** Character-set Jaccard over same-(lang,source) pairs — the
+    * SQL-checkable cousin of shingle Jaccard (DuckDB's jaccard() is
+    * char-set based; we reproduce it with array ops).
+    */
+  def charJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("lang"), col("source"), col("doc_id"),
+      array_distinct(split(lower(col("text")), "")).as("chars"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("a.chars"), col("b.chars"))).cast("double") /
+          size(array_union(col("a.chars"), col("b.chars"))), 6))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jaccard"))
+  }
+
+  /** Heuristic language ID vs the labeled lang column (accuracy report:
+    * engine-defined heuristic → rows-only check).
+    */
+  def langIdReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+
+  /** Composite quality score distribution (engine-defined weights →
+    * rows-only check).
+    */
+  def qualityReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"))
+
+  /** Rolling-hash fingerprints (engine-defined hash → rows-only). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens"))
+
+  /** MinHash+LSH near-dup candidate pairs, Jaccard-verified. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir),
+      shingleK = 2, numHashes = 64, rowsPerBand = 8, jaccardThreshold = 0.3)
+
+  /** SimHash near-dup pairs (≤3 of 64 bits differ). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
+
+  /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), size(bpeishTokens(col("text"))).as("n_sub"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sub")).as("total_subtokens"),
+        round(avg(col("n_sub")), 4).as("avg_subtokens"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_text_stats" -> (textStats _),
+    "q41_token_histogram" -> (tokenHistogram _),
+    "q42_exact_dedup_groups" -> (exactDedupGroups _),
+    "q43_char_jaccard_pairs" -> (charJaccardPairs _),
+    "q44_langid_report" -> (langIdReport _),
+    "q45_quality_report" -> (qualityReport _),
+    "q46_fingerprints" -> (fingerprints _),
+    "q47_minhash_pairs" -> (minhashPairs _),
+    "q48_simhash_pairs" -> (simhashPairs _),
+    "q49_bpe_token_counts" -> (bpeTokenCounts _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS len_chars,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS alpha_ratio,
+        |  round(CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> len(x) > 0 AND list_contains(['the','a','an','of','to','in','and','is','on','for','with','as','at','by','it','be','this','that'], x))) AS DOUBLE)
+        |         / len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) END, 6) AS stopword_ratio,
+        |  round(CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0), x -> length(x))) AS DOUBLE)
+        |         / len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) END, 6) AS mean_token_len
+        |FROM documents""".stripMargin,
+    "q41_token_histogram" ->
+      """SELECT CAST(floor(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) / 10) AS INT) AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q42_exact_dedup_groups" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q43_char_jaccard_pairs" ->
+      """WITH d AS (SELECT lang, source, doc_id,
+        |             list_distinct(string_split(lower(text), '')) AS chars
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.chars, b.chars))), 6) AS jaccard
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(a.chars, b.chars))), 6) >= 0.9""".stripMargin,
+    "q49_bpe_token_counts" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_subtokens,
+        |  round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 4) AS avg_subtokens
+        |FROM documents GROUP BY source""".stripMargin)
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine_similarity
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Vector / embedding queries over the `embeddings` table: similarity
+  * search (brute-force baseline + IVF scale path), embedding statistics,
+  * and near-duplicate detection. Cosine values are double-accumulated
+  * left-to-right in both engines, so oracle rounding at 6dp is exact.
+  */
+object VectorQ {
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+
+  /** Exact cosine top-5 for the first 10 vectors as queries. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Tables.embeddings(spark, dir), queriesDf(spark, dir), k = 5)
+
+  /** IVF probe search (engine-defined bucketing → rows-only check). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(
+      Tables.embeddings(spark, dir), queriesDf(spark, dir), k = 5)
+
+  /** Per-label embedding statistics (norms computed per-element). */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        sqrt(aggregate(col("embedding").cast("array<double>"),
+          lit(0.0), (acc, x) => acc + x * x)).as("norm"),
+        size(col("embedding")).as("dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("norm")), 6).as("avg_norm"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"))
+
+  /** Exact cosine near-dup pairs within each label block. */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.thresholdPairs(
+      Tables.embeddings(spark, dir), blockCol = "label", threshold = 0.4)
+
+  /** LSH-bucketed near-dup pairs (engine-defined hyperplanes →
+    * rows-only check).
+    */
+  def lshNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(spark, dir), dim = 64,
+      cosineThreshold = 0.4, numBits = 8)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_ann_brute_force" -> (annBruteForce _),
+    "q51_ann_ivf" -> (annIvf _),
+    "q52_embedding_stats" -> (embeddingStats _),
+    "q53_cosine_pairs" -> (cosinePairs _),
+    "q54_lsh_near_dups" -> (lshNearDups _))
+
+  val oracles: Map[String, String] = Map(
+    "q50_ann_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings),
+        |     sims AS (
+        |       SELECT query_id, corpus_id,
+        |         round(list_cosine_similarity(qv, cv), 6) AS sim
+        |       FROM q JOIN c ON corpus_id <> query_id),
+        |     ranked AS (
+        |       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, corpus_id ASC) AS INT) AS rn
+        |       FROM sims)
+        |SELECT query_id, corpus_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    "q52_embedding_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(CAST(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS DOUBLE)) AS norm,
+        |    CAST(len(embedding) AS INT) AS dim
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, round(avg(norm), 6) AS avg_norm,
+        |  min(dim) AS min_dim, max(dim) AS max_dim
+        |FROM n GROUP BY label""".stripMargin,
+    "q53_cosine_pairs" ->
+      """WITH c AS (SELECT label AS blk, vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin)
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions._
+
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def corpus = Seq(
+    (1L, base),
+    (2L, base),                                            // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")),                  // near dup of 1
+    (4L, "completely different content about spark engines and distributed queries"),
+    (5L, "  THE  quick brown fox jumps over the lazy dog again and again today ")  // canonical dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per canonical text") {
+    val survivors = Dedup.exact(corpus).select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 3L, 4L))
+    val groups = Dedup.exactDupGroups(corpus).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("n_dups") == 3)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashLsh(corpus, shingleK = 2, numHashes = 32,
+        rowsPerBand = 4, jaccardThreshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // identical
+    assert(pairs.contains((1L, 3L)))   // one-word edit
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash pairs: near dups within hamming 3, unrelated docs far") {
+    val sk = corpus.select(simhash64(TextFunctions.tokens($"text")).as("sk"), $"doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sk")).toMap
+    assert(sk(1L) == sk(2L))
+    // a one-word edit on a 13-token doc flips ~¼ of the weakly-voted
+    // bits; unrelated text re-rolls ~½ of all 64
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(3L)) <= 10)
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(4L)) > 14)
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical docs = 1.0; near dup high; different low") {
+    val j = Dedup.ngramJaccardPairs(
+        corpus.withColumn("blk", lit(1)), shingleK = 2, threshold = 0.0, blockCol = "blk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.6 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) < 0.1)
+  }
+
+  test("embedding near-dups via LSH buckets find planted duplicate vector") {
+    val vecs = Seq(
+      (1L, Array.tabulate(16)(i => math.sin(i + 1).toFloat)),
+      (2L, Array.tabulate(16)(i => math.sin(i + 1).toFloat)),        // identical
+      (3L, Array.tabulate(16)(i => (math.sin(i + 1) + 0.01).toFloat)), // near
+      (4L, Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat))     // far
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, dim = 16, cosineThreshold = 0.99, numBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("cosine_similarity: orthogonal→0, identical→1, opposite→-1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(-1.0f, -2.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b")
+    val sims = df.select(round(cosine_similarity($"a", $"b"), 9).as("s"))
+      .as[Double].collect().toSeq
+    assert(sims == Seq(0.0, 1.0, -1.0, 0.0))
+  }
+
+  test("brute-force ANN returns self-excluded ranked neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy($"rn").select("corpus_id").as[Long].collect().toSeq
+    assert(res == Seq(1L, 2L))
+  }
+
+  test("IVF ANN with full probing matches brute force on tiny corpus") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val bf = Similarity.bruteForceTopK(vecs, q, k = 3)
+      .orderBy($"rn").select("corpus_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopK(vecs, q, k = 3, stride = 5, nProbe = 4)
+      .orderBy($"rn").select("corpus_id").as[Long].collect().toSeq
+    assert(ivf == bf)
+  }
+}
