@@ -23,7 +23,8 @@ object SparkEntry {
       (Clinical.queries, Clinical.oracles),
       (EventsQ.queries, EventsQ.oracles),
       (TextQ.queries, TextQ.oracles),
-      (VectorQ.queries, VectorQ.oracles))
+      (VectorQ.queries, VectorQ.oracles),
+      (MediaQ.queries, MediaQ.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

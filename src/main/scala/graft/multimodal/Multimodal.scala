@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for a training-data pipeline.
+  *
+  * Media travels as opaque `binary` columns plus a typed metadata
+  * struct — the layout every large multimodal corpus uses (the bytes
+  * are never interpreted by the engine; only the decode/feature stages
+  * touch them). The Spark-side plumbing here — schema, partition-wise
+  * batch processing, feature extraction signatures — is real and
+  * tested; the actual codec calls are STUBBED with a deterministic fake
+  * (this container ships no image/audio libraries). Swap
+  * [[MediaCodec.decodeStub]] for a real decoder (JNI/JavaCV/etc.) and
+  * nothing else changes.
+  *
+  * Batch shape: decode runs via `mapPartitions` over an iterator — one
+  * codec context per PARTITION, not per row (the same economics that
+  * make Python pipelines use mapInPandas batches). Output rows carry
+  * fixed-size feature vectors, so downstream is ordinary columnar work.
+  */
+object Multimodal {
+
+  /** media item: id + modality + raw bytes + source-side metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),   // image|audio|video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("declared_w", IntegerType),
+      StructField("declared_h", IntegerType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** Decoded-frame features (decode stage output). */
+  case class MediaFeatures(
+      media_id: Long, modality: String,
+      width: Int, height: Int, n_frames: Int,
+      byte_len: Long, content_hash: Long,
+      feature: Array[Float])
+
+  /** Deterministic fake codec: "decodes" dimensions and a 16-dim
+    * feature vector from the byte content. ??? -> replace with a real
+    * decoder; signature and batching stay identical.
+    */
+  object MediaCodec {
+    val featureDim = 16
+
+    def decodeStub(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val w = 64 + math.floorMod(h, 512).toInt
+      val ht = 64 + math.floorMod(h >> 9, 512).toInt
+      val frames = modality match {
+        case "video" => 1 + math.floorMod(h >> 18, 300).toInt
+        case _ => 1
+      }
+      val feat = Array.tabulate(featureDim) { d =>
+        val hd = h * (2 * d + 1) + d
+        (math.floorMod(hd, 2000) / 1000.0f) - 1.0f
+      }
+      MediaFeatures(mediaId, modality, w, ht, frames, bytes.length.toLong, h, feat)
+    }
+  }
+
+  /** Synthesize a media table from the documents table (text bytes play
+    * the role of encoded media) — exercises the binary-column path with
+    * driver-provided data only.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        col("source").as("source"),
+        lit(640).as("declared_w"), lit(480).as("declared_h"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  /** Decode stage: partition-wise batch decode → typed features.
+    * `mapPartitions` (not per-row UDF) so a real codec amortizes its
+    * context setup across the partition.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("modality"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: open codec context here, close after the iterator
+        it.map { case (id, mod, bytes) => MediaCodec.decodeStub(id, mod, bytes) }
+      }
+  }
+
+  /** Frame sampling plan for video rows: every `stride`-th frame index.
+    * Pure column math — the decoder receives the indices and extracts
+    * only those frames.
+    */
+  def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame =
+    features.toDF()
+      .filter(col("modality") === "video")
+      .select(col("media_id"), col("n_frames"),
+        sequence(lit(0), col("n_frames") - 1, lit(stride)).as("sample_frames"))
+      .withColumn("n_sampled", size(col("sample_frames")))
+
+  /** Resize spec stage: target box per media row (pure metadata op; a
+    * real resize happens inside the codec using this spec).
+    */
+  def resizeSpec(media: DataFrame, maxDim: Int): DataFrame =
+    media.select(col("media_id"), col("modality"),
+      col("meta.declared_w").as("w"), col("meta.declared_h").as("h"))
+      .withColumn("scale",
+        least(lit(1.0), lit(maxDim) / greatest(col("w"), col("h")).cast("double")))
+      .withColumn("target_w", floor(col("w") * col("scale")).cast("int"))
+      .withColumn("target_h", floor(col("h") * col("scale")).cast("int"))
+
+  /** Modality-level feature statistics over the decoded output. */
+  def featureStats(features: Dataset[MediaFeatures]): DataFrame = {
+    features.toDF()
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        round(avg(col("width")), 4).as("avg_w"),
+        round(avg(col("height")), 4).as("avg_h"),
+        max(col("n_frames")).as("max_frames"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Multimodal plumbing queries: binary media columns synthesized from
+  * the documents table (see [[graft.multimodal.Multimodal]]). The
+  * byte-accounting half is SQL-checkable; decoded features come from the
+  * stub codec → rows-only check.
+  */
+object MediaQ {
+
+  /** Byte accounting per modality (oracle-checked: modality mapping and
+    * UTF-8 byte lengths are engine-independent).
+    */
+  def mediaBytes(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticMedia(Tables.documents(spark, dir))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("bytes"))).as("total_bytes"),
+        min(length(col("bytes"))).as("min_bytes"),
+        max(length(col("bytes"))).as("max_bytes"))
+
+  /** Full decode → features → per-modality stats (stub codec →
+    * rows-only).
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featureStats(Multimodal.decodeFeatures(
+      Multimodal.syntheticMedia(Tables.documents(spark, dir))))
+
+  /** Resize-spec plan (pure metadata math, but modality synthesis +
+    * struct access is the point; oracle-checked).
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeSpec(
+        Multimodal.syntheticMedia(Tables.documents(spark, dir)), maxDim = 320)
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"), min(col("target_w")).as("min_tw"),
+        max(col("target_h")).as("max_th"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_media_bytes" -> (mediaBytes _),
+    "q56_media_features" -> (mediaFeatures _),
+    "q57_media_resize" -> (mediaResize _))
+
+  val oracles: Map[String, String] = Map(
+    "q55_media_bytes" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |  count(*) AS n,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(min(strlen(text)) AS INT) AS min_bytes,
+        |  CAST(max(strlen(text)) AS INT) AS max_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q57_media_resize" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |  count(*) AS n, 320 AS min_tw, 240 AS max_th
+        |FROM documents GROUP BY 1""".stripMargin)
+}

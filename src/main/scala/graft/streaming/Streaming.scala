@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: the unbounded twins of
+  * [[graft.queries.EventsQ]]'s batch queries.
+  *
+  * Scale design: all stateful operators key by `user_id` (or by
+  * (window, event_type)) so state shards across executors; watermarks
+  * bound state size — nothing accumulates unboundedly. The same code
+  * runs against a Kafka source by swapping `readStream.parquet` for
+  * `readStream.format("kafka")` + a decode select.
+  */
+object Streaming {
+
+  /** events schema as stored (ts = INT64 nanos; see
+    * [[graft.sources.Tables.events]]).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream of the events table (one parquet per micro-batch
+    * in tests). `maxFilesPerTrigger=1` gives deterministic batching.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling 5-minute windowed counts per event type with a 10-minute
+    * watermark (late data beyond it is dropped; state for closed windows
+    * is freed).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window (10 min length, 5 min slide) per-type rates. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  // `ts` stays in the row so the upstream watermark column survives the
+  // projection (event-time timeout requires it)
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
+  case class SessionState(start_us: Long, last_us: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization (30-minute inactivity closes a session)
+    * with explicit state via flatMapGroupsWithState — the streaming twin
+    * of [[graft.queries.EventsQ.sessionize]]'s lag-cumsum idiom. State
+    * is one small record per active user; event-time timeout emits the
+    * session when the watermark passes last_seen + gap.
+    */
+  def sessionize(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+      .as[SessionEvent]
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start_us, s.last_us, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start_us, s.last_us, s.n, s.total)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // wake up when the gap can no longer be filled
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the bounded test
+    * input via a named memory sink; returns the collected result.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestSession
+import graft.queries.EventsQ
+
+/** Streaming results must agree with their batch twins on bounded
+  * input — the bounded parquet is replayed as a file stream into a
+  * memory sink.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** File streams need a DIRECTORY of files; stage the single parquet
+    * into one (under target/, inside the repo).
+    */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Paths.get("target/tmp/events_stream")
+    java.nio.file.Files.createDirectories(d)
+    val dst = d.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), dst)
+    d.toString
+  }
+
+  test("windowed counts (complete mode) match the batch 5-minute buckets") {
+    val stream = Streaming.windowedCounts(Streaming.eventStream(spark, streamDir))
+    val got = Streaming.runToMemory(stream, "wc", OutputMode.Complete())
+      .select(unix_timestamp($"window_start").as("bucket"), $"event_type", $"n", $"total_value")
+      .orderBy($"bucket", $"event_type")
+      .collect().toSeq
+
+    val exp = graft.sources.Tables.events(spark, dir)
+      .withColumn("bucket", (unix_timestamp($"ts") - pmod(unix_timestamp($"ts"), lit(300))))
+      .groupBy($"bucket", $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"bucket", $"event_type")
+      .collect().toSeq
+
+    assert(got == exp)
+  }
+
+  test("sliding windows emit two rows per event (10min window, 5min slide)") {
+    val stream = Streaming.slidingRates(Streaming.eventStream(spark, streamDir))
+    val got = Streaming.runToMemory(stream, "sr", OutputMode.Complete())
+    val totalEvents = graft.sources.Tables.events(spark, dir).count()
+    assert(got.agg(sum($"n")).as[Long].collect()(0) == totalEvents * 2)
+  }
+
+  test("streaming sessionization closes exactly the batch sessions minus the open one per user") {
+    val stream = Streaming.sessionize(Streaming.eventStream(spark, streamDir))
+    val got = Streaming.runToMemory(stream.toDF(), "sess", OutputMode.Append())
+      .groupBy($"user_id").agg(count(lit(1)).as("n_closed"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val batch = EventsQ.sessionize(spark, dir)
+      .select($"user_id", $"n_sessions")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // single-file input = single micro-batch: every session except each
+    // user's last closes inside the batch; the last one ALSO closes iff
+    // the final watermark (max ts - 10min) passes its last event + gap
+    batch.foreach { case (u, n) =>
+      val closed = got.getOrElse(u, 0L)
+      assert(closed == n - 1 || closed == n,
+        s"user $u: closed $closed vs batch sessions $n")
+    }
+    // and at least one of each outcome must occur in this dataset
+    assert(batch.exists { case (u, n) => got.getOrElse(u, 0L) == n })
+    assert(batch.exists { case (u, n) => got.getOrElse(u, 0L) == n - 1 })
+  }
+
+  test("session outputs respect the 30-minute gap invariant") {
+    val stream = Streaming.sessionize(Streaming.eventStream(spark, streamDir))
+    val rows = Streaming.runToMemory(stream.toDF(), "sess2", OutputMode.Append())
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getLong(3) >= 1)
+    }
+  }
+}
