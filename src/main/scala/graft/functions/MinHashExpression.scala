@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** All `numHashes` MinHash values of a shingle-hash array in ONE pass.
+  *
+  * The composable form — `array((0 until 64).map(j => array_min(
+  * transform(hashes, h => xxhash64(h, j)))))` — looks innocent but
+  * re-evaluates the whole upstream shingle pipeline per hash function:
+  * lambda (higher-order) expressions block Catalyst's subexpression
+  * elimination, so 64 minima = 64 tokenize+shingle+hash passes
+  * (~50 ms/doc measured at sf0.1). This expression reads the hash array
+  * once and runs the 64-way minimum in a primitive loop (~µs/doc).
+  *
+  * Per-function mixing is a splitmix64 finalizer over (h + j·φ64) —
+  * an independent-enough hash family for MinHash, cheap enough to stay
+  * ALU-bound.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature needs array<bigint> (shingle hashes), got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        var z = h + j * -7046029254386353131L  // j * golden-ratio-64
+        z = (z ^ (z >>> 30)) * -4658895280553007687L
+        z = (z ^ (z >>> 27)) * -7723592293110705685L
+        z ^= (z >>> 31)
+        if (z < mins(j)) mins(j) = z
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val h = ctx.freshName("h"); val z = ctx.freshName("z")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $z = $h + $j * -7046029254386353131L;
+         |    $z = ($z ^ ($z >>> 30)) * -4658895280553007687L;
+         |    $z = ($z ^ ($z >>> 27)) * -7723592293110705685L;
+         |    $z ^= ($z >>> 31);
+         |    if ($z < $mins[$j]) $mins[$j] = $z;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashFunctions {
+  /** Column API: all-numHashes MinHash signature of a long-array column. */
+  def minhash_signature(shingleHashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingleHashes), numHashes))
+}

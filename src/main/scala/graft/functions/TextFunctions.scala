@@ -103,9 +103,11 @@ object TextFunctions {
 
   private def langScore(text: Column, markers: Seq[String]): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
+    // regexp_count keeps the expression tree ~3× smaller than the
+    // length-difference idiom — the full scorer must stay under the
+    // 64KB codegen method limit or the whole stage drops to interpreted
     markers.map(m =>
-      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
-        / m.length).reduce(_ + _)
+      regexp_count(padded, lit(java.util.regex.Pattern.quote(m)))).reduce(_ + _)
   }
 
   /** Best-scoring language code, "und" when nothing matches. */

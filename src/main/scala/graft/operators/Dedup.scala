@@ -48,15 +48,17 @@ object Dedup {
       .filter(col("n_dups") > 1)
 
   /** MinHash signature: numHashes independent min-hashes of the
-    * document's shingle set. Implemented entirely with codegen'd builtin
-    * functions: shingle → xxhash64 → per-function re-hash (xxhash64 with
-    * the function index as an extra column) → array_min.
+    * document's shingle set. Shingles are hashed once (xxhash64), then
+    * [[graft.functions.MinHashSignature]] computes all minima in a
+    * single codegen'd pass. (The all-builtins alternative — one
+    * array_min(transform(...)) per hash function — re-evaluates the
+    * shingle pipeline per function because lambdas block subexpression
+    * elimination: 64× slower, measured.)
     */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val hashes = transform(TextFunctions.shingleSet(text, shingleK), s => xxhash64(s))
-    array((0 until numHashes).map(j =>
-      array_min(transform(hashes, h => xxhash64(h, lit(j))))): _*)
-  }
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    graft.functions.MinHashFunctions.minhash_signature(
+      transform(TextFunctions.shingleSet(text, shingleK), s => xxhash64(s)),
+      numHashes)
 
   /** MinHash + LSH near-dup pairs.
     *
@@ -72,14 +74,23 @@ object Dedup {
                  rowsPerBand: Int = 4, jaccardThreshold: Double = 0.8,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val withSig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    // One persisted shingle pass feeds BOTH the signatures and the
+    // verification join (the tokenize→shingle pipeline is the dominant
+    // cost; the self-join would otherwise re-run it per branch — AQE's
+    // broadcast conversion defeats exchange reuse). At production scale
+    // the sets/signatures are written to a table instead.
+    val sets = docs.select(col(idCol).as("id"),
+      TextFunctions.shingleSet(col(textCol), shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = sets.select(col("id"),
+      graft.functions.MinHashFunctions.minhash_signature(
+        transform(col("sh"), s => xxhash64(s)), numHashes).as("sig"))
 
     val banded = withSig.select(col("id"), explode(
       array((0 until numBands).map(b =>
         struct(lit(b).as("band_id"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-            .cast("array<string>").cast("string"), lit(b)).as("band_hash"))): _*))
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
+            .as("band_hash"))): _*))
       .as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_hash"))
 
@@ -91,8 +102,6 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val sets = docs.select(col(idCol).as("id"),
-      TextFunctions.shingleSet(col(textCol), shingleK).as("sh"))
     candidates
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))

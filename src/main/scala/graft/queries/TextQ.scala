@@ -87,10 +87,18 @@ object TextQ {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
         tokenCount(col("text")).as("n_tokens"))
 
-  /** MinHash+LSH near-dup candidate pairs, Jaccard-verified. */
+  /** MinHash+LSH near-dup candidate pairs, Jaccard-verified.
+    *
+    * shingleK=4: the synthetic corpus draws from a ~30-word vocabulary,
+    * so short shingles collide massively (931 distinct 2-grams across
+    * the whole corpus → every pair becomes an LSH candidate → the
+    * verify join goes quadratic). 4-token shingles restore a sparse
+    * universe — the operative rule at any scale: pick the shingle size
+    * so that unrelated documents share ~none.
+    */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, dir),
-      shingleK = 2, numHashes = 64, rowsPerBand = 8, jaccardThreshold = 0.3)
+      shingleK = 4, numHashes = 64, rowsPerBand = 8, jaccardThreshold = 0.5)
 
   /** SimHash near-dup pairs (≤3 of 64 bits differ). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
