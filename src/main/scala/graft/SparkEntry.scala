@@ -24,7 +24,8 @@ object SparkEntry {
       (EventsQ.queries, EventsQ.oracles),
       (TextQ.queries, TextQ.oracles),
       (VectorQ.queries, VectorQ.oracles),
-      (MediaQ.queries, MediaQ.oracles))
+      (MediaQ.queries, MediaQ.oracles),
+      (AdvancedQ.queries, AdvancedQ.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

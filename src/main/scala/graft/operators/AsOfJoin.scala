@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single right row with the
+  * nearest timestamp at-or-before (backward) or at-or-after (forward)
+  * the left timestamp, within the same key group.
+  *
+  * Implemented as union → one window pass (the scalable idiom):
+  * tag the two inputs, union them, sort each key partition by
+  * (ts, side) and carry the last (backward) / first (forward) non-null
+  * right payload across rows. ONE shuffle on the key, no range-join
+  * pair explosion, no custom physical operator needed — this is
+  * preference (a) "compose built-ins" from the build plan, and it beats
+  * a broadcast-range-join at any scale where the right side is big.
+  *
+  * Ties (left.ts == right.ts) match, like DuckDB/pandas `merge_asof`
+  * with allow_exact_matches: the right row sorts before (backward) /
+  * after (forward) the left row at equal timestamps.
+  *
+  * @param tolerance optional max |left.ts − right.ts| in the ts column's
+  *                  own units; matches farther than this become null.
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTs, rightTs, forward = false, tolerance)
+
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              tolerance: Option[Long] = None): DataFrame =
+    join(left, right, keys, leftTs, rightTs, forward = true, tolerance)
+
+  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, forward: Boolean,
+                   tolerance: Option[Long]): DataFrame = {
+    val rightValueCols = right.columns.filterNot(c => keys.contains(c)).toSeq
+    require(rightValueCols.contains(rightTs), s"right must carry $rightTs")
+    val dupCols = left.columns.toSet.intersect(rightValueCols.toSet)
+    require(dupCols.isEmpty,
+      s"right value columns collide with left: ${dupCols.mkString(", ")} — rename first")
+
+    // right rows must win ties: for backward they sort BEFORE an equal-ts
+    // left row (so last() sees them); for forward AFTER (so first() does)
+    val rightSide = if (forward) 1 else 0
+    val leftSide = 1 - rightSide
+
+    val lTagged = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(leftSide))
+      .withColumn("_rpay", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightValueCols.map(col): _*).schema.fields)))
+    val rTagged = right
+      .select((keys.map(col) :+
+        struct(rightValueCols.map(col): _*).as("_rpay")): _*)
+      .withColumn("_ts", col("_rpay").getField(rightTs))
+      .withColumn("_side", lit(rightSide))
+    val lAligned = lTagged.select(
+      (keys.map(col) :+ col("_rpay") :+ col("_ts") :+ col("_side")) ++
+        left.columns.map(c => col(c).as(s"_l_$c")): _*)
+    val rAligned = rTagged.select(
+      (keys.map(col) :+ col("_rpay") :+ col("_ts") :+ col("_side")) ++
+        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
+
+    val w0 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, col("_side").asc)
+    val matchExpr =
+      if (forward)
+        first(col("_rpay"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("_rpay"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    val matched = lAligned.unionByName(rAligned)
+      .withColumn("_match", matchExpr)
+      .filter(col("_side") === leftSide)
+
+    val withTol = tolerance match {
+      case Some(tol) =>
+        val dist = abs(col("_ts").cast("long") -
+          col("_match").getField(rightTs).cast("long"))
+        matched.withColumn("_match",
+          when(col("_match").isNotNull && dist <= tol, col("_match")))
+      case None => matched
+    }
+
+    withTol.select(
+      left.columns.map(c => col(s"_l_$c").as(c)).toSeq ++
+        rightValueCols.map(c => col("_match").getField(c).as(c)): _*)
+  }
+}
+
+/** Skew-resistant equi-join: salt the (skewed) left side into
+  * `saltFactor` sub-keys and replicate the right side across all salts.
+  * AQE's skew-join handles sort-merge skew at runtime; explicit salting
+  * is for the cases AQE can't re-split (e.g. a hot key inside a
+  * broadcast-defeating aggregate-join chain) and for engines/pipelines
+  * where the skew is known ahead of time.
+  *
+  * Results are identical to `left.join(right, keys)` (inner) — proven
+  * by the spec and by the oracle query sharing plain-join SQL.
+  */
+object SkewJoin {
+
+  def saltedInner(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 0)
+    // deterministic salt from the left row's full content: spreads a hot
+    // key's rows over saltFactor partitions
+    val leftSalted = left.withColumn("_salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)))
+    val rightExploded = right.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit(_)): _*)))
+    leftSalted.join(rightExploded, keys :+ "_salt").drop("_salt")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def trades = Seq(
+    ("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 25L, 102.0),
+    ("B", 15L, 50.0), ("C", 5L, 9.0)
+  ).toDF("sym", "t", "px")
+
+  private def quotes = Seq(
+    ("A", 5L, 1.0), ("A", 20L, 2.0), ("A", 22L, 3.0),
+    ("B", 30L, 4.0)
+  ).toDF("sym", "qt", "bid")
+
+  test("backward as-of picks latest quote at-or-before, exact ties match") {
+    val res = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", "qt")
+      .orderBy($"sym", $"t")
+      .select($"sym", $"t", $"bid").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(res.toSeq == Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 25L, 3.0),
+      ("B", 15L, null), ("C", 5L, null)))
+  }
+
+  test("forward as-of picks earliest quote at-or-after") {
+    val res = AsOfJoin.forward(trades, quotes, Seq("sym"), "t", "qt")
+      .orderBy($"sym", $"t")
+      .select($"sym", $"t", $"bid").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(res.toSeq == Seq(
+      ("A", 10L, 2.0), ("A", 20L, 2.0), ("A", 25L, null),
+      ("B", 15L, 4.0), ("C", 5L, null)))
+  }
+
+  test("tolerance nulls out matches that are too far") {
+    val res = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", "qt",
+        tolerance = Some(3L))
+      .orderBy($"sym", $"t")
+      .select($"sym", $"t", $"bid").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(res.toSeq == Seq(
+      ("A", 10L, null),   // quote at 5, distance 5 > 3
+      ("A", 20L, 2.0),    // exact
+      ("A", 25L, 3.0),    // quote at 22, distance 3 ≤ 3
+      ("B", 15L, null), ("C", 5L, null)))
+  }
+
+  test("all left columns survive; right value columns appended") {
+    val res = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", "qt")
+    assert(res.columns.toSeq == Seq("sym", "t", "px", "qt", "bid"))
+    assert(res.count() == trades.count())
+  }
+
+  test("salted inner join equals plain inner join") {
+    val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"v$i"))
+      .toDF("k", "lv")   // heavy skew on k=1
+    val right = Seq((1L, "r1"), (2L, "r2"), (950L, "r950")).toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(SkewJoin.saltedInner(left, right, Seq("k"), saltFactor = 8)) ==
+      canon(left.join(right, Seq("k"))))
+  }
+}
