@@ -25,7 +25,8 @@ object SparkEntry {
       (TextQ.queries, TextQ.oracles),
       (VectorQ.queries, VectorQ.oracles),
       (MediaQ.queries, MediaQ.oracles),
-      (AdvancedQ.queries, AdvancedQ.oracles))
+      (AdvancedQ.queries, AdvancedQ.oracles),
+      (SummaryQ.queries, SummaryQ.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.clinical.{Pipeline, PipelineConfig}
+import graft.sources.Tables
+
+/** The beyond-parity layer from SURVEY.md §7.5: a groupBy().agg()
+  * summary that collapses the windowed clinical metrics per cohort, a
+  * funnel sequence query, and generator (explode) coverage.
+  */
+object SummaryQ {
+
+  /** Per-(ClinicID, week) cohort summary over the full clinical
+    * pipeline output — the reporting collapse the reference never had.
+    * Distinct-count of users, metric means. Oracle re-derives the whole
+    * pipeline in SQL (strict mode) and aggregates identically.
+    */
+  def clinicalSummary(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PipelineConfig(cohort = "week", gender = "all",
+      minAge = 18, maxAge = 72, clinicId = 1, dedup = false, strictCohorts = true)
+    val wide = Pipeline.run(
+      Clinical.syntheticUsers(spark, dir),
+      Clinical.syntheticWeights(spark, dir),
+      Clinical.syntheticTreatments(spark, dir), cfg)
+    // value sums are emitted as scaled integers (×1e5): the inputs are
+    // exact multiples of 1e-5, so rounded AVERAGES land systematically
+    // on rounding boundaries where engine summation order flips the
+    // last digit — integer totals are boundary-free
+    wide.groupBy(col("ClinicID"), col("week"))
+      .agg(
+        countDistinct(col("UID")).as("n_users"),
+        count(lit(1)).as("n_weighins"),
+        round(sum(col("Weight")) * 100000).cast("long").as("total_weight_e5"),
+        round(sum(col("treatment_TBWL")) * 100000).cast("long").as("total_tmt_tbwl_e5"),
+        sum(col("WIR")).as("total_wir"))
+  }
+
+  /** Conversion funnel on events: users whose first 'signup' is later
+    * followed by a 'purchase' within 24h — min-over-window sequence
+    * detection, SQL-expressible for the oracle.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+    val firstPurchaseAfter = ev.filter(col("event_type") === "purchase")
+      .join(firstSignup, Seq("user_id"))
+      .filter(col("ts_us") >= col("signup_us"))
+      .groupBy(col("user_id"), col("signup_us"))
+      .agg(min(col("ts_us")).as("purchase_us"))
+    firstPurchaseAfter
+      .withColumn("converted_24h",
+        (col("purchase_us") - col("signup_us")) <= lit(24L * 3600 * 1000000))
+      .select(col("user_id"), col("signup_us"), col("purchase_us"), col("converted_24h"))
+  }
+
+  /** Generator coverage: explode each document into its tokens with
+    * position (posexplode ≡ unnest WITH ORDINALITY), then top token
+    * frequencies.
+    */
+  def tokenExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "token")))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("doc_freq"),
+        min(col("pos")).as("earliest_pos"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_clinical_summary" -> (clinicalSummary _),
+    "q61_funnel" -> (funnel _),
+    "q62_token_explode" -> (tokenExplode _))
+
+  private val clinicalSummaryOracle: String = {
+    // reuse the strict clinical oracle as a subquery, aggregate on top
+    val inner =
+      """WITH users AS (
+        |  SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS UID,
+        |         CASE WHEN c_custkey % 2 = 0 THEN 'Male' ELSE 'Female' END AS Gender,
+        |         18 + c_custkey % 55 AS Age,
+        |         CAST(c_nationkey % 3 AS BIGINT) AS ClinicID,
+        |         make_timestamp((1672531200 + c_custkey) * 1000000) AS UIDCreatedDate
+        |  FROM customer),
+        |weights AS (
+        |  SELECT lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS MasterUserID,
+        |         o_totalprice / 1000.0 AS Weight,
+        |         make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey) * 1000000) AS Wts_CreatedDate,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey) * 1000000)
+        |         END AS Wts_UpdatedDate
+        |  FROM orders),
+        |treatments AS (
+        |  SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS MasterUserID,
+        |         c_custkey % 3 + 1 AS TreatmentTypeID,
+        |         make_timestamp((694224000 + c_custkey * 60) * 1000000) AS Tmt_StartDate
+        |  FROM customer),
+        |joined AS (
+        |  SELECT u.UID, u.Gender, u.Age, u.ClinicID, u.UIDCreatedDate,
+        |         w.Weight, w.Wts_CreatedDate, w.Wts_UpdatedDate,
+        |         t.TreatmentTypeID, t.Tmt_StartDate
+        |  FROM users u
+        |  LEFT JOIN weights w ON u.UID = w.MasterUserID
+        |  LEFT JOIN treatments t ON u.UID = t.MasterUserID),
+        |derived AS (
+        |  SELECT *, CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT) AS week
+        |  FROM joined),
+        |fw AS (
+        |  SELECT *,
+        |    count(Wts_UpdatedDate) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week) AS WIR,
+        |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS TSW,
+        |    last_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS TEW
+        |  FROM derived)
+        |SELECT UID, ClinicID, week, Weight, WIR, TEW - TSW AS treatment_TBWL
+        |FROM fw
+        |WHERE Age BETWEEN 18 AND 72 AND ClinicID = 1""".stripMargin
+    s"""WITH pipeline AS ($inner)
+       |SELECT ClinicID, week,
+       |  count(DISTINCT UID) AS n_users,
+       |  count(*) AS n_weighins,
+       |  CAST(round(sum(Weight) * 100000) AS BIGINT) AS total_weight_e5,
+       |  CAST(round(sum(treatment_TBWL) * 100000) AS BIGINT) AS total_tmt_tbwl_e5,
+       |  CAST(sum(WIR) AS BIGINT) AS total_wir
+       |FROM pipeline GROUP BY ClinicID, week""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q60_clinical_summary" -> clinicalSummaryOracle,
+    "q61_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |fs AS (SELECT user_id, min(ts_us) AS signup_us FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (SELECT ev.user_id, fs.signup_us, min(ev.ts_us) AS purchase_us
+        |       FROM ev JOIN fs ON ev.user_id = fs.user_id
+        |       WHERE ev.event_type = 'purchase' AND ev.ts_us >= fs.signup_us
+        |       GROUP BY ev.user_id, fs.signup_us)
+        |SELECT user_id, signup_us, purchase_us,
+        |  (purchase_us - signup_us) <= 86400000000 AS converted_24h
+        |FROM fp""".stripMargin,
+    "q62_token_explode" ->
+      // DuckDB 1.0 lacks WITH ORDINALITY; parallel unnests zip instead
+      """WITH arrs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos
+        |  FROM arrs)
+        |SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq,
+        |  min(pos) AS earliest_pos
+        |FROM toks GROUP BY token""".stripMargin)
+}
