@@ -10,9 +10,13 @@ import graft.queries._
   * DuckDB-equivalent SQL the driver hash-compares against at sf0.01.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full clinical pipeline — scan, broadcast left joins,
+    * derivations, all five window metrics, filters — is the engine's
+    * reason to exist, so it is the smoke test.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Clinical.pipeline(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
@@ -26,7 +30,8 @@ object SparkEntry {
       (VectorQ.queries, VectorQ.oracles),
       (MediaQ.queries, MediaQ.oracles),
       (AdvancedQ.queries, AdvancedQ.oracles),
-      (SummaryQ.queries, SummaryQ.oracles))
+      (SummaryQ.queries, SummaryQ.oracles),
+      (SketchQ.queries, SketchQ.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
