@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Distinct hashes of all k-token shingles of a token array, computed
+  * WITHOUT materializing shingle strings.
+  *
+  * The string pipeline (`transform(sequence…, concat_ws(slice…))`)
+  * allocates O(n·k) strings per document just to hash and discard them —
+  * the dominant cost of MinHash at corpus scale. Here each token is
+  * hashed once (xxHash64, seed 42, same family as Spark's xxhash64) and
+  * a k-window combiner folds consecutive token hashes into one shingle
+  * hash in a single pass: O(n·k) long-mixes, zero allocation beyond the
+  * output.
+  *
+  * Hash-set Jaccard over these equals string-shingle Jaccard up to
+  * 2^-64 collisions — the standard trade for near-dup detection.
+  * Documents with fewer than k tokens yield ONE shingle hash over all
+  * their tokens (mirrors [[TextFunctions.shingles]]).
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes needs array<string> tokens, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      }
+      i += 1
+    }
+    val m = if (n <= k) 1 else n - k + 1
+    val width = if (n <= k) n else k
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = -3750763034362895579L  // FNV offset basis as chain seed
+      var j = 0
+      while (j < width) {
+        h = (h ^ th(i + j)) * 1099511628211L
+        h ^= (h >>> 29)
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    // distinct via sort+unique (no hash-set dependency, cache-friendly)
+    java.util.Arrays.sort(hs)
+    var u = 0
+    i = 0
+    while (i < m) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(u) = hs(i); u += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, u))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val th = ctx.freshName("th")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val m = ctx.freshName("m"); val w = ctx.freshName("w")
+      val h = ctx.freshName("h"); val s = ctx.freshName("s")
+      val set = ctx.freshName("set")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $th = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    $th[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |}
+         |int $m = ($n <= $k) ? 1 : ($n - $k + 1);
+         |int $w = ($n <= $k) ? $n : $k;
+         |long[] $set = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = -3750763034362895579L;
+         |  for (int $j = 0; $j < $w; $j++) {
+         |    $h = ($h ^ $th[$i + $j]) * 1099511628211L;
+         |    $h ^= ($h >>> 29);
+         |  }
+         |  $set[$i] = $h;
+         |}
+         |java.util.Arrays.sort($set);
+         |int ${set}_u = 0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($i == 0 || $set[$i] != $set[$i - 1]) { $set[${set}_u++] = $set[$i]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($set, ${set}_u));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleFunctions {
+  /** Distinct k-shingle hashes of a token-array column. */
+  def shingle_hashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k))
+}

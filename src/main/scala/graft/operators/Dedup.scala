@@ -74,17 +74,20 @@ object Dedup {
                  rowsPerBand: Int = 4, jaccardThreshold: Double = 0.8,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // One persisted shingle pass feeds BOTH the signatures and the
-    // verification join (the tokenize→shingle pipeline is the dominant
-    // cost; the self-join would otherwise re-run it per branch — AQE's
-    // broadcast conversion defeats exchange reuse). At production scale
-    // the sets/signatures are written to a table instead.
+    // One persisted pass over hashed shingles feeds BOTH the signatures
+    // and the verification join ([[graft.functions.ShingleHashes]]
+    // rolls k-token shingle hashes without materializing shingle
+    // strings; the self-join would otherwise re-run tokenization per
+    // branch — AQE's broadcast conversion defeats exchange reuse).
+    // Jaccard over hash sets equals string Jaccard up to 2^-64
+    // collisions. At production scale the sets/signatures are written
+    // to a table instead.
     val sets = docs.select(col(idCol).as("id"),
-      TextFunctions.shingleSet(col(textCol), shingleK).as("sh"))
+      graft.functions.ShingleFunctions.shingle_hashes(
+        TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = sets.select(col("id"),
-      graft.functions.MinHashFunctions.minhash_signature(
-        transform(col("sh"), s => xxhash64(s)), numHashes).as("sig"))
+      graft.functions.MinHashFunctions.minhash_signature(col("sh"), numHashes).as("sig"))
 
     val banded = withSig.select(col("id"), explode(
       array((0 until numBands).map(b =>
