@@ -117,6 +117,17 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the unbounded twin of
+    * [[graft.operators.Dedup.exact]]: drop events whose (user_id,
+    * event_type, value) was already seen, keeping dedup state only
+    * within the watermark (bounded memory; duplicates farther apart
+    * than the watermark pass through — the standard streaming trade).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   /** Run a streaming DataFrame to completion against the bounded test
     * input via a named memory sink; returns the collected result.
     */

@@ -75,6 +75,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.exists { case (u, n) => got.getOrElse(u, 0L) == n - 1 })
   }
 
+  test("streaming dedup within watermark removes in-window duplicates") {
+    val stream = Streaming.dedupWithinWatermark(Streaming.eventStream(spark, streamDir))
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val got = Streaming.runToMemory(stream, "dd", OutputMode.Append())
+    val total = graft.sources.Tables.events(spark, dir).count()
+    val distinctKeys = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"value").distinct().count()
+    // single micro-batch ⇒ all duplicates are in-window: exactly one
+    // survivor per key
+    assert(got.count() == distinctKeys)
+    assert(got.count() <= total)
+    assert(got.select($"user_id", $"event_type", $"value").distinct().count() == got.count())
+  }
+
   test("session outputs respect the 30-minute gap invariant") {
     val stream = Streaming.sessionize(Streaming.eventStream(spark, streamDir))
     val rows = Streaming.runToMemory(stream.toDF(), "sess2", OutputMode.Append())
