@@ -156,11 +156,42 @@ object Clinical {
        |FROM final
        |WHERE Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1""".stripMargin
 
+  /** Month-cohort variant (dynamic `cohort` parameter — reference op
+    * list "dynamic grouping", pandas_DataModel.py:112-149): same
+    * pipeline, cohort column swapped at runtime.
+    */
+  def pipelineMonth(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PipelineConfig(cohort = "month", gender = "Female",
+      minAge = 20, maxAge = 60, clinicId = 2, dedup = false, strictCohorts = true)
+    Pipeline.run(
+        syntheticUsers(spark, dir),
+        syntheticWeights(spark, dir),
+        syntheticTreatments(spark, dir), cfg)
+      .select(
+        Seq("UID", "Gender", "Age", "ClinicID", "Wts_CreatedDate", "month", "WIR")
+          .map(col) ++
+        Seq("Weight", "PSW", "TSW", "TEW", "treatment_TBWL", "patient_TBWL")
+          .map(c => round(col(c), 6).as(c)): _*)
+  }
+
+  private def oracleMonth: String =
+    oracle("PARTITION BY UID")
+      .replace(", week)", ", month)")
+      .replace("Tmt_StartDate, week ", "Tmt_StartDate, month ")
+      .replace(
+        "CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT) AS week",
+        "CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 30.417) AS INT) AS month")
+      .replace("Wts_CreatedDate, week, WIR", "Wts_CreatedDate, month, WIR")
+      .replace("WHERE Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1",
+        "WHERE Gender = 'Female' AND Age BETWEEN 20 AND 60 AND ClinicID = 2")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_clinical_pipeline" -> (pipeline _),
-    "q31_clinical_pipeline_strict" -> (pipelineStrict _))
+    "q31_clinical_pipeline_strict" -> (pipelineStrict _),
+    "q65_clinical_month_cohort" -> (pipelineMonth _))
 
   val oracles: Map[String, String] = Map(
     "q30_clinical_pipeline" -> oracle(""),
-    "q31_clinical_pipeline_strict" -> oracle("PARTITION BY UID"))
+    "q31_clinical_pipeline_strict" -> oracle("PARTITION BY UID"),
+    "q65_clinical_month_cohort" -> oracleMonth)
 }
