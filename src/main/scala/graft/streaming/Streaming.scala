@@ -117,6 +117,29 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides watermarked so the
+    * join state is GC'd once the interval can no longer match — the
+    * canonical bounded-state stream join shape.
+    */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "70 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+  }
+
   /** Streaming exact dedup — the unbounded twin of
     * [[graft.operators.Dedup.exact]]: drop events whose (user_id,
     * event_type, value) was already seen, keeping dedup state only

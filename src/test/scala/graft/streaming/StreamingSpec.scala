@@ -75,6 +75,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.exists { case (u, n) => got.getOrElse(u, 0L) == n - 1 })
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = Streaming.purchasesWithRecentClicks(Streaming.eventStream(spark, streamDir))
+    val got = Streaming.runToMemory(stream, "ssj", OutputMode.Append())
+      .select($"p_id", $"c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.sources.Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    val exp = p.join(c, $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
+      .select($"p_id", $"c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup within watermark removes in-window duplicates") {
     val stream = Streaming.dedupWithinWatermark(Streaming.eventStream(spark, streamDir))
       .select($"event_id", $"user_id", $"event_type", $"value")
