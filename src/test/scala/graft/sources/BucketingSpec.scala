@@ -14,6 +14,16 @@ class BucketingSpec extends AnyFunSuite with SparkTestSession {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear them or CTAS refuses
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     Tables.orders(spark, dir).write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("orders_b")
