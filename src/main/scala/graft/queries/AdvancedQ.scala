@@ -36,7 +36,7 @@ object AdvancedQ {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     spark.sql(
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_e4,
         |  o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -88,7 +88,7 @@ object AdvancedQ {
         |  ON ev.user_id = p.user_id AND ev.ts_us >= p.p_ts_us""".stripMargin,
     "q37_sql_entry" ->
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_e4,
         |  o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey

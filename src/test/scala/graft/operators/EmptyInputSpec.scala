@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.clinical.{Pipeline, PipelineConfig, Schemas}
+import graft.functions.TextFunctions
+
+/** Degenerate inputs must degrade to empty/neutral results, never
+  * throw — a pipeline stage that crashes on an empty partition takes
+  * the whole 1000-executor job with it.
+  */
+class EmptyInputSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc = Seq((1L, "only one document here")).toDF("doc_id", "text")
+
+  test("clinical pipeline on three empty tables returns empty, not error") {
+    val u = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.users)
+    val w = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.weights)
+    val t = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.treatments)
+    assert(Pipeline.run(u, w, t, PipelineConfig()).count() == 0)
+  }
+
+  test("dedup family on empty and singleton corpora") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.exact(oneDoc).count() == 1)
+    assert(Dedup.minhashLsh(oneDoc).count() == 0)   // no pairs from one doc
+    assert(Dedup.simhashPairs(oneDoc).count() == 0)
+  }
+
+  test("ANN with empty query set / empty corpus") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(vecs, noVecs, k = 3).count() == 0)
+    assert(Similarity.bruteForceTopK(noVecs, vecs, k = 3).count() == 0)
+  }
+
+  test("text functions on empty strings and whitespace") {
+    val df = Seq("", "   ", "\t\n").toDF("text")
+    val got = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.qualityScore($"text").as("q"),
+      TextFunctions.langId($"text").as("l"),
+      TextFunctions.fingerprint($"text").as("f")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("n") == 0)
+      assert(!r.isNullAt(1))
+      assert(r.getAs[String]("l") == "und")
+      assert(r.getAs[Long]("f") == 0L)   // empty fold = zero accumulator
+    }
+  }
+
+  test("as-of join with empty right side keeps all left rows, null matches") {
+    val left = Seq(("a", 1L, 9.9)).toDF("k", "t", "v")
+    val right = Seq.empty[(String, Long, Double)].toDF("k", "rt", "rv")
+    val res = AsOfJoin.backward(left, right, Seq("k"), "t", "rt").collect()
+    assert(res.length == 1 && res(0).isNullAt(3) && res(0).isNullAt(4))
+  }
+}
