@@ -24,17 +24,47 @@ object SketchQ {
         approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers_1pct"),
         countDistinct(col("o_custkey")).as("exact_customers"))
 
-  /** approx_percentile (KLL-style) vs exact interpolated percentile. */
+  /** approx_percentile (GK summary) vs exact interpolated percentile.
+    *
+    * Sketch values are engine-defined, so they can't hash-match an
+    * oracle directly. Instead the query asserts the sketch's published
+    * rank-error guarantee AS a column: with accuracy 10000 the returned
+    * value's rank is within n/10000 of target, far inside ±0.005
+    * quantile rank — so `approx_pXX between exact quantiles at
+    * (p∓0.005)` must be TRUE, and the oracle states TRUE literally.
+    * Exact columns follow q38's hash-match discipline
+    * (round(,4) ≡ DuckDB round(quantile_cont,4)).
+    */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("approx_p"),
-        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_p"))
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("ap"),
+        expr("percentile(l_extendedprice, array(0.495, 0.5, 0.505, 0.945, 0.95, 0.955))").as("ep"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("ap"), 1)
+          .between(element_at(col("ep"), 1), element_at(col("ep"), 3))
+          .as("approx_p50_in_bounds"),
+        element_at(col("ap"), 2)
+          .between(element_at(col("ep"), 4), element_at(col("ep"), 6))
+          .as("approx_p95_in_bounds"),
+        round(element_at(col("ep"), 2), 4).as("exact_p50"),
+        round(element_at(col("ep"), 5), 4).as("exact_p95"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_approx_distinct" -> (approxDistinct _),
     "q64_approx_percentiles" -> (approxPercentiles _))
 
-  val oracles: Map[String, String] = Map()  // engine-defined sketches: rows-only
+  // q63 stays rows-only (HLL++ counts are engine-defined scalars the
+  // oracle can't reproduce); q64 is fully hash-gated via the
+  // error-bound-as-column trick above.
+  val oracles: Map[String, String] = Map(
+    "q64_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  TRUE AS approx_p50_in_bounds,
+        |  TRUE AS approx_p95_in_bounds,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }
