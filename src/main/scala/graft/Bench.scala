@@ -10,7 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional arg: comma-separated name substrings (local profiling; the
+    // driver runs with no args → full battery)
+    val keep: String => Boolean = if (args.nonEmpty) {
+      val pats = args(0).split(",").toSeq
+      name => pats.exists(name.contains)
+    } else _ => true
+    val results = SparkEntry.queries.filter(kv => keep(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -55,7 +55,11 @@ object AsOfJoin {
       .withColumn("_rpay", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(rightValueCols.map(col): _*).schema.fields)))
+    // null-timestamp right rows would sort first (asc puts NULLs first)
+    // and become everyone's "earliest" match — merge_asof / DuckDB ASOF
+    // ignore them, so drop them before tagging
     val rTagged = right
+      .filter(col(rightTs).isNotNull)
       .select((keys.map(col) :+
         struct(rightValueCols.map(col): _*).as("_rpay")): _*)
       .withColumn("_ts", col("_rpay").getField(rightTs))
@@ -78,7 +82,8 @@ object AsOfJoin {
           .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     val matched = lAligned.unionByName(rAligned)
-      .withColumn("_match", matchExpr)
+      // a null-ts LEFT row has no defined as-of position → no match
+      .withColumn("_match", when(col("_ts").isNotNull, matchExpr))
       .filter(col("_side") === leftSide)
 
     val withTol = tolerance match {

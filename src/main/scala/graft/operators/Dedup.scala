@@ -74,18 +74,21 @@ object Dedup {
                  rowsPerBand: Int = 4, jaccardThreshold: Double = 0.8,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // One persisted pass over hashed shingles feeds BOTH the signatures
-    // and the verification join ([[graft.functions.ShingleHashes]]
-    // rolls k-token shingle hashes without materializing shingle
-    // strings; the self-join would otherwise re-run tokenization per
-    // branch — AQE's broadcast conversion defeats exchange reuse).
-    // Jaccard over hash sets equals string Jaccard up to 2^-64
-    // collisions. At production scale the sets/signatures are written
-    // to a table instead.
+    // One pass over hashed shingles feeds BOTH the signatures and the
+    // verification joins ([[graft.functions.ShingleHashes]] rolls
+    // k-token shingle hashes without materializing shingle strings).
+    // The explicit repartition(id) plants a user exchange that
+    // ReuseExchange dedups across all three consumers, so shingling
+    // runs once per query with NO session-lifetime cache (a persist
+    // here leaked corpus-sized blocks until the caller unpersisted —
+    // and user repartitions survive AQE's broadcast conversions that
+    // defeat plain exchange reuse). Jaccard over hash sets equals
+    // string Jaccard up to 2^-64 collisions. At production scale the
+    // sets/signatures are written to a table instead.
     val sets = docs.select(col(idCol).as("id"),
       graft.functions.ShingleFunctions.shingle_hashes(
         TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("id"))
     val withSig = sets.select(col("id"),
       graft.functions.MinHashFunctions.minhash_signature(col("sh"), numHashes).as("sig"))
 

@@ -56,6 +56,18 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(res.count() == trades.count())
   }
 
+  test("null timestamps never match: null-ts quotes dropped, null-ts trades unmatched") {
+    val t = Seq(("A", Some(10L), 100.0), ("A", None, 101.0)).toDF("sym", "t", "px")
+    val q = Seq(("A", None: Option[Long], 9.0), ("A", Some(7L), 1.0)).toDF("sym", "qt", "bid")
+    val res = AsOfJoin.backward(t, q, Seq("sym"), "t", "qt")
+      .orderBy($"t".asc_nulls_last)
+      .select($"bid").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    // trade@10 matches quote@7 (NOT the null-ts quote's 9.0);
+    // the null-ts trade matches nothing
+    assert(res.toSeq == Seq(1.0, null))
+  }
+
   test("salted inner join equals plain inner join") {
     val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"v$i"))
       .toDF("k", "lv")   // heavy skew on k=1
