@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sorted Neighborhood Method (SNM) — the linear-time alternative to
+  * all-pairs similarity joins: order the corpus by a similarity-
+  * preserving key, then compare each record only against its `w`
+  * predecessors in that order (Hernández & Stolfo, SIGMOD '95).
+  *
+  * The candidate count is exactly `w × n` regardless of how clustered
+  * the data is, so the plan survives any scale-up — unlike within-block
+  * all-pairs joins, whose cost grows quadratically with block size.
+  * Recall is governed by how well the sort key clusters true pairs
+  * (measured in SortedNeighborhoodSpec); precision is 1 because every
+  * emitted pair is exactly verified.
+  *
+  * Everything here is deterministic (total sort order, fixed window), so
+  * the whole operator is reproducible in ANSI SQL via a global
+  * row_number — which is what lets q43 stay hash-gated against DuckDB.
+  */
+object SortedNeighborhood {
+
+  /** Global 0-based rank in total `sortCols` order, computed scale-out:
+    * range-partition + local sort + zipWithIndex (partition-count
+    * offsets), NOT a single-partition window. `sortCols` must be a total
+    * order (include a unique id as the last key) for the rank to be
+    * deterministic. The one RDD hop in this file is deliberate:
+    * zipWithIndex is the distributed global-rank idiom, and no
+    * Expression/window form avoids the single-task sort.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String = "rnk"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val outSchema = sorted.schema.add(rankCol, LongType, nullable = false)
+    // zipWithIndex = one lightweight count-per-partition job + a map;
+    // the index is the position in the TOTAL sort order, so it does not
+    // depend on where the range boundaries landed.
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Candidate pairs = each row × its `window` predecessors in global
+    * `sortCols` order that share `blockCols` (equi-join keys — the
+    * neighborhood never crosses a block boundary). Emits both sides'
+    * columns suffixed `_a`/`_b`; callers verify + filter. The probe-key
+    * explode keeps this a pure equi-join: no range join, no all-pairs.
+    */
+  def candidatePairs(df: DataFrame, blockCols: Seq[String], sortCols: Seq[Column],
+                     window: Int): DataFrame = {
+    require(window > 0)
+    val ranked = globalRank(df, sortCols, "rnk")
+    val payload = ranked.columns.filterNot(c => blockCols.contains(c) || c == "rnk").toSeq
+    val aSide = ranked.select(blockCols.map(col) ++ (col("rnk") +: payload.map(c => col(c).as(s"${c}_a"))): _*)
+    val bSide = ranked.select(blockCols.map(col) ++
+        (explode(sequence(col("rnk") + 1, col("rnk") + window)).as("rnk") +:
+          payload.map(c => col(c).as(s"${c}_b"))): _*)
+    aSide.join(bSide, blockCols :+ "rnk").drop("rnk")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, SortedNeighborhood}
 import graft.sources.Tables
 
 /** Text-analysis + dedup queries over the `documents` table — the
@@ -47,22 +47,39 @@ object TextQ {
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 
-  /** Character-set Jaccard over same-(lang,source) pairs — the
-    * SQL-checkable cousin of shingle Jaccard (DuckDB's jaccard() is
-    * char-set based; we reproduce it with array ops).
+  /** Character-set Jaccard near-dup pairs via the Sorted Neighborhood
+    * Method — the SQL-checkable cousin of shingle Jaccard, made linear.
+    *
+    * The round-1 form self-joined every same-(lang, source) pair: blocks
+    * grow with the corpus, so pairs grew quadratically — the battery's
+    * scale-killer. SNM sorts by (lang, source, charset-string, doc_id)
+    * and compares each doc only with its `snmWindow` predecessors:
+    * exactly w×n candidates at any scale, every emitted pair exactly
+    * verified (precision 1; recall measured in SortedNeighborhoodSpec —
+    * identical char sets are always adjacent in the sort, and J ≥ 0.9
+    * pairs differ by ≤ ~4 chars so they nearly always still collate).
+    * Deterministic total order ⇒ DuckDB reproduces it with a global
+    * row_number, keeping the query hash-gated.
     */
+  val snmWindow = 20
+
   def charJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(
       col("lang"), col("source"), col("doc_id"),
-      array_distinct(split(lower(col("text")), "")).as("chars"))
-    d.as("a").join(d.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+      array_sort(array_distinct(split(lower(col("text")), ""))).as("chars"))
+    SortedNeighborhood.candidatePairs(d,
+        blockCols = Seq("lang", "source"),
+        // block cols lead the sort so the global rank matches the
+        // oracle's ORDER BY (lang, source, charset-string, doc_id)
+        sortCols = Seq(col("lang"), col("source"),
+          concat_ws("", col("chars")), col("doc_id")),
+        window = snmWindow)
       .withColumn("jaccard",
-        round(size(array_intersect(col("a.chars"), col("b.chars"))).cast("double") /
-          size(array_union(col("a.chars"), col("b.chars"))), 6))
+        round(size(array_intersect(col("chars_a"), col("chars_b"))).cast("double") /
+          size(array_union(col("chars_a"), col("chars_b"))), 6))
       .filter(col("jaccard") >= 0.9)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("jaccard"))
+      .select(least(col("doc_id_a"), col("doc_id_b")).as("id_a"),
+        greatest(col("doc_id_a"), col("doc_id_b")).as("id_b"), col("jaccard"))
   }
 
   /** Heuristic language ID vs the labeled lang column (accuracy report:
@@ -150,13 +167,18 @@ object TextQ {
         |FROM documents GROUP BY 1""".stripMargin,
     "q43_char_jaccard_pairs" ->
       """WITH d AS (SELECT lang, source, doc_id,
-        |             list_distinct(string_split(lower(text), '')) AS chars
-        |           FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |             list_sort(list_distinct(string_split(lower(text), ''))) AS chars
+        |           FROM documents),
+        |     r AS (SELECT *, row_number() OVER (
+        |             ORDER BY lang, source, array_to_string(chars, ''), doc_id) - 1 AS rnk
+        |           FROM d)
+        |SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |  greatest(a.doc_id, b.doc_id) AS id_b,
         |  round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.chars, b.chars))), 6) AS jaccard
-        |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |FROM r a JOIN r b
+        |  ON a.lang = b.lang AND a.source = b.source
+        | AND b.rnk BETWEEN a.rnk - 20 AND a.rnk - 1
         |WHERE round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.chars, b.chars))), 6) >= 0.9""".stripMargin,
     "q49_bpe_token_counts" ->
