@@ -166,6 +166,114 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Indices of the `nProbe` nearest centroids (by cosine) for an input
+  * vector, against a FIXED centroid matrix held in the plan — the
+  * single-pass replacement for the corpus×centroids
+  * `join(broadcast, lit(true))` + window-argmax plan, which pushed
+  * |corpus|×|centroids| rows through an exchange just to keep one.
+  *
+  * Centroids are L2-normalized at construction, so per centroid the
+  * score is one dot product (the input's own norm is constant across
+  * centroids and cannot change the ranking). Output is ordered by
+  * descending similarity; ties keep the lower centroid index. Runs in
+  * whole-stage codegen: nc×dim fused multiply-adds per row, no join, no
+  * shuffle, no window.
+  */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], nProbe: Int)
+    extends UnaryExpression {
+
+  require(nProbe > 0, "nProbe must be positive")
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids needs array<double>, got ${t.catalogString}")
+    }
+
+  /** Unit-norm centroid rows (zero vectors stay zero). */
+  @transient private lazy val normed: Array[Array[Double]] = normalize(centroids)
+
+  private def normalize(cs: Seq[Seq[Double]]): Array[Array[Double]] =
+    cs.map { c =>
+      val a = c.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }.toArray
+
+  private val p = math.min(nProbe, centroids.size)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val topS = Array.fill(p)(Double.NegativeInfinity)
+    val topI = Array.fill(p)(-1)
+    var ci = 0
+    while (ci < normed.length) {
+      val cvec = normed(ci)
+      require(cvec.length == n,
+        s"nearest_centroids: dim mismatch ${cvec.length} vs $n")
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += v.getDouble(i) * cvec(i); i += 1 }
+      var pos = p
+      while (pos > 0 && dot > topS(pos - 1)) pos -= 1
+      if (pos < p) {
+        var j = p - 1
+        while (j > pos) { topS(j) = topS(j - 1); topI(j) = topI(j - 1); j -= 1 }
+        topS(pos) = dot; topI(pos) = ci
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(topI)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("centroidMatrix", normed, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot"); val pos = ctx.freshName("pos")
+      val topS = ctx.freshName("topS"); val topI = ctx.freshName("topI")
+      val cvec = ctx.freshName("cvec")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $topS = new double[$p];
+         |int[] $topI = new int[$p];
+         |for (int $j = 0; $j < $p; $j++) {
+         |  $topS[$j] = Double.NEGATIVE_INFINITY; $topI[$j] = -1;
+         |}
+         |for (int $ci = 0; $ci < $mat.length; $ci++) {
+         |  double[] $cvec = $mat[$ci];
+         |  if ($cvec.length != $n) {
+         |    throw new IllegalArgumentException(
+         |      "nearest_centroids: dim mismatch " + $cvec.length + " vs " + $n);
+         |  }
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $cvec[$i];
+         |  }
+         |  int $pos = $p;
+         |  while ($pos > 0 && $dot > $topS[$pos - 1]) $pos--;
+         |  if ($pos < $p) {
+         |    for (int $j = $p - 1; $j > $pos; $j--) {
+         |      $topS[$j] = $topS[$j - 1]; $topI[$j] = $topI[$j - 1];
+         |    }
+         |    $topS[$pos] = $dot; $topI[$pos] = $ci;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($topI);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   /** Column API for [[CosineSimilarity]]. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -175,4 +283,8 @@ object VectorFunctions {
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Column API for [[NearestCentroids]]. */
+  def nearest_centroids(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(v), centroids, nProbe))
 }

@@ -33,41 +33,60 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))
   }
 
-  /** K-means-free IVF: centroids are a deterministic sample of the
-    * corpus itself (every `stride`-th vector by id — at 100 TB you'd run
-    * a few k-means rounds instead; the plan shape is identical).
-    * Each corpus vector is assigned to its nearest centroid at build;
-    * each query probes its `nProbe` nearest centroids' buckets.
+  /** IVF with k-means centroids.
+    *
+    * Build: seed centroids are a deterministic pseudo-random sample
+    * (top-`numCentroids` by xxhash64(id) — TakeOrdered, no full sort),
+    * refined by `lloydIters` Lloyd rounds. Centers live on the DRIVER
+    * between rounds (numCentroids×dim doubles — the same contract as
+    * Spark MLlib KMeans), so corpus↔centroid work is always a single
+    * codegen'd projection pass ([[graft.functions.NearestCentroids]]):
+    * no corpus×centroids join, no window, no exchange. The Lloyd mean
+    * is a posexplode + partial-agg groupBy — map-side combine reduces
+    * each round's shuffle to numCentroids×dim rows per task. At 100 TB
+    * you'd run the build on a hash-sample (`buildSampleMod` > 1) and
+    * persist the centers next to the index; the search path is
+    * unchanged.
+    *
+    * Search: each corpus vector carries its nearest-centroid bucket id;
+    * each query probes its `nProbe` closest buckets via an equi-join.
+    * Recall < 1 by design — quantified in RecallSpec.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, stride: Int = 50,
-              nProbe: Int = 3, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int = 16,
+              nProbe: Int = 3, lloydIters: Int = 2, buildSampleMod: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.nearest_centroids
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val centroids = c.filter(col("corpus_id") % stride === 0)
-      .select(col("corpus_id").as("centroid_id"), col("cv").as("centv"))
 
-    // corpus→centroid assignment (broadcast centroids, 1 row kept per vector)
-    val wAssign = Window.partitionBy(col("corpus_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val assigned = c.join(broadcast(centroids), lit(true))
-      .withColumn("csim", cosine_similarity(col("cv"), col("centv")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("corpus_id"), col("cv"), col("centroid_id"))
+    val build =
+      if (buildSampleMod > 1) c.filter(pmod(xxhash64(col("corpus_id")), lit(buildSampleMod)) === 0)
+      else c
+    var centers: Seq[Seq[Double]] =
+      build.orderBy(xxhash64(col("corpus_id")).asc, col("corpus_id").asc)
+        .limit(numCentroids)
+        .select(col("cv")).collect().map(_.getSeq[Double](0)).toSeq
+    for (_ <- 1 to lloydIters) {
+      val means = build
+        .select(element_at(nearest_centroids(col("cv"), centers, 1), 1).as("cid"),
+          posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      // empty clusters keep their previous center
+      val next = centers.map(_.toArray).toArray
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centers = next.map(_.toSeq).toSeq
+    }
 
-    // query→nProbe centroids
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("qsim").desc, col("centroid_id").asc)
-    val probes = q.join(broadcast(centroids), lit(true))
-      .withColumn("qsim", cosine_similarity(col("qv"), col("centv")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val assigned = c.withColumn("centroid_id",
+      element_at(nearest_centroids(col("cv"), centers, 1), 1))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(nearest_centroids(col("qv"), centers, nProbe)).as("centroid_id"))
 
     // search only probed buckets
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
-    probes.join(assigned, Seq("centroid_id"))
+    broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("sim", round(cosine_similarity(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(wTop))

@@ -98,7 +98,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     val q = vecs.filter($"vec_id" === 0)
     val bf = Similarity.bruteForceTopK(vecs, q, k = 3)
       .orderBy($"rn").select("corpus_id").as[Long].collect().toSeq
-    val ivf = Similarity.ivfTopK(vecs, q, k = 3, stride = 5, nProbe = 4)
+    val ivf = Similarity.ivfTopK(vecs, q, k = 3, numCentroids = 4, nProbe = 4)
       .orderBy($"rn").select("corpus_id").as[Long].collect().toSeq
     assert(ivf == bf)
   }

@@ -20,7 +20,7 @@ class RecallSpec extends AnyFunSuite with SparkTestSession {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
     val exact = pairs(Similarity.bruteForceTopK(corpus, queries, k = 5))
-    val approx = pairs(Similarity.ivfTopK(corpus, queries, k = 5, stride = 50, nProbe = 3))
+    val approx = pairs(Similarity.ivfTopK(corpus, queries, k = 5, numCentroids = 10, nProbe = 3))
     val recall = (exact intersect approx).size.toDouble / exact.size
     info(f"IVF recall@5 = $recall%.3f (${exact.size} exact pairs)")
     // uniform random embeddings are IVF's worst case (no cluster
@@ -37,7 +37,7 @@ class RecallSpec extends AnyFunSuite with SparkTestSession {
       df.select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
     val exact = pairs(Similarity.bruteForceTopK(corpus, queries, k = 5))
     def recallAt(nProbe: Int) = {
-      val a = pairs(Similarity.ivfTopK(corpus, queries, k = 5, stride = 50, nProbe = nProbe))
+      val a = pairs(Similarity.ivfTopK(corpus, queries, k = 5, numCentroids = 10, nProbe = nProbe))
       (exact intersect a).size.toDouble / exact.size
     }
     val r1 = recallAt(1); val r5 = recallAt(5); val rAll = recallAt(10)
