@@ -102,17 +102,53 @@ object Metrics {
     * global sort order — it deliberately(?) crosses cohort, treatment and
     * even user boundaries (verified empirically; SURVEY.md §2.9).
     *
-    * Bug-compatible mode reproduces that with an UNPARTITIONED ordered
-    * window — a single-partition scalability cliff, kept only for oracle
-    * parity. Strict mode partitions the lead by UID: the diff never
-    * crosses users and the window distributes. Choose via
+    * Strict mode partitions the lead by UID: the diff never crosses
+    * users and the window distributes. Choose via
     * [[PipelineConfig.strictCohorts]].
+    *
+    * Bug-compatible mode reproduces the cross-user quirk WITHOUT the
+    * unpartitioned window it used to cost (a single-partition cliff —
+    * round-1's only clinical scale flaw): only each user's globally-LAST
+    * row sees a cross-user lead, and because UID is the leading global
+    * sort key, that lead is exactly the NEXT UID's first-row fw. So:
+    * per-user lead (distributed window) + a one-row-per-user boundary
+    * table ranked in UID order ([[graft.operators.SortedNeighborhood
+    * .globalRank]] — range-partitioned, no single task) self-joined at
+    * rank+1 to fetch each user's successor fw, joined back on UID. The
+    * join reuses the UID hash exchange the window stack already planted.
     */
-  def wgtDiff(fw: Column, strict: Boolean): Column = {
-    val w =
-      if (strict) Window.partitionBy(col("UID")).orderBy(sortKeys: _*)
-      else Window.orderBy(sortKeys: _*)
-    fw - lead(fw, 1).over(w)
+  def withWgtDiff(df: org.apache.spark.sql.DataFrame, fw: Column,
+                  strict: Boolean): org.apache.spark.sql.DataFrame = {
+    val wUser = Window.partitionBy(col("UID")).orderBy(sortKeys: _*)
+    if (strict) df.withColumn("wgt_diff", fw - lead(fw, 1).over(wUser))
+    else {
+      val base = df
+        .withColumn("_fw", fw)
+        .withColumn("_lead_u", lead(col("_fw"), 1).over(wUser))
+        // first row's fw per user (NOT ignoreNulls — global diff(-1)
+        // takes the next row's value verbatim, null included)
+        .withColumn("_ufw", first(col("_fw")).over(wUser))
+        .withColumn("_rn", row_number().over(wUser))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("UID"))))
+      // one row per user, two narrow columns — materialized eagerly so
+      // the rank's range-sample/count/zip jobs don't each re-run the
+      // window stack upstream (at production scale this boundary table
+      // is written to a table; localCheckpoint is the in-session analog)
+      val bnd = base.select(col("UID").as("_b_uid"), col("_ufw"))
+        .dropDuplicates("_b_uid")
+        .localCheckpoint(true)
+      val ranked = graft.operators.SortedNeighborhood.globalRank(
+        bnd, Seq(col("_b_uid").asc_nulls_last), "_r")
+      val succ = ranked
+        .join(ranked.select((col("_r") - 1).as("_r"), col("_ufw").as("_next_ufw")),
+          Seq("_r"), "left")
+        .select(col("_b_uid").as("UID"), col("_next_ufw"))
+      base.join(succ, Seq("UID"), "left")
+        .withColumn("wgt_diff",
+          when(col("_rn") === col("_n"), col("_fw") - col("_next_ufw"))
+            .otherwise(col("_fw") - col("_lead_u")))
+        .drop("_fw", "_lead_u", "_ufw", "_rn", "_n", "_next_ufw")
+    }
   }
 
   /** Patient TBWL: max of wgt_diff per cohort (pandas_DataModel.py:146-149).

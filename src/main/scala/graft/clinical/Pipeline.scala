@@ -71,7 +71,7 @@ object Pipeline {
         "TSW" -> Metrics.tsw,
         "TEW" -> Metrics.tew))
       .withColumn("treatment_TBWL", col("TEW") - col("TSW"))
-      .withColumn("wgt_diff", Metrics.wgtDiff(fw, cfg.strictCohorts))
+      .transform(Metrics.withWgtDiff(_, fw, cfg.strictCohorts))
       .withColumn("patient_TBWL", Metrics.patientTbwl(cfg.cohort))
       .drop("wgt_diff")
       // TEW is an intermediate in pandas (unnamed local, py:129) but a
