@@ -31,7 +31,8 @@ object SparkEntry {
       (MediaQ.queries, MediaQ.oracles),
       (AdvancedQ.queries, AdvancedQ.oracles),
       (SummaryQ.queries, SummaryQ.oracles),
-      (SketchQ.queries, SketchQ.oracles))
+      (SketchQ.queries, SketchQ.oracles),
+      (StreamQ.queries, StreamQ.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -94,7 +94,10 @@ object TextFunctions {
     * diacritic classes. A real system would use trained n-gram profiles;
     * the shape (score-per-language then greatest) is the same.
     */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  /** Exposed so the DuckDB oracle for q44 is GENERATED from the same
+    * table — the heuristic and its gate can never drift apart.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
     "es" -> Seq(" el ", " la ", " los ", " que ", " y ", "ción"),
     "fr" -> Seq(" le ", " la ", " les ", " est ", " une ", " dans "),

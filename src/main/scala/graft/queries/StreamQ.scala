@@ -1,0 +1,49 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
+
+/** Structured Streaming under the driver's hash gate.
+  *
+  * The streaming operators' correctness otherwise rests only on
+  * batch-twin ScalaTest comparisons; this entry runs the REAL streaming
+  * path — readStream → watermark → stateful windowed aggregation →
+  * memory sink — over a bounded copy of the events table, then lets the
+  * driver hash-compare the emitted result against DuckDB computing the
+  * same tumbling windows in SQL. Window bounds go out as epoch seconds
+  * (5-minute aligned, so the cast is exact) to dodge timestamp-unit
+  * skew between parquet writers.
+  */
+object StreamQ {
+
+  /** 5-minute tumbling counts per event type, via the streaming engine. */
+  def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    // file-source streams read a directory: stage the single parquet
+    val stage = Files.createTempDirectory("graft_stream_gate")
+    stage.toFile.deleteOnExit()
+    Files.copy(Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val res = Streaming.runToMemory(
+      Streaming.windowedCounts(Streaming.eventStream(spark, stage.toString)),
+      name = "q66_stream_windowed_counts_mem",
+      mode = OutputMode.Complete)
+    res.select(
+      col("window_start").cast("long").as("window_start_epoch"),
+      col("window_end").cast("long").as("window_end_epoch"),
+      col("event_type"), col("n"), col("total_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_stream_windowed_counts" -> (streamWindowedCounts _))
+
+  val oracles: Map[String, String] = Map(
+    "q66_stream_windowed_counts" ->
+      """SELECT
+        |  CAST(epoch_us(ts) // 300000000 * 300 AS BIGINT) AS window_start_epoch,
+        |  CAST(epoch_us(ts) // 300000000 * 300 + 300 AS BIGINT) AS window_end_epoch,
+        |  event_type, count(*) AS n, round(sum("value"), 2) AS total_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin)
+}

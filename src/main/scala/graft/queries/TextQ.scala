@@ -82,16 +82,20 @@ object TextQ {
         greatest(col("doc_id_a"), col("doc_id_b")).as("id_b"), col("jaccard"))
   }
 
-  /** Heuristic language ID vs the labeled lang column (accuracy report:
-    * engine-defined heuristic → rows-only check).
+  /** Heuristic language ID vs the labeled lang column (confusion
+    * counts). Hash-gated: the marker heuristic is deterministic, and the
+    * oracle SQL is generated from the same marker table
+    * ([[graft.functions.TextFunctions.langMarkers]]) with overlapping
+    * occurrence counts reproduced via a position comprehension.
     */
   def langIdReport(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("lang"), langId(col("text")).as("pred"))
       .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
 
-  /** Composite quality score distribution (engine-defined weights →
-    * rows-only check).
+  /** Composite quality score distribution. Hash-gated: the blend is
+    * plain deterministic arithmetic, written in the SAME operation order
+    * on both sides so the doubles are bit-identical before round(6).
     */
   def qualityReport(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -142,7 +146,66 @@ object TextQ {
     "q48_simhash_pairs" -> (simhashPairs _),
     "q49_bpe_token_counts" -> (bpeTokenCounts _))
 
+  /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
+    * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
+    * byte-wise scan (UTF-8 is self-synchronizing, so char-aligned =
+    * byte-aligned for valid patterns). `replace`-based counting would
+    * undercount self-overlapping matches like ' the ' in ' the the '.
+    */
+  private def occCount(t: String, pat: String): String = {
+    val esc = pat.replace("'", "''")
+    val n = pat.length
+    s"len(list_filter(range(1, length($t) - $n + 2), i -> substring($t, i, $n) = '$esc'))"
+  }
+
+  /** q44 oracle, generated from the SAME marker table as the engine. */
+  private def langIdOracle: String = {
+    val markers = graft.functions.TextFunctions.langMarkers
+    val scores = markers.map { case (code, pats) =>
+      pats.map(p => occCount("t", p)).mkString(" + ") + s" AS s_$code"
+    }.mkString(",\n        ")
+    val codes = markers.map(_._1)
+    val mx = s"greatest(${codes.map(c => s"s_$c").mkString(", ")})"
+    // CASE evaluates in declaration order = the engine's first-wins tie
+    val branches = codes.map(c => s"WHEN s_$c = _mx THEN '$c'").mkString("\n          ")
+    s"""WITH padded AS (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents),
+       |     scored AS (SELECT lang,
+       |        $scores
+       |        FROM padded),
+       |     best AS (SELECT *, $mx AS _mx FROM scored)
+       |SELECT lang,
+       |  CASE WHEN _mx = 0 THEN 'und'
+       |          $branches
+       |  END AS pred,
+       |  count(*) AS n
+       |FROM best GROUP BY lang, pred""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q44_langid_report" -> langIdOracle,
+    "q45_quality_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |  m AS (
+        |  SELECT doc_id, text,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha,
+        |    least((CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(ts,
+        |             x -> list_contains(['the','a','an','of','to','in','and','is','on','for','with','as','at','by','it','be','this','that'], x))) AS DOUBLE)
+        |           / len(ts) END) * 5.0, 1.0) AS stop_score,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts) END AS tok_len
+        |  FROM toks)
+        |SELECT doc_id,
+        |  round(len_score * 0.25 + alpha * 0.25 + stop_score * 0.25 +
+        |        (CASE WHEN tok_len >= 3.0 AND tok_len <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.25, 6) AS quality,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio
+        |FROM m""".stripMargin,
     "q40_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS INT) AS n_tokens,
