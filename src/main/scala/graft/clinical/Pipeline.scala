@@ -49,7 +49,14 @@ object Pipeline {
     * preserve that exactly and rely on broadcast of the dimension sides.
     */
   def joined(users: DataFrame, weights: DataFrame, treatments: DataFrame): DataFrame = {
-    val u = renamedUsers(users)
+    // users is one row per UID, so every users attribute is constant per
+    // UID — declared as per-plan FD metadata (graft.plans.Fd) so the
+    // window-pushdown rule can act on THESE columns and no others
+    val u = {
+      val r = renamedUsers(users)
+      graft.plans.Fd.declareConstantPer(r, "UID",
+        r.columns.filterNot(_ == "UID").toSeq)
+    }
     val w = renamedWeights(weights)
     val t = renamedTreatments(treatments)
     u.join(w, u("UID") === w("MasterUserID"), "left")

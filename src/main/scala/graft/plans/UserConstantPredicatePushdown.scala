@@ -5,61 +5,61 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Pushes filters through Window operators when every window in the
-  * node partitions by a column the predicate is functionally tied to.
+/** Pushes filters through Window operators when the predicate is
+  * partition-determined by DECLARED functional dependencies.
   *
-  * The clinical pipeline (SURVEY.md §4) NEEDS its gender/age/clinic
-  * filters applied after the metrics — but those predicates are
-  * constant per user, and every window partitions by `UID`, so
-  * filtering BEFORE the windows removes whole partitions and cannot
-  * change any surviving row's metrics. Catalyst's stock
-  * PushPredicateThroughNonJoin only pushes predicates over the window's
-  * own partition keys; this rule generalizes to predicates over any
-  * column as long as EVERY window spec in the node shares at least one
-  * partition key with... no — the sound criterion implemented here:
+  * The clinical pipeline (SURVEY.md §4) applies its gender/age/clinic
+  * filters after the metrics — but those predicates are constant per
+  * user, and every window partitions by `UID`, so filtering BEFORE the
+  * windows removes whole partitions and cannot change any surviving
+  * row's metrics. Catalyst's stock PushPredicateThroughNonJoin only
+  * pushes predicates over the window's own partition keys; this rule
+  * generalizes: a predicate may cross a Window node iff every column it
+  * references is either (a) one of the node's window partition keys, or
+  * (b) tagged by [[Fd.constantPer]] with an anchor that IS one of those
+  * partition keys.
   *
-  *   a predicate may cross a Window node iff the set of columns it
-  *   references is partition-determined: every referenced column is
-  *   either (a) one of the window partition keys of ALL window
-  *   expressions in the node, or (b) declared per-partition-constant
-  *   via [[PartitionFunctionalDependencies]] — i.e. a function of those
-  *   keys in the source data (Gender/Age/ClinicID are per-UID constant).
+  * The dependency set is NOT a rule-level constant: it rides on column
+  * metadata declared per-DataFrame (see [[Fd]]), so the rule is safe to
+  * register session-globally — on plans with no declarations it matches
+  * nothing, and a per-event column that merely shares a name with a
+  * per-user attribute is never pushed (round-1 advice).
   *
-  * Registered through SparkSessionExtensions
-  * ([[GraftExtensions]]) or `spark.experimental.extraOptimizations`.
+  * Registered through SparkSessionExtensions ([[GraftExtensions]]) or
+  * `spark.experimental.extraOptimizations`.
   */
 object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
 
-  /** Columns declared constant within any partition of the named key —
-    * domain knowledge the optimizer cannot infer from the plan. The
-    * clinical schema's user attributes are constant per UID (one users
-    * row per UID feeding a left join).
-    */
-  val perUserConstant: Set[String] =
-    Set("Gender", "Age", "ClinicID", "Name", "LastName", "Unit",
-      "Birthday", "Height", "UIDCreatedDate", "User_IsActive", "loginId", "success")
-  val anchorKey = "UID"
+  private def partitionKeysOf(w: Window): Set[String] =
+    w.partitionSpec.collect { case a: Attribute => a.name }.toSet
 
-  private def partitionKeysOf(w: Window): Seq[String] =
-    w.partitionSpec.collect { case a: Attribute => a.name }
+  /** Attribute is usable below a window with partition keys `keys`. */
+  private def determinedBy(a: Attribute, keys: Set[String]): Boolean =
+    keys.contains(a.name) || Fd.anchorOf(a).exists(keys.contains)
 
   private def pushable(cond: Expression, w: Window): Boolean = {
-    val keys = partitionKeysOf(w).toSet
+    val keys = partitionKeysOf(w)
     cond.deterministic &&
-      keys.contains(anchorKey) &&
       cond.references.nonEmpty &&
-      cond.references.forall(a => keys.contains(a.name) || perUserConstant.contains(a.name)) &&
+      // at least one FD tag must be doing work — pure-partition-key
+      // predicates are stock Catalyst's job, not ours
+      cond.references.exists(a => Fd.anchorOf(a).isDefined) &&
+      cond.references.forall(determinedBy(_, keys)) &&
       // referenced columns must come from below the window, not be
       // window outputs
       cond.references.subsetOf(w.child.outputSet)
   }
 
-  /** Is this predicate one of ours (user-constant attrs only)? Used for
-    * the Project hop so the rule never moves unrelated filters around.
+  /** Is this predicate carried by FD-tagged (or same-anchor) columns
+    * only? Used for the Project hop so the rule never moves unrelated
+    * filters around.
     */
-  private def userConstantOnly(cond: Expression): Boolean =
-    cond.deterministic && cond.references.nonEmpty &&
-      cond.references.forall(a => perUserConstant.contains(a.name) || a.name == anchorKey)
+  private def fdCarried(cond: Expression): Boolean = {
+    val anchors = cond.references.flatMap(Fd.anchorOf).toSet
+    cond.deterministic && cond.references.nonEmpty && anchors.nonEmpty &&
+      cond.references.forall(a =>
+        Fd.anchorOf(a).isDefined || anchors.contains(a.name))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, w: Window) =>
@@ -81,9 +81,9 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
       def substitute(e: Expression): Expression = e.transformUp {
         case a: Attribute => aliasMap.getOrElse(a.exprId, a)
       }
-      val (push0, keep) = splitConjunctivePredicates(cond).partition(userConstantOnly)
+      val (push0, keep) = splitConjunctivePredicates(cond).partition(fdCarried)
       val push = push0.map(substitute).filter(e =>
-        userConstantOnly(e) && e.references.subsetOf(p.child.outputSet))
+        fdCarried(e) && e.references.subsetOf(p.child.outputSet))
       if (push.isEmpty || push.size != push0.size) f
       else {
         val pushed = p.copy(child = Filter(push.reduce(And), p.child))
@@ -101,6 +101,8 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
 /** Session extension registering the graft optimizer rules:
   * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
   * or `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  * Safe for arbitrary sessions: the pushdown rule only acts on plans
+  * whose DataFrames declared functional dependencies via [[Fd]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {

@@ -50,18 +50,44 @@ class PushdownSpec extends AnyFunSuite with SparkTestSession {
     assert(after >= 3, s"rule must push below the window stack (only $after windows above)")
   }
 
-  test("bug-compatible mode: pushdown stops at the unpartitioned diff window") {
+  test("bug-compatible mode: pushdown crosses the UID-partitioned windows too") {
+    // since the boundary-join rework every bug-compat window partitions
+    // by UID (the cross-user successor table is captured eagerly from
+    // the unfiltered plan), so user-constant filters may cross them
     val cfg = PipelineConfig(gender = "Male", minAge = 10, maxAge = 80, strictCohorts = false)
     val withPlan = withRule {
       Pipeline.runFromCsv(spark, fixtureDir, cfg).queryExecution.optimizedPlan
     }
-    // the global-lead Window and everything below it must stay above the
-    // filter… i.e. the filter sits under SOME windows (those partitioned
-    // by UID above the diff) but not under all of them
     val after = windowsAboveGenderFilter(withPlan)
-    val total = { var n = 0; withPlan.foreach { case _: LWindow => n += 1; case _ => }; n }
-    assert(after >= 1, "at least the patient_TBWL window is crossed")
-    assert(after < total, s"must NOT cross the unpartitioned diff window ($after vs $total)")
+    assert(after >= 1, s"at least the patient_TBWL window is crossed (saw $after)")
+  }
+
+  test("undeclared column with a UID window is NOT pushed (FD is per-plan, not by name)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // per-EVENT 'success' — NOT constant per UID, and no Fd declaration
+    val df = Seq(("u1", 1, true), ("u1", 2, false), ("u2", 3, true))
+      .toDF("UID", "v", "success")
+      .withColumn("mx", max($"v").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"UID")))
+      .filter($"success")
+    val plan = withRule { df.queryExecution.optimizedPlan }
+    // the filter must remain ABOVE the window: walking down, we must hit
+    // the success-filter BEFORE any Window node
+    var sawWindowFirst = false
+    var decided = false
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = p match {
+      case _: LWindow =>
+        if (!decided) { sawWindowFirst = true; decided = true }
+        p.children.foreach(walk)
+      case f: LFilter if f.condition.references.exists(_.name == "success") =>
+        if (!decided) decided = true
+        f.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    assert(decided && !sawWindowFirst,
+      "a coincidentally-named per-event column must not cross the window")
   }
 
   for (strict <- Seq(true, false)) {
