@@ -1,0 +1,223 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Real, pure-JVM media containers for the two formats a JVM can
+  * honestly handle without native libraries: BMP (24bpp uncompressed)
+  * and WAV (PCM unsigned 8-bit mono). Encoding runs as a codegen'd
+  * expression inside the projection that synthesizes the media table;
+  * decoding ([[MediaCodec]]) parses the same containers byte-for-byte —
+  * header walk, row padding, chunk traversal — so the decode path is
+  * exercised on REAL container bytes end-to-end. Video stays with the
+  * documented stub (no pure-JVM video container worth pretending).
+  */
+object MediaContainers {
+
+  val BmpWidth = 64                       // fixed encode width (px)
+  val BmpRowSize: Int = BmpWidth * 3      // 192 — already 4-byte aligned
+  val WavSampleRate = 16000
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** 24bpp bottom-up BMP whose pixel data is `payload` (zero-padded to
+    * whole rows of width [[BmpWidth]]).
+    */
+  def encodeBmp(payload: Array[Byte]): Array[Byte] = {
+    val h = math.max(1, (payload.length + BmpRowSize - 1) / BmpRowSize)
+    val imageSize = BmpRowSize * h
+    val out = new java.io.ByteArrayOutputStream(54 + imageSize)
+    out.write('B'); out.write('M')
+    out.write(le32(54 + imageSize))
+    out.write(le32(0))
+    out.write(le32(54))                   // pixel data offset
+    out.write(le32(40))                   // BITMAPINFOHEADER
+    out.write(le32(BmpWidth))
+    out.write(le32(h))
+    out.write(le16(1))                    // planes
+    out.write(le16(24))                   // bpp
+    out.write(le32(0))                    // BI_RGB
+    out.write(le32(imageSize))
+    out.write(le32(2835)); out.write(le32(2835))
+    out.write(le32(0)); out.write(le32(0))
+    out.write(payload)
+    out.write(new Array[Byte](imageSize - payload.length))
+    out.toByteArray
+  }
+
+  /** PCM u8 mono WAV whose sample data is `payload`. */
+  def encodeWav(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44 + payload.length)
+    out.write("RIFF".getBytes); out.write(le32(36 + payload.length))
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); out.write(le32(16))
+    out.write(le16(1))                    // PCM
+    out.write(le16(1))                    // mono
+    out.write(le32(WavSampleRate))
+    out.write(le32(WavSampleRate))        // byte rate (1 byte/sample)
+    out.write(le16(1))                    // block align
+    out.write(le16(8))                    // bits per sample
+    out.write("data".getBytes); out.write(le32(payload.length))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** Static entry the codegen'd expression calls: image→BMP, audio→WAV,
+    * anything else passes through raw.
+    */
+  def encodeJava(modality: String, payload: Array[Byte]): Array[Byte] =
+    modality match {
+      case "image" => encodeBmp(payload)
+      case "audio" => encodeWav(payload)
+      case _ => payload
+    }
+
+  // ---- decode (header + sample parse) ----
+
+  private def rdLe16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def rdLe32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** (width, height, 16-dim features from actual pixels) for a 24bpp
+    * uncompressed BMP; None if the header declares anything else.
+    * Features: mean B/G/R, luma variance, and a 12-bin luma histogram.
+    */
+  def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val dataOffset = rdLe32(b, 10)
+    val w = rdLe32(b, 18); val h = rdLe32(b, 22)
+    val bpp = rdLe16(b, 28); val compression = rdLe32(b, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
+    val rowSize = (w * 3 + 3) & ~3
+    if (dataOffset.toLong + rowSize.toLong * h > b.length) return None
+    var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
+    var sumL = 0.0; var sumL2 = 0.0
+    val hist = new Array[Int](12)
+    var y = 0
+    while (y < h) {
+      // bottom-up storage: row y of the image is the (h-1-y)-th stored row
+      val rowOff = dataOffset + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val o = rowOff + x * 3
+        val bl = b(o) & 0xFF; val g = b(o + 1) & 0xFF; val r = b(o + 2) & 0xFF
+        sumB += bl; sumG += g; sumR += r
+        val luma = 0.299 * r + 0.587 * g + 0.114 * bl
+        sumL += luma; sumL2 += luma * luma
+        hist(math.min(11, (luma / 256.0 * 12).toInt)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val meanL = sumL / n
+    val feat = new Array[Float](16)
+    feat(0) = (sumB / n / 255.0).toFloat
+    feat(1) = (sumG / n / 255.0).toFloat
+    feat(2) = (sumR / n / 255.0).toFloat
+    feat(3) = ((sumL2 / n - meanL * meanL) / (255.0 * 255.0)).toFloat
+    var i = 0
+    while (i < 12) { feat(4 + i) = (hist(i) / n).toFloat; i += 1 }
+    Some((w, h, feat))
+  }
+
+  /** (sampleRate, channels, nSamples, 16-dim features from actual
+    * samples) for a PCM u8 WAV; None for any other encoding. Walks the
+    * RIFF chunk list properly (fmt may not be the first chunk).
+    * Features: mean, RMS, zero-crossing rate, 13 block RMS values.
+    */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    var off = 12
+    var fmtOk = false; var sampleRate = 0; var channels = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val sz = rdLe32(b, off + 4)
+      if (id == "fmt " && off + 8 + 16 <= b.length) {
+        val audioFormat = rdLe16(b, off + 8)
+        channels = rdLe16(b, off + 10)
+        sampleRate = rdLe32(b, off + 12)
+        val bits = rdLe16(b, off + 22)
+        fmtOk = audioFormat == 1 && bits == 8 && channels == 1
+      } else if (id == "data") {
+        dataOff = off + 8; dataLen = math.min(sz, b.length - dataOff)
+      }
+      off += 8 + sz + (sz & 1)            // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val n = dataLen
+    var sum = 0.0; var sum2 = 0.0; var zc = 0
+    var prev = 0.0
+    var i = 0
+    while (i < n) {
+      val x = ((b(dataOff + i) & 0xFF) - 128) / 128.0
+      sum += x; sum2 += x * x
+      if (i > 0 && ((x > 0 && prev <= 0) || (x < 0 && prev >= 0))) zc += 1
+      prev = x; i += 1
+    }
+    val feat = new Array[Float](16)
+    if (n > 0) {
+      feat(0) = (sum / n).toFloat
+      feat(1) = math.sqrt(sum2 / n).toFloat
+      feat(2) = (zc.toDouble / n).toFloat
+      val block = math.max(1, n / 13)
+      var bi = 0
+      while (bi < 13) {
+        val s = bi * block; val e = math.min(n, s + block)
+        var acc = 0.0; var j = s
+        while (j < e) {
+          val x = ((b(dataOff + j) & 0xFF) - 128) / 128.0
+          acc += x * x; j += 1
+        }
+        feat(3 + bi) = (if (e > s) math.sqrt(acc / (e - s)) else 0.0).toFloat
+        bi += 1
+      }
+    }
+    Some((sampleRate, channels, n, feat))
+  }
+}
+
+/** Codegen'd container encoder: `media_encode(modality, payload)`. */
+case class MediaEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"media_encode needs (string, binary), got ${l.catalogString}/${r.catalogString}")
+    }
+
+  override def nullSafeEval(m: Any, b: Any): Any =
+    MediaContainers.encodeJava(m.asInstanceOf[UTF8String].toString, b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, b) =>
+      s"${ev.value} = graft.multimodal.MediaContainers.encodeJava($m.toString(), $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object MediaContainerFunctions {
+  def media_encode(modality: Column, payload: Column): Column =
+    ColumnBridge.column(MediaEncode(
+      ColumnBridge.expression(modality), ColumnBridge.expression(payload)))
+}

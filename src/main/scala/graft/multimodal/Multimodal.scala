@@ -41,12 +41,42 @@ object Multimodal {
       byte_len: Long, content_hash: Long,
       feature: Array[Float])
 
-  /** Deterministic fake codec: "decodes" dimensions and a 16-dim
-    * feature vector from the byte content. ??? -> replace with a real
-    * decoder; signature and batching stay identical.
+  /** Media codec. REAL pure-JVM decoders for BMP (24bpp) and WAV (PCM
+    * u8 mono) — header walk, row padding, chunk traversal, features from
+    * actual pixels/samples ([[MediaContainers]]); every other payload
+    * (video — no honest pure-JVM container) falls back to the
+    * deterministic stub. Swap the stub for a JNI/JavaCV decoder and
+    * signature + batching stay identical.
     */
   object MediaCodec {
     val featureDim = 16
+
+    def decode(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
+      if (MediaContainers.isBmp(bytes)) {
+        MediaContainers.decodeBmp(bytes) match {
+          case Some((w, h, feat)) =>
+            return MediaFeatures(mediaId, modality, w, h, 1,
+              bytes.length.toLong, contentHash(bytes), feat)
+          case None => ()                 // unsupported BMP flavor → stub
+        }
+      }
+      if (MediaContainers.isWav(bytes)) {
+        MediaContainers.decodeWav(bytes) match {
+          case Some((rate, channels, nSamples, feat)) =>
+            return MediaFeatures(mediaId, modality, rate, channels, nSamples,
+              bytes.length.toLong, contentHash(bytes), feat)
+          case None => ()
+        }
+      }
+      decodeStub(mediaId, modality, bytes)
+    }
+
+    private def contentHash(bytes: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      h
+    }
 
     def decodeStub(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
       var h = 1125899906842597L
@@ -66,20 +96,26 @@ object Multimodal {
     }
   }
 
-  /** Synthesize a media table from the documents table (text bytes play
-    * the role of encoded media) — exercises the binary-column path with
-    * driver-provided data only.
+  /** Synthesize a media table from the documents table — text bytes
+    * become the PAYLOAD of a real container per modality (BMP pixels for
+    * image rows, WAV samples for audio rows, raw bytes for video), so
+    * the decode stage parses genuine headers/rows/chunks end-to-end with
+    * driver-provided data only. Encoding is a codegen'd expression
+    * ([[MediaEncode]]) inside this projection.
     */
-  def syntheticMedia(docs: DataFrame): DataFrame =
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      encode(col("text"), "UTF-8").as("bytes"),
+      modality.as("modality"),
+      MediaContainerFunctions.media_encode(
+        modality, encode(col("text"), "UTF-8")).as("bytes"),
       struct(
         col("source").as("source"),
         lit(640).as("declared_w"), lit(480).as("declared_h"),
         lit(16000).as("sample_rate")).as("meta"))
+  }
 
   /** Decode stage: partition-wise batch decode → typed features.
     * `mapPartitions` (not per-row UDF) so a real codec amortizes its
@@ -91,8 +127,9 @@ object Multimodal {
     media.select(col("media_id"), col("modality"), col("bytes"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: open codec context here, close after the iterator
-        it.map { case (id, mod, bytes) => MediaCodec.decodeStub(id, mod, bytes) }
+        // a heavier codec would open its context here, close after the
+        // iterator — decode() itself is allocation-free per row
+        it.map { case (id, mod, bytes) => MediaCodec.decode(id, mod, bytes) }
       }
   }
 

@@ -23,8 +23,9 @@ object MediaQ {
         min(length(col("bytes"))).as("min_bytes"),
         max(length(col("bytes"))).as("max_bytes"))
 
-  /** Full decode → features → per-modality stats (stub codec →
-    * rows-only).
+  /** Full decode → features → per-modality stats. Image/audio rows are
+    * REAL BMP/WAV containers parsed by the pure-JVM codec; video keeps
+    * the stub (→ rows-only check).
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.featureStats(Multimodal.decodeFeatures(
@@ -47,13 +48,19 @@ object MediaQ {
 
   val oracles: Map[String, String] = Map(
     "q55_media_bytes" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |            ELSE 'video' END AS modality,
-        |  count(*) AS n,
-        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-        |  CAST(min(strlen(text)) AS INT) AS min_bytes,
-        |  CAST(max(strlen(text)) AS INT) AS max_bytes
-        |FROM documents GROUP BY 1""".stripMargin,
+      """WITH m AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS modality,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 54 + 192 * greatest(1, (strlen(text) + 191) // 192)
+        |      WHEN 1 THEN 44 + strlen(text)
+        |      ELSE strlen(text) END AS container_len
+        |  FROM documents)
+        |SELECT modality, count(*) AS n,
+        |  CAST(sum(container_len) AS BIGINT) AS total_bytes,
+        |  CAST(min(container_len) AS INT) AS min_bytes,
+        |  CAST(max(container_len) AS INT) AS max_bytes
+        |FROM m GROUP BY 1""".stripMargin,
     "q57_media_resize" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS modality,

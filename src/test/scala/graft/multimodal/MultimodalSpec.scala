@@ -23,16 +23,74 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
 
   test("decode stage is deterministic, partition-count preserving, typed") {
     val feats = Multimodal.decodeFeatures(media)
-    val a = feats.filter($"media_id" === 7).collect()(0)
+    val a = feats.filter($"media_id" === 7).collect()(0)   // 7 % 3 = 1 → audio/WAV
     val b = Multimodal.decodeFeatures(media).filter($"media_id" === 7).collect()(0)
     assert(a.content_hash == b.content_hash)
     assert(a.feature.toSeq == b.feature.toSeq)
     assert(a.feature.length == Multimodal.MediaCodec.featureDim)
-    assert(a.width >= 64 && a.height >= 64)
+    assert(a.width == MediaContainers.WavSampleRate && a.height == 1)
     // repartition upstream must not change results, only parallelism
     val c = Multimodal.decodeFeatures(media.repartition(7))
     assert(c.count() == 500)
     assert(c.filter($"media_id" === 7).collect()(0).content_hash == a.content_hash)
+  }
+
+  // ---- real-container fixtures ----
+
+  private def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  test("BMP decode: hand-built 2x2 24bpp fixture with known pixels") {
+    // rows stored bottom-up, 8-byte row stride (2*3 padded to 4)
+    // image: top row = red, green; bottom row = blue, white
+    val bottomRow = Array[Byte](-1, 0, 0, /* blue  B,G,R */ -1, -1, -1 /* white */) ++ Array[Byte](0, 0)
+    val topRow = Array[Byte](0, 0, -1, /* red */ 0, -1, 0 /* green */) ++ Array[Byte](0, 0)
+    val bmp = "BM".getBytes ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      bottomRow ++ topRow
+    val Some((w, h, feat)) = MediaContainers.decodeBmp(bmp)
+    assert(w == 2 && h == 2)
+    // each channel is on in exactly 2 of 4 pixels → mean 0.5
+    assert(math.abs(feat(0) - 0.5f) < 1e-6 && math.abs(feat(1) - 0.5f) < 1e-6 &&
+      math.abs(feat(2) - 0.5f) < 1e-6)
+    // luma histogram fractions sum to 1
+    assert(math.abs(feat.slice(4, 16).sum - 1.0f) < 1e-6)
+  }
+
+  test("WAV decode: chunk walk survives an extra chunk before fmt") {
+    val samples = Array[Byte](-128, 0, 127, 0)   // u8: 128, 0, 255(? as unsigned), 0
+    val junk = "LIST".getBytes ++ le32(4) ++ "info".getBytes
+    val body = junk ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes ++ le32(4) ++ samples
+    val wav = "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    val Some((rate, channels, n, feat)) = MediaContainers.decodeWav(wav)
+    assert(rate == 8000 && channels == 1 && n == 4)
+    // bytes (-128, 0, 127, 0) are u8 (128, 0, 127, 0) → centered
+    // (0, -1, -1/128, -1); mean = -0.501953125
+    assert(math.abs(feat(0) - (0.0 - 1.0 - 1.0 / 128 - 1.0) / 4) < 1e-6)
+  }
+
+  test("encode→decode roundtrip ties dims to payload size") {
+    val payload = Array.tabulate(500)(i => (i % 251).toByte)
+    val Some((w, h, _)) = MediaContainers.decodeBmp(MediaContainers.encodeBmp(payload))
+    assert(w == MediaContainers.BmpWidth)
+    assert(h == (500 + 191) / 192)   // = 3 rows
+    val Some((rate, _, n, _)) = MediaContainers.decodeWav(MediaContainers.encodeWav(payload))
+    assert(rate == MediaContainers.WavSampleRate && n == 500)
+  }
+
+  test("unsupported container flavors fall back to the stub, not crash") {
+    // 32bpp BMP header → decodeBmp declines; decode() stubs it
+    val bmp32 = "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1) ++ le32(1) ++ le16(1) ++ le16(32) ++ le32(0) ++
+      le32(0) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    assert(MediaContainers.decodeBmp(bmp32).isEmpty)
+    val f = Multimodal.MediaCodec.decode(1L, "image", bmp32)
+    assert(f.byte_len == bmp32.length)   // stub path still yields features
   }
 
   test("frame sampling plan emits stride-spaced indices for videos only") {
