@@ -171,21 +171,29 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, dim: Int, cosineThreshold: Double = 0.9,
                         numBits: Int = 12, numTables: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // repartition(id) plants the one reusable exchange feeding the
+    // bucket pass AND both verify joins (same pattern as minhashLsh)
     val vecd = embs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val bucketed = vecd.select(col("id"), col("v"), explode(
+      .repartition(col("id"))
+    val bucketed = vecd.select(col("id"), explode(
       array((0 until numTables).map { t =>
         val planes = hyperplanes(numBits, dim, seed = 42L + 1000L * t)
         struct(lit(t).as("table_id"), lshBucket(col("v"), planes).as("bucket"))
       }: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.table_id"), col("tb.bucket"))
-    bucketed.as("a")
+      .select(col("id"), col("tb.table_id"), col("tb.bucket"))
+    // candidate ids only — the 64-dim vectors never travel through the
+    // bucket join or the distinct shuffle; they re-join AFTER dedup,
+    // when candidates are few
+    val candidates = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(vecd.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecd.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cosine", round(cosine_similarity(col("va"), col("vb")), 6))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
