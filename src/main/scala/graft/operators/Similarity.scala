@@ -66,6 +66,11 @@ object Similarity {
       build.orderBy(xxhash64(col("corpus_id")).asc, col("corpus_id").asc)
         .limit(numCentroids)
         .select(col("cv")).collect().map(_.getSeq[Double](0)).toSeq
+    // empty corpus (or empty build sample): nothing to index or return
+    if (centers.isEmpty)
+      return c.sparkSession.range(0).select(
+        col("id").as("query_id"), col("id").as("corpus_id"),
+        col("id").cast("double").as("sim"), col("id").cast("int").as("rn"))
     for (_ <- 1 to lloydIters) {
       val means = build
         .select(element_at(nearest_centroids(col("cv"), centers, 1), 1).as("cid"),

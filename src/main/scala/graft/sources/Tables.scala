@@ -26,13 +26,19 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
     * TimestampType (µs) cannot represent; Spark 4 refuses the file
-    * outright. Read nanos as a raw long (legacy conf) and expose both the
-    * exact `ts_ns` and a µs-truncated `ts` TimestampType column.
+    * outright under schema inference. A user-specified schema typing the
+    * column as plain LongType reads the raw INT64 nanos without touching
+    * the session-global `nanosAsLong` legacy conf (a read-time conf
+    * mutation was round-1 advice). Exposes both the exact `ts_ns` and a
+    * µs-truncated `ts` TimestampType column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    raw
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.read.schema(schema).parquet(s"$d/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
       // integer `div` — a double division would lose precision above 2^53
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

