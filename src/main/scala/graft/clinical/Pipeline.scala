@@ -70,16 +70,24 @@ object Pipeline {
     df.withColumns(Map("month" -> Metrics.monthCol, "week" -> Metrics.weekCol))
 
   /** The five windowed metrics (pandas_DataModel.py:112-151). */
-  def withMetrics(df: DataFrame, cfg: PipelineConfig): DataFrame = {
-    val fw = Metrics.cohortFirstWeight(cfg.cohort)
+  def withMetrics(df: DataFrame, cfg: PipelineConfig): DataFrame =
+    withMetricsCohort(df, cfg.cohort, cfg.strictCohorts)
+
+  /** Metrics over an arbitrary cohort COLUMN — `cohortCol` need not be
+    * one of the CLI's validated choices (SURVEY §7.5 generalization);
+    * callers materialize any expression as a column first (see
+    * [[runWithCohortExpr]]).
+    */
+  def withMetricsCohort(df: DataFrame, cohortCol: String, strict: Boolean): DataFrame = {
+    val fw = Metrics.cohortFirstWeight(cohortCol)
     df.withColumns(Map(
-        "WIR" -> Metrics.wir(cfg.cohort),
+        "WIR" -> Metrics.wir(cohortCol),
         "PSW" -> Metrics.psw,
         "TSW" -> Metrics.tsw,
         "TEW" -> Metrics.tew))
       .withColumn("treatment_TBWL", col("TEW") - col("TSW"))
-      .transform(Metrics.withWgtDiff(_, fw, cfg.strictCohorts))
-      .withColumn("patient_TBWL", Metrics.patientTbwl(cfg.cohort))
+      .transform(Metrics.withWgtDiff(_, fw, strict))
+      .withColumn("patient_TBWL", Metrics.patientTbwl(cohortCol))
       .drop("wgt_diff")
       // TEW is an intermediate in pandas (unnamed local, py:129) but a
       // real column in polars (polars_DataModel.py:130-132); keep it —
@@ -90,6 +98,22 @@ object Pipeline {
   def run(users: DataFrame, weights: DataFrame, treatments: DataFrame,
           cfg: PipelineConfig = PipelineConfig()): DataFrame = {
     val wide = withMetrics(withDerived(joined(users, weights, treatments)), cfg)
+    val filtered = Filters(wide, cfg)
+    if (cfg.dedup) filtered.dropDuplicates() else filtered
+  }
+
+  /** Pipeline with an ARBITRARY cohort expression (SURVEY §7.5): the
+    * expression is materialized as `cohortName` and every per-cohort
+    * metric groups by it, exactly like the built-in week/month/ClinicID
+    * choices. `cfg.cohort` is ignored on this path; demographic filters,
+    * dedup, and strict/bug-compat diff semantics apply unchanged.
+    */
+  def runWithCohortExpr(users: DataFrame, weights: DataFrame, treatments: DataFrame,
+                        cohortExpr: Column, cohortName: String,
+                        cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val base = withDerived(joined(users, weights, treatments))
+      .withColumn(cohortName, cohortExpr)
+    val wide = withMetricsCohort(base, cohortName, cfg.strictCohorts)
     val filtered = Filters(wide, cfg)
     if (cfg.dedup) filtered.dropDuplicates() else filtered
   }

@@ -185,13 +185,47 @@ object Clinical {
       .replace("WHERE Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1",
         "WHERE Gender = 'Female' AND Age BETWEEN 20 AND 60 AND ClinicID = 2")
 
+  /** Arbitrary-cohort variant (SURVEY §7.5): cohort is a free
+    * EXPRESSION — calendar year-month of the weigh-in — not one of the
+    * CLI's validated column choices. Same metric machinery, same gate.
+    */
+  def pipelineExprCohort(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PipelineConfig(gender = "all", minAge = 20, maxAge = 60,
+      clinicId = 0, dedup = false, strictCohorts = true)
+    Pipeline.runWithCohortExpr(
+        syntheticUsers(spark, dir),
+        syntheticWeights(spark, dir),
+        syntheticTreatments(spark, dir),
+        cohortExpr = (year(col("Wts_CreatedDate")) * 100 +
+          month(col("Wts_CreatedDate"))).cast("int"),
+        cohortName = "calmonth", cfg)
+      .select(
+        Seq("UID", "Gender", "Age", "ClinicID", "Wts_CreatedDate", "calmonth", "WIR")
+          .map(col) ++
+        Seq("Weight", "PSW", "TSW", "TEW", "treatment_TBWL", "patient_TBWL")
+          .map(c => round(col(c), 6).as(c)): _*)
+  }
+
+  private def oracleExprCohort: String =
+    oracle("PARTITION BY UID")
+      .replace(", week)", ", calmonth)")
+      .replace("Tmt_StartDate, week ", "Tmt_StartDate, calmonth ")
+      .replace(
+        "CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT) AS week",
+        "CAST(year(Wts_CreatedDate) * 100 + month(Wts_CreatedDate) AS INT) AS calmonth")
+      .replace("Wts_CreatedDate, week, WIR", "Wts_CreatedDate, calmonth, WIR")
+      .replace("WHERE Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1",
+        "WHERE Age BETWEEN 20 AND 60 AND ClinicID = 0")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_clinical_pipeline" -> (pipeline _),
     "q31_clinical_pipeline_strict" -> (pipelineStrict _),
-    "q65_clinical_month_cohort" -> (pipelineMonth _))
+    "q65_clinical_month_cohort" -> (pipelineMonth _),
+    "q67_clinical_expr_cohort" -> (pipelineExprCohort _))
 
   val oracles: Map[String, String] = Map(
     "q30_clinical_pipeline" -> oracle(""),
     "q31_clinical_pipeline_strict" -> oracle("PARTITION BY UID"),
-    "q65_clinical_month_cohort" -> oracleMonth)
+    "q65_clinical_month_cohort" -> oracleMonth,
+    "q67_clinical_expr_cohort" -> oracleExprCohort)
 }

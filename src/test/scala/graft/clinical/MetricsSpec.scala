@@ -109,4 +109,16 @@ class MetricsSpec extends AnyFunSuite with SparkTestSession {
     assert(Filters(df, PipelineConfig(gender = "Female")).count() == 1)
     assert(Filters(df, PipelineConfig(minAge = 17, maxAge = 17)).count() == 1)
   }
+
+  test("runWithCohortExpr(col) == run(cohort=col) for a validated choice") {
+    // the generalized path with expression `ClinicID` must reproduce the
+    // string-validated path exactly (fixture lacks ClinicID — use week)
+    val dfW = Pipeline.withMetricsCohort(wideFixture, "week", strict = true)
+    val viaExpr = Pipeline.withMetricsCohort(
+      wideFixture.withColumn("myCohort", col("week")), "myCohort", strict = true)
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select("UID", "week", "WIR", "PSW", "TSW", "TEW", "treatment_TBWL", "patient_TBWL")
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(dfW) == canon(viaExpr))
+  }
 }
