@@ -52,12 +52,21 @@ object EventsQ {
         max(col("sess_events")).as("max_session_events"))
   }
 
-  /** Per-type event share — window aggregate over a grouped aggregate. */
+  /** Per-type event share. The denominator is a global scalar joined
+    * back via broadcast-on-constant-key — NOT an unpartitioned window
+    * over the grouped result: a Window over Exchange SinglePartition is
+    * the exact plan shape that melts on unbounded key cardinality, and
+    * PlanContractSpec bans it battery-wide. (A global scalar AGGREGATE
+    * still single-partitions — one partial row per task, which is fine
+    * and unavoidable.)
+    */
   def typeShare(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    counts.select(col("event_type"), col("n"),
-      round(col("n") / sum(col("n")).over(Window.partitionBy()), 6).as("share"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("event_type"), col("n"),
+        round(col("n") / col("_total"), 6).as("share"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -6,23 +6,36 @@ import graft.sources.Tables
 
 /** Approximate aggregates — the sketches a 100 TB engine reaches for
   * when exact distinct/percentile costs a full shuffle of the key
-  * space. Sketch values are engine-defined (Spark HLL++ / KLL vs
-  * DuckDB's approx implementations differ by design) so these are
-  * rows-only entries; SketchSpec bounds their error against the exact
-  * answers instead.
+  * space. Sketch values are engine-defined (Spark HLL++ / GK vs
+  * DuckDB's approx implementations differ by design), so the gate
+  * checks what IS engine-independent: the sketches' published error
+  * bounds, emitted as boolean columns the oracle states literally,
+  * alongside hash-matched exact answers. SketchSpec asserts the same
+  * bounds in-process.
   */
 object SketchQ {
 
-  /** HyperLogLog++ distinct counts at two precisions + exact, per
-    * order status.
+  /** HyperLogLog++ distinct counts at two precisions vs exact, per
+    * order status — hash-gated with the q64 trick: the sketch VALUES are
+    * engine-defined, but their 3σ error bounds are checkable facts the
+    * oracle states literally (HLL merge is per-register max —
+    * commutative — so the booleans are deterministic under any
+    * partitioning), and the exact count is plain SQL.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers_1pct"),
+        approx_count_distinct(col("o_custkey")).as("a_default"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a_1pct"),
         countDistinct(col("o_custkey")).as("exact_customers"))
+      .select(
+        col("o_orderstatus"),
+        (abs(col("a_default") - col("exact_customers")).cast("double") /
+          col("exact_customers") <= 0.05 * 3).as("approx_within_3sigma"),
+        (abs(col("a_1pct") - col("exact_customers")).cast("double") /
+          col("exact_customers") <= 0.01 * 3).as("approx_1pct_within_3sigma"),
+        col("exact_customers"))
 
   /** approx_percentile (GK summary) vs exact interpolated percentile.
     *
@@ -56,10 +69,13 @@ object SketchQ {
     "q63_approx_distinct" -> (approxDistinct _),
     "q64_approx_percentiles" -> (approxPercentiles _))
 
-  // q63 stays rows-only (HLL++ counts are engine-defined scalars the
-  // oracle can't reproduce); q64 is fully hash-gated via the
-  // error-bound-as-column trick above.
   val oracles: Map[String, String] = Map(
+    "q63_approx_distinct" ->
+      """SELECT o_orderstatus,
+        |  TRUE AS approx_within_3sigma,
+        |  TRUE AS approx_1pct_within_3sigma,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q64_approx_percentiles" ->
       """SELECT l_returnflag,
         |  TRUE AS approx_p50_in_bounds,

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.SparkEntry
+
+/** Battery-wide physical-plan contracts — the scale properties that
+  * make these operators survive a 100 TB / 1000-executor deployment,
+  * locked in as regressions:
+  *
+  *  - no single-partition windows or single-partition exchanges
+  *    anywhere (the round-1 clinical diff(-1) cliff must never return);
+  *  - no accidental cartesian/nested-loop joins — every non-equi plan
+  *    shape is an explicit, justified choice;
+  *  - the shared-scan dedup operators actually reuse their exchange.
+  *
+  * Plans are inspected at sf0.001 (plan SHAPE is scale-invariant; the
+  * driver's bench measures time separately).
+  */
+class PlanContractSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // batch queries only (the streaming entry builds a streaming plan)
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.filterNot(_._1.startsWith("q66")).map { case (n, fn) =>
+      n -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+
+  /** Queries whose broadcast-nested-loop / cartesian shape is the
+    * intended design, each with the reason it is scale-safe.
+    */
+  private val deliberateNonEquiJoins: Set[String] = Set(
+    "q08_join_cross",         // the cross-join operator itself (5×5 dims)
+    "q09_join_range",         // theta band join, 25-row broadcast build side
+    "q24_scalar_subquery",    // uncorrelated scalar subquery broadcast to every row
+    "q35_type_share",         // 1-row scalar denominator broadcast to k grouped rows
+    "q50_ann_brute_force")    // broadcast queries × corpus scan IS the exact baseline
+
+  /** A Window (or Sort) whose child is Exchange SinglePartition funnels
+    * every ROW through one task — the cliff. A global scalar AGGREGATE
+    * over SinglePartition is fine: only one partial row per upstream
+    * task flows through it.
+    */
+  private def windowOverSinglePartition(plan: String): Boolean = {
+    val lines = plan.linesIterator.toVector
+    lines.indices.exists { i =>
+      lines(i).contains("Exchange SinglePartition") && i > 0 &&
+        (lines(i - 1).contains("Window") || lines(i - 1).contains("Sort "))
+    }
+  }
+
+  test("no window or sort over a single-partition exchange in any batch plan") {
+    val offenders = plans.collect {
+      case (n, p) if windowOverSinglePartition(p) => n
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"single-partition window/sort in: ${offenders.mkString(", ")}")
+  }
+
+  test("no accidental cartesian or nested-loop joins") {
+    val offenders = plans.filter { case (n, p) =>
+      !deliberateNonEquiJoins.contains(n) &&
+        (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+    }.keys.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"unexpected non-equi join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  test("parquet scans prune columns: no query reads every documents column blindly") {
+    // representative: q41 needs only `text` → its scan's ReadSchema must
+    // not include doc_id/lang/source/url
+    val p = plans("q41_token_histogram")
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scanLine.contains("text"), s"scan lost the text column: $scanLine")
+    assert(!scanLine.contains("lang") && !scanLine.contains("url"),
+      s"q41 scan reads unused columns: $scanLine")
+  }
+
+  test("minhash LSH reuses the shingle exchange (computed once per query)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.TextQ.minhashPairs(spark, dir)
+    df.collect()   // AQE finalizes stage reuse only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "shingle-set exchange is recomputed per consumer — reuse regressed")
+  }
+
+  test("clinical plans (both modes) have zero single-partition exchanges after execution") {
+    for (name <- Seq("q30_clinical_pipeline", "q31_clinical_pipeline_strict")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name regressed to a single-partition exchange")
+    }
+  }
+}
