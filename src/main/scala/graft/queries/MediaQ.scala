@@ -41,10 +41,30 @@ object MediaQ {
       .agg(count(lit(1)).as("n"), min(col("target_w")).as("min_tw"),
         max(col("target_h")).as("max_th"))
 
+  /** Hash-gated leg of the REAL codec path: decoded dimensions of the
+    * BMP/WAV rows must equal what DuckDB derives independently from
+    * container arithmetic over the source text lengths — image width is
+    * the fixed encode width, height = payload rows; audio width is the
+    * sample rate, n_frames = payload bytes. Goes through the actual
+    * mapPartitions decode (header/chunk parse), not metadata.
+    */
+  def mediaRealDims(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(
+        Multimodal.syntheticMedia(Tables.documents(spark, dir)))
+      .toDF()
+      .filter(col("modality") =!= "video")
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+        min(col("height")).as("min_h"), max(col("height")).as("max_h"),
+        max(col("n_frames")).as("max_frames"),
+        sum(col("byte_len")).as("total_bytes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_media_bytes" -> (mediaBytes _),
     "q56_media_features" -> (mediaFeatures _),
-    "q57_media_resize" -> (mediaResize _))
+    "q57_media_resize" -> (mediaResize _),
+    "q69_media_real_dims" -> (mediaRealDims _))
 
   val oracles: Map[String, String] = Map(
     "q55_media_bytes" ->
@@ -65,5 +85,22 @@ object MediaQ {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS modality,
         |  count(*) AS n, 320 AS min_tw, 240 AS max_th
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q69_media_real_dims" ->
+      """WITH m AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' ELSE 'audio' END AS modality,
+        |    CASE doc_id % 3 WHEN 0 THEN 64 ELSE 16000 END AS w,
+        |    CASE doc_id % 3 WHEN 0 THEN greatest(1, (strlen(text) + 191) // 192)
+        |         ELSE 1 END AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 ELSE strlen(text) END AS frames,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 54 + 192 * greatest(1, (strlen(text) + 191) // 192)
+        |      ELSE 44 + strlen(text) END AS len
+        |  FROM documents WHERE doc_id % 3 IN (0, 1))
+        |SELECT modality, count(*) AS n,
+        |  CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
+        |  CAST(min(h) AS INT) AS min_h, CAST(max(h) AS INT) AS max_h,
+        |  CAST(max(frames) AS INT) AS max_frames,
+        |  CAST(sum(len) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY modality""".stripMargin)
 }

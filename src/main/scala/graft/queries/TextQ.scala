@@ -125,6 +125,20 @@ object TextQ {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
 
+  /** Fingerprint GROUP-SIZE histogram — the hash-gated verification of
+    * the rolling-hash fingerprint: grouping by fingerprint must induce
+    * exactly the same partition of the corpus as grouping by canonical
+    * token text (injective = no collisions, complete = equal text ⇒
+    * equal fp), so the two group-size histograms are equal — and the
+    * oracle computes ITS histogram from the text side only, no xxhash
+    * needed in DuckDB.
+    */
+  def fingerprintGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -144,7 +158,8 @@ object TextQ {
     "q46_fingerprints" -> (fingerprints _),
     "q47_minhash_pairs" -> (minhashPairs _),
     "q48_simhash_pairs" -> (simhashPairs _),
-    "q49_bpe_token_counts" -> (bpeTokenCounts _))
+    "q49_bpe_token_counts" -> (bpeTokenCounts _),
+    "q68_fingerprint_groups" -> (fingerprintGroups _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -244,6 +259,12 @@ object TextQ {
         | AND b.rnk BETWEEN a.rnk - 20 AND a.rnk - 1
         |WHERE round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.chars, b.chars))), 6) >= 0.9""".stripMargin,
+    "q68_fingerprint_groups" ->
+      """WITH canon AS (
+        |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS c
+        |  FROM documents),
+        |  groups AS (SELECT c, count(*) AS sz FROM canon GROUP BY c)
+        |SELECT sz, count(*) AS n_groups FROM groups GROUP BY sz""".stripMargin,
     "q49_bpe_token_counts" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_subtokens,
