@@ -98,6 +98,23 @@ object Joins {
       .select(col("s_suppkey"), col("s_name"), col("n_nationkey"), col("n_name"))
   }
 
+  /** The same band join as q09 through [[graft.operators.IntervalJoin]]
+    * — a pure equi-join plan (bucketized banding), hash-gated against
+    * the SAME range-join SQL: the scale path must produce byte-identical
+    * results to the nested-loop path it replaces.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        (col("n_nationkey") - 2).as("lo"), (col("n_nationkey") + 2).as("hi"))
+    graft.operators.IntervalJoin.pointInInterval(
+        s, n, pointCol = "s_nationkey", loCol = "lo", hiCol = "hi",
+        bucketWidth = 4)
+      .select(col("s_suppkey"), col("s_name"), col("n_nationkey"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_join_left" -> (leftJoin _),
     "q03_join_star" -> (starJoin _),
@@ -106,7 +123,8 @@ object Joins {
     "q06_join_right" -> (rightJoin _),
     "q07_join_full_outer" -> (fullOuterJoin _),
     "q08_join_cross" -> (crossJoin _),
-    "q09_join_range" -> (rangeJoin _))
+    "q09_join_range" -> (rangeJoin _),
+    "q70_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q02_join_left" ->
@@ -147,6 +165,10 @@ object Joins {
       """SELECT r_name, o_orderpriority
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)""".stripMargin,
     "q09_join_range" ->
+      """SELECT s_suppkey, s_name, n_nationkey, n_name
+        |FROM supplier JOIN nation
+        |  ON s_nationkey >= n_nationkey - 2 AND s_nationkey <= n_nationkey + 2""".stripMargin,
+    "q70_interval_join" ->
       """SELECT s_suppkey, s_name, n_nationkey, n_name
         |FROM supplier JOIN nation
         |  ON s_nationkey >= n_nationkey - 2 AND s_nationkey <= n_nationkey + 2""".stripMargin)
