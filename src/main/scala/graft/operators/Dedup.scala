@@ -199,6 +199,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * step that turns pairwise candidates into DUPLICATE CLUSTERS so a
+    * canonical document can be kept per cluster. Min-label propagation:
+    * every node repeatedly adopts the smallest id reachable in one hop,
+    * converging to the component's minimum id in ≤ diameter rounds
+    * (near-dup clusters are shallow — chains of near-identical docs).
+    *
+    * Scale shape: each round is one shuffle-join on node id; labels are
+    * localCheckpoint'ed per round so the plan does not grow with the
+    * iteration count (at production scale, a table write per round).
+    * Convergence is detected by a scalar changed-count per round — the
+    * same driver-side contract as GraphX/MLlib iterative algorithms.
+    *
+    * Returns (node, component) with component = min node id in the
+    * component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                          maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("v"), col("label").as("vlabel")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vlabel")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("u").as("node"), col("nmin")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("_changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("_changed")).limit(1).isEmpty
+      labels = next.drop("_changed")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
   private[operators] def hyperplanes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     var state = seed

@@ -139,6 +139,16 @@ object TextQ {
       .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
 
+  /** Duplicate CLUSTERS from the SNM near-dup pairs: connected
+    * components turn pairwise candidates into groups with a canonical
+    * (minimum) id — the step a production dedup runs before keep-one.
+    * Hash-gated: DuckDB reproduces the components with a recursive
+    * closure over the same pairs.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(charJaccardPairs(spark, dir))
+      .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -159,7 +169,8 @@ object TextQ {
     "q47_minhash_pairs" -> (minhashPairs _),
     "q48_simhash_pairs" -> (simhashPairs _),
     "q49_bpe_token_counts" -> (bpeTokenCounts _),
-    "q68_fingerprint_groups" -> (fingerprintGroups _))
+    "q68_fingerprint_groups" -> (fingerprintGroups _),
+    "q71_dup_clusters" -> (dupClusters _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -172,6 +183,28 @@ object TextQ {
     val n = pat.length
     s"len(list_filter(range(1, length($t) - $n + 2), i -> substring($t, i, $n) = '$esc'))"
   }
+
+  /** The SNM char-Jaccard pair derivation as a reusable CTE chain —
+    * q43 selects from `pairs` directly; q71 builds connected components
+    * over the same pairs with a recursive closure.
+    */
+  private val snmPairsCtes: String =
+    """d AS (SELECT lang, source, doc_id,
+      |        list_sort(list_distinct(string_split(lower(text), ''))) AS chars
+      |      FROM documents),
+      |r AS (SELECT *, row_number() OVER (
+      |        ORDER BY lang, source, array_to_string(chars, ''), doc_id) - 1 AS rnk
+      |      FROM d),
+      |pairs AS (
+      |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+      |    greatest(a.doc_id, b.doc_id) AS id_b,
+      |    round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(a.chars, b.chars))), 6) AS jaccard
+      |  FROM r a JOIN r b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |   AND b.rnk BETWEEN a.rnk - 20 AND a.rnk - 1
+      |  WHERE round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
+      |              len(list_distinct(list_concat(a.chars, b.chars))), 6) >= 0.9)""".stripMargin
 
   /** q44 oracle, generated from the SAME marker table as the engine. */
   private def langIdOracle: String = {
@@ -243,22 +276,19 @@ object TextQ {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
         |  count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
-    "q43_char_jaccard_pairs" ->
-      """WITH d AS (SELECT lang, source, doc_id,
-        |             list_sort(list_distinct(string_split(lower(text), ''))) AS chars
-        |           FROM documents),
-        |     r AS (SELECT *, row_number() OVER (
-        |             ORDER BY lang, source, array_to_string(chars, ''), doc_id) - 1 AS rnk
-        |           FROM d)
-        |SELECT least(a.doc_id, b.doc_id) AS id_a,
-        |  greatest(a.doc_id, b.doc_id) AS id_b,
-        |  round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(a.chars, b.chars))), 6) AS jaccard
-        |FROM r a JOIN r b
-        |  ON a.lang = b.lang AND a.source = b.source
-        | AND b.rnk BETWEEN a.rnk - 20 AND a.rnk - 1
-        |WHERE round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE) /
-        |            len(list_distinct(list_concat(a.chars, b.chars))), 6) >= 0.9""".stripMargin,
+    "q43_char_jaccard_pairs" -> s"WITH $snmPairsCtes\nSELECT id_a, id_b, jaccard FROM pairs",
+    "q71_dup_clusters" ->
+      s"""WITH RECURSIVE $snmPairsCtes,
+        |  edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |            UNION SELECT id_b, id_a FROM pairs),
+        |  reach(u, v) AS (
+        |    SELECT u, v FROM edges
+        |    UNION
+        |    SELECT rc.u, e.v FROM reach rc JOIN edges e ON rc.v = e.u),
+        |  comp AS (SELECT u AS node, least(u, min(v)) AS component
+        |           FROM reach GROUP BY u)
+        |SELECT component, count(*) AS n_members
+        |FROM comp GROUP BY component""".stripMargin,
     "q68_fingerprint_groups" ->
       """WITH canon AS (
         |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS c

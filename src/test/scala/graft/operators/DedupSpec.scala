@@ -92,6 +92,24 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(res == Seq(1L, 2L))
   }
 
+  test("connected components: chains, cliques, and long paths converge to min id") {
+    // components: {1,2,3,4} (path), {10,11,12} (triangle), {20,21} (edge)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a 30-node path needs many propagation rounds — converges, exact
+    val path = (0L until 30L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val long = Dedup.connectedComponents(path, maxIter = 40)
+      .as[(Long, Long)].collect()
+    assert(long.forall(_._2 == 0L) && long.length == 31)
+  }
+
   test("IVF ANN with full probing matches brute force on tiny corpus") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat))).toDF("vec_id", "embedding")
