@@ -243,6 +243,19 @@ object Dedup {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** The cleaned corpus: keep only each duplicate cluster's canonical
+    * (minimum-id) document; unclustered documents pass through. The
+    * drop list is an anti-join — the corpus itself is scanned once and
+    * never shuffled on anything but the id.
+    */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
   private[operators] def hyperplanes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     var state = seed

@@ -149,6 +149,18 @@ object TextQ {
     Dedup.connectedComponents(charJaccardPairs(spark, dir))
       .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
 
+  /** The CLEANED corpus after fuzzy dedup — each SNM duplicate cluster
+    * collapsed to its canonical doc — summarized per source. This is
+    * the end-to-end near-dedup product: pairs → components → keep-one.
+    */
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepCanonical(
+        Tables.documents(spark, dir), charJaccardPairs(spark, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_id"))
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -170,7 +182,8 @@ object TextQ {
     "q48_simhash_pairs" -> (simhashPairs _),
     "q49_bpe_token_counts" -> (bpeTokenCounts _),
     "q68_fingerprint_groups" -> (fingerprintGroups _),
-    "q71_dup_clusters" -> (dupClusters _))
+    "q71_dup_clusters" -> (dupClusters _),
+    "q72_deduped_corpus" -> (dedupedCorpus _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -230,6 +243,22 @@ object TextQ {
   }
 
   val oracles: Map[String, String] = Map(
+    "q72_deduped_corpus" ->
+      s"""WITH RECURSIVE $snmPairsCtes,
+        |  edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |            UNION SELECT id_b, id_a FROM pairs),
+        |  reach(u, v) AS (
+        |    SELECT u, v FROM edges
+        |    UNION
+        |    SELECT rc.u, e.v FROM reach rc JOIN edges e ON rc.v = e.u),
+        |  comp AS (SELECT u AS node, least(u, min(v)) AS component
+        |           FROM reach GROUP BY u)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        |GROUP BY source""".stripMargin,
     "q44_langid_report" -> langIdOracle,
     "q45_quality_report" ->
       """WITH toks AS (
