@@ -227,14 +227,23 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // hop: adopt the smallest neighbor label
       val neighborMin = sym
         .join(labels.select(col("node").as("v"), col("label").as("vlabel")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlabel")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin.select(col("u").as("node"), col("nmin")), Seq("node"), "left")
+        .select(col("node"), col("label").as("_old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("_l1"))
+      // pointer jump: also adopt label(label) — path halving turns the
+      // rounds needed from the cluster DIAMETER into its logarithm
+      // (a 500-doc near-dup chain: ~25 rounds → ~9)
+      val next = stepped
+        .join(labels.select(col("node").as("_l1"), col("label").as("_l2")),
+          Seq("_l1"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("_changed"))
+          least(col("_l1"), coalesce(col("_l2"), col("_l1"))).as("label"),
+          (least(col("_l1"), coalesce(col("_l2"), col("_l1"))) < col("_old")).as("_changed"))
         .localCheckpoint(true)
       converged = next.filter(col("_changed")).limit(1).isEmpty
       labels = next.drop("_changed")
