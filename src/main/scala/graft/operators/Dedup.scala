@@ -217,8 +217,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+    // both edge directions from ONE pass over pairs (a union of two
+    // selects would recompute the upstream pair pipeline per branch)
+    val sym = pairs.select(explode(array(
+        struct(col(idA).as("u"), col(idB).as("v")),
+        struct(col(idB).as("u"), col(idA).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("u").as("node")).distinct()
@@ -226,6 +230,10 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    // superseded round checkpoints are released eagerly — block-manager
+    // pressure from stale iteration state is what actually hurts a
+    // long-running session, not the final (small) label table
+    var prev: Option[DataFrame] = Some(labels)
     while (!converged && iter < maxIter) {
       // hop: adopt the smallest neighbor label
       val neighborMin = sym
@@ -238,17 +246,23 @@ object Dedup {
       // pointer jump: also adopt label(label) — path halving turns the
       // rounds needed from the cluster DIAMETER into its logarithm
       // (a 500-doc near-dup chain: ~25 rounds → ~9)
+      // LAZY checkpoint: the convergence count below is the job that
+      // both materializes this round's blocks AND truncates lineage —
+      // one job per round instead of two
       val next = stepped
         .join(labels.select(col("node").as("_l1"), col("label").as("_l2")),
           Seq("_l1"), "left")
         .select(col("node"),
           least(col("_l1"), coalesce(col("_l2"), col("_l1"))).as("label"),
           (least(col("_l1"), coalesce(col("_l2"), col("_l1"))) < col("_old")).as("_changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("_changed")).limit(1).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("_changed")).count() == 0
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
       labels = next.drop("_changed")
       iter += 1
     }
+    sym.unpersist(false)
     labels.withColumnRenamed("label", "component")
   }
 
