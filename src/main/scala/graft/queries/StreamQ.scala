@@ -36,10 +36,35 @@ object StreamQ {
       col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming stateful dedup under the gate: dropDuplicatesWithinWatermark
+    * over the bounded stream (one micro-batch → dedup state covers the
+    * whole input → exact distinct), projected to the dedup KEY columns
+    * so the surviving representative's identity cannot matter.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val stage = Files.createTempDirectory("graft_stream_dedup_gate")
+    stage.toFile.deleteOnExit()
+    Files.copy(Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val res = Streaming.runToMemory(
+      Streaming.dedupWithinWatermark(Streaming.eventStream(spark, stage.toString)),
+      name = "q73_stream_dedup_mem",
+      mode = OutputMode.Append)
+    res.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_unique"),
+        round(sum(col("value")), 2).as("unique_value_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q66_stream_windowed_counts" -> (streamWindowedCounts _))
+    "q66_stream_windowed_counts" -> (streamWindowedCounts _),
+    "q73_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q73_stream_dedup" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type, "value" FROM events)
+        |SELECT user_id, count(*) AS n_unique,
+        |  round(sum("value"), 2) AS unique_value_sum
+        |FROM u GROUP BY user_id""".stripMargin,
     "q66_stream_windowed_counts" ->
       """SELECT
         |  CAST(epoch_us(ts) // 300000000 * 300 AS BIGINT) AS window_start_epoch,
