@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, SortedNeighborhood}
+import graft.operators.{Dedup, SortedNeighborhood, Winnowing}
 import graft.sources.Tables
 
 /** Text-analysis + dedup queries over the `documents` table — the
@@ -161,6 +161,19 @@ object TextQ {
         sum(length(col("text"))).as("total_chars"),
         min(col("doc_id")).as("min_id"))
 
+  /** Winnowing fingerprint report (k=3-gram hashes, w=4 windows) per
+    * source — fully hash-gated: the portable md5-tail hash makes the
+    * whole selection reproducible in DuckDB SQL, window function and
+    * all.
+    */
+  def winnowingReport(spark: SparkSession, dir: String): DataFrame =
+    Winnowing.selectedPrints(Tables.documents(spark, dir), k = 3, w = 4)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_prints"),
+        countDistinct(col("print")).as("distinct_prints"))
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -183,7 +196,8 @@ object TextQ {
     "q49_bpe_token_counts" -> (bpeTokenCounts _),
     "q68_fingerprint_groups" -> (fingerprintGroups _),
     "q71_dup_clusters" -> (dupClusters _),
-    "q72_deduped_corpus" -> (dedupedCorpus _))
+    "q72_deduped_corpus" -> (dedupedCorpus _),
+    "q74_winnowing_report" -> (winnowingReport _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -259,6 +273,27 @@ object TextQ {
         |FROM documents
         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
         |GROUP BY source""".stripMargin,
+    "q74_winnowing_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id, source, CAST(u.i AS INT) AS pos,
+        |    CAST('0x' || substr(md5(
+        |      array_to_string(list_slice(ts, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 3), ' ')
+        |    ), 18, 15) AS BIGINT) AS h
+        |  FROM toks, unnest(range(greatest(len(ts) - 2, 0))) u(i)),
+        |win AS (
+        |  SELECT doc_id, source, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM kg),
+        |sel AS (SELECT DISTINCT doc_id, source, wmin FROM win WHERE pos >= 3)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS total_prints,
+        |  CAST(count(DISTINCT wmin) AS BIGINT) AS distinct_prints
+        |FROM sel GROUP BY source""".stripMargin,
     "q44_langid_report" -> langIdOracle,
     "q45_quality_report" ->
       """WITH toks AS (
