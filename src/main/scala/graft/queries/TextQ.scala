@@ -166,13 +166,20 @@ object TextQ {
     * whole selection reproducible in DuckDB SQL, window function and
     * all.
     */
-  def winnowingReport(spark: SparkSession, dir: String): DataFrame =
-    Winnowing.selectedPrints(Tables.documents(spark, dir), k = 3, w = 4)
+  def winnowingReport(spark: SparkSession, dir: String): DataFrame = {
+    // two expand-free aggregations joined on the tiny source key beat
+    // one agg with two countDistincts (Catalyst's Expand would triple
+    // the 500k-print stream through the shuffle)
+    val sel = Winnowing.selectedPrints(Tables.documents(spark, dir), k = 3, w = 4)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val perDoc = sel.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("np"))
       .groupBy(col("source"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("total_prints"),
-        countDistinct(col("print")).as("distinct_prints"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("np")).as("total_prints"))
+    val perPrint = sel.select(col("source"), col("print")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("distinct_prints"))
+    perDoc.join(perPrint, Seq("source"))
+  }
 
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
