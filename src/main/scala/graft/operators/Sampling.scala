@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling — the corpus-curation
+  * operators a training-data pipeline runs to hit its mixing ratios.
+  *
+  * Selection is a pure predicate on a portable per-row hash
+  * ([[Winnowing.portableHash]]: md5 tail), NOT `df.sample()`: the same
+  * rows are selected on any engine, any partitioning, any run — so
+  * samples are reproducible, auditable, and join-stable (a row's
+  * membership never changes when the pipeline reruns), and the whole
+  * operator sits under the DuckDB hash gate. The hash is salted so
+  * independent samples decorrelate.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L  // rate granularity: 1e-6
+
+  /** The row's sampling bucket in [0, 1e6): portable and salt-keyed. */
+  def bucket(key: Column, salt: String): Column =
+    pmod(Winnowing.portableHash(concat(key.cast("string"), lit(salt))), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, deterministically by `key`. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          salt: String = "s0"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(bucket(key, salt) < (fraction * Buckets).toLong)
+  }
+
+  /** Stratified sample: per-stratum fractions (strata absent from the
+    * map are dropped — that IS the mixing knob). One scan, one filter;
+    * no shuffle at all.
+    */
+  def stratified(df: DataFrame, strataCol: Column, key: Column,
+                 fractions: Map[String, Double], salt: String = "s0"): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1))
+    val threshold = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, f)) =>
+      when(strataCol === stratum, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(key, salt) < threshold)
+  }
+}

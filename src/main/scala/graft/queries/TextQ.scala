@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, SortedNeighborhood, Winnowing}
+import graft.operators.{Dedup, Sampling, SortedNeighborhood, Winnowing}
 import graft.sources.Tables
 
 /** Text-analysis + dedup queries over the `documents` table — the
@@ -181,6 +181,21 @@ object TextQ {
     perDoc.join(perPrint, Seq("source"))
   }
 
+  /** Deterministic stratified sample — the corpus-mixing operator: three
+    * sources kept at different rates, the rest dropped, selection by
+    * portable salted hash so DuckDB reproduces the EXACT row set (not
+    * just expected counts). Summarized per source.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(Tables.documents(spark, dir),
+        strataCol = col("source"), key = col("doc_id"),
+        fractions = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25),
+        salt = "mix1")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(length(col("text"))).as("total_chars"))
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -204,7 +219,8 @@ object TextQ {
     "q68_fingerprint_groups" -> (fingerprintGroups _),
     "q71_dup_clusters" -> (dupClusters _),
     "q72_deduped_corpus" -> (dedupedCorpus _),
-    "q74_winnowing_report" -> (winnowingReport _))
+    "q74_winnowing_report" -> (winnowingReport _),
+    "q75_stratified_sample" -> (stratifiedSample _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -301,6 +317,20 @@ object TextQ {
         |  count(*) AS total_prints,
         |  CAST(count(DISTINCT wmin) AS BIGINT) AS distinct_prints
         |FROM sel GROUP BY source""".stripMargin,
+    "q75_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT *,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 18, 15) AS BIGINT)
+        |      % 1000000 AS bk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_sampled,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+        |FROM b
+        |WHERE (source = 'src0' AND bk < 800000)
+        |   OR (source = 'src1' AND bk < 500000)
+        |   OR (source = 'src2' AND bk < 250000)
+        |GROUP BY source""".stripMargin,
     "q44_langid_report" -> langIdOracle,
     "q45_quality_report" ->
       """WITH toks AS (

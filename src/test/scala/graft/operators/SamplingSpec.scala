@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class SamplingSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def ids = (0L until 10000L).toDF("id")
+
+  test("deterministic: same rows every run, membership is repartition-stable") {
+    val a = Sampling.deterministicSample(ids, $"id", 0.3).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids.repartition(13), $"id", 0.3)
+      .as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("rate accuracy within sampling noise at n=10000") {
+    for (f <- Seq(0.1, 0.5, 0.9)) {
+      val n = Sampling.deterministicSample(ids, $"id", f).count().toDouble
+      assert(math.abs(n / 10000 - f) < 0.02, s"fraction $f got ${n / 10000}")
+    }
+  }
+
+  test("nested fractions nest: the 10% sample is a subset of the 30% sample") {
+    val small = Sampling.deterministicSample(ids, $"id", 0.1).as[Long].collect().toSet
+    val big = Sampling.deterministicSample(ids, $"id", 0.3).as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("different salts decorrelate") {
+    val a = Sampling.deterministicSample(ids, $"id", 0.5, salt = "a").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids, $"id", 0.5, salt = "b").as[Long].collect().toSet
+    val overlap = (a intersect b).size.toDouble / a.size
+    assert(overlap > 0.4 && overlap < 0.6, s"salted samples should overlap ~50%, got $overlap")
+  }
+
+  test("stratified drops unlisted strata and honors per-stratum rates") {
+    val df = (0L until 6000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val got = Sampling.stratified(df, $"src", $"id", Map("s0" -> 1.0, "s1" -> 0.2))
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(got("s0") == 2000L)
+    assert(!got.contains("s2"))
+    assert(math.abs(got("s1") / 2000.0 - 0.2) < 0.04)
+  }
+}
