@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Sampling, SortedNeighborhood, Winnowing}
@@ -196,6 +196,45 @@ object TextQ {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
         sum(length(col("text"))).as("total_chars"))
 
+  /** Repetition filters in the style of the published Gopher curation
+    * rules (Rae et al. 2021 §A1.1): per document, the char fraction
+    * covered by the most frequent 2-gram, and the fraction of 3-gram
+    * positions whose gram repeats. High values flag boilerplate /
+    * degenerate text. One (doc, gram) shuffle with partial aggregation;
+    * hash-gated — DuckDB mirrors via unnest + windows.
+    */
+  def repetitionReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), length(col("text")).as("len_chars"),
+      tokens(col("text")).as("ts"))
+    val g2 = toks
+      .select(col("doc_id"), col("len_chars"), posexplode(grams(col("ts"), 2)).as(Seq("pos", "g")))
+      .groupBy(col("doc_id"), col("len_chars"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("len_chars"))
+      .agg(max(struct(col("c"), col("g"))).as("top"))
+      .select(col("doc_id"),
+        col("top.c").as("top2_count"),
+        round(col("top.c") * length(col("top.g")).cast("double") /
+          greatest(col("len_chars"), lit(1)), 6).as("top2_char_frac"))
+    val g3 = toks
+      .select(col("doc_id"), explode(grams(col("ts"), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_pos"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_pos"))
+      .select(col("doc_id"),
+        round(col("dup_pos").cast("double") / greatest(col("n_pos"), lit(1)), 6)
+          .as("dup3_frac"))
+    g2.join(g3, Seq("doc_id"))
+  }
+
+  /** Space-joined n-grams of a token array (empty when too short). */
+  private def grams(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -220,7 +259,8 @@ object TextQ {
     "q71_dup_clusters" -> (dupClusters _),
     "q72_deduped_corpus" -> (dedupedCorpus _),
     "q74_winnowing_report" -> (winnowingReport _),
-    "q75_stratified_sample" -> (stratifiedSample _))
+    "q75_stratified_sample" -> (stratifiedSample _),
+    "q76_repetition_report" -> (repetitionReport _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -331,6 +371,33 @@ object TextQ {
         |   OR (source = 'src1' AND bk < 500000)
         |   OR (source = 'src2' AND bk < 250000)
         |GROUP BY source""".stripMargin,
+    "q76_repetition_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, length(text) AS len_chars,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, len_chars,
+        |    array_to_string(list_slice(ts, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 2), ' ') AS g
+        |  FROM toks, unnest(range(greatest(len(ts) - 1, 0))) u(i)),
+        |c2 AS (SELECT doc_id, len_chars, g, count(*) AS c FROM g2 GROUP BY ALL),
+        |m2 AS (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mc FROM c2),
+        |top2 AS (
+        |  SELECT doc_id, len_chars, mc AS top2_count, max(g) AS tg
+        |  FROM m2 WHERE c = mc GROUP BY doc_id, len_chars, mc),
+        |g3 AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(ts, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 3), ' ') AS g
+        |  FROM toks, unnest(range(greatest(len(ts) - 2, 0))) u(i)),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY ALL),
+        |d3 AS (
+        |  SELECT doc_id, sum(c) AS n_pos,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT t.doc_id, t.top2_count,
+        |  round(t.top2_count * CAST(length(t.tg) AS DOUBLE) / greatest(t.len_chars, 1), 6) AS top2_char_frac,
+        |  round(CAST(d.dup_pos AS DOUBLE) / greatest(d.n_pos, 1), 6) AS dup3_frac
+        |FROM top2 t JOIN d3 d ON t.doc_id = d.doc_id""".stripMargin,
     "q44_langid_report" -> langIdOracle,
     "q45_quality_report" ->
       """WITH toks AS (
