@@ -26,6 +26,24 @@ object Winnowing {
   def portableHash(s: Column): Column =
     conv(substring(md5(s), 18, 15), 16, 10).cast("long")
 
+  /** Contamination check — the decontamination primitive: for every
+    * corpus document, how many winnowing prints it shares with the
+    * `benchmark` document set. Any verbatim overlap of length
+    * ≥ w + k − 1 tokens is guaranteed to surface (the winnowing
+    * guarantee), so `n_shared > 0` is a sound screen for benchmark
+    * leakage. Plan: two print sets, one broadcast-or-shuffle equi-join
+    * on the print hash — never a text×text comparison.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, k: Int, w: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpusPrints = selectedPrints(corpus, k, w, idCol, textCol)
+    val benchPrints = selectedPrints(benchmark, k, w, idCol, textCol)
+      .select(col("print")).distinct()
+    corpusPrints.join(benchPrints, Seq("print"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** (id, print) — the distinct selected fingerprints per document.
     * Documents with fewer than `w` k-grams select nothing (the paper's
     * windows are only defined once w k-grams exist).

@@ -235,6 +235,25 @@ object TextQ {
       .otherwise(transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
 
+  /** Benchmark-decontamination report: treating src0's documents as the
+    * held-out benchmark, count the corpus documents (per source) that
+    * share winnowing prints with it — the screen a training pipeline
+    * runs before training. Hash-gated end-to-end through the portable
+    * print hash.
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Winnowing.contamination(
+        corpus = docs.filter(col("source") =!= "src0"),
+        benchmark = docs.filter(col("source") === "src0"),
+        k = 3, w = 4)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(col("n_shared")).as("total_shared_prints"),
+        max(col("n_shared")).as("max_shared"))
+  }
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -260,7 +279,8 @@ object TextQ {
     "q72_deduped_corpus" -> (dedupedCorpus _),
     "q74_winnowing_report" -> (winnowingReport _),
     "q75_stratified_sample" -> (stratifiedSample _),
-    "q76_repetition_report" -> (repetitionReport _))
+    "q76_repetition_report" -> (repetitionReport _),
+    "q77_contamination_report" -> (contaminationReport _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -398,6 +418,33 @@ object TextQ {
         |  round(t.top2_count * CAST(length(t.tg) AS DOUBLE) / greatest(t.len_chars, 1), 6) AS top2_char_frac,
         |  round(CAST(d.dup_pos AS DOUBLE) / greatest(d.n_pos, 1), 6) AS dup3_frac
         |FROM top2 t JOIN d3 d ON t.doc_id = d.doc_id""".stripMargin,
+    "q77_contamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id, source, CAST(u.i AS INT) AS pos,
+        |    CAST('0x' || substr(md5(
+        |      array_to_string(list_slice(ts, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 3), ' ')
+        |    ), 18, 15) AS BIGINT) AS h
+        |  FROM toks, unnest(range(greatest(len(ts) - 2, 0))) u(i)),
+        |win AS (
+        |  SELECT doc_id, source, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM kg),
+        |sel AS (SELECT DISTINCT doc_id, source, wmin FROM win WHERE pos >= 3),
+        |bench AS (SELECT DISTINCT wmin FROM sel WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT s.doc_id, s.source, count(*) AS n_shared
+        |  FROM sel s JOIN bench b ON s.wmin = b.wmin
+        |  WHERE s.source <> 'src0'
+        |  GROUP BY s.doc_id, s.source)
+        |SELECT source, count(*) AS n_contaminated,
+        |  CAST(sum(n_shared) AS BIGINT) AS total_shared_prints,
+        |  CAST(max(n_shared) AS BIGINT) AS max_shared
+        |FROM hits GROUP BY source""".stripMargin,
     "q44_langid_report" -> langIdOracle,
     "q45_quality_report" ->
       """WITH toks AS (
