@@ -22,9 +22,12 @@ object Winnowing {
 
   /** 60-bit portable k-gram hash: low 15 hex chars of md5 — exactly
     * `CAST('0x' || substr(md5(s), 18, 15) AS BIGINT)` in DuckDB.
+    * Computed by the codegen'd [[graft.functions.Md5Low60]] directly
+    * from digest bytes (no hex string / substring / base-16 parse per
+    * row); WinnowingSpec pins bit-equality with the SQL form.
     */
   def portableHash(s: Column): Column =
-    conv(substring(md5(s), 18, 15), 16, 10).cast("long")
+    graft.functions.Md5Functions.md5_low60(s)
 
   /** Contamination check — the decontamination primitive: for every
     * corpus document, how many winnowing prints it shares with the

@@ -15,6 +15,15 @@ class WinnowingSpec extends AnyFunSuite with SparkTestSession {
     assert(got == 474636617523494770L)
   }
 
+  test("digest-byte fast path is bit-equal to the SQL hex form on many inputs") {
+    val rows = (0 until 500).map(i => s"input $i é中${i * 31}")
+    val df = rows.toDF("s")
+    val fast = df.select(Winnowing.portableHash($"s")).as[Long].collect().toSeq
+    val sqlForm = df.select(conv(substring(md5($"s"), 18, 15), 16, 10).cast("long"))
+      .as[Long].collect().toSeq
+    assert(fast == sqlForm)
+  }
+
   test("the winnowing guarantee: a shared run of >= w+k-1 tokens shares a print") {
     val shared = "one two three four five six seven eight nine ten"  // 10 tokens >= 4+3-1
     val docs = Seq(
