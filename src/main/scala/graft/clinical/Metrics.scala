@@ -130,13 +130,16 @@ object Metrics {
         .withColumn("_ufw", first(col("_fw")).over(wUser))
         .withColumn("_rn", row_number().over(wUser))
         .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("UID"))))
-      // one row per user, two narrow columns — materialized eagerly so
-      // the rank's range-sample/count/zip jobs don't each re-run the
-      // window stack upstream (at production scale this boundary table
-      // is written to a table; localCheckpoint is the in-session analog)
+      // one row per user, two narrow columns — LAZILY checkpointed: the
+      // first action over the final plan materializes it once, then the
+      // rank's range-sample/count/zip jobs reuse the blocks instead of
+      // re-running the window stack. Lazy (not eager) so merely
+      // CONSTRUCTING the pipeline never launches jobs. At production
+      // scale this boundary table is written to a table; blocks here
+      // are reclaimed by the ContextCleaner when the plan is dropped.
       val bnd = base.select(col("UID").as("_b_uid"), col("_ufw"))
         .dropDuplicates("_b_uid")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val ranked = graft.operators.SortedNeighborhood.globalRank(
         bnd, Seq(col("_b_uid").asc_nulls_last), "_r")
       val succ = ranked

@@ -102,7 +102,11 @@ object MediaContainers {
     val dataOffset = rdLe32(b, 10)
     val w = rdLe32(b, 18); val h = rdLe32(b, 22)
     val bpp = rdLe16(b, 28); val compression = rdLe32(b, 30)
-    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
+    // bound every header field: negative offsets and int-overflowing
+    // row sizes from garbage bytes must yield a clean None (stub
+    // fallback), never a negative array index
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
+      w > (1 << 20) || h > (1 << 20) || dataOffset < 54) return None
     val rowSize = (w * 3 + 3) & ~3
     if (dataOffset.toLong + rowSize.toLong * h > b.length) return None
     var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
@@ -142,23 +146,33 @@ object MediaContainers {
     * Features: mean, RMS, zero-crossing rate, 13 block RMS values.
     */
   def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-    var off = 12
+    // long cursor + non-negative-size guard: a hostile/garbage size
+    // field must neither stall the walk (negative sz) nor overflow the
+    // offset (sz near Int.MaxValue) — parsers fed arbitrary corpus
+    // bytes fail CLEAN, they never hang a task
+    var off = 12L
     var fmtOk = false; var sampleRate = 0; var channels = 0
     var dataOff = -1; var dataLen = 0
-    while (off + 8 <= b.length) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val sz = rdLe32(b, off + 4)
-      if (id == "fmt " && off + 8 + 16 <= b.length) {
-        val audioFormat = rdLe16(b, off + 8)
-        channels = rdLe16(b, off + 10)
-        sampleRate = rdLe32(b, off + 12)
-        val bits = rdLe16(b, off + 22)
-        fmtOk = audioFormat == 1 && bits == 8 && channels == 1
-      } else if (id == "data") {
-        dataOff = off + 8; dataLen = math.min(sz, b.length - dataOff)
+    var bad = false
+    while (!bad && off + 8 <= b.length) {
+      val io = off.toInt
+      val id = new String(b, io, 4, "US-ASCII")
+      val sz = rdLe32(b, io + 4)
+      if (sz < 0) bad = true
+      else {
+        if (id == "fmt " && off + 8 + 16 <= b.length) {
+          val audioFormat = rdLe16(b, io + 8)
+          channels = rdLe16(b, io + 10)
+          sampleRate = rdLe32(b, io + 12)
+          val bits = rdLe16(b, io + 22)
+          fmtOk = audioFormat == 1 && bits == 8 && channels == 1
+        } else if (id == "data") {
+          dataOff = io + 8; dataLen = math.min(sz, b.length - dataOff)
+        }
+        off += 8L + sz + (sz & 1)         // chunks are word-aligned
       }
-      off += 8 + sz + (sz & 1)            // chunks are word-aligned
     }
+    if (bad) return None
     if (!fmtOk || dataOff < 0) return None
     val n = dataLen
     var sum = 0.0; var sum2 = 0.0; var zc = 0

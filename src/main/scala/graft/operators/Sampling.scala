@@ -26,7 +26,10 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, fraction: Double,
                           salt: String = "s0"): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    df.filter(bucket(key, salt) < (fraction * Buckets).toLong)
+    // round, don't truncate: 0.29 * 1e6 is 289999.99999999994 in binary,
+    // and truncation would disagree with any oracle stating the natural
+    // decimal threshold
+    df.filter(bucket(key, salt) < math.round(fraction * Buckets))
   }
 
   /** Stratified sample: per-stratum fractions (strata absent from the
@@ -37,7 +40,7 @@ object Sampling {
                  fractions: Map[String, Double], salt: String = "s0"): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1))
     val threshold = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, f)) =>
-      when(strataCol === stratum, lit((f * Buckets).toLong)).otherwise(acc)
+      when(strataCol === stratum, lit(math.round(f * Buckets))).otherwise(acc)
     }
     df.filter(bucket(key, salt) < threshold)
   }

@@ -59,14 +59,20 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
 
-    val build =
+    val sampled =
       if (buildSampleMod > 1) c.filter(pmod(xxhash64(col("corpus_id")), lit(buildSampleMod)) === 0)
       else c
-    var centers: Seq[Seq[Double]] =
-      build.orderBy(xxhash64(col("corpus_id")).asc, col("corpus_id").asc)
+    def seeds(src: DataFrame): Seq[Seq[Double]] =
+      src.orderBy(xxhash64(col("corpus_id")).asc, col("corpus_id").asc)
         .limit(numCentroids)
         .select(col("cv")).collect().map(_.getSeq[Double](0)).toSeq
-    // empty corpus (or empty build sample): nothing to index or return
+    // an over-aggressive sample mod must not silently index nothing:
+    // fall back to the full corpus for seeding (and Lloyd)
+    val sampleSeeds = seeds(sampled)
+    val (build, seedCenters) =
+      if (sampleSeeds.nonEmpty) (sampled, sampleSeeds) else (c, seeds(c))
+    var centers: Seq[Seq[Double]] = seedCenters
+    // truly empty corpus: nothing to index or return
     if (centers.isEmpty)
       return c.sparkSession.range(0).select(
         col("id").as("query_id"), col("id").as("corpus_id"),
@@ -75,6 +81,9 @@ object Similarity {
       val means = build
         .select(element_at(nearest_centroids(col("cv"), centers, 1), 1).as("cid"),
           posexplode(col("cv")).as(Seq("pos", "x")))
+        // a NaN vector scores NaN against every centroid → cid −1;
+        // such rows must not crash the driver-side center update
+        .filter(col("cid") >= 0)
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
       // empty clusters keep their previous center
@@ -83,10 +92,14 @@ object Similarity {
       centers = next.map(_.toSeq).toSeq
     }
 
+    // NaN rows (cid/probe −1) drop out of the index and the probes
+    // rather than silently matching each other in the bucket join
     val assigned = c.withColumn("centroid_id",
-      element_at(nearest_centroids(col("cv"), centers, 1), 1))
+        element_at(nearest_centroids(col("cv"), centers, 1), 1))
+      .filter(col("centroid_id") >= 0)
     val probes = q.select(col("query_id"), col("qv"),
-      explode(nearest_centroids(col("qv"), centers, nProbe)).as("centroid_id"))
+        explode(nearest_centroids(col("qv"), centers, nProbe)).as("centroid_id"))
+      .filter(col("centroid_id") >= 0)
 
     // search only probed buckets
     val wTop = Window.partitionBy(col("query_id"))

@@ -8,39 +8,58 @@ import org.apache.spark.sql.types.MetadataBuilder
 /** Per-plan functional-dependency declarations, carried as column
   * metadata.
   *
-  * A column tagged `constantPer(anchor)` is declared constant within
+  * A column tagged constant-per-anchor is declared constant within
   * every group of rows sharing the anchor column's value — domain
   * knowledge no optimizer can infer from a plan (e.g. Gender is
   * constant per UID because the users table has one row per UID).
-  * Because the tag lives in Attribute metadata it travels with the
-  * column through joins, windows, projections and renames (Alias
-  * inherits child metadata), and it exists ONLY on DataFrames that
-  * explicitly declared it — so an optimizer rule keyed on these tags
-  * ([[UserConstantPredicatePushdown]]) is inert on arbitrary data, per
-  * the round-1 advice: a session-global rule keyed on hard-coded column
-  * NAMES could silently mis-optimize a coincidentally-named column.
+  * Because the tags live in Attribute metadata they travel with the
+  * columns through joins, windows, projections and renames (Alias
+  * inherits child metadata), and they exist ONLY on DataFrames that
+  * explicitly declared them — so an optimizer rule keyed on these tags
+  * ([[UserConstantPredicatePushdown]]) is inert on arbitrary data.
+  *
+  * The dependency is keyed by a per-declaration TOKEN stamped on BOTH
+  * the anchor column and its dependents — never by the anchor's NAME:
+  * a window partitioned by a column that merely shares the anchor's
+  * name (a renamed session id, the other side of a self-join of a
+  * different table) carries no matching token and is never pushed
+  * through. (Limitation: a self-join of the SAME declared table gives
+  * both sides identical tokens; FD tracking at expression-id level
+  * would be needed to separate those — declared in Scaladoc, not
+  * solvable in metadata.)
   */
 object Fd {
 
-  /** Metadata key holding the anchor column name. */
+  /** Anchor column name at declaration time (informational). */
   val ConstantPerKey = "graft.fd.constantPer"
+  /** Declaration token on dependent columns. */
+  val TokenKey = "graft.fd.token"
+  /** Declaration token on the anchor column itself. */
+  val AnchorTokenKey = "graft.fd.anchorToken"
 
-  /** Tag one column as constant per `anchor` (keeps its name). */
-  def constantPer(c: Column, name: String, anchor: String): Column =
-    c.as(name, new MetadataBuilder().putString(ConstantPerKey, anchor).build())
-
-  /** Tag `cols` of `df` as constant per `anchor`; other columns pass
-    * through untouched.
+  /** Tag `cols` of `df` as constant per `anchor`; the anchor column is
+    * stamped with the matching token; other columns pass through.
     */
   def declareConstantPer(df: DataFrame, anchor: String, cols: Seq[String]): DataFrame = {
+    require(df.columns.contains(anchor), s"anchor $anchor not in ${df.columns.mkString(",")}")
+    val token = java.util.UUID.randomUUID().toString
     val tagged = cols.toSet
     df.select(df.columns.map { c =>
-      if (tagged.contains(c)) constantPer(col(c), c, anchor) else col(c)
+      if (c == anchor)
+        col(c).as(c, new MetadataBuilder().putString(AnchorTokenKey, token).build())
+      else if (tagged.contains(c))
+        col(c).as(c, new MetadataBuilder()
+          .putString(ConstantPerKey, anchor).putString(TokenKey, token).build())
+      else col(c)
     }.toSeq: _*)
   }
 
-  /** The anchor this attribute is declared constant per, if any. */
-  def anchorOf(a: Attribute): Option[String] =
-    if (a.metadata.contains(ConstantPerKey)) Some(a.metadata.getString(ConstantPerKey))
+  /** The declaration token this dependent attribute carries, if any. */
+  def tokenOf(a: Attribute): Option[String] =
+    if (a.metadata.contains(TokenKey)) Some(a.metadata.getString(TokenKey)) else None
+
+  /** The declaration token this attribute ANCHORS, if any. */
+  def anchorTokenOf(a: Attribute): Option[String] =
+    if (a.metadata.contains(AnchorTokenKey)) Some(a.metadata.getString(AnchorTokenKey))
     else None
 }

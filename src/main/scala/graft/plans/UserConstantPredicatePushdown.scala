@@ -15,50 +15,57 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * row's metrics. Catalyst's stock PushPredicateThroughNonJoin only
   * pushes predicates over the window's own partition keys; this rule
   * generalizes: a predicate may cross a Window node iff every column it
-  * references is either (a) one of the node's window partition keys, or
-  * (b) tagged by [[Fd.constantPer]] with an anchor that IS one of those
-  * partition keys.
+  * references is either (a) one of the node's window partition keys
+  * (attribute identity), or (b) FD-tagged with a declaration TOKEN that
+  * one of those partition keys anchors (see [[Fd]]).
   *
   * The dependency set is NOT a rule-level constant: it rides on column
-  * metadata declared per-DataFrame (see [[Fd]]), so the rule is safe to
-  * register session-globally — on plans with no declarations it matches
-  * nothing, and a per-event column that merely shares a name with a
-  * per-user attribute is never pushed (round-1 advice).
+  * metadata declared per-DataFrame, matched by token rather than by
+  * name, so the rule is safe to register session-globally — on plans
+  * with no declarations it matches nothing, and a column that merely
+  * shares the anchor's NAME (a renamed session id, another table's
+  * UID) never qualifies (round-1 advice, tightened in round 2).
   *
   * Registered through SparkSessionExtensions ([[GraftExtensions]]) or
   * `spark.experimental.extraOptimizations`.
   */
 object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
 
-  private def partitionKeysOf(w: Window): Set[String] =
-    w.partitionSpec.collect { case a: Attribute => a.name }.toSet
+  private def partitionKeyAttrs(w: Window): Seq[Attribute] =
+    w.partitionSpec.collect { case a: Attribute => a }
 
-  /** Attribute is usable below a window with partition keys `keys`. */
-  private def determinedBy(a: Attribute, keys: Set[String]): Boolean =
-    keys.contains(a.name) || Fd.anchorOf(a).exists(keys.contains)
+  /** Attribute is usable below a window with partition keys `keys`:
+    * either it IS a partition key (attribute identity, not name), or it
+    * carries an FD token ANCHORED by one of the keys — token matching,
+    * so a key that merely shares the anchor's NAME never qualifies.
+    */
+  private def determinedBy(a: Attribute, keys: Seq[Attribute]): Boolean =
+    keys.exists(_.exprId == a.exprId) ||
+      Fd.tokenOf(a).exists(t => keys.exists(k => Fd.anchorTokenOf(k).contains(t)))
 
   private def pushable(cond: Expression, w: Window): Boolean = {
-    val keys = partitionKeysOf(w)
+    val keys = partitionKeyAttrs(w)
     cond.deterministic &&
       cond.references.nonEmpty &&
       // at least one FD tag must be doing work — pure-partition-key
       // predicates are stock Catalyst's job, not ours
-      cond.references.exists(a => Fd.anchorOf(a).isDefined) &&
+      cond.references.exists(a => Fd.tokenOf(a).isDefined) &&
       cond.references.forall(determinedBy(_, keys)) &&
       // referenced columns must come from below the window, not be
       // window outputs
       cond.references.subsetOf(w.child.outputSet)
   }
 
-  /** Is this predicate carried by FD-tagged (or same-anchor) columns
-    * only? Used for the Project hop so the rule never moves unrelated
-    * filters around.
+  /** Is this predicate carried by FD-tagged (or matching-anchor)
+    * columns only? Used for the Project hop so the rule never moves
+    * unrelated filters around.
     */
   private def fdCarried(cond: Expression): Boolean = {
-    val anchors = cond.references.flatMap(Fd.anchorOf).toSet
-    cond.deterministic && cond.references.nonEmpty && anchors.nonEmpty &&
+    val tokens = cond.references.flatMap(Fd.tokenOf).toSet
+    cond.deterministic && cond.references.nonEmpty && tokens.nonEmpty &&
       cond.references.forall(a =>
-        Fd.anchorOf(a).isDefined || anchors.contains(a.name))
+        Fd.tokenOf(a).isDefined ||
+          Fd.anchorTokenOf(a).exists(tokens.contains))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

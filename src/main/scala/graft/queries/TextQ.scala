@@ -326,6 +326,10 @@ object TextQ {
     val mx = s"greatest(${codes.map(c => s"s_$c").mkString(", ")})"
     // CASE evaluates in declaration order = the engine's first-wins tie
     val branches = codes.map(c => s"WHEN s_$c = _mx THEN '$c'").mkString("\n          ")
+    // the trailing ELSE matches the engine's null handling: NULL text
+    // scores NULL everywhere, no WHEN fires, and the engine's
+    // otherwise("und") must be mirrored (for non-null rows some s_c
+    // always equals _mx, so ELSE is only reachable via NULL)
     s"""WITH padded AS (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents),
        |     scored AS (SELECT lang,
        |        $scores
@@ -334,6 +338,7 @@ object TextQ {
        |SELECT lang,
        |  CASE WHEN _mx = 0 THEN 'und'
        |          $branches
+       |       ELSE 'und'
        |  END AS pred,
        |  count(*) AS n
        |FROM best GROUP BY lang, pred""".stripMargin

@@ -83,6 +83,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(rate == MediaContainers.WavSampleRate && n == 500)
   }
 
+  test("hostile container bytes fail clean: no hang, no negative index") {
+    // WAV whose first chunk declares size -8: a naive walk would never
+    // advance its cursor
+    val evilWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(-8) ++ new Array[Byte](32)
+    assert(MediaContainers.decodeWav(evilWav).isEmpty)
+    // WAV whose chunk size is near Int.MaxValue: cursor must not overflow
+    val bigWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(Int.MaxValue - 4) ++ new Array[Byte](32)
+    assert(MediaContainers.decodeWav(bigWav).isEmpty)
+    // BMP with a negative pixel-data offset: must be None, not AIOOBE
+    val evilBmp = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(-1000) ++
+      le32(40) ++ le32(1) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(4) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ new Array[Byte](16)
+    assert(MediaContainers.decodeBmp(evilBmp).isEmpty)
+    // BMP with an int-overflowing width
+    val hugeBmp = "BM".getBytes ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1 << 30) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(4) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ new Array[Byte](16)
+    assert(MediaContainers.decodeBmp(hugeBmp).isEmpty)
+  }
+
   test("unsupported container flavors fall back to the stub, not crash") {
     // 32bpp BMP header → decodeBmp declines; decode() stubs it
     val bmp32 = "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++

@@ -30,6 +30,25 @@ class RecallSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.35, f"recall $recall%.3f below the random-data floor")
   }
 
+  test("over-aggressive build sample falls back to full-corpus seeding; NaN rows don't crash") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter($"vec_id" < 5)
+    // sample mod far larger than the corpus: expected sample size 0
+    val res = Similarity.ivfTopK(corpus, queries, k = 3, numCentroids = 5,
+      nProbe = 5, buildSampleMod = 1 << 30)
+    assert(res.count() > 0, "empty build sample must not silently index nothing")
+    // a NaN vector must neither crash the Lloyd update nor self-match
+    val nanRow = corpus.limit(1).select($"vec_id" + 100000,
+      transform($"embedding", _ => lit(Double.NaN).cast("float")).as("embedding"))
+      .toDF("vec_id", "embedding")
+    val poisoned = corpus.select($"vec_id", $"embedding").unionByName(nanRow)
+    val res2 = Similarity.ivfTopK(poisoned, queries, k = 3, numCentroids = 5, nProbe = 5)
+    assert(res2.count() > 0)
+    assert(res2.filter($"corpus_id" === 100000 + corpus.limit(1)
+      .select($"vec_id").as[Long].head()).count() == 0)
+  }
+
   test("raising nProbe raises (or maintains) recall — the tuning knob works") {
     val corpus = Tables.embeddings(spark, dir)
     val queries = corpus.filter($"vec_id" < 10)

@@ -23,6 +23,16 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("binary-inexact fractions round to the decimal threshold, not truncate") {
+    // 0.29 * 1e6 = 289999.99999999994 in doubles; the selected set must
+    // equal the natural decimal threshold bk < 290000
+    val viaFraction = Sampling.deterministicSample(ids, $"id", 0.29)
+      .as[Long].collect().toSet
+    val viaThreshold = ids.filter(Sampling.bucket($"id", "s0") < 290000)
+      .as[Long].collect().toSet
+    assert(viaFraction == viaThreshold)
+  }
+
   test("nested fractions nest: the 10% sample is a subset of the 30% sample") {
     val small = Sampling.deterministicSample(ids, $"id", 0.1).as[Long].collect().toSet
     val big = Sampling.deterministicSample(ids, $"id", 0.3).as[Long].collect().toSet

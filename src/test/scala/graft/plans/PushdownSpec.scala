@@ -62,6 +62,39 @@ class PushdownSpec extends AnyFunSuite with SparkTestSession {
     assert(after >= 1, s"at least the patient_TBWL window is crossed (saw $after)")
   }
 
+  test("a window keyed by a DIFFERENT column merely NAMED like the anchor is not crossed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Gender is declared constant per the REAL UID; then a session id is
+    // renamed to "UID" and a window partitions by IT — name matches the
+    // anchor, token does not, so the filter must stay above the window
+    val declared = graft.plans.Fd.declareConstantPer(
+      Seq(("u1", "F", 10), ("u1", "F", 11), ("u2", "M", 12))
+        .toDF("UID", "Gender", "session_id"),
+      "UID", Seq("Gender"))
+    val df = declared
+      .drop("UID")
+      .withColumnRenamed("session_id", "UID")
+      .withColumn("mx", max($"UID").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"UID")))
+      .filter($"Gender" === "F")
+    val plan = withRule { df.queryExecution.optimizedPlan }
+    var sawWindowFirst = false
+    var decided = false
+    def walk(p: LogicalPlan): Unit = p match {
+      case _: LWindow =>
+        if (!decided) { sawWindowFirst = true; decided = true }
+        p.children.foreach(walk)
+      case f: LFilter if f.condition.references.exists(_.name == "Gender") =>
+        if (!decided) decided = true
+        f.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    assert(decided && !sawWindowFirst,
+      "an FD-tagged filter crossed a window keyed by a token-less same-named column")
+  }
+
   test("undeclared column with a UID window is NOT pushed (FD is per-plan, not by name)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
