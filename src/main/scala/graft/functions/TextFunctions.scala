@@ -119,6 +119,28 @@ object TextFunctions {
     when(idx >= 0, element_at(codes, idx + 1)).otherwise("und")
   }
 
+  // ---- PII redaction ----
+
+  /** Deliberately engine-portable patterns (RE2 ∩ java.util.regex:
+    * character classes, bounded repeats, ASCII \b only) so the same
+    * strings run in the DuckDB oracle verbatim.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumberPattern = "\\b[0-9]{6,}\\b"
+
+  /** Scrub emails and id-like digit runs — the redaction pass a
+    * training pipeline runs before anything is retained. Pure
+    * regexp_replace chain: codegen'd, order fixed (emails first so an
+    * address's digits can't be half-eaten by the number rule).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longNumberPattern, "<NUM>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def longNumberCount(text: Column): Column = regexp_count(text, lit(longNumberPattern))
+
   // ---- fingerprinting ----
 
   /** Order-sensitive 64-bit document fingerprint: rolling hash over the

@@ -254,6 +254,25 @@ object TextQ {
         max(col("n_shared")).as("max_shared"))
   }
 
+  /** PII-redaction report. The word-soup corpus has no natural PII, so
+    * each document is deterministically augmented with a synthetic
+    * email + id (same expression in the oracle) — the gate then proves
+    * regex parity and replace-all semantics, not just zero matches.
+    */
+  def redactionReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("aug", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com id "),
+        lpad((col("doc_id") * 37).cast("string"), 8, "0")))
+      .select(col("source"),
+        emailCount(col("aug")).as("ec"),
+        longNumberCount(col("aug")).as("nc"),
+        length(redactPii(col("aug"))).as("rl"))
+      .groupBy(col("source"))
+      .agg(sum(col("ec")).as("n_emails"),
+        sum(col("nc")).as("n_long_numbers"),
+        sum(col("rl")).as("redacted_len"))
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -280,7 +299,8 @@ object TextQ {
     "q74_winnowing_report" -> (winnowingReport _),
     "q75_stratified_sample" -> (stratifiedSample _),
     "q76_repetition_report" -> (repetitionReport _),
-    "q77_contamination_report" -> (contaminationReport _))
+    "q77_contamination_report" -> (contaminationReport _),
+    "q78_redaction_report" -> (redactionReport _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -450,6 +470,19 @@ object TextQ {
         |  CAST(sum(n_shared) AS BIGINT) AS total_shared_prints,
         |  CAST(max(n_shared) AS BIGINT) AS max_shared
         |FROM hits GROUP BY source""".stripMargin,
+    "q78_redaction_report" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com id ' || lpad(CAST(doc_id * 37 AS VARCHAR), 8, '0') AS aug
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(aug, '\b[0-9]{6,}\b'))) AS BIGINT) AS n_long_numbers,
+        |  CAST(sum(length(regexp_replace(
+        |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{6,}\b', '<NUM>', 'g'))) AS BIGINT) AS redacted_len
+        |FROM a GROUP BY source""".stripMargin,
     "q44_langid_report" -> langIdOracle,
     "q45_quality_report" ->
       """WITH toks AS (
