@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Sampling, SortedNeighborhood, Winnowing}
@@ -273,6 +274,28 @@ object TextQ {
         sum(col("nc")).as("n_long_numbers"),
         sum(col("rl")).as("redacted_len"))
 
+  /** Sequence-packing plan (concat-then-chunk, the GPT-pretraining
+    * idiom): documents in deterministic (source, doc_id) order are
+    * concatenated per source and split into fixed `capacity`-token
+    * context windows; each doc is assigned the pack its first token
+    * lands in via a running-sum window — per-source partitioned, so the
+    * cumsum distributes. Output: per (source, pack) occupancy. The
+    * pack assignment is pure window arithmetic, hence hash-gated.
+    */
+  def packingPlan(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 4096
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / capacity).cast("long"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs_starting"),
+        sum(col("n_tok")).as("tokens_started"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -300,7 +323,8 @@ object TextQ {
     "q75_stratified_sample" -> (stratifiedSample _),
     "q76_repetition_report" -> (repetitionReport _),
     "q77_contamination_report" -> (contaminationReport _),
-    "q78_redaction_report" -> (redactionReport _))
+    "q78_redaction_report" -> (redactionReport _),
+    "q79_packing_plan" -> (packingPlan _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -470,6 +494,20 @@ object TextQ {
         |  CAST(sum(n_shared) AS BIGINT) AS total_shared_prints,
         |  CAST(max(n_shared) AS BIGINT) AS max_shared
         |FROM hits GROUP BY source""".stripMargin,
+    "q79_packing_plan" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT source, CAST(floor(cum_before / 4096) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs_starting,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_started,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY source, pack_id""".stripMargin,
     "q78_redaction_report" ->
       """WITH a AS (
         |  SELECT source,
