@@ -33,7 +33,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Between queries (outside the timed window), nudge GC so the
+      // ContextCleaner releases the previous plans' discarded
+      // localCheckpoint / shuffle blocks — battery order must not let
+      // one query's leftovers inflate a later query's GC pressure.
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -98,6 +98,51 @@ object Metrics {
   def cohortFirstWeight(cohort: String): Column =
     first(col("Weight"), ignoreNulls = true).over(byCohortOrdered(cohort))
 
+  /** A column wrapped so struct-MIN ordering matches `asc_nulls_last`:
+    * the leading isNull flag makes every null sort after every value.
+    */
+  private def nullsLast(c: Column): Column = struct(c.isNull.as("n"), c.as("v"))
+
+  /** Each user's within-user global-sort key as one orderable struct
+    * (the [[sortKeys]] after UID, each null-last). Lets MIN-aggregates
+    * stand in for "first row in sort order" without a window sort.
+    */
+  private val userOrd: Column = struct(
+    nullsLast(col("UIDCreatedDate")).as("k1"),
+    nullsLast(col("TreatmentTypeID")).as("k2"),
+    nullsLast(col("Tmt_StartDate")).as("k3"),
+    nullsLast(col("Wts_CreatedDate")).as("k4"),
+    nullsLast(col("Wts_UpdatedDate")).as("k5"))
+
+  /** One row per user: (`_b_uid`, `_ufw`) where `_ufw` is the fw
+    * ([[cohortFirstWeight]]) of the user's globally-FIRST row — i.e. the
+    * first non-null Weight of the user's first cohort. Formulated as two
+    * partial-aggregating GROUP BYs (per-cohort argmin, then per-user
+    * argmin over cohort groups) instead of a window: no sort, map-side
+    * combine on both levels, and Catalyst prunes the input to the six
+    * key/weight columns. Validated value-identical to the window
+    * formulation on all three sfs.
+    */
+  def boundaryTable(src: org.apache.spark.sql.DataFrame,
+                    cohort: String): org.apache.spark.sql.DataFrame = {
+    src
+      .groupBy(cohortKeys(cohort): _*)
+      .agg(
+        // the cohort-group's first-row key...
+        min(userOrd).as("_k"),
+        // ...and its first non-null Weight in sort order (null when the
+        // whole cohort has no weights — matching first(ignoreNulls))
+        min(when(col("Weight").isNotNull,
+          struct(userOrd.as("o"), col("Weight").as("w")))).as("_fwp"))
+      .groupBy(col("UID"))
+      // the user's first row lives in the cohort-group with minimal _k;
+      // ties are impossible (_k embeds every within-user sort key and
+      // the cohort keys are functions of them)
+      .agg(min(struct(col("_k").as("k"), col("_fwp").getField("w").as("w")))
+        .as("_m"))
+      .select(col("UID").as("_b_uid"), col("_m").getField("w").as("_ufw"))
+  }
+
   /** The reference's `.diff(-1)`: x[i] − x[i+1] over the WHOLE frame in
     * global sort order — it deliberately(?) crosses cohort, treatment and
     * even user boundaries (verified empirically; SURVEY.md §2.9).
@@ -114,43 +159,47 @@ object Metrics {
     * per-user lead (distributed window) + a one-row-per-user boundary
     * table ranked in UID order ([[graft.operators.SortedNeighborhood
     * .globalRank]] — range-partitioned, no single task) self-joined at
-    * rank+1 to fetch each user's successor fw, joined back on UID. The
-    * join reuses the UID hash exchange the window stack already planted.
+    * rank+1 to fetch each user's successor fw, joined back on UID.
+    *
+    * The boundary table is built from `boundarySource` — the UNFILTERED
+    * frame — by [[boundaryTable]], a pure two-level aggregate (no window
+    * sort at all). The cross-user dependence lives entirely in that
+    * one-row-per-user table, so callers may pre-filter the main frame
+    * with user-constant predicates (they commute with every per-user
+    * window) and the full-width five-metric stack never runs over rows
+    * the filter will discard. Round 2 built the boundary from the
+    * post-metric frame instead, re-running the window stack — the
+    * bench's only regression.
     */
-  def withWgtDiff(df: org.apache.spark.sql.DataFrame, fw: Column,
-                  strict: Boolean): org.apache.spark.sql.DataFrame = {
+  def withWgtDiff(df: org.apache.spark.sql.DataFrame, cohort: String,
+                  strict: Boolean,
+                  boundarySource: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val fw = cohortFirstWeight(cohort)
     val wUser = Window.partitionBy(col("UID")).orderBy(sortKeys: _*)
     if (strict) df.withColumn("wgt_diff", fw - lead(fw, 1).over(wUser))
     else {
-      val base = df
-        .withColumn("_fw", fw)
+      // One row per user: the first row's fw verbatim (NOT ignoreNulls —
+      // global diff(-1) takes the next row's value null included; the
+      // rn==1 row's own fw IS first(fw) over the user). Each user's
+      // successor fw comes from [[graft.operators.DistributedLead]] —
+      // fully lazy, range-partitioned, no single-partition window and no
+      // construction-time driver jobs (the round-2 rank/zipWithIndex
+      // idiom launched its sampling and count jobs while merely BUILDING
+      // the query, re-running the boundary subtree).
+      val bnd = boundaryTable(boundarySource.getOrElse(df), cohort)
+      val succ = graft.operators.DistributedLead
+        .withSuccessorValue(bnd, col("_b_uid"), col("_ufw"), "_next_ufw")
+        .select(col("_b_uid").as("UID"), col("_next_ufw"))
+      df.withColumn("_fw", fw)
         .withColumn("_lead_u", lead(col("_fw"), 1).over(wUser))
-        // first row's fw per user (NOT ignoreNulls — global diff(-1)
-        // takes the next row's value verbatim, null included)
-        .withColumn("_ufw", first(col("_fw")).over(wUser))
         .withColumn("_rn", row_number().over(wUser))
         .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("UID"))))
-      // one row per user, two narrow columns — LAZILY checkpointed: the
-      // first action over the final plan materializes it once, then the
-      // rank's range-sample/count/zip jobs reuse the blocks instead of
-      // re-running the window stack. Lazy (not eager) so merely
-      // CONSTRUCTING the pipeline never launches jobs. At production
-      // scale this boundary table is written to a table; blocks here
-      // are reclaimed by the ContextCleaner when the plan is dropped.
-      val bnd = base.select(col("UID").as("_b_uid"), col("_ufw"))
-        .dropDuplicates("_b_uid")
-        .localCheckpoint(false)
-      val ranked = graft.operators.SortedNeighborhood.globalRank(
-        bnd, Seq(col("_b_uid").asc_nulls_last), "_r")
-      val succ = ranked
-        .join(ranked.select((col("_r") - 1).as("_r"), col("_ufw").as("_next_ufw")),
-          Seq("_r"), "left")
-        .select(col("_b_uid").as("UID"), col("_next_ufw"))
-      base.join(succ, Seq("UID"), "left")
+        .join(succ, Seq("UID"), "left")
         .withColumn("wgt_diff",
           when(col("_rn") === col("_n"), col("_fw") - col("_next_ufw"))
             .otherwise(col("_fw") - col("_lead_u")))
-        .drop("_fw", "_lead_u", "_ufw", "_rn", "_n", "_next_ufw")
+        .drop("_fw", "_lead_u", "_rn", "_n", "_next_ufw")
     }
   }
 

@@ -77,16 +77,27 @@ object Pipeline {
     * one of the CLI's validated choices (SURVEY §7.5 generalization);
     * callers materialize any expression as a column first (see
     * [[runWithCohortExpr]]).
+    *
+    * `earlyFilter`, when given, must be a USER-CONSTANT predicate (each
+    * UID's rows all pass or all fail). Every metric window is partitioned
+    * by UID or finer, so such a predicate commutes with the whole stack;
+    * applying it to the main branch here keeps the five-metric windows
+    * off rows a later [[Filters]] pass would discard anyway. The
+    * bug-compatible diff's cross-user boundary table is always built
+    * from the UNFILTERED frame, so the quirk still sees every user.
     */
-  def withMetricsCohort(df: DataFrame, cohortCol: String, strict: Boolean): DataFrame = {
-    val fw = Metrics.cohortFirstWeight(cohortCol)
-    df.withColumns(Map(
+  def withMetricsCohort(df: DataFrame, cohortCol: String, strict: Boolean,
+                        earlyFilter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val main = earlyFilter.map(df.filter).getOrElse(df)
+    main.withColumns(Map(
         "WIR" -> Metrics.wir(cohortCol),
         "PSW" -> Metrics.psw,
         "TSW" -> Metrics.tsw,
         "TEW" -> Metrics.tew))
       .withColumn("treatment_TBWL", col("TEW") - col("TSW"))
-      .transform(Metrics.withWgtDiff(_, fw, strict))
+      .transform(Metrics.withWgtDiff(_, cohortCol, strict,
+        boundarySource = if (strict) None else Some(df)))
       .withColumn("patient_TBWL", Metrics.patientTbwl(cohortCol))
       .drop("wgt_diff")
       // TEW is an intermediate in pandas (unnamed local, py:129) but a
@@ -97,7 +108,17 @@ object Pipeline {
   /** Full pipeline from the three (un-renamed) source tables. */
   def run(users: DataFrame, weights: DataFrame, treatments: DataFrame,
           cfg: PipelineConfig = PipelineConfig()): DataFrame = {
-    val wide = withMetrics(withDerived(joined(users, weights, treatments)), cfg)
+    // Strict mode: the UserConstantPredicatePushdown rule moves the
+    // late Filters below the windows on its own. Bug-compat mode: the
+    // boundary join blocks that rule, so hand the (user-constant)
+    // predicate to the main branch explicitly; the late Filters pass
+    // below is then a cheap no-op re-check and the single authority
+    // for predicate definitions.
+    val early =
+      if (cfg.strictCohorts) None else Some(Filters.predicate(cfg))
+    val wide = withMetricsCohort(
+      withDerived(joined(users, weights, treatments)),
+      cfg.cohort, cfg.strictCohorts, early)
     val filtered = Filters(wide, cfg)
     if (cfg.dedup) filtered.dropDuplicates() else filtered
   }
@@ -113,7 +134,9 @@ object Pipeline {
                         cfg: PipelineConfig = PipelineConfig()): DataFrame = {
     val base = withDerived(joined(users, weights, treatments))
       .withColumn(cohortName, cohortExpr)
-    val wide = withMetricsCohort(base, cohortName, cfg.strictCohorts)
+    val early =
+      if (cfg.strictCohorts) None else Some(Filters.predicate(cfg))
+    val wide = withMetricsCohort(base, cohortName, cfg.strictCohorts, early)
     val filtered = Filters(wide, cfg)
     if (cfg.dedup) filtered.dropDuplicates() else filtered
   }

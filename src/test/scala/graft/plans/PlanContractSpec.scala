@@ -35,7 +35,10 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q09_join_range",         // theta band join, 25-row broadcast build side
     "q24_scalar_subquery",    // uncorrelated scalar subquery broadcast to every row
     "q35_type_share",         // 1-row scalar denominator broadcast to k grouped rows
-    "q50_ann_brute_force")    // broadcast queries × corpus scan IS the exact baseline
+    "q50_ann_brute_force",    // broadcast queries × corpus scan IS the exact baseline
+    "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
+                              // both sides ≤ spark.sql.shuffle.partitions rows
+                              // by construction (bounded by config, not data)
 
   /** A Window (or Sort) whose child is Exchange SinglePartition funnels
     * every ROW through one task — the cliff. A global scalar AGGREGATE
