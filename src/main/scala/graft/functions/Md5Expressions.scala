@@ -19,15 +19,24 @@ object Md5Util {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
-  def low60(bytes: Array[Byte]): Long = {
+  /** The calling thread's MD5 instance, reset — callers may feed it
+    * incrementally (hash a joined string without building the string).
+    */
+  def threadDigest(): java.security.MessageDigest = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md
+  }
+
+  def low60FromDigest(d: Array[Byte]): Long = {
     var out = (d(8) & 0x0FL) << 56
     var i = 9
     while (i < 16) { out |= (d(i) & 0xFFL) << ((15 - i) * 8); i += 1 }
     out
   }
+
+  def low60(bytes: Array[Byte]): Long =
+    low60FromDigest(threadDigest().digest(bytes))
 }
 
 case class Md5Low60(child: Expression) extends UnaryExpression {

@@ -30,38 +30,55 @@ object Winnowing {
     graft.functions.Md5Functions.md5_low60(s)
 
   /** Contamination check — the decontamination primitive: for every
-    * corpus document, how many winnowing prints it shares with the
-    * `benchmark` document set. Any verbatim overlap of length
-    * ≥ w + k − 1 tokens is guaranteed to surface (the winnowing
+    * non-benchmark document, how many winnowing prints it shares with
+    * the benchmark rows (`isBenchmark` = true). Any verbatim overlap of
+    * length ≥ w + k − 1 tokens is guaranteed to surface (the winnowing
     * guarantee), so `n_shared > 0` is a sound screen for benchmark
-    * leakage. Plan: two print sets, one broadcast-or-shuffle equi-join
-    * on the print hash — never a text×text comparison.
+    * leakage. Plan: ONE print pass over the whole table (the benchmark
+    * flag rides through as a payload column, so corpus and benchmark
+    * prints come out of one scan + one explode + one window — round 2
+    * ran the pipeline twice), then a per-print window marks prints seen
+    * in any benchmark row. No diamond: splitting corpus/benchmark into
+    * two plan branches lets predicate pushdown clone the whole explode
+    * subtree per branch (measured: 6 scans). Per-print partition size
+    * is bounded by document count per print — the same fan-in the
+    * equi-join formulation has on its hot keys. Never a text×text
+    * comparison.
     */
-  def contamination(corpus: DataFrame, benchmark: DataFrame, k: Int, w: Int,
+  def contamination(all: DataFrame, isBenchmark: Column, k: Int, w: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val corpusPrints = selectedPrints(corpus, k, w, idCol, textCol)
-    val benchPrints = selectedPrints(benchmark, k, w, idCol, textCol)
-      .select(col("print")).distinct()
-    corpusPrints.join(benchPrints, Seq("print"))
+    val prints = selectedPrints(
+      all.withColumn("_wn_bench", isBenchmark), k, w, idCol, textCol,
+      payload = Seq("_wn_bench"))
+    val inBench = max(when(col("_wn_bench"), lit(1)).otherwise(lit(0)))
+      .over(Window.partitionBy(col("print")))
+    prints
+      .withColumn("_wn_hit", inBench)
+      .filter(!col("_wn_bench") && col("_wn_hit") === 1)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** (id, print) — the distinct selected fingerprints per document.
-    * Documents with fewer than `w` k-grams select nothing (the paper's
-    * windows are only defined once w k-grams exist).
+  /** (id, payload..., print) — the distinct selected fingerprints per
+    * document. Documents with fewer than `w` k-grams select nothing
+    * (the paper's windows are only defined once w k-grams exist).
+    *
+    * The whole hash → sliding-min → distinct selection happens INSIDE
+    * each document's row ([[graft.functions.WinnowSelect]], codegen'd):
+    * no per-k-gram explode, no shuffle, no sort — only the selected
+    * prints are ever exploded into rows.
+    *
+    * `payload` names document-constant columns to carry through the
+    * explode — consumers that need them (e.g. a per-source rollup) then
+    * avoid re-scanning the corpus to join them back on the id.
     */
   def selectedPrints(docs: DataFrame, k: Int, w: Int,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     payload: Seq[String] = Nil): DataFrame = {
     require(k > 0 && w > 1)
-    val byDocWindow = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(-(w - 1), Window.currentRow)
-    docs
-      .select(col(idCol), posexplode(TextFunctions.shingles(col(textCol), k)).as(Seq("pos", "sh")))
-      .withColumn("h", portableHash(col("sh")))
-      .withColumn("wmin", min(col("h")).over(byDocWindow))
-      .filter(col("pos") >= w - 1)
-      .select(col(idCol), col("wmin").as("print"))
-      .distinct()
+    val carried = (idCol +: payload).map(col)
+    docs.select(carried :+
+      explode(graft.functions.WinnowFunctions.winnow_select(
+        TextFunctions.tokens(col(textCol)), k, w)).as("print"): _*)
   }
 }

@@ -168,18 +168,28 @@ object TextQ {
     * all.
     */
   def winnowingReport(spark: SparkSession, dir: String): DataFrame = {
-    // two expand-free aggregations joined on the tiny source key beat
-    // one agg with two countDistincts (Catalyst's Expand would triple
-    // the 500k-print stream through the shuffle)
-    val sel = Winnowing.selectedPrints(Tables.documents(spark, dir), k = 3, w = 4)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
-    val perDoc = sel.groupBy(col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("np"))
+    // `source` rides the explode as a payload column (no join back), and
+    // the report is shaped so the 500k-print stream is consumed exactly
+    // ONCE: a (source, print) rollup yields both distinct_prints
+    // (group count) and total_prints (sum of per-print doc counts ≡ the
+    // old per-doc sum), while n_docs — "documents selecting ≥1 print" ≡
+    // "documents with ≥ w k-grams" — comes from a cheap explode-free
+    // second leg. A sel-diamond here would re-run the explode per
+    // branch (countDistinct's Expand would triple the stream instead).
+    val sel = Winnowing.selectedPrints(Tables.documents(spark, dir), k = 3, w = 4,
+      payload = Seq("source"))
+    val perSource = sel.groupBy(col("source"), col("print"))
+      .agg(count(lit(1)).as("ndwp"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("np")).as("total_prints"))
-    val perPrint = sel.select(col("source"), col("print")).distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("distinct_prints"))
-    perDoc.join(perPrint, Seq("source"))
+      .agg(count(lit(1)).as("distinct_prints"), sum(col("ndwp")).as("total_prints"))
+    val nDocs = Tables.documents(spark, dir)
+      // "has ≥ w k-grams" in token arithmetic: with w > 1 the one-gram
+      // short-doc convention can never reach w, so the predicate is
+      // exactly n_tokens ≥ k + w − 1 — no k-gram strings built here
+      .filter(size(tokens(col("text"))) >= 3 + 4 - 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    nDocs.join(perSource, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_prints"), col("distinct_prints"))
   }
 
   /** Deterministic stratified sample — the corpus-mixing operator: three
@@ -244,9 +254,7 @@ object TextQ {
     */
   def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    Winnowing.contamination(
-        corpus = docs.filter(col("source") =!= "src0"),
-        benchmark = docs.filter(col("source") === "src0"),
+    Winnowing.contamination(docs, isBenchmark = col("source") === "src0",
         k = 3, w = 4)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))

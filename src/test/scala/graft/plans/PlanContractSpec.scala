@@ -89,6 +89,16 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       "shingle-set exchange is recomputed per consumer — reuse regressed")
   }
 
+  test("winnowing selects prints inside the row: no per-k-gram explode/shuffle/window") {
+    // the round-3 rewrite moved hash → sliding-min → distinct into one
+    // codegen'd expression; a Window here means the 5M-row k-gram
+    // pipeline came back
+    val p = plans("q74_winnowing_report")
+    assert(!p.contains("Window"), "q74 re-grew a per-k-gram window pipeline")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2, s"q74 scans documents $scans times (expected print leg + n_docs leg)")
+  }
+
   test("clinical plans (both modes) have zero single-partition exchanges after execution") {
     for (name <- Seq("q30_clinical_pipeline", "q31_clinical_pipeline_strict")) {
       val df = SparkEntry.queries(name)(spark, dir)
