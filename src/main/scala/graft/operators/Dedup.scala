@@ -201,16 +201,28 @@ object Dedup {
 
   /** Connected components over an undirected near-dup pair list — the
     * step that turns pairwise candidates into DUPLICATE CLUSTERS so a
-    * canonical document can be kept per cluster. Min-label propagation:
-    * every node repeatedly adopts the smallest id reachable in one hop,
-    * converging to the component's minimum id in ≤ diameter rounds
-    * (near-dup clusters are shallow — chains of near-identical docs).
+    * canonical document can be kept per cluster. Min-label propagation
+    * with path halving: each round every node adopts
+    * `min(label(label(u)), min over neighbors v of label(v))` — the
+    * pointer-jump term keeps rounds logarithmic in cluster diameter.
     *
-    * Scale shape: each round is one shuffle-join on node id; labels are
-    * localCheckpoint'ed per round so the plan does not grow with the
-    * iteration count (at production scale, a table write per round).
-    * Convergence is detected by a scalar changed-count per round — the
-    * same driver-side contract as GraphX/MLlib iterative algorithms.
+    * The round is FUSED into a single lookup: neighbor requests `(u→v)`
+    * and pointer requests `(u→label(u))` union into one request stream,
+    * resolved by ONE equi-join against the label table and ONE
+    * `groupBy(asker).min` — two edge-sized exchanges per round, where
+    * the unfused hop-then-jump formulation paid four plus a
+    * changed-count join. Every target is a live node (labels only ever
+    * hold propagated node ids), so the join is inner and every node
+    * keeps a row via its own pointer request.
+    *
+    * Convergence is a scalar per round — the same driver-side contract
+    * as GraphX/MLlib iterative algorithms — but needs no old-label
+    * comparison: labels are non-increasing (label(label(u)) ≤ label(u)
+    * by the `label(x) ≤ x` invariant), so the label SUM is strictly
+    * decreasing until fixpoint; an unchanged sum IS convergence. Labels
+    * are localCheckpoint'ed per round (lazily — the sum job
+    * materializes them) so the plan does not grow with iteration count;
+    * superseded round blocks are released eagerly.
     *
     * Returns (node, component) with component = min node id in the
     * component.
@@ -222,44 +234,40 @@ object Dedup {
     val sym = pairs.select(explode(array(
         struct(col(idA).as("u"), col(idB).as("v")),
         struct(col(idB).as("u"), col(idA).as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .select(col("e.u").as("asker"), col("e.v").as("target"))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    // seed with the first hop for free: the node list needs a groupBy on
+    // asker anyway, so fold `min(self, neighbors)` into it — one fewer
+    // full round than identity seeding
+    var labels = sym.groupBy(col("asker"))
+      .agg(least(col("asker"), min(col("target"))).as("label"))
+      .select(col("asker").as("node"), col("label"))
+      .localCheckpoint(false)
+    def labelSum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
     var iter = 0
+    // the seed sum's job also materializes the lazy seed checkpoint —
+    // and lets round 1 detect a graph the seeding already converged
+    var prevSum: Option[BigDecimal] = Some(labelSum(labels))
     var converged = false
-    // superseded round checkpoints are released eagerly — block-manager
-    // pressure from stale iteration state is what actually hurts a
-    // long-running session, not the final (small) label table
     var prev: Option[DataFrame] = Some(labels)
     while (!converged && iter < maxIter) {
-      // hop: adopt the smallest neighbor label
-      val neighborMin = sym
-        .join(labels.select(col("node").as("v"), col("label").as("vlabel")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("vlabel")).as("nmin"))
-      val stepped = labels
-        .join(neighborMin.select(col("u").as("node"), col("nmin")), Seq("node"), "left")
-        .select(col("node"), col("label").as("_old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("_l1"))
-      // pointer jump: also adopt label(label) — path halving turns the
-      // rounds needed from the cluster DIAMETER into its logarithm
-      // (a 500-doc near-dup chain: ~25 rounds → ~9)
-      // LAZY checkpoint: the convergence count below is the job that
-      // both materializes this round's blocks AND truncates lineage —
-      // one job per round instead of two
-      val next = stepped
-        .join(labels.select(col("node").as("_l1"), col("label").as("_l2")),
-          Seq("_l1"), "left")
-        .select(col("node"),
-          least(col("_l1"), coalesce(col("_l2"), col("_l1"))).as("label"),
-          (least(col("_l1"), coalesce(col("_l2"), col("_l1"))) < col("_old")).as("_changed"))
+      val requests = sym.unionByName(
+        labels.select(col("node").as("asker"), col("label").as("target")))
+      val next = requests
+        .join(labels.select(col("node").as("target"), col("label").as("tl")), Seq("target"))
+        .groupBy(col("asker")).agg(min(col("tl")).as("label"))
+        .select(col("asker").as("node"), col("label"))
         .localCheckpoint(false)
-      converged = next.filter(col("_changed")).count() == 0
+      // decimal sum: node ids are longs; a plain long sum could overflow
+      // at production id ranges and fake a fixpoint
+      val s = labelSum(next)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       prev.foreach(_.unpersist(false))
       prev = Some(next)
-      labels = next.drop("_changed")
+      labels = next
       iter += 1
     }
     sym.unpersist(false)
