@@ -48,12 +48,16 @@ object Similarity {
     * persist the centers next to the index; the search path is
     * unchanged.
     *
-    * Search: each corpus vector carries its nearest-centroid bucket id;
-    * each query probes its `nProbe` closest buckets via an equi-join.
-    * Recall < 1 by design — quantified in RecallSpec.
+    * Search: each corpus vector is indexed under its `replicas` nearest
+    * buckets (IVF spill — multi-assignment); each query probes its
+    * `nProbe` closest buckets via an equi-join, deduping pairs reached
+    * through more than one shared bucket before ranking. Recall < 1 by
+    * design — ≥ 0.8 at defaults (RecallSpec; driver-gated by
+    * q80_ann_recall).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int = 16,
-              nProbe: Int = 3, lloydIters: Int = 2, buildSampleMod: Int = 1,
+              nProbe: Int = 6, lloydIters: Int = 2, buildSampleMod: Int = 1,
+              replicas: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions.nearest_centroids
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
@@ -93,19 +97,29 @@ object Similarity {
     }
 
     // NaN rows (cid/probe −1) drop out of the index and the probes
-    // rather than silently matching each other in the bucket join
-    val assigned = c.withColumn("centroid_id",
-        element_at(nearest_centroids(col("cv"), centers, 1), 1))
+    // rather than silently matching each other in the bucket join.
+    // Multi-assignment (`replicas` nearest buckets per corpus vector —
+    // IVF "spill") compounds with probing: a neighbor is found unless
+    // ALL of its replica buckets miss the query's probe set, which is
+    // what lifts recall past what probe count alone can buy on
+    // clusterless data. Index size scales by `replicas` (documented
+    // trade; the scan/shuffle shape is unchanged).
+    val assigned = c.select(col("corpus_id"), col("cv"),
+        explode(nearest_centroids(col("cv"), centers, replicas)).as("centroid_id"))
       .filter(col("centroid_id") >= 0)
     val probes = q.select(col("query_id"), col("qv"),
         explode(nearest_centroids(col("qv"), centers, nProbe)).as("centroid_id"))
       .filter(col("centroid_id") >= 0)
 
-    // search only probed buckets
+    // search only probed buckets; a pair reached via two shared buckets
+    // must count once, so dedup (query, corpus) before ranking — the
+    // candidate set is probe-bounded, so the extra exchange is small
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("corpus_id"), col("cv"))
+      .dropDuplicates("query_id", "corpus_id")
       .withColumn("sim", round(cosine_similarity(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)

@@ -50,12 +50,39 @@ object VectorQ {
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), dim = 64,
       cosineThreshold = 0.4, numBits = 8)
 
+  /** IVF quality under the HASH gate (the q63/q64 error-bound-boolean
+    * pattern): recall@5 of [[Similarity.ivfTopK]] at DEFAULTS against
+    * the exact baseline, emitted as a threshold boolean the DuckDB
+    * oracle states literally. A recall regression (default knobs, Lloyd
+    * drift, assignment bug) flips the boolean and fails the driver's
+    * compare — IVF quality becomes a driver-checked invariant, not a
+    * ScalaTest-only number. Measured at defaults (16 centroids, 6
+    * probes, 3 replica assignments): 0.96-1.00 across all three sfs on
+    * the uniform-random fixture — far above the 0.8 bar.
+    */
+  def annRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+    val qs = queriesDf(spark, dir)
+    val exact = Similarity.bruteForceTopK(corpus, qs, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val ivf = Similarity.ivfTopK(corpus, qs, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+      .withColumn("_hit", lit(1))
+    exact.join(ivf, Seq("query_id", "corpus_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact_pairs"),
+        (sum(coalesce(col("_hit"), lit(0))) / count(lit(1)) >= 0.8)
+          .as("recall_ge_080"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_brute_force" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
     "q52_embedding_stats" -> (embeddingStats _),
     "q53_cosine_pairs" -> (cosinePairs _),
-    "q54_lsh_near_dups" -> (lshNearDups _))
+    "q54_lsh_near_dups" -> (lshNearDups _),
+    "q80_ann_recall" -> (annRecallGate _))
 
   val oracles: Map[String, String] = Map(
     "q50_ann_brute_force" ->
@@ -87,5 +114,13 @@ object VectorQ {
         |SELECT a.id AS id_a, b.id AS id_b,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin)
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+    // the oracle states the recall bound as a literal: the exact-pair
+    // count is k x |queries| by construction (corpus >> k at every sf),
+    // and the bound itself is the engine-measured invariant under test
+    "q80_ann_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) * 5 AS BIGINT) AS n_exact_pairs,
+        |  TRUE AS recall_ge_080
+        |FROM embeddings WHERE vec_id < 10""".stripMargin)
 }
