@@ -7,20 +7,31 @@ import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** Real, pure-JVM media containers for the two formats a JVM can
-  * honestly handle without native libraries: BMP (24bpp uncompressed)
-  * and WAV (PCM unsigned 8-bit mono). Encoding runs as a codegen'd
-  * expression inside the projection that synthesizes the media table;
-  * decoding ([[MediaCodec]]) parses the same containers byte-for-byte —
-  * header walk, row padding, chunk traversal — so the decode path is
-  * exercised on REAL container bytes end-to-end. Video stays with the
-  * documented stub (no pure-JVM video container worth pretending).
+/** Real, pure-JVM media containers for the three formats a JVM can
+  * honestly handle without native libraries: BMP (24bpp uncompressed),
+  * WAV (PCM unsigned 8-bit mono), and AVI (RIFF, uncompressed 24bpp
+  * DIB frames — the one video container whose frames are honest
+  * pixels, no codec). Encoding runs as a codegen'd expression inside
+  * the projection that synthesizes the media table; decoding
+  * ([[MediaCodec]]) parses the same containers byte-for-byte — header
+  * walk, row padding, chunk traversal, frame iteration — so the decode
+  * path is exercised on REAL container bytes end-to-end.
   */
 object MediaContainers {
 
   val BmpWidth = 64                       // fixed encode width (px)
   val BmpRowSize: Int = BmpWidth * 3      // 192 — already 4-byte aligned
   val WavSampleRate = 16000
+
+  val AviFrameW = 16                      // fixed video frame size (px)
+  val AviFrameH = 8
+  val AviRowSize: Int = AviFrameW * 3     // 48 — 4-byte aligned
+  val AviFrameBytes: Int = AviRowSize * AviFrameH   // 384
+  /** On-disk bytes: fixed headers + one '00db' chunk per frame —
+    * `224 + 392 × nFrames` (the q55/q69 oracle arithmetic).
+    */
+  val AviHeaderBytes = 224
+  val AviChunkBytes: Int = 8 + AviFrameBytes        // 392
 
   private def le16(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
@@ -70,13 +81,70 @@ object MediaContainers {
     out.toByteArray
   }
 
+  /** Uncompressed AVI whose 16×8 24bpp DIB frames carry `payload`
+    * (chunked to whole frames, zero-padded; at least one frame). RIFF
+    * 'AVI ' → LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ' + strf
+    * BITMAPINFOHEADER)) → LIST movi ('00db' frame chunks).
+    */
+  def encodeAvi(payload: Array[Byte]): Array[Byte] = {
+    val n = math.max(1, (payload.length + AviFrameBytes - 1) / AviFrameBytes)
+    val out = new java.io.ByteArrayOutputStream(AviHeaderBytes + n * AviChunkBytes)
+    out.write("RIFF".getBytes); out.write(le32(216 + n * AviChunkBytes))
+    out.write("AVI ".getBytes)
+    // LIST hdrl: 'hdrl' + avih(64) + LIST strl(124) = 192
+    out.write("LIST".getBytes); out.write(le32(192)); out.write("hdrl".getBytes)
+    out.write("avih".getBytes); out.write(le32(56))
+    out.write(le32(40000))                // µs per frame (25 fps)
+    out.write(le32(25 * AviFrameBytes))   // max bytes/sec
+    out.write(le32(0)); out.write(le32(0))
+    out.write(le32(n))                    // total frames
+    out.write(le32(0))
+    out.write(le32(1))                    // streams
+    out.write(le32(AviChunkBytes))        // suggested buffer
+    out.write(le32(AviFrameW)); out.write(le32(AviFrameH))
+    for (_ <- 0 until 4) out.write(le32(0))
+    // LIST strl: 'strl' + strh(64) + strf(48) = 116
+    out.write("LIST".getBytes); out.write(le32(116)); out.write("strl".getBytes)
+    out.write("strh".getBytes); out.write(le32(56))
+    out.write("vids".getBytes); out.write("DIB ".getBytes)
+    out.write(le32(0)); out.write(le32(0)); out.write(le32(0))
+    out.write(le32(1)); out.write(le32(25))   // scale, rate → 25 fps
+    out.write(le32(0))
+    out.write(le32(n))                    // stream length (frames)
+    out.write(le32(AviFrameBytes))
+    out.write(le32(0)); out.write(le32(0))
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(AviFrameW)); out.write(le16(AviFrameH))   // rcFrame
+    out.write("strf".getBytes); out.write(le32(40))
+    out.write(le32(40))                   // BITMAPINFOHEADER
+    out.write(le32(AviFrameW)); out.write(le32(AviFrameH))
+    out.write(le16(1)); out.write(le16(24))
+    out.write(le32(0))                    // BI_RGB
+    out.write(le32(AviFrameBytes))
+    out.write(le32(0)); out.write(le32(0)); out.write(le32(0)); out.write(le32(0))
+    // LIST movi
+    out.write("LIST".getBytes); out.write(le32(4 + n * AviChunkBytes))
+    out.write("movi".getBytes)
+    var f = 0
+    while (f < n) {
+      out.write("00db".getBytes); out.write(le32(AviFrameBytes))
+      val s = f * AviFrameBytes
+      val len = math.min(AviFrameBytes, math.max(0, payload.length - s))
+      out.write(payload, s, len)
+      out.write(new Array[Byte](AviFrameBytes - len))
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** Static entry the codegen'd expression calls: image→BMP, audio→WAV,
-    * anything else passes through raw.
+    * video→AVI, anything else passes through raw.
     */
   def encodeJava(modality: String, payload: Array[Byte]): Array[Byte] =
     modality match {
       case "image" => encodeBmp(payload)
       case "audio" => encodeWav(payload)
+      case "video" => encodeAvi(payload)
       case _ => payload
     }
 
@@ -93,6 +161,9 @@ object MediaContainers {
   def isWav(b: Array[Byte]): Boolean =
     b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length >= AviHeaderBytes && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
   /** (width, height, 16-dim features from actual pixels) for a 24bpp
     * uncompressed BMP; None if the header declares anything else.
@@ -203,6 +274,102 @@ object MediaContainers {
       }
     }
     Some((sampleRate, channels, n, feat))
+  }
+
+  /** (width, height, nFrames, 16-dim features from actual frame pixels)
+    * for an uncompressed-DIB AVI; None for any other flavor. Walks the
+    * top-level RIFF chunks to find LIST hdrl (avih → dims) and LIST
+    * movi ('00db'/'00dc' frame chunks), with the same hostile-bytes
+    * guards as the WAV walker (long cursor, negative/oversized chunk
+    * sizes fail clean). Features: mean B/G/R, luma variance, 12-bin
+    * luma histogram — accumulated across every pixel of every frame.
+    */
+  def decodeAvi(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    var w = -1; var h = -1
+    var moviOff = -1L; var moviEnd = -1L
+    var off = 12L
+    var bad = false
+    while (!bad && off + 8 <= b.length) {
+      val io = off.toInt
+      val id = new String(b, io, 4, "US-ASCII")
+      val sz = rdLe32(b, io + 4)
+      if (sz < 0 || off + 8 + sz > b.length) bad = true
+      else {
+        if (id == "LIST" && sz >= 4) {
+          val listType = new String(b, io + 8, 4, "US-ASCII")
+          if (listType == "hdrl") {
+            // scan the list body for the avih chunk
+            var o2 = off + 12
+            val end2 = off + 8 + sz
+            while (!bad && o2 + 8 <= end2) {
+              val i2 = o2.toInt
+              val cid = new String(b, i2, 4, "US-ASCII")
+              val csz = rdLe32(b, i2 + 4)
+              if (csz < 0 || o2 + 8 + csz > end2) bad = true
+              else {
+                if (cid == "avih" && csz >= 40) {
+                  w = rdLe32(b, i2 + 8 + 32); h = rdLe32(b, i2 + 8 + 36)
+                }
+                // LISTs (strl) are skipped whole — dims come from avih
+                o2 += 8L + csz + (csz & 1)
+              }
+            }
+          } else if (listType == "movi") {
+            moviOff = off + 12; moviEnd = off + 8 + sz
+          }
+        }
+        off += 8L + sz + (sz & 1)
+      }
+    }
+    if (bad || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || moviOff < 0)
+      return None
+    val rowSize = (w * 3 + 3) & ~3
+    val frameBytes = rowSize.toLong * h
+    if (frameBytes > Int.MaxValue) return None
+    var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
+    var sumL = 0.0; var sumL2 = 0.0
+    val hist = new Array[Int](12)
+    var nFrames = 0
+    var fo = moviOff
+    while (!bad && fo + 8 <= moviEnd) {
+      val io = fo.toInt
+      val cid = new String(b, io, 4, "US-ASCII")
+      val csz = rdLe32(b, io + 4)
+      if (csz < 0 || fo + 8 + csz > moviEnd) bad = true
+      else {
+        if ((cid == "00db" || cid == "00dc") && csz == frameBytes) {
+          nFrames += 1
+          val base = io + 8
+          var y = 0
+          while (y < h) {
+            val rowOff = base + y * rowSize
+            var x = 0
+            while (x < w) {
+              val o = rowOff + x * 3
+              val bl = b(o) & 0xFF; val g = b(o + 1) & 0xFF; val r = b(o + 2) & 0xFF
+              sumB += bl; sumG += g; sumR += r
+              val luma = 0.299 * r + 0.587 * g + 0.114 * bl
+              sumL += luma; sumL2 += luma * luma
+              hist(math.min(11, (luma / 256.0 * 12).toInt)) += 1
+              x += 1
+            }
+            y += 1
+          }
+        }
+        fo += 8L + csz + (csz & 1)
+      }
+    }
+    if (bad || nFrames == 0) return None
+    val n = w.toLong * h * nFrames
+    val meanL = sumL / n
+    val feat = new Array[Float](16)
+    feat(0) = (sumB / n / 255.0).toFloat
+    feat(1) = (sumG / n / 255.0).toFloat
+    feat(2) = (sumR / n / 255.0).toFloat
+    feat(3) = ((sumL2 / n - meanL * meanL) / (255.0 * 255.0)).toFloat
+    var i = 0
+    while (i < 12) { feat(4 + i) = (hist(i) / n.toDouble).toFloat; i += 1 }
+    Some((w, h, nFrames, feat))
   }
 }
 

@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * are never interpreted by the engine; only the decode/feature stages
   * touch them). The Spark-side plumbing here — schema, partition-wise
   * batch processing, feature extraction signatures — is real and
-  * tested; the actual codec calls are STUBBED with a deterministic fake
-  * (this container ships no image/audio libraries). Swap
-  * [[MediaCodec.decodeStub]] for a real decoder (JNI/JavaCV/etc.) and
-  * nothing else changes.
+  * tested; decode is real too for all three synthesized modalities
+  * (pure-JVM BMP/WAV/AVI parsers, [[MediaContainers]]); only payloads
+  * in some OTHER format fall back to the deterministic stub (this
+  * container ships no image/audio/video libraries — swap
+  * [[MediaCodec.decodeStub]] for a JNI/JavaCV decoder and nothing else
+  * changes).
   *
   * Batch shape: decode runs via `mapPartitions` over an iterator — one
   * codec context per PARTITION, not per row (the same economics that
@@ -41,12 +43,12 @@ object Multimodal {
       byte_len: Long, content_hash: Long,
       feature: Array[Float])
 
-  /** Media codec. REAL pure-JVM decoders for BMP (24bpp) and WAV (PCM
-    * u8 mono) — header walk, row padding, chunk traversal, features from
-    * actual pixels/samples ([[MediaContainers]]); every other payload
-    * (video — no honest pure-JVM container) falls back to the
-    * deterministic stub. Swap the stub for a JNI/JavaCV decoder and
-    * signature + batching stay identical.
+  /** Media codec. REAL pure-JVM decoders for BMP (24bpp), WAV (PCM u8
+    * mono), and AVI (uncompressed DIB frames) — header walk, row
+    * padding, chunk traversal, frame iteration, features from actual
+    * pixels/samples ([[MediaContainers]]); any other payload flavor
+    * falls back to the deterministic stub. Swap the stub for a
+    * JNI/JavaCV decoder and signature + batching stay identical.
     */
   object MediaCodec {
     val featureDim = 16
@@ -64,6 +66,14 @@ object Multimodal {
         MediaContainers.decodeWav(bytes) match {
           case Some((rate, channels, nSamples, feat)) =>
             return MediaFeatures(mediaId, modality, rate, channels, nSamples,
+              bytes.length.toLong, contentHash(bytes), feat)
+          case None => ()
+        }
+      }
+      if (MediaContainers.isAvi(bytes)) {
+        MediaContainers.decodeAvi(bytes) match {
+          case Some((w, h, nFrames, feat)) =>
+            return MediaFeatures(mediaId, modality, w, h, nFrames,
               bytes.length.toLong, contentHash(bytes), feat)
           case None => ()
         }
@@ -97,11 +107,12 @@ object Multimodal {
   }
 
   /** Synthesize a media table from the documents table — text bytes
-    * become the PAYLOAD of a real container per modality (BMP pixels for
-    * image rows, WAV samples for audio rows, raw bytes for video), so
-    * the decode stage parses genuine headers/rows/chunks end-to-end with
-    * driver-provided data only. Encoding is a codegen'd expression
-    * ([[MediaEncode]]) inside this projection.
+    * become the PAYLOAD of a real container per modality (BMP pixels
+    * for image rows, WAV samples for audio rows, AVI DIB frames for
+    * video rows), so the decode stage parses genuine
+    * headers/rows/chunks/frames end-to-end with driver-provided data
+    * only. Encoding is a codegen'd expression ([[MediaEncode]]) inside
+    * this projection.
     */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val modality = element_at(array(lit("image"), lit("audio"), lit("video")),

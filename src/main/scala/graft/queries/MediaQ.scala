@@ -6,9 +6,10 @@ import graft.multimodal.Multimodal
 import graft.sources.Tables
 
 /** Multimodal plumbing queries: binary media columns synthesized from
-  * the documents table (see [[graft.multimodal.Multimodal]]). The
-  * byte-accounting half is SQL-checkable; decoded features come from the
-  * stub codec → rows-only check.
+  * the documents table (see [[graft.multimodal.Multimodal]]). Byte
+  * accounting and decoded dimensions are SQL-checkable (container
+  * arithmetic, all three REAL codecs); decoded feature VALUES are
+  * engine-defined → rows-only check.
   */
 object MediaQ {
 
@@ -23,9 +24,10 @@ object MediaQ {
         min(length(col("bytes"))).as("min_bytes"),
         max(length(col("bytes"))).as("max_bytes"))
 
-  /** Full decode → features → per-modality stats. Image/audio rows are
-    * REAL BMP/WAV containers parsed by the pure-JVM codec; video keeps
-    * the stub (→ rows-only check).
+  /** Full decode → features → per-modality stats. All three modalities
+    * are REAL containers (BMP/WAV/AVI) parsed by the pure-JVM codec;
+    * the decoded FEATURES are engine-defined (→ rows-only check; the
+    * dims leg is hash-gated by q69).
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.featureStats(Multimodal.decodeFeatures(
@@ -41,18 +43,18 @@ object MediaQ {
       .agg(count(lit(1)).as("n"), min(col("target_w")).as("min_tw"),
         max(col("target_h")).as("max_th"))
 
-  /** Hash-gated leg of the REAL codec path: decoded dimensions of the
-    * BMP/WAV rows must equal what DuckDB derives independently from
+  /** Hash-gated leg of the REAL codec path: decoded dimensions of ALL
+    * THREE modalities must equal what DuckDB derives independently from
     * container arithmetic over the source text lengths — image width is
     * the fixed encode width, height = payload rows; audio width is the
-    * sample rate, n_frames = payload bytes. Goes through the actual
-    * mapPartitions decode (header/chunk parse), not metadata.
+    * sample rate, n_frames = payload bytes; video dims are the fixed
+    * frame box, n_frames = payload frames. Goes through the actual
+    * mapPartitions decode (header/chunk/frame parse), not metadata.
     */
   def mediaRealDims(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(
         Multimodal.syntheticMedia(Tables.documents(spark, dir)))
       .toDF()
-      .filter(col("modality") =!= "video")
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n"),
         min(col("width")).as("min_w"), max(col("width")).as("max_w"),
@@ -74,7 +76,8 @@ object MediaQ {
         |    CASE doc_id % 3
         |      WHEN 0 THEN 54 + 192 * greatest(1, (strlen(text) + 191) // 192)
         |      WHEN 1 THEN 44 + strlen(text)
-        |      ELSE strlen(text) END AS container_len
+        |      ELSE 224 + 392 * greatest(1, (strlen(text) + 383) // 384)
+        |    END AS container_len
         |  FROM documents)
         |SELECT modality, count(*) AS n,
         |  CAST(sum(container_len) AS BIGINT) AS total_bytes,
@@ -88,15 +91,19 @@ object MediaQ {
         |FROM documents GROUP BY 1""".stripMargin,
     "q69_media_real_dims" ->
       """WITH m AS (
-        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' ELSE 'audio' END AS modality,
-        |    CASE doc_id % 3 WHEN 0 THEN 64 ELSE 16000 END AS w,
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS modality,
+        |    CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 16000 ELSE 16 END AS w,
         |    CASE doc_id % 3 WHEN 0 THEN greatest(1, (strlen(text) + 191) // 192)
-        |         ELSE 1 END AS h,
-        |    CASE doc_id % 3 WHEN 0 THEN 1 ELSE strlen(text) END AS frames,
+        |         WHEN 1 THEN 1 ELSE 8 END AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN strlen(text)
+        |         ELSE greatest(1, (strlen(text) + 383) // 384) END AS frames,
         |    CASE doc_id % 3
         |      WHEN 0 THEN 54 + 192 * greatest(1, (strlen(text) + 191) // 192)
-        |      ELSE 44 + strlen(text) END AS len
-        |  FROM documents WHERE doc_id % 3 IN (0, 1))
+        |      WHEN 1 THEN 44 + strlen(text)
+        |      ELSE 224 + 392 * greatest(1, (strlen(text) + 383) // 384)
+        |    END AS len
+        |  FROM documents)
         |SELECT modality, count(*) AS n,
         |  CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
         |  CAST(min(h) AS INT) AS min_h, CAST(max(h) AS INT) AS max_h,

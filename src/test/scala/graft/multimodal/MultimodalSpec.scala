@@ -81,6 +81,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(h == (500 + 191) / 192)   // = 3 rows
     val Some((rate, _, n, _)) = MediaContainers.decodeWav(MediaContainers.encodeWav(payload))
     assert(rate == MediaContainers.WavSampleRate && n == 500)
+    val avi = MediaContainers.encodeAvi(payload)
+    assert(avi.length == MediaContainers.AviHeaderBytes +
+      2 * MediaContainers.AviChunkBytes)   // 500 bytes → 2 frames
+    val Some((aw, ah, frames, _)) = MediaContainers.decodeAvi(avi)
+    assert(aw == MediaContainers.AviFrameW && ah == MediaContainers.AviFrameH)
+    assert(frames == 2)
+  }
+
+  test("AVI decode: frame pixels drive the features; known 1-frame fixture") {
+    // a single all-white frame: payload of 0xFF filling exactly one frame
+    val white = Array.fill(MediaContainers.AviFrameBytes)(-1: Byte)
+    val Some((w, h, frames, feat)) = MediaContainers.decodeAvi(MediaContainers.encodeAvi(white))
+    assert(w == 16 && h == 8 && frames == 1)
+    // all channels at 255 → means 1.0; luma 255 → variance 0, top hist bin = 1
+    assert(math.abs(feat(0) - 1.0f) < 1e-6 && math.abs(feat(1) - 1.0f) < 1e-6 &&
+      math.abs(feat(2) - 1.0f) < 1e-6)
+    assert(math.abs(feat(3)) < 1e-6)
+    assert(math.abs(feat(15) - 1.0f) < 1e-6)
+  }
+
+  test("hostile AVI bytes fail clean") {
+    // negative chunk size in the top-level walk
+    val evil = "RIFF".getBytes ++ le32(300) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(-8) ++ new Array[Byte](220)
+    assert(MediaContainers.decodeAvi(evil).isEmpty)
+    // valid header but movi chunk declaring a size beyond the list end
+    val good = MediaContainers.encodeAvi(Array.fill(10)(1: Byte))
+    val truncated = java.util.Arrays.copyOf(good, good.length - 50)
+    // RIFF size now exceeds the byte array: walker must bail, not index out
+    assert(MediaContainers.decodeAvi(truncated).isEmpty)
+    // decode() falls back to the stub rather than crashing
+    val f = Multimodal.MediaCodec.decode(1L, "video", evil)
+    assert(f.byte_len == evil.length)
   }
 
   test("hostile container bytes fail clean: no hang, no negative index") {
