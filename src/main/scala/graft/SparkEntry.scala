@@ -32,7 +32,8 @@ object SparkEntry {
       (AdvancedQ.queries, AdvancedQ.oracles),
       (SummaryQ.queries, SummaryQ.oracles),
       (SketchQ.queries, SketchQ.oracles),
-      (StreamQ.queries, StreamQ.oracles))
+      (StreamQ.queries, StreamQ.oracles),
+      (SinkQ.queries, SinkQ.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
