@@ -188,6 +188,12 @@ object Clinical {
   /** Arbitrary-cohort variant (SURVEY §7.5): cohort is a free
     * EXPRESSION — calendar year-month of the weigh-in — not one of the
     * CLI's validated column choices. Same metric machinery, same gate.
+    *
+    * Perf floor vs q31: this cfg keeps every gender and clinic, so
+    * ~2.3× the rows flow through the same window stack — warm runtime
+    * tracks that ratio (≈0.95 s vs 0.78 s at sf0.1, local[32]); the
+    * larger driver-bench gap is first-run codegen of the distinct
+    * expression-cohort plan, absorbed by the bench's untimed warm run.
     */
   def pipelineExprCohort(spark: SparkSession, dir: String): DataFrame = {
     val cfg = PipelineConfig(gender = "all", minAge = 20, maxAge = 60,

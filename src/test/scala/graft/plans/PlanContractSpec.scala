@@ -36,6 +36,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q24_scalar_subquery",    // uncorrelated scalar subquery broadcast to every row
     "q35_type_share",         // 1-row scalar denominator broadcast to k grouped rows
     "q50_ann_brute_force",    // broadcast queries × corpus scan IS the exact baseline
+    "q80_ann_recall",         // embeds q50's brute-force baseline as the recall denominator
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
@@ -97,6 +98,29 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), "q74 re-grew a per-k-gram window pipeline")
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans <= 2, s"q74 scans documents $scans times (expected print leg + n_docs leg)")
+  }
+
+  test("q30's boundary build does not re-run the metric window stack") {
+    // round 2's regression: the bug-compat boundary table was derived
+    // from the full five-metric frame, executing the window stack
+    // twice. Two pins against its return: (a) boundaryTable alone is a
+    // pure aggregate — ZERO Window nodes; (b) q30's total Window count
+    // stays at its designed ceiling (main stack + per-user lead/rn/n +
+    // DistributedLead's bounded per-partition windows) — a boundary
+    // that re-grew the stack jumps well past it.
+    def windows(p: String) = p.linesIterator
+      .count(_.replaceAll("^[^A-Za-z]*", "").startsWith("Window "))
+    val joinedFrame = graft.clinical.Pipeline.withDerived(
+      graft.clinical.Pipeline.joined(
+        graft.queries.Clinical.syntheticUsers(spark, dir),
+        graft.queries.Clinical.syntheticWeights(spark, dir),
+        graft.queries.Clinical.syntheticTreatments(spark, dir)))
+    val bnd = graft.clinical.Metrics.boundaryTable(joinedFrame, "week")
+    assert(windows(bnd.queryExecution.executedPlan.toString) == 0,
+      "boundaryTable grew a Window — it must stay a pure two-level aggregate")
+    val w30 = windows(plans("q30_clinical_pipeline"))
+    assert(w30 <= 12,
+      s"q30 has $w30 Window nodes (designed ceiling 12) — boundary re-grew the stack")
   }
 
   test("clinical plans (both modes) have zero single-partition exchanges after execution") {
