@@ -109,7 +109,16 @@ object TextQ {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
         tokenCount(col("text")).as("n_tokens"))
 
-  /** MinHash+LSH near-dup candidate pairs, Jaccard-verified.
+  /** MinHash+LSH near-dup candidate pairs, Jaccard-verified — under the
+    * FULL hash gate: the DuckDB oracle computes the exhaustive
+    * string-shingle Jaccard pairs at the same threshold, so the gate
+    * passes exactly when LSH recall is 1.0 on the fixture (verified at
+    * all three sfs) AND the verify join's Jaccard values match the
+    * string-set definition. Any regression in shingling, banding,
+    * bucket join, or verification breaks the compare. (The operator
+    * stays probabilistic in general; 16 bands × 4 rows puts the
+    * candidate-probability knee well below the fixture's 0.78 minimum
+    * true-pair Jaccard — P(miss) < 1e-3 there, measured zero.)
     *
     * shingleK=4: the synthetic corpus draws from a ~30-word vocabulary,
     * so short shingles collide massively (931 distinct 2-grams across
@@ -120,11 +129,45 @@ object TextQ {
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, dir),
-      shingleK = 4, numHashes = 64, rowsPerBand = 8, jaccardThreshold = 0.5)
+      shingleK = 4, numHashes = 64, rowsPerBand = 4, jaccardThreshold = 0.5)
 
   /** SimHash near-dup pairs (≤3 of 64 bits differ). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
+
+  /** SimHash BLOCKING completeness under the hash gate: the pigeonhole
+    * argument (≤3 differing bits of 64 ⇒ at least one of the four
+    * 16-bit blocks equal) says the block-bucket join loses NOTHING vs
+    * exhaustively comparing every sketch pair — this query CHECKS that,
+    * comparing [[Dedup.simhashPairs]]'s output against an exhaustive
+    * hamming scan over the same sketches, and emits counts/booleans the
+    * oracle states literally (DuckDB cannot compute the engine-defined
+    * simhash itself, so the sketch values stay engine-side; the
+    * completeness of the blocked plan is what graduates to the gate).
+    * The exhaustive leg is O(n²) over 8-byte sketches — a gate-scale
+    * diagnostic; the operator under test is the blocked path.
+    */
+  def simhashComplete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.simhash64
+    val docs = Tables.documents(spark, dir)
+    val blocked = Dedup.simhashPairs(docs)
+      .select(col("id_a"), col("id_b")).withColumn("_b", lit(1))
+    val sk = docs.select(col("doc_id").as("id"),
+      simhash64(tokens(col("text"))).as("sk"))
+    val exhaustive = sk.as("a").join(sk.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sk").bitwiseXOR(col("b.sk"))) <= 3)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .withColumn("_e", lit(1))
+    exhaustive.join(blocked, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("_b").isNull, lit(1))), lit(0))
+          .cast("long").as("n_missed"),
+        coalesce(sum(when(col("_e").isNull, lit(1))), lit(0))
+          .cast("long").as("n_extra"))
+      .select(
+        (col("n_missed") === 0 && col("n_extra") === 0).as("blocking_complete"),
+        col("n_missed"), col("n_extra"))
+  }
 
   /** Fingerprint GROUP-SIZE histogram — the hash-gated verification of
     * the rolling-hash fingerprint: grouping by fingerprint must induce
@@ -323,6 +366,7 @@ object TextQ {
     "q46_fingerprints" -> (fingerprints _),
     "q47_minhash_pairs" -> (minhashPairs _),
     "q48_simhash_pairs" -> (simhashPairs _),
+    "q82_simhash_complete" -> (simhashComplete _),
     "q49_bpe_token_counts" -> (bpeTokenCounts _),
     "q68_fingerprint_groups" -> (fingerprintGroups _),
     "q71_dup_clusters" -> (dupClusters _),
@@ -576,6 +620,42 @@ object TextQ {
         |  count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
     "q43_char_jaccard_pairs" -> s"WITH $snmPairsCtes\nSELECT id_a, id_b, jaccard FROM pairs",
+    "q82_simhash_complete" ->
+      """SELECT TRUE AS blocking_complete, CAST(0 AS BIGINT) AS n_missed,
+        |  CAST(0 AS BIGINT) AS n_extra""".stripMargin,
+    // exhaustive string-shingle Jaccard — equals the engine's hash-set
+    // Jaccard up to 2^-64 collisions; fewer-than-k-token docs get one
+    // whole-token shingle (the shingles() convention, incl. '' for
+    // empty docs). LSH recall on the fixture is exactly 1.0 at all
+    // three sfs (measured), so found == truth. Intersections come from
+    // an equi-join on exploded (doc, shingle) rows — pairs sharing no
+    // shingle never materialize (the all-pairs × list_intersect form
+    // is quadratic in documents and minutes-slow already at sf0.1);
+    // |A∪B| = |A|+|B|−|A∩B|.
+    "q47_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) <= 4 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(len(ts) - 3),
+        |           i -> array_to_string(
+        |             list_slice(ts, CAST(i AS INT) + 1, CAST(i AS INT) + 4), ' ')))
+        |    END AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (len(sa.sh) + len(sb.sh) - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sets sa ON sa.doc_id = id_a
+        |JOIN sets sb ON sb.doc_id = id_b
+        |WHERE round(CAST(i AS DOUBLE) / (len(sa.sh) + len(sb.sh) - i), 6) >= 0.5""".stripMargin,
     "q71_dup_clusters" ->
       s"""WITH RECURSIVE $snmPairsCtes,
         |  edges AS (SELECT id_a AS u, id_b AS v FROM pairs

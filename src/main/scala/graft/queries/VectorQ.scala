@@ -76,13 +76,44 @@ object VectorQ {
           .as("recall_ge_080"))
   }
 
+  /** Hyperplane-LSH recall under the hash gate, via PLANTED near-dups
+    * (the q78 synthetic-augmentation pattern): the uniform-random
+    * fixture has no true high-cosine pairs for LSH to find, so this
+    * query plants 20 — copies of the first 20 vectors with an
+    * alternating ±0.5% per-coordinate scale (cosine ≈ 0.99999, miss
+    * probability < 1e-7 per pair across the 4 tables) — runs the SAME
+    * LSH configuration as q54 over the augmented corpus, and emits
+    * whether every planted pair was found at high cosine. The oracle
+    * states the booleans literally; a bucketing/hyperplane/verify
+    * regression flips them.
+    */
+  def lshPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = embs.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * when(pmod(i, lit(2)) === 0, lit(1.005)).otherwise(lit(0.995)))
+            .cast("float")).as("embedding"))
+    val aug = embs.unionByName(planted)
+    val found = Dedup.embeddingNearDups(aug, dim = 64,
+        cosineThreshold = 0.4, numBits = 8)
+      .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 20)
+    embs.filter(col("vec_id") < 20)
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("_nf"), min(col("cosine")).as("_mc")))
+      .select(col("n_planted"),
+        (col("_nf") === col("n_planted")).as("all_planted_found"),
+        (col("_mc") >= 0.99).as("planted_cosine_ge_099"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_brute_force" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
     "q52_embedding_stats" -> (embeddingStats _),
     "q53_cosine_pairs" -> (cosinePairs _),
     "q54_lsh_near_dups" -> (lshNearDups _),
-    "q80_ann_recall" -> (annRecallGate _))
+    "q80_ann_recall" -> (annRecallGate _),
+    "q83_lsh_planted_recall" -> (lshPlantedRecall _))
 
   val oracles: Map[String, String] = Map(
     "q50_ann_brute_force" ->
@@ -122,5 +153,9 @@ object VectorQ {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(count(*) * 5 AS BIGINT) AS n_exact_pairs,
         |  TRUE AS recall_ge_080
-        |FROM embeddings WHERE vec_id < 10""".stripMargin)
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q83_lsh_planted_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  TRUE AS all_planted_found, TRUE AS planted_cosine_ge_099
+        |FROM embeddings WHERE vec_id < 20""".stripMargin)
 }

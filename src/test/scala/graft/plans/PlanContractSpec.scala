@@ -37,6 +37,9 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q35_type_share",         // 1-row scalar denominator broadcast to k grouped rows
     "q50_ann_brute_force",    // broadcast queries × corpus scan IS the exact baseline
     "q80_ann_recall",         // embeds q50's brute-force baseline as the recall denominator
+    "q82_simhash_complete",   // exhaustive-sketch reference leg IS the completeness check
+                              // (gate-scale diagnostic of the blocked path, by design O(n²))
+    "q83_lsh_planted_recall", // 1×1 cross join of two scalar aggregates (n_planted × found)
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
