@@ -289,6 +289,83 @@ object TextQ {
       .otherwise(transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
 
+  /** First-occurrence n-gram NOVELTY per source — the curation signal
+    * for ordering/weighting corpora: how many of a source's distinct
+    * per-doc 3-grams appear for the first time (by doc_id) in that
+    * document. One shuffle keyed on the gram hash (an unordered
+    * whole-partition window marks each occurrence with its gram's
+    * globally-first doc), then a partial-agg rollup; gram STRINGS never
+    * shuffle — [[graft.functions.ShingleHashes]] longs do. All-integer
+    * output, hash-gated (DuckDB mirrors over distinct string k-grams;
+    * hash-set ≡ string-set per doc up to 2^-64 collisions).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.ShingleFunctions.shingle_hashes(
+          tokens(col("text")), 3)).as("h"))
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("doc_id") === col("first_doc"), lit(1)).otherwise(lit(0)))
+          .as("novel_grams"))
+  }
+
+  /** End-to-end curation FUNNEL — the composition a training-data
+    * pipeline actually runs, with per-stage survivor accounting:
+    * token-length band → quality floor → repetition ceiling → exact
+    * dedup (keep-first by canonical text). Single enriched pass
+    * (token count, quality score, duplicated-3-gram fraction), boolean
+    * stage flags, one aggregate; the dedup stage reuses the canonical
+    * content-hash min-id idiom over stage-4 survivors only. Float
+    * boundaries are safe under the gate: quality and dup3 are rounded
+    * to 6dp by the SAME operation order both sides (q45/q76 prove the
+    * doubles bit-identical) before comparison.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
+    val dup3 = toks
+      .select(col("doc_id"), explode(grams(col("ts"), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
+          greatest(sum(col("c")), lit(1L)), 6).as("dup3"))
+    val flagged = toks
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        qualityScore(col("text")).as("q"),
+        md5(Dedup.canonicalText(col("text"))).as("ch"))
+      .join(dup3, Seq("doc_id"), "left")
+      .withColumn("d3", coalesce(col("dup3"), lit(0.0)))
+      .withColumn("s2", col("n_tokens").between(20, 2000))
+      .withColumn("s3", col("s2") && col("q") >= 0.5)
+      .withColumn("s4", col("s3") && col("d3") <= 0.5)
+    val keepFirst = flagged.filter(col("s4"))
+      .groupBy(col("ch")).agg(min(col("doc_id")).as("keep_id"))
+    val s5 = flagged.join(keepFirst,
+        flagged("ch") === keepFirst("ch") && flagged("doc_id") === keepFirst("keep_id"),
+        "left_semi")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
+    val s14 = flagged.agg(
+      count(lit(1)).as("n1"), sum(col("n_tokens")).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s2"), col("n_tokens")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("s3"), col("n_tokens")).otherwise(0L)).as("t3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("n4"),
+      sum(when(col("s4"), col("n_tokens")).otherwise(0L)).as("t4"))
+    s14.crossJoin(s5).selectExpr(
+      """stack(5,
+        |  '1_all',        n1, t1,
+        |  '2_length',     n2, t2,
+        |  '3_quality',    n3, t3,
+        |  '4_repetition', n4, t4,
+        |  '5_dedup',      n,  t)
+        |AS (stage, n_docs, total_tokens)""".stripMargin)
+  }
+
   /** Benchmark-decontamination report: treating src0's documents as the
     * held-out benchmark, count the corpus documents (per source) that
     * share winnowing prints with it — the screen a training pipeline
@@ -376,7 +453,9 @@ object TextQ {
     "q76_repetition_report" -> (repetitionReport _),
     "q77_contamination_report" -> (contaminationReport _),
     "q78_redaction_report" -> (redactionReport _),
-    "q79_packing_plan" -> (packingPlan _))
+    "q79_packing_plan" -> (packingPlan _),
+    "q84_ngram_novelty" -> (ngramNovelty _),
+    "q85_curation_funnel" -> (curationFunnel _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -623,6 +702,81 @@ object TextQ {
     "q82_simhash_complete" ->
       """SELECT TRUE AS blocking_complete, CAST(0 AS BIGINT) AS n_missed,
         |  CAST(0 AS BIGINT) AS n_extra""".stripMargin,
+    "q84_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(len(ts) - 2),
+        |           i -> array_to_string(
+        |             list_slice(ts, CAST(i AS INT) + 1, CAST(i AS INT) + 3), ' ')))
+        |    END AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, source, unnest(sh) AS g FROM sets),
+        |fd AS (SELECT *, min(doc_id) OVER (PARTITION BY g) AS first_doc FROM ex)
+        |SELECT source, count(*) AS total_grams,
+        |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_grams
+        |FROM fd GROUP BY source""".stripMargin,
+    "q85_curation_funnel" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |g3 AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(ts, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 3), ' ') AS g
+        |  FROM toks, unnest(range(greatest(len(ts) - 2, 0))) u(i)),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY ALL),
+        |d3 AS (
+        |  SELECT doc_id, round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / greatest(sum(c), 1), 6) AS dup3
+        |  FROM c3 GROUP BY doc_id),
+        |m AS (
+        |  SELECT doc_id, text, ts,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha,
+        |    least((CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(ts,
+        |             x -> list_contains(['the','a','an','of','to','in','and','is','on','for','with','as','at','by','it','be','this','that'], x))) AS DOUBLE)
+        |           / len(ts) END) * 5.0, 1.0) AS stop_score,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts) END AS tok_len
+        |  FROM toks),
+        |flagged AS (
+        |  SELECT m.doc_id, len(m.ts) AS n_tokens,
+        |    round(m.len_score * 0.25 + m.alpha * 0.25 + m.stop_score * 0.25 +
+        |      (CASE WHEN m.tok_len >= 3.0 AND m.tok_len <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.25, 6) AS q,
+        |    coalesce(d3.dup3, 0.0) AS dd3,
+        |    md5(regexp_replace(trim(lower(m.text)), '\s+', ' ', 'g')) AS ch
+        |  FROM m LEFT JOIN d3 ON m.doc_id = d3.doc_id),
+        |fl AS (
+        |  SELECT *, (n_tokens BETWEEN 20 AND 2000) AS s2,
+        |    ((n_tokens BETWEEN 20 AND 2000) AND q >= 0.5) AS s3,
+        |    ((n_tokens BETWEEN 20 AND 2000) AND q >= 0.5 AND dd3 <= 0.5) AS s4
+        |  FROM flagged),
+        |keepers AS (
+        |  SELECT ch, min(doc_id) AS keep_id FROM fl WHERE s4 GROUP BY ch),
+        |s5 AS (
+        |  SELECT count(*) AS n, coalesce(CAST(sum(fl.n_tokens) AS BIGINT), 0) AS t
+        |  FROM fl JOIN keepers k ON fl.ch = k.ch AND fl.doc_id = k.keep_id),
+        |s14 AS (
+        |  SELECT count(*) AS n1, CAST(sum(n_tokens) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+        |  FROM fl)
+        |SELECT unnest(['1_all','2_length','3_quality','4_repetition','5_dedup']) AS stage,
+        |  unnest([s14.n1, s14.n2, s14.n3, s14.n4, s5.n]) AS n_docs,
+        |  unnest([s14.t1, s14.t2, s14.t3, s14.t4, s5.t]) AS total_tokens
+        |FROM s14, s5""".stripMargin,
     // exhaustive string-shingle Jaccard — equals the engine's hash-set
     // Jaccard up to 2^-64 collisions; fewer-than-k-token docs get one
     // whole-token shingle (the shingles() convention, incl. '' for
