@@ -25,9 +25,12 @@ object MediaQ {
         max(length(col("bytes"))).as("max_bytes"))
 
   /** Full decode → features → per-modality stats. All three modalities
-    * are REAL containers (BMP/WAV/AVI) parsed by the pure-JVM codec;
-    * the decoded FEATURES are engine-defined (→ rows-only check; the
-    * dims leg is hash-gated by q69).
+    * are REAL containers (BMP/WAV/AVI) parsed by the pure-JVM codec —
+    * and with the round-3 AVI codec, every OUTPUT column (counts,
+    * bytes, dims, frames) is container arithmetic DuckDB can derive
+    * from the source text lengths, so the query is fully hash-gated;
+    * only the 16-dim feature vectors (not emitted here) stay
+    * engine-defined.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.featureStats(Multimodal.decodeFeatures(
@@ -84,6 +87,25 @@ object MediaQ {
         |  CAST(min(container_len) AS INT) AS min_bytes,
         |  CAST(max(container_len) AS INT) AS max_bytes
         |FROM m GROUP BY 1""".stripMargin,
+    "q56_media_features" ->
+      """WITH m AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS modality,
+        |    CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 16000 ELSE 16 END AS w,
+        |    CASE doc_id % 3 WHEN 0 THEN greatest(1, (strlen(text) + 191) // 192)
+        |         WHEN 1 THEN 1 ELSE 8 END AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN strlen(text)
+        |         ELSE greatest(1, (strlen(text) + 383) // 384) END AS frames,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 54 + 192 * greatest(1, (strlen(text) + 191) // 192)
+        |      WHEN 1 THEN 44 + strlen(text)
+        |      ELSE 224 + 392 * greatest(1, (strlen(text) + 383) // 384)
+        |    END AS len
+        |  FROM documents)
+        |SELECT modality, count(*) AS n, CAST(sum(len) AS BIGINT) AS total_bytes,
+        |  round(avg(w), 4) AS avg_w, round(avg(h), 4) AS avg_h,
+        |  CAST(max(frames) AS INT) AS max_frames
+        |FROM m GROUP BY modality""".stripMargin,
     "q57_media_resize" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS modality,
