@@ -244,8 +244,12 @@ object Dedup {
       .agg(least(col("asker"), min(col("target"))).as("label"))
       .select(col("asker").as("node"), col("label"))
       .localCheckpoint(false)
+    // null-safe: sum over an EMPTY label table is null (no pairs at all
+    // → zero nodes); treat as 0 so the loop converges on round 1
+    // instead of throwing
     def labelSum(df: DataFrame): BigDecimal =
-      BigDecimal(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var iter = 0
     // the seed sum's job also materializes the lazy seed checkpoint —
     // and lets round 1 detect a graph the seeding already converged

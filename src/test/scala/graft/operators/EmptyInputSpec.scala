@@ -79,4 +79,29 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestSession {
     val res = AsOfJoin.backward(left, right, Seq("k"), "t", "rt").collect()
     assert(res.length == 1 && res(0).isNullAt(3) && res(0).isNullAt(4))
   }
+
+  test("connected components / keep-canonical on an empty pair list") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // the round-3 label-sum convergence must treat the empty sum as 0,
+    // not NPE on the null aggregate
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    assert(Dedup.keepCanonical(oneDoc, noPairs).count() == 1)
+  }
+
+  test("winnowing on empty / too-short documents selects nothing") {
+    assert(Winnowing.selectedPrints(emptyDocs, k = 3, w = 4).count() == 0)
+    assert(Winnowing.selectedPrints(oneDoc, k = 3, w = 4).count() == 0)
+    assert(Winnowing.contamination(emptyDocs, isBenchmark = lit(false),
+      k = 3, w = 4).count() == 0)
+  }
+
+  test("AVI codec on an empty payload yields one zero frame") {
+    import graft.multimodal.MediaContainers
+    val Some((w, h, frames, feat)) =
+      MediaContainers.decodeAvi(MediaContainers.encodeAvi(Array.empty))
+    assert(w == MediaContainers.AviFrameW && h == MediaContainers.AviFrameH)
+    assert(frames == 1)
+    // all-zero pixels: channel means 0, luma variance 0, all mass in bin 0
+    assert(feat(0) == 0.0f && feat(3) == 0.0f && feat(4) == 1.0f)
+  }
 }
