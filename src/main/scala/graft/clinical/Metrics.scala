@@ -137,7 +137,14 @@ object Metrics {
       .groupBy(col("UID"))
       // the user's first row lives in the cohort-group with minimal _k;
       // ties are impossible (_k embeds every within-user sort key and
-      // the cohort keys are functions of them)
+      // the cohort keys are functions of them).
+      // Tie semantics WITHIN a cohort group (_fwp): rows with identical
+      // sort keys but different Weights resolve to the SMALLEST weight
+      // (struct-min), deterministically. The window/pandas forms are
+      // no better there — Spark window order and pandas stable sort
+      // both depend on physical row order, which a distributed engine
+      // cannot reproduce; the fixtures are tie-free (validated
+      // value-identical to the window form at all three sfs).
       .agg(min(struct(col("_k").as("k"), col("_fwp").getField("w").as("w")))
         .as("_m"))
       .select(col("UID").as("_b_uid"), col("_m").getField("w").as("_ufw"))
@@ -182,11 +189,12 @@ object Metrics {
       // One row per user: the first row's fw verbatim (NOT ignoreNulls —
       // global diff(-1) takes the next row's value null included; the
       // rn==1 row's own fw IS first(fw) over the user). Each user's
-      // successor fw comes from [[graft.operators.DistributedLead]] —
-      // fully lazy, range-partitioned, no single-partition window and no
-      // construction-time driver jobs (the round-2 rank/zipWithIndex
-      // idiom launched its sampling and count jobs while merely BUILDING
-      // the query, re-running the boundary subtree).
+      // successor fw comes from [[graft.operators.DistributedLead]]'s
+      // rank-idiom self-join — its two construction-time driver jobs
+      // (range sampling + zipWithIndex count) run over THIS cheap
+      // aggregate, not the window stack, and buy partition-consistent
+      // ranks that no lazy per-partition-id formulation can guarantee
+      // at scale (see the operator's scaladoc).
       val bnd = boundaryTable(boundarySource.getOrElse(df), cohort)
       val succ = graft.operators.DistributedLead
         .withSuccessorValue(bnd, col("_b_uid"), col("_ufw"), "_next_ufw")

@@ -219,7 +219,8 @@ object TextQ {
     // "documents with ≥ w k-grams" — comes from a cheap explode-free
     // second leg. A sel-diamond here would re-run the explode per
     // branch (countDistinct's Expand would triple the stream instead).
-    val sel = Winnowing.selectedPrints(Tables.documents(spark, dir), k = 3, w = 4,
+    val (k, w) = (3, 4)
+    val sel = Winnowing.selectedPrints(Tables.documents(spark, dir), k = k, w = w,
       payload = Seq("source"))
     val perSource = sel.groupBy(col("source"), col("print"))
       .agg(count(lit(1)).as("ndwp"))
@@ -229,7 +230,7 @@ object TextQ {
       // "has ≥ w k-grams" in token arithmetic: with w > 1 the one-gram
       // short-doc convention can never reach w, so the predicate is
       // exactly n_tokens ≥ k + w − 1 — no k-gram strings built here
-      .filter(size(tokens(col("text"))) >= 3 + 4 - 1)
+      .filter(size(tokens(col("text"))) >= k + w - 1)
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     nDocs.join(perSource, Seq("source"))
       .select(col("source"), col("n_docs"), col("total_prints"), col("distinct_prints"))
@@ -342,6 +343,11 @@ object TextQ {
       .withColumn("s2", col("n_tokens").between(20, 2000))
       .withColumn("s3", col("s2") && col("q") >= 0.5)
       .withColumn("s4", col("s3") && col("d3") <= 0.5)
+      // planted exchange: three consumers (keepFirst, the semi-join
+      // probe, the stage aggregate) fan out from here — without it,
+      // per-branch pruning re-runs the gram explode + quality pass per
+      // consumer (the minhashLsh ReuseExchange pattern)
+      .repartition(col("doc_id"))
     val keepFirst = flagged.filter(col("s4"))
       .groupBy(col("ch")).agg(min(col("doc_id")).as("keep_id"))
     val s5 = flagged.join(keepFirst,

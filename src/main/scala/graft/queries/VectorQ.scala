@@ -89,15 +89,19 @@ object VectorQ {
     */
   def lshPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // planted ids live in the NEGATIVE domain (−id−1): disjoint from
+    // real vec_ids at any corpus size, unlike an additive offset that
+    // a big-enough table would collide with
     val planted = embs.filter(col("vec_id") < 20)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      .select((-col("vec_id") - lit(1L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           (x * when(pmod(i, lit(2)) === 0, lit(1.005)).otherwise(lit(0.995)))
             .cast("float")).as("embedding"))
     val aug = embs.unionByName(planted)
+    // pair ordering puts the negative planted id in id_a
     val found = Dedup.embeddingNearDups(aug, dim = 64,
         cosineThreshold = 0.4, numBits = 8)
-      .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 20)
+      .filter(col("id_a") === -col("id_b") - lit(1L) && col("id_b") < 20)
     embs.filter(col("vec_id") < 20)
       .agg(count(lit(1)).as("n_planted"))
       .crossJoin(found.agg(count(lit(1)).as("_nf"), min(col("cosine")).as("_mc")))
