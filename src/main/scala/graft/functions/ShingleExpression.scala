@@ -23,7 +23,8 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Documents with fewer than k tokens yield ONE shingle hash over all
   * their tokens (mirrors [[TextFunctions.shingles]]).
   */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, k: Int, dedup: Boolean = true)
+    extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -65,6 +66,7 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
       hs(i) = h
       i += 1
     }
+    if (!dedup) return new GenericArrayData(hs)
     // distinct via sort+unique (no hash-set dependency, cache-friendly)
     java.util.Arrays.sort(hs)
     var u = 0
@@ -104,13 +106,16 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
          |  }
          |  $set[$i] = $h;
          |}
+         |${if (dedup) s"""
          |java.util.Arrays.sort($set);
          |int ${set}_u = 0;
          |for (int $i = 0; $i < $m; $i++) {
          |  if ($i == 0 || $set[$i] != $set[$i - 1]) { $set[${set}_u++] = $set[$i]; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  java.util.Arrays.copyOf($set, ${set}_u));
+         |  java.util.Arrays.copyOf($set, ${set}_u));""".stripMargin
+          else s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($set);""".stripMargin}
        """.stripMargin
     })
 
@@ -121,4 +126,12 @@ object ShingleFunctions {
   /** Distinct k-shingle hashes of a token-array column. */
   def shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k))
+
+  /** ALL k-shingle hashes in position order (multiset preserved) — for
+    * repetition/duplication statistics that need per-gram counts; the
+    * hash multiset stands in for the string multiset at 2^-64 collision
+    * odds, without allocating the strings.
+    */
+  def shingle_hashes_all(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k, dedup = false))
 }

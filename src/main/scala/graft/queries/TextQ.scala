@@ -356,8 +356,13 @@ object TextQ {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
+    // gram HASHES, multiset preserved — per-gram counts without ~5M
+    // 3-gram string allocations; short-doc divergence from grams() is
+    // value-neutral (a <3-token doc contributes one count-1 gram →
+    // dup3 = 0, same as no grams at all)
     val dup3 = toks
-      .select(col("doc_id"), explode(grams(col("ts"), 3)).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleFunctions.shingle_hashes_all(col("ts"), 3)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(round(
