@@ -33,6 +33,48 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))
   }
 
+  /** The IVF index build: deterministic seed sample + Lloyd rounds,
+    * returning the centers — the index ARTIFACT a production deployment
+    * persists beside the data and reuses across every search (callers
+    * pass it back via `ivfTopK(centers = Some(...))`). Empty corpus →
+    * empty centers.
+    */
+  def kmeansCenters(corpus: DataFrame, numCentroids: Int = 16, lloydIters: Int = 2,
+                    buildSampleMod: Int = 1,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val sampled =
+      if (buildSampleMod > 1) c.filter(pmod(xxhash64(col("corpus_id")), lit(buildSampleMod)) === 0)
+      else c
+    def seeds(src: DataFrame): Seq[Seq[Double]] =
+      src.orderBy(xxhash64(col("corpus_id")).asc, col("corpus_id").asc)
+        .limit(numCentroids)
+        .select(col("cv")).collect().map(_.getSeq[Double](0)).toSeq
+    // an over-aggressive sample mod must not silently index nothing:
+    // fall back to the full corpus for seeding (and Lloyd)
+    val sampleSeeds = seeds(sampled)
+    val (build, seedCenters) =
+      if (sampleSeeds.nonEmpty) (sampled, sampleSeeds) else (c, seeds(c))
+    var centers: Seq[Seq[Double]] = seedCenters
+    if (centers.isEmpty) return centers
+    for (_ <- 1 to lloydIters) {
+      val means = build
+        .select(element_at(nearest_centroids(col("cv"), centers, 1), 1).as("cid"),
+          posexplode(col("cv")).as(Seq("pos", "x")))
+        // a NaN vector scores NaN against every centroid → cid −1;
+        // such rows must not crash the driver-side center update
+        .filter(col("cid") >= 0)
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      // empty clusters keep their previous center
+      val next = centers.map(_.toArray).toArray
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centers = next.map(_.toSeq).toSeq
+    }
+    centers
+  }
+
   /** IVF with k-means centroids.
     *
     * Build: seed centroids are a deterministic pseudo-random sample
@@ -57,44 +99,18 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int = 16,
               nProbe: Int = 6, lloydIters: Int = 2, buildSampleMod: Int = 1,
-              replicas: Int = 3,
+              replicas: Int = 3, centers: Option[Seq[Seq[Double]]] = None,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions.nearest_centroids
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-
-    val sampled =
-      if (buildSampleMod > 1) c.filter(pmod(xxhash64(col("corpus_id")), lit(buildSampleMod)) === 0)
-      else c
-    def seeds(src: DataFrame): Seq[Seq[Double]] =
-      src.orderBy(xxhash64(col("corpus_id")).asc, col("corpus_id").asc)
-        .limit(numCentroids)
-        .select(col("cv")).collect().map(_.getSeq[Double](0)).toSeq
-    // an over-aggressive sample mod must not silently index nothing:
-    // fall back to the full corpus for seeding (and Lloyd)
-    val sampleSeeds = seeds(sampled)
-    val (build, seedCenters) =
-      if (sampleSeeds.nonEmpty) (sampled, sampleSeeds) else (c, seeds(c))
-    var centers: Seq[Seq[Double]] = seedCenters
+    val ctrs = centers.getOrElse(
+      kmeansCenters(corpus, numCentroids, lloydIters, buildSampleMod, idCol, vecCol))
     // truly empty corpus: nothing to index or return
-    if (centers.isEmpty)
+    if (ctrs.isEmpty)
       return c.sparkSession.range(0).select(
         col("id").as("query_id"), col("id").as("corpus_id"),
         col("id").cast("double").as("sim"), col("id").cast("int").as("rn"))
-    for (_ <- 1 to lloydIters) {
-      val means = build
-        .select(element_at(nearest_centroids(col("cv"), centers, 1), 1).as("cid"),
-          posexplode(col("cv")).as(Seq("pos", "x")))
-        // a NaN vector scores NaN against every centroid → cid −1;
-        // such rows must not crash the driver-side center update
-        .filter(col("cid") >= 0)
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-      // empty clusters keep their previous center
-      val next = centers.map(_.toArray).toArray
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centers = next.map(_.toSeq).toSeq
-    }
 
     // NaN rows (cid/probe −1) drop out of the index and the probes
     // rather than silently matching each other in the bucket join.
@@ -105,10 +121,10 @@ object Similarity {
     // clusterless data. Index size scales by `replicas` (documented
     // trade; the scan/shuffle shape is unchanged).
     val assigned = c.select(col("corpus_id"), col("cv"),
-        explode(nearest_centroids(col("cv"), centers, replicas)).as("centroid_id"))
+        explode(nearest_centroids(col("cv"), ctrs, replicas)).as("centroid_id"))
       .filter(col("centroid_id") >= 0)
     val probes = q.select(col("query_id"), col("qv"),
-        explode(nearest_centroids(col("qv"), centers, nProbe)).as("centroid_id"))
+        explode(nearest_centroids(col("qv"), ctrs, nProbe)).as("centroid_id"))
       .filter(col("centroid_id") >= 0)
 
     // search only probed buckets; a pair reached via two shared buckets
