@@ -122,11 +122,17 @@ object Dedup {
     * docs within `maxHamming` (< 16) bits must share at least one block
     * (pigeonhole for maxHamming ≤ 3), so block-equality buckets are a
     * complete candidate generator. Verification = bit_count(a^b).
+    *
+    * `sketches`, when given, is a precomputed (id, sk) table — callers
+    * that also consume the sketches elsewhere (e.g. the q82
+    * completeness gate's exhaustive reference leg) compute them once
+    * instead of re-sketching the corpus per consumer.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sk = docs.select(col(idCol).as("id"),
-      simhash64(TextFunctions.tokens(col(textCol))).as("sk"))
+                   idCol: String = "doc_id", textCol: String = "text",
+                   sketches: Option[DataFrame] = None): DataFrame = {
+    val sk = sketches.getOrElse(docs.select(col(idCol).as("id"),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sk")))
     val blocked = sk.select(col("id"), col("sk"), explode(
       array((0 until 4).map(b => struct(lit(b).as("block_id"),
         shiftright(col("sk"), b * 16).bitwiseAND(0xFFFFL).as("block_val"))): _*))

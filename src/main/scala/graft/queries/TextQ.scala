@@ -175,10 +175,13 @@ object TextQ {
   def simhashComplete(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.simhash64
     val docs = Tables.documents(spark, dir)
-    val blocked = Dedup.simhashPairs(docs)
-      .select(col("id_a"), col("id_b")).withColumn("_b", lit(1))
+    // sketch the corpus ONCE; the planted repartition is the exchange
+    // all three consumers (blocked leg + both exhaustive sides) reuse
     val sk = docs.select(col("doc_id").as("id"),
-      simhash64(tokens(col("text"))).as("sk"))
+        simhash64(tokens(col("text"))).as("sk"))
+      .repartition(col("id"))
+    val blocked = Dedup.simhashPairs(docs, sketches = Some(sk))
+      .select(col("id_a"), col("id_b")).withColumn("_b", lit(1))
     val exhaustive = sk.as("a").join(sk.as("b"), col("a.id") < col("b.id"))
       .filter(bit_count(col("a.sk").bitwiseXOR(col("b.sk"))) <= 3)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
