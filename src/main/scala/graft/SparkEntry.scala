@@ -27,6 +27,7 @@ object SparkEntry {
       (Clinical.queries, Clinical.oracles),
       (EventsQ.queries, EventsQ.oracles),
       (TextQ.queries, TextQ.oracles),
+      (CurationQ.queries, CurationQ.oracles),
       (VectorQ.queries, VectorQ.oracles),
       (MediaQ.queries, MediaQ.oracles),
       (AdvancedQ.queries, AdvancedQ.oracles),

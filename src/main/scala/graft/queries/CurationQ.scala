@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Sampling, Winnowing}
+import graft.sources.Tables
+
+/** Corpus-curation operators beyond the per-document filters in
+  * [[TextQ]] — the GLOBAL decisions a training-data pipeline makes once
+  * it can see the whole corpus: rebalancing the source mixture to a
+  * token budget, resampling by quality score, planning training shards,
+  * capping near-duplicate cluster sizes, and surfacing each source's
+  * dominant vocabulary.
+  *
+  * All five are fully hash-gated. The sampling ones stay portable by
+  * the [[graft.operators.Sampling]] discipline (selection = pure
+  * predicate on an md5-tail bucket, so DuckDB reproduces the EXACT row
+  * set), and every float that crosses an aggregation does so as a
+  * scaled integer (per-row `round(x*1e6)` cast to long BEFORE the sum —
+  * order-independent, no last-digit drift at any corpus size).
+  */
+object CurationQ {
+
+  /** Mixture rebalancing — equalize the per-source TOKEN budget.
+    *
+    * Two passes, the honest minimum for data-derived rates: (1) a
+    * map-side-combined aggregate computes per-source token totals (a
+    * handful of rows however large the corpus); (2) the keep-fraction
+    * table — `min(total) / total`, i.e. downsample every source to the
+    * smallest one — broadcasts back onto a second scan, where the
+    * deterministic bucket predicate keeps the same rows on any engine.
+    * The 5-row totals artifact is lazily checkpointed so its two
+    * consumers (the min and the join) share one materialization; the
+    * 5×1 cross join is a scalar broadcast, allowlisted in
+    * PlanContractSpec. Nothing wider than (source, frac) ever leaves
+    * the executors.
+    */
+  def mixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+    val totals = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
+      .localCheckpoint(false)
+    val thr = totals
+      .crossJoin(broadcast(totals.agg(min(col("tot")).as("target"))))
+      .select(col("source"),
+        round(col("target").cast("double") / col("tot").cast("double"), 6).as("frac"))
+      // frac is already on the 1e-6 grid, so frac*1e6 rounds to an exact
+      // integer threshold — the same bigint DuckDB derives
+      .withColumn("thr", round(col("frac") * 1000000).cast("long"))
+    d.join(broadcast(thr), Seq("source"))
+      .filter(Sampling.bucket(col("doc_id"), "mix2") < col("thr"))
+      .groupBy(col("source"), col("frac"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("kept_tokens"))
+      .select(col("source"), col("frac"), col("n_docs"), col("kept_tokens"))
+  }
+
+  /** Quality-proportional resampling — keep each document with
+    * probability `quality²` (quadratic temperature: sharpens the
+    * mixture toward high-quality text), deterministically.
+    *
+    * `qualityScore` is rounded to 6dp inside the expression (q45 proves
+    * the doubles bit-identical to DuckDB's), so `floor(q·q·1e6)` is the
+    * same integer threshold on both engines and the bucket predicate
+    * selects the same rows. One scan, one filter, one aggregate; the
+    * kept-mass average is reported as an integer sum of millionths
+    * (per-row scaled-int BEFORE the sum — order-independent).
+    */
+  def qualityResample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("q"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(Sampling.bucket(col("doc_id"), "qs1") <
+        floor(col("q") * col("q") * lit(1000000.0)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).as("kept_tokens"),
+        sum(round(col("q") * 1000000).cast("long")).as("sum_q_millionths"))
+
+  /** Shard plan — the deterministic global "shuffle" that randomizes
+    * training order at 100 TB without a sort: every document lands in
+    * `pmod(hash(id), nShards)`. One scan, one 64-group aggregate; the
+    * report is the per-shard occupancy a dataloader consumes. The hash
+    * shuffle IS the randomization — no global orderBy ever happens.
+    */
+  val nShards = 64
+
+  def shardPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        pmod(Winnowing.portableHash(
+          concat(col("doc_id").cast("string"), lit("#shard"))), lit(nShards.toLong))
+          .cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  /** Near-duplicate cluster CAP — keep at most `clusterCapN` documents
+    * of each near-dup cluster (lowest ids), instead of q72's collapse
+    * to one: the curation middle ground that preserves bounded natural
+    * redundancy. Reuses the SHARED components artifact (one SNM pass +
+    * one CC run per session/dir, however many consumers), so the query
+    * itself is a per-cluster row_number over the tiny label table plus
+    * one anti-join. Hash-gated against DuckDB's recursive closure over
+    * the same pairs.
+    */
+  val clusterCapN = 2
+
+  def clusterCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("component")).orderBy(col("node").asc)
+    val drop = TextQ.dupComponents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > clusterCapN)
+      .select(col("node").as("doc_id"))
+    Tables.documents(spark, dir).join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_id"))
+  }
+
+  /** Dominant vocabulary per source — top-5 tokens by term frequency
+    * (ties broken by token), each with its source-level document
+    * frequency. Two-level aggregation: the explode collapses into
+    * (source, token) partial counts map-side, so raw token rows never
+    * cross the wire un-aggregated; a planted repartition on `tok` lets
+    * the df rollup and the join share one exchange. The final top-k is
+    * a window over the (already tiny relative to the corpus) tf table.
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      .repartition(col("tok"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("tok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("tf").desc, col("tok").asc)))
+      .filter(col("pos") <= 5)
+      .select(col("source"), col("pos"), col("tok"), col("tf"), col("df"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_mixture_rebalance" -> (mixtureRebalance _),
+    "q87_quality_resample" -> (qualityResample _),
+    "q88_shard_plan" -> (shardPlan _),
+    "q89_cluster_cap" -> (clusterCap _),
+    "q90_top_terms" -> (topTerms _))
+
+  /** DuckDB token list of `text` — identical to
+    * [[graft.functions.TextFunctions.tokens]].
+    */
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  /** q45's quality blend as a reusable CTE chain ending in `q(doc_id,
+    * source, n_tok, q)` — generated against the SAME stopword constant
+    * as the engine expression so the two can never drift.
+    */
+  private def qualityCtes: String = {
+    val stops = graft.functions.TextFunctions.stopwordList
+      .map(s => s"'$s'").mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, source, text, $tokensSql AS ts
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tok,
+       |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha,
+       |    least((CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE CAST(len(list_filter(ts, x -> list_contains([$stops], x))) AS DOUBLE)
+       |           / len(ts) END) * 5.0, 1.0) AS stop_score,
+       |    CASE WHEN len(ts) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts) END AS tok_len
+       |  FROM toks),
+       |q AS (
+       |  SELECT doc_id, source, n_tok,
+       |    round(len_score * 0.25 + alpha * 0.25 + stop_score * 0.25 +
+       |          (CASE WHEN tok_len >= 3.0 AND tok_len <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.25, 6) AS q
+       |  FROM m)""".stripMargin
+  }
+
+  /** The portable sampling bucket, as DuckDB SQL (mirrors
+    * [[graft.operators.Sampling.bucket]]: md5-tail low-60-bits mod 1e6).
+    */
+  private def bucketSql(key: String, salt: String): String =
+    s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 18, 15) AS BIGINT) % 1000000"
+
+  val oracles: Map[String, String] = Map(
+    "q86_mixture_rebalance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot FROM d GROUP BY source),
+         |tgt AS (SELECT min(tot) AS target FROM tot),
+         |thr AS (
+         |  SELECT source,
+         |    round(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac,
+         |    CAST(round(round(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE), 6) * 1000000) AS BIGINT) AS thr
+         |  FROM tot, tgt),
+         |b AS (
+         |  SELECT d.source, d.n_tok, thr.frac, thr.thr,
+         |    ${bucketSql("d.doc_id", "mix2")} AS bk
+         |  FROM d JOIN thr USING (source))
+         |SELECT source, frac, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+         |FROM b WHERE bk < thr GROUP BY source, frac""".stripMargin,
+    "q87_quality_resample" ->
+      s"""WITH $qualityCtes,
+         |b AS (SELECT *, ${bucketSql("doc_id", "qs1")} AS bk FROM q)
+         |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+         |  CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT) AS sum_q_millionths
+         |FROM b WHERE bk < CAST(floor(q * q * 1000000) AS BIGINT)
+         |GROUP BY source""".stripMargin,
+    "q88_shard_plan" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tok,
+         |    CAST(${bucketSql("doc_id", "#shard").replace("% 1000000", s"% $nShards")} AS INT) AS shard
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM d GROUP BY shard""".stripMargin,
+    "q89_cluster_cap" ->
+      s"""WITH RECURSIVE ${TextQ.snmPairsCtes},
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT rc.u, e.v FROM reach rc JOIN edges e ON rc.v = e.u),
+         |comp AS (SELECT u AS node, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u),
+         |ranked AS (SELECT node, component,
+         |    row_number() OVER (PARTITION BY component ORDER BY node) AS rn
+         |  FROM comp)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_id
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > $clusterCapN)
+         |GROUP BY source""".stripMargin,
+    "q90_top_terms" ->
+      s"""WITH t AS (
+         |  SELECT source, u.tok
+         |  FROM (SELECT source, $tokensSql AS ts FROM documents), unnest(ts) u(tok)),
+         |tf AS (SELECT source, tok, count(*) AS tf FROM t GROUP BY source, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |r AS (
+         |  SELECT tf.source, tf.tok, tf.tf, dfreq.df,
+         |    row_number() OVER (PARTITION BY tf.source ORDER BY tf.tf DESC, tf.tok) AS rn
+         |  FROM tf JOIN dfreq USING (tok))
+         |SELECT source, CAST(rn AS INT) AS pos, tok, tf, df
+         |FROM r WHERE rn <= 5""".stripMargin)
+}

@@ -104,7 +104,7 @@ object TextQ {
     * the CC loop's jobs run on first request; the returned label table
     * is the last round's checkpoint, shared by q71/q72.
     */
-  private def dupComponents(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def dupComponents(spark: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((spark, dir), _ =>
       Dedup.connectedComponents(charJaccardPairs(spark, dir)))
 
@@ -517,7 +517,7 @@ object TextQ {
     * q43 selects from `pairs` directly; q71 builds connected components
     * over the same pairs with a recursive closure.
     */
-  private val snmPairsCtes: String =
+  private[queries] val snmPairsCtes: String =
     """d AS (SELECT lang, source, doc_id,
       |        list_sort(list_distinct(string_split(lower(text), ''))) AS chars
       |      FROM documents),
