@@ -37,7 +37,8 @@ object StreamQ {
     val res = Streaming.runToMemory(
       Streaming.windowedCounts(Streaming.eventStream(spark, stagedEvents(dir))),
       name = "q66_stream_windowed_counts_mem",
-      mode = OutputMode.Complete)
+      mode = OutputMode.Complete,
+      skipNoDataBatch = true)
     res.select(
       col("window_start").cast("long").as("window_start_epoch"),
       col("window_end").cast("long").as("window_end_epoch"),
@@ -53,7 +54,8 @@ object StreamQ {
     val res = Streaming.runToMemory(
       Streaming.dedupWithinWatermark(Streaming.eventStream(spark, stagedEvents(dir))),
       name = "q73_stream_dedup_mem",
-      mode = OutputMode.Append)
+      mode = OutputMode.Append,
+      skipNoDataBatch = true)
     res.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_unique"),
         round(sum(col("value")), 2).as("unique_value_sum"))

@@ -154,15 +154,56 @@ object Streaming {
 
   /** Run a streaming DataFrame to completion against the bounded test
     * input via a named memory sink; returns the collected result.
+    *
+    * Gate-run tuning (none of it changes emitted rows):
+    *  - checkpoints go to tmpfs when available — offset/commit logs and
+    *    state-store delta files are pure harness I/O for a bounded run;
+    *  - state is sharded over fewer partitions than the batch default —
+    *    32 HDFS-backed store instances per micro-batch is commit
+    *    overhead, not parallelism, at gate row counts (a production
+    *    deployment sizes this to the keyspace via
+    *    spark.sql.shuffle.partitions at FIRST start; it is sticky in
+    *    the checkpoint thereafter);
+    *  - `skipNoDataBatch` (opt-in) drops the trailing no-data
+    *    micro-batch for queries that emit from the data batch itself
+    *    (Complete-mode agg re-emits per batch;
+    *    dropDuplicatesWithinWatermark emits first-seen rows
+    *    immediately) — there the extra batch only advances the
+    *    watermark. It MUST stay false for operators that emit on
+    *    watermark advancement (event-time timeouts in
+    *    flatMapGroupsWithState, append-mode windowed aggs): their
+    *    final results only materialize in that trailing batch.
     */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode,
+      skipNoDataBatch: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val conf = spark.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val ckBase = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val ck = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckBase), "graft_stream_ck")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        (!skipNoDataBatch).toString)
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ck.toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData match {
+        case Some(v) => conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+    }
   }
 }
