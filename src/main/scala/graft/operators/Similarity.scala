@@ -156,4 +156,57 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): every corpus vector is assigned to its
+    * `replicas` nearest k-means centroids (one codegen projection —
+    * [[graft.functions.NearestCentroids]], no corpus×centroids
+    * exchange) and pairwise cosine runs only WITHIN a cluster, via a
+    * self-equi-join on cluster id. Candidate volume drops from
+    * |corpus|² to Σ|cluster|²; at 100 TB numCentroids is sized so a
+    * cluster stays bounded (~|corpus|/k rows) and the join shuffles on
+    * the cluster key like any equi-join. `replicas` > 1 is the IVF
+    * spill trick: near-dups straddling a cluster boundary still share
+    * at least one bucket. Pairs reached through several shared
+    * clusters are deduped on bare ids BEFORE vectors are re-joined, so
+    * each distinct pair's cosine is computed once and raw vectors
+    * never ride through the bucket join.
+    *
+    * `centers` is the same persisted index artifact as [[ivfTopK]]'s —
+    * one k-means build serves both search and dedup.
+    */
+  def semanticPairs(corpus: DataFrame, threshold: Double,
+                    centers: Seq[Seq[Double]], replicas: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    if (centers.isEmpty)
+      return c.sparkSession.range(0).select(
+        col("id").as("id_a"), col("id").as("id_b"), col("id").cast("double").as("cosine"))
+    // NaN vectors assign to no cluster (cid −1) and drop out here
+    val assigned = c.select(col("id"),
+        explode(nearest_centroids(col("v"), centers, replicas)).as("cid"))
+      .filter(col("cid") >= 0)
+    val cand = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(c.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cosine", round(cosine_similarity(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** End-to-end semantic dedup: [[semanticPairs]] → connected
+    * components → keep the min-id representative of each duplicate
+    * group ([[Dedup.keepCanonical]] anti-join).
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    centers: Seq[Seq[Double]], replicas: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Dedup.keepCanonical(corpus,
+      semanticPairs(corpus, threshold, centers, replicas, idCol, vecCol),
+      idCol = idCol)
 }

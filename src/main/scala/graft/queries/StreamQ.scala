@@ -61,9 +61,31 @@ object StreamQ {
         round(sum(col("value")), 2).as("unique_value_sum"))
   }
 
+  /** Custom-state streaming under the gate: gap-based sessionization via
+    * flatMapGroupsWithState + event-time timeout. Emits every CLOSED
+    * session: non-final sessions close in the data batch (a successor
+    * event more than the 30-min gap later arrives in-batch); each
+    * user's final session closes only if its event-time timeout —
+    * timeout_ms = (last_us + gap_us) / 1000, Long-truncated — fires,
+    * i.e. is strictly below the final watermark (max event ms − 10 min,
+    * both ms-floored). The trailing no-data micro-batch is REQUIRED
+    * here (it advances the watermark that fires those timeouts), so
+    * this entry does not use skipNoDataBatch. The oracle restates the
+    * same arithmetic over the bounded input in SQL.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val res = Streaming.runToMemory(
+      Streaming.sessionize(Streaming.eventStream(spark, stagedEvents(dir))).toDF(),
+      name = "q91_stream_sessions_mem",
+      mode = OutputMode.Append)
+    res.select(col("user_id"), col("start_us"), col("end_us"),
+      col("n_events"), round(col("total_value"), 2).as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_stream_windowed_counts" -> (streamWindowedCounts _),
-    "q73_stream_dedup" -> (streamDedup _))
+    "q73_stream_dedup" -> (streamDedup _),
+    "q91_stream_sessions" -> (streamSessions _))
 
   val oracles: Map[String, String] = Map(
     "q73_stream_dedup" ->
@@ -76,5 +98,34 @@ object StreamQ {
         |  CAST(epoch_us(ts) // 300000000 * 300 AS BIGINT) AS window_start_epoch,
         |  CAST(epoch_us(ts) // 300000000 * 300 + 300 AS BIGINT) AS window_end_epoch,
         |  event_type, count(*) AS n, round(sum("value"), 2) AS total_value
-        |FROM events GROUP BY 1, 2, 3""".stripMargin)
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // streaming emission restated: µs gaps (NOT the batch q34 second
+    // floors), sessions closed in-batch ∪ final sessions whose
+    // ms-floored timeout is strictly below the ms-floored watermark
+    "q91_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, "value" FROM events),
+        |wm AS (
+        |  SELECT max(us) // 1000 - 600000 AS wm_ms FROM e),
+        |g AS (
+        |  SELECT user_id, event_id, us, "value",
+        |    CASE WHEN us - lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |sid AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+        |    count(*) AS n_events, round(sum("value"), 2) AS total_value
+        |  FROM sid GROUP BY user_id, session_id),
+        |f AS (
+        |  SELECT s.*, max(session_id) OVER (PARTITION BY user_id) AS last_sid FROM s)
+        |SELECT user_id, start_us, end_us, n_events, total_value
+        |FROM f, wm
+        |WHERE session_id < last_sid
+        |   OR (end_us + 1800000000) // 1000 < wm_ms""".stripMargin)
 }

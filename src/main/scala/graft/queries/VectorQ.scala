@@ -100,17 +100,23 @@ object VectorQ {
     * states the booleans literally; a bucketing/hyperplane/verify
     * regression flips them.
     */
-  def lshPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // planted ids live in the NEGATIVE domain (−id−1): disjoint from
-    // real vec_ids at any corpus size, unlike an additive offset that
-    // a big-enough table would collide with
-    val planted = embs.filter(col("vec_id") < 20)
+  /** Copies of the first 20 vectors under an alternating ±0.5%
+    * per-coordinate scale (cosine ≈ 0.99999 to the original). Planted
+    * ids live in the NEGATIVE domain (−id−1): disjoint from real
+    * vec_ids at any corpus size, unlike an additive offset that a
+    * big-enough table would collide with. Shared by the q83 (LSH) and
+    * q92 (SemDeDup) planted-recall gates.
+    */
+  private def plantedCopies(embs: DataFrame): DataFrame =
+    embs.filter(col("vec_id") < 20)
       .select((-col("vec_id") - lit(1L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           (x * when(pmod(i, lit(2)) === 0, lit(1.005)).otherwise(lit(0.995)))
             .cast("float")).as("embedding"))
-    val aug = embs.unionByName(planted)
+
+  def lshPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val aug = embs.unionByName(plantedCopies(embs))
     // pair ordering puts the negative planted id in id_a
     val found = Dedup.embeddingNearDups(aug, dim = 64,
         cosineThreshold = 0.4, numBits = 8)
@@ -123,6 +129,59 @@ object VectorQ {
         (col("_mc") >= 0.99).as("planted_cosine_ge_099"))
   }
 
+  /** SemDeDup cluster centers memoized per (session, dir). A separate
+    * artifact from [[ivfCenters]]: dedup needs k ≈ √N clusters so the
+    * within-cluster pair volume stays ~N^1.5/k-bounded (the paper runs
+    * ~50k clusters over 100M+ docs), while the IVF search index keeps
+    * k small for probe quality. The count() here reads parquet
+    * metadata only.
+    */
+  private val semCentersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Seq[Double]]]()
+  private def semCenters(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    semCentersMemo.computeIfAbsent((spark, dir), _ => {
+      val embs = Tables.embeddings(spark, dir)
+      val k = math.max(16, math.sqrt(embs.count().toDouble).toInt)
+      Similarity.kmeansCenters(embs, numCentroids = k)
+    })
+
+  /** SemDeDup under the HASH gate via planted semantic duplicates (the
+    * q83 pattern): 20 near-identical copies (cos ≈ 0.99999) are
+    * planted in the negative id domain, [[Similarity.semanticPairs]] +
+    * keep-canonical run over the augmented corpus at τ = 0.95, and the
+    * emitted booleans assert (a) every planted pair shared a cluster
+    * and was found at high cosine, (b) dedup removed exactly one of
+    * each pair (survivors = original corpus size — the uniform-random
+    * fixture has no true τ ≥ 0.95 pairs of its own), (c) the kept
+    * representative is the min id (the planted negative one). A
+    * clustering, assignment, pairing, CC, or keep-canonical regression
+    * flips a boolean and fails the driver's compare.
+    */
+  def semanticDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val aug = embs.unionByName(plantedCopies(embs))
+    // lazy checkpoint: the pair pipeline (assign → bucket join →
+    // cosine) runs once even though both the planted-recall leg and
+    // the keep-canonical leg consume it
+    val pairs = Similarity.semanticPairs(aug, threshold = 0.95,
+      centers = semCenters(spark, dir)).localCheckpoint(false)
+    val plantedFound = pairs
+      .filter(col("id_a") === -col("id_b") - lit(1L) && col("id_b") < 20)
+      .agg(count(lit(1)).as("_nf"), min(col("cosine")).as("_mc"))
+    val survStats = Dedup.keepCanonical(aug, pairs, idCol = "vec_id")
+      .agg(count(lit(1)).as("_ns"),
+        sum(when(col("vec_id") < 0, 1L).otherwise(0L)).as("_nneg"))
+    embs.agg(count(lit(1)).as("_nc"),
+        sum(when(col("vec_id") < 20, 1L).otherwise(0L)).as("n_planted"))
+      .crossJoin(plantedFound)
+      .crossJoin(survStats)
+      .select(col("n_planted"),
+        (col("_nf") === col("n_planted")).as("all_planted_paired"),
+        (col("_mc") >= 0.99).as("planted_cosine_ge_099"),
+        (col("_ns") === col("_nc")).as("survivors_eq_corpus"),
+        (col("_nneg") === col("n_planted")).as("planted_kept_canonical"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_brute_force" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
@@ -130,7 +189,8 @@ object VectorQ {
     "q53_cosine_pairs" -> (cosinePairs _),
     "q54_lsh_near_dups" -> (lshNearDups _),
     "q80_ann_recall" -> (annRecallGate _),
-    "q83_lsh_planted_recall" -> (lshPlantedRecall _))
+    "q83_lsh_planted_recall" -> (lshPlantedRecall _),
+    "q92_semantic_dedup" -> (semanticDedupGate _))
 
   val oracles: Map[String, String] = Map(
     "q50_ann_brute_force" ->
@@ -174,5 +234,12 @@ object VectorQ {
     "q83_lsh_planted_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted,
         |  TRUE AS all_planted_found, TRUE AS planted_cosine_ge_099
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // the booleans are the engine-measured invariants under test; the
+    // oracle states them literally (q63/q64/q80/q83 pattern)
+    "q92_semantic_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  TRUE AS all_planted_paired, TRUE AS planted_cosine_ge_099,
+        |  TRUE AS survivors_eq_corpus, TRUE AS planted_kept_canonical
         |FROM embeddings WHERE vec_id < 20""".stripMargin)
 }

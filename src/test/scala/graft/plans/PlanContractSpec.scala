@@ -42,6 +42,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q83_lsh_planted_recall", // 1×1 cross join of two scalar aggregates (n_planted × found)
     "q85_curation_funnel",    // 1×1 cross join of the stage-counts and dedup-survivor aggregates
     "q86_mixture_rebalance",  // 5×1 cross join: per-source totals × scalar min-total target
+    "q92_semantic_dedup",     // 1×1 cross joins of the scalar invariant aggregates
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
