@@ -122,6 +122,95 @@ case class ShingleHashes(child: Expression, k: Int, dedup: Boolean = true)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-document duplicated-gram statistics in one pass: `[total, dup]`
+  * where `total` is the number of k-gram positions and `dup` the number
+  * of positions whose gram occurs more than once in the document.
+  *
+  * This is the in-row form of `explode(shingle_hashes_all) →
+  * groupBy(doc, gram).count → groupBy(doc).sum(c where c > 1)`: a
+  * per-DOCUMENT statistic that never crosses rows, so expressing it as
+  * two shuffles over the exploded gram stream (~10× the corpus row
+  * count) is pure waste at any scale. Gram hashing is identical to
+  * [[ShingleHashes]] (dedup = false semantics: < k tokens → one gram
+  * over all tokens), so counts by equal hash equal counts by equal
+  * string at 2^-64 collision odds. Duplicates are counted by sorting
+  * the per-doc hash array and summing run lengths > 1 — O(m log m)
+  * in-row, zero exchange.
+  */
+case class DupGramStats(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dup_gram_stats needs array<string> tokens, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = ShingleHashes(child, k, dedup = false)
+      .nullSafeEval(input).asInstanceOf[GenericArrayData]
+      .toLongArray()
+    java.util.Arrays.sort(hs)
+    var dup = 0L
+    var i = 0
+    while (i < hs.length) {
+      var j = i
+      while (j + 1 < hs.length && hs(j + 1) == hs(i)) j += 1
+      if (j > i) dup += (j - i + 1)
+      i = j + 1
+    }
+    new GenericArrayData(Array(hs.length.toLong, dup))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val th = ctx.freshName("th")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val m = ctx.freshName("m"); val w = ctx.freshName("w")
+      val h = ctx.freshName("h"); val s = ctx.freshName("s")
+      val hs = ctx.freshName("hs"); val dup = ctx.freshName("dup")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $th = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    $th[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |}
+         |int $m = ($n <= $k) ? 1 : ($n - $k + 1);
+         |int $w = ($n <= $k) ? $n : $k;
+         |long[] $hs = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = -3750763034362895579L;
+         |  for (int $j = 0; $j < $w; $j++) {
+         |    $h = ($h ^ $th[$i + $j]) * 1099511628211L;
+         |    $h ^= ($h >>> 29);
+         |  }
+         |  $hs[$i] = $h;
+         |}
+         |java.util.Arrays.sort($hs);
+         |long $dup = 0L;
+         |for (int $i = 0; $i < $m; ) {
+         |  int $j = $i;
+         |  while ($j + 1 < $m && $hs[$j + 1] == $hs[$i]) $j++;
+         |  if ($j > $i) $dup += ($j - $i + 1);
+         |  $i = $j + 1;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new long[]{(long) $m, $dup});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
   /** Distinct k-shingle hashes of a token-array column. */
   def shingle_hashes(tokens: Column, k: Int): Column =
@@ -134,4 +223,10 @@ object ShingleFunctions {
     */
   def shingle_hashes_all(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k, dedup = false))
+
+  /** `[total, dup]` k-gram position counts of a token array (per-row —
+    * no explode/shuffle); see [[DupGramStats]].
+    */
+  def dup_gram_stats(tokens: Column, k: Int): Column =
+    ColumnBridge.column(DupGramStats(ColumnBridge.expression(tokens), k))
 }

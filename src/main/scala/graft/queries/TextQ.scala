@@ -305,15 +305,16 @@ object TextQ {
         col("top.c").as("top2_count"),
         round(col("top.c") * length(col("top.g")).cast("double") /
           greatest(col("len_chars"), lit(1)), 6).as("top2_char_frac"))
+    // in-row dup stats (see q85): hash-multiset counts ≡ string-gram
+    // counts. The size filter keeps the OLD row set exactly: grams()
+    // was empty for <3-token docs, so they never reached the inner
+    // join — dup_gram_stats would otherwise resurrect them
     val g3 = toks
-      .select(col("doc_id"), explode(grams(col("ts"), 3)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_pos"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_pos"))
+      .filter(size(col("ts")) >= 3)
+      .withColumn("_dg", graft.functions.ShingleFunctions.dup_gram_stats(col("ts"), 3))
       .select(col("doc_id"),
-        round(col("dup_pos").cast("double") / greatest(col("n_pos"), lit(1)), 6)
-          .as("dup3_frac"))
+        round(element_at(col("_dg"), 2).cast("double") /
+          greatest(element_at(col("_dg"), 1), lit(1L)), 6).as("dup3_frac"))
     g2.join(g3, Seq("doc_id"))
   }
 
@@ -359,33 +360,29 @@ object TextQ {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
-    // gram HASHES, multiset preserved — per-gram counts without ~5M
-    // 3-gram string allocations; short-doc divergence from grams() is
-    // value-neutral (a <3-token doc contributes one count-1 gram →
-    // dup3 = 0, same as no grams at all)
-    val dup3 = toks
-      .select(col("doc_id"), explode(
-        graft.functions.ShingleFunctions.shingle_hashes_all(col("ts"), 3)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(round(
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
-          greatest(sum(col("c")), lit(1L)), 6).as("dup3"))
+    // dup3 is a per-DOCUMENT statistic: DupGramStats computes the gram
+    // hashes (multiset preserved — same values the old explode →
+    // groupBy(doc, g) path counted) and the duplicated-position sum
+    // inside the row, erasing the two gram-stream shuffles and the
+    // join back. Short-doc divergence from grams() is value-neutral
+    // (a <3-token doc contributes one count-1 gram → dup3 = 0, same
+    // as no grams at all)
     val flagged = toks
+      .withColumn("_dg", graft.functions.ShingleFunctions.dup_gram_stats(col("ts"), 3))
       .select(col("doc_id"),
         size(col("ts")).as("n_tokens"),
         qualityScore(col("text")).as("q"),
-        md5(Dedup.canonicalText(col("text"))).as("ch"))
-      .join(dup3, Seq("doc_id"), "left")
-      .withColumn("d3", coalesce(col("dup3"), lit(0.0)))
+        md5(Dedup.canonicalText(col("text"))).as("ch"),
+        round(element_at(col("_dg"), 2).cast("double") /
+          greatest(element_at(col("_dg"), 1), lit(1L)), 6).as("d3"))
       .withColumn("s2", col("n_tokens").between(20, 2000))
       .withColumn("s3", col("s2") && col("q") >= 0.5)
       .withColumn("s4", col("s3") && col("d3") <= 0.5)
-      // planted exchange: three consumers (keepFirst, the semi-join
-      // probe, the stage aggregate) fan out from here — without it,
-      // per-branch pruning re-runs the gram explode + quality pass per
-      // consumer (the minhashLsh ReuseExchange pattern)
-      .repartition(col("doc_id"))
+    // the three consumers (keepFirst, the semi-join probe, the stage
+    // aggregate) fan out from the SOURCE spread exchange
+    // (Tables.documents), re-running only this flat projection — now
+    // in-row and 32-way parallel, cheaper than materializing a second
+    // planted exchange was
     val keepFirst = flagged.filter(col("s4"))
       .groupBy(col("ch")).agg(min(col("doc_id")).as("keep_id"))
     val s5 = flagged.join(keepFirst,

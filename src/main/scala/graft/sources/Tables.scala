@@ -44,6 +44,31 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts_ns div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Heavy per-row compute (token/gram hashing, quality scoring,
+    * winnowing, codecs, vector math) runs on the SCAN's map side, so
+    * its parallelism equals the split count. The gate fixtures are
+    * single-row-group files — one split, one task, 31 idle cores —
+    * whereas a production read of a partitioned tree gets thousands of
+    * splits and needs nothing. Spread a split-starved read across the
+    * configured shuffle parallelism; a read with enough splits passes
+    * through untouched, so no full-corpus exchange is ever added at
+    * real scale. (The explicit partition count also keeps AQE from
+    * coalescing the tiny shuffle straight back to one task.)
+    */
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val target = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    // hash-partition on the table's unique id: unlike round-robin
+    // repartition(n), no full-row determinism sort rides the exchange
+    else df.repartition(target, df.col(key))
+  }
+
+  /** documents/embeddings host the per-row-compute-heavy operators
+    * (text curation, dedup sketches, vector search) — their loaders
+    * spread split-starved reads; the relational tables' map sides are
+    * cheap scans/filters where an unconditional exchange would only
+    * add cost.
+    */
+  def documents(s: SparkSession, d: String): DataFrame  = spread(s, load(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "embeddings"), "vec_id")
 }
