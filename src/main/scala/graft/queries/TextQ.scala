@@ -378,11 +378,15 @@ object TextQ {
       .withColumn("s2", col("n_tokens").between(20, 2000))
       .withColumn("s3", col("s2") && col("q") >= 0.5)
       .withColumn("s4", col("s3") && col("d3") <= 0.5)
-    // the three consumers (keepFirst, the semi-join probe, the stage
-    // aggregate) fan out from the SOURCE spread exchange
-    // (Tables.documents), re-running only this flat projection — now
-    // in-row and 32-way parallel, cheaper than materializing a second
-    // planted exchange was
+      // the three consumers (keepFirst, the semi-join probe, the stage
+      // aggregate) would otherwise each re-run the tokenize / quality /
+      // dup-gram / md5 pass — the query's entire CPU cost — 3×. The
+      // enriched stats table is tiny (5 scalar flags per doc, the raw
+      // text already dropped), so a lazy localCheckpoint materializes
+      // it on the first action and the fan-out reads blocks. At 100 TB
+      // this is the same move a production funnel makes: write the
+      // per-doc stats table once, aggregate from it.
+      .localCheckpoint(false)
     val keepFirst = flagged.filter(col("s4"))
       .groupBy(col("ch")).agg(min(col("doc_id")).as("keep_id"))
     val s5 = flagged.join(keepFirst,

@@ -25,7 +25,7 @@ class DupGramStatsSpec extends AnyFunSuite with SparkTestSession {
       docs.select($"doc_id",
           ShingleFunctions.dup_gram_stats($"ts", 3).as("dg"))
         .select($"doc_id", element_at($"dg", 1).as("total"), element_at($"dg", 2).as("dup"))
-        .as[(Int, Long, Long)].collect().toMap.map { case (k, t, d) => k -> (t, d) }
+        .as[(Int, Long, Long)].collect().map { case (k, t, d) => k -> (t, d) }.toMap
     }
   }
 
