@@ -144,12 +144,62 @@ object CurationQ {
       .select(col("source"), col("pos"), col("tok"), col("tf"), col("df"))
   }
 
+  /** Line-level exact dedup (the CCNet / RefinedWeb pre-filter): drop
+    * every line that appears verbatim in more than [[lineDupMaxDocs]]
+    * DISTINCT documents — boilerplate (headers, footers, nav chrome)
+    * repeats across pages, prose doesn't — then reassemble each
+    * document from its surviving lines in order.
+    *
+    * The fixture's documents are single-line token streams, so "lines"
+    * are derived deterministically as [[lineLen]]-token chunks (the
+    * operator is the same; only the line delimiter is synthetic). Plan,
+    * at any scale: (1) chunk inside the row (no explode of raw text
+    * until lines exist); (2) the frequency pass shuffles only
+    * (line-hash, doc_id) pairs — the portable md5-tail hash, never line
+    * strings; (3) the dup-hash set (typically tiny: only lines crossing
+    * the threshold) joins back on the hash, AQE broadcasts it when
+    * small; (4) reassembly is one groupBy(doc_id) — the natural output
+    * partitioning. Intra-doc repeats don't count toward the threshold
+    * (DISTINCT doc_id) but every copy of a dropped line is dropped,
+    * exactly CCNet's behavior.
+    */
+  val lineLen = 3
+  val lineDupMaxDocs = 2
+
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nLines = ceil(size(col("ts")) / lit(lineLen.toDouble)).cast("int")
+    val lineArr = when(size(col("ts")) <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(col("ts"), i * lineLen + 1, lit(lineLen)))))
+    val lines = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("source"),
+        posexplode(lineArr).as(Seq("line_no", "line")))
+      .withColumn("h", Winnowing.portableHash(col("line")))
+    val dupHashes = lines
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > lineDupMaxDocs)
+      .select(col("h"))
+    lines
+      .join(dupHashes.withColumn("dup", lit(true)), Seq("h"), "left")
+      .withColumn("keep", col("dup").isNull)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_mixture_rebalance" -> (mixtureRebalance _),
     "q87_quality_resample" -> (qualityResample _),
     "q88_shard_plan" -> (shardPlan _),
     "q89_cluster_cap" -> (clusterCap _),
-    "q90_top_terms" -> (topTerms _))
+    "q90_top_terms" -> (topTerms _),
+    "q93_line_dedup" -> (lineDedup _))
 
   /** DuckDB token list of `text` — identical to
     * [[graft.functions.TextFunctions.tokens]].
@@ -243,6 +293,28 @@ object CurationQ {
          |FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > $clusterCapN)
          |GROUP BY source""".stripMargin,
+    "q93_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |la AS (
+         |  SELECT doc_id, source,
+         |    list_transform(range(0, CAST(ceil(len(ts) / ${lineLen}.0) AS BIGINT)),
+         |      i -> array_to_string(ts[(i*$lineLen+1):(i*$lineLen+$lineLen)], ' ')) AS ls
+         |  FROM toks),
+         |lines AS (
+         |  SELECT doc_id, source,
+         |    unnest(range(0, len(ls))) AS line_no, unnest(ls) AS line
+         |  FROM la),
+         |lh AS (SELECT *, CAST('0x' || substr(md5(line), 18, 15) AS BIGINT) AS h
+         |       FROM lines),
+         |dup AS (
+         |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM lh GROUP BY h)
+         |  WHERE nd > $lineDupMaxDocs)
+         |SELECT l.doc_id, l.source, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN d.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN d.h IS NULL THEN l.line END,
+         |    chr(10) ORDER BY l.line_no), '') AS clean_text
+         |FROM lh l LEFT JOIN dup d ON l.h = d.h
+         |GROUP BY l.doc_id, l.source""".stripMargin,
     "q90_top_terms" ->
       s"""WITH t AS (
          |  SELECT source, u.tok

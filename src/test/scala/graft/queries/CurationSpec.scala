@@ -58,4 +58,27 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     assert(stages("5_dedup") == stages("4_repetition") - 1,
       "exact dup must collapse to the kept first doc")
   }
+
+  test("line dedup: boilerplate shared by >2 docs drops everywhere, the rest survives in order") {
+    // lineLen = 3 tokens per derived line; threshold = more than 2 DISTINCT docs
+    val docs = Seq(
+      (1L, "one two three aaa bbb ccc", "s"),  // boilerplate + unique line
+      (2L, "one two three ddd eee fff", "s"),
+      (3L, "one two three ggg hhh iii", "s"),
+      (4L, "one two three", "s"),              // boilerplate only → emptied
+      (5L, "jjj kkk lll jjj kkk lll", "s"),    // intra-doc repeat, single doc → kept twice
+      (6L, "mmm nnn ooo zzz yyy xxx", "s"),
+      (7L, "mmm nnn ooo www vvv uuu", "s")     // 2-doc shared line is AT the threshold → kept
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("line_dedup_spec")
+    docs.write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val out = CurationQ.lineDedup(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 1L, "aaa bbb ccc")))
+    assert(out(4L) == ((1L, 0L, "")), "all-boilerplate doc must empty, not vanish")
+    assert(out(5L) == ((2L, 2L, "jjj kkk lll\njjj kkk lll")),
+      "intra-doc repeats don't count toward the cross-doc threshold")
+    assert(out(6L) == ((2L, 2L, "mmm nnn ooo\nzzz yyy xxx")))
+    assert(out(7L)._2 == 2L, "a line in exactly 2 docs sits at the threshold and stays")
+  }
 }
