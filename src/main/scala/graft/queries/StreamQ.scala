@@ -82,10 +82,51 @@ object StreamQ {
       col("n_events"), round(col("total_value"), 2).as("total_value"))
   }
 
+  /** Stream-static join under the gate: the events stream enriched with
+    * the customer dimension, then windowed per market segment. Complete
+    * mode re-emits the full aggregate each batch, so the data batches
+    * alone carry the final answer (skipNoDataBatch safe, as q66).
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val res = Streaming.runToMemory(
+      Streaming.enrichedWindowedCounts(
+        Streaming.eventStream(spark, stagedEvents(dir)), dim),
+      name = "q94_stream_static_join_mem",
+      mode = OutputMode.Complete,
+      skipNoDataBatch = true)
+    res.select(
+      col("window_start").cast("long").as("window_start_epoch"),
+      col("window_end").cast("long").as("window_end_epoch"),
+      col("segment"), col("n"), col("total_value"))
+  }
+
+  /** Stream-stream interval join under the gate: purchases × same-user
+    * clicks in the preceding hour, both sides watermarked. An INNER
+    * interval join emits each qualifying pair in the data batch where
+    * both sides are present — the pair set is deterministic whatever
+    * the batching — but the trailing no-data batch stays ON (default):
+    * it lets the engine close out join state exactly as production
+    * would. Timestamps go out as epoch µs.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val res = Streaming.runToMemory(
+      Streaming.purchasesWithRecentClicks(
+        Streaming.eventStream(spark, stagedEvents(dir))),
+      name = "q95_stream_stream_join_mem",
+      mode = OutputMode.Append)
+    res.select(col("p_id"), col("user_id"),
+      unix_micros(col("p_ts")).as("p_us"),
+      col("c_id"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_stream_windowed_counts" -> (streamWindowedCounts _),
     "q73_stream_dedup" -> (streamDedup _),
-    "q91_stream_sessions" -> (streamSessions _))
+    "q91_stream_sessions" -> (streamSessions _),
+    "q94_stream_static_join" -> (streamStaticJoin _),
+    "q95_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q73_stream_dedup" ->
@@ -99,6 +140,21 @@ object StreamQ {
         |  CAST(epoch_us(ts) // 300000000 * 300 + 300 AS BIGINT) AS window_end_epoch,
         |  event_type, count(*) AS n, round(sum("value"), 2) AS total_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q94_stream_static_join" ->
+      """SELECT
+        |  CAST(epoch_us(ts) // 300000000 * 300 AS BIGINT) AS window_start_epoch,
+        |  CAST(epoch_us(ts) // 300000000 * 300 + 300 AS BIGINT) AS window_end_epoch,
+        |  c_mktsegment AS segment, count(*) AS n, round(sum("value"), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q95_stream_stream_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, "value"
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, p.user_id, p.p_us, c.c_id, c.c_us
+        |FROM p JOIN c ON p.user_id = c.c_user
+        | AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us""".stripMargin,
     // streaming emission restated: µs gaps (NOT the batch q34 second
     // floors), sessions closed in-batch ∪ final sessions whose
     // ms-floored timeout is strictly below the ms-floored watermark

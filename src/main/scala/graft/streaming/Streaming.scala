@@ -118,6 +118,23 @@ object Streaming {
       }
   }
 
+  /** Stream-static enrichment join: the unbounded side (events) joins a
+    * bounded dimension (customer) BEFORE the stateful aggregation — the
+    * canonical "enrich then window" shape. The static side is re-read
+    * per micro-batch by the engine and broadcast (it's a dimension
+    * table); no join state accumulates — only the windowed agg holds
+    * state, sharded by (window, segment) and bounded by the watermark.
+    */
+  def enrichedWindowedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "5 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("c_mktsegment").as("segment"), col("n"), col("total_value"))
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding hour. Both sides watermarked so the
     * join state is GC'd once the interval can no longer match — the
