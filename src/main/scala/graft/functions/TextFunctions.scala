@@ -78,8 +78,20 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: blend of length band, alpha
     * ratio, stopword presence and sane mean token length.
+    *
+    * Delegates to the single-pass [[QualityStats]] expression — the
+    * all-builtins composite re-split the text once per component
+    * (lambdas block CSE) and exploded under predicate-pushdown
+    * substitution (q87 evaluated it 3×/row). The builtin spelling
+    * survives as [[qualityScoreComposite]], kept as the executable
+    * specification: QualityStatsSpec asserts bit-equality on the real
+    * corpus, and the DuckDB oracle CTEs remain its direct translation.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    QualityFunctions.quality_stats(text).getField("q")
+
+  /** The original builtins-only blend (the specification form). */
+  def qualityScoreComposite(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val alpha = alphaRatio(text)
     val stop = least(stopwordRatio(text) * 5.0, lit(1.0))

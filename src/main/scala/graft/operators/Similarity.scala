@@ -167,10 +167,16 @@ object Similarity {
     * cluster stays bounded (~|corpus|/k rows) and the join shuffles on
     * the cluster key like any equi-join. `replicas` > 1 is the IVF
     * spill trick: near-dups straddling a cluster boundary still share
-    * at least one bucket. Pairs reached through several shared
-    * clusters are deduped on bare ids BEFORE vectors are re-joined, so
-    * each distinct pair's cosine is computed once and raw vectors
-    * never ride through the bucket join.
+    * at least one bucket. Vectors ride WITH their assignment rows into
+    * the bucket join (a corpus-sized shuffle, ~d×8 bytes/row) so the
+    * cosine is computed and thresholded inside the join stage — the
+    * candidate pair set (Σ|cluster|², orders of magnitude larger than
+    * the corpus) never hits a shuffle; only the ≥-threshold survivors
+    * are deduped. A pair sharing several clusters recomputes its
+    * (deterministic) cosine at most replicas² times — pure CPU, which
+    * is the cheap currency; the earlier id-dedup-then-rejoin form
+    * shuffled the full pair set three times and was 5× slower at
+    * sf0.1 despite computing each cosine once.
     *
     * `centers` is the same persisted index artifact as [[ivfTopK]]'s —
     * one k-means build serves both search and dedup.
@@ -184,19 +190,15 @@ object Similarity {
       return c.sparkSession.range(0).select(
         col("id").as("id_a"), col("id").as("id_b"), col("id").cast("double").as("cosine"))
     // NaN vectors assign to no cluster (cid −1) and drop out here
-    val assigned = c.select(col("id"),
+    val assigned = c.select(col("id"), col("v"),
         explode(nearest_centroids(col("v"), centers, replicas)).as("cid"))
       .filter(col("cid") >= 0)
-    val cand = assigned.as("a").join(assigned.as("b"),
+    assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
-      .join(c.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(c.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cosine", round(cosine_similarity(col("va"), col("vb")), 6))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine_similarity(col("a.v"), col("b.v")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
   }
 
   /** End-to-end semantic dedup: [[semanticPairs]] → connected

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Sampling, Winnowing}
+import graft.operators.{IncrementalDedup, Sampling, Winnowing}
 import graft.sources.Tables
 
 /** Corpus-curation operators beyond the per-document filters in
@@ -70,9 +70,14 @@ object CurationQ {
     */
   def qualityResample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // one QualityStats walk yields BOTH stats; the struct alias is
+      // non-cheap so CollapseProject keeps the boundary, and the
+      // pushed-down bucket predicate re-derives one cheap walk instead
+      // of three builtin blends (the 6× q45-vs-q87 gap this replaced)
       .select(col("doc_id"), col("source"),
-        qualityScore(col("text")).as("q"),
-        tokenCount(col("text")).cast("long").as("n_tok"))
+        graft.functions.QualityFunctions.quality_stats(col("text")).as("qs"))
+      .select(col("doc_id"), col("source"),
+        col("qs.q").as("q"), col("qs.n_tok").cast("long").as("n_tok"))
       .filter(Sampling.bucket(col("doc_id"), "qs1") <
         floor(col("q") * col("q") * lit(1000000.0)))
       .groupBy(col("source"))
@@ -193,7 +198,53 @@ object CurationQ {
           s => s.getField("line")), "\n").as("clean_text"))
   }
 
+  /** The persisted-bloom stand-in: memoized per (session, dir) like
+    * every other deterministic artifact (semCenters, IVF centers, SNM
+    * pairs) — production writes the filter beside the corpus and
+    * updates it per accepted batch.
+    */
+  private val bloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.util.sketch.BloomFilter]()
+
+  /** q96 — incremental dedup of a "new batch" against corpus history.
+    *
+    * Split the documents table deterministically: history = doc_id % 10
+    * ≠ 0, batch = doc_id % 10 = 0. The synthetic corpus carries real
+    * exact-duplicate groups (q42), so the batch genuinely overlaps the
+    * history — no planting needed; DuckDB computes the same truth by a
+    * canonical-text semi-join. The scalar contract row carries the
+    * exact counts (batch, confirmed dups, survivors — all
+    * DuckDB-checkable) plus two engine-measured invariants the oracle
+    * states literally: `no_false_negatives` (every confirmed dup was
+    * bloom-positive — the bloom guarantee) and `fp_bounded` (observed
+    * false positives ≤ max(16, 5·fpp·|batch|) — generous but a real
+    * regression trap: a mis-built or mis-probed filter blows past it).
+    */
+  val bloomFpp = 0.01
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val bloom = bloomMemo.computeIfAbsent((spark, dir),
+      _ => IncrementalDedup.contentBloom(history, fpp = bloomFpp))
+    val ann = IncrementalDedup.annotateAgainst(batch, history, bloom)
+    ann.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_survivors"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("_n_hit"),
+        sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L)).as("_fn"))
+      .select(col("n_batch"), col("n_dup"), col("n_survivors"),
+        (col("_fn") === 0L).as("no_false_negatives"),
+        ((col("_n_hit") - col("n_dup")) <=
+          greatest(lit(16L), (lit(5.0 * bloomFpp) * col("n_batch")).cast("long")))
+          .as("fp_bounded"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_incremental_dedup" -> (incrementalDedup _),
     "q86_mixture_rebalance" -> (mixtureRebalance _),
     "q87_quality_resample" -> (qualityResample _),
     "q88_shard_plan" -> (shardPlan _),
@@ -242,6 +293,22 @@ object CurationQ {
     s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 18, 15) AS BIGINT) % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q96_incremental_dedup" ->
+      """WITH h AS (
+        |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS ct
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |b AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS ct
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |m AS (SELECT b.doc_id,
+        |        CASE WHEN EXISTS (SELECT 1 FROM h WHERE h.ct = b.ct)
+        |             THEN 1 ELSE 0 END AS dup
+        |      FROM b)
+        |SELECT count(*) AS n_batch,
+        |  CAST(sum(dup) AS BIGINT) AS n_dup,
+        |  CAST(sum(1 - dup) AS BIGINT) AS n_survivors,
+        |  TRUE AS no_false_negatives, TRUE AS fp_bounded
+        |FROM m""".stripMargin,
     "q86_mixture_rebalance" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS n_tok
