@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.cosine_similarity
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, ProductQuantization, Similarity}
 import graft.sources.Tables
 
 /** Vector / embedding queries over the `embeddings` table: similarity
@@ -26,6 +26,29 @@ object VectorQ {
   private def ivfCenters(spark: SparkSession, dir: String): Seq[Seq[Double]] =
     centersMemo.computeIfAbsent((spark, dir), _ =>
       Similarity.kmeansCenters(Tables.embeddings(spark, dir)))
+
+  /** The PQ codebook artifact, memoized per (session, dir) like the
+    * IVF centers. m=16 subspaces × 256 codes: 32× smaller index rows,
+    * and the shortlist+re-rank search measures recall 1.0 on this
+    * fixture (uniform random vectors — PQ's worst case), which is what
+    * qualifies q97 for the FULL hash gate.
+    */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      ProductQuantization.Codebook]()
+  private def pqCodebook(spark: SparkSession, dir: String): ProductQuantization.Codebook =
+    pqMemo.computeIfAbsent((spark, dir), _ =>
+      ProductQuantization.train(Tables.embeddings(spark, dir), m = 16, ksub = 256))
+
+  /** PQ ADC shortlist + exact re-rank, under the FULL hash gate: the
+    * oracle is the exact brute-force top-k SQL (q50's), so the gate
+    * passes exactly when shortlist recall is 1.0 on the fixture — the
+    * q47 graduation pattern for probabilistic operators.
+    */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame =
+    ProductQuantization.adcRerankTopK(
+      Tables.embeddings(spark, dir), queriesDf(spark, dir), k = 5,
+      cb = pqCodebook(spark, dir))
 
   /** Exact cosine top-5 for the first 10 vectors as queries. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame =
@@ -190,7 +213,8 @@ object VectorQ {
     "q54_lsh_near_dups" -> (lshNearDups _),
     "q80_ann_recall" -> (annRecallGate _),
     "q83_lsh_planted_recall" -> (lshPlantedRecall _),
-    "q92_semantic_dedup" -> (semanticDedupGate _))
+    "q92_semantic_dedup" -> (semanticDedupGate _),
+    "q97_pq_ann" -> (pqAnn _))
 
   val oracles: Map[String, String] = Map(
     "q50_ann_brute_force" ->
@@ -241,5 +265,21 @@ object VectorQ {
       """SELECT CAST(count(*) AS BIGINT) AS n_planted,
         |  TRUE AS all_planted_paired, TRUE AS planted_cosine_ge_099,
         |  TRUE AS survivors_eq_corpus, TRUE AS planted_kept_canonical
-        |FROM embeddings WHERE vec_id < 20""".stripMargin)
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // the FULL exact-top-k oracle (q50's): the PQ shortlist + re-rank
+    // must reproduce the exact result row-for-row — recall 1.0 or fail
+    "q97_pq_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings),
+        |     sims AS (
+        |       SELECT query_id, corpus_id,
+        |         round(list_cosine_similarity(qv, cv), 6) AS sim
+        |       FROM q JOIN c ON corpus_id <> query_id),
+        |     ranked AS (
+        |       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, corpus_id ASC) AS INT) AS rn
+        |       FROM sims)
+        |SELECT query_id, corpus_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin)
 }
