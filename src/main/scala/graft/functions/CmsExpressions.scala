@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.CountMinSketch
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Point query against a serialized [[CountMinSketch]] (the binary
+  * Spark's `count_min_sketch` aggregate emits).
+  *
+  * The agg side is the scale story — per-partition sketches merge
+  * map-side, so a 100 TB token stream reduces to one (depth×width)
+  * counter grid with NO key-space shuffle (contrast the exact
+  * heavy-hitters groupBy, which shuffles every distinct token). This
+  * expression is the read side: estimate a candidate's count straight
+  * from the sketch bytes. Deserialization is memoized per sketch
+  * payload (identity of the byte array), so probing N candidates
+  * against one sketch parses it once per executor, not once per row.
+  *
+  * Hashing matches the aggregate's write side: StringType items probe
+  * with their UTF-8 bytes, exactly what CountMinSketchAgg adds.
+  */
+object CmsUtil {
+  // last-used cache: candidate probes all hit the same broadcast sketch
+  @transient private val cache =
+    new ThreadLocal[(Array[Byte], CountMinSketch)]
+
+  private def sketchOf(bytes: Array[Byte]): CountMinSketch = {
+    val c = cache.get()
+    if (c != null && (c._1 eq bytes)) c._2
+    else {
+      val s = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      cache.set((bytes, s))
+      s
+    }
+  }
+
+  def estimate(bytes: Array[Byte], item: UTF8String): Long =
+    sketchOf(bytes).estimateCount(item.getBytes)
+}
+
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate needs (binary, string), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(sketch: Any, item: Any): Any =
+    CmsUtil.estimate(sketch.asInstanceOf[Array[Byte]], item.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, i) =>
+      s"${ev.value} = graft.functions.CmsUtil.estimate($s, $i);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+}
+
+object CmsFunctions {
+  def cms_estimate(sketch: Column, item: Column): Column =
+    ColumnBridge.column(CmsEstimate(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(item)))
+}

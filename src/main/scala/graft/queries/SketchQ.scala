@@ -65,11 +65,54 @@ object SketchQ {
         round(element_at(col("ep"), 2), 4).as("exact_p50"),
         round(element_at(col("ep"), 5), 4).as("exact_p95"))
 
+  /** Count-Min Sketch heavy hitters — the frequency sketch counterpart
+    * of q63's HLL: per-partition (depth×width) grids merge map-side,
+    * so a 100 TB token stream never shuffles its key space (the exact
+    * top-10 groupBy here is the verification harness, not the scale
+    * path). The top candidates probe the sketch bytes via
+    * [[graft.functions.CmsEstimate]] and the published guarantees ride
+    * as literal-TRUE oracle booleans: CMS never underestimates, and
+    * with the fixed seed the `exact + eps·N` overestimate bound is a
+    * deterministic fact of the fixture (asserted at all three SFs).
+    */
+  val cmsEps = 0.001
+
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsFunctions.cms_estimate
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      expr(s"count_min_sketch(tok, ${cmsEps}D, 0.99D, 42)").as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(10)
+    top.crossJoin(sketch)
+      .select(col("tok"), col("exact_n"),
+        cms_estimate(col("sk"), col("tok")).as("_est"), col("n_total"))
+      .select(col("tok"), col("exact_n"),
+        (col("_est") >= col("exact_n")).as("never_underestimates"),
+        (col("_est") <= col("exact_n") +
+          ceil(lit(cmsEps) * col("n_total")).cast("long")).as("within_eps_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "q63_approx_distinct" -> (approxDistinct _),
     "q64_approx_percentiles" -> (approxPercentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q98_cms_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT u.tok FROM (
+        |    SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ts FROM documents), unnest(ts) u(tok)),
+        |top AS (
+        |  SELECT tok, count(*) AS exact_n FROM t GROUP BY tok
+        |  ORDER BY exact_n DESC, tok ASC LIMIT 10)
+        |SELECT tok, exact_n,
+        |  TRUE AS never_underestimates, TRUE AS within_eps_bound
+        |FROM top""".stripMargin,
     "q63_approx_distinct" ->
       """SELECT o_orderstatus,
         |  TRUE AS approx_within_3sigma,

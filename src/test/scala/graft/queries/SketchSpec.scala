@@ -34,4 +34,26 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getAs[Double]("exact_p95") >= r.getAs[Double]("exact_p50"))
     }
   }
+
+  test("CMS heavy hitters: guarantees hold for EVERY token, not just the top-10") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CmsFunctions.cms_estimate
+    import graft.functions.TextFunctions.tokens
+    val spark2 = spark
+    val toks = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      expr("count_min_sketch(tok, 0.001D, 0.99D, 42)").as("sk"),
+      count(lit(1)).as("n_total"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val checked = exact.crossJoin(sketch)
+      .select(col("tok"), col("n"),
+        cms_estimate(col("sk"), col("tok")).as("est"), col("n_total"))
+    assert(checked.filter(col("est") < col("n")).count() == 0L,
+      "CMS must never underestimate")
+    val over = checked
+      .filter(col("est") > col("n") + ceil(lit(0.001) * col("n_total")).cast("long"))
+      .count()
+    assert(over == 0L, s"eps-bound violations: $over")
+  }
 }
