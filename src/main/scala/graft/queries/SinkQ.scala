@@ -49,8 +49,49 @@ object SinkQ {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** The bucketed-layout write path: both join sides pre-hashed into
+    * the same bucket layout at WRITE time, so every later equi-join on
+    * the bucket key runs with zero shuffle exchanges — the primitive
+    * that amortizes one shuffle across every downstream join of a
+    * 100 TB fact table. Staged once per (JVM, source dir) as external
+    * bucketed tables in a temp warehouse path; the gate joins them and
+    * aggregates, so a broken bucket layout (rows routed to the wrong
+    * bucket drop out of the zero-exchange join) breaks the hash match.
+    * PlanContractSpec asserts the no-Exchange plan shape; the oracle
+    * computes the same aggregate from a plain join.
+    */
+  private val bucketed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    bucketed.computeIfAbsent(dir, d => {
+      val o = Files.createTempDirectory("graft_bucket_gate")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(o)))
+      Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$o/orders_b").mode("overwrite")
+        .saveAsTable(s"orders_b_$suffix")
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$o/lineitem_b").mode("overwrite")
+        .saveAsTable(s"lineitem_b_$suffix")
+      o.toString
+    })
+    spark.table(s"orders_b_$suffix")
+      .join(spark.table(s"lineitem_b_$suffix"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q81_write_roundtrip" -> (writeRoundtrip _))
+    "q81_write_roundtrip" -> (writeRoundtrip _),
+    "q99_bucketed_join" -> (bucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q81_write_roundtrip" ->
@@ -58,5 +99,11 @@ object SinkQ {
         |  CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents WHERE source = 'src1' GROUP BY lang""".stripMargin)
+        |FROM documents WHERE source = 'src1' GROUP BY lang""".stripMargin,
+    "q99_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin)
 }

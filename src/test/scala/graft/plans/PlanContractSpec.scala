@@ -43,6 +43,9 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q85_curation_funnel",    // 1×1 cross join of the stage-counts and dedup-survivor aggregates
     "q86_mixture_rebalance",  // 5×1 cross join: per-source totals × scalar min-total target
     "q92_semantic_dedup",     // 1×1 cross joins of the scalar invariant aggregates
+    "q97_pq_ann",             // broadcast queries(+ADC tables) × code-table scan —
+                              // the PQ analogue of q50's deliberate shape
+    "q98_cms_heavy_hitters",  // 10×1 cross join: top-k candidates × the one-row sketch
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
@@ -137,5 +140,12 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       assert(!plan.contains("Exchange SinglePartition"),
         s"$name regressed to a single-partition exchange")
     }
+  }
+
+  test("q99's bucketed join has no exchange on the bucket key") {
+    val p = plans("q99_bucketed_join")
+    assert(!p.contains("hashpartitioning(o_orderkey") &&
+      !p.contains("hashpartitioning(l_orderkey"),
+      s"bucketed join re-shuffled a bucketed side:\n$p")
   }
 }
