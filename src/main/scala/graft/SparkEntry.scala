@@ -28,6 +28,7 @@ object SparkEntry {
       (EventsQ.queries, EventsQ.oracles),
       (TextQ.queries, TextQ.oracles),
       (CurationQ.queries, CurationQ.oracles),
+      (RetrievalQ.queries, RetrievalQ.oracles),
       (VectorQ.queries, VectorQ.oracles),
       (MediaQ.queries, MediaQ.oracles),
       (AdvancedQ.queries, AdvancedQ.oracles),

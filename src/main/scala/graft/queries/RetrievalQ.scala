@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+
+/** Lexical retrieval over the documents table — the operator family a
+  * corpus platform exposes for search-style access (and that curation
+  * pipelines reuse for query-based corpus probes).
+  *
+  * Scale shape: classic inverted-index algebra as DataFrame ops. The
+  * postings list (doc, term, tf) is one explode + partial-agg groupBy
+  * of the corpus scan; document frequencies are a term-keyed aggregate
+  * of the postings (never a second corpus scan); the query terms (a
+  * handful of rows) broadcast onto the postings, so scoring touches
+  * only the matched postings — |terms ∩ corpus| rows, not |corpus|.
+  * Per-query top-k is the WindowGroupLimit window, no global sort.
+  *
+  * Float discipline (the q60/q37 lesson): the per-(doc, term) partial
+  * score is computed in ONE deterministic expression order on both
+  * engines, scaled to integer millionths per row, and SUMMED AS LONGS
+  * — bit-identical under any partitioning/summation order. The idf is
+  * the log-free ratio form ((N − df + ½)/(df + ½)) so no libm call
+  * whose last ulp differs between the JVM and DuckDB enters the gate;
+  * the BM25 tf saturation and length normalization are the standard
+  * k1=1.2, b=0.75 shape.
+  */
+object RetrievalQ {
+
+  val k1 = 1.2
+  val b = 0.75
+  /** Fixed probe queries (id → query string) for the gate. */
+  val probeQueries: Seq[(Int, String)] = Seq(
+    1 -> "the model of data",
+    2 -> "sample text with numbers",
+    3 -> "quick brown fox")
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // postings: one corpus scan -> (doc_id, term, tf, dl)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // corpus stats: N docs, avg doc length (exact-int inputs -> the
+    // double division is bit-identical on both engines)
+    val stats = doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qterms = probeQueries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(tokens(col("qtext"))).as("term"))
+      .distinct()
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(doclen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs").cast("double"))
+      // one expression, one operation order — both engines verbatim
+      .withColumn("term_score",
+        ((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)) *
+        ((col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) *
+              (col("dl").cast("double") / col("avgdl"))))))
+      .withColumn("ts_millionths", round(col("term_score") * 1000000.0).cast("long"))
+    val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ts_millionths")).as("score_millionths"),
+        count(lit(1)).as("n_matched_terms"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score_millionths").desc, col("doc_id").asc)
+    perDoc
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score_millionths"),
+        col("n_matched_terms"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_bm25_topk" -> (bm25TopK _))
+
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(%s), '\s+'), x -> len(x) > 0)"""
+
+  val oracles: Map[String, String] = Map(
+    "q100_bm25_topk" -> {
+      val probes = probeQueries
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"""WITH probes(query_id, qtext) AS (VALUES $probes),
+         |qt AS (
+         |  SELECT DISTINCT query_id, u.term
+         |  FROM (SELECT query_id, ${tokensSql.format("qtext")} AS ts FROM probes),
+         |       unnest(ts) u(term)),
+         |toks AS (
+         |  SELECT doc_id, u.term
+         |  FROM (SELECT doc_id, ${tokensSql.format("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |postings AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+         |scored AS (
+         |  SELECT qt.query_id, p.doc_id,
+         |    CAST(round((((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+         |        (CAST(d.df AS DOUBLE) + 0.5)) *
+         |      ((CAST(p.tf AS DOUBLE) * (${k1} + 1.0)) /
+         |        (CAST(p.tf AS DOUBLE) +
+         |          ${k1} * (1.0 - ${b} + ${b} * (CAST(l.dl AS DOUBLE) /
+         |            (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) *
+         |      1000000.0, 0) AS BIGINT) AS ts_millionths
+         |  FROM postings p
+         |  JOIN qt ON p.term = qt.term
+         |  JOIN dfreq d ON p.term = d.term
+         |  JOIN doclen l ON p.doc_id = l.doc_id
+         |  CROSS JOIN stats s),
+         |per_doc AS (
+         |  SELECT query_id, doc_id,
+         |    sum(ts_millionths) AS score_millionths,
+         |    count(*) AS n_matched_terms
+         |  FROM scored GROUP BY query_id, doc_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_millionths DESC, doc_id ASC) AS INT) AS rn
+         |  FROM per_doc)
+         |SELECT query_id, doc_id, score_millionths, n_matched_terms, rn
+         |FROM ranked WHERE rn <= 10""".stripMargin
+    })
+}
