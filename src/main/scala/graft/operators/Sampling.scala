@@ -44,4 +44,22 @@ object Sampling {
     }
     df.filter(bucket(key, salt) < threshold)
   }
+
+  /** EXACTLY-k-per-stratum sample — the deterministic reservoir: rank
+    * rows within each stratum by (portable hash, key) and keep the
+    * first k. Rate-based sampling ([[stratified]]) can't promise a
+    * count; eval sets and per-domain caps need exactly k. One shuffle
+    * on the stratum key + a WindowGroupLimit top-k per stratum (partial
+    * top-k runs map-side — the full stratum never sorts). Same rows on
+    * any engine: the hash order is portable and the key breaks ties.
+    */
+  def fixedSizePerStratum(df: DataFrame, strataCol: Column, key: Column,
+                          k: Int, salt: String = "s0"): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+      .orderBy(bucket(key, salt).asc, key.asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

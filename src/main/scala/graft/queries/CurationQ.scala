@@ -243,7 +243,22 @@ object CurationQ {
           .as("fp_bounded"))
   }
 
+  /** q102 — exactly-k-per-source sample (deterministic reservoir): the
+    * fixed-size counterpart of q75's rate-based stratified sample, for
+    * eval-set carving and per-domain caps. The portable hash order
+    * makes the EXACT kept row set reproducible in DuckDB, so the gate
+    * hash-matches rows, not just counts.
+    */
+  val fixedK = 40
+
+  def fixedSizeSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.fixedSizePerStratum(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("lang")),
+        strataCol = col("source"), key = col("doc_id"), k = fixedK, salt = "fs1")
+      .select(col("doc_id"), col("source"), col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_fixed_size_sample" -> (fixedSizeSample _),
     "q96_incremental_dedup" -> (incrementalDedup _),
     "q86_mixture_rebalance" -> (mixtureRebalance _),
     "q87_quality_resample" -> (qualityResample _),
@@ -293,6 +308,13 @@ object CurationQ {
     s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 18, 15) AS BIGINT) % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q102_fixed_size_sample" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source, lang,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${bucketSql("doc_id", "fs1")} ASC, doc_id ASC) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, lang FROM ranked WHERE rk <= $fixedK""".stripMargin,
     "q96_incremental_dedup" ->
       """WITH h AS (
         |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS ct

@@ -121,7 +121,34 @@ object StreamQ {
       col("c_id"), unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** The streaming WRITE path under the gate: the same windowed
+    * aggregation as q66, published to parquet per micro-batch through
+    * `foreachBatch` with an idempotent full-overwrite — the standard
+    * "stream a dashboard table into the lake" pattern (Complete-mode
+    * aggregates can't use the append-only native file sink). After the
+    * bounded stream drains, the gate READS THE WRITTEN FILES and lets
+    * the driver hash-compare them against q66's batch oracle, so a
+    * lost micro-batch, a partial overwrite, or a mangled file breaks
+    * the match. Output dir staged per (JVM, source dir) like q81's.
+    */
+  private val sinkStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def streamSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = sinkStaged.computeIfAbsent(dir, _ => {
+      val o = Files.createTempDirectory("graft_stream_sink").toString
+      val res = Streaming.windowedCounts(Streaming.eventStream(spark, stagedEvents(dir)))
+        .select(
+          col("window_start").cast("long").as("window_start_epoch"),
+          col("window_end").cast("long").as("window_end_epoch"),
+          col("event_type"), col("n"), col("total_value"))
+      Streaming.runForeachBatchOverwrite(res, s"$o/windows", OutputMode.Complete)
+      o
+    })
+    spark.read.parquet(s"$out/windows")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_stream_sink_roundtrip" -> (streamSinkRoundtrip _),
     "q66_stream_windowed_counts" -> (streamWindowedCounts _),
     "q73_stream_dedup" -> (streamDedup _),
     "q91_stream_sessions" -> (streamSessions _),
@@ -129,6 +156,14 @@ object StreamQ {
     "q95_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the files the foreachBatch sink wrote must reproduce q66's batch
+    // truth — same tumbling-window SQL
+    "q101_stream_sink_roundtrip" ->
+      """SELECT
+        |  CAST(epoch_us(ts) // 300000000 * 300 AS BIGINT) AS window_start_epoch,
+        |  CAST(epoch_us(ts) // 300000000 * 300 + 300 AS BIGINT) AS window_end_epoch,
+        |  event_type, count(*) AS n, round(sum("value"), 2) AS total_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q73_stream_dedup" ->
       """WITH u AS (SELECT DISTINCT user_id, event_type, "value" FROM events)
         |SELECT user_id, count(*) AS n_unique,

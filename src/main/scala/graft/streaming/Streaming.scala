@@ -223,4 +223,43 @@ object Streaming {
       org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
     }
   }
+
+  /** Publish a (bounded) stream to parquet via `foreachBatch` with an
+    * idempotent full overwrite per micro-batch — the lake-publish
+    * pattern for Complete-mode aggregates, which the append-only native
+    * file sink cannot carry. Overwrite idempotence IS the exactly-once
+    * story: a replayed batch rewrites the same state. Same conf/
+    * checkpoint staging as [[runToMemory]]; Complete-mode re-emits from
+    * the data batch itself, so the no-data batch is skipped.
+    */
+  def runForeachBatchOverwrite(df: DataFrame, path: String, mode: OutputMode): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val ckBase = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val ck = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckBase), "graft_stream_ck")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(path)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData match {
+        case Some(v) => conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+    }
+  }
 }

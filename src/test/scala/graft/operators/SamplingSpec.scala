@@ -54,4 +54,26 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.contains("s2"))
     assert(math.abs(got("s1") / 2000.0 - 0.2) < 0.04)
   }
+
+  test("fixedSizePerStratum: exactly k per stratum, deterministic, nested in k") {
+    import org.apache.spark.sql.functions._
+    val spark2 = graft.SparkTestSession.spark
+    import spark2.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "g")
+    val k20 = Sampling.fixedSizePerStratum(df, col("g"), col("id"), 20)
+    val counts = k20.groupBy(col("g")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 20L) && counts.size == 5)
+    // deterministic and nested: the k=5 set is a subset of the k=20 set
+    val k5 = Sampling.fixedSizePerStratum(df, col("g"), col("id"), 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val k20ids = k20.select("id").collect().map(_.getLong(0)).toSet
+    assert(k5.subsetOf(k20ids))
+    val again = Sampling.fixedSizePerStratum(df, col("g"), col("id"), 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == k20ids)
+    // strata smaller than k keep everything
+    val tiny = Sampling.fixedSizePerStratum(df.filter(col("id") <= 3), col("g"), col("id"), 20)
+    assert(tiny.count() == 3)
+  }
 }
