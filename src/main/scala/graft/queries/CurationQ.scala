@@ -257,7 +257,49 @@ object CurationQ {
         strataCol = col("source"), key = col("doc_id"), k = fixedK, salt = "fs1")
       .select(col("doc_id"), col("source"), col("lang"))
 
+  /** q103 — source-drift report: total-variation distance between each
+    * pair of sources' unigram distributions over the corpus-wide
+    * top-`drift` vocabulary. The mixture monitor a pipeline runs
+    * between crawl snapshots (KL is the textbook choice, but its log
+    * is a libm call whose last ulp differs across engines; TV distance
+    * is rational arithmetic end-to-end, so the gate is exact). Scale
+    * shape: one token scan → (source, term) partial agg; the vocab is
+    * a top-N aggregate joined back (broadcast-small); the pair matrix
+    * is |sources|² rows of pre-aggregated millionths — per-term
+    * |p−q| is scaled to integer millionths BEFORE the sum, so the
+    * result is order-independent under any partitioning.
+    */
+  val driftVocab = 100
+
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = counts.groupBy(col("term")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("term").asc).limit(driftVocab)
+      .select(col("term"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("total"))
+    // per (source, vocab term) probability — sources missing a term
+    // contribute p = 0 via the full source×vocab frame
+    val probs = totals.crossJoin(vocab)
+      .join(counts, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("total").cast("double"))
+          .as("p"))
+    probs.as("a").join(probs.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        round(abs(col("a.p") - col("b.p")) * 1000000.0).cast("long").as("d"))
+      .groupBy(col("source_a"), col("source_b"))
+      // 2×TV in millionths: the /2 halving is left to the reader —
+      // integer-cast division rounds differently across engines
+      .agg(sum(col("d")).as("tv_2x_millionths"),
+        count(lit(1)).cast("int").as("n_terms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_source_drift" -> (sourceDrift _),
     "q102_fixed_size_sample" -> (fixedSizeSample _),
     "q96_incremental_dedup" -> (incrementalDedup _),
     "q86_mixture_rebalance" -> (mixtureRebalance _),
@@ -308,6 +350,27 @@ object CurationQ {
     s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 18, 15) AS BIGINT) % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q103_source_drift" ->
+      s"""WITH toks AS (
+         |  SELECT source, u.term
+         |  FROM (SELECT source, $tokensSql AS ts FROM documents), unnest(ts) u(term)),
+         |counts AS (
+         |  SELECT source, term, count(*) AS c FROM toks GROUP BY source, term),
+         |vocab AS (
+         |  SELECT term FROM (SELECT term, sum(c) AS tc FROM counts GROUP BY term)
+         |  ORDER BY tc DESC, term ASC LIMIT $driftVocab),
+         |totals AS (SELECT source, sum(c) AS total FROM counts GROUP BY source),
+         |probs AS (
+         |  SELECT t.source, v.term,
+         |    CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(t.total AS DOUBLE) AS p
+         |  FROM totals t CROSS JOIN vocab v
+         |  LEFT JOIN counts c ON c.source = t.source AND c.term = v.term)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(sum(CAST(round(abs(a.p - b.p) * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+         |    AS tv_2x_millionths,
+         |  CAST(count(*) AS INT) AS n_terms
+         |FROM probs a JOIN probs b ON a.term = b.term AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "q102_fixed_size_sample" ->
       s"""WITH ranked AS (
          |  SELECT doc_id, source, lang,
