@@ -65,13 +65,33 @@ object MediaQ {
         max(col("n_frames")).as("max_frames"),
         sum(col("byte_len")).as("total_bytes"))
 
+  /** Frame-sample plan over the REAL decode path: every 3rd frame
+    * index of each video row, where n_frames comes from the actual AVI
+    * chunk walk (not metadata). Row-level gate: DuckDB re-derives
+    * frames from container arithmetic over the source text and the
+    * stride-3 sample count as (frames+2)//3.
+    */
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSamplePlan(
+        Multimodal.decodeFeatures(
+          Multimodal.syntheticMedia(Tables.documents(spark, dir))),
+        stride = 3)
+      .select(col("media_id"), col("n_frames"), col("n_sampled"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_frame_sample" -> (mediaFrameSample _),
     "q55_media_bytes" -> (mediaBytes _),
     "q56_media_features" -> (mediaFeatures _),
     "q57_media_resize" -> (mediaResize _),
     "q69_media_real_dims" -> (mediaRealDims _))
 
   val oracles: Map[String, String] = Map(
+    "q104_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(greatest(1, (strlen(text) + 383) // 384) AS INT) AS n_frames,
+        |  CAST((greatest(1, (strlen(text) + 383) // 384) + 2) // 3 AS INT)
+        |    AS n_sampled
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "q55_media_bytes" ->
       """WITH m AS (
         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
