@@ -104,4 +104,27 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestSession {
     // all-zero pixels: channel means 0, luma variance 0, all mass in bin 0
     assert(feat(0) == 0.0f && feat(3) == 0.0f && feat(4) == 1.0f)
   }
+
+  test("round-5 operators on empty and singleton inputs") {
+    // PQ: singleton corpus trains (seeds cycle) and searches to nothing
+    // against an empty query set
+    val oneVec = Seq((1L, (0 until 64).map(_.toDouble).toArray))
+      .toDF("vec_id", "embedding")
+    val cb1 = ProductQuantization.train(oneVec, m = 16, ksub = 4)
+    assert(!cb1.isEmpty)
+    assert(ProductQuantization.adcTopK(oneVec, oneVec.filter(lit(false)), 5, cb1)
+      .count() == 0)
+    // self is excluded: a 1-vector corpus returns nothing for itself
+    assert(ProductQuantization.adcRerankTopK(oneVec, oneVec, 5, cb1).count() == 0)
+    // fixed-size sampling on empty input
+    assert(Sampling.fixedSizePerStratum(emptyDocs.withColumn("g", lit("a")),
+      col("g"), col("doc_id"), 5).count() == 0)
+    // BM25 over an empty corpus dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_empty_docs")
+    emptyDocs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(graft.queries.RetrievalQ.bm25TopK(spark, tmp.toString).count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
 }
