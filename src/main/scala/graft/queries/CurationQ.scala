@@ -298,7 +298,34 @@ object CurationQ {
         count(lit(1)).cast("int").as("n_terms"))
   }
 
+  /** q105 — tokenizer-vocab coverage: build a top-V subword vocabulary
+    * (the frequency step of tokenizer training) and report each
+    * source's OOV occurrence rate against it — the check a pipeline
+    * runs before committing to a vocab size. One explode feeds both
+    * the vocab aggregate and the coverage join; the vocab (V rows)
+    * broadcasts back onto the sub-token stream. OOV rate crosses the
+    * gate as round-to-millionths of an exact-int division.
+    */
+  val vocabSize = 500
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.documents(spark, dir)
+      .select(col("source"), explode(bpeishTokens(col("text"))).as("t"))
+    val vocab = sub.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(vocabSize)
+      .select(col("t"), lit(true).as("in_vocab"))
+    sub.join(vocab, Seq("t"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_occurrences"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_occurrences"))
+      .select(col("source"), col("total_occurrences"), col("oov_occurrences"),
+        round(col("oov_occurrences").cast("double") /
+          col("total_occurrences").cast("double") * 1000000.0).cast("long")
+          .as("oov_rate_millionths"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_vocab_coverage" -> (vocabCoverage _),
     "q103_source_drift" -> (sourceDrift _),
     "q102_fixed_size_sample" -> (fixedSizeSample _),
     "q96_incremental_dedup" -> (incrementalDedup _),
@@ -350,6 +377,23 @@ object CurationQ {
     s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 18, 15) AS BIGINT) % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q105_vocab_coverage" ->
+      s"""WITH sub AS (
+         |  SELECT source, u.t
+         |  FROM (SELECT source,
+         |          regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts
+         |        FROM documents), unnest(ts) u(t)),
+         |vocab AS (
+         |  SELECT t FROM (SELECT t, count(*) AS c FROM sub GROUP BY t)
+         |  ORDER BY c DESC, t ASC LIMIT $vocabSize)
+         |SELECT s.source, count(*) AS total_occurrences,
+         |  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS oov_occurrences,
+         |  CAST(round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+         |    AS oov_rate_millionths
+         |FROM sub s LEFT JOIN vocab v ON s.t = v.t
+         |GROUP BY s.source""".stripMargin,
     "q103_source_drift" ->
       s"""WITH toks AS (
          |  SELECT source, u.term
