@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
 import graft.sources.Tables
 
 /** Event-log analytics over the `events` table: semi-structured (JSON)
@@ -69,13 +70,71 @@ object EventsQ {
         round(col("n") / col("_total"), 6).as("share"))
   }
 
+  /** q106 — time-series resample + forward-fill: each user's value
+    * series re-gridded to hourly points over the user's own [min, max]
+    * span, every grid point carrying the last observation at-or-before
+    * it (the gap-fill idiom: sensors, prices, metrics). Composition of
+    * existing scale-safe parts — integer-µs grid via `sequence`
+    * (pure long arithmetic; a double `floor(ts/step)` would lose
+    * precision above 2^53), then ONE backward [[AsOfJoin]] keyed by
+    * user. The observation table is deduped to one row per (user, µs)
+    * first so the as-of match is engine-deterministic even if two
+    * events collide on a microsecond. Oracle: DuckDB's native ASOF
+    * LEFT JOIN over the same integer grid.
+    */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+    val obs = ev.groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("obs_value"))
+      .withColumnRenamed("ts_us", "obs_us")
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("_t0"), max(col("ts_us")).as("_t1"))
+      .select(col("user_id"),
+        explode(sequence(
+          col("_t0") - pmod(col("_t0"), lit(hourUs)),
+          col("_t1") - pmod(col("_t1"), lit(hourUs)),
+          lit(hourUs))).as("grid_us"))
+    AsOfJoin.backward(grid, obs, Seq("user_id"), "grid_us", "obs_us")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        count(col("obs_value")).as("n_filled"),
+        sum(when(col("obs_value").isNotNull,
+          round(col("obs_value") * 1000000.0).cast("long")).otherwise(0L))
+          .as("ffill_millionths"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_resample_ffill" -> (resampleFfill _),
     "q32_json_extract" -> (jsonExtract _),
     "q33_time_buckets" -> (timeBuckets _),
     "q34_sessionize" -> (sessionize _),
     "q35_type_share" -> (typeShare _))
 
   val oracles: Map[String, String] = Map(
+    "q106_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, "value" FROM events),
+        |obs AS (
+        |  SELECT user_id, ts_us AS obs_us, max("value") AS obs_value
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(range(t0 - t0 % 3600000000, t1 - t1 % 3600000000 + 1,
+        |                 3600000000)) AS grid_us
+        |  FROM (SELECT user_id, min(ts_us) AS t0, max(ts_us) AS t1
+        |        FROM ev GROUP BY user_id)),
+        |j AS (
+        |  SELECT g.user_id, g.grid_us, o.obs_value
+        |  FROM grid g ASOF LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.grid_us >= o.obs_us)
+        |SELECT user_id, count(*) AS n_points,
+        |  count(obs_value) AS n_filled,
+        |  CAST(sum(CASE WHEN obs_value IS NOT NULL
+        |    THEN CAST(round(obs_value * 1000000.0, 0) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS ffill_millionths
+        |FROM j GROUP BY user_id""".stripMargin,
     "q32_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
         |  count(*) AS n, round(sum("value"), 2) AS total_value
