@@ -17,23 +17,39 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * heavy-hitters groupBy, which shuffles every distinct token). This
   * expression is the read side: estimate a candidate's count straight
   * from the sketch bytes. Deserialization is memoized per sketch
-  * payload (identity of the byte array), so probing N candidates
-  * against one sketch parses it once per executor, not once per row.
+  * CONTENT fingerprint, so probing N candidates against one sketch
+  * parses it once per thread, not once per row (row extraction copies
+  * the binary, so an identity key would never hit).
   *
   * Hashing matches the aggregate's write side: StringType items probe
   * with their UTF-8 bytes, exactly what CountMinSketchAgg adds.
   */
 object CmsUtil {
-  // last-used cache: candidate probes all hit the same broadcast sketch
+  // last-used cache keyed by a CONTENT fingerprint (length + first/last
+  // 8 bytes): row extraction copies the binary per evaluation, so an
+  // identity (`eq`) key would never hit and the ~100 KB payload would
+  // re-parse per probed row. Two different sketches colliding on
+  // (length, head, tail) is not a practical concern — the counter grid
+  // starts diverging at the first increment.
   @transient private val cache =
-    new ThreadLocal[(Array[Byte], CountMinSketch)]
+    new ThreadLocal[((Int, Long, Long), CountMinSketch)]
+
+  private def fp(b: Array[Byte]): (Int, Long, Long) = {
+    def longAt(off: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 8 && off + i < b.length) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
+      v
+    }
+    (b.length, longAt(0), longAt(math.max(0, b.length - 8)))
+  }
 
   private def sketchOf(bytes: Array[Byte]): CountMinSketch = {
+    val k = fp(bytes)
     val c = cache.get()
-    if (c != null && (c._1 eq bytes)) c._2
+    if (c != null && c._1 == k) c._2
     else {
       val s = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      cache.set((bytes, s))
+      cache.set((k, s))
       s
     }
   }

@@ -71,8 +71,11 @@ object PqUtil {
     new GenericArrayData(t)
   }
 
-  /** Σ_j table[j·ksub + code_j]; any −1 code yields NaN (drops out of
-    * every threshold/rank downstream, like a NaN cosine).
+  /** Σ_j table[j·ksub + code_j]; any −1 code yields NaN. Callers must
+    * exclude NaN explicitly (`!isnan`) — NaN does NOT drop out of a
+    * desc rank on its own (it sorts FIRST in both Spark and DuckDB);
+    * [[graft.operators.ProductQuantization.adcTopK]] filters NaN
+    * estimates and zero-norm rows before ranking.
     */
   def adcDot(table: ArrayData, codes: ArrayData, ksub: Int): Double = {
     var s = 0.0

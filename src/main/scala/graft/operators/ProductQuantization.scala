@@ -103,7 +103,15 @@ object ProductQuantization {
         l2norm(col("qv")).as("qnorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("est").desc, col("corpus_id").asc)
-    idx.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+    // Unsearchable rows are excluded DETERMINISTICALLY before the
+    // estimate: zero-norm vectors (est would be ±Infinity) and NaN
+    // codes (encode emits −1 → est NaN). NOTE this is an engine
+    // semantic, not oracle parity — an exact-cosine oracle ranks a NaN
+    // sim FIRST under desc ordering; the gate fixture carries no such
+    // rows, and EmptyInputSpec pins the exclusion behavior.
+    idx.filter(col("vnorm") > 0.0)
+      .join(broadcast(q.filter(col("qnorm") > 0.0)),
+        col("corpus_id") =!= col("query_id"))
       .withColumn("est",
         pq_adc_dot(col("tbl"), col("codes"), cb.ksub) / (col("qnorm") * col("vnorm")))
       .filter(!isnan(col("est")))

@@ -177,11 +177,17 @@ object CurationQ {
     val lineArr = when(size(col("ts")) <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nLines - 1),
         i => concat_ws(" ", slice(col("ts"), i * lineLen + 1, lit(lineLen)))))
+    // the tokenize + chunk + per-line md5 pass is the query's dominant
+    // CPU cost and has two consumers (the dup-frequency aggregate and
+    // the probe join) whose exchanges can't be deduped by
+    // ReuseExchange; the lazy checkpoint stands in for the written
+    // lines table a production pipeline materializes once (q85's move)
     val lines = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("source"),
         posexplode(lineArr).as(Seq("line_no", "line")))
       .withColumn("h", Winnowing.portableHash(col("line")))
+      .localCheckpoint(false)
     val dupHashes = lines
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > lineDupMaxDocs)
@@ -339,8 +345,7 @@ object CurationQ {
   /** DuckDB token list of `text` — identical to
     * [[graft.functions.TextFunctions.tokens]].
     */
-  private val tokensSql =
-    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+  private val tokensSql = OracleSql.tokens("text")
 
   /** q45's quality blend as a reusable CTE chain ending in `q(doc_id,
     * source, n_tok, q)` — generated against the SAME stopword constant

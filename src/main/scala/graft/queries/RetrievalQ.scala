@@ -82,8 +82,6 @@ object RetrievalQ {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_bm25_topk" -> (bm25TopK _))
 
-  private val tokensSql =
-    """list_filter(string_split_regex(lower(%s), '\s+'), x -> len(x) > 0)"""
 
   val oracles: Map[String, String] = Map(
     "q100_bm25_topk" -> {
@@ -92,11 +90,11 @@ object RetrievalQ {
       s"""WITH probes(query_id, qtext) AS (VALUES $probes),
          |qt AS (
          |  SELECT DISTINCT query_id, u.term
-         |  FROM (SELECT query_id, ${tokensSql.format("qtext")} AS ts FROM probes),
+         |  FROM (SELECT query_id, ${OracleSql.tokens("qtext")} AS ts FROM probes),
          |       unnest(ts) u(term)),
          |toks AS (
          |  SELECT doc_id, u.term
-         |  FROM (SELECT doc_id, ${tokensSql.format("text")} AS ts FROM documents),
+         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
          |       unnest(ts) u(term)),
          |postings AS (
          |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),

@@ -60,24 +60,30 @@ object SinkQ {
     * PlanContractSpec asserts the no-Exchange plan shape; the oracle
     * computes the same aggregate from a plain join.
     */
-  private val bucketed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // keyed (session, dir) like every artifact memo — the catalog
+  // registration is session-local, so a dir-only key would hand a
+  // second session a dangling table reference; the collision-free
+  // counter (not dir.hashCode) names the tables
+  private val bucketSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val bucketed =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = java.lang.Integer.toHexString(dir.hashCode)
-    bucketed.computeIfAbsent(dir, d => {
+    val suffix = bucketed.computeIfAbsent((spark, dir), kd => {
+      val sfx = s"g${bucketSeq.incrementAndGet()}"
       val o = Files.createTempDirectory("graft_bucket_gate")
       Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(o)))
-      Tables.orders(spark, d)
+      Tables.orders(spark, kd._2)
         .select(col("o_orderkey"), col("o_orderstatus"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$o/orders_b").mode("overwrite")
-        .saveAsTable(s"orders_b_$suffix")
-      Tables.lineitem(spark, d)
+        .saveAsTable(s"orders_b_$sfx")
+      Tables.lineitem(spark, kd._2)
         .select(col("l_orderkey"), col("l_quantity"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$o/lineitem_b").mode("overwrite")
-        .saveAsTable(s"lineitem_b_$suffix")
-      o.toString
+        .saveAsTable(s"lineitem_b_$sfx")
+      sfx
     })
     spark.table(s"orders_b_$suffix")
       .join(spark.table(s"lineitem_b_$suffix"),

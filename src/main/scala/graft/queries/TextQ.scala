@@ -383,8 +383,11 @@ object TextQ {
       // dup-gram / md5 pass — the query's entire CPU cost — 3×. The
       // enriched stats table is tiny (5 scalar flags per doc, the raw
       // text already dropped), so a lazy localCheckpoint materializes
-      // it on the first action and the fan-out reads blocks. At 100 TB
-      // this is the same move a production funnel makes: write the
+      // it on the first action and the fan-out reads blocks. Lifecycle:
+      // each invocation checkpoints afresh; the previous invocation's
+      // blocks release via ContextCleaner once its DataFrame is
+      // unreachable (Bench nudges GC between queries for exactly this).
+      // At 100 TB this is the same move a production funnel makes: write the
       // per-doc stats table once, aggregate from it.
       .localCheckpoint(false)
     val keepFirst = flagged.filter(col("s4"))

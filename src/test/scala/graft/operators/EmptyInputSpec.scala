@@ -116,6 +116,21 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestSession {
       .count() == 0)
     // self is excluded: a 1-vector corpus returns nothing for itself
     assert(ProductQuantization.adcRerankTopK(oneVec, oneVec, 5, cb1).count() == 0)
+    // unsearchable rows (NaN components, zero norm) are excluded
+    // deterministically — never ranked, never ±Infinity estimates
+    val dirty = oneVec.unionByName(Seq(
+        (2L, Array.fill(64)(Double.NaN)),
+        (3L, Array.fill(64)(0.0)),
+        (4L, (0 until 64).map(i => (i + 1).toDouble).toArray))
+      .toDF("vec_id", "embedding"))
+    val res = ProductQuantization.adcTopK(dirty, dirty.filter(col("vec_id").isin(1L, 2L, 3L)), 5, cb1)
+      .collect()
+    assert(res.forall(r => r.getLong(1) != 2L && r.getLong(1) != 3L),
+      "NaN/zero-norm corpus rows must never appear in results")
+    assert(res.forall(_.getInt(0 + 3) >= 1)) // rn column sane
+    assert(res.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    // NaN/zero-norm QUERIES yield no rows rather than garbage ranks
+    assert(res.map(_.getLong(0)).toSet.intersect(Set(2L, 3L)).isEmpty)
     // fixed-size sampling on empty input
     assert(Sampling.fixedSizePerStratum(emptyDocs.withColumn("g", lit("a")),
       col("g"), col("doc_id"), 5).count() == 0)

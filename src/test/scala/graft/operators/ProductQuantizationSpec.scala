@@ -20,21 +20,30 @@ class ProductQuantizationSpec extends AnyFunSuite with SparkTestSession {
     assert(cb.centers.sameElements(cb2.centers))
   }
 
-  test("ADC estimate equals the manual table lookup") {
-    val idx = ProductQuantization.encodedIndex(embs, cb)
-    val row = idx.orderBy($"corpus_id").limit(1).collect()(0)
-    val codes = row.getSeq[Int](1)
-    assert(codes.length == 16 && codes.forall(c => c >= 0 && c < 256))
-    // est(v, v) via expression == sum over the same codes by hand
-    val v = embs.orderBy($"vec_id").limit(1)
-      .select($"embedding".cast("array<double>")).collect()(0).getSeq[Double](0)
-    val manual = (0 until cb.m).map { j =>
-      val base = (j * cb.ksub + codes(j)) * cb.dsub
-      (0 until cb.dsub).map(i => v(j * cb.dsub + i) * cb.centers(base + i)).sum
-    }.sum
-    val est = ProductQuantization.adcTopK(embs, embs.filter($"vec_id" === row.getLong(0)), 1, cb)
-    assert(est.count() >= 1) // smoke: pipeline runs end-to-end
-    assert(!manual.isNaN)
+  test("ADC estimate equals the manual table lookup, row for row") {
+    import graft.functions.PqFunctions._
+    // expression self-estimate vs the same sum computed by hand from
+    // the returned codes — an adcDot indexing bug cannot hide
+    val rows = embs.limit(20)
+      .select($"vec_id",
+        $"embedding".cast("array<double>").as("v"),
+        pq_encode($"embedding".cast("array<double>"), cb.centers, cb.m, cb.ksub).as("codes"),
+        pq_adc_dot(
+          pq_table($"embedding".cast("array<double>"), cb.centers, cb.m, cb.ksub),
+          pq_encode($"embedding".cast("array<double>"), cb.centers, cb.m, cb.ksub),
+          cb.ksub).as("est"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1); val codes = r.getSeq[Int](2)
+      assert(codes.length == cb.m && codes.forall(c => c >= 0 && c < cb.ksub))
+      val manual = (0 until cb.m).map { j =>
+        val base = (j * cb.ksub + codes(j)) * cb.dsub
+        (0 until cb.dsub).map(i => v(j * cb.dsub + i) * cb.centers(base + i)).sum
+      }.sum
+      assert(math.abs(r.getDouble(3) - manual) < 1e-9,
+        s"vec ${r.getLong(0)}: est ${r.getDouble(3)} vs manual $manual")
+    }
   }
 
   test("shortlist + re-rank reproduces the exact top-k on the fixture") {
