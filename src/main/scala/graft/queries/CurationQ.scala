@@ -213,6 +213,15 @@ object CurationQ {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       org.apache.spark.util.sketch.BloomFilter]()
 
+  /** The memoized history bloom (doc_id % 10 ≠ 0 split) — shared with
+    * the streaming twin (q107), which dedups the same batch as a
+    * stream against the same persisted-filter stand-in.
+    */
+  def historyBloom(spark: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomMemo.computeIfAbsent((spark, dir), _ => IncrementalDedup.contentBloom(
+      Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      fpp = bloomFpp))
+
   /** q96 — incremental dedup of a "new batch" against corpus history.
     *
     * Split the documents table deterministically: history = doc_id % 10
@@ -233,9 +242,8 @@ object CurationQ {
     val docs = Tables.documents(spark, dir)
     val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-    val bloom = bloomMemo.computeIfAbsent((spark, dir),
-      _ => IncrementalDedup.contentBloom(history, fpp = bloomFpp))
-    val ann = IncrementalDedup.annotateAgainst(batch, history, bloom)
+    val ann = IncrementalDedup.annotateAgainst(batch, history,
+      historyBloom(spark, dir))
     ann.agg(
         count(lit(1)).as("n_batch"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),

@@ -150,7 +150,54 @@ object StreamQ {
     spark.read.parquet(s"$out/windows")
   }
 
+  private val stagedDocsMap = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDocs(dir: String): String =
+    stagedDocsMap.computeIfAbsent(dir, d => {
+      val stage = Files.createTempDirectory("graft_stream_docs")
+      stage.toFile.deleteOnExit()
+      Files.copy(Paths.get(d, "documents.parquet"),
+        stage.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      stage.toString
+    })
+
+  /** Streaming incremental dedup — the streaming twin of q96: the new
+    * batch arrives as a STREAM and dedups in flight against the same
+    * history artifacts (the broadcast-style bloom rides to executors
+    * inside the codegen'd probe; the confirm is a stream-static left
+    * join on the 128-bit hash, stateless on the stream side). The
+    * ingest-time shape of "drop what the 100 TB history already has"
+    * — no stream state accumulates, so the watermark machinery isn't
+    * needed. The gate aggregates the memory-sink rows per source and
+    * DuckDB recomputes the truth by canonical-text semi-join.
+    */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val history = graft.sources.Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batchStream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stagedDocs(dir))
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val ann = graft.operators.IncrementalDedup.annotateAgainst(
+        batchStream, history, CurationQ.historyBloom(spark, dir))
+      .select(col("doc_id"), col("source"), col("bloom_hit"), col("is_dup"))
+    val res = Streaming.runToMemory(ann,
+      name = "q107_stream_incremental_dedup_mem",
+      mode = OutputMode.Append,
+      skipNoDataBatch = true)
+    res.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_new"),
+        (sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_stream_incremental_dedup" -> (streamIncrementalDedup _),
     "q101_stream_sink_roundtrip" -> (streamSinkRoundtrip _),
     "q66_stream_windowed_counts" -> (streamWindowedCounts _),
     "q73_stream_dedup" -> (streamDedup _),
@@ -159,6 +206,22 @@ object StreamQ {
     "q95_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q107_stream_incremental_dedup" ->
+      """WITH h AS (
+        |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS ct
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |b AS (
+        |  SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS ct
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |m AS (SELECT b.source,
+        |        CASE WHEN EXISTS (SELECT 1 FROM h WHERE h.ct = b.ct)
+        |             THEN 1 ELSE 0 END AS dup
+        |      FROM b)
+        |SELECT source, count(*) AS n_batch,
+        |  CAST(sum(dup) AS BIGINT) AS n_dup,
+        |  CAST(sum(1 - dup) AS BIGINT) AS n_new,
+        |  TRUE AS no_false_negatives
+        |FROM m GROUP BY source""".stripMargin,
     // the files the foreachBatch sink wrote must reproduce q66's batch
     // truth — same tumbling-window SQL
     "q101_stream_sink_roundtrip" ->
