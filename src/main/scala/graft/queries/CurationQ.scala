@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{IncrementalDedup, Sampling, Winnowing}
+import graft.operators.{Dedup, IncrementalDedup, Sampling, Winnowing}
 import graft.sources.Tables
 
 /** Corpus-curation operators beyond the per-document filters in
@@ -338,7 +338,49 @@ object CurationQ {
           .as("oov_rate_millionths"))
   }
 
+  /** q108 — decontaminated train/eval split: carve an exactly-k
+    * per-source eval set (the q102 deterministic reservoir under its
+    * own salt), then EXCLUDE from the training remainder every doc
+    * sharing canonical content with an eval doc — the leakage a naive
+    * row-split misses when the corpus carries duplicates. One hash
+    * semi-join does the exclusion (content hashes only — text never
+    * re-shuffles). The gate reports per-source sizes plus the
+    * engine-measured invariant (zero residual content overlap) the
+    * oracle states literally; sizes and exclusions are exact DuckDB
+    * arithmetic.
+    */
+  val evalK = 25
+
+  def evalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(Dedup.canonicalText(col("text"))).as("ch"))
+    val eval = Sampling.fixedSizePerStratum(docs, col("source"), col("doc_id"),
+      k = evalK, salt = "ev1")
+    val evalHashes = eval.select(col("ch")).distinct()
+    val rest = docs.join(eval.select(col("doc_id"), lit(true).as("_inEval")),
+        Seq("doc_id"), "left")
+      .filter(col("_inEval").isNull).drop("_inEval")
+    val train = rest.join(evalHashes.withColumn("_leak", lit(true)), Seq("ch"), "left")
+      .withColumn("leaked", col("_leak").isNotNull)
+    // the invariant as a 1-row scalar aggregate inside the plan (no
+    // driver-side action): surviving train docs sharing an eval hash
+    val residual = train.filter(!col("leaked"))
+      .join(evalHashes, Seq("ch"), "semi")
+      .agg(count(lit(1)).as("_res"))
+    train.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rest"),
+        sum(when(col("leaked"), 1L).otherwise(0L)).as("n_excluded_leaks"),
+        sum(when(!col("leaked"), 1L).otherwise(0L)).as("n_train"))
+      .join(eval.groupBy(col("source")).agg(count(lit(1)).as("n_eval")), Seq("source"))
+      .crossJoin(broadcast(residual))
+      .select(col("source"), col("n_eval"), col("n_rest"),
+        col("n_excluded_leaks"), col("n_train"),
+        (col("_res") === 0L).as("no_residual_overlap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_eval_split" -> (evalSplit _),
     "q105_vocab_coverage" -> (vocabCoverage _),
     "q103_source_drift" -> (sourceDrift _),
     "q102_fixed_size_sample" -> (fixedSizeSample _),
@@ -390,6 +432,31 @@ object CurationQ {
     s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 18, 15) AS BIGINT) % 1000000"
 
   val oracles: Map[String, String] = Map(
+    "q108_eval_split" -> {
+      val bucket = bucketSql("doc_id", "ev1")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS ch
+         |  FROM documents),
+         |ev AS (
+         |  SELECT doc_id, source, ch FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY $bucket ASC, doc_id ASC) AS rk FROM d)
+         |  WHERE rk <= $evalK),
+         |rest AS (
+         |  SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         |t AS (
+         |  SELECT rest.*, CASE WHEN EXISTS
+         |      (SELECT 1 FROM ev WHERE ev.ch = rest.ch) THEN 1 ELSE 0 END AS leaked
+         |  FROM rest)
+         |SELECT t.source,
+         |  (SELECT count(*) FROM ev WHERE ev.source = t.source) AS n_eval,
+         |  count(*) AS n_rest,
+         |  CAST(sum(leaked) AS BIGINT) AS n_excluded_leaks,
+         |  CAST(sum(1 - leaked) AS BIGINT) AS n_train,
+         |  TRUE AS no_residual_overlap
+         |FROM t GROUP BY t.source""".stripMargin
+    },
     "q105_vocab_coverage" ->
       s"""WITH sub AS (
          |  SELECT source, u.t

@@ -48,6 +48,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q98_cms_heavy_hitters",  // 10×1 cross join: top-k candidates × the one-row sketch
     "q100_bm25_topk",         // 1-row corpus-stats scalar broadcast onto matched postings
     "q103_source_drift",      // |sources|×|vocab| frame: 5×100 rows by construction
+    "q108_eval_split",        // 1×1 cross join: the residual-overlap scalar invariant
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
