@@ -95,9 +95,66 @@ object SinkQ {
         max(col("o_orderkey")).as("max_orderkey"))
   }
 
+  /** q109/q110 — the non-parquet source/sink formats, each carrying
+    * the FULL document text (newlines, quotes, unicode) through a
+    * write-then-reread so escaping fidelity is what's gated: a sink
+    * that mangles one hostile character changes a raw-text md5
+    * downstream and breaks the match against the oracle's direct read
+    * of the original table. JSONL is schema-on-read with an explicit
+    * StructType; CSV needs header+escape+multiLine (embedded newlines
+    * split records without it). Trees staged once per (JVM, dir).
+    */
+  private def roundtripAgg(df: DataFrame): DataFrame =
+    // RAW-text md5 (not canonicalText): whitespace normalization would
+    // wash out exactly the newline/tab mangling this gate exists for
+    df.select(col("doc_id"), col("source"), md5(col("text")).as("ch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ch")).as("n_distinct_texts"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  private val jsonStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = jsonStaged.computeIfAbsent(dir, d => {
+      val o = Files.createTempDirectory("graft_jsonl_gate")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(o)))
+      Sinks.json(Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("source")), s"$o/docs")
+      o.toString
+    })
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    roundtripAgg(spark.read.schema(schema).json(s"$out/docs"))
+  }
+
+  private val csvStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = csvStaged.computeIfAbsent(dir, d => {
+      val o = Files.createTempDirectory("graft_csv_gate")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(o)))
+      Sinks.csv(Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("source")), s"$o/docs")
+      o.toString
+    })
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    roundtripAgg(spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(s"$out/docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_write_roundtrip" -> (writeRoundtrip _),
-    "q99_bucketed_join" -> (bucketedJoin _))
+    "q99_bucketed_join" -> (bucketedJoin _),
+    "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "q110_csv_roundtrip" -> (csvRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q81_write_roundtrip" ->
@@ -106,6 +163,20 @@ object SinkQ {
         |    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE source = 'src1' GROUP BY lang""".stripMargin,
+    // both roundtrips must reproduce the ORIGINAL table's aggregate —
+    // any escaping loss in the written files shifts a text hash
+    "q109_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text))
+        |    AS n_distinct_texts,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source""".stripMargin,
+    "q110_csv_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text))
+        |    AS n_distinct_texts,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source""".stripMargin,
     "q99_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  sum(l_quantity) AS sum_qty,
