@@ -150,11 +150,43 @@ object SinkQ {
       .csv(s"$out/docs"))
   }
 
+  /** q111 — schema evolution on read: two parquet batches written with
+    * DIFFERENT schemas (an early crawl without `lang`, a later one
+    * with it — the drift every long-lived corpus accumulates), read
+    * back as one table under `mergeSchema`; the missing column
+    * null-fills. The oracle recomputes the same aggregate from the
+    * original table with the batch split as a CASE — so a mergeSchema
+    * regression (dropped column, misaligned fill) breaks the match.
+    */
+  private val evoStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = evoStaged.computeIfAbsent(dir, d => {
+      val o = Files.createTempDirectory("graft_evo_gate")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(o)))
+      val docs = Tables.documents(spark, d)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+        .write.mode("overwrite").parquet(s"$o/docs/batch=0")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+        .write.mode("overwrite").parquet(s"$o/docs/batch=1")
+      o.toString
+    })
+    spark.read.option("mergeSchema", "true").parquet(s"$out/docs")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("lang")).as("n_with_lang"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_write_roundtrip" -> (writeRoundtrip _),
     "q99_bucketed_join" -> (bucketedJoin _),
     "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
-    "q110_csv_roundtrip" -> (csvRoundtrip _))
+    "q110_csv_roundtrip" -> (csvRoundtrip _),
+    "q111_schema_evolution" -> (schemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "q81_write_roundtrip" ->
@@ -163,6 +195,14 @@ object SinkQ {
         |    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE source = 'src1' GROUP BY lang""".stripMargin,
+    "q111_schema_evolution" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_lang,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
     // both roundtrips must reproduce the ORIGINAL table's aggregate —
     // any escaping loss in the written files shifts a text hash
     "q109_jsonl_roundtrip" ->
