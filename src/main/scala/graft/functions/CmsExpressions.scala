@@ -25,22 +25,31 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * with their UTF-8 bytes, exactly what CountMinSketchAgg adds.
   */
 object CmsUtil {
-  // last-used cache keyed by a CONTENT fingerprint (length + first/last
-  // 8 bytes): row extraction copies the binary per evaluation, so an
-  // identity (`eq`) key would never hit and the ~100 KB payload would
-  // re-parse per probed row. Two different sketches colliding on
-  // (length, head, tail) is not a practical concern — the counter grid
-  // starts diverging at the first increment.
+  // last-used cache keyed by a CONTENT fingerprint: row extraction
+  // copies the binary per evaluation, so an identity (`eq`) key would
+  // never hit and the ~100 KB payload would re-parse per probed row.
+  // The sampled bytes must actually VARY between sketches — Spark's
+  // layout is version(4) totalCount(8) depth(4) width(4) hashA[depth]
+  // table[depth·width], and the head/tail are constant for same-config
+  // sketches (version, high totalCount bytes, a usually-zero last grid
+  // cell). So: totalCount (bytes 4–11, differs whenever the data
+  // volume does) XOR 16 longs sampled at even strides across the
+  // counter grid — two same-config sketches colliding would need equal
+  // counts at every sampled cell on top of equal totals.
   @transient private val cache =
-    new ThreadLocal[((Int, Long, Long), CountMinSketch)]
+    new ThreadLocal[((Int, Long), CountMinSketch)]
 
-  private def fp(b: Array[Byte]): (Int, Long, Long) = {
+  private def fp(b: Array[Byte]): (Int, Long) = {
     def longAt(off: Int): Long = {
       var v = 0L; var i = 0
       while (i < 8 && off + i < b.length) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
       v
     }
-    (b.length, longAt(0), longAt(math.max(0, b.length - 8)))
+    var h = longAt(4) // totalCount
+    val stride = math.max(8, b.length / 17)
+    var off = 20 // past the fixed header, into hashA/table territory
+    while (off + 8 <= b.length) { h = h * 1099511628211L ^ longAt(off); off += stride }
+    (b.length, h)
   }
 
   private def sketchOf(bytes: Array[Byte]): CountMinSketch = {

@@ -323,8 +323,12 @@ object CurationQ {
   val vocabSize = 500
 
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // the tokenize+explode pass has two consumers (vocab aggregate,
+    // coverage join) whose exchanges ReuseExchange can't dedupe — the
+    // lazy checkpoint materializes it once (the q85/q93 move)
     val sub = Tables.documents(spark, dir)
       .select(col("source"), explode(bpeishTokens(col("text"))).as("t"))
+      .localCheckpoint(false)
     val vocab = sub.groupBy(col("t")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t").asc).limit(vocabSize)
       .select(col("t"), lit(true).as("in_vocab"))

@@ -19,18 +19,27 @@ import graft.streaming.Streaming
   */
 object StreamQ {
 
-  // file-source streams read a DIRECTORY: stage the single events
-  // parquet once per source dir for the whole JVM — both gate entries
-  // (and their warm/timed bench runs) share the copy
+  // file-source streams read a DIRECTORY: stage the single source
+  // parquet once per source dir for the whole JVM — the gate entries
+  // (and their warm/timed bench runs) share the copy. deleteOnExit is
+  // a no-op on non-empty directories (the SinkQ lesson), so staged
+  // trees are reaped by a recursive-delete shutdown hook.
+  private def delTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+  }
+  private def stageCopy(dir: String, file: String): String = {
+    val stage = Files.createTempDirectory("graft_stream_gate")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(stage)))
+    Files.copy(Paths.get(dir, file),
+      stage.resolve(file), StandardCopyOption.REPLACE_EXISTING)
+    stage.toString
+  }
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedEvents(dir: String): String =
-    staged.computeIfAbsent(dir, d => {
-      val stage = Files.createTempDirectory("graft_stream_gate")
-      stage.toFile.deleteOnExit()
-      Files.copy(Paths.get(d, "events.parquet"),
-        stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      stage.toString
-    })
+    staged.computeIfAbsent(dir, stageCopy(_, "events.parquet"))
 
   /** 5-minute tumbling counts per event type, via the streaming engine. */
   def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -152,13 +161,7 @@ object StreamQ {
 
   private val stagedDocsMap = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedDocs(dir: String): String =
-    stagedDocsMap.computeIfAbsent(dir, d => {
-      val stage = Files.createTempDirectory("graft_stream_docs")
-      stage.toFile.deleteOnExit()
-      Files.copy(Paths.get(d, "documents.parquet"),
-        stage.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      stage.toString
-    })
+    stagedDocsMap.computeIfAbsent(dir, stageCopy(_, "documents.parquet"))
 
   /** Streaming incremental dedup — the streaming twin of q96: the new
     * batch arrives as a STREAM and dedups in flight against the same

@@ -25,9 +25,22 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** CSV with RFC-4180 quoting (quote chars escaped by doubling, not
+    * the Univocity backslash default) and NO write-side whitespace
+    * trimming — the writer must be byte-faithful so the matching
+    * reader (`header` + `multiLine` + `escape="` ) can reproduce the
+    * exact text. CsvFidelitySpec roundtrips hostile content (quotes,
+    * newlines, backslashes, edge whitespace, unicode) through this
+    * pair; q110 gates the corpus roundtrip.
+    */
   def csv(df: DataFrame, path: String, header: Boolean = true,
           mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).option("header", header.toString).csv(path)
+    df.write.mode(mode)
+      .option("header", header.toString)
+      .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   def json(df: DataFrame, path: String,
            mode: SaveMode = SaveMode.Overwrite): Unit =

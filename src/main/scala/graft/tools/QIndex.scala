@@ -27,6 +27,10 @@ object QIndex {
       s"| $name | $mod | $gate |"
     }
     println(s"[qindex] total=${rows.size}")
-    rows.sorted.foreach(println)
+    // numeric qNN order, not lexicographic (q100 would sort before q10_)
+    rows.sortBy { r =>
+      val name = r.split('|')(1).trim
+      (name.drop(1).takeWhile(_.isDigit).toInt, name)
+    }.foreach(println)
   }
 }

@@ -57,6 +57,25 @@ class Round5ExpressionModesSpec extends AnyFunSuite with SparkTestSession {
       codes.length == 2 && codes.forall(c => c >= 0 && c < 2) && !est.isNaN })
   }
 
+  test("CmsEstimate: alternating between two same-config sketches never serves stale cache") {
+    // the collision trap: same (eps, confidence, seed) → same length,
+    // same constant header bytes; only the counter grid differs. A
+    // fingerprint that samples constant bytes would serve sketch A's
+    // counts for sketch B.
+    val a = Seq.fill(100)("alpha").toDF("s")
+      .agg(expr("count_min_sketch(s, 0.01D, 0.99D, 7)").as("sk_a"))
+    val b = Seq.fill(7)("alpha").toDF("s")
+      .agg(expr("count_min_sketch(s, 0.01D, 0.99D, 7)").as("sk_b"))
+    val both = a.crossJoin(b)
+      .select(
+        CmsFunctions.cms_estimate($"sk_a", lit("alpha")).as("ea"),
+        CmsFunctions.cms_estimate($"sk_b", lit("alpha")).as("eb"))
+      .collect()(0)
+    assert(both.getLong(0) >= 100L && both.getLong(0) < 107L)
+    assert(both.getLong(1) >= 7L && both.getLong(1) < 14L,
+      s"sketch B served ${both.getLong(1)} — stale cache from sketch A")
+  }
+
   test("CmsEstimate: same estimates on both paths, never underestimates") {
     val items = (Seq.fill(50)("hot") ++ Seq.fill(5)("warm") ++ Seq("cold")).toDF("s")
     val sk = items.agg(expr("count_min_sketch(s, 0.01D, 0.99D, 7)").as("sk"))
