@@ -70,13 +70,91 @@ object AdvancedQ {
           .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment")),
         Seq("o_custkey"), saltFactor = 8)
 
+  /** q112 — CDC upsert apply (MERGE INTO semantics over immutable
+    * parquet): a deterministic change batch — updates (custkey%5=0:
+    * +100.00 to the balance, an exact-grid addition so no re-rounding
+    * crosses the gate), deletes (custkey%13=0, delete wins over
+    * update), inserts (suppliers re-keyed into a disjoint range) —
+    * applied as two anti-joins + a union. The lakehouse pattern for
+    * v1 files: the applied state is REWRITTEN, not mutated. Oracle
+    * recomputes the same final state in SQL.
+    */
+  def upsertApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+    val deletes = base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+      .select(col("c_custkey"))
+    val updates = base
+      .filter(pmod(col("c_custkey"), lit(5)) === 0 &&
+        pmod(col("c_custkey"), lit(13)) =!= 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    val inserts = Tables.supplier(spark, dir)
+      .filter(pmod(col("s_suppkey"), lit(3)) === 0)
+      .select((col("s_suppkey") + 1000000L).as("c_custkey"),
+        col("s_name").as("c_name"), col("s_nationkey").as("c_nationkey"),
+        col("s_acctbal").as("c_acctbal"), lit("NEW").as("c_mktsegment"))
+    val untouched = base
+      .join(deletes, Seq("c_custkey"), "anti")
+      .join(updates.select(col("c_custkey")), Seq("c_custkey"), "anti")
+    val finalState = untouched.unionByName(updates).unionByName(inserts)
+    finalState.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"),
+        min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+  }
+
+  /** q113 — incremental aggregate maintenance: the corpus arrives in
+    * two batches; each batch reduces to a PARTIAL state (count, scaled
+    * sum, min, max — all mergeable), and the merge of partials must
+    * equal the full recompute the oracle runs. The IVM contract that
+    * lets a 100 TB rollup absorb a delta batch without touching
+    * history: new_state = merge(old_state, partial(delta)).
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val old = partial(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    val delta = partial(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    old.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("value_cents"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_upsert_apply" -> (upsertApply _),
+    "q113_incremental_agg" -> (incrementalAgg _),
     "q36_asof_join" -> (asOfPurchases _),
     "q37_sql_entry" -> (sqlEntry _),
     "q38_percentiles" -> (percentiles _),
     "q39_salted_join" -> (saltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q112_upsert_apply" ->
+      """WITH final_state AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_acctbal, 'NEW'
+        |  FROM supplier WHERE s_suppkey % 3 = 0)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS acctbal_cents,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM final_state GROUP BY c_mktsegment""".stripMargin,
+    "q113_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  min("value") AS min_value, max("value") AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "q36_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
         |     p AS (SELECT user_id, epoch_us(ts) AS p_ts_us,
