@@ -96,12 +96,52 @@ object SketchQ {
           ceil(lit(cmsEps) * col("n_total")).cast("long")).as("within_eps_bound"))
   }
 
+  /** q114 — re-aggregatable distinct counts: the COUNT DISTINCT leg of
+    * the IVM story (q113 merges count/sum/min/max — distinct is the
+    * one aggregate that NEEDS a sketch to merge). Per-batch DataSketches
+    * HLL states (`hll_sketch_agg`) union via `hll_union_agg`. The
+    * invariant is BATCHING-INVARIANCE: a 4-way and a 2-way batch split
+    * must estimate identically (union register merge is a commutative
+    * max → identical merged state either way). Note merged ≠ one-shot
+    * in general — DataSketches estimates direct-update sketches with
+    * the HIP estimator but unions with the composite one (measured:
+    * equal at list-mode cardinalities, drifts in estimation mode) — so
+    * one-shot equality would be a WRONG invariant; both paths instead
+    * carry the q63-style error bound vs the exact count. The oracle
+    * states the booleans literally and checks the exact count.
+    */
+  def hllPartialMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    def merged(ways: Int, alias: String) = ev
+      .withColumn("_batch", pmod(col("event_id"), lit(ways)))
+      .groupBy(col("event_type"), col("_batch"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("_sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(_sk, false))").as(alias))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact
+      .join(merged(4, "_m4"), Seq("event_type"))
+      .join(merged(2, "_m2"), Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (col("_m4") === col("_m2")).as("merge_batching_invariant"),
+        (abs(col("_m4") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("merged_within_5pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_hll_partial_merge" -> (hllPartialMerge _),
     "q98_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "q63_approx_distinct" -> (approxDistinct _),
     "q64_approx_percentiles" -> (approxPercentiles _))
 
   val oracles: Map[String, String] = Map(
+    "q114_hll_partial_merge" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merge_batching_invariant, TRUE AS merged_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "q98_cms_heavy_hitters" ->
       """WITH t AS (
         |  SELECT u.tok FROM (
