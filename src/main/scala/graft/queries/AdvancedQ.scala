@@ -125,7 +125,31 @@ object AdvancedQ {
         min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
   }
 
+  /** q115 — declarative data-quality report ([[QualityChecks]]): the
+    * validation ledger a pipeline writes before promoting a batch.
+    * Row predicates share one scan of orders; uniqueness is a two-level
+    * key aggregate; referential integrity an anti-join shipping only
+    * keys. Every count is exact SQL, so the whole report hash-gates.
+    */
+  def qualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityChecks._
+    val orders = Tables.orders(spark, dir)
+    report(orders, Seq(
+      RowPredicate("01_orderkey_not_null", col("o_orderkey").isNull),
+      RowPredicate("02_status_in_enum",
+        !col("o_orderstatus").isin("O", "F", "P")),
+      RowPredicate("03_totalprice_positive", !(col("o_totalprice") > 0.0)),
+      // deliberately narrow: 1998 orders DO violate — a non-zero
+      // violation count proves the counting leg, not just zero-parity
+      RowPredicate("04_orderdate_in_range",
+        !col("o_orderdate").between("1992-01-01", "1997-12-31")),
+      Unique("05_orderkey_unique", col("o_orderkey")),
+      RefIntegrity("06_custkey_refs_customer", col("o_custkey"),
+        Tables.customer(spark, dir), col("c_custkey"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_quality_checks" -> (qualityReport _),
     "q112_upsert_apply" -> (upsertApply _),
     "q113_incremental_agg" -> (incrementalAgg _),
     "q36_asof_join" -> (asOfPurchases _),
@@ -134,6 +158,28 @@ object AdvancedQ {
     "q39_salted_join" -> (saltedJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q115_quality_checks" ->
+      """WITH checks(check_name, n_violations) AS (
+        |  SELECT '01_orderkey_not_null',
+        |    (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+        |  UNION ALL SELECT '02_status_in_enum',
+        |    (SELECT count(*) FROM orders
+        |     WHERE NOT o_orderstatus IN ('O', 'F', 'P'))
+        |  UNION ALL SELECT '03_totalprice_positive',
+        |    (SELECT count(*) FROM orders WHERE NOT (o_totalprice > 0.0))
+        |  UNION ALL SELECT '04_orderdate_in_range',
+        |    (SELECT count(*) FROM orders
+        |     WHERE NOT (o_orderdate BETWEEN '1992-01-01' AND '1997-12-31'))
+        |  UNION ALL SELECT '05_orderkey_unique',
+        |    (SELECT coalesce(sum(c - 1), 0) FROM
+        |      (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+        |  UNION ALL SELECT '06_custkey_refs_customer',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_custkey IS NOT NULL
+        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer)))
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS passed
+        |FROM checks""".stripMargin,
     "q112_upsert_apply" ->
       """WITH final_state AS (
         |  SELECT c_custkey,
