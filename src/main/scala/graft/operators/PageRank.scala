@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in INTEGER arithmetic.
+  *
+  * The float formulation is iteration-order-poisoned (per-node sums of
+  * double contributions differ across partitionings and engines); this
+  * one keeps every rank as integer MILLIONTHS and every step in exact
+  * integer math — contribution = rank div out_degree, next rank =
+  * damping base + (850000 · Σ contribs) div 1000000 — so the result is
+  * bit-identical on any engine, any partitioning, any executor count,
+  * and sits under the SQL hash gate (unlike the usual "rows-only,
+  * tolerance 1e-6" fate of float PageRank).
+  *
+  * Spark shape per iteration: one equi-join of the rank table onto the
+  * edge list (shuffle on src), one partial-agg groupBy dst, one left
+  * join back onto the node set (dangling mass is dropped — the
+  * standard simplified variant; identical on both engines). The rank
+  * table is (node, long) — tiny relative to edges — and iterations are
+  * a fixed unrolled count, so the plan is a static DAG with no
+  * driver-side convergence state at all (contrast [[Dedup]]'s CC,
+  * which converges data-dependently and holds one scalar per round).
+  */
+object PageRank {
+
+  val Scale = 1000000L
+
+  /** `iters` fixed rounds over `edges(src, dst)`; returns
+    * (node, rank_millionths). Nodes = src ∪ dst.
+    */
+  def ranks(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0)
+    val dampM = math.round(damping * Scale)
+    val baseM = Scale - dampM
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = nodes.withColumn("rank", lit(Scale))
+    for (_ <- 1 to iters) {
+      val inbound = e
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        // `div`, not `/`: Spark's slash on longs is a DOUBLE division
+        // whose truncation can disagree with exact integer floor near
+        // representability edges — div is true integer division
+        .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("inflow"))
+      r = nodes
+        .join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$baseM + ($dampM * coalesce(inflow, 0L)) div $Scale").as("rank"))
+    }
+    r.select(col("node"), col("rank").as("rank_millionths"))
+  }
+}

@@ -148,7 +148,33 @@ object AdvancedQ {
         Tables.customer(spark, dir), col("c_custkey"))))
   }
 
+  /** q116 — integer-arithmetic PageRank over the supplier→customer
+    * supply graph (suppliers namespaced negative so the two key spaces
+    * can't collide), 3 fixed iterations. Rank values cross the gate
+    * EXACTLY — [[graft.operators.PageRank]] keeps every step in
+    * integer millionths, so the DuckDB oracle (same unrolled
+    * iterations in SQL) reproduces each rank bit-for-bit, where a
+    * float PageRank could only ever be tolerance-compared.
+    */
+  val prIters = 3
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((-col("l_suppkey")).cast("long").as("src"),
+        col("o_custkey").as("dst"))
+    val r = graft.operators.PageRank.ranks(edges, iters = prIters)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank_millionths").desc, col("node").asc)
+    // global top-20: WindowGroupLimit keeps the unpartitioned window
+    // to a per-partition partial top-k + one tiny merge
+    r.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_pagerank" -> (pagerank _),
     "q115_quality_checks" -> (qualityReport _),
     "q112_upsert_apply" -> (upsertApply _),
     "q113_incremental_agg" -> (incrementalAgg _),
@@ -157,7 +183,34 @@ object AdvancedQ {
     "q38_percentiles" -> (percentiles _),
     "q39_salted_join" -> (saltedJoin _))
 
+  /** The q116 oracle: the same integer iterations unrolled in SQL. */
+  private def pagerankSql: String = {
+    val iters = (1 to prIters).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s"""i$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (850000 * coalesce(f.inflow, 0)) // 1000000 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // d.deg) AS inflow
+         |    FROM e JOIN $prev r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) f ON f.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(-l_suppkey AS BIGINT) AS src, o_custkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank AS rank_millionths,
+       |  CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS INT) AS rn
+       |FROM i$prIters
+       |ORDER BY rn LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q116_pagerank" -> pagerankSql,
     "q115_quality_checks" ->
       """WITH checks(check_name, n_violations) AS (
         |  SELECT '01_orderkey_not_null',
