@@ -34,9 +34,15 @@ object PageRank {
     require(iters >= 0)
     val dampM = math.round(damping * Scale)
     val baseM = Scale - dampM
+    // the graph artifacts feed EVERY iteration — without the lazy
+    // checkpoints each round's lazy plan re-derives the edge list (and
+    // whatever join produced it) from scratch, so a 3-iteration run
+    // paid the edge build ~7×. Production persists these as tables.
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var r = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to iters) {
