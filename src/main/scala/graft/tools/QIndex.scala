@@ -26,6 +26,9 @@ object QIndex {
       val gate = if (os.contains(name)) "full hash" else "rows-only (companion gate)"
       s"| $name | $mod | $gate |"
     }
+    require(rows.size == graft.SparkEntry.queries.size,
+      s"QIndex module list is stale: ${rows.size} rows vs " +
+        s"${graft.SparkEntry.queries.size} registered queries")
     println(s"[qindex] total=${rows.size}")
     // numeric qNN order, not lexicographic (q100 would sort before q10_)
     rows.sortBy { r =>

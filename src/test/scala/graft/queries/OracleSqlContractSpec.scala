@@ -28,6 +28,18 @@ class OracleSqlContractSpec extends AnyFunSuite {
       s"non-canonical tokenizer spelling in: ${offenders.mkString(", ")}")
   }
 
+  test("QUERIES.md stays in sync with the live registry") {
+    val md = scala.io.Source.fromFile("QUERIES.md").mkString
+    val documented = """\| (q\d+\w*) \|""".r
+      .findAllMatchIn(md).map(_.group(1)).toSet
+    val registered = graft.SparkEntry.queries.keySet
+    val missing = registered -- documented
+    val stale = documented -- registered
+    assert(missing.isEmpty && stale.isEmpty,
+      s"QUERIES.md drift — missing: ${missing.toSeq.sorted.mkString(",")}; " +
+        s"stale: ${stale.toSeq.sorted.mkString(",")} (regenerate via tools/QIndex)")
+  }
+
   test("OracleSql.tokens renders the canonical spelling") {
     assert(OracleSql.tokens("text") ==
       """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)""")
