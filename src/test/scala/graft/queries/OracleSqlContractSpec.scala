@@ -29,7 +29,9 @@ class OracleSqlContractSpec extends AnyFunSuite {
   }
 
   test("QUERIES.md stays in sync with the live registry") {
-    val md = scala.io.Source.fromFile("QUERIES.md").mkString
+    val md = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("QUERIES.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
     val documented = """\| (q\d+\w*) \|""".r
       .findAllMatchIn(md).map(_.group(1)).toSet
     val registered = graft.SparkEntry.queries.keySet
