@@ -33,12 +33,19 @@ object Bench {
     // measures the operator, not the neighbor's garbage.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1)).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // a failed run must NOT enter the min as a fast time-to-exception
+      // — report only successful runs, or −1 so a flaky query reads as
+      // an anomaly in the JSON instead of an impossibly good number
       def timed(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      val dt = math.min(timed(), timed())
+      val (a, b) = (timed(), timed())
+      val good = Seq(a, b).filterNot(_.isNaN)
+      val dt = if (good.isEmpty) -1.0 else good.min
       // Between queries (outside the timed window), nudge GC so the
       // ContextCleaner releases the previous plans' discarded
       // localCheckpoint / shuffle blocks — battery order must not let

@@ -25,30 +25,21 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * with their UTF-8 bytes, exactly what CountMinSketchAgg adds.
   */
 object CmsUtil {
-  // last-used cache keyed by a CONTENT fingerprint: row extraction
+  // last-used cache keyed by a FULL-content FNV-64: row extraction
   // copies the binary per evaluation, so an identity (`eq`) key would
-  // never hit and the ~100 KB payload would re-parse per probed row.
-  // The sampled bytes must actually VARY between sketches — Spark's
-  // layout is version(4) totalCount(8) depth(4) width(4) hashA[depth]
-  // table[depth·width], and the head/tail are constant for same-config
-  // sketches (version, high totalCount bytes, a usually-zero last grid
-  // cell). So: totalCount (bytes 4–11, differs whenever the data
-  // volume does) XOR 16 longs sampled at even strides across the
-  // counter grid — two same-config sketches colliding would need equal
-  // counts at every sampled cell on top of equal totals.
+  // never hit; and SAMPLED fingerprints are unsound here — same-config
+  // sketches share every header byte and can share totalCount, with
+  // only a handful of grid cells differing, so any strided sample has
+  // real collision mass (review-caught twice). Hashing all bytes costs
+  // ~ns/byte per probed row — still several-fold cheaper than the
+  // deserialize+alloc it replaces, and exactly as safe as re-parsing.
   @transient private val cache =
     new ThreadLocal[((Int, Long), CountMinSketch)]
 
   private def fp(b: Array[Byte]): (Int, Long) = {
-    def longAt(off: Int): Long = {
-      var v = 0L; var i = 0
-      while (i < 8 && off + i < b.length) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
-      v
-    }
-    var h = longAt(4) // totalCount
-    val stride = math.max(8, b.length / 17)
-    var off = 20 // past the fixed header, into hashA/table territory
-    while (off + 8 <= b.length) { h = h * 1099511628211L ^ longAt(off); off += stride }
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xFF)) * 1099511628211L; i += 1 }
     (b.length, h)
   }
 

@@ -55,10 +55,19 @@ object PageRank {
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("inflow"))
+      // overflow-free damping: (q·S + r)·d div S = q·d + (r·d div S)
+      // exactly (all operands non-negative) — the naive dampM·inflow
+      // product would wrap silently past inflow ≈ 1.08e13 (a ~10M-
+      // in-degree hub at average rank), where DuckDB's HUGEINT sum
+      // keeps computing exactly and the bit-parity contract breaks.
+      // Here q ≤ total rank mass div S = |nodes|, so q·d is safe to
+      // ~1e13 nodes.
       r = nodes
         .join(inbound, Seq("node"), "left")
         .select(col("node"),
-          expr(s"$baseM + ($dampM * coalesce(inflow, 0L)) div $Scale").as("rank"))
+          expr(s"""$baseM + (coalesce(inflow, 0L) div $Scale) * $dampM
+                  | + ((coalesce(inflow, 0L) % $Scale) * $dampM) div $Scale"""
+            .stripMargin.replace("\n", " ")).as("rank"))
     }
     r.select(col("node"), col("rank").as("rank_millionths"))
   }

@@ -356,9 +356,13 @@ object CurationQ {
   val evalK = 25
 
   def evalSplit(spark: SparkSession, dir: String): DataFrame = {
+    // the canonicalize+md5 scan feeds five plan legs (sample window,
+    // eval hashes, rest filter, n_eval aggregate, residual semi-join)
+    // — checkpoint it once (the q85/q93/q105 diamond)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         md5(Dedup.canonicalText(col("text"))).as("ch"))
+      .localCheckpoint(false)
     val eval = Sampling.fixedSizePerStratum(docs, col("source"), col("doc_id"),
       k = evalK, salt = "ev1")
     val evalHashes = eval.select(col("ch")).distinct()

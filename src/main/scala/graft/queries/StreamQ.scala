@@ -21,25 +21,11 @@ object StreamQ {
 
   // file-source streams read a DIRECTORY: stage the single source
   // parquet once per source dir for the whole JVM — the gate entries
-  // (and their warm/timed bench runs) share the copy. deleteOnExit is
-  // a no-op on non-empty directories (the SinkQ lesson), so staged
-  // trees are reaped by a recursive-delete shutdown hook.
-  private def delTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => Files.deleteIfExists(f))
-  }
-  private def stageCopy(dir: String, file: String): String = {
-    val stage = Files.createTempDirectory("graft_stream_gate")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(stage)))
-    Files.copy(Paths.get(dir, file),
-      stage.resolve(file), StandardCopyOption.REPLACE_EXISTING)
-    stage.toString
-  }
+  // (and their warm/timed bench runs) share the copy; trees reaped by
+  // Staging's shutdown hooks
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedEvents(dir: String): String =
-    staged.computeIfAbsent(dir, stageCopy(_, "events.parquet"))
+    staged.computeIfAbsent(dir, graft.sources.Staging.stageCopy(_, "events.parquet"))
 
   /** 5-minute tumbling counts per event type, via the streaming engine. */
   def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -149,7 +135,7 @@ object StreamQ {
 
   def streamSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = sinkDirs.computeIfAbsent(dir,
-      _ => Files.createTempDirectory("graft_stream_sink").toString)
+      _ => graft.sources.Staging.tempDir("graft_stream_sink").toString)
     val res = Streaming.windowedCounts(Streaming.eventStream(spark, stagedEvents(dir)))
       .select(
         col("window_start").cast("long").as("window_start_epoch"),
@@ -161,7 +147,7 @@ object StreamQ {
 
   private val stagedDocsMap = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedDocs(dir: String): String =
-    stagedDocsMap.computeIfAbsent(dir, stageCopy(_, "documents.parquet"))
+    stagedDocsMap.computeIfAbsent(dir, graft.sources.Staging.stageCopy(_, "documents.parquet"))
 
   /** Streaming incremental dedup — the streaming twin of q96: the new
     * batch arrives as a STREAM and dedups in flight against the same

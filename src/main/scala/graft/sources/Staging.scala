@@ -1,0 +1,36 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Temp-tree staging shared by the gate entries that write (SinkQ) or
+  * stream-from-directory (StreamQ). `File.deleteOnExit` is a no-op on
+  * non-empty directories, so every staged tree registers a
+  * recursive-delete shutdown hook instead — ONE implementation of the
+  * lesson, not a copy per module.
+  */
+object Staging {
+
+  def delTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+  }
+
+  /** A fresh temp directory reaped at JVM exit. */
+  def tempDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(p)))
+    p
+  }
+
+  /** Stage a single file of `dir` into a fresh reaped temp directory
+    * (file-source streams read directories).
+    */
+  def stageCopy(dir: String, file: String): String = {
+    val stage = tempDir("graft_stage")
+    Files.copy(Paths.get(dir, file),
+      stage.resolve(file), StandardCopyOption.REPLACE_EXISTING)
+    stage.toString
+  }
+}

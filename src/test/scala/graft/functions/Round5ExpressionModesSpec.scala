@@ -74,6 +74,23 @@ class Round5ExpressionModesSpec extends AnyFunSuite with SparkTestSession {
     assert(both.getLong(0) >= 100L && both.getLong(0) < 107L)
     assert(both.getLong(1) >= 7L && both.getLong(1) < 14L,
       s"sketch B served ${both.getLong(1)} — stale cache from sketch A")
+    // the harder trap: EQUAL totalCount, different tokens — every
+    // header byte identical, only grid cells differ (a strided-sample
+    // fingerprint collided here)
+    val c = Seq.fill(50)("left").toDF("s")
+      .agg(expr("count_min_sketch(s, 0.01D, 0.99D, 7)").as("sk_c"))
+    val d = Seq.fill(50)("right").toDF("s")
+      .agg(expr("count_min_sketch(s, 0.01D, 0.99D, 7)").as("sk_d"))
+    val cd = c.crossJoin(d)
+      .select(
+        CmsFunctions.cms_estimate($"sk_c", lit("left")).as("cl"),
+        CmsFunctions.cms_estimate($"sk_d", lit("left")).as("dl"),
+        CmsFunctions.cms_estimate($"sk_d", lit("right")).as("dr"))
+      .collect()(0)
+    assert(cd.getLong(0) >= 50L)
+    assert(cd.getLong(2) >= 50L)
+    assert(cd.getLong(1) < 50L,
+      s"sketch D claims ${cd.getLong(1)} 'left' items — stale cache from C")
   }
 
   test("CmsEstimate: same estimates on both paths, never underestimates") {
