@@ -185,7 +185,40 @@ object StreamQ {
           .as("no_false_negatives"))
   }
 
+  /** q117 — streaming windowed APPROXIMATE distinct users: the HLL
+    * state rides inside the streaming aggregation (per-window per-key
+    * sketches merge across micro-batches like counts), so distinct
+    * stays bounded-state where exact would hold every id. The gate
+    * emits the estimate's error bound as a boolean per row (the q63
+    * pattern) beside the exact per-window count DuckDB computes.
+    */
+  def streamWindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val res = Streaming.runToMemory(
+      Streaming.windowedDistinctUsers(Streaming.eventStream(spark, stagedEvents(dir))),
+      name = "q117_stream_windowed_distinct_mem",
+      mode = OutputMode.Complete,
+      skipNoDataBatch = true)
+    // truth leg: exact per-window distinct from a BATCH read of the
+    // same staged file — the stream can't afford exact distinct (the
+    // sketch exists precisely because of that), so the gate verifies
+    // the streaming sketch against batch truth
+    val exact = graft.sources.Tables.events(spark, stagedEvents(dir))
+      .groupBy(
+        (floor(expr("ts_ns div 1000000000") / 300) * 300).cast("long")
+          .as("window_start_epoch"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    res.select(col("window_start").cast("long").as("window_start_epoch"),
+        col("event_type"), col("n"), col("approx_users"))
+      .join(exact, Seq("window_start_epoch", "event_type"))
+      .select(col("window_start_epoch"), col("event_type"), col("n"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(2.0), col("exact_users") * 0.05)).as("approx_within_5pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_stream_windowed_distinct" -> (streamWindowedDistinct _),
     "q107_stream_incremental_dedup" -> (streamIncrementalDedup _),
     "q101_stream_sink_roundtrip" -> (streamSinkRoundtrip _),
     "q66_stream_windowed_counts" -> (streamWindowedCounts _),
@@ -195,6 +228,13 @@ object StreamQ {
     "q95_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q117_stream_windowed_distinct" ->
+      """SELECT
+        |  CAST(epoch_us(ts) // 300000000 * 300 AS BIGINT) AS window_start_epoch,
+        |  event_type, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_within_5pct
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q107_stream_incremental_dedup" ->
       """WITH h AS (
         |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS ct

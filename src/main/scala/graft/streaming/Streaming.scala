@@ -54,6 +54,22 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Tumbling windows carrying a DataSketches HLL distinct-user state —
+    * streaming + re-aggregatable sketch in one operator: per-window
+    * per-key sketch states merge across micro-batches exactly like
+    * counts do, which is what makes approximate distinct viable in a
+    * stream (exact distinct would hold every user id in state).
+    */
+  def windowedDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("approx_users"))
+
   /** Sliding-window (10 min length, 5 min slide) per-type rates. */
   def slidingRates(events: DataFrame): DataFrame =
     events
