@@ -217,7 +217,25 @@ object StreamQ {
           greatest(lit(2.0), col("exact_users") * 0.05)).as("approx_within_5pct"))
   }
 
+  /** q118 — SLIDING windows under the gate (10-min length, 5-min
+    * slide): every event lands in exactly two overlapping windows, so
+    * the oracle unnests the two aligned starts per event and groups —
+    * overlap handling is what distinguishes this from q66's tumbling
+    * path, and a slide-assignment bug doubles or drops rows.
+    */
+  def streamSlidingRates(spark: SparkSession, dir: String): DataFrame = {
+    val res = Streaming.runToMemory(
+      Streaming.slidingRates(Streaming.eventStream(spark, stagedEvents(dir))),
+      name = "q118_stream_sliding_rates_mem",
+      mode = OutputMode.Complete,
+      skipNoDataBatch = true)
+    res.select(
+      col("window_start").cast("long").as("window_start_epoch"),
+      col("event_type"), col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_stream_sliding_rates" -> (streamSlidingRates _),
     "q117_stream_windowed_distinct" -> (streamWindowedDistinct _),
     "q107_stream_incremental_dedup" -> (streamIncrementalDedup _),
     "q101_stream_sink_roundtrip" -> (streamSinkRoundtrip _),
@@ -228,6 +246,17 @@ object StreamQ {
     "q95_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    // each event belongs to windows starting at the two 5-min-aligned
+    // points in (ts - 10min, ts]
+    "q118_stream_sliding_rates" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest([epoch_us(ts) // 300000000 * 300,
+        |            epoch_us(ts) // 300000000 * 300 - 300]) AS window_start_epoch
+        |  FROM events)
+        |SELECT CAST(window_start_epoch AS BIGINT) AS window_start_epoch,
+        |  event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q117_stream_windowed_distinct" ->
       """SELECT
         |  CAST(epoch_us(ts) // 300000000 * 300 AS BIGINT) AS window_start_epoch,
