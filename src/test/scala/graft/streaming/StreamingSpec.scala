@@ -52,6 +52,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(got.agg(sum($"n")).as[Long].collect()(0) == totalEvents * 2)
   }
 
+  test("windowed distinct-user sketches stay within bound of the batch exact counts") {
+    val stream = Streaming.windowedDistinctUsers(Streaming.eventStream(spark, streamDir))
+    val got = Streaming.runToMemory(stream, "wdu", OutputMode.Complete())
+      .select(unix_timestamp($"window_start").as("bucket"), $"event_type", $"approx_users")
+    val exact = graft.sources.Tables.events(spark, dir)
+      .withColumn("bucket", (unix_timestamp($"ts") - pmod(unix_timestamp($"ts"), lit(300))))
+      .groupBy($"bucket", $"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    val bad = got.join(exact, Seq("bucket", "event_type"), "full")
+      .filter($"approx_users".isNull || $"exact_users".isNull ||
+        abs($"approx_users" - $"exact_users") > greatest(lit(2.0), $"exact_users" * 0.05))
+      .count()
+    assert(bad == 0L, s"$bad windows outside the HLL bound (or unmatched)")
+  }
+
   test("streaming sessionization closes exactly the batch sessions minus the open one per user") {
     val stream = Streaming.sessionize(Streaming.eventStream(spark, streamDir))
     val got = Streaming.runToMemory(stream.toDF(), "sess", OutputMode.Append())
