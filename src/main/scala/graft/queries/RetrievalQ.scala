@@ -66,7 +66,14 @@ object RetrievalQ {
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0) - lit(b) + lit(b) *
               (col("dl").cast("double") / col("avgdl"))))))
-      .withColumn("ts_millionths", round(col("term_score") * 1000000.0).cast("long"))
+      // floor(x + 0.5), NOT round(): Spark's round on DoubleType is
+      // HALF_UP over Double.toString's shortest decimal repr, while
+      // DuckDB rounds the binary double — a score whose shortest repr
+      // lands on ".5" diverges between engines (and across DuckDB
+      // versions). floor is exact on doubles and both engines compute
+      // the identical IEEE double here, so this is version-proof.
+      .withColumn("ts_millionths",
+        floor(col("term_score") * 1000000.0 + 0.5).cast("long"))
     val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ts_millionths")).as("score_millionths"),
         count(lit(1)).as("n_matched_terms"))
@@ -103,13 +110,13 @@ object RetrievalQ {
          |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
          |scored AS (
          |  SELECT qt.query_id, p.doc_id,
-         |    CAST(round((((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+         |    CAST(floor((((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
          |        (CAST(d.df AS DOUBLE) + 0.5)) *
          |      ((CAST(p.tf AS DOUBLE) * (${k1} + 1.0)) /
          |        (CAST(p.tf AS DOUBLE) +
          |          ${k1} * (1.0 - ${b} + ${b} * (CAST(l.dl AS DOUBLE) /
          |            (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) *
-         |      1000000.0, 0) AS BIGINT) AS ts_millionths
+         |      1000000.0 + 0.5) AS BIGINT) AS ts_millionths
          |  FROM postings p
          |  JOIN qt ON p.term = qt.term
          |  JOIN dfreq d ON p.term = d.term
