@@ -173,7 +173,23 @@ object AdvancedQ {
       .filter(col("rn") <= 20)
   }
 
+  /** q119 — entity-resolution fuzzy join: every customer-name pair at
+    * Levenshtein distance ≤ 1, found by [[graft.operators.FuzzyJoin]]'s
+    * deletion-neighborhood blocking (complete for ED ≤ 1, never
+    * all-pairs). Domain = the deterministic `c_custkey % 7` slice so
+    * the DuckDB oracle can afford the exhaustive quadratic scan the
+    * Spark side is specifically built to avoid — at sf0.1 that is
+    * 2,143 names: ~2.3M oracle comparisons vs ~40k blocked keys here.
+    */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    graft.operators.FuzzyJoin.ed1Pairs(names)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_fuzzy_name_join" -> (fuzzyNameJoin _),
     "q116_pagerank" -> (pagerank _),
     "q115_quality_checks" -> (qualityReport _),
     "q112_upsert_apply" -> (upsertApply _),
@@ -210,6 +226,15 @@ object AdvancedQ {
   }
 
   val oracles: Map[String, String] = Map(
+    "q119_fuzzy_name_join" ->
+      """WITH n AS (
+        |  SELECT c_custkey AS id, c_name AS name
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
     "q116_pagerank" -> pagerankSql,
     "q115_quality_checks" ->
       """WITH checks(check_name, n_violations) AS (
