@@ -86,11 +86,61 @@ object RetrievalQ {
         col("n_matched_terms"), col("rn"))
   }
 
+  /** q120 — per-document top-3 TF-IDF terms, the classic "what is this
+    * document about" signal (and the scoring half of a keyword-based
+    * curation probe). Same single-scan postings algebra as BM25 above;
+    * the score stays in PURE INTEGER arithmetic end-to-end —
+    * `tf · N · 10⁶ div df` (the log-free count-ratio idf) — so there
+    * is no float anywhere and the gate is bit-exact by construction,
+    * not by rounding discipline. Top-3 per doc is the grouped
+    * WindowGroupLimit window: per-partition partial top-k, no global
+    * sort.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    postings
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        expr("(tf * n_docs * 1000000L) div df"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score_micro"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q100_bm25_topk" -> (bm25TopK _))
+    "q100_bm25_topk" -> (bm25TopK _),
+    "q120_tfidf_topterms" -> (tfidfTopTerms _))
 
 
   val oracles: Map[String, String] = Map(
+    "q120_tfidf_topterms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.term
+         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |postings AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT p.doc_id, p.term, p.tf,
+         |    (p.tf * n.n_docs * 1000000) // d.df AS score_micro
+         |  FROM postings p JOIN dfreq d ON p.term = d.term CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_micro DESC, term ASC) AS INT) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term, tf, score_micro, rn
+         |FROM ranked WHERE rn <= 3""".stripMargin,
     "q100_bm25_topk" -> {
       val probes = probeQueries
         .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
