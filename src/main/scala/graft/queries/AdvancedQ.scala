@@ -188,7 +188,42 @@ object AdvancedQ {
     graft.operators.FuzzyJoin.ed1Pairs(names)
   }
 
+  /** q121 — skyline (Pareto frontier) of parts on (price min, size
+    * max): a part survives iff no other part is cheaper-or-equal AND
+    * bigger-or-equal with at least one strict. The oracle states the
+    * definition directly (quadratic NOT EXISTS); this side is the
+    * scale shape: one partial-agg groupBy collapses the corpus to a
+    * ≤|distinct prices| summary table (max size per price), a window
+    * over THAT tiny table computes the strictly-cheaper running max,
+    * and the verdict joins back via broadcast — the full table is
+    * touched by exactly one groupBy and one broadcast-join filter, no
+    * all-pairs product and no window over the big table (the q30
+    * single-task lesson). Duplicate (price, size) points don't
+    * dominate each other — both survive; prices compared in exact
+    * cents.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_name"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size"))
+    val perPrice = parts.groupBy(col("price_cents"))
+      .agg(max(col("p_size")).as("max_size_at_price"))
+    // one row per distinct price, so rowsBetween(…, -1) IS the
+    // strictly-cheaper set; window input is the tiny summary table
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("price_cents").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pricey = perPrice.withColumn(
+      "max_size_cheaper", max(col("max_size_at_price")).over(w))
+    parts.join(broadcast(pricey), Seq("price_cents"))
+      .filter(!(coalesce(col("max_size_cheaper") >= col("p_size"), lit(false)) ||
+        col("max_size_at_price") > col("p_size")))
+      .select(col("p_partkey"), col("p_name"), col("price_cents"), col("p_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_skyline" -> (skylineParts _),
     "q119_fuzzy_name_join" -> (fuzzyNameJoin _),
     "q116_pagerank" -> (pagerank _),
     "q115_quality_checks" -> (qualityReport _),
@@ -226,6 +261,17 @@ object AdvancedQ {
   }
 
   val oracles: Map[String, String] = Map(
+    "q121_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey, p_name,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, p_size
+        |  FROM part)
+        |SELECT a.p_partkey, a.p_name, a.price_cents, a.p_size
+        |FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))""".stripMargin,
     "q119_fuzzy_name_join" ->
       """WITH n AS (
         |  SELECT c_custkey AS id, c_name AS name
