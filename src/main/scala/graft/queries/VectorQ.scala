@@ -205,7 +205,37 @@ object VectorQ {
         (col("_nneg") === col("n_planted")).as("planted_kept_canonical"))
   }
 
+  /** q122 — the array higher-order-function surface (transform /
+    * filter / aggregate / zip_with / reverse / array_max) exercised as
+    * one per-vector feature query. Everything runs inside native
+    * lambda expressions on the array column — no explode, no UDF, no
+    * shuffle at all (a pure per-row projection). Float elements are
+    * cast to double INSIDE the lambdas and accumulated left-to-right
+    * starting from 0.0 on both engines (0.0 + x ≡ x exactly, so
+    * Spark's explicit init matches DuckDB's first-element init), which
+    * makes the micro-scaled outputs bit-exact under the hash gate.
+    */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      expr("size(filter(embedding, x -> CAST(x AS DOUBLE) > 0.0D))")
+        .cast("int").as("n_pos"),
+      expr("""CAST(floor(aggregate(
+                transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                0.0D, (a, x) -> a + x) * 1000000.0D + 0.5D) AS BIGINT)""")
+        .as("l2sq_micro"),
+      expr("""CAST(floor(aggregate(
+                zip_with(embedding, reverse(embedding),
+                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                0.0D, (a, x) -> a + x) * 1000000.0D + 0.5D) AS BIGINT)""")
+        .as("dotrev_micro"),
+      expr("""CAST(floor(array_max(
+                transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                * 1000000.0D + 0.5D) AS BIGINT)""")
+        .as("maxabs_micro"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_array_hof" -> (arrayHof _),
     "q50_ann_brute_force" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
     "q52_embedding_stats" -> (embeddingStats _),
@@ -217,6 +247,20 @@ object VectorQ {
     "q97_pq_ann" -> (pqAnn _))
 
   val oracles: Map[String, String] = Map(
+    "q122_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS INT) AS n_pos,
+        |  CAST(floor(list_reduce(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (a, x) -> a + x) * 1000000.0 + 0.5) AS BIGINT) AS l2sq_micro,
+        |  CAST(floor(list_reduce(
+        |    list_transform(list_zip(embedding, list_reverse(embedding)),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+        |    (a, x) -> a + x) * 1000000.0 + 0.5) AS BIGINT) AS dotrev_micro,
+        |  CAST(floor(list_max(
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS maxabs_micro
+        |FROM embeddings""".stripMargin,
     "q50_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 10),
