@@ -222,7 +222,53 @@ object AdvancedQ {
       .select(col("p_partkey"), col("p_name"), col("price_cents"), col("p_size"))
   }
 
+  /** q123 — discretization both ways: equal-FREQUENCY deciles and
+    * equal-WIDTH buckets over order totals, reported as per-bin
+    * (count, min, max) in exact cents. The equal-frequency leg is the
+    * interesting one at scale: SQL `ntile(10)` is an unpartitioned
+    * window — a single task over the whole table — so this engine
+    * computes the 0-based global rank scale-out
+    * ([[graft.operators.SortedNeighborhood.globalRank]]: range
+    * partition + zipWithIndex) and applies ntile's remainder rule
+    * (first n mod k buckets get one extra row) as integer arithmetic
+    * on the rank. The oracle uses DuckDB's NATIVE ntile over the same
+    * total order — two independent implementations must agree
+    * bucket-for-bucket. Equal-width bucketing is pure integer cents
+    * (no width_bucket float edge cases on either engine).
+    */
+  def binningReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val tot = o.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.SortedNeighborhood
+      .globalRank(o, Seq(col("cents"), col("o_orderkey")))
+    val ntileLeg = ranked.crossJoin(broadcast(tot))
+      // ntile remainder rule on the 0-based rank: m = n mod 10 buckets
+      // of size big = n div 10 + 1 come first, the rest size small
+      .withColumn("bin", expr(
+        """CAST(CASE WHEN rnk < (n % 10) * (n div 10 + 1)
+          |  THEN rnk div (n div 10 + 1) + 1
+          |  ELSE n % 10 + (rnk - (n % 10) * (n div 10 + 1))
+          |         div greatest(n div 10, 1L) + 1 END AS INT)""".stripMargin))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(lit("ntile").as("method"), col("bin"), col("n"),
+        col("min_cents"), col("max_cents"))
+    val mm = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val widthLeg = o.crossJoin(broadcast(mm))
+      .withColumn("bin", least(lit(10),
+        expr("1 + ((cents - lo) * 10) div greatest(hi - lo, 1L)")).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(lit("width").as("method"), col("bin"), col("n"),
+        col("min_cents"), col("max_cents"))
+    ntileLeg.unionByName(widthLeg)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_binning" -> (binningReport _),
     "q121_skyline" -> (skylineParts _),
     "q119_fuzzy_name_join" -> (fuzzyNameJoin _),
     "q116_pagerank" -> (pagerank _),
@@ -261,6 +307,23 @@ object AdvancedQ {
   }
 
   val oracles: Map[String, String] = Map(
+    "q123_binning" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |nt AS (
+        |  SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS bin FROM o),
+        |wl AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o),
+        |wb AS (
+        |  SELECT cents,
+        |    least(10, 1 + ((cents - lo) * 10) // greatest(hi - lo, 1)) AS bin
+        |  FROM o, wl)
+        |SELECT 'ntile' AS method, CAST(bin AS INT) AS bin, count(*) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM nt GROUP BY 2
+        |UNION ALL
+        |SELECT 'width', CAST(bin AS INT), count(*), min(cents), max(cents)
+        |FROM wb GROUP BY 2""".stripMargin,
     "q121_skyline" ->
       """WITH pts AS (
         |  SELECT p_partkey, p_name,
