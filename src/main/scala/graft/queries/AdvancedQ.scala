@@ -267,7 +267,37 @@ object AdvancedQ {
     ntileLeg.unionByName(widthLeg)
   }
 
+  /** q124 — per-segment z-score outliers (|z| > 2 vs the segment's
+    * sample stddev) with the variance test cross-multiplied into EXACT
+    * integer arithmetic: |x−S/n| > 2σ ⟺ (n·x−S)²·(n−1) > 4·n·(n·Q−S²)
+    * over cents, so no float mean/stddev (whose partial-sum order
+    * differs by partitioning AND by engine) ever exists. Intermediates
+    * overflow int64 (dev² ~ 1e20), so the comparison runs in
+    * DECIMAL(38,0) here and HUGEINT in the oracle — both exact. Scale
+    * shape: one partial-agg groupBy for (n, S, Q) per segment, stats
+    * broadcast back, verdict is a codegen'd row-local predicate.
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_mktsegment").as("segment"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val stats = c.groupBy(col("segment")).agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s"),
+      sum(col("cents") * col("cents")).as("q"))
+    c.join(broadcast(stats), Seq("segment"))
+      .withColumn("dev", expr(
+        "CAST(n AS DECIMAL(20,0)) * CAST(cents AS DECIMAL(20,0)) - CAST(s AS DECIMAL(20,0))"))
+      .filter(expr(
+        """dev * dev * (CAST(n AS DECIMAL(20,0)) - 1) >
+          |  4 * CAST(n AS DECIMAL(20,0)) *
+          |  (CAST(n AS DECIMAL(20,0)) * CAST(q AS DECIMAL(20,0)) -
+          |   CAST(s AS DECIMAL(20,0)) * CAST(s AS DECIMAL(20,0)))""".stripMargin))
+      .select(col("segment"), col("c_custkey"), col("cents"),
+        when(col("dev") > 0, lit("high")).otherwise(lit("low")).as("side"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_zscore_outliers" -> (zscoreOutliers _),
     "q123_binning" -> (binningReport _),
     "q121_skyline" -> (skylineParts _),
     "q119_fuzzy_name_join" -> (fuzzyNameJoin _),
@@ -307,6 +337,25 @@ object AdvancedQ {
   }
 
   val oracles: Map[String, String] = Map(
+    "q124_zscore_outliers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |st AS (
+        |  SELECT segment, count(*) AS n, sum(cents) AS s,
+        |    sum(cents * cents) AS q
+        |  FROM c GROUP BY segment),
+        |dv AS (
+        |  SELECT c.segment, c.c_custkey, c.cents,
+        |    CAST(st.n AS HUGEINT) * c.cents - st.s AS dev,
+        |    CAST(st.n AS HUGEINT) AS n, CAST(st.s AS HUGEINT) AS s,
+        |    CAST(st.q AS HUGEINT) AS q
+        |  FROM c JOIN st ON c.segment = st.segment)
+        |SELECT segment, c_custkey, cents,
+        |  CASE WHEN dev > 0 THEN 'high' ELSE 'low' END AS side
+        |FROM dv
+        |WHERE dev * dev * (n - 1) > 4 * n * (n * q - s * s)""".stripMargin,
     "q123_binning" ->
       """WITH o AS (
         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
