@@ -267,15 +267,20 @@ object AdvancedQ {
     ntileLeg.unionByName(widthLeg)
   }
 
-  /** q124 — per-segment z-score outliers (|z| > 2 vs the segment's
+  /** q124 — per-segment z-score outliers (|z| > 1.7 vs the segment's
     * sample stddev) with the variance test cross-multiplied into EXACT
-    * integer arithmetic: |x−S/n| > 2σ ⟺ (n·x−S)²·(n−1) > 4·n·(n·Q−S²)
-    * over cents, so no float mean/stddev (whose partial-sum order
-    * differs by partitioning AND by engine) ever exists. Intermediates
-    * overflow int64 (dev² ~ 1e20), so the comparison runs in
-    * DECIMAL(38,0) here and HUGEINT in the oracle — both exact. Scale
-    * shape: one partial-agg groupBy for (n, S, Q) per segment, stats
-    * broadcast back, verdict is a codegen'd row-local predicate.
+    * integer arithmetic: |x−S/n| > 1.7σ ⟺
+    * (n·x−S)²·(n−1)·100 > 289·n·(n·Q−S²) over cents, so no float
+    * mean/stddev (whose partial-sum order differs by partitioning AND
+    * by engine) ever exists. The threshold is deliberately below √3:
+    * acctbal is uniform, and a uniform variable never exceeds √3
+    * sample stddevs — at 2σ the outlier set would be identically
+    * empty and the gate would pass on a broken query too.
+    * Intermediates overflow int64 (dev² ~ 1e20), so the comparison
+    * runs in DECIMAL(38,0) here and HUGEINT in the oracle — both
+    * exact. Scale shape: one partial-agg groupBy for (n, S, Q) per
+    * segment, stats broadcast back, verdict is a codegen'd row-local
+    * predicate.
     */
   def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(
@@ -288,8 +293,8 @@ object AdvancedQ {
       .withColumn("dev", expr(
         "CAST(n AS DECIMAL(20,0)) * CAST(cents AS DECIMAL(20,0)) - CAST(s AS DECIMAL(20,0))"))
       .filter(expr(
-        """dev * dev * (CAST(n AS DECIMAL(20,0)) - 1) >
-          |  4 * CAST(n AS DECIMAL(20,0)) *
+        """dev * dev * (CAST(n AS DECIMAL(20,0)) - 1) * 100 >
+          |  289 * CAST(n AS DECIMAL(20,0)) *
           |  (CAST(n AS DECIMAL(20,0)) * CAST(q AS DECIMAL(20,0)) -
           |   CAST(s AS DECIMAL(20,0)) * CAST(s AS DECIMAL(20,0)))""".stripMargin))
       .select(col("segment"), col("c_custkey"), col("cents"),
@@ -355,7 +360,7 @@ object AdvancedQ {
         |SELECT segment, c_custkey, cents,
         |  CASE WHEN dev > 0 THEN 'high' ELSE 'low' END AS side
         |FROM dv
-        |WHERE dev * dev * (n - 1) > 4 * n * (n * q - s * s)""".stripMargin,
+        |WHERE dev * dev * (n - 1) * 100 > 289 * n * (n * q - s * s)""".stripMargin,
     "q123_binning" ->
       """WITH o AS (
         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
