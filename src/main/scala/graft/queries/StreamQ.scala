@@ -234,7 +234,29 @@ object StreamQ {
       col("event_type"), col("n"))
   }
 
+  /** q125 — the Spark 4.x `transformWithState` API under the gate: a
+    * per-user running-mean exceedance monitor
+    * ([[Streaming.RunningMeanProcessor]]) with RocksDB-backed typed
+    * ValueState (transformWithState requires the RocksDB provider —
+    * multiple column families; set for this query only and restored).
+    * Order-sensitive BY DESIGN — the fold visits events in (ts,
+    * event_id) order, pinned by an explicit in-batch sort — and every
+    * comparison is exact-integer (cents·n > sum, cross-multiplied), so
+    * the streaming fold must reproduce DuckDB's window recompute
+    * bit-for-bit.
+    */
+  def streamRunningMean(spark: SparkSession, dir: String): DataFrame =
+    Streaming.runToMemory(
+      Streaming.runningMeanExceedance(
+        Streaming.eventStream(spark, stagedEvents(dir))).toDF(),
+      name = "q125_stream_running_mean_mem",
+      mode = OutputMode.Append,
+      skipNoDataBatch = true,
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_stream_running_mean" -> (streamRunningMean _),
     "q118_stream_sliding_rates" -> (streamSlidingRates _),
     "q117_stream_windowed_distinct" -> (streamWindowedDistinct _),
     "q107_stream_incremental_dedup" -> (streamIncrementalDedup _),
@@ -246,6 +268,23 @@ object StreamQ {
     "q95_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q125_stream_running_mean" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round("value" * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) - 1 AS k,
+        |    coalesce(sum(cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events, sum(cents) AS sum_cents,
+        |  sum(CASE WHEN cents * k > prior THEN 1 ELSE 0 END)
+        |    AS n_above_running_mean
+        |FROM w GROUP BY user_id""".stripMargin,
     // each event belongs to windows starting at the two 5-min-aligned
     // points in (ts - 10min, ts]
     "q118_stream_sliding_rates" ->

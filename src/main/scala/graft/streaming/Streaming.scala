@@ -185,6 +185,63 @@ object Streaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  case class RunEvent(user_id: Long, ts_us: Long, event_id: Long, cents: Long)
+  case class RunState(n: Long, sumCents: Long, nAbove: Long)
+  case class RunOut(user_id: Long, n_events: Long, sum_cents: Long,
+      n_above_running_mean: Long)
+
+  /** The Spark 4.x `transformWithState` arbitrary-state API (successor
+    * to flatMapGroupsWithState, RocksDB-backed, typed per-key state
+    * handles): a per-user RUNNING-MEAN EXCEEDANCE monitor — for each
+    * user, fold events in (ts, event_id) order and count how many
+    * strictly exceed the running mean of the events before them. The
+    * comparison is kept in exact integers (cents·n_prior > sum_prior —
+    * cross-multiplied, no division), so the count is bit-identical on
+    * any engine and the streaming result can hash-gate against a batch
+    * SQL window recompute. In-batch fold order is pinned by an explicit
+    * per-key sort: iterator order inside `handleInputRows` is an
+    * implementation detail, never a semantics carrier.
+    */
+  class RunningMeanProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RunEvent, RunOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[RunState]("running_mean",
+        org.apache.spark.sql.Encoders.product[RunState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RunEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RunOut] = {
+      val ordered = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var s = if (st.exists()) st.get() else RunState(0L, 0L, 0L)
+      ordered.foreach { e =>
+        val above = if (e.cents * s.n > s.sumCents) 1L else 0L
+        s = RunState(s.n + 1L, s.sumCents + e.cents, s.nAbove + above)
+      }
+      st.update(s)
+      Iterator.single(RunOut(key, s.n, s.sumCents, s.nAbove))
+    }
+  }
+
+  /** Per-user running-mean exceedance over the stream; one output row
+    * per user per micro-batch carrying the state-so-far (the bounded
+    * gate input arrives as ONE batch, so the emitted row is the final
+    * per-user answer).
+    */
+  def runningMeanExceedance(events: DataFrame): Dataset[RunOut] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[RunEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningMeanProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[RunOut])
+  }
+
   /** Run a streaming DataFrame to completion against the bounded test
     * input via a named memory sink; returns the collected result.
     *
@@ -208,11 +265,13 @@ object Streaming {
     *    final results only materialize in that trailing batch.
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode,
-      skipNoDataBatch: Boolean = false): DataFrame = {
+      skipNoDataBatch: Boolean = false,
+      extraConfs: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     val conf = spark.conf
     val prevShuffle = conf.get("spark.sql.shuffle.partitions")
     val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevExtra = extraConfs.keys.map(k => k -> conf.getOption(k)).toMap
     val ckBase = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
       "/dev/shm" else System.getProperty("java.io.tmpdir")
     val ck = java.nio.file.Files.createTempDirectory(
@@ -221,6 +280,7 @@ object Streaming {
       conf.set("spark.sql.shuffle.partitions", "8")
       conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         (!skipNoDataBatch).toString)
+      extraConfs.foreach { case (k, v) => conf.set(k, v) }
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -235,6 +295,10 @@ object Streaming {
       prevNoData match {
         case Some(v) => conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
         case None => conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      prevExtra.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
       }
       org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
     }
