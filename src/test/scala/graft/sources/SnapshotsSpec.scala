@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("appends reuse prior files; old versions stay stable after new commits") {
+    val root = Staging.tempDir("snap_spec").toString
+    val v1 = Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    val v2 = Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)
+    assert(v1 == 1 && v2 == 2 && Snapshots.latestVersion(root) == 2)
+    // file-level reuse: v2's manifest carries v1's files verbatim
+    assert(Snapshots.files(root, 2).toSet.intersect(
+      Snapshots.files(root, 1).toSet) == Snapshots.files(root, 1).toSet)
+    // time travel: v1 unchanged, v2 = union, default read = latest
+    assert(Snapshots.read(spark, root, 1).select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(Snapshots.read(spark, root, 2).select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // a third commit must not disturb either older version
+    Snapshots.append(Seq((4L, "d")).toDF("id", "s"), root)
+    assert(Snapshots.read(spark, root, 1).count() == 2)
+    assert(Snapshots.read(spark, root, 2).count() == 3)
+  }
+
+  test("reading a nonexistent version fails loudly") {
+    val root = Staging.tempDir("snap_spec2").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root, 7) }
+  }
+}
