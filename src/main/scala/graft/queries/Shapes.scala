@@ -136,6 +136,24 @@ object Shapes {
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 2).as("qty"))
 
+  /** GROUPING SETS — the explicit form rollup/cube desugar to, with an
+    * ASYMMETRIC set list neither of them can express ((flag, status),
+    * (status), ()): one scan, one expand, per-set subtotals.
+    * grouping_id() disambiguates a NULL group key from a subtotal row
+    * (same bit order as DuckDB's GROUPING(flag, status): flag = MSB).
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty[org.apache.spark.sql.Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("grp"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("grp"),
+        col("n"), col("qty"))
+
   /** Aggregate-function surface: min/max/avg/stddev/count distinct +
     * conditional aggregation (the FILTER/CASE pattern pivot reduces to).
     */
@@ -186,7 +204,8 @@ object Shapes {
     "q21_cube" -> (cubeAgg _),
     "q22_agg_funcs" -> (aggFuncs _),
     "q23_pivot" -> (pivotPriorities _),
-    "q24_scalar_subquery" -> (scalarSubquery _))
+    "q24_scalar_subquery" -> (scalarSubquery _),
+    "q127_grouping_sets" -> (groupingSetsAgg _))
 
   val oracles: Map[String, String] = Map(
     "q10_filter_pushdown" ->
@@ -256,6 +275,13 @@ object Shapes {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q127_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())""".stripMargin,
     "q22_agg_funcs" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  count(DISTINCT o_custkey) AS n_customers,
