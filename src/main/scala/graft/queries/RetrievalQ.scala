@@ -116,12 +116,66 @@ object RetrievalQ {
       .select(col("doc_id"), col("term"), col("tf"), col("score_micro"), col("rn"))
   }
 
+  /** q129 — term co-occurrence with a log-free association score: for
+    * every unordered term pair, the number of documents containing
+    * both, plus `lift_micro = n_both · N · 10⁶ div (df_a · df_b)` —
+    * the PMI ratio without the log, in pure integer arithmetic (the
+    * log is monotone, so ranking/thresholding by lift ≡ by PMI). This
+    * is the co-occurrence-matrix build step under word-embedding /
+    * collocation pipelines. Scale shape: the pair space comes from a
+    * per-document self-join of the DISTINCT-term postings — Σ_d (t_d
+    * choose 2) pairs, never |vocab|² against the corpus — and at
+    * production scale the postings are first pruned to a top-k
+    * vocabulary (here the whole vocab already fits), keeping t_d
+    * bounded.
+    */
+  def termCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = postings.as("a")
+      .join(postings.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(dfreq.withColumnRenamed("term", "term_a").withColumnRenamed("df", "df_a"), Seq("term_a"))
+      .join(dfreq.withColumnRenamed("term", "term_b").withColumnRenamed("df", "df_b"), Seq("term_b"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift_micro",
+        expr("(n_both * n_docs * 1000000L) div (df_a * df_b)"))
+      .select(col("term_a"), col("term_b"), col("n_both"),
+        col("df_a"), col("df_b"), col("lift_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_bm25_topk" -> (bm25TopK _),
-    "q120_tfidf_topterms" -> (tfidfTopTerms _))
+    "q120_tfidf_topterms" -> (tfidfTopTerms _),
+    "q129_term_cooccurrence" -> (termCooccurrence _))
 
 
   val oracles: Map[String, String] = Map(
+    "q129_term_cooccurrence" ->
+      s"""WITH postings AS (
+         |  SELECT DISTINCT doc_id, u.term
+         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_both
+         |  FROM postings a JOIN postings b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2)
+         |SELECT p.term_a, p.term_b, p.n_both, da.df AS df_a, db.df AS df_b,
+         |  (p.n_both * n.n_docs * 1000000) // (da.df * db.df) AS lift_micro
+         |FROM pairs p
+         |JOIN dfreq da ON p.term_a = da.term
+         |JOIN dfreq db ON p.term_b = db.term
+         |CROSS JOIN n""".stripMargin,
     "q120_tfidf_topterms" ->
       s"""WITH toks AS (
          |  SELECT doc_id, u.term
