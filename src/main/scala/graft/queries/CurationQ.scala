@@ -387,7 +387,29 @@ object CurationQ {
         (col("_res") === 0L).as("no_residual_overlap"))
   }
 
+  /** q128 — BPE merge LEARNING ([[graft.operators.BpeLearn]]): three
+    * merge steps trained on the corpus vocabulary, emitted as the
+    * merge table (step, left, right, weighted count). The oracle
+    * re-learns the same merges in SQL (unrolled iterations — pair
+    * counts, argmax with the same (count desc, pair asc) tie-break,
+    * single-pass replace), so selection AND application must both
+    * match bit-for-bit. The corpus is scanned once for word
+    * frequencies; iterations run over the vocabulary table only.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(graft.operators.BpeLearn.spaced(col("term")).as("s"), col("freq"))
+    graft.operators.BpeLearn.learn(words, steps = 3)
+      .toDF("step", "left_sym", "right_sym", "cnt")
+      .select(col("step").cast("int"), col("left_sym"), col("right_sym"),
+        col("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_bpe_merges" -> (bpeMerges _),
     "q108_eval_split" -> (evalSplit _),
     "q105_vocab_coverage" -> (vocabCoverage _),
     "q103_source_drift" -> (sourceDrift _),
@@ -439,7 +461,34 @@ object CurationQ {
   private def bucketSql(key: String, salt: String): String =
     s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 18, 15) AS BIGINT) % 1000000"
 
+  private def bpeIterSql(i: Int): String =
+    s"""p$i AS (
+       |  SELECT t.sym[i.idx] AS l, t.sym[i.idx + 1] AS r, sum(t.freq) AS cnt
+       |  FROM (SELECT string_split(trim(s), ' ') AS sym, freq FROM w$i) t,
+       |       LATERAL (SELECT unnest(range(1, len(t.sym))) AS idx) i
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |w${i + 1} AS (
+       |  SELECT replace(s,
+       |    ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+       |    ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS s, freq
+       |  FROM w$i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q128_bpe_merges" ->
+      s"""WITH toks AS (
+         |  SELECT u.term
+         |  FROM (SELECT ${OracleSql.tokens("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |words AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+         |w1 AS (SELECT ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS s, freq
+         |       FROM words),
+         |${bpeIterSql(1)},
+         |${bpeIterSql(2)},
+         |${bpeIterSql(3)}
+         |SELECT CAST(1 AS INT) AS step, l AS left_sym, r AS right_sym, cnt FROM m1
+         |UNION ALL SELECT 2, l, r, cnt FROM m2
+         |UNION ALL SELECT 3, l, r, cnt FROM m3""".stripMargin,
     "q108_eval_split" -> {
       val bucket = bucketSql("doc_id", "ev1")
       s"""WITH d AS (
