@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix scan: a global running aggregate in total `key`
+  * order WITHOUT the single-partition window that `agg(...) OVER
+  * (ORDER BY key)` compiles to — the same execution cliff
+  * [[DistributedLead]] exists to avoid, solved for the
+  * running-aggregate case.
+  *
+  * Shape: [[SortedNeighborhood.globalRank]] (range partition + local
+  * sort + zipWithIndex) assigns each row its position in the total
+  * order; ranks are cut into ≤ `buckets` contiguous bucket groups, so
+  * the within-bucket scan is an ordinary PARTITIONED window, and the
+  * cross-bucket carry-in is a bucket-summary table of ≤ `buckets` rows
+  * whose strict-prefix max is computed by exploding each bucket's max
+  * to every LATER bucket id and re-aggregating — a ≤ buckets²/2-row
+  * explode+groupBy, no non-equi join, no single-task anything. Every
+  * intermediate is bounded by config (`buckets`), not by data, which
+  * is what lets the plan survive a 100 TB input: the big table is
+  * touched by exactly one range exchange and one hash-partitioned
+  * window.
+  *
+  * Contract: one row per `key` (an aggregate output); `buckets` sized
+  * ~ the cluster's parallelism.
+  */
+object PrefixScan {
+
+  /** Returns `df` plus column `out` = max of `value` over all rows
+    * with STRICTLY smaller `key` (null for the globally-first key —
+    * the empty-prefix max, exactly like `max(...) OVER (ORDER BY key
+    * ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`).
+    */
+  def strictPrefixMax(df: DataFrame, key: Column, value: Column, out: String,
+                      buckets: Int = 32): DataFrame = {
+    require(buckets > 0)
+    // lazy checkpoint: globalRank's range-sampling pass materializes the
+    // (one-row-per-key, aggregate-sized) input once; the count job and
+    // both scan legs below read cached blocks
+    val src = df.localCheckpoint(false)
+    val n = src.count()
+    val width = math.max(1L, (n + buckets - 1) / buckets)
+    val p = math.max(1L, (n + width - 1) / width)
+    val ranked = SortedNeighborhood
+      .globalRank(src, Seq(key.asc_nulls_last), "_ps_rnk")
+      .withColumn("_ps_bkt", (col("_ps_rnk") / width).cast("long"))
+      .localCheckpoint(false) // two consumers; rank+sort runs once
+    val wIn = Window.partitionBy(col("_ps_bkt")).orderBy(col("_ps_rnk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = ranked.withColumn("_ps_in", max(value).over(wIn))
+    // carry-in: each bucket's max feeds every LATER bucket — sequence
+    // guarded against Spark's descending-sequence surprise when a
+    // bucket has no successors
+    val carry = ranked.groupBy(col("_ps_bkt")).agg(max(value).as("_ps_bmax"))
+      .select(explode(when(col("_ps_bkt") + 1 <= lit(p - 1),
+          sequence(col("_ps_bkt") + 1, lit(p - 1)))
+        .otherwise(array().cast("array<bigint>"))).as("_ps_bkt"),
+        col("_ps_bmax"))
+      .groupBy(col("_ps_bkt")).agg(max(col("_ps_bmax")).as("_ps_prev"))
+    // greatest() skips nulls: first bucket (no carry-in) and first row
+    // of a bucket (empty within-frame) coalesce exactly like the
+    // single-partition window's empty frame would
+    within.join(broadcast(carry), Seq("_ps_bkt"), "left")
+      .withColumn(out, greatest(col("_ps_in"), col("_ps_prev")))
+      .drop("_ps_rnk", "_ps_bkt", "_ps_in", "_ps_prev")
+  }
+}

@@ -193,14 +193,18 @@ object AdvancedQ {
     * bigger-or-equal with at least one strict. The oracle states the
     * definition directly (quadratic NOT EXISTS); this side is the
     * scale shape: one partial-agg groupBy collapses the corpus to a
-    * ≤|distinct prices| summary table (max size per price), a window
-    * over THAT tiny table computes the strictly-cheaper running max,
-    * and the verdict joins back via broadcast — the full table is
-    * touched by exactly one groupBy and one broadcast-join filter, no
-    * all-pairs product and no window over the big table (the q30
-    * single-task lesson). Duplicate (price, size) points don't
-    * dominate each other — both survive; prices compared in exact
-    * cents.
+    * one-row-per-price summary table (max size per price), the
+    * strictly-cheaper running max over that summary is a DISTRIBUTED
+    * prefix scan ([[graft.operators.PrefixScan.strictPrefixMax]] —
+    * range-ranked buckets + partitioned windows, never the
+    * single-partition window a global ORDER BY implies; the summary
+    * is small here but |distinct prices| is data-dependent, so the
+    * q30 single-task lesson applies to it too), and the verdict joins
+    * back via broadcast — the full table is touched by exactly one
+    * groupBy and one broadcast-join filter, no all-pairs product and
+    * no window over the big table. Duplicate (price, size) points
+    * don't dominate each other — both survive; prices compared in
+    * exact cents.
     */
   def skylineParts(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir).select(
@@ -209,13 +213,10 @@ object AdvancedQ {
       col("p_size"))
     val perPrice = parts.groupBy(col("price_cents"))
       .agg(max(col("p_size")).as("max_size_at_price"))
-    // one row per distinct price, so rowsBetween(…, -1) IS the
-    // strictly-cheaper set; window input is the tiny summary table
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("price_cents").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val pricey = perPrice.withColumn(
-      "max_size_cheaper", max(col("max_size_at_price")).over(w))
+    // one row per distinct price, so the strict prefix max IS the
+    // strictly-cheaper set's best size
+    val pricey = graft.operators.PrefixScan.strictPrefixMax(
+      perPrice, col("price_cents"), col("max_size_at_price"), "max_size_cheaper")
     parts.join(broadcast(pricey), Seq("price_cents"))
       .filter(!(coalesce(col("max_size_cheaper") >= col("p_size"), lit(false)) ||
         col("max_size_at_price") > col("p_size")))

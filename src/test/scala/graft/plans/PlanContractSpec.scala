@@ -49,6 +49,9 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q100_bm25_topk",         // 1-row corpus-stats scalar broadcast onto matched postings
     "q103_source_drift",      // |sources|×|vocab| frame: 5×100 rows by construction
     "q108_eval_split",        // 1×1 cross join: the residual-overlap scalar invariant
+    "q120_tfidf_topterms",    // 1-row n_docs scalar broadcast onto the postings (q100's shape)
+    "q123_binning",           // two 1-row scalar broadcasts (row count; global min/max)
+    "q129_term_cooccurrence", // 1-row n_docs scalar broadcast onto the pair counts
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
