@@ -128,15 +128,20 @@ object Similarity {
       .filter(col("centroid_id") >= 0)
 
     // search only probed buckets; a pair reached via two shared buckets
-    // must count once, so dedup (query, corpus) before ranking — the
-    // candidate set is probe-bounded, so the extra exchange is small
+    // must count once, so dedup (query, corpus) before ranking. The
+    // cosine runs INSIDE the join stage (the [[semanticPairs]] lesson):
+    // a pair reached through r shared buckets recomputes its
+    // deterministic sim ≤ r times — pure CPU — while the dedup exchange
+    // carries only (query_id, corpus_id, sim), never the d×8-byte
+    // vectors. Deduping the full array-carrying rows instead shuffled
+    // ~|candidates|×2d doubles and dominated the warm search wall time.
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("corpus_id"), col("cv"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine_similarity(col("qv"), col("cv")), 6).as("sim"))
       .dropDuplicates("query_id", "corpus_id")
-      .withColumn("sim", round(cosine_similarity(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))
