@@ -29,6 +29,7 @@ object SparkEntry {
       (TextQ.queries, TextQ.oracles),
       (CurationQ.queries, CurationQ.oracles),
       (RetrievalQ.queries, RetrievalQ.oracles),
+      (EvalQ.queries, EvalQ.oracles),
       (VectorQ.queries, VectorQ.oracles),
       (MediaQ.queries, MediaQ.oracles),
       (AdvancedQ.queries, AdvancedQ.oracles),

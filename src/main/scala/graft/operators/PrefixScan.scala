@@ -66,4 +66,45 @@ object PrefixScan {
       .withColumn(out, greatest(col("_ps_in"), col("_ps_prev")))
       .drop("_ps_rnk", "_ps_bkt", "_ps_in", "_ps_prev")
   }
+
+  /** Returns `df` plus column `out` = SUM of `value` over all rows with
+    * STRICTLY smaller `key` (null for the globally-first key — exactly
+    * like `sum(...) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING
+    * AND 1 PRECEDING)`). Same bucketed shape as [[strictPrefixMax]]:
+    * one range exchange + one partitioned window over the big table;
+    * the cross-bucket carry-in is the ≤ buckets²/2-row explode of each
+    * bucket's TOTAL to every later bucket. This is the running-total
+    * primitive under exact AUC (rank-sum), weighted systematic
+    * sampling, and cumulative-share queries — none of which may compile
+    * to a SinglePartition window at 100 TB.
+    */
+  def strictPrefixSum(df: DataFrame, key: Column, value: Column, out: String,
+                      buckets: Int = 32): DataFrame = {
+    require(buckets > 0)
+    val src = df.localCheckpoint(false)
+    val n = src.count()
+    val width = math.max(1L, (n + buckets - 1) / buckets)
+    val p = math.max(1L, (n + width - 1) / width)
+    val ranked = SortedNeighborhood
+      .globalRank(src, Seq(key.asc_nulls_last), "_ps_rnk")
+      .withColumn("_ps_bkt", (col("_ps_rnk") / width).cast("long"))
+      .localCheckpoint(false)
+    val wIn = Window.partitionBy(col("_ps_bkt")).orderBy(col("_ps_rnk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = ranked.withColumn("_ps_in", sum(value).over(wIn))
+    val carry = ranked.groupBy(col("_ps_bkt")).agg(sum(value).as("_ps_bsum"))
+      .select(explode(when(col("_ps_bkt") + 1 <= lit(p - 1),
+          sequence(col("_ps_bkt") + 1, lit(p - 1)))
+        .otherwise(array().cast("array<bigint>"))).as("_ps_bkt"),
+        col("_ps_bsum"))
+      .groupBy(col("_ps_bkt")).agg(sum(col("_ps_bsum")).as("_ps_prev"))
+    // empty prefix (first row of first bucket) stays null, matching the
+    // SQL window's empty frame; otherwise null legs contribute 0
+    within.join(broadcast(carry), Seq("_ps_bkt"), "left")
+      .withColumn(out,
+        when(col("_ps_in").isNull && col("_ps_prev").isNull, lit(null))
+          .otherwise(coalesce(col("_ps_in"), lit(0L)) +
+            coalesce(col("_ps_prev"), lit(0L))))
+      .drop("_ps_rnk", "_ps_bkt", "_ps_in", "_ps_prev")
+  }
 }

@@ -408,7 +408,34 @@ object CurationQ {
         col("cnt"))
   }
 
+  /** q133 — weighted sampling without replacement as SYSTEMATIC
+    * sampling over a deterministic order: weight = n_chars, cum =
+    * running weight total in doc_id order, step = total div 50, and a
+    * doc is picked iff its weight interval [cum−w, cum) crosses a step
+    * boundary — so expected inclusion is proportional to weight, large
+    * docs are picked at most once (no replacement), and the result is
+    * a deterministic exact ROW SET both engines agree on (the float
+    * A-ES exponential-keys formulation is not cross-engine exact; this
+    * is). The running total is [[PrefixScan.strictPrefixSum]]'s
+    * bucketed scan — no SinglePartition window at any scale.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+    val totals = d.agg(sum(col("w")).as("_total"))
+    graft.operators.PrefixScan
+      .strictPrefixSum(d, col("doc_id"), col("w"), "_cumb")
+      .withColumn("_cumb", coalesce(col("_cumb"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("_step", greatest(expr("_total div 50L"), lit(1L)))
+      .filter(expr("_cumb div _step < (_cumb + w) div _step"))
+      .select(col("doc_id"), col("w"),
+        expr("_cumb + w").as("cum_w"),
+        expr("(_cumb + w) div _step").as("pick_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_weighted_sample" -> (weightedSample _),
     "q128_bpe_merges" -> (bpeMerges _),
     "q108_eval_split" -> (evalSplit _),
     "q105_vocab_coverage" -> (vocabCoverage _),
@@ -475,6 +502,20 @@ object CurationQ {
        |  FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q133_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cumb
+        |  FROM d),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM d),
+        |s AS (SELECT greatest(total // 50, 1) AS step FROM t)
+        |SELECT doc_id, w,
+        |  CAST(cumb + w AS BIGINT) AS cum_w,
+        |  CAST((cumb + w) // step AS BIGINT) AS pick_idx
+        |FROM c CROSS JOIN s
+        |WHERE cumb // step < (cumb + w) // step""".stripMargin,
     "q128_bpe_merges" ->
       s"""WITH toks AS (
          |  SELECT u.term

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.PrefixScan
+import graft.sources.Tables
+
+/** Evaluation metrics computed AT CORPUS SCALE — the measurement half
+  * of a training-data platform: ranking quality of the retrieval stack
+  * and classifier quality of any score column, both in exact integer
+  * arithmetic so the gate is bit-exact on any engine and any
+  * partitioning.
+  */
+object EvalQ {
+
+  /** q131 — retrieval evaluation (MRR@10, precision@5, recall@10) of
+    * the q100 BM25 ranking against CONTAINMENT relevance labels: a doc
+    * is relevant to a query iff it contains EVERY query term. Labels
+    * derive from the same postings the scorer uses, so the whole
+    * benchmark is self-contained and the DuckDB oracle recomputes it
+    * end-to-end — a FULL hash gate over ranking-quality numbers, not a
+    * planted boolean.
+    *
+    * Exactness: every metric is a rational with a small known
+    * denominator, scaled to millionths by integer division —
+    * `1000000 div rank`, `hits·1000000 div 5`, `hits·1000000 div
+    * n_relevant` — no float anywhere. Scale shape: the relevant-set
+    * count aggregates the full per-doc scored table (never just the
+    * top-k), the top-10 cut is the WindowGroupLimit window from q100,
+    * and the final join is per-query (3 rows).
+    */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val (perDoc, nq) = RetrievalQ.perDocScored(spark, dir,
+      probes = RetrievalQ.evalQueries)
+    val labeled = perDoc.join(broadcast(nq), Seq("query_id"))
+      .withColumn("rel",
+        when(col("n_matched_terms") === col("n_query_terms"), 1L).otherwise(0L))
+    val nRel = labeled.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_relevant"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_millionths").desc, col("doc_id").asc)
+    val top10 = labeled
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+    val topStats = top10.groupBy(col("query_id")).agg(
+      sum(col("rel")).as("hits_at_10"),
+      sum(when(col("rn") <= 5, col("rel")).otherwise(0L)).as("_hits5"),
+      max(when(col("rel") === 1L, expr("1000000L div rn")).otherwise(0L))
+        .as("rr_micro"))
+    nRel.join(topStats, Seq("query_id"))
+      .select(col("query_id"), col("n_relevant"), col("hits_at_10"),
+        col("rr_micro"),
+        expr("_hits5 * 1000000L div 5L").as("p5_micro"),
+        when(col("n_relevant") > 0,
+            expr("hits_at_10 * 1000000L div n_relevant"))
+          .otherwise(0L).as("r10_micro"))
+  }
+
+  /** q132 — exact AUC (Mann-Whitney rank-sum) of a score column
+    * against a binary label, distributed: here P(len(text) ranks an
+    * English doc above a non-English one), i.e. score = n_chars,
+    * label = (lang = 'en'). The classic formulation needs a GLOBAL
+    * rank — a SinglePartition sort at scale — but grouping by score
+    * value first reduces the input to one row per distinct score, and
+    * the "negatives below me" term is then a strict-prefix SUM in
+    * score order: [[PrefixScan.strictPrefixSum]]'s bucketed scan, no
+    * single-task stage anywhere. Ties contribute half, kept exact by
+    * working in DOUBLED units: U·2 = Σ_s pos(s)·(2·cumneg_below(s) +
+    * neg(s)), and auc_micro = U·2 · 10⁶ div (2·P·N) — pure BIGINT
+    * end-to-end, bit-identical on any engine/partitioning.
+    */
+  def aucExact(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("n_chars").as("score"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("n_neg"))
+    PrefixScan.strictPrefixSum(g, col("score"), col("n_neg"), "cumneg")
+      .withColumn("cumneg", coalesce(col("cumneg"), lit(0L)))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        sum(expr("n_pos * (2L * cumneg + n_neg)")).as("u_times2"))
+      .select(col("n_pos"), col("n_neg"), col("u_times2"),
+        expr("u_times2 * 1000000L div (2L * n_pos * n_neg)").as("auc_micro"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_retrieval_eval" -> (retrievalEval _),
+    "q132_auc_exact" -> (aucExact _))
+
+  val oracles: Map[String, String] = Map(
+    "q131_retrieval_eval" -> {
+      val probes = RetrievalQ.evalQueries
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"""WITH probes(query_id, qtext) AS (VALUES $probes),
+         |qt AS (
+         |  SELECT DISTINCT query_id, u.term
+         |  FROM (SELECT query_id, ${OracleSql.tokens("qtext")} AS ts FROM probes),
+         |       unnest(ts) u(term)),
+         |nq AS (SELECT query_id, count(*) AS n_query_terms FROM qt GROUP BY query_id),
+         |toks AS (
+         |  SELECT doc_id, u.term
+         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |postings AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+         |scored AS (
+         |  SELECT qt.query_id, p.doc_id,
+         |    CAST(floor((((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+         |        (CAST(d.df AS DOUBLE) + 0.5)) *
+         |      ((CAST(p.tf AS DOUBLE) * (${RetrievalQ.k1} + 1.0)) /
+         |        (CAST(p.tf AS DOUBLE) +
+         |          ${RetrievalQ.k1} * (1.0 - ${RetrievalQ.b} + ${RetrievalQ.b} *
+         |            (CAST(l.dl AS DOUBLE) /
+         |            (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) *
+         |      1000000.0 + 0.5) AS BIGINT) AS ts_millionths
+         |  FROM postings p
+         |  JOIN qt ON p.term = qt.term
+         |  JOIN dfreq d ON p.term = d.term
+         |  JOIN doclen l ON p.doc_id = l.doc_id
+         |  CROSS JOIN stats s),
+         |per_doc AS (
+         |  SELECT query_id, doc_id,
+         |    sum(ts_millionths) AS score_millionths,
+         |    count(*) AS n_matched_terms
+         |  FROM scored GROUP BY query_id, doc_id),
+         |labeled AS (
+         |  SELECT p.*, CASE WHEN p.n_matched_terms = nq.n_query_terms
+         |    THEN 1 ELSE 0 END AS rel
+         |  FROM per_doc p JOIN nq ON p.query_id = nq.query_id),
+         |n_rel AS (
+         |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_relevant
+         |  FROM labeled GROUP BY query_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_millionths DESC, doc_id ASC) AS INT) AS rn
+         |  FROM labeled),
+         |top_stats AS (
+         |  SELECT query_id,
+         |    CAST(sum(rel) AS BIGINT) AS hits_at_10,
+         |    CAST(sum(CASE WHEN rn <= 5 THEN rel ELSE 0 END) AS BIGINT) AS hits5,
+         |    CAST(max(CASE WHEN rel = 1 THEN 1000000 // rn ELSE 0 END) AS BIGINT)
+         |      AS rr_micro
+         |  FROM ranked WHERE rn <= 10 GROUP BY query_id)
+         |SELECT r.query_id, r.n_relevant, t.hits_at_10, t.rr_micro,
+         |  CAST(t.hits5 * 1000000 // 5 AS BIGINT) AS p5_micro,
+         |  CAST(CASE WHEN r.n_relevant > 0
+         |    THEN t.hits_at_10 * 1000000 // r.n_relevant ELSE 0 END AS BIGINT)
+         |    AS r10_micro
+         |FROM n_rel r JOIN top_stats t ON r.query_id = t.query_id""".stripMargin
+    },
+    "q132_auc_exact" ->
+      """WITH g AS (
+        |  SELECT n_chars AS score,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cumneg
+        |  FROM g)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |  CAST(sum(n_pos * (2 * cumneg + n_neg)) AS BIGINT) AS u_times2,
+        |  CAST(sum(n_pos * (2 * cumneg + n_neg)) * 1000000
+        |    // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_micro
+        |FROM c""".stripMargin)
+}

@@ -36,7 +36,26 @@ object RetrievalQ {
     2 -> "sample text with numbers",
     3 -> "quick brown fox")
 
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Probe set for the q131 EVAL gate — vocabulary-aligned (the
+    * fixture corpus draws from a closed word set) with graded strictness
+    * (3/4/5 terms), so containment relevance is non-empty and the
+    * metrics are non-trivial data-dependent numbers at every sf. q100
+    * keeps [[probeQueries]] (which includes deliberate out-of-vocab
+    * probes exercising the no-match path).
+    */
+  val evalQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark window agg",
+    2 -> "hash join merge sort",
+    3 -> "vector stream batch big slow")
+
+  /** The scored-per-doc table BEFORE the top-k cut — (query_id, doc_id,
+    * score_millionths, n_matched_terms) for every doc matching ≥ 1
+    * query term — plus the per-query distinct-term counts. Shared by
+    * q100 (top-k) and q131 (eval metrics, which need ALL matched docs
+    * to count the relevant set, not just the top 10).
+    */
+  private[queries] def perDocScored(spark: SparkSession, dir: String,
+      probes: Seq[(Int, String)] = probeQueries): (DataFrame, DataFrame) = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     // postings: one corpus scan -> (doc_id, term, tf, dl)
@@ -49,7 +68,7 @@ object RetrievalQ {
     val stats = doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val dfreq = postings.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val qterms = probeQueries.toDF("query_id", "qtext")
+    val qterms = probes.toDF("query_id", "qtext")
       .select(col("query_id"), explode(tokens(col("qtext"))).as("term"))
       .distinct()
     val scored = postings
@@ -77,6 +96,12 @@ object RetrievalQ {
     val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ts_millionths")).as("score_millionths"),
         count(lit(1)).as("n_matched_terms"))
+    val nq = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("n_query_terms"))
+    (perDoc, nq)
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val (perDoc, _) = perDocScored(spark, dir)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
       .orderBy(col("score_millionths").desc, col("doc_id").asc)
     perDoc

@@ -15,6 +15,7 @@ object QIndex {
       ("TextQ", graft.queries.TextQ.queries, graft.queries.TextQ.oracles),
       ("CurationQ", graft.queries.CurationQ.queries, graft.queries.CurationQ.oracles),
       ("RetrievalQ", graft.queries.RetrievalQ.queries, graft.queries.RetrievalQ.oracles),
+      ("EvalQ", graft.queries.EvalQ.queries, graft.queries.EvalQ.oracles),
       ("VectorQ", graft.queries.VectorQ.queries, graft.queries.VectorQ.oracles),
       ("MediaQ", graft.queries.MediaQ.queries, graft.queries.MediaQ.oracles),
       ("AdvancedQ", graft.queries.AdvancedQ.queries, graft.queries.AdvancedQ.oracles),

@@ -51,4 +51,29 @@ class PrefixScanSpec extends AnyFunSuite with SparkTestSession {
       fixture.filter(lit(false)), col("k"), col("v"), "pm", 8)
     assert(out.columns.contains("pm") && out.count() == 0)
   }
+
+  private def sumReference = {
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fixture.withColumn("ps", sum(col("v")).over(w))
+      .orderBy(col("k")).collect().map(r =>
+        (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) null else r.get(2)))
+  }
+
+  for (buckets <- Seq(1, 3, 32)) {
+    test(s"sum matches the global-window reference with buckets=$buckets") {
+      val got = PrefixScan
+        .strictPrefixSum(fixture, col("k"), col("v"), "ps", buckets)
+        .orderBy(col("k")).collect().map(r =>
+          (r.getLong(0), r.getInt(1), if (r.isNullAt(2)) null else r.get(2)))
+      assert(got.toSeq == sumReference.toSeq)
+    }
+  }
+
+  test("sum: globally-first key carries a null (empty-prefix) sum") {
+    val first = PrefixScan
+      .strictPrefixSum(fixture, col("k"), col("v"), "ps", 4)
+      .orderBy(col("k")).limit(1).collect()(0)
+    assert(first.isNullAt(first.fieldIndex("ps")))
+  }
 }
