@@ -33,6 +33,24 @@ object BpeLearn {
   def spaced(word: Column): Column =
     concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
 
+  /** ENCODE: apply an ordered merge list to a spaced-symbol column —
+    * the tokenizer-application half ([[learn]] is the training half).
+    * Each merge is one codegen'd single-pass `replace`, identical to
+    * the replace the learner used, so applying the learned table to
+    * the training vocabulary reproduces the training segmentation
+    * exactly. The merge list is a driver-held artifact (like k-means
+    * centers / the PQ codebook); at 100 TB the chain runs over the
+    * DISTINCT-word vocabulary and segmentations join back to the
+    * corpus by word — the corpus text itself is never re-scanned per
+    * merge.
+    */
+  def applyMerges(df: DataFrame, sCol: String, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(df) { case (d, (l, r)) =>
+      d.withColumn(sCol, replace(col(sCol),
+        concat_ws("", lit(" "), lit(l), lit(" "), lit(r), lit(" ")),
+        concat_ws("", lit(" "), lit(l), lit(r), lit(" "))))
+    }
+
   /** Learn `steps` merges from `words(s, freq)` (s pre-`spaced`).
     * Returns (step, left, right, weighted pair count at selection).
     */

@@ -434,7 +434,60 @@ object CurationQ {
         expr("(_cumb + w) div _step").as("pick_idx"))
   }
 
+  /** Learned 10-step merge table memoized per (session, dir) — the
+    * tokenizer artifact q130's encode leg applies (q128 re-learns a
+    * 3-step table inline because LEARNING is what it gates; this is
+    * the "train once, encode everywhere" deployment contract, like
+    * the k-means centers and the PQ codebook).
+    */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]()
+  private def learnedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    mergeMemo.computeIfAbsent((spark, dir), _ => {
+      val words = Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .select(graft.operators.BpeLearn.spaced(col("term")).as("s"), col("freq"))
+      graft.operators.BpeLearn.learn(words, steps = 10).map(m => (m._2, m._3))
+    })
+
+  /** q130 — BPE ENCODE: apply the learned merge table to the corpus
+    * ([[graft.operators.BpeLearn.applyMerges]]) and report corpus-level
+    * tokenization stats. Scale shape: the merge chain runs over the
+    * DISTINCT-word vocabulary (vocab ≪ corpus) and per-word
+    * segmentations weight by word frequency — the corpus is scanned
+    * once for the vocabulary and never re-touched per merge. The gate
+    * mixes oracle-computable exacts (n_docs, n_vocab, n_words_total)
+    * with engine-measured invariant booleans the oracle states
+    * literally (q63/q80 pattern): every segmentation concatenates back
+    * to its word (the encode never loses bytes), subword count ≥ word
+    * count (no over-merge), and the learned merges strictly reduce
+    * token count vs character-level (the tokenizer does something).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val seg = graft.operators.BpeLearn.applyMerges(
+        vocab.withColumn("s", graft.operators.BpeLearn.spaced(col("term"))),
+        "s", learnedMerges(spark, dir))
+      .withColumn("seg", split(trim(col("s")), " "))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    seg.agg(
+        count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_words_total"),
+        expr("bool_and(concat_ws('', seg) = term)").as("all_roundtrip"),
+        sum(col("freq") * size(col("seg"))).as("_nsub"),
+        sum(col("freq") * length(col("term"))).as("_nchar"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("n_vocab"), col("n_words_total"),
+        col("all_roundtrip"),
+        (col("_nsub") >= col("n_words_total")).as("subwords_ge_words"),
+        (col("_nsub") < col("_nchar")).as("merges_reduce"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_bpe_encode" -> (bpeEncode _),
     "q133_weighted_sample" -> (weightedSample _),
     "q128_bpe_merges" -> (bpeMerges _),
     "q108_eval_split" -> (evalSplit _),
@@ -502,6 +555,19 @@ object CurationQ {
        |  FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q130_bpe_encode" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.term
+         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |v AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_vocab,
+         |  CAST(sum(freq) AS BIGINT) AS n_words_total,
+         |  TRUE AS all_roundtrip,
+         |  TRUE AS subwords_ge_words,
+         |  TRUE AS merges_reduce
+         |FROM v""".stripMargin,
     "q133_weighted_sample" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
         |c AS (
