@@ -302,7 +302,42 @@ object AdvancedQ {
         when(col("dev") > 0, lit("high")).otherwise(lit("low")).as("side"))
   }
 
+  /** q134 — Z-ORDER (Morton) layout clustering: interleave the bits of
+    * two scan dimensions into one code, cut the code range into 64
+    * clusters, and report per-cluster min/max of BOTH dimensions plus
+    * whether a probe range on x would touch the cluster. This is the
+    * multi-dimensional data-layout primitive under Delta/Iceberg
+    * OPTIMIZE ZORDER: sorting 100 TB by zcode before writing gives
+    * every file a bounded min/max box in BOTH dims, so a filter on
+    * EITHER prunes files — the per-cluster boxes and probe_hit flags
+    * in the output are exactly the pruning metadata a lakehouse writer
+    * would persist. The bit interleave is a native lambda expression
+    * (aggregate over sequence(0,15) with shift/mask — codegen, no UDF)
+    * and everything downstream is one groupBy — pure integers, exact
+    * hash gate. The 64-way cut normalizes by the data's max code via a
+    * 1-row scalar broadcast, so cluster granularity is sf-independent.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val z = Tables.lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(65536)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(65536)).cast("long").as("y"))
+      .withColumn("zcode", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, i) ->
+          |  acc + shiftleft(shiftright(x, i) & 1L, 2 * i)
+          |      + shiftleft(shiftright(y, i) & 1L, 2 * i + 1))""".stripMargin))
+    val m = z.agg(max(col("zcode")).as("mz"))
+    z.crossJoin(broadcast(m))
+      .withColumn("cluster", expr("(zcode * 64L) div (mz + 1L)"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("probe_hit",
+        col("min_x") <= 199L && col("max_x") >= 100L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_zorder_layout" -> (zorderLayout _),
     "q124_zscore_outliers" -> (zscoreOutliers _),
     "q123_binning" -> (binningReport _),
     "q121_skyline" -> (skylineParts _),
@@ -343,6 +378,24 @@ object AdvancedQ {
   }
 
   val oracles: Map[String, String] = Map(
+    "q134_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT CAST(l_partkey % 65536 AS BIGINT) AS x,
+        |         CAST(l_suppkey % 65536 AS BIGINT) AS y
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT x, y, CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS zcode
+        |  FROM b),
+        |m AS (SELECT max(zcode) AS mz FROM z),
+        |c AS (SELECT x, y, (zcode * 64) // (mz + 1) AS cluster
+        |      FROM z CROSS JOIN m)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y,
+        |  (min(x) <= 199 AND max(x) >= 100) AS probe_hit
+        |FROM c GROUP BY cluster""".stripMargin,
     "q124_zscore_outliers" ->
       """WITH c AS (
         |  SELECT c_custkey, c_mktsegment AS segment,
