@@ -105,7 +105,57 @@ object EventsQ {
           .as("ffill_millionths"))
   }
 
+  /** q136 — retention cohort matrix, the canonical product-analytics
+    * rollup: users cohorted by first-active week, then counted per
+    * (cohort, week-offset) cell, with retention as an exact scaled
+    * rational. Two partial-agg groupBys and one equi-join on user_id —
+    * at 100 TB the per-user first-week aggregate and the distinct
+    * (user, week) activity table both shuffle once on user_id and the
+    * cell counts are map-side combinable. Weeks anchor on the fixture
+    * epoch (the generator's start date), keeping the bucketing a pure
+    * per-row projection.
+    */
+  def retentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) div 7L")
+          .as("wk"))
+    val cohort = a.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val cohortSize = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    a.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(cohortSize, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 1000000L div cohort_size").as("retention_micro"))
+  }
+
+  /** q137 — first-order Markov transition matrix over per-user event
+    * sequences: lag(1) within a user (PARTITIONED window — never
+    * global), (prev → next) counts, and row-normalized transition
+    * probabilities as exact millionths. The (ts, event_id) tiebreak is
+    * the q34 determinism contract shared with the DuckDB oracle.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val tr = Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("prev_type")).agg(sum(col("n")).as("n_from"))
+    tr.join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
+        expr("n * 1000000L div n_from").as("p_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_retention_matrix" -> (retentionMatrix _),
+    "q137_event_transitions" -> (eventTransitions _),
     "q106_resample_ffill" -> (resampleFfill _),
     "q32_json_extract" -> (jsonExtract _),
     "q33_time_buckets" -> (timeBuckets _),
@@ -113,6 +163,38 @@ object EventsQ {
     "q35_type_share" -> (typeShare _))
 
   val oracles: Map[String, String] = Map(
+    "q136_retention_matrix" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1),
+        |cs AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM c GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, wk FROM a),
+        |r AS (
+        |  SELECT c.cohort_wk, act.wk - c.cohort_wk AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM act JOIN c ON act.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort_wk, r.week_offset, r.n_users, cs.cohort_size,
+        |  CAST(r.n_users * 1000000 // cs.cohort_size AS BIGINT) AS retention_micro
+        |FROM r JOIN cs ON r.cohort_wk = cs.cohort_wk""".stripMargin,
+    "q137_event_transitions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+        |        FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, tr.next_type, tr.n, tot.n_from,
+        |  CAST(tr.n * 1000000 // tot.n_from AS BIGINT) AS p_micro
+        |FROM tr JOIN tot ON tr.prev_type = tot.prev_type""".stripMargin,
     "q106_resample_ffill" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, "value" FROM events),

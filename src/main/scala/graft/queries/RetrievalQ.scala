@@ -176,13 +176,73 @@ object RetrievalQ {
         col("df_a"), col("df_b"), col("lift_micro"))
   }
 
+  /** q135 — triangle counting over the positively-associated term
+    * graph (q129's co-occurrence edges with lift ≥ 1): the classic
+    * distributed graph statistic, via the ORDERED-edge join — every
+    * edge is stored once as (a < b), a wedge is e1(a,b)⋈e2(b,c), and a
+    * triangle closes with an equi-join back onto e3(a,c); the ordering
+    * counts each triangle exactly once with three equi-joins and no
+    * row ever compared twice. At 100 TB the standard refinement is
+    * degree-ordering (orient edges low→high degree) so wedge fan-out
+    * is bounded by the max ORIENTED degree — the shape here is already
+    * that join, the orientation key just changes. Pure integer gate:
+    * (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = termCooccurrence(spark, dir)
+      .filter(col("lift_micro") >= 1000000L)
+      .select(col("term_a"), col("term_b"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.term_b") === col("e2.term_a"))
+    val tris = wedges.join(e.as("e3"),
+        col("e3.term_a") === col("e1.term_a") &&
+          col("e3.term_b") === col("e2.term_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = e.select(col("term_a").as("t"))
+      .unionByName(e.select(col("term_b").as("t")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(edges).crossJoin(tris)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_triangle_count" -> (triangleCount _),
     "q100_bm25_topk" -> (bm25TopK _),
     "q120_tfidf_topterms" -> (tfidfTopTerms _),
     "q129_term_cooccurrence" -> (termCooccurrence _))
 
 
   val oracles: Map[String, String] = Map(
+    "q135_triangle_count" ->
+      s"""WITH postings AS (
+         |  SELECT DISTINCT doc_id, u.term
+         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_both
+         |  FROM postings a JOIN postings b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT p.term_a, p.term_b
+         |  FROM pairs p
+         |  JOIN dfreq da ON p.term_a = da.term
+         |  JOIN dfreq db ON p.term_b = db.term
+         |  CROSS JOIN n
+         |  WHERE (p.n_both * n.n_docs * 1000000) // (da.df * db.df) >= 1000000),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM e e1
+         |  JOIN e e2 ON e1.term_b = e2.term_a
+         |  JOIN e e3 ON e3.term_a = e1.term_a AND e3.term_b = e2.term_b),
+         |nodes AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
+         |    SELECT term_a AS t FROM e UNION SELECT term_b AS t FROM e)),
+         |edges AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, n_triangles
+         |FROM nodes CROSS JOIN edges CROSS JOIN tri""".stripMargin,
     "q129_term_cooccurrence" ->
       s"""WITH postings AS (
          |  SELECT DISTINCT doc_id, u.term

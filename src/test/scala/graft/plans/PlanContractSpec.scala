@@ -53,6 +53,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q123_binning",           // two 1-row scalar broadcasts (row count; global min/max)
     "q129_term_cooccurrence", // 1-row n_docs scalar broadcast onto the pair counts
     "q134_zorder_layout",     // 1-row max-zcode scalar broadcast for the 64-way cut
+    "q135_triangle_count",    // 1×1×1 cross of the nodes/edges/triangles scalars
     "q130_bpe_encode",        // 1×1 cross join: vocab stats × the n_docs scalar
     "q131_retrieval_eval",    // inherits q100's 1-row corpus-stats scalar broadcast
     "q133_weighted_sample",   // 1-row total-weight scalar broadcast onto the scan
