@@ -33,6 +33,32 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-k most-similar corpus vectors whose `label` DIFFERS from
+    * the query's — the "hard" negatives an embedding-model trainer
+    * pairs with each anchor. Same plan shape as [[bruteForceTopK]]
+    * (broadcast queries, one corpus scan, per-query window top-k); the
+    * label inequality rides the join condition so same-label rows
+    * (including self) never reach the similarity kernel. At 100 TB the
+    * corpus scan dominates and parallelizes per-partition; swap the
+    * scan for [[ivfTopK]]'s probe join when exactness can be traded.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neg_id").asc)
+    c.join(broadcast(q), col("neg_label") =!= col("query_label"))
+      .withColumn("sim", round(cosine_similarity(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neg_id"), col("sim"), col("rn"))
+  }
+
   /** The IVF index build: deterministic seed sample + Lloyd rounds,
     * returning the centers — the index ARTIFACT a production deployment
     * persists beside the data and reuses across every search (callers

@@ -486,7 +486,46 @@ object CurationQ {
         (col("_nsub") < col("_nchar")).as("merges_reduce"))
   }
 
+  /** q139 — bigram-LM fluency scoring, the CCNet/Gopher-style "train a
+    * cheap LM on the corpus, score every document by it" quality
+    * filter, kept log-free so it hash-gates exactly: the corpus bigram
+    * MLE p(w2|w1) = C(w1,w2)/C(w1·) is held as integer millionths
+    * (truncating div) and a document's fluency is the occurrence-
+    * weighted mean of its bigrams' p_micro (truncating div again) —
+    * monotone in the true geometric-mean likelihood's arithmetic-mean
+    * analog, engine-portable, no float ever crosses an aggregate.
+    *
+    * Plan: one scan → per-doc bigram multiset (partial-agg shuffle on
+    * (doc, w1, w2)); the model's C(w1,w2) rolls up FROM that table
+    * (shuffle on (w1,w2), co-keyed with the scoring join), C(w1·) rolls
+    * up from C(w1,w2) (tiny) and broadcasts back; final per-doc mean is
+    * one more partial agg. Every shuffle is on a key the next step
+    * joins or aggregates on — at 100 TB the bigram-type table is the
+    * only large intermediate and it never carries text bodies.
+    */
+  def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    val docBigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
+    val c12 = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    docBigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("p_micro", expr("c12 * 1000000L div c1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        expr("sum(m * p_micro) div sum(m)").as("fluency_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_bigram_fluency" -> (bigramFluency _),
     "q130_bpe_encode" -> (bpeEncode _),
     "q133_weighted_sample" -> (weightedSample _),
     "q128_bpe_merges" -> (bpeMerges _),
@@ -555,6 +594,27 @@ object CurationQ {
        |  FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q139_bigram_fluency" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ts[CAST(u.i AS INT) + 1] AS w1,
+         |    ts[CAST(u.i AS INT) + 2] AS w2
+         |  FROM toks, unnest(range(greatest(len(ts) - 1, 0))) u(i)),
+         |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+         |       FROM bg GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12
+         |        FROM db GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+         |       FROM c12 GROUP BY 1),
+         |sc AS (
+         |  SELECT db.doc_id, db.m, (c12.c12 * 1000000) // c1.c1 AS p_micro
+         |  FROM db
+         |  JOIN c12 ON db.w1 = c12.w1 AND db.w2 = c12.w2
+         |  JOIN c1 ON db.w1 = c1.w1)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(m * p_micro) // sum(m) AS BIGINT) AS fluency_micro
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "q130_bpe_encode" ->
       s"""WITH toks AS (
          |  SELECT doc_id, u.term

@@ -472,6 +472,31 @@ object TextQ {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** q140 — context-window chunking with overlap: split each document
+    * into fixed-width token windows (W=64) at stride S=48 (16-token
+    * overlap), the pretraining/RAG chunker. n_chunks = max(0,
+    * ceil((n−W)/S)) + 1 — every token covered, the LAST window always
+    * ends at n, and no window is contained in its predecessor (the
+    * naive "starts while start < n" rule emits one). Pure per-row
+    * arithmetic + explode: no shuffle at all until the driver's sink —
+    * at 100 TB this is a map-only pass whatever the corpus size.
+    */
+  def chunkPlan(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64; val S = 48
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("n_chunks",
+        expr(s"greatest(0L, (n_tok - $W + ${S - 1}) div $S) + 1L"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("ci"))
+      .select(col("doc_id"),
+        col("ci").cast("int").as("chunk_id"),
+        (col("ci") * S).as("start_tok"),
+        least(col("ci") * S + W, col("n_tok")).as("end_tok"),
+        (least(col("ci") * S + W, col("n_tok")) - col("ci") * S).as("n_chunk_tok"))
+  }
+
   /** BPE-ish subword token counts (pre-tokenizer regex) per source. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -502,6 +527,7 @@ object TextQ {
     "q77_contamination_report" -> (contaminationReport _),
     "q78_redaction_report" -> (redactionReport _),
     "q79_packing_plan" -> (packingPlan _),
+    "q140_chunk_plan" -> (chunkPlan _),
     "q84_ngram_novelty" -> (ngramNovelty _),
     "q85_curation_funnel" -> (curationFunnel _))
 
@@ -673,6 +699,23 @@ object TextQ {
         |  CAST(sum(n_shared) AS BIGINT) AS total_shared_prints,
         |  CAST(max(n_shared) AS BIGINT) AS max_shared
         |FROM hits GROUP BY source""".stripMargin,
+    "q140_chunk_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    greatest(0, (n_tok - 64 + 47) // 48) + 1 AS n_chunks
+        |  FROM t WHERE n_tok >= 1),
+        |c AS (
+        |  SELECT doc_id, n_tok, CAST(u.i AS BIGINT) AS ci
+        |  FROM n, unnest(range(n_chunks)) u(i))
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_id,
+        |  CAST(ci * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(ci * 48 + 64, n_tok) AS BIGINT) AS end_tok,
+        |  CAST(least(ci * 48 + 64, n_tok) - ci * 48 AS BIGINT) AS n_chunk_tok
+        |FROM c""".stripMargin,
     "q79_packing_plan" ->
       """WITH t AS (
         |  SELECT source, doc_id,

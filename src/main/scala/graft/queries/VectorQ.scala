@@ -55,6 +55,13 @@ object VectorQ {
     Similarity.bruteForceTopK(
       Tables.embeddings(spark, dir), queriesDf(spark, dir), k = 5)
 
+  /** q138 — hard-negative mining: per query, the top-5 most-similar
+    * OTHER-label corpus vectors ([[Similarity.hardNegativesTopK]]).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegativesTopK(
+      Tables.embeddings(spark, dir), queriesDf(spark, dir), k = 5)
+
   /** IVF probe search (engine-defined bucketing → rows-only check). */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(
@@ -236,6 +243,7 @@ object VectorQ {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_array_hof" -> (arrayHof _),
+    "q138_hard_negatives" -> (hardNegatives _),
     "q50_ann_brute_force" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
     "q52_embedding_stats" -> (embeddingStats _),
@@ -261,6 +269,22 @@ object VectorQ {
         |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
         |    * 1000000.0 + 0.5) AS BIGINT) AS maxabs_micro
         |FROM embeddings""".stripMargin,
+    "q138_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+        |             embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |     c AS (SELECT vec_id AS neg_id, label AS neg_label,
+        |             embedding::DOUBLE[] AS cv
+        |           FROM embeddings),
+        |     sims AS (
+        |       SELECT query_id, neg_id,
+        |         round(list_cosine_similarity(qv, cv), 6) AS sim
+        |       FROM q JOIN c ON neg_label <> query_label),
+        |     ranked AS (
+        |       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neg_id ASC) AS INT) AS rn
+        |       FROM sims)
+        |SELECT query_id, neg_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin,
     "q50_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -36,6 +36,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q24_scalar_subquery",    // uncorrelated scalar subquery broadcast to every row
     "q35_type_share",         // 1-row scalar denominator broadcast to k grouped rows
     "q50_ann_brute_force",    // broadcast queries × corpus scan IS the exact baseline
+    "q138_hard_negatives",    // q50's shape with the label-inequality riding the join
     "q80_ann_recall",         // embeds q50's brute-force baseline as the recall denominator
     "q82_simhash_complete",   // exhaustive-sketch reference leg IS the completeness check
                               // (gate-scale diagnostic of the blocked path, by design O(n²))
