@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AsOfJoin, SkewJoin}
 import graft.sources.Tables
@@ -318,13 +318,20 @@ object AdvancedQ {
     * 1-row scalar broadcast, so cluster granularity is sf-independent.
     */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    // Part1By1 bit spread (Morton): four shift/mask rounds per dim —
+    // pure integer codegen, no per-row array allocation. Identical
+    // values to the lambda formulation the oracle states.
+    def spread(v: Column): Column = {
+      val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+    }
     val z = Tables.lineitem(spark, dir)
       .select(pmod(col("l_partkey"), lit(65536)).cast("long").as("x"),
         pmod(col("l_suppkey"), lit(65536)).cast("long").as("y"))
-      .withColumn("zcode", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, i) ->
-          |  acc + shiftleft(shiftright(x, i) & 1L, 2 * i)
-          |      + shiftleft(shiftright(y, i) & 1L, 2 * i + 1))""".stripMargin))
+      .withColumn("zcode",
+        spread(col("x")) + shiftleft(spread(col("y")), 1))
     val m = z.agg(max(col("zcode")).as("mz"))
     z.crossJoin(broadcast(m))
       .withColumn("cluster", expr("(zcode * 64L) div (mz + 1L)"))
@@ -336,7 +343,72 @@ object AdvancedQ {
         col("min_x") <= 199L && col("max_x") >= 100L)
   }
 
+  /** q141 — deterministic synchronous label-propagation communities
+    * ([[graft.operators.LabelPropagation]]) over the same
+    * supplier→customer graph as q116, 2 fixed rounds, reported as the
+    * top-20 community sizes. Frequency voting with total tie order
+    * (count desc, label asc) makes every assignment engine-exact, so
+    * the whole fixpoint hash-gates against the same rounds unrolled in
+    * SQL — the q116 verification pattern for iterative graph ops.
+    */
+  val lpaIters = 2
+
+  def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic half-customer slice (the q119 domain idiom): the
+    // operator is scale-generic; the GATE query bounds both engines'
+    // double-unrolled iteration cost
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_custkey") % 2 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((-col("l_suppkey")).cast("long").as("src"),
+        col("o_custkey").cast("long").as("dst"))
+    val l = graft.operators.LabelPropagation.labels(edges, iters = lpaIters)
+    val sizes = l.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_nodes").desc, col("label").asc)
+    sizes.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 20)
+  }
+
+  /** q143 — Poisson bootstrap, the distributed bootstrap (Chamandy et
+    * al., Google 2012): resampling-with-replacement across a cluster
+    * is impossible to coordinate, but per-row independent Poisson(1)
+    * replicate weights approximate the multinomial exactly as n grows.
+    * Weights come from the engine-portable sampling hash
+    * ([[graft.operators.Sampling.bucket]]) pushed through the fixed
+    * Poisson(1) inverse CDF — thresholds are floor(F(k)·1e6) spec
+    * constants stated identically in both engines — so every replicate
+    * is deterministic, reproducible, and exact under the hash gate: a
+    * map-only weight projection + one partial-agg groupBy, no shuffle
+    * beyond the aggregate at any scale. Output: per (replicate,
+    * orderstatus) weighted mean order value in cents.
+    */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val u = graft.operators.Sampling.bucket(
+      concat(col("o_orderkey").cast("string"), lit(":"),
+        col("replicate").cast("string")), "boot")
+    // floor(CDF_Poisson(1)(k) * 1e6): 0.367879..., 0.735758..., ...
+    val w = when(u < 367879L, 0L).when(u < 735758L, 1L)
+      .when(u < 919698L, 2L).when(u < 981011L, 3L)
+      .when(u < 996340L, 4L).when(u < 999405L, 5L).otherwise(6L)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+        explode(array(lit(0), lit(1), lit(2))).as("replicate"))
+      .withColumn("w", w)
+      .groupBy(col("replicate"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("w")).as("sum_w"),
+        sum(col("w") * col("cents")).as("_wc"))
+      .select(col("replicate"), col("o_orderstatus"), col("n_orders"),
+        col("sum_w"),
+        when(col("sum_w") > 0, expr("_wc div sum_w")).otherwise(0L)
+          .as("mean_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_poisson_bootstrap" -> (poissonBootstrap _),
+    "q141_label_communities" -> (labelCommunities _),
     "q134_zorder_layout" -> (zorderLayout _),
     "q124_zscore_outliers" -> (zscoreOutliers _),
     "q123_binning" -> (binningReport _),
@@ -350,6 +422,45 @@ object AdvancedQ {
     "q37_sql_entry" -> (sqlEntry _),
     "q38_percentiles" -> (percentiles _),
     "q39_salted_join" -> (saltedJoin _))
+
+  /** The q141 oracle: the same synchronous voting rounds unrolled. */
+  private def lpaSql: String = {
+    val iters = (1 to lpaIters).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""cnt$i AS (
+         |  SELECT e.dst AS node, p.label, count(*) AS c
+         |  FROM eu e JOIN $prev p ON p.node = e.src
+         |  GROUP BY 1, 2),
+         |arg$i AS (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label ASC) AS rn
+         |  FROM cnt$i),
+         |l$i AS (
+         |  SELECT n.node, coalesce(a.label, n.node) AS label
+         |  FROM n LEFT JOIN (SELECT node, label FROM arg$i WHERE rn = 1) a
+         |    ON a.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT CAST(-l_suppkey AS BIGINT) AS src,
+       |    CAST(o_custkey AS BIGINT) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_custkey % 2 = 0),
+       |eu AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM base
+       |  UNION ALL SELECT dst AS src, src AS dst FROM base)),
+       |n AS (SELECT DISTINCT src AS node FROM eu),
+       |l0 AS (SELECT node, node AS label FROM n),
+       |$iters,
+       |sizes AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM l$lpaIters GROUP BY 1)
+       |SELECT label, n_nodes, rn FROM (
+       |  SELECT label, n_nodes,
+       |    CAST(row_number() OVER (ORDER BY n_nodes DESC, label ASC) AS INT) AS rn
+       |  FROM sizes)
+       |WHERE rn <= 20""".stripMargin
+  }
 
   /** The q116 oracle: the same integer iterations unrolled in SQL. */
   private def pagerankSql: String = {
@@ -453,6 +564,34 @@ object AdvancedQ {
         |FROM n a JOIN n b ON a.id < b.id
         |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
     "q116_pagerank" -> pagerankSql,
+    "q141_label_communities" -> lpaSql,
+    "q143_poisson_bootstrap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    u.r AS replicate
+        |  FROM orders, unnest([0, 1, 2]) u(r)),
+        |b AS (
+        |  SELECT *,
+        |    CAST('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || ':' ||
+        |      CAST(replicate AS VARCHAR) || 'boot'), 18, 15) AS BIGINT)
+        |      % 1000000 AS u
+        |  FROM o),
+        |wt AS (
+        |  SELECT replicate, o_orderstatus, cents,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM b)
+        |SELECT replicate, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(w) AS BIGINT) AS sum_w,
+        |  CASE WHEN sum(w) > 0
+        |    THEN CAST(sum(w * cents) // sum(w) AS BIGINT)
+        |    ELSE 0 END AS mean_cents
+        |FROM wt GROUP BY replicate, o_orderstatus""".stripMargin,
     "q115_quality_checks" ->
       """WITH checks(check_name, n_violations) AS (
         |  SELECT '01_orderkey_not_null',

@@ -36,19 +36,20 @@ object EvalQ {
     val labeled = perDoc.join(broadcast(nq), Seq("query_id"))
       .withColumn("rel",
         when(col("n_matched_terms") === col("n_query_terms"), 1L).otherwise(0L))
-    val nRel = labeled.groupBy(col("query_id"))
-      .agg(sum(col("rel")).as("n_relevant"))
+    // ONE windowed pass: rn is computed for every matched doc anyway,
+    // so the relevant-set count and the top-10 stats are conditional
+    // aggregates over the SAME stream — splitting them into two
+    // consumers would execute the whole scoring pipeline twice.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_millionths").desc, col("doc_id").asc)
-    val top10 = labeled
+    labeled
       .withColumn("rn", row_number().over(w).cast("int"))
-      .filter(col("rn") <= 10)
-    val topStats = top10.groupBy(col("query_id")).agg(
-      sum(col("rel")).as("hits_at_10"),
-      sum(when(col("rn") <= 5, col("rel")).otherwise(0L)).as("_hits5"),
-      max(when(col("rel") === 1L, expr("1000000L div rn")).otherwise(0L))
-        .as("rr_micro"))
-    nRel.join(topStats, Seq("query_id"))
+      .groupBy(col("query_id")).agg(
+        sum(col("rel")).as("n_relevant"),
+        sum(when(col("rn") <= 10, col("rel")).otherwise(0L)).as("hits_at_10"),
+        sum(when(col("rn") <= 5, col("rel")).otherwise(0L)).as("_hits5"),
+        max(when(col("rel") === 1L && col("rn") <= 10, expr("1000000L div rn"))
+          .otherwise(0L)).as("rr_micro"))
       .select(col("query_id"), col("n_relevant"), col("hits_at_10"),
         col("rr_micro"),
         expr("_hits5 * 1000000L div 5L").as("p5_micro"),

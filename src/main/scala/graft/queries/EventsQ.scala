@@ -153,7 +153,36 @@ object EventsQ {
         expr("n * 1000000L div n_from").as("p_micro"))
   }
 
+  /** q142 — top opening paths (path mining, the funnel-DISCOVERY
+    * complement to q61's fixed funnel): each user's first three event
+    * types in (ts, event_id) order concatenated into a path, counted,
+    * top-20 by (count desc, path asc). One partitioned window pass +
+    * two partial-agg groupBys; the unpartitioned top-20 window stays a
+    * WindowGroupLimit partial top-k (the q116 idiom), never a global
+    * sort. concat_ws skips the NULLs short histories leave in t2/t3 —
+    * identical semantics in DuckDB.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_users").desc, col("path").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("t1"),
+        max(when(col("rn") === 2, col("event_type"))).as("t2"),
+        max(when(col("rn") === 3, col("event_type"))).as("t3"))
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .withColumn("rn", row_number().over(wTop).cast("int"))
+      .filter(col("rn") <= 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_top_paths" -> (topPaths _),
     "q136_retention_matrix" -> (retentionMatrix _),
     "q137_event_transitions" -> (eventTransitions _),
     "q106_resample_ffill" -> (resampleFfill _),
@@ -163,6 +192,26 @@ object EventsQ {
     "q35_type_share" -> (typeShare _))
 
   val oracles: Map[String, String] = Map(
+    "q142_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    concat_ws('>',
+        |      max(CASE WHEN rn = 1 THEN event_type END),
+        |      max(CASE WHEN rn = 2 THEN event_type END),
+        |      max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM p GROUP BY path)
+        |SELECT path, n_users, rn FROM (
+        |  SELECT path, n_users,
+        |    CAST(row_number() OVER (ORDER BY n_users DESC, path ASC) AS INT) AS rn
+        |  FROM c)
+        |WHERE rn <= 20""".stripMargin,
     "q136_retention_matrix" ->
       """WITH a AS (
         |  SELECT user_id,

@@ -62,7 +62,9 @@ object RetrievalQ {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val postings = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl = Σtf — rolls up from the postings table instead of a second
+    // explode over the raw text (one corpus tokenization, not two)
+    val doclen = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // corpus stats: N docs, avg doc length (exact-int inputs -> the
     // double division is bit-identical on both engines)
     val stats = doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
@@ -189,9 +191,13 @@ object RetrievalQ {
     * (n_nodes, n_edges, n_triangles).
     */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    // five consumers (e1/e2/e3/nodes/edges) — materialize the small
+    // edge list once instead of re-running the co-occurrence pipeline
+    // per consumer (lazy localCheckpoint: the CC/boundary idiom)
     val e = termCooccurrence(spark, dir)
       .filter(col("lift_micro") >= 1000000L)
       .select(col("term_a"), col("term_b"))
+      .localCheckpoint(false)
     val wedges = e.as("e1").join(e.as("e2"), col("e1.term_b") === col("e2.term_a"))
     val tris = wedges.join(e.as("e3"),
         col("e3.term_a") === col("e1.term_a") &&
