@@ -84,11 +84,53 @@ object EvalQ {
         expr("u_times2 * 1000000L div (2L * n_pos * n_neg)").as("auc_micro"))
   }
 
+  /** q145 — leakage-free GroupKFold assignment: every EVENT of a user
+    * lands in the fold its USER hashes to (the group-k-fold discipline
+    * — splitting by row would leak a user's behavior across
+    * train/test, the eval-split analog of q77's contamination rule).
+    * Fold = portable sampling hash of user_id mod 5 — deterministic,
+    * engine-portable, reproducible on rerun at any scale; the report
+    * is one partial-agg pass: per-fold users, events, purchases, and
+    * the per-fold event share in millionths.
+    */
+  def groupKfold(spark: SparkSession, dir: String): DataFrame = {
+    val total = Tables.events(spark, dir).agg(count(lit(1)).as("n_total"))
+    Tables.events(spark, dir)
+      .withColumn("fold",
+        pmod(graft.operators.Sampling.bucket(col("user_id"), "fold"), lit(5L))
+          .cast("int"))
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .crossJoin(broadcast(total))
+      .select(col("fold"), col("n_users"), col("n_events"),
+        col("n_purchases"),
+        expr("n_events * 1000000L div n_total").as("share_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_retrieval_eval" -> (retrievalEval _),
+    "q145_group_kfold" -> (groupKfold _),
     "q132_auc_exact" -> (aucExact _))
 
   val oracles: Map[String, String] = Map(
+    "q145_group_kfold" ->
+      """WITH f AS (
+        |  SELECT CAST((CAST('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || 'fold'), 18, 15) AS BIGINT)
+        |      % 1000000) % 5 AS INT) AS fold,
+        |    user_id, event_type
+        |  FROM events),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
+        |SELECT fold,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  CAST(count(*) * 1000000 // t.n_total AS BIGINT) AS share_micro
+        |FROM f, t GROUP BY fold, t.n_total""".stripMargin,
     "q131_retrieval_eval" -> {
       val probes = RetrievalQ.evalQueries
         .map { case (id, q) => s"($id, '$q')" }.mkString(", ")

@@ -62,6 +62,39 @@ object VectorQ {
     Similarity.hardNegativesTopK(
       Tables.embeddings(spark, dir), queriesDf(spark, dir), k = 5)
 
+  /** q144 — scalar int8 embedding quantization (per-vector affine
+    * min/max, 256 codes — the 4× compression every large vector store
+    * applies before ANN serving) with its reconstruction-error audit.
+    * Round-to-nearest bounds the error by half a quantization step;
+    * the audit column states that bound as a boolean the oracle
+    * asserts literally (the q63/q64 error-bound pattern). Entirely
+    * codegen higher-order functions over one scan — map-only at any
+    * scale; every float crosses the gate through the one shared
+    * operation order (both engines compute the identical IEEE double)
+    * or as floor(x·1e6+0.5) micro units.
+    */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes", when(col("mx") > col("mn"),
+          transform(col("v"), x =>
+            floor((x - col("mn")) * 255.0 / (col("mx") - col("mn")) + 0.5)
+              .cast("long")))
+        .otherwise(transform(col("v"), _ => lit(0L))))
+      .withColumn("maxerr", array_max(zip_with(col("codes"), col("v"),
+        (c, x) => abs(col("mn") +
+          c.cast("double") * (col("mx") - col("mn")) / 255.0 - x))))
+      .select(col("vec_id"),
+        size(col("v")).as("n_dims"),
+        array_min(col("codes")).cast("int").as("code_min"),
+        array_max(col("codes")).cast("int").as("code_max"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        floor(col("maxerr") * 1000000.0 + 0.5).cast("long").as("max_err_micro"),
+        (col("maxerr") <= (col("mx") - col("mn")) / 255.0 * 0.5000001)
+          .as("within_half_step"))
+
   /** IVF probe search (engine-defined bucketing → rows-only check). */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(
@@ -244,6 +277,7 @@ object VectorQ {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_array_hof" -> (arrayHof _),
     "q138_hard_negatives" -> (hardNegatives _),
+    "q144_int8_quantize" -> (int8Quantize _),
     "q50_ann_brute_force" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
     "q52_embedding_stats" -> (embeddingStats _),
@@ -269,6 +303,31 @@ object VectorQ {
         |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
         |    * 1000000.0 + 0.5) AS BIGINT) AS maxabs_micro
         |FROM embeddings""".stripMargin,
+    "q144_int8_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM b),
+        |c AS (
+        |  SELECT vec_id, v, mn, mx,
+        |    CASE WHEN mx > mn THEN list_transform(v,
+        |        x -> CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))
+        |      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+        |  FROM m),
+        |e AS (
+        |  SELECT vec_id, v, mn, mx, codes,
+        |    list_max(list_transform(list_zip(codes, v),
+        |      s -> abs(mn + CAST(s[1] AS DOUBLE) * (mx - mn) / 255.0
+        |               - CAST(s[2] AS DOUBLE)))) AS maxerr
+        |  FROM c)
+        |SELECT vec_id, CAST(len(v) AS INT) AS n_dims,
+        |  CAST(list_min(codes) AS INT) AS code_min,
+        |  CAST(list_max(codes) AS INT) AS code_max,
+        |  CAST(list_reduce(codes, (a, x) -> a + x) AS BIGINT) AS sum_codes,
+        |  CAST(floor(maxerr * 1000000.0 + 0.5) AS BIGINT) AS max_err_micro,
+        |  maxerr <= (mx - mn) / 255.0 * 0.5000001 AS within_half_step
+        |FROM e""".stripMargin,
     "q138_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS query_label,
         |             embedding::DOUBLE[] AS qv

@@ -58,6 +58,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q130_bpe_encode",        // 1×1 cross join: vocab stats × the n_docs scalar
     "q131_retrieval_eval",    // inherits q100's 1-row corpus-stats scalar broadcast
     "q133_weighted_sample",   // 1-row total-weight scalar broadcast onto the scan
+    "q145_group_kfold",       // 1-row total-events scalar broadcast onto 5 fold rows
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
