@@ -105,7 +105,8 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
     }
 }
 
-/** Session extension registering the graft optimizer rules:
+/** Session extension registering the graft optimizer rules and the
+  * SQL-callable graft functions:
   * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
   * or `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   * Safe for arbitrary sessions: the pushdown rule only acts on plans
@@ -114,5 +115,44 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => UserConstantPredicatePushdown)
+    GraftFunctions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
+    }
   }
+}
+
+/** The graft custom expressions as NAMED SQL functions, so `spark.sql`
+  * text (the q37 entry path) can call the same codegen kernels the
+  * DataFrame battery uses. One definition serves both registration
+  * paths: [[GraftExtensions]] for `spark.sql.extensions`-configured
+  * clusters, [[GraftFunctions.register]] for an already-built session
+  * (idempotent — re-registration replaces the same builder).
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      ("graft_cosine_similarity",
+        new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
+          "graft_cosine_similarity"),
+        (args: Seq[Expression]) =>
+          graft.functions.CosineSimilarity(args(0), args(1))),
+      ("graft_md5_low60",
+        new ExpressionInfo(classOf[graft.functions.Md5Low60].getName,
+          "graft_md5_low60"),
+        (args: Seq[Expression]) => graft.functions.Md5Low60(args(0))),
+      ("graft_simhash64",
+        new ExpressionInfo(classOf[graft.functions.SimHash64].getName,
+          "graft_simhash64"),
+        (args: Seq[Expression]) => graft.functions.SimHash64(args(0))))
+
+  /** Register on a live session (the driver builds its own session, so
+    * gate queries can't rely on `spark.sql.extensions`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+    }
 }

@@ -46,6 +46,30 @@ object AdvancedQ {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin)
   }
 
+  /** q146 — the graft custom expressions as SQL-text functions:
+    * [[graft.plans.GraftFunctions]] registers the codegen kernels
+    * (cosine similarity, portable md5 hash, simhash) in the session's
+    * FunctionRegistry — the same registrations `spark.sql.extensions=
+    * graft.plans.GraftExtensions` injects cluster-wide — and the query
+    * itself is pure SQL text over a view: adjacent-id cosine pairs
+    * plus the portable hash bucket, proving the SQL surface reaches
+    * the identical kernels the DataFrame battery uses.
+    */
+  def sqlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      """SELECT a.vec_id,
+        |  CAST(floor(graft_cosine_similarity(
+        |      CAST(a.embedding AS ARRAY<DOUBLE>),
+        |      CAST(b.embedding AS ARRAY<DOUBLE>)) * 1000000 + 0.5) AS BIGINT)
+        |    AS next_cos_micro,
+        |  pmod(graft_md5_low60(CAST(a.vec_id AS STRING)), 1000000)
+        |    AS hash_bucket
+        |FROM embeddings_v a JOIN embeddings_v b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 50""".stripMargin)
+  }
+
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`), plus median, per order status.
     */
@@ -407,6 +431,7 @@ object AdvancedQ {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_sql_functions" -> (sqlFunctions _),
     "q143_poisson_bootstrap" -> (poissonBootstrap _),
     "q141_label_communities" -> (labelCommunities _),
     "q134_zorder_layout" -> (zorderLayout _),
@@ -565,6 +590,15 @@ object AdvancedQ {
         |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
     "q116_pagerank" -> pagerankSql,
     "q141_label_communities" -> lpaSql,
+    "q146_sql_functions" ->
+      """SELECT a.vec_id,
+        |  CAST(floor(list_cosine_similarity(
+        |      a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      * 1000000 + 0.5) AS BIGINT) AS next_cos_micro,
+        |  CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 18, 15)
+        |    AS BIGINT) % 1000000 AS hash_bucket
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 50""".stripMargin,
     "q143_poisson_bootstrap" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderstatus,
