@@ -60,7 +60,10 @@ object Bench {
     // ~3.5 kB and the driver's JSON parse has failed every round. Short
     // keys (the qNN prefix) + millisecond precision keep the final line
     // ~1.6 kB, so it parses.
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+    // a comma-decimal locale (de_DE, fr_FR) would emit malformed JSON
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val shortQs = results.map { case (k, v) =>

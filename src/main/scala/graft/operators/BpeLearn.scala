@@ -56,7 +56,10 @@ object BpeLearn {
     */
   def learn(words: DataFrame, steps: Int): Seq[(Int, String, String, Long)] = {
     var cur = words
-    (1 to steps).map { step =>
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
       val pairs = cur
         .select(expr("split(trim(s), ' ')").as("a"), col("freq"))
         // a fully-merged (or single-char) word has no adjacent pair;
@@ -68,14 +71,23 @@ object BpeLearn {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
       val top = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
-      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      // literal columns, not string-interpolated SQL — symbols come
-      // from corpus text and must never be parsed as syntax
-      cur = cur.withColumn("s", replace(col("s"),
-        concat_ws("", lit(" "), lit(l), lit(" "), lit(r), lit(" ")),
-        concat_ws("", lit(" "), lit(l), lit(r), lit(" "))))
-      (step, l, r, cnt)
+        .limit(1).collect()
+      if (top.isEmpty) {
+        // vocabulary fully merged before `steps` merges: stop with the
+        // merges learned so far instead of indexing an empty result
+        exhausted = true
+      } else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        // literal columns, not string-interpolated SQL — symbols come
+        // from corpus text and must never be parsed as syntax
+        cur = cur.withColumn("s", replace(col("s"),
+          concat_ws("", lit(" "), lit(l), lit(" "), lit(r), lit(" ")),
+          concat_ws("", lit(" "), lit(l), lit(r), lit(" "))))
+        merges += ((step, l, r, cnt))
+        step += 1
+      }
     }
+    merges.result()
   }
 }

@@ -51,12 +51,19 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
       col(vecCol).cast("array<double>").as("qv"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neg_id").asc)
+      .orderBy(col("sim_micro").desc, col("neg_id").asc)
+    // floor(x·1e6 + 0.5) into a LONG, not round(x, 6): Spark's round on
+    // DoubleType is HALF_UP over the shortest decimal repr while DuckDB
+    // rounds the binary double — floor is exact on the identical IEEE
+    // double both engines compute (the q100 version-proof idiom), and
+    // ranking on the integer removes double-ordering divergence too
     c.join(broadcast(q), col("neg_label") =!= col("query_label"))
-      .withColumn("sim", round(cosine_similarity(col("qv"), col("cv")), 6))
+      .withColumn("sim_micro",
+        floor(cosine_similarity(col("qv"), col("cv")) * 1000000.0 + 0.5)
+          .cast("long"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("query_id"), col("neg_id"), col("sim"), col("rn"))
+      .select(col("query_id"), col("neg_id"), col("sim_micro"), col("rn"))
   }
 
   /** The IVF index build: deterministic seed sample + Lloyd rounds,

@@ -81,7 +81,12 @@ object EvalQ {
       .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
         sum(expr("n_pos * (2L * cumneg + n_neg)")).as("u_times2"))
       .select(col("n_pos"), col("n_neg"), col("u_times2"),
-        expr("u_times2 * 1000000L div (2L * n_pos * n_neg)").as("auc_micro"))
+        // AUC is undefined with an empty class: emit 0 as the stated
+        // contract (Spark's div would yield null, DuckDB's // would
+        // raise — two different failures instead of one defined answer)
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+            expr("u_times2 * 1000000L div (2L * n_pos * n_neg)"))
+          .otherwise(0L).as("auc_micro"))
   }
 
   /** q145 — leakage-free GroupKFold assignment: every EVENT of a user
@@ -208,7 +213,9 @@ object EvalQ {
         |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
         |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
         |  CAST(sum(n_pos * (2 * cumneg + n_neg)) AS BIGINT) AS u_times2,
-        |  CAST(sum(n_pos * (2 * cumneg + n_neg)) * 1000000
-        |    // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_micro
+        |  CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0
+        |    THEN CAST(sum(n_pos * (2 * cumneg + n_neg)) * 1000000
+        |      // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT)
+        |    ELSE 0 END AS auc_micro
         |FROM c""".stripMargin)
 }

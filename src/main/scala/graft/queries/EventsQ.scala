@@ -116,10 +116,13 @@ object EventsQ {
     * per-row projection.
     */
   def retentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers (cohort, cohort sizes, distinct activity) — one
+    // events scan via the lazy-checkpoint artifact idiom
     val a = Tables.events(spark, dir)
       .select(col("user_id"),
         expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) div 7L")
           .as("wk"))
+      .localCheckpoint(false)
     val cohort = a.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     val cohortSize = cohort.groupBy(col("cohort_wk"))
       .agg(count(lit(1)).as("cohort_size"))

@@ -337,13 +337,14 @@ object VectorQ {
         |           FROM embeddings),
         |     sims AS (
         |       SELECT query_id, neg_id,
-        |         round(list_cosine_similarity(qv, cv), 6) AS sim
+        |         CAST(floor(list_cosine_similarity(qv, cv) * 1000000 + 0.5)
+        |           AS BIGINT) AS sim_micro
         |       FROM q JOIN c ON neg_label <> query_label),
         |     ranked AS (
         |       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |         ORDER BY sim DESC, neg_id ASC) AS INT) AS rn
+        |         ORDER BY sim_micro DESC, neg_id ASC) AS INT) AS rn
         |       FROM sims)
-        |SELECT query_id, neg_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin,
+        |SELECT query_id, neg_id, sim_micro, rn FROM ranked WHERE rn <= 5""".stripMargin,
     "q50_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -51,9 +51,14 @@ object Snapshots {
     val v = prev + 1
     val dataDir = rootP.resolve(s"data_v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val newFiles = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toAbsolutePath.toString).toSeq.sorted
+    // Files.list holds a DirectoryStream fd until closed — a long-lived
+    // driver committing many snapshots would otherwise exhaust fds
+    val listing = Files.list(dataDir)
+    val newFiles =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq.sorted
+      finally listing.close()
     val all = (if (prev == 0) Nil else files(root, prev)) ++ newFiles
     val tmp = rootP.resolve("_manifests").resolve(s"_tmp_$v.txt")
     Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
