@@ -142,4 +142,25 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestSession {
     assert(graft.queries.RetrievalQ.bm25TopK(spark, tmp.toString).count() == 0)
     org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
+
+  test("round-6 operators on empty and singleton inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(LabelPropagation.labels(noEdges, iters = 2).count() == 0)
+    val oneEdge = Seq((1L, 2L)).toDF("src", "dst")
+    assert(LabelPropagation.labels(oneEdge, iters = 0).count() == 2)
+    // hard negatives: all-same-label corpus yields nothing; empty
+    // queries yield nothing
+    val vecs = Seq((1L, Array(1.0f, 0.0f), 7), (2L, Array(0.0f, 1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegativesTopK(vecs, vecs, k = 3).count() == 0)
+    assert(Similarity.hardNegativesTopK(vecs, vecs.filter(lit(false)), k = 3)
+      .count() == 0)
+    // BPE learn on a vocabulary that merges out before `steps`: stops
+    // with the merges it found instead of throwing (input in the
+    // operator's spaced-symbol form, as q128's caller provides)
+    val tiny = Seq(("ab", 3L)).toDF("term", "freq")
+      .select(BpeLearn.spaced(col("term")).as("s"), col("freq"))
+    val learned = BpeLearn.learn(tiny, steps = 5)
+    assert(learned.map(m => (m._2, m._3)) == Seq(("a", "b")))
+  }
 }
