@@ -115,12 +115,83 @@ object EvalQ {
         expr("n_events * 1000000L div n_total").as("share_micro"))
   }
 
+  /** q147 — A/B experiment readout, the composition an experimentation
+    * platform runs: deterministic arm assignment by the portable user
+    * hash (every rerun and every engine agrees on who is in B),
+    * per-arm outcome metrics, and Poisson-bootstrap replicate means
+    * (the q143 weights at the USER level — resampling users, not
+    * events, because the user is the randomization unit) giving the
+    * spread a CI is read from. replicate −1 carries the unweighted
+    * actuals. Two partial-agg passes over one events scan; all
+    * integers.
+    */
+  def abReadout(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purchases"))
+      .withColumn("arm",
+        pmod(graft.operators.Sampling.bucket(col("user_id"), "exp1"), lit(2L))
+          .cast("int"))
+    val u = graft.operators.Sampling.bucket(
+      concat(col("user_id").cast("string"), lit(":"),
+        col("replicate").cast("string")), "boot2")
+    val w = when(col("replicate") === -1, 1L)
+      .when(u < 367879L, 0L).when(u < 735758L, 1L)
+      .when(u < 919698L, 2L).when(u < 981011L, 3L)
+      .when(u < 996340L, 4L).when(u < 999405L, 5L).otherwise(6L)
+    perUser
+      .select(col("*"),
+        explode(array(lit(-1), lit(0), lit(1), lit(2))).as("replicate"))
+      .withColumn("w", w)
+      .groupBy(col("arm"), col("replicate"))
+      .agg(sum(col("w")).as("n_users_w"),
+        sum(col("w") * col("purchases")).as("purchases_w"))
+      .select(col("arm"), col("replicate"), col("n_users_w"),
+        col("purchases_w"),
+        when(col("n_users_w") > 0,
+            expr("purchases_w * 1000000L div n_users_w"))
+          .otherwise(0L).as("mean_purchases_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_retrieval_eval" -> (retrievalEval _),
     "q145_group_kfold" -> (groupKfold _),
+    "q147_ab_readout" -> (abReadout _),
     "q132_auc_exact" -> (aucExact _))
 
   val oracles: Map[String, String] = Map(
+    "q147_ab_readout" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS purchases,
+        |    CAST((CAST('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || 'exp1'), 18, 15) AS BIGINT)
+        |      % 1000000) % 2 AS INT) AS arm
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT pu.*, u.rep AS replicate,
+        |    CAST('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(u.rep AS VARCHAR) || 'boot2'), 18, 15) AS BIGINT)
+        |      % 1000000 AS h
+        |  FROM pu, unnest([-1, 0, 1, 2]) u(rep)),
+        |wt AS (
+        |  SELECT arm, replicate, purchases,
+        |    CASE WHEN replicate = -1 THEN 1
+        |         WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1
+        |         WHEN h < 919698 THEN 2 WHEN h < 981011 THEN 3
+        |         WHEN h < 996340 THEN 4 WHEN h < 999405 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM r)
+        |SELECT arm, replicate,
+        |  CAST(sum(w) AS BIGINT) AS n_users_w,
+        |  CAST(sum(w * purchases) AS BIGINT) AS purchases_w,
+        |  CASE WHEN sum(w) > 0
+        |    THEN CAST(sum(w * purchases) * 1000000 // sum(w) AS BIGINT)
+        |    ELSE 0 END AS mean_purchases_micro
+        |FROM wt GROUP BY arm, replicate""".stripMargin,
     "q145_group_kfold" ->
       """WITH f AS (
         |  SELECT CAST((CAST('0x' || substr(md5(
