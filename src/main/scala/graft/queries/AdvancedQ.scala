@@ -430,7 +430,59 @@ object AdvancedQ {
           .as("mean_cents"))
   }
 
+  /** q148 — EXACT per-group median by two-phase distributed selection,
+    * no global sort: q38's `percentile` sorts each group in one task,
+    * the classic low-cardinality-group cliff. Here phase 1 histograms
+    * cents into coarse buckets (width 10 000 — intermediate rows
+    * bounded by CONFIG: groups × price-range/width, not by data),
+    * walks the tiny cumulative table to find each group's
+    * median-holding bucket, and phase 2 re-aggregates ONLY that
+    * bucket's rows (≤ 10 000 distinct cent values per group, again
+    * config-bounded) to pick the exact rank-⌈n/2⌉ value. Both windows
+    * run over bounded tables; the big table is touched by two
+    * partial-agg scans and one broadcast-filtered join. Lower-median
+    * contract: the value at rank (n+1) div 2.
+    */
+  def distributedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val bw = 10000L
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderstatus").as("status"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    val coarse = o.groupBy(col("status"),
+        expr(s"cents div $bw").as("cb"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("status")).orderBy(col("cb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val nstat = coarse.groupBy(col("status")).agg(sum(col("cnt")).as("n"))
+    val pick = coarse
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .join(nstat, Seq("status"))
+      .withColumn("r", expr("(n + 1L) div 2L"))
+      .filter(col("cum_before") < col("r") &&
+        col("r") <= col("cum_before") + col("cnt"))
+      // renamed to break lineage with `o` (both sides derive from the
+      // same scan — Spark's ambiguous-self-join check rejects o("...")
+      // disambiguation here)
+      .select(col("status").as("p_status"), col("cb").as("p_cb"),
+        col("cum_before"), col("n"), col("r"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("status")).orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    o.join(broadcast(pick),
+        col("status") === col("p_status") &&
+          expr(s"cents div $bw") === col("p_cb"))
+      .select(col("status"), col("cents"), col("cum_before"), col("n"), col("r"))
+      .groupBy(col("status"), col("cents"), col("cum_before"), col("n"), col("r"))
+      .agg(count(lit(1)).as("cnt2"))
+      .withColumn("cum2", coalesce(sum(col("cnt2")).over(wf), lit(0L)))
+      .filter(col("cum_before") + col("cum2") < col("r") &&
+        col("r") <= col("cum_before") + col("cum2") + col("cnt2"))
+      .select(col("status"), col("n"), col("cents").as("median_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_distributed_median" -> (distributedMedian _),
     "q146_sql_functions" -> (sqlFunctions _),
     "q143_poisson_bootstrap" -> (poissonBootstrap _),
     "q141_label_communities" -> (labelCommunities _),
@@ -590,6 +642,18 @@ object AdvancedQ {
         |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
     "q116_pagerank" -> pagerankSql,
     "q141_label_communities" -> lpaSql,
+    "q148_distributed_median" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |n AS (SELECT status, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |rk AS (
+        |  SELECT o.status, cents,
+        |    row_number() OVER (PARTITION BY o.status ORDER BY cents) AS r
+        |  FROM o)
+        |SELECT n.status, n.n, rk.cents AS median_cents
+        |FROM n JOIN rk ON rk.status = n.status AND rk.r = (n.n + 1) // 2""".stripMargin,
     "q146_sql_functions" ->
       """SELECT a.vec_id,
         |  CAST(floor(list_cosine_similarity(
