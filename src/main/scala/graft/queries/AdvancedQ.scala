@@ -406,6 +406,11 @@ object AdvancedQ {
     * map-only weight projection + one partial-agg groupBy, no shuffle
     * beyond the aggregate at any scale. Output: per (replicate,
     * orderstatus) weighted mean order value in cents.
+    *
+    * Overflow bound: w ≤ 6 and cents < 1e8, so Σ(w·cents) stays inside
+    * a long up to ~1.5e10 rows per (replicate, status) group; beyond
+    * that promote the product to DECIMAL(38,0) before the sum (DuckDB's
+    * HUGEINT does so implicitly — the long-sum side is the binding one).
     */
   def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
     val u = graft.operators.Sampling.bucket(

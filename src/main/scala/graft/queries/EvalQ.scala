@@ -123,7 +123,8 @@ object EvalQ {
     * events, because the user is the randomization unit) giving the
     * spread a CI is read from. replicate −1 carries the unweighted
     * actuals. Two partial-agg passes over one events scan; all
-    * integers.
+    * integers (Σ(w·purchases) with w ≤ 6 holds to ~1.5e17 total
+    * purchases per arm — the q143 overflow-bound discipline).
     */
   def abReadout(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
