@@ -280,6 +280,18 @@ object VectorFunctions {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Cosine at VERSION-PROOF 6 decimals: floor(x·1e6 + 0.5) / 1e6, not
+    * `round(x, 6)` — Spark's round on DoubleType is HALF_UP over the
+    * shortest decimal repr while DuckDB rounds the binary double, so a
+    * value whose shortest repr lands on a 1e-7 ".5" diverges between
+    * engines (the q100 lesson). floor is exact on the identical IEEE
+    * double both engines compute, and the /1e6 is the same IEEE divide
+    * of the same small integer. Every gated cosine column uses this.
+    */
+  def cosine_similarity6(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.floor(
+      cosine_similarity(a, b) * 1000000.0d + 0.5d) / 1000000.0d
+
   /** Column API for [[SimHash64]]. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))

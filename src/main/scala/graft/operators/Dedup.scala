@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.functions.VectorFunctions.{cosine_similarity, simhash64}
+import graft.functions.VectorFunctions.{cosine_similarity6, simhash64}
 
 /** Corpus deduplication — the operator family a training-data pipeline
   * runs over its whole corpus before anything else.
@@ -200,7 +200,7 @@ object Dedup {
     candidates
       .join(vecd.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecd.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cosine", round(cosine_similarity(col("va"), col("vb")), 6))
+      .withColumn("cosine", cosine_similarity6(col("va"), col("vb")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PqFunctions.{pq_adc_dot, pq_encode, pq_table}
-import graft.functions.VectorFunctions.cosine_similarity
+import graft.functions.VectorFunctions.{cosine_similarity, cosine_similarity6}
 
 /** Product-quantized ANN — the MEMORY-scale path (Jégou et al. 2011).
   *
@@ -146,7 +146,7 @@ object ProductQuantization {
     cand
       .join(cv, Seq("corpus_id"))
       .join(broadcast(qv), Seq("query_id"))
-      .withColumn("sim", round(cosine_similarity(col("qv"), col("cv")), 6))
+      .withColumn("sim", cosine_similarity6(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))

@@ -22,6 +22,17 @@ object Sampling {
   def bucket(key: Column, salt: String): Column =
     pmod(Winnowing.portableHash(concat(key.cast("string"), lit(salt))), lit(Buckets))
 
+  /** Poisson(1) replicate weight from a [[bucket]] value — the
+    * distributed-bootstrap kernel (Chamandy et al. 2012). Thresholds
+    * are floor(CDF(k)·1e6) spec constants; any oracle states the same
+    * integers literally. ONE Scala source of truth for the ladder
+    * (q143/q147 both pull from here).
+    */
+  def poissonWeight(u: Column): Column =
+    when(u < 367879L, 0L).when(u < 735758L, 1L)
+      .when(u < 919698L, 2L).when(u < 981011L, 3L)
+      .when(u < 996340L, 4L).when(u < 999405L, 5L).otherwise(6L)
+
   /** Keep ~`fraction` of rows, deterministically by `key`. */
   def deterministicSample(df: DataFrame, key: Column, fraction: Double,
                           salt: String = "s0"): DataFrame = {

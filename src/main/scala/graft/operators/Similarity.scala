@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.cosine_similarity
+import graft.functions.VectorFunctions.{cosine_similarity, cosine_similarity6}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -27,7 +27,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine_similarity(col("qv"), col("cv")), 6))
+      .withColumn("sim", cosine_similarity6(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))
@@ -173,7 +173,7 @@ object Similarity {
     broadcast(probes).join(assigned, Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine_similarity(col("qv"), col("cv")), 6).as("sim"))
+        cosine_similarity6(col("qv"), col("cv")).as("sim"))
       .dropDuplicates("query_id", "corpus_id")
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
@@ -190,7 +190,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cosine", round(cosine_similarity(col("a.v"), col("b.v")), 6))
+      .withColumn("cosine", cosine_similarity6(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
@@ -234,7 +234,7 @@ object Similarity {
     assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine_similarity(col("a.v"), col("b.v")), 6).as("cosine"))
+        cosine_similarity6(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

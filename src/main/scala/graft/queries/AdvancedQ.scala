@@ -413,13 +413,10 @@ object AdvancedQ {
     * HUGEINT does so implicitly — the long-sum side is the binding one).
     */
   def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
-    val u = graft.operators.Sampling.bucket(
-      concat(col("o_orderkey").cast("string"), lit(":"),
-        col("replicate").cast("string")), "boot")
-    // floor(CDF_Poisson(1)(k) * 1e6): 0.367879..., 0.735758..., ...
-    val w = when(u < 367879L, 0L).when(u < 735758L, 1L)
-      .when(u < 919698L, 2L).when(u < 981011L, 3L)
-      .when(u < 996340L, 4L).when(u < 999405L, 5L).otherwise(6L)
+    val w = graft.operators.Sampling.poissonWeight(
+      graft.operators.Sampling.bucket(
+        concat(col("o_orderkey").cast("string"), lit(":"),
+          col("replicate").cast("string")), "boot"))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
@@ -453,9 +450,12 @@ object AdvancedQ {
     val o = Tables.orders(spark, dir).select(
       col("o_orderstatus").as("status"),
       expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+    // two consumers (nstat, pick) over a config-bounded table — one
+    // orders scan via the lazy-checkpoint artifact idiom
     val coarse = o.groupBy(col("status"),
         expr(s"cents div $bw").as("cb"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("status")).orderBy(col("cb"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

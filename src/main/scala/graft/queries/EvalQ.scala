@@ -123,8 +123,11 @@ object EvalQ {
     * events, because the user is the randomization unit) giving the
     * spread a CI is read from. replicate −1 carries the unweighted
     * actuals. Two partial-agg passes over one events scan; all
-    * integers (Σ(w·purchases) with w ≤ 6 holds to ~1.5e17 total
-    * purchases per arm — the q143 overflow-bound discipline).
+    * integers. The mean is the quotient decomposition q·1e6 +
+    * (r·1e6 div n) — exactly (purchases_w·1e6) div n but never forming
+    * the big product, so the overflow bound is n_users_w ≤ 9.2e12
+    * users per arm (the remainder r < n), not the weighted purchase
+    * sum the naive form binds on.
     */
   def abReadout(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
@@ -134,13 +137,11 @@ object EvalQ {
       .withColumn("arm",
         pmod(graft.operators.Sampling.bucket(col("user_id"), "exp1"), lit(2L))
           .cast("int"))
-    val u = graft.operators.Sampling.bucket(
-      concat(col("user_id").cast("string"), lit(":"),
-        col("replicate").cast("string")), "boot2")
     val w = when(col("replicate") === -1, 1L)
-      .when(u < 367879L, 0L).when(u < 735758L, 1L)
-      .when(u < 919698L, 2L).when(u < 981011L, 3L)
-      .when(u < 996340L, 4L).when(u < 999405L, 5L).otherwise(6L)
+      .otherwise(graft.operators.Sampling.poissonWeight(
+        graft.operators.Sampling.bucket(
+          concat(col("user_id").cast("string"), lit(":"),
+            col("replicate").cast("string")), "boot2")))
     perUser
       .select(col("*"),
         explode(array(lit(-1), lit(0), lit(1), lit(2))).as("replicate"))
@@ -151,7 +152,9 @@ object EvalQ {
       .select(col("arm"), col("replicate"), col("n_users_w"),
         col("purchases_w"),
         when(col("n_users_w") > 0,
-            expr("purchases_w * 1000000L div n_users_w"))
+            expr("""(purchases_w div n_users_w) * 1000000L
+                   | + (purchases_w % n_users_w) * 1000000L div n_users_w"""
+              .stripMargin))
           .otherwise(0L).as("mean_purchases_micro"))
   }
 

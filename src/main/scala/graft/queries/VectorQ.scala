@@ -352,7 +352,7 @@ object VectorQ {
         |           FROM embeddings),
         |     sims AS (
         |       SELECT query_id, corpus_id,
-        |         round(list_cosine_similarity(qv, cv), 6) AS sim
+        |         floor(list_cosine_similarity(qv, cv) * 1000000 + 0.5) / 1000000 AS sim
         |       FROM q JOIN c ON corpus_id <> query_id),
         |     ranked AS (
         |       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -372,9 +372,9 @@ object VectorQ {
       """WITH c AS (SELECT label AS blk, vec_id AS id, embedding::DOUBLE[] AS v
         |           FROM embeddings)
         |SELECT a.id AS id_a, b.id AS id_b,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |  floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cosine
         |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+        |WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 >= 0.4""".stripMargin,
     // the oracle states the recall bound as a literal: the exact-pair
     // count is k x |queries| by construction (corpus >> k at every sf),
     // and the bound itself is the engine-measured invariant under test
@@ -403,7 +403,7 @@ object VectorQ {
         |           FROM embeddings),
         |     sims AS (
         |       SELECT query_id, corpus_id,
-        |         round(list_cosine_similarity(qv, cv), 6) AS sim
+        |         floor(list_cosine_similarity(qv, cv) * 1000000 + 0.5) / 1000000 AS sim
         |       FROM q JOIN c ON corpus_id <> query_id),
         |     ranked AS (
         |       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
