@@ -524,7 +524,59 @@ object CurationQ {
         expr("sum(m * p_micro) div sum(m)").as("fluency_micro"))
   }
 
+  /** q149 — HELD-OUT bigram LM scoring with Stupid Backoff (Brants et
+    * al. 2007): q139 scores in-corpus; the honest quality-filter setup
+    * trains the LM on one split and scores the OTHER, where unseen
+    * bigrams are a fact of life — score backs off to α·(unigram
+    * frequency) (α = 0.4, the published constant) and true OOV scores
+    * zero. Split is deterministic (doc_id mod 5), everything stays in
+    * integer millionths (backoff = 400000·(c2·1e6 div T) div 1e6 — the
+    * stated double-truncation spec both engines repeat verbatim), and
+    * each doc reports its seen/backoff/OOV bigram mix beside the
+    * score. Shape: the model tables roll up from the TRAIN split only,
+    * the held-out bigram multiset left-joins them on their natural
+    * keys ((w1,w2), w1, w2 — each co-keyed with its producer), T is a
+    * 1-row scalar broadcast.
+    */
+  def heldoutLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    def bigrams(df: DataFrame) = df
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val held = docs.filter(col("doc_id") % 5 === 0)
+    val c12 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uni = train.select(explode(col("ts")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val t = uni.agg(sum(col("c2")).as("t_tokens"))
+    bigrams(held)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(t))
+      .withColumn("p_micro",
+        when(col("c12").isNotNull, expr("c12 * 1000000L div c1"))
+          .when(col("c2").isNotNull,
+            expr("400000L * (c2 * 1000000L div t_tokens) div 1000000L"))
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(when(col("c12").isNotNull, col("m")).otherwise(0L)).as("n_seen"),
+        sum(when(col("c12").isNull && col("c2").isNotNull, col("m"))
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("c2").isNull, col("m")).otherwise(0L)).as("n_oov"),
+        expr("sum(m * p_micro) div sum(m)").as("score_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_heldout_lm_score" -> (heldoutLmScore _),
     "q139_bigram_fluency" -> (bigramFluency _),
     "q130_bpe_encode" -> (bpeEncode _),
     "q133_weighted_sample" -> (weightedSample _),
@@ -594,6 +646,48 @@ object CurationQ {
        |  FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q149_heldout_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ts[CAST(u.i AS INT) + 1] AS w1,
+         |    ts[CAST(u.i AS INT) + 2] AS w2
+         |  FROM toks, unnest(range(greatest(len(ts) - 1, 0))) u(i)),
+         |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+         |       FROM bg GROUP BY 1, 2, 3),
+         |c12 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12
+         |        FROM db WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+         |       FROM c12 GROUP BY 1),
+         |uni AS (
+         |  SELECT u.term AS w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM toks, unnest(ts) u(term)
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c2) AS BIGINT) AS t_tokens FROM uni),
+         |sc AS (
+         |  SELECT db.doc_id, db.m,
+         |    CASE WHEN c12.c12 IS NOT NULL THEN (c12.c12 * 1000000) // c1.c1
+         |         WHEN uni.c2 IS NOT NULL
+         |           THEN (400000 * ((uni.c2 * 1000000) // tt.t_tokens)) // 1000000
+         |         ELSE 0 END AS p_micro,
+         |    CASE WHEN c12.c12 IS NOT NULL THEN 'seen'
+         |         WHEN uni.c2 IS NOT NULL THEN 'backoff'
+         |         ELSE 'oov' END AS kind
+         |  FROM db
+         |  LEFT JOIN c12 ON db.w1 = c12.w1 AND db.w2 = c12.w2
+         |  LEFT JOIN c1 ON db.w1 = c1.w1
+         |  LEFT JOIN uni ON db.w2 = uni.w2
+         |  CROSS JOIN tt
+         |  WHERE db.doc_id % 5 = 0)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN kind = 'seen' THEN m ELSE 0 END) AS BIGINT)
+         |    AS n_seen,
+         |  CAST(sum(CASE WHEN kind = 'backoff' THEN m ELSE 0 END) AS BIGINT)
+         |    AS n_backoff,
+         |  CAST(sum(CASE WHEN kind = 'oov' THEN m ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(m * p_micro) // sum(m) AS BIGINT) AS score_micro
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "q139_bigram_fluency" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
