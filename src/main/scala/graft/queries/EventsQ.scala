@@ -184,7 +184,45 @@ object EventsQ {
       .filter(col("rn") <= 20)
   }
 
+  /** q150 — last-touch attribution: every purchase attributes to the
+    * user's most recent click/view within a 7-day lookback, ties on
+    * equal timestamps broken by largest event_id (a total order both
+    * engines state). The candidate join is user-keyed — an ordinary
+    * co-partitioned equi-join whose band predicate rides the join, so
+    * candidate volume is bounded by per-user activity, never
+    * users×events — and the argmax is a partial-aggregable struct-max
+    * (the q141 idiom). Purchases with no touch in the window surface
+    * with a null attribution (left join), because "how much converts
+    * unattributed" is the number the analyst actually wants.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"))
+    val c = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("ts_us").as("c_ts"))
+    val att = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("p_ts") - col("c_ts") <= lookbackUs)
+      .groupBy(col("user_id"), col("purchase_id"), col("p_ts"))
+      .agg(max(struct(col("c_ts").as("t"), col("c_id").as("i"))).as("m"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("user_id"), col("purchase_id"),
+        col("m.i").as("attributed_id"),
+        (col("p_ts") - col("m.t")).as("gap_us"), col("n_candidates"))
+    p.select(col("user_id"), col("purchase_id"))
+      .join(att, Seq("user_id", "purchase_id"), "left")
+      .select(col("user_id"), col("purchase_id"), col("attributed_id"),
+        col("gap_us"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_attribution" -> (attribution _),
     "q142_top_paths" -> (topPaths _),
     "q136_retention_matrix" -> (retentionMatrix _),
     "q137_event_transitions" -> (eventTransitions _),
@@ -195,6 +233,28 @@ object EventsQ {
     "q35_type_share" -> (typeShare _))
 
   val oracles: Map[String, String] = Map(
+    "q150_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_ts
+        |      FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, ts_us AS c_ts
+        |      FROM ev WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT p.user_id, p.purchase_id, p.p_ts, c.c_id, c.c_ts,
+        |    row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+        |      ORDER BY c.c_ts DESC, c.c_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY p.user_id, p.purchase_id)
+        |      AS n_candidates
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.c_ts <= p.p_ts AND p.p_ts - c.c_ts <= 604800000000)
+        |SELECT p.user_id, p.purchase_id,
+        |  j.c_id AS attributed_id,
+        |  p.p_ts - j.c_ts AS gap_us,
+        |  CAST(coalesce(j.n_candidates, 0) AS BIGINT) AS n_candidates
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  ON j.user_id = p.user_id AND j.purchase_id = p.purchase_id""".stripMargin,
     "q142_top_paths" ->
       """WITH r AS (
         |  SELECT user_id, event_type,
