@@ -503,15 +503,21 @@ object CurationQ {
     * joins or aggregates on — at 100 TB the bigram-type table is the
     * only large intermediate and it never carries text bodies.
     */
+  /** Per-doc bigram multiset from a (doc_id, ts) token-array frame —
+    * the one spelling of the fiddly index expression, shared by q139
+    * and q149 so the two can never drift.
+    */
+  private def docBigramsOf(toks: DataFrame): DataFrame = toks
+    .filter(size(col("ts")) >= 2)
+    .select(col("doc_id"), explode(
+      expr("transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
+      .as("b"))
+    .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    .agg(count(lit(1)).as("m"))
+
   def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
-    val docBigrams = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
-        .as("b"))
-      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("m"))
+    val docBigrams = docBigramsOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts")))
     val c12 = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -533,33 +539,45 @@ object CurationQ {
     * integer millionths (backoff = 400000·(c2·1e6 div T) div 1e6 — the
     * stated double-truncation spec both engines repeat verbatim), and
     * each doc reports its seen/backoff/OOV bigram mix beside the
-    * score. Shape: the model tables roll up from the TRAIN split only,
+    * score. The fixture's homogeneous vocabulary would never produce
+    * an unseen token, so held docs are augmented with two doc-unique
+    * synthetic tokens (the q78 pattern) putting BOTH the backoff and
+    * OOV branches under the gate on every held doc. Shape: the model
+    * tables roll up from ONE train tokenization (lazy-checkpointed),
     * the held-out bigram multiset left-joins them on their natural
-    * keys ((w1,w2), w1, w2 — each co-keyed with its producer), T is a
-    * 1-row scalar broadcast.
+    * keys, the vocab-sized c1/uni broadcast back, T is a 1-row scalar
+    * broadcast.
     */
   def heldoutLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // train tokens feed TWO model tables (bigrams, unigrams) — one
+    // tokenization via the lazy-checkpoint artifact idiom
+    val train = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 =!= 0)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
-    def bigrams(df: DataFrame) = df
-      .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
-        .as("b"))
-      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("m"))
-    val train = docs.filter(col("doc_id") % 5 =!= 0)
-    val held = docs.filter(col("doc_id") % 5 === 0)
-    val c12 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .localCheckpoint(false)
+    // held docs are AUGMENTED with two doc-unique synthetic tokens
+    // (the q78 synthetic-augmentation pattern): the prefix token makes
+    // its first bigram (novel w1, seen w2) — the BACKOFF branch — and
+    // the suffix token makes the last bigram (seen w1, novel w2) — the
+    // OOV branch — so both legs the fixture's homogeneous vocabulary
+    // would never exercise are gate-verified on every held doc
+    val held = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), tokens(
+        concat(lit("zqnb"), col("doc_id"), lit(" "), col("text"),
+          lit(" zqov"), col("doc_id"))).as("ts"))
+    val c12 = docBigramsOf(train).groupBy(col("w1"), col("w2"))
       .agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val uni = train.select(explode(col("ts")).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
     val t = uni.agg(sum(col("c2")).as("t_tokens"))
-    bigrams(held)
+    docBigramsOf(held)
       .join(c12, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .join(uni, Seq("w2"), "left")
+      // vocab-sized model tables broadcast back (the q139 discipline —
+      // AQE's stats-dependent fallback is not a 100 TB guarantee)
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
       .crossJoin(broadcast(t))
       .withColumn("p_micro",
         when(col("c12").isNotNull, expr("c12 * 1000000L div c1"))
@@ -647,23 +665,33 @@ object CurationQ {
 
   val oracles: Map[String, String] = Map(
     "q149_heldout_lm_score" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
-         |bg AS (
+      s"""WITH ttoks AS (
+         |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |htoks AS (
+         |  SELECT doc_id, ${OracleSql.tokens("aug")} AS ts
+         |  FROM (
+         |    SELECT doc_id,
+         |      'zqnb' || CAST(doc_id AS VARCHAR) || ' ' || text ||
+         |      ' zqov' || CAST(doc_id AS VARCHAR) AS aug
+         |    FROM documents WHERE doc_id % 5 = 0)),
+         |tbg AS (
          |  SELECT doc_id, ts[CAST(u.i AS INT) + 1] AS w1,
          |    ts[CAST(u.i AS INT) + 2] AS w2
-         |  FROM toks, unnest(range(greatest(len(ts) - 1, 0))) u(i)),
-         |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
-         |       FROM bg GROUP BY 1, 2, 3),
-         |c12 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12
-         |        FROM db WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         |  FROM ttoks, unnest(range(greatest(len(ts) - 1, 0))) u(i)),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM tbg GROUP BY 1, 2),
          |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
          |       FROM c12 GROUP BY 1),
          |uni AS (
          |  SELECT u.term AS w2, CAST(count(*) AS BIGINT) AS c2
-         |  FROM toks, unnest(ts) u(term)
-         |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |  FROM ttoks, unnest(ts) u(term) GROUP BY 1),
          |tt AS (SELECT CAST(sum(c2) AS BIGINT) AS t_tokens FROM uni),
+         |db AS (
+         |  SELECT doc_id, ts[CAST(u.i AS INT) + 1] AS w1,
+         |    ts[CAST(u.i AS INT) + 2] AS w2, CAST(count(*) AS BIGINT) AS m
+         |  FROM htoks, unnest(range(greatest(len(ts) - 1, 0))) u(i)
+         |  GROUP BY 1, 2, 3),
          |sc AS (
          |  SELECT db.doc_id, db.m,
          |    CASE WHEN c12.c12 IS NOT NULL THEN (c12.c12 * 1000000) // c1.c1
@@ -677,8 +705,7 @@ object CurationQ {
          |  LEFT JOIN c12 ON db.w1 = c12.w1 AND db.w2 = c12.w2
          |  LEFT JOIN c1 ON db.w1 = c1.w1
          |  LEFT JOIN uni ON db.w2 = uni.w2
-         |  CROSS JOIN tt
-         |  WHERE db.doc_id % 5 = 0)
+         |  CROSS JOIN tt)
          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
          |  CAST(sum(CASE WHEN kind = 'seen' THEN m ELSE 0 END) AS BIGINT)
          |    AS n_seen,

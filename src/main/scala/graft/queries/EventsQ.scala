@@ -197,12 +197,17 @@ object EventsQ {
     */
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     val lookbackUs = 7L * 86400L * 1000000L
+    // one events scan: p anchors BOTH the candidate join and the final
+    // left join, c is the second consumer — lazy-checkpoint the
+    // projected stream (the retentionMatrix idiom)
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      .localCheckpoint(false)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts_us").as("p_ts"))
+      .localCheckpoint(false)
     val c = ev.filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("event_id").as("c_id"),
         col("ts_us").as("c_ts"))
