@@ -45,4 +45,13 @@ object Sinks {
   def json(df: DataFrame, path: String,
            mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC — Spark's second built-in columnar format (predicate pushdown
+    * + column pruning on read, same as parquet). Binary-faithful for
+    * strings by construction; the q151 gate proves the full
+    * write→reread fidelity the way q109/q110 do for JSONL/CSV.
+    */
+  def orc(df: DataFrame, path: String,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }
