@@ -503,17 +503,25 @@ object CurationQ {
     * joins or aggregates on — at 100 TB the bigram-type table is the
     * only large intermediate and it never carries text bodies.
     */
-  /** Per-doc bigram multiset from a (doc_id, ts) token-array frame —
-    * the one spelling of the fiddly index expression, shared by q139
-    * and q149 so the two can never drift.
+  /** Exploded (doc_id, w1, w2) bigram rows from a (doc_id, ts)
+    * token-array frame — the ONE spelling of the fiddly index
+    * expression (q139/q149 share it so the two can never drift),
+    * returned PRE-aggregation so each caller groups on the key it
+    * actually needs: per-doc consumers on (doc_id, w1, w2), the
+    * corpus-model build directly on (w1, w2) with cross-doc map-side
+    * combining and one shuffle.
     */
-  private def docBigramsOf(toks: DataFrame): DataFrame = toks
+  private def bigramRows(toks: DataFrame): DataFrame = toks
     .filter(size(col("ts")) >= 2)
     .select(col("doc_id"), explode(
       expr("transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
       .as("b"))
-    .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    .agg(count(lit(1)).as("m"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  private def docBigramsOf(toks: DataFrame): DataFrame =
+    bigramRows(toks)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
 
   def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
     val docBigrams = docBigramsOf(Tables.documents(spark, dir)
@@ -542,11 +550,21 @@ object CurationQ {
     * score. The fixture's homogeneous vocabulary would never produce
     * an unseen token, so held docs are augmented with two doc-unique
     * synthetic tokens (the q78 pattern) putting BOTH the backoff and
-    * OOV branches under the gate on every held doc. Shape: the model
-    * tables roll up from ONE train tokenization (lazy-checkpointed),
-    * the held-out bigram multiset left-joins them on their natural
-    * keys, the vocab-sized c1/uni broadcast back, T is a 1-row scalar
-    * broadcast.
+    * OOV branches under the gate — on every held doc whose text has
+    * ≥ 1 token with a train-covered first word (all fixture docs; an
+    * empty held doc still exercises OOV, just not backoff). Shape: the
+    * model tables roll up from ONE train tokenization
+    * (lazy-checkpointed), the held-out bigram multiset left-joins them
+    * on their natural keys, the vocab-sized c1/uni broadcast back, T
+    * is a 1-row scalar broadcast.
+    *
+    * Overflow bound: both p_micro products bind at count ≤ 9.2e12 —
+    * a single bigram type (or unigram) with nine trillion train
+    * occurrences (~9 % of a 1e14-token corpus for one token). DuckDB's
+    * HUGEINT has no such bound; past it, promote the products to
+    * DECIMAL(38,0) (quotient decomposition does not help here: the
+    * numerator is below the denominator, so the remainder term is the
+    * same magnitude).
     */
   def heldoutLmScore(spark: SparkSession, dir: String): DataFrame = {
     // train tokens feed TWO model tables (bigrams, unigrams) — one
@@ -566,8 +584,11 @@ object CurationQ {
       .select(col("doc_id"), tokens(
         concat(lit("zqnb"), col("doc_id"), lit(" "), col("text"),
           lit(" zqov"), col("doc_id"))).as("ts"))
-    val c12 = docBigramsOf(train).groupBy(col("w1"), col("w2"))
-      .agg(sum(col("m")).as("c12"))
+    // model build groups the exploded rows DIRECTLY on (w1, w2): one
+    // shuffle with cross-doc map-side combine (a detour through the
+    // per-doc multiset would shuffle the same stream twice)
+    val c12 = bigramRows(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val uni = train.select(explode(col("ts")).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("c2"))

@@ -199,8 +199,11 @@ object EventsQ {
     val lookbackUs = 7L * 86400L * 1000000L
     // one events scan: p anchors BOTH the candidate join and the final
     // left join, c is the second consumer — lazy-checkpoint the
-    // projected stream (the retentionMatrix idiom)
+    // projected stream (the retentionMatrix idiom), pre-filtered to
+    // the three event types either leg consumes so the materialized
+    // artifact carries no dead rows
     val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
       .select(col("user_id"), col("event_id"),
         expr("ts_ns div 1000").as("ts_us"), col("event_type"))
       .localCheckpoint(false)
