@@ -179,6 +179,19 @@ object Shapes {
       .agg(cnt("1-URGENT"), cnt("2-HIGH"), cnt("3-MEDIUM"), cnt("4-NOT SPECIFIED"), cnt("5-LOW"))
   }
 
+  /** q152 — UNPIVOT (melt), the inverse of q23's pivot: the per-status
+    * priority counts relational-ized back to long form (status, metric,
+    * n) via `Dataset.unpivot` — wide→long is a pure per-row expansion
+    * (zero shuffle beyond the source aggregate), and the pair proves
+    * the two reshapes round-trip.
+    */
+  def unpivotPriorities(spark: SparkSession, dir: String): DataFrame =
+    pivotPriorities(spark, dir).unpivot(
+      ids = Array(col("o_orderstatus")),
+      values = Array(col("p1"), col("p2"), col("p3"), col("p4"), col("p5")),
+      variableColumnName = "metric",
+      valueColumnName = "n")
+
   /** Correlated scalar subquery: orders above their customer's average. */
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -204,6 +217,7 @@ object Shapes {
     "q21_cube" -> (cubeAgg _),
     "q22_agg_funcs" -> (aggFuncs _),
     "q23_pivot" -> (pivotPriorities _),
+    "q152_unpivot" -> (unpivotPriorities _),
     "q24_scalar_subquery" -> (scalarSubquery _),
     "q127_grouping_sets" -> (groupingSetsAgg _))
 
@@ -299,6 +313,18 @@ object Shapes {
         |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
         |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q152_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus,
+        |    count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        |    count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        |    count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        |    count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        |    count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, u.metric, u.n
+        |FROM w, LATERAL (VALUES ('p1', p1), ('p2', p2), ('p3', p3),
+        |                        ('p4', p4), ('p5', p5)) u(metric, n)""".stripMargin,
     "q24_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
