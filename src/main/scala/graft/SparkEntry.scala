@@ -38,13 +38,32 @@ object SparkEntry {
       (StreamQ.queries, StreamQ.oracles),
       (SinkQ.queries, SinkQ.oracles))
 
+  /** Battery-wide deterministic output order (r7, VERDICT r6 #2): the
+    * gate surface ends in an explicit total sort over ALL output
+    * columns, and [[oracleSql]] wraps every oracle in the matching
+    * `ORDER BY ALL NULLS FIRST` — so the two sides agree row-for-row
+    * in FILE order and no order-sensitive hash methodology can flip on
+    * partition scheduling or a DuckDB hash-table iteration order. Rows
+    * tying on every column are identical rows, so the order is total
+    * on both engines (Spark default ASC NULLS FIRST ≡ the oracle
+    * wrapper; strings compare binary on both). Cost: one range-sort of
+    * an already-final gate result — noise at any scale, and at 100 TB
+    * a production caller simply drops the wrapper, not the operator.
+    */
+  private def deterministicOrder(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => df(c).asc_nulls_first).toIndexedSeq: _*)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+    modules.map(_._1).reduce(_ ++ _).map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => deterministicOrder(fn(s, dir)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    modules.map(_._2).reduce(_ ++ _)
+    modules.map(_._2).reduce(_ ++ _).map { case (name, sql) =>
+      name -> s"SELECT * FROM (\n$sql\n) _gate ORDER BY ALL NULLS FIRST"
+    }
 }

@@ -733,6 +733,6 @@ object AdvancedQ {
         |  round(median(o_totalprice), 4) AS med
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q39_salted_join" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+      """SELECT o_custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)
 }

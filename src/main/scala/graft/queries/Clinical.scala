@@ -168,8 +168,8 @@ object Clinical {
        |final AS (
        |  SELECT *, max(wgt_diff) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week) AS patient_TBWL
        |  FROM diffed)
-       |SELECT UID, Gender, Age, ClinicID,
-       |       round(Weight, 6) AS Weight, Wts_CreatedDate, week, WIR,
+       |SELECT UID, Gender, Age, ClinicID, Wts_CreatedDate, week, WIR,
+       |       round(Weight, 6) AS Weight,
        |       round(PSW, 6) AS PSW, round(TSW, 6) AS TSW, round(TEW, 6) AS TEW,
        |       round(TEW - TSW, 6) AS treatment_TBWL,
        |       round(patient_TBWL, 6) AS patient_TBWL

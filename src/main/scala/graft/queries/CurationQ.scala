@@ -673,7 +673,8 @@ object CurationQ {
 
   private def bpeIterSql(i: Int): String =
     s"""p$i AS (
-       |  SELECT t.sym[i.idx] AS l, t.sym[i.idx + 1] AS r, sum(t.freq) AS cnt
+       |  SELECT t.sym[i.idx] AS l, t.sym[i.idx + 1] AS r,
+       |    CAST(sum(t.freq) AS BIGINT) AS cnt
        |  FROM (SELECT string_split(trim(s), ' ') AS sym, freq FROM w$i) t,
        |       LATERAL (SELECT unnest(range(1, len(t.sym))) AS idx) i
        |  GROUP BY 1, 2),

@@ -212,43 +212,7 @@ object EvalQ {
         |  CAST(count(*) * 1000000 // t.n_total AS BIGINT) AS share_micro
         |FROM f, t GROUP BY fold, t.n_total""".stripMargin,
     "q131_retrieval_eval" -> {
-      val probes = RetrievalQ.evalQueries
-        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
-      s"""WITH probes(query_id, qtext) AS (VALUES $probes),
-         |qt AS (
-         |  SELECT DISTINCT query_id, u.term
-         |  FROM (SELECT query_id, ${OracleSql.tokens("qtext")} AS ts FROM probes),
-         |       unnest(ts) u(term)),
-         |nq AS (SELECT query_id, count(*) AS n_query_terms FROM qt GROUP BY query_id),
-         |toks AS (
-         |  SELECT doc_id, u.term
-         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
-         |       unnest(ts) u(term)),
-         |postings AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-         |doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
-         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
-         |scored AS (
-         |  SELECT qt.query_id, p.doc_id,
-         |    CAST(floor((((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
-         |        (CAST(d.df AS DOUBLE) + 0.5)) *
-         |      ((CAST(p.tf AS DOUBLE) * (${RetrievalQ.k1} + 1.0)) /
-         |        (CAST(p.tf AS DOUBLE) +
-         |          ${RetrievalQ.k1} * (1.0 - ${RetrievalQ.b} + ${RetrievalQ.b} *
-         |            (CAST(l.dl AS DOUBLE) /
-         |            (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) *
-         |      1000000.0 + 0.5) AS BIGINT) AS ts_millionths
-         |  FROM postings p
-         |  JOIN qt ON p.term = qt.term
-         |  JOIN dfreq d ON p.term = d.term
-         |  JOIN doclen l ON p.doc_id = l.doc_id
-         |  CROSS JOIN stats s),
-         |per_doc AS (
-         |  SELECT query_id, doc_id,
-         |    sum(ts_millionths) AS score_millionths,
-         |    count(*) AS n_matched_terms
-         |  FROM scored GROUP BY query_id, doc_id),
+      s"""WITH ${RetrievalQ.bm25PerDocCte(RetrievalQ.evalQueries)},
          |labeled AS (
          |  SELECT p.*, CASE WHEN p.n_matched_terms = nq.n_query_terms
          |    THEN 1 ELSE 0 END AS rel

@@ -17,14 +17,21 @@ import graft.sources.Tables
   * only the matched postings — |terms ∩ corpus| rows, not |corpus|.
   * Per-query top-k is the WindowGroupLimit window, no global sort.
   *
-  * Float discipline (the q60/q37 lesson): the per-(doc, term) partial
-  * score is computed in ONE deterministic expression order on both
-  * engines, scaled to integer millionths per row, and SUMMED AS LONGS
-  * — bit-identical under any partitioning/summation order. The idf is
-  * the log-free ratio form ((N − df + ½)/(df + ½)) so no libm call
-  * whose last ulp differs between the JVM and DuckDB enters the gate;
-  * the BM25 tf saturation and length normalization are the standard
-  * k1=1.2, b=0.75 shape.
+  * Float discipline (the q60/q37 lesson, tightened in r7): the
+  * per-(doc, term) score is EXACT INTEGER ARITHMETIC end-to-end — no
+  * double ever crosses the gate. With k1 = 6/5 and b = 3/4 the BM25
+  * term score is the exact rational num/den with
+  *   num = (2N − 2df + 1) · 22 · tf · L
+  *   den = (2df + 1) · (10·tf·L + 3·L + 9·dl·N)      (L = Σ dl)
+  * (idf is the log-free ratio (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1);
+  * the saturation term multiplied through by 20L), and half-up
+  * millionths are floor(num·10⁶/den + ½) = (2·num·10⁶ + den) div
+  * (2·den) — both operands positive. Intermediates exceed int64 at
+  * corpus scale, so they ride in decimal(38,0) on Spark and HUGEINT in
+  * DuckDB; the quotient is back under 2⁶³ and is SUMMED AS LONGS —
+  * bit-identical under any partitioning, summation order, or engine
+  * version (the r5/r6 q100 red rows were a double-kernel divergence
+  * class this construction removes entirely).
   */
 object RetrievalQ {
 
@@ -78,23 +85,16 @@ object RetrievalQ {
       .join(dfreq, Seq("term"))
       .join(doclen, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs").cast("double"))
-      // one expression, one operation order — both engines verbatim
-      .withColumn("term_score",
-        ((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5)) *
-        ((col("tf").cast("double") * (k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0) - lit(b) + lit(b) *
-              (col("dl").cast("double") / col("avgdl"))))))
-      // floor(x + 0.5), NOT round(): Spark's round on DoubleType is
-      // HALF_UP over Double.toString's shortest decimal repr, while
-      // DuckDB rounds the binary double — a score whose shortest repr
-      // lands on ".5" diverges between engines (and across DuckDB
-      // versions). floor is exact on doubles and both engines compute
-      // the identical IEEE double here, so this is version-proof.
+      // exact rational BM25 (see scaladoc): all-integer, decimal(38,0)
+      // intermediates (num·10⁶ ≈ 8.8e7·N·tf·L overflows int64 at
+      // corpus scale), long quotient — engine-version-proof
+      .withColumn("_L", col("total_len").cast("decimal(38,0)"))
+      .withColumn("_num",
+        expr("(2 * n_docs - 2 * df + 1) * 22 * tf * _L"))
+      .withColumn("_den",
+        expr("(2 * df + 1) * (10 * tf * _L + 3 * _L + 9 * dl * n_docs)"))
       .withColumn("ts_millionths",
-        floor(col("term_score") * 1000000.0 + 0.5).cast("long"))
+        expr("CAST((2 * _num * 1000000 + _den) div (2 * _den) AS BIGINT)"))
     val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("ts_millionths")).as("score_millionths"),
         count(lit(1)).as("n_matched_terms"))
@@ -286,47 +286,57 @@ object RetrievalQ {
          |  FROM scored)
          |SELECT doc_id, term, tf, score_micro, rn
          |FROM ranked WHERE rn <= 3""".stripMargin,
-    "q100_bm25_topk" -> {
-      val probes = probeQueries
-        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
-      s"""WITH probes(query_id, qtext) AS (VALUES $probes),
-         |qt AS (
-         |  SELECT DISTINCT query_id, u.term
-         |  FROM (SELECT query_id, ${OracleSql.tokens("qtext")} AS ts FROM probes),
-         |       unnest(ts) u(term)),
-         |toks AS (
-         |  SELECT doc_id, u.term
-         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
-         |       unnest(ts) u(term)),
-         |postings AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-         |doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
-         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
-         |scored AS (
-         |  SELECT qt.query_id, p.doc_id,
-         |    CAST(floor((((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
-         |        (CAST(d.df AS DOUBLE) + 0.5)) *
-         |      ((CAST(p.tf AS DOUBLE) * (${k1} + 1.0)) /
-         |        (CAST(p.tf AS DOUBLE) +
-         |          ${k1} * (1.0 - ${b} + ${b} * (CAST(l.dl AS DOUBLE) /
-         |            (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) *
-         |      1000000.0 + 0.5) AS BIGINT) AS ts_millionths
-         |  FROM postings p
-         |  JOIN qt ON p.term = qt.term
-         |  JOIN dfreq d ON p.term = d.term
-         |  JOIN doclen l ON p.doc_id = l.doc_id
-         |  CROSS JOIN stats s),
-         |per_doc AS (
-         |  SELECT query_id, doc_id,
-         |    sum(ts_millionths) AS score_millionths,
-         |    count(*) AS n_matched_terms
-         |  FROM scored GROUP BY query_id, doc_id),
+    "q100_bm25_topk" ->
+      s"""WITH ${bm25PerDocCte(probeQueries)},
          |ranked AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY score_millionths DESC, doc_id ASC) AS INT) AS rn
          |  FROM per_doc)
          |SELECT query_id, doc_id, score_millionths, n_matched_terms, rn
-         |FROM ranked WHERE rn <= 10""".stripMargin
-    })
+         |FROM ranked WHERE rn <= 10""".stripMargin)
+
+  /** Shared oracle CTE chain — probes through `per_doc(query_id,
+    * doc_id, score_millionths, n_matched_terms)` plus `nq(query_id,
+    * n_query_terms)` — the SQL mirror of [[perDocScored]], all-integer
+    * (HUGEINT intermediates mirror the Spark side's decimal(38,0)).
+    * One definition serves q100's and q131's oracles so the two gates
+    * can never drift apart on the kernel.
+    */
+  private[queries] def bm25PerDocCte(probes: Seq[(Int, String)]): String = {
+    val values = probes.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    s"""probes(query_id, qtext) AS (VALUES $values),
+       |qt AS (
+       |  SELECT DISTINCT query_id, u.term
+       |  FROM (SELECT query_id, ${OracleSql.tokens("qtext")} AS ts FROM probes),
+       |       unnest(ts) u(term)),
+       |nq AS (SELECT query_id, count(*) AS n_query_terms FROM qt GROUP BY query_id),
+       |toks AS (
+       |  SELECT doc_id, u.term
+       |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+       |       unnest(ts) u(term)),
+       |postings AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST((2 * num * 1000000 + den) // (2 * den) AS BIGINT) AS ts_millionths
+       |  FROM (
+       |    SELECT qt.query_id, p.doc_id,
+       |      (2 * s.n_docs - 2 * d.df + 1) * 22 * p.tf
+       |        * CAST(s.total_len AS HUGEINT) AS num,
+       |      (2 * d.df + 1) * (10 * p.tf * CAST(s.total_len AS HUGEINT)
+       |        + 3 * CAST(s.total_len AS HUGEINT) + 9 * l.dl * s.n_docs) AS den
+       |    FROM postings p
+       |    JOIN qt ON p.term = qt.term
+       |    JOIN dfreq d ON p.term = d.term
+       |    JOIN doclen l ON p.doc_id = l.doc_id
+       |    CROSS JOIN stats s)),
+       |per_doc AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(ts_millionths) AS BIGINT) AS score_millionths,
+       |    count(*) AS n_matched_terms
+       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
+  }
 }

@@ -271,7 +271,7 @@ object StreamQ {
     "q125_stream_running_mean" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |    CAST(round("value" * 100) AS BIGINT) AS cents
+        |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events),
         |w AS (
         |  SELECT user_id, cents,
@@ -281,8 +281,9 @@ object StreamQ {
         |      ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
         |  FROM e)
-        |SELECT user_id, count(*) AS n_events, sum(cents) AS sum_cents,
-        |  sum(CASE WHEN cents * k > prior THEN 1 ELSE 0 END)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN cents * k > prior THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_above_running_mean
         |FROM w GROUP BY user_id""".stripMargin,
     // each event belongs to windows starting at the two 5-min-aligned

@@ -232,8 +232,12 @@ object Streaming {
   def runningMeanExceedance(events: DataFrame): Dataset[RunOut] = {
     import events.sparkSession.implicits._
     events
+      // floor(x·100 + ½), NOT round(): Spark rounds the shortest
+      // decimal repr HALF_UP while DuckDB rounds the binary double
+      // (and changed semantics across versions) — floor of the same
+      // IEEE double is engine- and version-exact for any sign
       .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
-        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       .as[RunEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningMeanProcessor,

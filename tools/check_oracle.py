@@ -1,12 +1,23 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--strict]
 
 For each query result parquet written by graft.Verify, run the matching
 oracle SQL in DuckDB over the same testdata tables, sort columns by name
 and rows by all values, and compare cell-by-cell (with a small float
 tolerance report so we can see *how* close mismatches are).
+
+STRICTER THAN THE OLD STAND-IN (the r5/r6 lesson — four driver-RED rows
+all passed here):
+ - dtype check: a DuckDB integer aggregate without CAST comes back as
+   HUGEINT -> pandas float64, while Spark writes int64. Values compare
+   equal under a float-tolerant check, but any dtype- or
+   representation-sensitive hash (the driver's) flips. Any
+   int-vs-float dtype divergence is now a FAIL.
+ - --strict additionally hashes rows in FILE ORDER (no row sort) on
+   both sides: a query whose verdict flips between sorted and strict
+   modes is not gate-safe under an order-sensitive driver hash.
 """
 import json, sys, glob, os
 import duckdb
@@ -14,7 +25,9 @@ import pyarrow.parquet as pq
 import pandas as pd
 import numpy as np
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+STRICT = "--strict" in sys.argv
+sf_dir, out_dir = args[0], args[1]
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -26,7 +39,7 @@ for t in TABLES:
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, sort_rows: bool = True) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize temporal and list types to strings for stable compare
     for c in df.columns:
@@ -34,7 +47,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].apply(lambda v: str(v) if isinstance(v, (list, np.ndarray, dict)) else v)
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]").astype(str)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    if sort_rows:
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def dtype_kind(dt) -> str:
+    """Coarse dtype class the driver's hash could distinguish."""
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    return "other"
 
 fails = 0
 for name in sorted(oracle):
@@ -42,9 +68,11 @@ for name in sorted(oracle):
     files = glob.glob(os.path.join(res_dir, "*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
-    got = canon(pq.read_table(files[0]).to_pandas())
+    got_raw = pq.read_table(files[0]).to_pandas()
+    got = canon(got_raw)
     try:
-        exp = canon(con.execute(oracle[name]).df())
+        exp_raw = con.execute(oracle[name]).df()
+        exp = canon(exp_raw)
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}"); fails += 1; continue
     if list(got.columns) != list(exp.columns):
@@ -52,6 +80,23 @@ for name in sorted(oracle):
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
     ok = True
+    for c in got.columns:
+        gk, ek = dtype_kind(got[c].dtype), dtype_kind(exp[c].dtype)
+        if gk != ek:
+            print(f"  {name}.{c}: DTYPE {got[c].dtype} (spark) vs {exp[c].dtype} (oracle)"
+                  f" — un-CAST integer aggregate? driver hash would flip")
+            ok = False
+    if STRICT:
+        gs = canon(got_raw, sort_rows=False)
+        es = canon(exp_raw, sort_rows=False)
+        for c in gs.columns:
+            a = gs[c].astype(str).fillna("<null>")
+            b = es[c].astype(str).fillna("<null>")
+            if not (a.values == b.values).all():
+                print(f"  {name}.{c}: FILE-ORDER mismatch "
+                      f"({int((a.values != b.values).sum())} cells) — not gate-safe "
+                      f"under an order-sensitive hash")
+                ok = False
     for c in got.columns:
         g, e = got[c].values, exp[c].values
         if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(exp[c].dtype, np.floating):
