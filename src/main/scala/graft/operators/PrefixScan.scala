@@ -45,7 +45,10 @@ object PrefixScan {
     val p = math.max(1L, (n + width - 1) / width)
     val ranked = SortedNeighborhood
       .globalRank(src, Seq(key.asc_nulls_last), "_ps_rnk")
-      .withColumn("_ps_bkt", (col("_ps_rnk") / width).cast("long"))
+      // exact integer division: Column./ on longs is DoubleType, whose
+      // truncated quotient can round UP near 2^53-scale products —
+      // div is exact at any rank (the DistributedSelection idiom)
+      .withColumn("_ps_bkt", expr(s"_ps_rnk div ${width}L"))
       .localCheckpoint(false) // two consumers; rank+sort runs once
     val wIn = Window.partitionBy(col("_ps_bkt")).orderBy(col("_ps_rnk"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -87,7 +90,10 @@ object PrefixScan {
     val p = math.max(1L, (n + width - 1) / width)
     val ranked = SortedNeighborhood
       .globalRank(src, Seq(key.asc_nulls_last), "_ps_rnk")
-      .withColumn("_ps_bkt", (col("_ps_rnk") / width).cast("long"))
+      // exact integer division: Column./ on longs is DoubleType, whose
+      // truncated quotient can round UP near 2^53-scale products —
+      // div is exact at any rank (the DistributedSelection idiom)
+      .withColumn("_ps_bkt", expr(s"_ps_rnk div ${width}L"))
       .localCheckpoint(false)
     val wIn = Window.partitionBy(col("_ps_bkt")).orderBy(col("_ps_rnk"))
       .rowsBetween(Window.unboundedPreceding, -1)

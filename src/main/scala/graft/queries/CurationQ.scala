@@ -523,9 +523,20 @@ object CurationQ {
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
 
+  private val docBigramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
-    val docBigrams = docBigramsOf(Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts")))
+    // three consumers (c12 rollup → c1, and the scoring join's left
+    // side) — materialize the per-doc bigram multiset once instead of
+    // re-running tokenize→explode→groupBy per plan branch (the
+    // postingsArtifact discipline; at 100 TB each un-checkpointed
+    // branch is a full corpus re-scan), and memoize it per
+    // (session, dir) so repeat consumers skip even the one build
+    val docBigrams = docBigramsMemo.computeIfAbsent((spark, dir), _ =>
+      docBigramsOf(Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts")))
+        .localCheckpoint(false))
     val c12 = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -587,8 +598,12 @@ object CurationQ {
     // model build groups the exploded rows DIRECTLY on (w1, w2): one
     // shuffle with cross-doc map-side combine (a detour through the
     // per-doc multiset would shuffle the same stream twice)
+    // c12 feeds two branches (c1 rollup + the scoring left-join):
+    // checkpoint the aggregated bigram-type table so each reads the
+    // materialized model, not a re-explode of the train split
     val c12 = bigramRows(train).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val uni = train.select(explode(col("ts")).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("c2"))

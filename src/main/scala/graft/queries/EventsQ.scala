@@ -118,9 +118,14 @@ object EventsQ {
   def retentionMatrix(spark: SparkSession, dir: String): DataFrame = {
     // three consumers (cohort, cohort sizes, distinct activity) — one
     // events scan via the lazy-checkpoint artifact idiom
+    // greatest(0, ·) before the div: Spark div truncates toward zero,
+    // DuckDB // floors — they differ on negatives, so clamp the
+    // day-delta at the epoch anchor on BOTH sides (the fixture starts
+    // exactly at the anchor; the clamp makes that an invariant, not a
+    // latent hash divergence)
     val a = Tables.events(spark, dir)
       .select(col("user_id"),
-        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) div 7L")
+        expr("greatest(0L, CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)) div 7L")
           .as("wk"))
       .localCheckpoint(false)
     val cohort = a.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
@@ -286,7 +291,7 @@ object EventsQ {
     "q136_retention_matrix" ->
       """WITH a AS (
         |  SELECT user_id,
-        |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS wk
+        |    CAST(greatest(0, CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS wk
         |  FROM events),
         |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1),
         |cs AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size

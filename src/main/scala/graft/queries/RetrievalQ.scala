@@ -37,6 +37,29 @@ object RetrievalQ {
 
   val k1 = 1.2
   val b = 0.75
+
+  private val postingsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The tf-postings artifact — (doc_id, term, tf), one row per
+    * distinct (doc, term) — built from ONE corpus tokenization and
+    * memoized per (session, dir) behind a lazy localCheckpoint (the
+    * Clinical/triangleCount artifact idiom). Every consumer in the
+    * retrieval/text-stat family derives from it: BM25's scoring join,
+    * doclen, stats and dfreq branches (q100/q131), TF-IDF (q120), and
+    * the distinct-postings co-occurrence pipeline (q129/q135). Without
+    * the checkpoint each plan BRANCH re-runs tokenize→explode→groupBy
+    * over the full corpus — at 100 TB that is one extra corpus scan
+    * per branch, the r6 bench's dominant cost (five queries, 41% of
+    * the battery, all this one constant).
+    */
+  private[queries] def postingsArtifact(spark: SparkSession, dir: String): DataFrame =
+    postingsMemo.computeIfAbsent((spark, dir), _ =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false))
   /** Fixed probe queries (id → query string) for the gate. */
   val probeQueries: Seq[(Int, String)] = Seq(
     1 -> "the model of data",
@@ -64,19 +87,20 @@ object RetrievalQ {
   private[queries] def perDocScored(spark: SparkSession, dir: String,
       probes: Seq[(Int, String)] = probeQueries): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    // postings: one corpus scan -> (doc_id, term, tf, dl)
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val postings = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // postings: the memoized single-tokenization artifact — four
+    // consumers below (scoring join, doclen, stats, dfreq) read the
+    // materialized table, not four re-tokenizations of the corpus
+    val postings = postingsArtifact(spark, dir)
     // dl = Σtf — rolls up from the postings table instead of a second
     // explode over the raw text (one corpus tokenization, not two)
     val doclen = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // corpus stats: N docs, avg doc length (exact-int inputs -> the
     // double division is bit-identical on both engines)
     val stats = doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // postings is unique per (doc, term), so count(*) ≡ count(DISTINCT
+    // doc_id) — the cheaper partial-aggregable form
     val dfreq = postings.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
     val qterms = probes.toDF("query_id", "qtext")
       .select(col("query_id"), explode(tokens(col("qtext"))).as("term"))
       .distinct()
@@ -124,13 +148,10 @@ object RetrievalQ {
     * sort.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val postings = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val postings = postingsArtifact(spark, dir)
     val dfreq = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term").asc)
     postings
@@ -157,12 +178,12 @@ object RetrievalQ {
     * bounded.
     */
   def termCooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val postings = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .distinct()
+    // the tf-postings artifact is already distinct per (doc, term) —
+    // dropping tf IS the distinct-postings table, no extra shuffle
+    val postings = postingsArtifact(spark, dir)
+      .select(col("doc_id"), col("term"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val pairs = postings.as("a")
       .join(postings.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
