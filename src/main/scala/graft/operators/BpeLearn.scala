@@ -55,7 +55,14 @@ object BpeLearn {
     * Returns (step, left, right, weighted pair count at selection).
     */
   def learn(words: DataFrame, steps: Int): Seq[(Int, String, String, Long)] = {
-    var cur = words
+    // materialize the vocab base once: step k's argmax job then reads
+    // cached vocab blocks + a k-replace chain (vocab-sized, cheap).
+    // Shuffle-stage skipping already avoids corpus re-scans across
+    // steps; the checkpoint makes that a guarantee instead of a
+    // scheduler behavior. (Do NOT checkpoint per step: caching each
+    // chain state costs more than the length-k column chain it saves —
+    // measured 5× slower at sf0.1.)
+    var cur = words.localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false

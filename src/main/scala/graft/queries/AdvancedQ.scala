@@ -36,7 +36,8 @@ object AdvancedQ {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     spark.sql(
       """SELECT l_orderkey,
-        |  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_e4,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4,
         |  o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -122,7 +123,7 @@ object AdvancedQ {
     val finalState = untouched.unionByName(updates).unionByName(inserts)
     finalState.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"),
+        sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("acctbal_cents"),
         min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
   }
 
@@ -137,7 +138,7 @@ object AdvancedQ {
     def partial(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("cents"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"),
           min(col("value")).as("mn"), max(col("value")).as("mx"))
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -233,7 +234,7 @@ object AdvancedQ {
   def skylineParts(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir).select(
       col("p_partkey"), col("p_name"),
-      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_cents"),
       col("p_size"))
     val perPrice = parts.groupBy(col("price_cents"))
       .agg(max(col("p_size")).as("max_size_at_price"))
@@ -263,7 +264,7 @@ object AdvancedQ {
     */
   def binningReport(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"),
-      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
     val tot = o.agg(count(lit(1)).as("n"))
     val ranked = graft.operators.SortedNeighborhood
       .globalRank(o, Seq(col("cents"), col("o_orderkey")))
@@ -310,7 +311,7 @@ object AdvancedQ {
   def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(
       col("c_custkey"), col("c_mktsegment").as("segment"),
-      round(col("c_acctbal") * 100).cast("long").as("cents"))
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
     val stats = c.groupBy(col("segment")).agg(
       count(lit(1)).as("n"), sum(col("cents")).as("s"),
       sum(col("cents") * col("cents")).as("q"))
@@ -419,7 +420,7 @@ object AdvancedQ {
           col("replicate").cast("string")), "boot"))
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
         explode(array(lit(0), lit(1), lit(2))).as("replicate"))
       .withColumn("w", w)
       .groupBy(col("replicate"), col("o_orderstatus"))
@@ -449,7 +450,7 @@ object AdvancedQ {
     graft.operators.DistributedSelection.medianByGroup(
       Tables.orders(spark, dir).select(
         col("o_orderstatus").as("status"),
-        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents")),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents")),
       groupCol = "status", valueCol = "cents")
       .withColumnRenamed("median", "median_cents")
 
@@ -559,7 +560,7 @@ object AdvancedQ {
     "q124_zscore_outliers" ->
       """WITH c AS (
         |  SELECT c_custkey, c_mktsegment AS segment,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
         |  FROM customer),
         |st AS (
         |  SELECT segment, count(*) AS n, sum(cents) AS s,
@@ -577,7 +578,7 @@ object AdvancedQ {
         |WHERE dev * dev * (n - 1) * 100 > 289 * n * (n * q - s * s)""".stripMargin,
     "q123_binning" ->
       """WITH o AS (
-        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders),
         |nt AS (
         |  SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS bin FROM o),
@@ -595,7 +596,7 @@ object AdvancedQ {
     "q121_skyline" ->
       """WITH pts AS (
         |  SELECT p_partkey, p_name,
-        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, p_size
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents, p_size
         |  FROM part)
         |SELECT a.p_partkey, a.p_name, a.price_cents, a.p_size
         |FROM pts a
@@ -617,7 +618,7 @@ object AdvancedQ {
     "q148_distributed_median" ->
       """WITH o AS (
         |  SELECT o_orderstatus AS status,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders),
         |n AS (SELECT status, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
         |rk AS (
@@ -638,7 +639,7 @@ object AdvancedQ {
     "q143_poisson_bootstrap" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
         |    u.r AS replicate
         |  FROM orders, unnest([0, 1, 2]) u(r)),
         |b AS (
@@ -695,13 +696,13 @@ object AdvancedQ {
         |  SELECT s_suppkey + 1000000, s_acctbal, 'NEW'
         |  FROM supplier WHERE s_suppkey % 3 = 0)
         |SELECT c_mktsegment, count(*) AS n,
-        |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS acctbal_cents,
         |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
         |FROM final_state GROUP BY c_mktsegment""".stripMargin,
     "q113_incremental_agg" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(round("value" * 100, 0) AS BIGINT)) AS BIGINT)
+        |  CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS value_cents,
         |  min("value") AS min_value, max("value") AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
@@ -716,7 +717,8 @@ object AdvancedQ {
         |  ON ev.user_id = p.user_id AND ev.ts_us >= p.p_ts_us""".stripMargin,
     "q37_sql_entry" ->
       """SELECT l_orderkey,
-        |  CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS revenue_e4,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4,
         |  o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey

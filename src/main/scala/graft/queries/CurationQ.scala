@@ -49,7 +49,7 @@ object CurationQ {
         round(col("target").cast("double") / col("tot").cast("double"), 6).as("frac"))
       // frac is already on the 1e-6 grid, so frac*1e6 rounds to an exact
       // integer threshold — the same bigint DuckDB derives
-      .withColumn("thr", round(col("frac") * 1000000).cast("long"))
+      .withColumn("thr", floor(col("frac") * 1000000 + 0.5).cast("long"))
     d.join(broadcast(thr), Seq("source"))
       .filter(Sampling.bucket(col("doc_id"), "mix2") < col("thr"))
       .groupBy(col("source"), col("frac"))
@@ -83,7 +83,7 @@ object CurationQ {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_tok")).as("kept_tokens"),
-        sum(round(col("q") * 1000000).cast("long")).as("sum_q_millionths"))
+        sum(floor(col("q") * 1000000 + 0.5).cast("long")).as("sum_q_millionths"))
 
   /** Shard plan — the deterministic global "shuffle" that randomizes
     * training order at 100 TB without a sort: every document lands in
@@ -304,7 +304,7 @@ object CurationQ {
     probs.as("a").join(probs.as("b"),
         col("a.term") === col("b.term") && col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
-        round(abs(col("a.p") - col("b.p")) * 1000000.0).cast("long").as("d"))
+        floor(abs(col("a.p") - col("b.p")) * 1000000.0 + 0.5).cast("long").as("d"))
       .groupBy(col("source_a"), col("source_b"))
       // 2×TV in millionths: the /2 halving is left to the reader —
       // integer-cast division rounds differently across engines
@@ -337,8 +337,8 @@ object CurationQ {
       .agg(count(lit(1)).as("total_occurrences"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_occurrences"))
       .select(col("source"), col("total_occurrences"), col("oov_occurrences"),
-        round(col("oov_occurrences").cast("double") /
-          col("total_occurrences").cast("double") * 1000000.0).cast("long")
+        expr("(2 * oov_occurrences * 1000000 + total_occurrences)" +
+          " div (2 * total_occurrences)")
           .as("oov_rate_millionths"))
   }
 
@@ -851,8 +851,8 @@ object CurationQ {
          |SELECT s.source, count(*) AS total_occurrences,
          |  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS oov_occurrences,
-         |  CAST(round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+         |  CAST((2 * sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    + count(*)) // (2 * count(*)) AS BIGINT)
          |    AS oov_rate_millionths
          |FROM sub s LEFT JOIN vocab v ON s.t = v.t
          |GROUP BY s.source""".stripMargin,
@@ -872,7 +872,7 @@ object CurationQ {
          |  FROM totals t CROSS JOIN vocab v
          |  LEFT JOIN counts c ON c.source = t.source AND c.term = v.term)
          |SELECT a.source AS source_a, b.source AS source_b,
-         |  CAST(sum(CAST(round(abs(a.p - b.p) * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+         |  CAST(sum(CAST(floor(abs(a.p - b.p) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
          |    AS tv_2x_millionths,
          |  CAST(count(*) AS INT) AS n_terms
          |FROM probs a JOIN probs b ON a.term = b.term AND a.source < b.source
@@ -909,7 +909,7 @@ object CurationQ {
          |thr AS (
          |  SELECT source,
          |    round(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac,
-         |    CAST(round(round(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE), 6) * 1000000) AS BIGINT) AS thr
+         |    CAST(floor(round(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE), 6) * 1000000 + 0.5) AS BIGINT) AS thr
          |  FROM tot, tgt),
          |b AS (
          |  SELECT d.source, d.n_tok, thr.frac, thr.thr,
@@ -921,7 +921,7 @@ object CurationQ {
       s"""WITH $qualityCtes,
          |b AS (SELECT *, ${bucketSql("doc_id", "qs1")} AS bk FROM q)
          |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
-         |  CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT) AS sum_q_millionths
+         |  CAST(sum(CAST(floor(q * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q_millionths
          |FROM b WHERE bk < CAST(floor(q * q * 1000000) AS BIGINT)
          |GROUP BY source""".stripMargin,
     "q88_shard_plan" ->

@@ -101,7 +101,7 @@ object EventsQ {
       .agg(count(lit(1)).as("n_points"),
         count(col("obs_value")).as("n_filled"),
         sum(when(col("obs_value").isNotNull,
-          round(col("obs_value") * 1000000.0).cast("long")).otherwise(0L))
+          floor(col("obs_value") * 1000000.0 + 0.5).cast("long")).otherwise(0L))
           .as("ffill_millionths"))
   }
 
@@ -339,7 +339,7 @@ object EventsQ {
         |SELECT user_id, count(*) AS n_points,
         |  count(obs_value) AS n_filled,
         |  CAST(sum(CASE WHEN obs_value IS NOT NULL
-        |    THEN CAST(round(obs_value * 1000000.0, 0) AS BIGINT)
+        |    THEN CAST(floor(obs_value * 1000000.0 + 0.5) AS BIGINT)
         |    ELSE 0 END) AS BIGINT) AS ffill_millionths
         |FROM j GROUP BY user_id""".stripMargin,
     "q32_json_extract" ->

@@ -31,8 +31,8 @@ object SummaryQ {
       .agg(
         countDistinct(col("UID")).as("n_users"),
         count(lit(1)).as("n_weighins"),
-        round(sum(col("Weight")) * 100000).cast("long").as("total_weight_e5"),
-        round(sum(col("treatment_TBWL")) * 100000).cast("long").as("total_tmt_tbwl_e5"),
+        sum(floor(col("Weight") * 100000 + 0.5).cast("long")).as("total_weight_e5"),
+        sum(floor(col("treatment_TBWL") * 100000 + 0.5).cast("long")).as("total_tmt_tbwl_e5"),
         sum(col("WIR")).as("total_wir"))
   }
 
@@ -120,8 +120,8 @@ object SummaryQ {
        |SELECT ClinicID, week,
        |  count(DISTINCT UID) AS n_users,
        |  count(*) AS n_weighins,
-       |  CAST(round(sum(Weight) * 100000) AS BIGINT) AS total_weight_e5,
-       |  CAST(round(sum(treatment_TBWL) * 100000) AS BIGINT) AS total_tmt_tbwl_e5,
+       |  CAST(sum(CAST(floor(Weight * 100000 + 0.5) AS BIGINT)) AS BIGINT) AS total_weight_e5,
+       |  CAST(sum(CAST(floor(treatment_TBWL * 100000 + 0.5) AS BIGINT)) AS BIGINT) AS total_tmt_tbwl_e5,
        |  CAST(sum(WIR) AS BIGINT) AS total_wir
        |FROM pipeline GROUP BY ClinicID, week""".stripMargin
   }

@@ -156,6 +156,67 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  /** The driver's hash methodology is not specified — an
+    * order-sensitive hash flips on partition scheduling unless BOTH
+    * engines emit one deterministic total order. SparkEntry wraps every
+    * gate query in a final all-columns sort (and every oracle in ORDER
+    * BY ALL NULLS FIRST); this pins the wrapper so no future query
+    * ships without it.
+    */
+  test("every gated batch plan tops out in a deterministic Sort") {
+    val offenders = SparkEntry.queries
+      .filterNot(_._1.startsWith("q66")).filter { case (name, fn) =>
+        val qe = fn(spark, dir).queryExecution
+        // EliminateSorts drops the wrapper exactly when it can PROVE
+        // ≤ 1 output row — which is order-deterministic anyway
+        val provablySingleRow = qe.optimizedPlan.maxRows.exists(_ <= 1)
+        !provablySingleRow && !qe.executedPlan.toString.linesIterator.take(3)
+          .exists(l => l.contains("Sort ") || l.contains("TakeOrderedAndProject"))
+      }.keys.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"gate output not globally sorted in: ${offenders.mkString(", ")}")
+  }
+
+  /** Frozen double-typed gate surface (the q100/q125 red-row class):
+    * these queries legitimately emit float/double columns — raw source
+    * passthrough (o_totalprice, l_quantity...), the clinical 6dp
+    * bug-compat presentation, or 6-round-proven rounded aggregates.
+    * A NEW query may not add a double gate column — gate in scaled
+    * integers (floor(x·k + 0.5) / the exact-rational div pattern).
+    */
+  private val doubleGateWhitelist: Set[String] = Set(
+    "q01_agg", "q02_join_left", "q03_join_star", "q06_join_right",
+    "q10_filter_pushdown", "q101_stream_sink_roundtrip", "q11_sort_limit",
+    "q113_incremental_agg", "q127_grouping_sets", "q13_dedup_keep_first",
+    "q14_case_buckets", "q17_math_funcs", "q20_rollup", "q21_cube",
+    "q22_agg_funcs", "q24_scalar_subquery", "q25_window_topk",
+    "q26_window_lag_lead", "q27_window_running", "q28_window_distribution",
+    "q29_window_range_frame", "q30_clinical_pipeline",
+    "q31_clinical_pipeline_strict", "q32_json_extract", "q33_time_buckets",
+    "q35_type_share", "q36_asof_join", "q38_percentiles", "q39_salted_join",
+    "q40_text_stats", "q43_char_jaccard_pairs", "q45_quality_report",
+    "q47_minhash_pairs", "q49_bpe_token_counts", "q50_ann_brute_force",
+    "q51_ann_ivf", "q52_embedding_stats", "q53_cosine_pairs",
+    "q54_lsh_near_dups", "q56_media_features", "q64_approx_percentiles",
+    "q65_clinical_month_cohort", "q66_stream_windowed_counts",
+    "q67_clinical_expr_cohort", "q73_stream_dedup", "q76_repetition_report",
+    "q86_mixture_rebalance", "q91_stream_sessions", "q94_stream_static_join",
+    "q97_pq_ann", "q99_bucketed_join")
+
+  test("no query outside the frozen whitelist gates a double column") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val offenders = SparkEntry.queries
+      .filterNot(kv => kv._1.startsWith("q66") ||
+        doubleGateWhitelist.contains(kv._1))
+      .filter { case (_, fn) =>
+        fn(spark, dir).schema.exists(f =>
+          f.dataType == DoubleType || f.dataType == FloatType)
+      }.keys.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"new double gate columns in: ${offenders.mkString(", ")} — " +
+        "gate in scaled integers (see the float-gate rule)")
+  }
+
   test("q99's bucketed join has no exchange on the bucket key") {
     val p = plans("q99_bucketed_join")
     assert(!p.contains("hashpartitioning(o_orderkey") &&

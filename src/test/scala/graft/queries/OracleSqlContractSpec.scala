@@ -46,4 +46,42 @@ class OracleSqlContractSpec extends AnyFunSuite {
     assert(OracleSql.tokens("text") ==
       """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)""")
   }
+
+  /** The float-gate rule (the q100/q125 red-row class): `round()` on a
+    * double differs between engines AND across DuckDB versions at .5
+    * boundaries (Spark HALF_UP on the shortest decimal repr vs binary
+    * rounding), so a double may never be rounded STRAIGHT into an
+    * integer gate column. The sanctioned spellings are
+    * `floor(x·k + 0.5)` (same IEEE double → same floor on any engine)
+    * or an exact integer rational `(2·num·k + den) div (2·den)`.
+    * `round(x, d)` kept AS A DOUBLE (the clinical 6dp presentation
+    * surface) is a different, 6-round-proven class and stays allowed.
+    */
+  test("no oracle rounds a double straight into an integer cast") {
+    val forbidden = """CAST\s*\(\s*round\s*\(""".r
+    val offenders = graft.SparkEntry.oracleSql.toSeq.flatMap { case (name, rawSql) =>
+      val sql = rawSql.replaceAll("[ \t\r\n|]+", " ")
+      if (forbidden.findFirstIn(sql).isDefined) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"round()->int-cast in oracle SQL of: ${offenders.sorted.mkString(", ")} " +
+        "— use CAST(floor(x*k + 0.5) AS BIGINT) (see the float-gate rule)")
+  }
+
+  test("no Spark-side query rounds a double straight into an integer cast") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val forbidden = """[^\w]round\(.*\)\s*\.cast\("(long|int)"\)""".r
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if forbidden.findFirstIn(line).isDefined =>
+            s"$p:${i + 1}"
+        }
+      }.toSeq
+    assert(offenders.isEmpty,
+      s"round()->.cast(int) on the Spark side at: ${offenders.mkString(", ")} " +
+        "— use floor(x*k + 0.5).cast(\"long\") (see the float-gate rule)")
+  }
 }
