@@ -298,7 +298,7 @@ object Dedup {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (splitmix64). */
-  private[operators] def hyperplanes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     var state = seed
     def next(): Long = {
       state += 0x9E3779B97F4A7C15L

@@ -95,11 +95,32 @@ object VectorQ {
         (col("maxerr") <= (col("mx") - col("mn")) / 255.0 * 0.5000001)
           .as("within_half_step"))
 
-  /** IVF probe search (engine-defined bucketing → rows-only check). */
-  def annIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(
+  /** q51 — IVF probe search under the FULL hash gate (graduated r7
+    * from rows-only): the probe results depend on the k-means centers
+    * (engine-defined, not SQL-replicable), so the gate surface is the
+    * PER-QUERY quality report — result count and the recall@5 ≥ 0.8
+    * threshold boolean vs the in-query exact baseline — which the
+    * oracle states literally (the q63/q64/q80 error-bound pattern,
+    * here per query rather than corpus-level like q80). A regression
+    * in ANY single probe (center drift, assignment bug, probe-count
+    * knob) flips that query's row and fails the driver compare. The
+    * search-result rows themselves stay exercised through
+    * [[Similarity.ivfTopK]] here and the aggregate q80 companion.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = Similarity.ivfTopK(
       Tables.embeddings(spark, dir), queriesDf(spark, dir), k = 5,
       centers = Some(ivfCenters(spark, dir)))
+    val exact = Similarity.bruteForceTopK(
+        Tables.embeddings(spark, dir), queriesDf(spark, dir), k = 5)
+      .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+    ivf.join(exact, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("hit")), lit(0L)).as("_hits"))
+      .select(col("query_id"), col("n_returned"),
+        (col("_hits") >= 4L).as("recall5_ge_08"))
+  }
 
   /** Per-label embedding statistics (norms computed per-element). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
@@ -118,12 +139,41 @@ object VectorQ {
     Similarity.thresholdPairs(
       Tables.embeddings(spark, dir), blockCol = "label", threshold = 0.4)
 
-  /** LSH-bucketed near-dup pairs (engine-defined hyperplanes →
-    * rows-only check).
+  /** q54 — LSH-bucketed near-dup pairs under the FULL hash gate
+    * (graduated r7 from rows-only): the hyperplanes are deterministic
+    * literals (splitmix64 from a fixed seed, baked into the plan), so
+    * the DuckDB oracle replicates the ENTIRE pipeline — the same plane
+    * arrays rendered as SQL literals (shortest-round-trip doubles
+    * parse back to the identical IEEE value), the same left-associated
+    * dot-product fold, the same sign-bit bucket id, the same
+    * bucket-equality candidate join and cosine verify. Bit-exact by
+    * construction, not by recall luck — the q47 graduation, for the
+    * embedding family.
     */
   def lshNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(spark, dir), dim = 64,
       cosineThreshold = 0.4, numBits = 8)
+
+  /** The SQL mirror of [[graft.operators.Dedup.embeddingNearDups]]'s
+    * bucketing for [[lshNearDups]]'s oracle: per table t, bucket =
+    * Σᵢ 2ⁱ·[vᵀpᵢ > 0] with the EXACT plane literals the Spark plan
+    * holds. `list_reduce` left-associates like Spark's `aggregate`
+    * fold (0.0 + x₁ is exact), so the dot products are bit-identical.
+    */
+  private def lshBucketSql(numBits: Int, dim: Int, numTables: Int): String = {
+    def bucketExpr(t: Int): String = {
+      val planes = Dedup.hyperplanes(numBits, dim, seed = 42L + 1000L * t)
+      planes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
+        s"""CASE WHEN list_reduce(list_transform(list_zip(v, $lits::DOUBLE[]),
+           |      s -> s[1] * s[2]), (a, x) -> a + x) > 0
+           |    THEN ${1L << i} ELSE 0 END""".stripMargin
+      }.mkString("(", "\n    + ", ")")
+    }
+    (0 until numTables).map(t =>
+      s"SELECT id, $t AS table_id,\n  ${bucketExpr(t)} AS bucket FROM v")
+      .mkString("\nUNION ALL\n")
+  }
 
   /** IVF quality under the HASH gate (the q63/q64 error-bound-boolean
     * pattern): recall@5 of [[Similarity.ivfTopK]] at DEFAULTS against
@@ -375,6 +425,33 @@ object VectorQ {
         |  floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cosine
         |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
         |WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 >= 0.4""".stripMargin,
+    // per-query graduation of the rows-only check: n_returned is k by
+    // construction (corpus >> k at every sf) and the recall bound is
+    // the engine-measured invariant under test, stated literally
+    "q51_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+        |  TRUE AS recall5_ge_08
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // the FULL pipeline mirror: same literal hyperplanes, same
+    // left-associated dot fold, same bucket join, same cosine verify
+    "q54_lsh_near_dups" -> {
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |${lshBucketSql(numBits = 8, dim = 64, numTables = 4)}),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+         |  FROM b a JOIN b b2
+         |    ON a.table_id = b2.table_id AND a.bucket = b2.bucket
+         |      AND a.id < b2.id)
+         |SELECT c.id_a, c.id_b,
+         |  floor(list_cosine_similarity(va.v, vb.v) * 1000000 + 0.5) / 1000000
+         |    AS cosine
+         |FROM cand c
+         |JOIN v va ON va.id = c.id_a
+         |JOIN v vb ON vb.id = c.id_b
+         |WHERE floor(list_cosine_similarity(va.v, vb.v) * 1000000 + 0.5)
+         |  / 1000000 >= 0.4""".stripMargin
+    },
     // the oracle states the recall bound as a literal: the exact-pair
     // count is k x |queries| by construction (corpus >> k at every sf),
     // and the bound itself is the engine-measured invariant under test

@@ -36,6 +36,8 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q24_scalar_subquery",    // uncorrelated scalar subquery broadcast to every row
     "q35_type_share",         // 1-row scalar denominator broadcast to k grouped rows
     "q50_ann_brute_force",    // broadcast queries × corpus scan IS the exact baseline
+    "q51_ann_ivf",            // embeds q50's brute-force baseline as the per-query
+                              // recall denominator (r7 graduation)
     "q138_hard_negatives",    // q50's shape with the label-inequality riding the join
     "q80_ann_recall",         // embeds q50's brute-force baseline as the recall denominator
     "q82_simhash_complete",   // exhaustive-sketch reference leg IS the completeness check
@@ -196,7 +198,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q35_type_share", "q36_asof_join", "q38_percentiles", "q39_salted_join",
     "q40_text_stats", "q43_char_jaccard_pairs", "q45_quality_report",
     "q47_minhash_pairs", "q49_bpe_token_counts", "q50_ann_brute_force",
-    "q51_ann_ivf", "q52_embedding_stats", "q53_cosine_pairs",
+    "q52_embedding_stats", "q53_cosine_pairs",
     "q54_lsh_near_dups", "q56_media_features", "q64_approx_percentiles",
     "q65_clinical_month_cohort", "q66_stream_windowed_counts",
     "q67_clinical_expr_cohort", "q73_stream_dedup", "q76_repetition_report",
