@@ -434,6 +434,36 @@ object CurationQ {
         expr("(_cumb + w) div _step").as("pick_idx"))
   }
 
+  /** q157 — CURRICULUM phase plan: rank the corpus by quality (exact
+    * millionths, doc_id tiebreak = total order) and cut it into 4
+    * contiguous phases — the easy→hard ordering a curriculum-training
+    * dataloader consumes; per phase the gate reports doc/token mass and
+    * the quality band. The global rank is
+    * [[graft.operators.SortedNeighborhood.globalRank]] (range-partition
+    * + zipWithIndex — never a SinglePartition window), and the phase id
+    * is the exact integer `(rank·4) div n` — both engines compute the
+    * SAME split (no ntile, whose remainder convention differs).
+    */
+  val curriculumPhases = 4
+
+  def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.QualityFunctions.quality_stats(col("text")).as("qs"))
+      .select(col("doc_id"),
+        floor(col("qs.q") * 1000000 + 0.5).cast("long").as("q_micro"),
+        col("qs.n_tok").cast("long").as("n_tok"))
+      .localCheckpoint(false) // count + rank share one materialization
+    val n = d.count()
+    graft.operators.SortedNeighborhood
+      .globalRank(d, Seq(col("q_micro").asc, col("doc_id").asc), "_rnk")
+      .withColumn("phase", expr(s"(_rnk * ${curriculumPhases}L) div ${n}L").cast("int"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        min(col("q_micro")).as("min_q_micro"),
+        max(col("q_micro")).as("max_q_micro"))
+  }
+
   /** Learned 10-step merge table memoized per (session, dir) — the
     * tokenizer artifact q130's encode leg applies (q128 re-learns a
     * 3-step table inline because LEARNING is what it gates; this is
@@ -633,6 +663,7 @@ object CurationQ {
     "q149_heldout_lm_score" -> (heldoutLmScore _),
     "q139_bigram_fluency" -> (bigramFluency _),
     "q130_bpe_encode" -> (bpeEncode _),
+    "q157_curriculum_plan" -> (curriculumPlan _),
     "q133_weighted_sample" -> (weightedSample _),
     "q128_bpe_merges" -> (bpeMerges _),
     "q108_eval_split" -> (evalSplit _),
@@ -773,6 +804,20 @@ object CurationQ {
          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
          |  CAST(sum(m * p_micro) // sum(m) AS BIGINT) AS fluency_micro
          |FROM sc GROUP BY doc_id""".stripMargin,
+    "q157_curriculum_plan" -> {
+      s"""WITH ${qualityCtes},
+         |qq AS (SELECT doc_id, n_tok,
+         |  CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS q_micro FROM q),
+         |r AS (SELECT *, row_number() OVER (ORDER BY q_micro, doc_id) - 1
+         |        AS rnk FROM qq),
+         |nn AS (SELECT count(*) AS n FROM qq)
+         |SELECT CAST((rnk * $curriculumPhases) // n AS INT) AS phase,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(min(q_micro) AS BIGINT) AS min_q_micro,
+         |  CAST(max(q_micro) AS BIGINT) AS max_q_micro
+         |FROM r CROSS JOIN nn GROUP BY 1""".stripMargin
+    },
     "q130_bpe_encode" ->
       s"""WITH toks AS (
          |  SELECT doc_id, u.term

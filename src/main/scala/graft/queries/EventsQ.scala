@@ -234,7 +234,38 @@ object EventsQ {
         col("gap_us"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
+  /** q154 — SCD TYPE-2 dimension build from the event stream: collapse
+    * each user's event-type sequence into versioned validity intervals
+    * (`eff_from_us`, `eff_to_us`, `version`, `is_current`) — the
+    * classic warehouse slowly-changing-dimension construction, as one
+    * declarative pass. A run starts where `lag(attr)` differs (or is
+    * null); `row_number` over the run-start rows is the version and
+    * `lead(eff_from)` closes the interval (null = current row, the
+    * open-ended version).
+    *
+    * Scale shape: both window batches key on `user_id` with the same
+    * (ts, event_id) sort, so Catalyst plans ONE exchange + sort and the
+    * post-filter windows reuse it; state per user is bounded by that
+    * user's run count. Timestamps cross the gate as exact integer
+    * microseconds (the q150 `ts_ns div 1000` idiom), never as floats.
+    */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      .withColumn("prev_attr", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("eff_to_us", lead(col("ts_us"), 1).over(byUser))
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("version"), col("ts_us").as("eff_from_us"), col("eff_to_us"),
+        col("eff_to_us").isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_scd2_dimension" -> (scd2Dimension _),
     "q150_attribution" -> (attribution _),
     "q142_top_paths" -> (topPaths _),
     "q136_retention_matrix" -> (retentionMatrix _),
@@ -246,6 +277,25 @@ object EventsQ {
     "q35_type_share" -> (typeShare _))
 
   val oracles: Map[String, String] = Map(
+    "q154_scd2_dimension" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT *, lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_attr
+        |  FROM ev),
+        |starts AS (
+        |  SELECT * FROM g WHERE prev_attr IS NULL OR prev_attr <> event_type)
+        |SELECT user_id, event_type AS attr,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version,
+        |  ts_us AS eff_from_us,
+        |  lead(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS eff_to_us,
+        |  lead(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
+        |FROM starts""".stripMargin,
     "q150_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

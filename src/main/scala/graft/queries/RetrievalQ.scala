@@ -232,14 +232,80 @@ object RetrievalQ {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** q156 — 2-HOP REACHABILITY over the q129/q135 positively-associated
+    * term graph: per node, direct-neighbor count and the distinct set
+    * reachable within two hops (self excluded) — the k-hop expansion
+    * primitive (query expansion / feature neighborhoods), expressed as
+    * ordered-edge self-joins so each wedge materializes once and the
+    * distinct collapses on the (node, neighbor) shuffle key. Same scale
+    * note as q135: wedge fan-out is bounded by max degree, and at
+    * 100 TB the standard refinement is degree-ordered orientation —
+    * the join shape is already that.
+    */
+  def twoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val e = termCooccurrence(spark, dir)
+      .filter(col("lift_micro") >= 1000000L)
+      .select(col("term_a"), col("term_b"))
+      .localCheckpoint(false) // three consumers: und's two legs + reuse
+    // undirected adjacency, each edge once per direction; e is distinct
+    // (a < b), so und is distinct by construction
+    val und = e.unionByName(
+        e.select(col("term_b").as("term_a"), col("term_a").as("term_b")))
+      .localCheckpoint(false) // consumers: n1, wedge join (both legs), reach
+    val n1 = und.groupBy(col("term_a").as("node"))
+      .agg(count(lit(1)).as("n_1hop"))
+    val nb2 = und.as("x").join(und.as("y"), col("x.term_b") === col("y.term_a"))
+      .select(col("x.term_a").as("node"), col("y.term_b").as("nb"))
+      .filter(col("node") =!= col("nb"))
+    val reach = und.select(col("term_a").as("node"), col("term_b").as("nb"))
+      .unionByName(nb2).distinct()
+      .groupBy(col("node")).agg(count(lit(1)).as("n_2hop_reach"))
+    n1.join(reach, Seq("node"))
+      .select(col("node"), col("n_1hop"), col("n_2hop_reach"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_triangle_count" -> (triangleCount _),
+    "q156_two_hop_reach" -> (twoHopReach _),
     "q100_bm25_topk" -> (bm25TopK _),
     "q120_tfidf_topterms" -> (tfidfTopTerms _),
     "q129_term_cooccurrence" -> (termCooccurrence _))
 
 
   val oracles: Map[String, String] = Map(
+    "q156_two_hop_reach" ->
+      s"""WITH postings AS (
+         |  SELECT DISTINCT doc_id, u.term
+         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_both
+         |  FROM postings a JOIN postings b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT p.term_a, p.term_b
+         |  FROM pairs p
+         |  JOIN dfreq da ON p.term_a = da.term
+         |  JOIN dfreq db ON p.term_b = db.term
+         |  CROSS JOIN n
+         |  WHERE (p.n_both * n.n_docs * 1000000) // (da.df * db.df) >= 1000000),
+         |und AS (SELECT term_a, term_b FROM e
+         |        UNION ALL SELECT term_b, term_a FROM e),
+         |n1 AS (SELECT term_a AS node, count(*) AS n_1hop FROM und GROUP BY 1),
+         |nb2 AS (
+         |  SELECT x.term_a AS node, y.term_b AS nb
+         |  FROM und x JOIN und y ON x.term_b = y.term_a
+         |  WHERE x.term_a <> y.term_b),
+         |reach AS (
+         |  SELECT DISTINCT node, nb FROM (
+         |    SELECT term_a AS node, term_b AS nb FROM und
+         |    UNION ALL SELECT node, nb FROM nb2)),
+         |r AS (SELECT node, count(*) AS n_2hop_reach FROM reach GROUP BY node)
+         |SELECT n1.node, n1.n_1hop, r.n_2hop_reach
+         |FROM n1 JOIN r ON n1.node = r.node""".stripMargin,
     "q135_triangle_count" ->
       s"""WITH postings AS (
          |  SELECT DISTINCT doc_id, u.term

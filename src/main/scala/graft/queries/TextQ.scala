@@ -346,6 +346,52 @@ object TextQ {
           .as("novel_grams"))
   }
 
+  /** q153 — cross-document EXACT-SUBSTRING duplication report: the
+    * suffix-array dedup family (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") re-expressed as a
+    * shingle-hash join. A position is "duplicated" iff its
+    * `dupSpanK`-token gram occurs in ≥ 2 DISTINCT documents — the
+    * verbatim cross-doc overlap ExactSubstr removes; per source the
+    * gate reports doc counts, span totals and the duplicated-position
+    * fraction in exact millionths (integer `div`, non-negative
+    * operands).
+    *
+    * Scale shape: the exploded stream is one LONG hash per token
+    * position ([[graft.functions.ShingleFunctions.shingle_hashes_all]]
+    * — multiset preserved; text bodies never leave the scan), the
+    * (doc, h) rollup partial-aggregates map-side, and the cross-doc
+    * count rides a per-h window whose fan-in is bounded by the gram's
+    * document frequency (the q84 first_doc shape). No driver state, no
+    * all-pairs anywhere; the oracle groups by the gram STRING, so the
+    * 60-bit hash never crosses the gate (2^-64-odds collisions
+    * accepted, the q47 convention). Short docs (< k tokens) contribute
+    * one whole-doc gram (the shingles() convention, incl. '' for empty
+    * docs) on both engines.
+    */
+  val dupSpanK = 8
+
+  def dupSpanReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.ShingleFunctions.shingle_hashes_all(
+          tokens(col("text")), dupSpanK)).as("h"))
+      .groupBy(col("doc_id"), col("source"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    // g is distinct per (doc, h), so a count over the h-partition IS
+    // the gram's cross-corpus document frequency
+    val perDoc = g
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L))).as("dup_spans"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_spans") > 0, lit(1L)).otherwise(lit(0L))).as("n_docs_with_dup"),
+        sum(col("n_spans")).as("total_spans"),
+        sum(col("dup_spans")).as("dup_spans"))
+      .withColumn("dup_frac_micro", expr("(dup_spans * 1000000L) div total_spans"))
+  }
+
   /** End-to-end curation FUNNEL — the composition a training-data
     * pipeline actually runs, with per-stage survivor accounting:
     * token-length band → quality floor → repetition ceiling → exact
@@ -506,6 +552,31 @@ object TextQ {
         sum(col("n_sub")).as("total_subtokens"),
         round(avg(col("n_sub")), 4).as("avg_subtokens"))
 
+  /** q155 — TOKENIZER FERTILITY report per language: subtokens per
+    * whitespace word and bytes per subtoken, the standard
+    * tokenizer-quality metrics a multilingual data pipeline tracks
+    * (high fertility = the tokenizer fragments that language; bytes/
+    * token = compression). One scan, three per-row integer counts
+    * (whitespace tokens, q49's BPE-ish pre-tokenizer, octet length),
+    * one per-lang rollup; the ratios are exact integer millionths
+    * (non-negative `div`, zero-guarded) — no double anywhere.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        tokenCount(col("text")).cast("long").as("nws"),
+        size(bpeishTokens(col("text"))).cast("long").as("nsub"),
+        octet_length(col("text")).cast("long").as("nbytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nws")).as("ws_tokens"),
+        sum(col("nsub")).as("subtokens"),
+        sum(col("nbytes")).as("total_bytes"))
+      .withColumn("fertility_micro",
+        expr("(subtokens * 1000000L) div greatest(ws_tokens, 1L)"))
+      .withColumn("bytes_per_sub_micro",
+        expr("(total_bytes * 1000000L) div greatest(subtokens, 1L)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats" -> (textStats _),
     "q41_token_histogram" -> (tokenHistogram _),
@@ -518,6 +589,7 @@ object TextQ {
     "q48_simhash_pairs" -> (simhashPairs _),
     "q82_simhash_complete" -> (simhashComplete _),
     "q49_bpe_token_counts" -> (bpeTokenCounts _),
+    "q155_tokenizer_fertility" -> (tokenizerFertility _),
     "q68_fingerprint_groups" -> (fingerprintGroups _),
     "q71_dup_clusters" -> (dupClusters _),
     "q72_deduped_corpus" -> (dedupedCorpus _),
@@ -529,6 +601,7 @@ object TextQ {
     "q79_packing_plan" -> (packingPlan _),
     "q140_chunk_plan" -> (chunkPlan _),
     "q84_ngram_novelty" -> (ngramNovelty _),
+    "q153_dup_span_report" -> (dupSpanReport _),
     "q85_curation_funnel" -> (curationFunnel _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
@@ -812,6 +885,36 @@ object TextQ {
         |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
         |    AS novel_grams
         |FROM fd GROUP BY source""".stripMargin,
+    // exact-substring duplication: grams keyed by STRING here (the
+    // engine's 60-bit hash stands in at 2^-64 collision odds and never
+    // crosses the gate); <= k tokens -> one whole-doc gram on both
+    // engines, so every doc has >= 1 span and the div is total>0-safe
+    "q153_dup_span_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN len(ts) <= 8 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_transform(range(len(ts) - 7),
+        |           i -> array_to_string(
+        |             list_slice(ts, CAST(i AS INT) + 1, CAST(i AS INT) + 8), ' '))
+        |    END) AS g
+        |  FROM toks),
+        |c AS (SELECT doc_id, source, g, count(*) AS c FROM gr GROUP BY ALL),
+        |m AS (SELECT *, count(*) OVER (PARTITION BY g) AS nd FROM c),
+        |pd AS (
+        |  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_spans
+        |  FROM m GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dup_spans > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+        |  CAST(sum(n_spans) AS BIGINT) AS total_spans,
+        |  CAST(sum(dup_spans) AS BIGINT) AS dup_spans,
+        |  (CAST(sum(dup_spans) AS BIGINT) * 1000000) // CAST(sum(n_spans) AS BIGINT)
+        |    AS dup_frac_micro
+        |FROM pd GROUP BY source""".stripMargin,
     "q85_curation_funnel" ->
       """WITH toks AS (
         |  SELECT doc_id, text,
@@ -923,5 +1026,23 @@ object TextQ {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_subtokens,
         |  round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 4) AS avg_subtokens
-        |FROM documents GROUP BY source""".stripMargin)
+        |FROM documents GROUP BY source""".stripMargin,
+    // strlen = BYTES in DuckDB (length() is characters), matching
+    // Spark's octet_length; // is non-negative-operand-safe vs div
+    "q155_tokenizer_fertility" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS nws,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS nsub,
+        |    CAST(strlen(text) AS BIGINT) AS nbytes
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(nsub) AS BIGINT) AS subtokens,
+        |  CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+        |  (CAST(sum(nsub) AS BIGINT) * 1000000)
+        |    // greatest(CAST(sum(nws) AS BIGINT), 1) AS fertility_micro,
+        |  (CAST(sum(nbytes) AS BIGINT) * 1000000)
+        |    // greatest(CAST(sum(nsub) AS BIGINT), 1) AS bytes_per_sub_micro
+        |FROM m GROUP BY lang""".stripMargin)
 }

@@ -24,26 +24,57 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * TimestampType (µs) cannot represent; Spark 4 refuses the file
-    * outright under schema inference. A user-specified schema typing the
-    * column as plain LongType reads the raw INT64 nanos without touching
-    * the session-global `nanosAsLong` legacy conf (a read-time conf
-    * mutation was round-1 advice). Exposes both the exact `ts_ns` and a
-    * µs-truncated `ts` TimestampType column.
+  /** events.parquet has shipped in TWO physical encodings across driver
+    * rounds: INT64 TIMESTAMP(NANOS) (rounds 1–6; Spark's TimestampType
+    * is µs-only, so schema inference refuses the file and a
+    * user-specified LongType schema reads the raw nanos), and INT64
+    * TIMESTAMP(MICROS) (round 7+; plain TimestampType under inference).
+    * Assuming either encoding corrupts the other by 1000× — the r7
+    * regeneration silently shifted every event to 1970 under the
+    * nanos-era reader — so the loader PROBES the footer (one schema
+    * inference; throws on the nanos file, types `ts` TimestampType on
+    * the micros file) and adapts. Both paths expose the same surface:
+    * exact integer `ts_ns` plus a µs TimestampType `ts`, derived with
+    * integer arithmetic only (a double division would lose precision
+    * above 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val path = s"$d/events.parquet"
+    // raw-long read works for BOTH encodings (it bypasses the logical
+    // type and reads the physical INT64); the probe only decides the
+    // unit. Timestamp semantics are then derived identically for both:
+    // timestamp_micros = UTC-epoch micros, matching the oracle's naive
+    // TIMESTAMP under the battery's pinned UTC session.
+    val factor = if (eventsTsIsMicros(s, path)) 1000L else 1L
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    s.read.schema(schema).parquet(s"$d/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer `div` — a double division would lose precision above 2^53
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    s.read.schema(schema).parquet(path)
+      .withColumnRenamed("ts", "ts_raw")
+      // integer arithmetic only — a double product/division would lose
+      // precision above 2^53 (epoch-ns is ~2^60)
+      .withColumn("ts_ns", expr(s"ts_raw * ${factor}L"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .drop("ts_raw")
   }
+
+  /** True iff the events file at `path` stores `ts` as TIMESTAMP(MICROS)
+    * — footer-level probe. Inference THROWS on the legacy
+    * TIMESTAMP(NANOS) encoding (which is itself the discriminator) and
+    * yields TimestampType or TimestampNTZType (tz-naive writers, e.g.
+    * pandas/pyarrow) on the micros encoding. Shared with the streaming
+    * source, which needs the verdict before picking its readStream
+    * schema.
+    */
+  def eventsTsIsMicros(s: SparkSession, path: String): Boolean =
+    try {
+      val dt = s.read.parquet(path).schema("ts").dataType
+      dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType
+    } catch { case _: Throwable => false }
   /** Heavy per-row compute (token/gram hashing, quality scoring,
     * winnowing, codecs, vector math) runs on the SCAN's map side, so
     * its parallelism equals the split count. The gate fixtures are

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema as stored (ts = INT64 nanos; see
+  /** events schema as stored in the legacy nanos encoding (ts = INT64
+    * TIMESTAMP(NANOS) read as a raw long; see
     * [[graft.sources.Tables.events]]).
     */
   val eventsRawSchema: StructType = StructType(Seq(
@@ -29,16 +30,23 @@ object Streaming {
 
   /** File-based stream of the events table (one parquet per micro-batch
     * in tests). `maxFilesPerTrigger=1` gives deterministic batching.
+    * The explicit raw-long schema reads the physical INT64 under EITHER
+    * ts encoding; a one-time BATCH footer probe
+    * ([[graft.sources.Tables.eventsTsIsMicros]]) decides the unit, and
+    * the stream exposes the same (`ts_ns`, µs-TimestampType `ts`)
+    * surface as the batch loader.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // the explicit LongType schema reads the INT64-nanos ts without the
-    // session-global nanosAsLong conf (see Tables.events)
+    val factor =
+      if (graft.sources.Tables.eventsTsIsMicros(spark, dir)) 1000L else 1L
     spark.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
+      .withColumnRenamed("ts", "ts_raw")
+      .withColumn("ts_ns", expr(s"ts_raw * ${factor}L"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .drop("ts_raw")
   }
 
   /** Tumbling 5-minute windowed counts per event type with a 10-minute
