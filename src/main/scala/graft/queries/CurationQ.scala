@@ -563,10 +563,14 @@ object CurationQ {
     // postingsArtifact discipline; at 100 TB each un-checkpointed
     // branch is a full corpus re-scan), and memoize it per
     // (session, dir) so repeat consumers skip even the one build
+    // DISK_ONLY (r8): corpus-sized and session-pinned — at
+    // MEMORY_AND_DISK it competes with every later battery query's
+    // execution memory (the r7 tail-drift mechanism)
     val docBigrams = docBigramsMemo.computeIfAbsent((spark, dir), _ =>
       docBigramsOf(Tables.documents(spark, dir)
         .select(col("doc_id"), tokens(col("text")).as("ts")))
-        .localCheckpoint(false))
+        .localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val c12 = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -594,9 +598,11 @@ object CurationQ {
     * OOV branches under the gate — on every held doc whose text has
     * ≥ 1 token with a train-covered first word (all fixture docs; an
     * empty held doc still exercises OOV, just not backoff). Shape: the
-    * model tables roll up from ONE train tokenization
-    * (lazy-checkpointed), the held-out bigram multiset left-joins them
-    * on their natural keys, the vocab-sized c1/uni broadcast back, T
+    * model tables roll up from two lazy scans of the train split (a
+    * corpus-sized checkpoint costs more than the re-scan it saves —
+    * the r7 q149 regression), only the aggregated vocab-sized c12 is
+    * checkpointed; the held-out bigram multiset left-joins the model
+    * on its natural keys, the vocab-sized c1/uni broadcast back, T
     * is a 1-row scalar broadcast.
     *
     * Overflow bound: both p_micro products bind at count ≤ 9.2e12 —
@@ -608,12 +614,17 @@ object CurationQ {
     * same magnitude).
     */
   def heldoutLmScore(spark: SparkSession, dir: String): DataFrame = {
-    // train tokens feed TWO model tables (bigrams, unigrams) — one
-    // tokenization via the lazy-checkpoint artifact idiom
+    // train tokens feed TWO model tables (bigrams, unigrams). NOT
+    // checkpointed (the r7 own-goal): a checkpoint here materializes
+    // the CORPUS-sized tokenized split to block storage on every
+    // invocation — token arrays are bigger than the source text, so
+    // the materialization costs more than the two corpus scans it
+    // saves (10.7 s vs 0.9 s at sf0.1; at 100 TB it is strictly
+    // worse). Only the AGGREGATED, vocab-sized model tables earn a
+    // checkpoint (c12 below).
     val train = Tables.documents(spark, dir)
       .filter(col("doc_id") % 5 =!= 0)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .localCheckpoint(false)
     // held docs are AUGMENTED with two doc-unique synthetic tokens
     // (the q78 synthetic-augmentation pattern): the prefix token makes
     // its first bigram (novel w1, seen w2) — the BACKOFF branch — and

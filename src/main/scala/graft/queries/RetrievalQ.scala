@@ -52,6 +52,13 @@ object RetrievalQ {
     * over the full corpus — at 100 TB that is one extra corpus scan
     * per branch, the r6 bench's dominant cost (five queries, 41% of
     * the battery, all this one constant).
+    *
+    * Storage level is DISK_ONLY (r8): this is a CORPUS-sized table
+    * pinned for the whole session — at MEMORY_AND_DISK it competes
+    * with every later query's execution memory for the rest of the
+    * battery (the r7 2–4× tail-drift mechanism). Disk blocks are the
+    * production shape anyway (an index lives beside the corpus, not
+    * in query memory) and consumers still skip the corpus re-scan.
     */
   private[queries] def postingsArtifact(spark: SparkSession, dir: String): DataFrame =
     postingsMemo.computeIfAbsent((spark, dir), _ =>
@@ -59,7 +66,43 @@ object RetrievalQ {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false))
+        .localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
+
+  private val indexStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame)]()
+
+  /** The index-STATISTICS artifacts beside the postings — `doclen
+    * (doc_id, dl)`, `dfreq (term, df)`, `stats (n_docs, total_len)` —
+    * exactly the per-document and per-term tables a real inverted
+    * index stores next to its postings lists. Before r8 every
+    * retrieval invocation re-aggregated them from the corpus-sized
+    * postings table (two full-postings groupBys per query — the q100
+    * 7.3 s constant); memoized they are built once, and they are
+    * doc-/vocab-sized so the default storage level is fine.
+    */
+  private[queries] def indexStats(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    indexStatsMemo.computeIfAbsent((spark, dir), _ => {
+      val postings = postingsArtifact(spark, dir)
+      // dl = Σtf — rolls up from the postings table instead of a
+      // second explode over the raw text (one corpus tokenization)
+      val doclen = postings.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"))
+        .localCheckpoint(false)
+      // postings is unique per (doc, term), so count(*) ≡
+      // count(DISTINCT doc_id) — the cheaper partial-aggregable form
+      val dfreq = postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .localCheckpoint(false)
+      // corpus stats: N docs, total token count — rolls up from the
+      // (already tiny) doclen artifact
+      val stats = doclen
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+        .localCheckpoint(false)
+      (doclen, dfreq, stats)
+    })
   /** Fixed probe queries (id → query string) for the gate. */
   val probeQueries: Seq[(Int, String)] = Seq(
     1 -> "the model of data",
@@ -91,16 +134,9 @@ object RetrievalQ {
     // consumers below (scoring join, doclen, stats, dfreq) read the
     // materialized table, not four re-tokenizations of the corpus
     val postings = postingsArtifact(spark, dir)
-    // dl = Σtf — rolls up from the postings table instead of a second
-    // explode over the raw text (one corpus tokenization, not two)
-    val doclen = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    // corpus stats: N docs, avg doc length (exact-int inputs -> the
-    // double division is bit-identical on both engines)
-    val stats = doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-    // postings is unique per (doc, term), so count(*) ≡ count(DISTINCT
-    // doc_id) — the cheaper partial-aggregable form
-    val dfreq = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    // doclen/dfreq/stats: the memoized index-statistics artifacts —
+    // built once per (session, dir), never re-aggregated per query
+    val (doclen, dfreq, stats) = indexStats(spark, dir)
     val qterms = probes.toDF("query_id", "qtext")
       .select(col("query_id"), explode(tokens(col("qtext"))).as("term"))
       .distinct()
@@ -149,8 +185,9 @@ object RetrievalQ {
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val postings = postingsArtifact(spark, dir)
-    val dfreq = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    val (_, dfreq, _) = indexStats(spark, dir)
+    // n_docs counts ALL documents (a zero-token doc is absent from
+    // doclen/stats) — the oracle counts the documents table, so must we
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term").asc)
@@ -182,7 +219,7 @@ object RetrievalQ {
     // dropping tf IS the distinct-postings table, no extra shuffle
     val postings = postingsArtifact(spark, dir)
       .select(col("doc_id"), col("term"))
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (_, dfreq, _) = indexStats(spark, dir)
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val pairs = postings.as("a")
       .join(postings.as("b"),
