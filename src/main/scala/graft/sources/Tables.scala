@@ -63,18 +63,68 @@ object Tables {
 
   /** True iff the events file at `path` stores `ts` as TIMESTAMP(MICROS)
     * — footer-level probe. Inference THROWS on the legacy
-    * TIMESTAMP(NANOS) encoding (which is itself the discriminator) and
-    * yields TimestampType or TimestampNTZType (tz-naive writers, e.g.
-    * pandas/pyarrow) on the micros encoding. Shared with the streaming
-    * source, which needs the verdict before picking its readStream
-    * schema.
+    * TIMESTAMP(NANOS) encoding (which is itself the discriminator:
+    * `AnalysisException` with error class `PARQUET_TYPE_ILLEGAL`,
+    * Spark's TimestampType being µs-only) and yields TimestampType or
+    * TimestampNTZType (tz-naive writers, e.g. pandas/pyarrow) on the
+    * micros encoding. Shared with the streaming source, which needs
+    * the verdict before picking its readStream schema.
+    *
+    * ONLY the nanos-inference failure selects the nanos verdict
+    * (r8, advisor finding): a missing path, an empty directory, or
+    * any other error throws — a catch-all here silently read later
+    * micros files as nanos (1970-era timestamps), the exact
+    * corruption the probe exists to prevent. When `path` is a
+    * directory (the streaming source probes one), EVERY leaf parquet
+    * footer is probed and the verdicts must agree — default schema
+    * inference reads a single footer, so a merged probe could pin one
+    * arbitrary file's encoding on a mixed directory; a mixed
+    * directory now fails loudly instead. (Per-file footer probes are
+    * a test-scale robustness device: a production deployment pins the
+    * encoding in table metadata rather than re-deriving it from
+    * footers per session.)
     */
-  def eventsTsIsMicros(s: SparkSession, path: String): Boolean =
+  def eventsTsIsMicros(s: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"events ts probe: path does not exist: $path")
+    val files: Seq[String] =
+      if (fs.getFileStatus(hPath).isDirectory) {
+        val it = fs.listFiles(hPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+            buf += f.toString
+        }
+        require(buf.nonEmpty, s"events ts probe: no parquet files under: $path")
+        buf.toSeq
+      } else Seq(path)
+    val verdicts = files.map(f => probeOneFooter(s, f)).distinct
+    require(verdicts.size == 1,
+      s"events ts probe: mixed nanos/micros encodings under: $path — " +
+        "re-encode to one unit before reading (a single verdict would " +
+        "corrupt the other encoding by 1000x)")
+    verdicts.head
+  }
+
+  /** Single-footer probe: TimestampType/TimestampNTZType → micros;
+    * the TIMESTAMP(NANOS) inference failure (`PARQUET_TYPE_ILLEGAL`)
+    * → nanos; anything else (corrupt footer, schema without `ts`)
+    * propagates.
+    */
+  private def probeOneFooter(s: SparkSession, file: String): Boolean =
     try {
-      val dt = s.read.parquet(path).schema("ts").dataType
+      val dt = s.read.parquet(file).schema("ts").dataType
       dt == org.apache.spark.sql.types.TimestampType ||
         dt == org.apache.spark.sql.types.TimestampNTZType
-    } catch { case _: Throwable => false }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+            e.getMessage.contains("TIMESTAMP(NANOS") =>
+        false
+    }
   /** Heavy per-row compute (token/gram hashing, quality scoring,
     * winnowing, codecs, vector math) runs on the SCAN's map side, so
     * its parallelism equals the split count. The gate fixtures are

@@ -34,7 +34,12 @@ object Streaming {
     * ts encoding; a one-time BATCH footer probe
     * ([[graft.sources.Tables.eventsTsIsMicros]]) decides the unit, and
     * the stream exposes the same (`ts_ns`, µs-TimestampType `ts`)
-    * surface as the batch loader.
+    * surface as the batch loader. The probe inspects EVERY parquet
+    * footer under `dir` and fails fast on an empty/missing directory
+    * or a mixed-encoding one (r8) — the verdict is taken at stream
+    * DEFINITION time, so files arriving later must carry the same
+    * encoding as the definition-time population; that contract is now
+    * enforced loudly instead of silently misreading.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val factor =
