@@ -106,11 +106,20 @@ object StreamQ {
     * would. Timestamps go out as epoch µs.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    // 4 state partitions, not runToMemory's default 8: a stream-stream
+    // join commits FOUR state stores per partition per micro-batch
+    // (keyToNumValues / keyWithIndexToValue on each side) — the only
+    // double-stateful operator in the battery — and the per-partition
+    // commit constant dominates at gate scale (8→4 ≈ 3.4s→2.6s
+    // measured; flat below 4). State volume is micro-batch-bounded
+    // here; a production deployment sizes the partition count to state
+    // volume instead.
     val res = Streaming.runToMemory(
       Streaming.purchasesWithRecentClicks(
         Streaming.eventStream(spark, stagedEvents(dir))),
       name = "q95_stream_stream_join_mem",
-      mode = OutputMode.Append)
+      mode = OutputMode.Append,
+      extraConfs = Map("spark.sql.shuffle.partitions" -> "4"))
     res.select(col("p_id"), col("user_id"),
       unix_micros(col("p_ts")).as("p_us"),
       col("c_id"), unix_micros(col("c_ts")).as("c_us"))
