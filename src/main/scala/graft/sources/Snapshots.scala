@@ -18,12 +18,15 @@ import scala.jdk.CollectionConverters._
   * place, and files are referenced by the manifest only after they are
   * fully written (the parquet job completed).
   *
-  * Deliberately NOT here: file-level deletes/compaction (q112 covers
-  * merge semantics over immutable files; a production format tracks
-  * delete files or rewrites data files and drops the old ones from the
-  * next manifest) and concurrent-writer conflict detection (a
-  * single-writer commit protocol; formats add optimistic retry on the
-  * pointer swap).
+  * Deliberately NOT here: file-level deletes (q112 covers merge
+  * semantics over immutable files; a production format tracks delete
+  * files) and concurrent-writer conflict detection (a single-writer
+  * commit protocol; formats add optimistic retry on the pointer
+  * swap). Compaction IS here (r8, [[compact]]): N-small-files →
+  * few-rewritten-files as a new version whose manifest drops the old
+  * files — while every prior manifest keeps referencing them, so time
+  * travel survives the rewrite (Iceberg `rewrite_data_files` /
+  * Delta OPTIMIZE semantics, reduced to the manifest move).
   */
 object Snapshots {
 
@@ -43,30 +46,75 @@ object Snapshots {
     if (Files.exists(p)) Files.readAllLines(p).asScala.head.trim.toInt else 0
   }
 
+  /** Write `df` into this version's data dir and return the new data
+    * files, sorted. Files.list holds a DirectoryStream fd until closed
+    * — a long-lived driver committing many snapshots would otherwise
+    * exhaust fds.
+    */
+  private def writeDataFiles(df: DataFrame, rootP: Path, v: Int): Seq[String] = {
+    val dataDir = rootP.resolve(s"data_v$v")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val listing = Files.list(dataDir)
+    try listing.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    finally listing.close()
+  }
+
+  /** Atomically publish version `v` with exactly `fileSet` as its file
+    * list: manifest staged under a temp name and renamed into place,
+    * `_latest` swapped last — a reader never resolves a half-written
+    * commit.
+    */
+  private def commit(rootP: Path, v: Int, fileSet: Seq[String]): Unit = {
+    val tmp = rootP.resolve("_manifests").resolve(s"_tmp_$v.txt")
+    Files.write(tmp, fileSet.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(rootP, v), StandardCopyOption.ATOMIC_MOVE)
+    val latestTmp = rootP.resolve(s"_tmp_latest_$v")
+    Files.write(latestTmp, v.toString.getBytes("UTF-8"))
+    Files.move(latestTmp, rootP.resolve("_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Commit `df` as an APPEND snapshot; returns the new version. */
   def append(df: DataFrame, root: String): Int = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("_manifests"))
     val prev = latestVersion(root)
     val v = prev + 1
-    val dataDir = rootP.resolve(s"data_v$v")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    // Files.list holds a DirectoryStream fd until closed — a long-lived
-    // driver committing many snapshots would otherwise exhaust fds
-    val listing = Files.list(dataDir)
-    val newFiles =
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
-      finally listing.close()
-    val all = (if (prev == 0) Nil else files(root, prev)) ++ newFiles
-    val tmp = rootP.resolve("_manifests").resolve(s"_tmp_$v.txt")
-    Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(rootP, v), StandardCopyOption.ATOMIC_MOVE)
-    val latestTmp = rootP.resolve(s"_tmp_latest_$v")
-    Files.write(latestTmp, v.toString.getBytes("UTF-8"))
-    Files.move(latestTmp, rootP.resolve("_latest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val newFiles = writeDataFiles(df, rootP, v)
+    commit(rootP, v,
+      (if (prev == 0) Nil else files(root, prev)) ++ newFiles)
+    v
+  }
+
+  /** COMPACTION — the small-file management every append-only snapshot
+    * store accumulates a need for: rewrite the LATEST version's file
+    * set into `targetFiles` consolidated files and commit them as a
+    * new version whose manifest references ONLY the rewritten files.
+    * The original data files are never modified or deleted, and every
+    * prior manifest still lists them — so time travel to any
+    * pre-compaction version reads exactly the bytes it always did,
+    * while readers of the new version scan `targetFiles` files instead
+    * of the append-accumulated many (at 100 TB the difference is task
+    * scheduling and footer overhead: thousands of splits per manifest
+    * resolve vs the write-amplification of one bounded rewrite).
+    * Content is byte-identical by construction — one read of the prior
+    * manifest, one round-robin redistribution, no row logic on the
+    * path. Returns the new version.
+    */
+  def compact(spark: SparkSession, root: String, targetFiles: Int): Int = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    val rootP = Paths.get(root)
+    val prev = latestVersion(root)
+    require(prev > 0, s"nothing to compact under $root")
+    val v = prev + 1
+    // round-robin repartition: balances output file sizes regardless of
+    // the key distribution that shaped the appends (the production
+    // default for a pure file-count rewrite)
+    val newFiles = writeDataFiles(
+      read(spark, root, prev).repartition(targetFiles), rootP, v)
+    commit(rootP, v, newFiles)
     v
   }
 

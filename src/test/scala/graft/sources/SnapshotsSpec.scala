@@ -29,4 +29,40 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
     intercept[IllegalArgumentException] { Snapshots.read(spark, root, 7) }
   }
+
+  test("compaction rewrites the file set but preserves content and time travel") {
+    val root = Staging.tempDir("snap_spec3").toString
+    Snapshots.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(2, $"id"), root)
+    Snapshots.append(
+      Seq((3L, "c"), (4L, "d")).toDF("id", "s").repartition(2, $"id"), root)
+    val preFiles = Snapshots.files(root, 2)
+    assert(preFiles.size == 4)
+    val v3 = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(v3 == 3 && Snapshots.latestVersion(root) == 3)
+    // the new manifest references ONLY rewritten files...
+    val postFiles = Snapshots.files(root, 3)
+    assert(postFiles.size == 1)
+    assert(postFiles.toSet.intersect(preFiles.toSet).isEmpty)
+    // ...with identical content
+    assert(Snapshots.read(spark, root, 3).select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // time travel across the compaction boundary: old manifests still
+    // resolve their original (untouched) files
+    assert(Snapshots.files(root, 2) == preFiles)
+    assert(Snapshots.read(spark, root, 1).select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    assert(Snapshots.read(spark, root, 2).select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // appends continue on top of the compacted version
+    Snapshots.append(Seq((5L, "e")).toDF("id", "s"), root)
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L))
+    assert(Snapshots.files(root, 4).toSet.intersect(postFiles.toSet) == postFiles.toSet)
+  }
+
+  test("compacting an empty table fails loudly") {
+    val root = Staging.tempDir("snap_spec4").toString
+    intercept[IllegalArgumentException] { Snapshots.compact(spark, root, 1) }
+  }
 }
