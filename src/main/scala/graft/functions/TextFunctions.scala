@@ -155,14 +155,24 @@ object TextFunctions {
 
   // ---- fingerprinting ----
 
-  /** Order-sensitive 64-bit document fingerprint: rolling hash over the
-    * token sequence — each step hashes (accumulator, token) with
-    * xxHash64, so the chain is order-sensitive and never overflows
-    * (a plain acc*31+h polynomial trips ANSI-mode overflow checks).
-    * Pure higher-order-function fold — distributed, no UDF. Equal texts
+  /** Order-sensitive 60-bit document fingerprint: rolling hash over the
+    * token sequence — each step hashes `"<acc> <token>"` and keeps the
+    * low 60 bits of the md5 (the q74 winnowing tail convention), so the
+    * chain is order-sensitive and never overflows. Pure
+    * higher-order-function fold — distributed, no UDF.  Equal texts
     * (after whitespace normalization) get equal fingerprints; any token
     * edit changes it.
+    *
+    * r8: the chain step moved from Spark's xxhash64 (engine-private
+    * seed/algorithm — unreproducible outside Spark, which held q46 at a
+    * rows-only gate) to the ENGINE-PORTABLE md5 tail: DuckDB replays
+    * the identical chain via `list_reduce` + the same substr(md5) tail,
+    * graduating q46 to the full hash gate. Chain step on the oracle
+    * side: `CAST('0x' || substr(md5(acc || ' ' || t), 18, 15) AS
+    * BIGINT)`.
     */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      conv(substring(md5(concat(acc.cast("string"), lit(" "), t)), 18, 15),
+        16, 10).cast("long"))
 }

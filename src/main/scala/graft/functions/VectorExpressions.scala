@@ -91,15 +91,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** 64-bit SimHash of an array of token strings.
+/** 60-bit SimHash of an array of token strings.
   *
   * Classic Charikar sketch: each token votes ±1 on every bit of its
-  * 64-bit hash (xxHash64 of the token's UTF-8 bytes, seed 42 — Spark's
-  * own XxHash64 primitive, so the value is reproducible anywhere in the
-  * plan); the sketch bit is 1 where the vote sum is positive. Near-dup
+  * hash; the sketch bit is 1 where the vote sum is positive. Near-dup
   * docs differ in a few bits → Hamming distance via bit_count(a ^ b).
+  *
+  * The per-token hash is the low 60 bits of the token's md5 — the SAME
+  * engine-portable tail convention as winnowing (q74) and the rolling
+  * fingerprint (q46) — so DuckDB replays the whole sketch
+  * (`list_transform` + the substr(md5) tail + a per-bit majority) and
+  * q48's pair list sits under the full hash gate. r7 and earlier used
+  * Spark's xxHash64 (seed 42): engine-private, which held q48 at
+  * rows-only. 60 bits split into 4 pigeonhole blocks of 15 for the
+  * ≤3-differing-bits candidate join ([[graft.operators.Dedup.simhashPairs]]).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -109,21 +116,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"simhash64 needs array<string>, got ${t.catalogString}")
+          s"simhash60 needs array<string>, got ${t.catalogString}")
     }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        val h = Md5Util.low60(arr.getUTF8String(i).getBytes)
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -132,7 +137,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
@@ -140,23 +145,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
       val n = ctx.freshName("n"); val h = ctx.freshName("h")
-      val b = ctx.freshName("b"); val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
       val out = ctx.freshName("out")
       s"""
-         |int[] $votes = new int[64];
+         |int[] $votes = new int[60];
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |    for (int $b = 0; $b < 64; $b++) {
+         |    long $h = graft.functions.Md5Util.low60($a.getUTF8String($i).getBytes());
+         |    for (int $b = 0; $b < 60; $b++) {
          |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |    }
          |  }
          |}
          |long $out = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
+         |for (int $b = 0; $b < 60; $b++) {
          |  if ($votes[$b] > 0) $out |= (1L << $b);
          |}
          |${ev.value} = $out;
@@ -292,9 +295,9 @@ object VectorFunctions {
     org.apache.spark.sql.functions.floor(
       cosine_similarity(a, b) * 1000000.0d + 0.5d) / 1000000.0d
 
-  /** Column API for [[SimHash64]]. */
-  def simhash64(tokens: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  /** Column API for [[SimHash60]]. */
+  def simhash60(tokens: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(tokens)))
 
   /** Column API for [[NearestCentroids]]. */
   def nearest_centroids(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =

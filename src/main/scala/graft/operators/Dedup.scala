@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.functions.VectorFunctions.{cosine_similarity6, simhash64}
+import graft.functions.VectorFunctions.{cosine_similarity6, simhash60}
 
 /** Corpus deduplication — the operator family a training-data pipeline
   * runs over its whole corpus before anything else.
@@ -118,10 +118,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 64-bit sketch, 4 blocks of 16 bits; two
-    * docs within `maxHamming` (< 16) bits must share at least one block
-    * (pigeonhole for maxHamming ≤ 3), so block-equality buckets are a
-    * complete candidate generator. Verification = bit_count(a^b).
+  /** SimHash near-dup pairs: 60-bit sketch ([[SimHash60]], portable
+    * md5-tail token hash), 4 blocks of 15 bits; two docs within
+    * `maxHamming` ≤ 3 bits must share at least one block (pigeonhole),
+    * so block-equality buckets are a complete candidate generator.
+    * Verification = bit_count(a^b).
     *
     * `sketches`, when given, is a precomputed (id, sk) table — callers
     * that also consume the sketches elsewhere (e.g. the q82
@@ -132,10 +133,10 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    sketches: Option[DataFrame] = None): DataFrame = {
     val sk = sketches.getOrElse(docs.select(col(idCol).as("id"),
-      simhash64(TextFunctions.tokens(col(textCol))).as("sk")))
+      simhash60(TextFunctions.tokens(col(textCol))).as("sk")))
     val blocked = sk.select(col("id"), col("sk"), explode(
       array((0 until 4).map(b => struct(lit(b).as("block_id"),
-        shiftright(col("sk"), b * 16).bitwiseAND(0xFFFFL).as("block_val"))): _*))
+        shiftright(col("sk"), b * 15).bitwiseAND(0x7FFFL).as("block_val"))): _*))
       .as("blk"))
       .select(col("id"), col("sk"), col("blk.block_id"), col("blk.block_val"))
     blocked.as("a")

@@ -143,10 +143,10 @@ object GraftFunctions {
         new ExpressionInfo(classOf[graft.functions.Md5Low60].getName,
           "graft_md5_low60"),
         (args: Seq[Expression]) => graft.functions.Md5Low60(args(0))),
-      ("graft_simhash64",
-        new ExpressionInfo(classOf[graft.functions.SimHash64].getName,
-          "graft_simhash64"),
-        (args: Seq[Expression]) => graft.functions.SimHash64(args(0))))
+      ("graft_simhash60",
+        new ExpressionInfo(classOf[graft.functions.SimHash60].getName,
+          "graft_simhash60"),
+        (args: Seq[Expression]) => graft.functions.SimHash60(args(0))))
 
   /** Register on a live session (the driver builds its own session, so
     * gate queries can't rely on `spark.sql.extensions`). */

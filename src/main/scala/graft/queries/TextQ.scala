@@ -128,7 +128,13 @@ object TextQ {
       .select(col("doc_id"), qualityScore(col("text")).as("quality"),
         round(punctRatio(col("text")), 6).as("punct_ratio"))
 
-  /** Rolling-hash fingerprints (engine-defined hash → rows-only). */
+  /** Rolling-hash fingerprints — FULL hash gate since r8: the chain
+    * step is the engine-portable md5 tail
+    * ([[graft.functions.TextFunctions.fingerprint]]), so DuckDB
+    * replays the identical fold via `list_reduce` and the fp VALUES
+    * are gate-compared, not just row counts (q68 remains the
+    * injectivity/completeness companion).
+    */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
@@ -156,29 +162,37 @@ object TextQ {
     Dedup.minhashLsh(Tables.documents(spark, dir),
       shingleK = 4, numHashes = 64, rowsPerBand = 4, jaccardThreshold = 0.5)
 
-  /** SimHash near-dup pairs (≤3 of 64 bits differ). */
+  /** SimHash near-dup pairs (≤3 of 60 bits differ) — FULL hash gate
+    * since r8: the sketch's per-token hash is the portable md5 tail
+    * ([[graft.functions.SimHash60]]), so the oracle replays the entire
+    * pipeline — sketch (per-bit token majority), 15-bit pigeonhole
+    * blocks, bucket join, Hamming verify — in DuckDB SQL and the pair
+    * LIST is gate-compared (q82 remains the blocking-completeness
+    * companion).
+    */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
 
   /** SimHash BLOCKING completeness under the hash gate: the pigeonhole
-    * argument (≤3 differing bits of 64 ⇒ at least one of the four
-    * 16-bit blocks equal) says the block-bucket join loses NOTHING vs
+    * argument (≤3 differing bits of 60 ⇒ at least one of the four
+    * 15-bit blocks equal) says the block-bucket join loses NOTHING vs
     * exhaustively comparing every sketch pair — this query CHECKS that,
     * comparing [[Dedup.simhashPairs]]'s output against an exhaustive
     * hamming scan over the same sketches, and emits counts/booleans the
-    * oracle states literally (DuckDB cannot compute the engine-defined
-    * simhash itself, so the sketch values stay engine-side; the
-    * completeness of the blocked plan is what graduates to the gate).
-    * The exhaustive leg is O(n²) over 8-byte sketches — a gate-scale
-    * diagnostic; the operator under test is the blocked path.
+    * oracle states literally. (Since r8 the sketch itself is
+    * engine-portable and q48's pair list is under the FULL hash gate;
+    * this companion keeps independently pinning the pigeonhole
+    * completeness of the blocked plan.) The exhaustive leg is O(n²)
+    * over 8-byte sketches — a gate-scale diagnostic; the operator
+    * under test is the blocked path.
     */
   def simhashComplete(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.simhash64
+    import graft.functions.VectorFunctions.simhash60
     val docs = Tables.documents(spark, dir)
     // sketch the corpus ONCE; the planted repartition is the exchange
     // all three consumers (blocked leg + both exhaustive sides) reuse
     val sk = docs.select(col("doc_id").as("id"),
-        simhash64(tokens(col("text"))).as("sk"))
+        simhash60(tokens(col("text"))).as("sk"))
       .repartition(col("id"))
     val blocked = Dedup.simhashPairs(docs, sketches = Some(sk))
       .select(col("id_a"), col("id_b")).withColumn("_b", lit(1))
@@ -1016,6 +1030,50 @@ object TextQ {
         |           FROM reach GROUP BY u)
         |SELECT component, count(*) AS n_members
         |FROM comp GROUP BY component""".stripMargin,
+    // full SimHash pipeline replay (r8 graduation): per-token md5-tail
+    // hashes, per-bit token majority -> 60-bit sketch, 4x15-bit
+    // pigeonhole blocks, bucket join, Hamming verify — the SQL mirror
+    // of SimHash60 + Dedup.simhashPairs. ones > n/2 ⟺ vote sum > 0;
+    // an empty token list sketches to 0 on both engines
+    "q48_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(ts, t -> CAST('0x' || substr(md5(t), 18, 15) AS BIGINT)) AS hl
+         |  FROM toks),
+         |sk AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(60), b ->
+         |      CASE WHEN 2 * len(list_filter(hl, h -> (h >> b) & 1 = 1)) > len(hl)
+         |        THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS sk
+         |  FROM hs),
+         |blocks AS (
+         |  SELECT doc_id, sk, u.b AS block_id,
+         |    (sk >> (CAST(u.b AS INT) * 15)) & 32767 AS block_val
+         |  FROM sk, unnest([0, 1, 2, 3]) u(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS hamming
+         |  FROM blocks a JOIN blocks b
+         |    ON a.block_id = b.block_id AND a.block_val = b.block_val
+         |      AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+    // the fp chain replays Spark's fold exactly: list_reduce over the
+    // '0'-seeded token list with the q74 md5-tail step (low 60 bits of
+    // md5("<acc> <token>")); an empty token list stays at the 0 seed on
+    // both engines
+    "q46_fingerprints" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend('0', ts),
+         |    (acc, t) -> CAST(CAST('0x' || substr(md5(acc || ' ' || t), 18, 15)
+         |      AS BIGINT) AS VARCHAR)) AS BIGINT) AS fp,
+         |  CAST(len(ts) AS INT) AS n_tokens
+         |FROM toks""".stripMargin,
     "q68_fingerprint_groups" ->
       """WITH canon AS (
         |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS c

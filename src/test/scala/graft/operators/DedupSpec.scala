@@ -35,7 +35,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("simhash pairs: near dups within hamming 3, unrelated docs far") {
-    val sk = corpus.select(simhash64(TextFunctions.tokens($"text")).as("sk"), $"doc_id")
+    val sk = corpus.select(simhash60(TextFunctions.tokens($"text")).as("sk"), $"doc_id")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sk")).toMap
     assert(sk(1L) == sk(2L))
     // a one-word edit on a 13-token doc flips ~¼ of the weakly-voted

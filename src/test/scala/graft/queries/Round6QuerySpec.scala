@@ -51,12 +51,12 @@ class Round6QuerySpec extends AnyFunSuite with SparkTestSession {
     val viaSql = spark.sql(
       """SELECT graft_md5_low60('abc') AS h,
         |  graft_cosine_similarity(array(3.0D, 4.0D), array(4.0D, 3.0D)) AS c,
-        |  graft_simhash64(array('a', 'b', 'c')) AS s""".stripMargin).head()
+        |  graft_simhash60(array('a', 'b', 'c')) AS s""".stripMargin).head()
     val viaCol = Seq(("abc", Seq(3.0, 4.0), Seq(4.0, 3.0), Seq("a", "b", "c")))
       .toDF("t", "va", "vb", "toks")
       .select(graft.functions.Md5Functions.md5_low60(col("t")),
         graft.functions.VectorFunctions.cosine_similarity(col("va"), col("vb")),
-        graft.functions.VectorFunctions.simhash64(col("toks")))
+        graft.functions.VectorFunctions.simhash60(col("toks")))
       .head()
     assert(viaSql.getLong(0) == viaCol.getLong(0))
     assert(viaSql.getDouble(1) == viaCol.getDouble(1))
