@@ -123,4 +123,37 @@ object Snapshots {
     val v = if (version == -1) latestVersion(root) else version
     spark.read.parquet(files(root, v): _*)
   }
+
+  /** SNAPSHOT EXPIRATION — the garbage-collection half of the
+    * compaction story (Iceberg `expire_snapshots` / Delta VACUUM):
+    * drop every version < `keepFrom` and delete the data files no
+    * retained manifest references. Until expiration runs, a compacted
+    * table holds BOTH the original small files (for time travel) and
+    * the rewritten ones; expire is the explicit, destructive decision
+    * to give the history up. Retention is manifest-driven: a file
+    * shared between an expired and a retained version survives
+    * (appends reuse files across versions, so reference counting, not
+    * version age, decides deletion). Time travel to any version ≥
+    * `keepFrom` is untouched; reading an expired version fails loudly
+    * at manifest resolution. Returns the number of data files deleted.
+    */
+  def expire(root: String, keepFrom: Int): Int = {
+    val rootP = Paths.get(root)
+    val latest = latestVersion(root)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom must be in [1, $latest]: $keepFrom")
+    val retained = (keepFrom to latest).flatMap(files(root, _)).toSet
+    // a version expired by an earlier sweep has no manifest — skip it
+    // (expire is idempotent and re-runnable with a larger keepFrom)
+    val expiredVersions = (1 until keepFrom)
+      .filter(v => Files.exists(manifestPath(rootP, v)))
+    val doomed = expiredVersions.flatMap(files(root, _)).distinct
+      .filterNot(retained.contains)
+    // files first, manifests second: an interrupted expire leaves a
+    // manifest naming missing files (a LOUD read failure) rather than
+    // an orphaned file set no manifest can reach silently leaking disk
+    doomed.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    expiredVersions.foreach(v => Files.deleteIfExists(manifestPath(rootP, v)))
+    doomed.size
+  }
 }

@@ -65,4 +65,33 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     val root = Staging.tempDir("snap_spec4").toString
     intercept[IllegalArgumentException] { Snapshots.compact(spark, root, 1) }
   }
+
+  test("expire deletes only files no retained manifest references") {
+    val root = Staging.tempDir("snap_spec5").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)
+    Snapshots.compact(spark, root, targetFiles = 1)
+    val v1Files = Snapshots.files(root, 1)
+    // keepFrom=2: v1's manifest goes, but v2 still REFERENCES v1's
+    // appended files (append reuses them) — so nothing is deleted
+    assert(Snapshots.expire(root, keepFrom = 2) == 0)
+    assert(v1Files.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root, 1) }
+    assert(Snapshots.read(spark, root, 2).count() == 3)
+    // keepFrom=3: only the compacted v3 survives; every appended file
+    // (v2's full set) is now unreferenced and gets deleted
+    val v2Files = Snapshots.files(root, 2)
+    assert(Snapshots.expire(root, keepFrom = 3) == v2Files.size)
+    assert(v2Files.forall(f => !java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root, 2) }
+    assert(Snapshots.read(spark, root, 3).select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+  }
+
+  test("expire bounds-checks keepFrom") {
+    val root = Staging.tempDir("snap_spec6").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
+    intercept[IllegalArgumentException] { Snapshots.expire(root, 0) }
+    intercept[IllegalArgumentException] { Snapshots.expire(root, 2) }
+  }
 }
