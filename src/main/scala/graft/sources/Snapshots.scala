@@ -103,19 +103,86 @@ object Snapshots {
     * manifest, one round-robin redistribution, no row logic on the
     * path. Returns the new version.
     */
-  def compact(spark: SparkSession, root: String, targetFiles: Int): Int = {
+  def compact(spark: SparkSession, root: String, targetFiles: Int,
+              sortBy: Option[String] = None): Int = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     val rootP = Paths.get(root)
     val prev = latestVersion(root)
     require(prev > 0, s"nothing to compact under $root")
     val v = prev + 1
-    // round-robin repartition: balances output file sizes regardless of
-    // the key distribution that shaped the appends (the production
-    // default for a pure file-count rewrite)
-    val newFiles = writeDataFiles(
-      read(spark, root, prev).repartition(targetFiles), rootP, v)
+    val prevData = read(spark, root, prev)
+    // sortBy: CLUSTERED compaction (Iceberg sort-order rewrite / Delta
+    // OPTIMIZE ZORDER's 1-column case) — range-partition + sort within,
+    // so each output file covers a disjoint key range and footer
+    // min/max stats turn [[readPruned]] into genuine file skipping.
+    // Without it: round-robin, balancing file sizes regardless of the
+    // key distribution that shaped the appends (the production default
+    // for a pure file-count rewrite).
+    val reshaped = sortBy match {
+      case Some(c) => prevData
+        .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col(c))
+        .sortWithinPartitions(c)
+      case None => prevData.repartition(targetFiles)
+    }
+    val newFiles = writeDataFiles(reshaped, rootP, v)
     commit(rootP, v, newFiles)
     v
+  }
+
+  /** Per-file (path, min, max) statistics of a LONG column, read from
+    * the parquet FOOTERS of snapshot `v`'s manifest — the stand-in for
+    * the column stats a lakehouse manifest stores beside each data
+    * file. Driver-side metadata reads only (one footer per file, no
+    * data pages); a rowless file yields no stats and is omitted (it
+    * can never match a predicate). At production scale these values
+    * are written into the manifest at commit time rather than
+    * re-derived per query; deriving from footers keeps the manifest
+    * format plain here while exercising the same pruning algebra.
+    */
+  def fileStats(spark: SparkSession, root: String, version: Int,
+                column: String): Seq[(String, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files(root, version).flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val chunks = reader.getFooter.getBlocks.asScala.flatMap(
+          _.getColumns.asScala.filter(
+            _.getPath.toDotString == column))
+        val stats = chunks.map(_.getStatistics).filter(s =>
+          s != null && s.hasNonNullValue)
+        if (stats.isEmpty) None
+        else Some((f,
+          stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+      } finally reader.close()
+    }
+  }
+
+  /** The manifest files of snapshot `v` whose [column min, max] range
+    * overlaps [lo, hi] — the file-skipping half of stats-based pruning.
+    */
+  def prunedFiles(spark: SparkSession, root: String, version: Int,
+                  column: String, lo: Long, hi: Long): Seq[String] =
+    fileStats(spark, root, version, column)
+      .collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
+
+  /** Stats-pruned time-travel read: scan ONLY the files whose footer
+    * min/max overlap [lo, hi], then apply the exact row predicate
+    * (stats prune files; the predicate keeps correctness — exactly a
+    * lakehouse reader's split-planning contract). After a clustered
+    * [[compact]] on `column`, a narrow range touches one file of N.
+    */
+  def readPruned(spark: SparkSession, root: String, version: Int,
+                 column: String, lo: Long, hi: Long): DataFrame = {
+    val keep = prunedFiles(spark, root, version, column, lo, hi)
+    val base =
+      if (keep.nonEmpty) spark.read.parquet(keep: _*)
+      // all files skipped: empty relation, original schema
+      else read(spark, root, version)
+        .where(org.apache.spark.sql.functions.lit(false))
+    base.where(org.apache.spark.sql.functions.col(column).between(lo, hi))
   }
 
   /** Time-travel read of snapshot `v` (defaults to latest). */

@@ -88,6 +88,26 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
       Set(1L, 2L, 3L))
   }
 
+  test("clustered compaction + footer stats give real file skipping") {
+    val root = Staging.tempDir("snap_spec7").toString
+    Snapshots.append((0L until 100L).map(i => (i, s"v$i")).toDF("id", "s"), root)
+    val v = Snapshots.compact(spark, root, targetFiles = 4, sortBy = Some("id"))
+    val stats = Snapshots.fileStats(spark, root, v, "id")
+    assert(stats.size == 4)
+    // clustered: disjoint ranges covering 0..99
+    val sorted = stats.sortBy(_._2)
+    assert(sorted.head._2 == 0L && sorted.last._3 == 99L)
+    assert(sorted.sliding(2).forall { case Seq(a, b) => a._3 < b._2 })
+    // point range plans one file; full range all 4; disjoint none
+    assert(Snapshots.prunedFiles(spark, root, v, "id", 0, 0).size == 1)
+    assert(Snapshots.prunedFiles(spark, root, v, "id", 0, 99).size == 4)
+    assert(Snapshots.prunedFiles(spark, root, v, "id", -10, -1).isEmpty)
+    // pruned read returns exactly the range's rows; skip-all is empty
+    assert(Snapshots.readPruned(spark, root, v, "id", 10, 20)
+      .select($"id").as[Long].collect().toSet == (10L to 20L).toSet)
+    assert(Snapshots.readPruned(spark, root, v, "id", -10, -1).count() == 0)
+  }
+
   test("expire bounds-checks keepFrom") {
     val root = Staging.tempDir("snap_spec6").toString
     Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
