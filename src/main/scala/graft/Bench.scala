@@ -53,25 +53,28 @@ object Bench {
       System.gc()
       name -> dt
     }
-    // Two output lines. The FIRST carries the full query names (human /
-    // judge reading the log). The LAST is the driver's machine line and
-    // must fit its 2000-char tail buffer together with sbt's trailing
-    // "[success] ..." line — with 117+ queries the full-name map is
-    // ~3.5 kB and the driver's JSON parse has failed every round. Short
-    // keys (the qNN prefix) + millisecond precision keep the final line
-    // ~1.6 kB, so it parses.
+    // Two output lines. The FIRST carries the full query names and
+    // millisecond precision (human / judge reading the log). The LAST
+    // is the driver's machine line and must fit its 2000-char tail
+    // buffer TOGETHER with sbt's trailing "[info] "-prefix and
+    // "[success] ..." line — at 157 queries the r7 spelling
+    // (3-decimal values, full sf path) grew past the buffer and the
+    // driver recorded parsed:null. Short qNN keys + 2-decimal values +
+    // basename sf keep the final line ~1.8 kB, inside the buffer with
+    // headroom.
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and
     // a comma-decimal locale (de_DE, fr_FR) would emit malformed JSON
-    def ms(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    def fmt(v: Double, dp: Int): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total_fullnames","value":${ms(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+    val sfShort = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total_fullnames","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$shortQs,"sf":"$sfShort"}""")
     spark.stop()
   }
 }
