@@ -173,6 +173,36 @@ object TextQ {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
 
+  /** q161 — cross-source duplicate-LEAKAGE matrix: the q47 MinHash
+    * near-dup pairs rolled up by unordered source pair — the report a
+    * curation pipeline reads before declaring two sources independent
+    * (a source pair with near-dup mass is a train/eval leak if the
+    * split is by source, and double-counted mixture weight if not).
+    * The SNM pair family (q43/q71/q72) CANNOT see these: it blocks on
+    * (lang, source) by design, so cross-source leakage is exactly the
+    * signal it trades away — this matrix comes from the LSH path,
+    * whose banding is content-only. Scale shape: the pair list is the
+    * (already bucketed) LSH output, the source lookup is a thin
+    * doc_id-keyed join of a 2-column projection, and the matrix is one
+    * groupBy over |pairs| rows.
+    */
+  def crossSourceLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashPairs(spark, dir)
+      .join(src.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("source", "src_a"), Seq("id_a"))
+      .join(src.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("source", "src_b"), Seq("id_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      // millionths, not a double gate column (the float-gate rule):
+      // jaccard is already round(·, 6), so ·1e6 is integral on both
+      // engines and the floor(+0.5) spelling is the sanctioned cast
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(max(col("jaccard")) * 1000000d + 0.5d).cast("long")
+          .as("max_jaccard_micro"))
+  }
+
   /** SimHash BLOCKING completeness under the hash gate: the pigeonhole
     * argument (≤3 differing bits of 60 ⇒ at least one of the four
     * 15-bit blocks equal) says the block-bucket join loses NOTHING vs
@@ -600,6 +630,7 @@ object TextQ {
     "q45_quality_report" -> (qualityReport _),
     "q46_fingerprints" -> (fingerprints _),
     "q47_minhash_pairs" -> (minhashPairs _),
+    "q161_cross_source_leakage" -> (crossSourceLeakage _),
     "q48_simhash_pairs" -> (simhashPairs _),
     "q82_simhash_complete" -> (simhashComplete _),
     "q49_bpe_token_counts" -> (bpeTokenCounts _),
@@ -994,6 +1025,38 @@ object TextQ {
     // shingle never materialize (the all-pairs × list_intersect form
     // is quadratic in documents and minutes-slow already at sf0.1);
     // |A∪B| = |A|+|B|−|A∩B|.
+    // q47's exhaustive shingle-Jaccard CTE chain + a source rollup —
+    // the oracle sees every true near-dup pair, so an LSH recall loss
+    // shows up as a missing matrix cell, not just a short pair list
+    "q161_cross_source_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(ts) <= 4 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(len(ts) - 3),
+        |           i -> array_to_string(
+        |             list_slice(ts, CAST(i AS INT) + 1, CAST(i AS INT) + 4), ' ')))
+        |    END AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b, sa.source AS src_a, sb.source AS src_b,
+        |    round(CAST(i AS DOUBLE) / (len(sa.sh) + len(sb.sh) - i), 6) AS jaccard
+        |  FROM inter
+        |  JOIN sets sa ON sa.doc_id = id_a
+        |  JOIN sets sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(i AS DOUBLE) / (len(sa.sh) + len(sb.sh) - i), 6) >= 0.5)
+        |SELECT least(src_a, src_b) AS source_a, greatest(src_a, src_b) AS source_b,
+        |  count(*) AS n_pairs,
+        |  CAST(floor(max(jaccard) * 1000000 + 0.5) AS BIGINT) AS max_jaccard_micro
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q47_minhash_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id,
