@@ -288,8 +288,13 @@ object CurationQ {
   def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
+    // counts is AGGREGATED (sources × vocab rows) with three consumers
+    // (vocab top-N, per-source totals, probs join) — checkpoint it so
+    // the corpus tokenize+explode runs once, not per branch (the q149
+    // rule: vocab-sized model tables earn the checkpoint)
     val counts = toks.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val vocab = counts.groupBy(col("term")).agg(sum(col("c")).as("tc"))
       .orderBy(col("tc").desc, col("term").asc).limit(driftVocab)
       .select(col("term"))
