@@ -203,6 +203,40 @@ object TextQ {
           .as("max_jaccard_micro"))
   }
 
+  /** q162 — duplicate-cluster-SAFE eval split: assign every document a
+    * cluster id (its near-dup component when it has one
+    * ([[dupComponents]]), itself otherwise) and split eval/train by a
+    * salted portable hash OF THE CLUSTER — so near-duplicates can
+    * never straddle the split. This is the leakage-free split practice
+    * a doc-level split (q108 handles exact dups only) cannot give:
+    * hash per doc and two near-identical documents land on opposite
+    * sides, leaking eval content into train verbatim-minus-a-word.
+    * The no_straddle invariant is engine-measured as a 1-row scalar
+    * aggregate (the q108 pattern) and the ORACLE RECOMPUTES it from
+    * its own recursive-closure components — a per-doc hashing bug
+    * would flip both the boolean and the per-source counts.
+    */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val assigned = docs
+      .join(dupComponents(spark, dir).withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("in_eval",
+        graft.operators.Sampling.bucket(col("cluster"), "cs1") < 100000L)
+    val straddle = assigned.groupBy(col("cluster"))
+      .agg(countDistinct(col("in_eval")).as("sides"))
+      .filter(col("sides") > 1)
+      .agg(count(lit(1)).as("_n"))
+    assigned.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_eval"), 1L).otherwise(0L)).as("n_eval"),
+        sum(when(!col("in_eval"), 1L).otherwise(0L)).as("n_train"))
+      .crossJoin(broadcast(straddle))
+      .select(col("source"), col("n_docs"), col("n_eval"), col("n_train"),
+        (col("_n") === 0L).as("no_straddle"))
+  }
+
   /** SimHash BLOCKING completeness under the hash gate: the pigeonhole
     * argument (≤3 differing bits of 60 ⇒ at least one of the four
     * 15-bit blocks equal) says the block-bucket join loses NOTHING vs
@@ -631,6 +665,7 @@ object TextQ {
     "q46_fingerprints" -> (fingerprints _),
     "q47_minhash_pairs" -> (minhashPairs _),
     "q161_cross_source_leakage" -> (crossSourceLeakage _),
+    "q162_cluster_safe_split" -> (clusterSafeSplit _),
     "q48_simhash_pairs" -> (simhashPairs _),
     "q82_simhash_complete" -> (simhashComplete _),
     "q49_bpe_token_counts" -> (bpeTokenCounts _),
@@ -1093,6 +1128,37 @@ object TextQ {
         |           FROM reach GROUP BY u)
         |SELECT component, count(*) AS n_members
         |FROM comp GROUP BY component""".stripMargin,
+    // the q71 recursive closure + the q75 salted-bucket spelling, keyed
+    // on the CLUSTER id — the oracle recomputes the straddle invariant
+    // itself, so per-doc (leaky) hashing flips both boolean and counts
+    "q162_cluster_safe_split" ->
+      s"""WITH RECURSIVE $snmPairsCtes,
+        |  edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |            UNION SELECT id_b, id_a FROM pairs),
+        |  reach(u, v) AS (
+        |    SELECT u, v FROM edges
+        |    UNION
+        |    SELECT rc.u, e.v FROM reach rc JOIN edges e ON rc.v = e.u),
+        |  comp AS (SELECT u AS node, least(u, min(v)) AS component
+        |           FROM reach GROUP BY u),
+        |  assigned AS (
+        |    SELECT dd.doc_id, dd.source,
+        |      coalesce(c.component, dd.doc_id) AS cluster
+        |    FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.node),
+        |  flagged AS (
+        |    SELECT *,
+        |      (CAST('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'cs1'), 18, 15)
+        |        AS BIGINT) % 1000000) < 100000 AS in_eval
+        |    FROM assigned),
+        |  straddle AS (
+        |    SELECT count(*) AS n FROM (
+        |      SELECT cluster FROM flagged
+        |      GROUP BY cluster HAVING count(DISTINCT in_eval) > 1))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN in_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN NOT in_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  (SELECT n FROM straddle) = 0 AS no_straddle
+        |FROM flagged GROUP BY source""".stripMargin,
     // full SimHash pipeline replay (r8 graduation): per-token md5-tail
     // hashes, per-bit token majority -> 60-bit sketch, 4x15-bit
     // pigeonhole blocks, bucket join, Hamming verify — the SQL mirror

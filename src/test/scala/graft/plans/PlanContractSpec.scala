@@ -62,6 +62,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q133_weighted_sample",   // 1-row total-weight scalar broadcast onto the scan
     "q145_group_kfold",       // 1-row total-events scalar broadcast onto 5 fold rows
     "q149_heldout_lm_score",  // 1-row train-token-total scalar broadcast
+    "q162_cluster_safe_split", // 1-row straddle-invariant scalar broadcast
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
