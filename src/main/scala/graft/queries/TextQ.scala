@@ -555,6 +555,28 @@ object TextQ {
         max(col("n_shared")).as("max_shared"))
   }
 
+  /** q163 — the DECONTAMINATED training corpus: q77 reports the
+    * benchmark overlap, this is the purge that acts on it — drop every
+    * non-benchmark document sharing ≥1 winnowing print with the
+    * held-out split (src0), and summarize what survives per source
+    * (the report → purge pair, like q43/q71 → q72 for near-dups). The
+    * anti-join keys on the contamination artifact's doc ids, so the
+    * purge is exactly the report's hit set — the two gates can never
+    * disagree about who was contaminated.
+    */
+  def decontaminatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val contaminated = Winnowing.contamination(docs,
+        isBenchmark = col("source") === "src0", k = 3, w = 4)
+      .select(col("doc_id"))
+    docs.filter(col("source") =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   /** PII-redaction report. The word-soup corpus has no natural PII, so
     * each document is deterministically augmented with a synthetic
     * email + id (same expression in the oracle) — the gate then proves
@@ -677,6 +699,7 @@ object TextQ {
     "q75_stratified_sample" -> (stratifiedSample _),
     "q76_repetition_report" -> (repetitionReport _),
     "q77_contamination_report" -> (contaminationReport _),
+    "q163_decontaminated_corpus" -> (decontaminatedCorpus _),
     "q78_redaction_report" -> (redactionReport _),
     "q79_packing_plan" -> (packingPlan _),
     "q140_chunk_plan" -> (chunkPlan _),
@@ -852,6 +875,36 @@ object TextQ {
         |  CAST(sum(n_shared) AS BIGINT) AS total_shared_prints,
         |  CAST(max(n_shared) AS BIGINT) AS max_shared
         |FROM hits GROUP BY source""".stripMargin,
+    // q77's winnowing-overlap CTEs, then the PURGE: survivors = the
+    // non-benchmark docs outside the hit set, summarized per source
+    "q163_decontaminated_corpus" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id, source, CAST(u.i AS INT) AS pos,
+        |    CAST('0x' || substr(md5(
+        |      array_to_string(list_slice(ts, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 3), ' ')
+        |    ), 18, 15) AS BIGINT) AS h
+        |  FROM toks, unnest(range(greatest(len(ts) - 2, 0))) u(i)),
+        |win AS (
+        |  SELECT doc_id, source, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM kg),
+        |sel AS (SELECT DISTINCT doc_id, source, wmin FROM win WHERE pos >= 3),
+        |bench AS (SELECT DISTINCT wmin FROM sel WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM sel s JOIN bench b ON s.wmin = b.wmin
+        |  WHERE s.source <> 'src0')
+        |SELECT t.source, count(*) AS n_docs,
+        |  CAST(sum(len(t.ts)) AS BIGINT) AS total_tokens,
+        |  min(t.doc_id) AS min_id, max(t.doc_id) AS max_id
+        |FROM toks t ANTI JOIN hits h ON t.doc_id = h.doc_id
+        |WHERE t.source <> 'src0'
+        |GROUP BY t.source""".stripMargin,
     "q140_chunk_plan" ->
       """WITH t AS (
         |  SELECT doc_id,
