@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streaming
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming under the driver's hash gate.
   *
@@ -123,6 +124,61 @@ object StreamQ {
     res.select(col("p_id"), col("user_id"),
       unix_micros(col("p_ts")).as("p_us"),
       col("c_id"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
+  /** q164 — STREAMING VERSIONED LAKE PUBLISH: a bounded event stream
+    * (3 staged files, one micro-batch each under `maxFilesPerTrigger=1`,
+    * file order pinned by strictly increasing modification times)
+    * commits one [[graft.sources.Snapshots]] APPEND per non-empty
+    * micro-batch — the Delta/Iceberg streaming-sink semantics on the
+    * manifest store: every batch is an atomic, time-travelable commit.
+    * The gate then time-travels to EVERY version and reports its
+    * cumulative aggregates: version v must hold exactly batches 1..v
+    * (splits event_id % 3 < v), so a lost batch, an out-of-order
+    * commit, or a version leaking later files each break a distinct
+    * row. Integer-only columns (the float-gate rule).
+    */
+  private val versionedStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def streamVersionedPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = versionedStaged.computeIfAbsent(dir, d => {
+      val stage = graft.sources.Staging.tempDir("graft_vpub_src")
+      val snapRoot = graft.sources.Staging.tempDir("graft_vpub_snap").toString
+      val src = graft.sources.Tables.events(spark, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      for (i <- 0 to 2) {
+        val tmp = graft.sources.Staging.tempDir(s"graft_vpub_tmp$i")
+        src.filter(pmod(col("event_id"), lit(3)) === i)
+          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).next()
+        val dest = stage.resolve(s"part-$i.parquet")
+        java.nio.file.Files.move(part, dest)
+        // strictly increasing mtimes pin the file-source batch order
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      Streaming.runForeachBatchSnapshotAppend(stream, snapRoot)
+      snapRoot
+    })
+    def row(v: Int): DataFrame =
+      graft.sources.Snapshots.read(spark, root, v)
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .select(lit(v).as("version"), col("n_events"), col("n_users"),
+          col("min_id"), col("max_id"))
+    row(1).unionByName(row(2)).unionByName(row(3))
   }
 
   /** The streaming WRITE path under the gate: the same windowed
@@ -274,9 +330,24 @@ object StreamQ {
     "q73_stream_dedup" -> (streamDedup _),
     "q91_stream_sessions" -> (streamSessions _),
     "q94_stream_static_join" -> (streamStaticJoin _),
-    "q95_stream_stream_join" -> (streamStreamJoin _))
+    "q95_stream_stream_join" -> (streamStreamJoin _),
+    "q164_stream_versioned_publish" -> (streamVersionedPublish _))
 
   val oracles: Map[String, String] = Map(
+    // version v = the cumulative union of the first v micro-batches
+    // (splits event_id % 3 < v) — a lost batch, an out-of-order
+    // commit, or a leaked later file each break a distinct row
+    "q164_stream_versioned_publish" ->
+      """SELECT 1 AS version, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id % 3 < 1
+        |UNION ALL
+        |SELECT 2, count(*), count(DISTINCT user_id), min(event_id), max(event_id)
+        |FROM events WHERE event_id % 3 < 2
+        |UNION ALL
+        |SELECT 3, count(*), count(DISTINCT user_id), min(event_id), max(event_id)
+        |FROM events""".stripMargin,
     "q125_stream_running_mean" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

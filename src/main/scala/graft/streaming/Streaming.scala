@@ -359,4 +359,45 @@ object Streaming {
       org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
     }
   }
+
+  /** Publish a bounded stream into a [[graft.sources.Snapshots]] store,
+    * one VERSIONED COMMIT per non-empty micro-batch — the streaming
+    * lake-ingest pattern where every batch is an atomic, time-travelable
+    * append (Delta/Iceberg streaming sink semantics on the manifest
+    * store). Same conf/checkpoint staging as [[runForeachBatchOverwrite]];
+    * empty batches commit nothing (a no-data batch must not mint an
+    * empty version).
+    */
+  def runForeachBatchSnapshotAppend(df: DataFrame, snapRoot: String): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val ckBase = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val ck = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckBase), "graft_stream_ck")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val q = df.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            graft.sources.Snapshots.append(batch.toDF(), snapRoot): Unit
+          }
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData match {
+        case Some(v) => conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+    }
+  }
 }
