@@ -56,20 +56,29 @@ object Bench {
     // Two output lines. The FIRST carries the full query names and
     // millisecond precision (human / judge reading the log). The LAST
     // is the driver's machine line and must fit its 2000-char tail
-    // buffer TOGETHER with sbt's trailing "[info] "-prefix and
-    // "[success] ..." line — at 157 queries the r7 spelling
-    // (3-decimal values, full sf path) grew past the buffer and the
-    // driver recorded parsed:null. Short qNN keys + 2-decimal values +
-    // basename sf keep the final line ~1.8 kB, inside the buffer with
-    // headroom.
+    // buffer TOGETHER with sbt's "[info] " prefix and trailing
+    // "[success] Total time: …" line (74 chars, measured from the r7
+    // artifact — which ALSO shows the r7 spelling overflowing the
+    // buffer: parsed:null). Short keys without leading zeros +
+    // adaptive precision (2dp under 1 s where absolute error matters,
+    // 1dp above — ≤5% — trailing zeros stripped) + basename sf keep
+    // the final line ~1.84 kB at 162 queries, ~75 chars of headroom.
+    // Full precision is always on the first line.
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and
     // a comma-decimal locale (de_DE, fr_FR) would emit malformed JSON
     def fmt(v: Double, dp: Int): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    // "0.40"→"0.4", "1.00"→"1": shorter, same value, still valid JSON
+    def fmtTrim(v: Double): String = {
+      val s = fmt(v, if (v >= 1.0) 1 else 2)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2) }
+      val short = "q" + k.drop(1).takeWhile(_ != '_').dropWhile(_ == '0')
+      "\"" + short + "\":" + fmtTrim(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val sfShort = new java.io.File(sfDir).getName
