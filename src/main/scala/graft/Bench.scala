@@ -64,26 +64,49 @@ object Bench {
     // 1dp above — ≤5% — trailing zeros stripped) + basename sf keep
     // the final line ~1.84 kB at 162 queries, ~75 chars of headroom.
     // Full precision is always on the first line.
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
-    // a comma-decimal locale (de_DE, fr_FR) would emit malformed JSON
-    def fmt(v: Double, dp: Int): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    // "0.40"→"0.4", "1.00"→"1": shorter, same value, still valid JSON
-    def fmtTrim(v: Double): String = {
-      val s = fmt(v, if (v >= 1.0) 1 else 2)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else s
-    }
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    println(s"""{"metric":"total_fullnames","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""")
+    println(machineLine(results, new java.io.File(sfDir).getName))
+    spark.stop()
+  }
+
+  /** Bytes of the driver's 2000-char tail consumed AROUND the machine
+    * line: sbt's "[info] " prefix (7) + newline + the "[success] Total
+    * time: …" epilogue (74, measured from the r7 artifact).
+    */
+  val TailOverhead = 7 + 1 + 74
+
+  // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+  // a comma-decimal locale (de_DE, fr_FR) would emit malformed JSON
+  private def fmt(v: Double, dp: Int): String =
+    if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+  /** Adaptive precision: 2dp under 1 s (absolute error matters), 1dp
+    * above (≤5% relative), trailing zeros stripped — "0.40"→"0.4",
+    * "1.00"→"1": shorter, same value, still valid JSON.
+    */
+  private def fmtTrim(v: Double): String = {
+    val s = fmt(v, if (v >= 1.0) 1 else 2)
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    else s
+  }
+
+  /** The driver's machine line: bare-number keys (the query's qNN
+    * digits — the full names ride the first stdout line; the artifact
+    * keeps only this line, so per-query PRECISION outranks the
+    * cosmetic prefix) + adaptive trimmed values + basename sf. MUST
+    * stay under 2000 − [[TailOverhead]] chars or the driver records
+    * parsed:null (the r7 failure) — BenchLineSpec pins the worst case
+    * over the LIVE registry.
+    */
+  def machineLine(results: Seq[(String, Double)], sfShort: String): String = {
     val shortQs = results.map { case (k, v) =>
-      val short = "q" + k.drop(1).takeWhile(_ != '_').dropWhile(_ == '0')
+      val short = k.drop(1).takeWhile(_ != '_').dropWhile(_ == '0')
       "\"" + short + "\":" + fmtTrim(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    val sfShort = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total_fullnames","value":${fmt(total, 3)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$shortQs,"sf":"$sfShort"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$shortQs,"sf":"$sfShort"}"""
   }
 }
