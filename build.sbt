@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures the run's stdout tail and parses the LAST
+// line as the machine-readable result. Two sbt defaults break that:
+// the forked process's output is re-logged with an "[info] " prefix
+// (no longer raw JSON), and sbt appends a "[success] Total time: …"
+// epilogue AFTER the program's last line. Pass forked stdout through
+// verbatim and drop the epilogue so graft.Bench's machine line is the
+// final stdout line, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

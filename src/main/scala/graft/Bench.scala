@@ -72,9 +72,15 @@ object Bench {
     spark.stop()
   }
 
-  /** Bytes of the driver's 2000-char tail consumed AROUND the machine
-    * line: sbt's "[info] " prefix (7) + newline + the "[success] Total
-    * time: …" epilogue (74, measured from the r7 artifact).
+  /** Bytes of the driver's 2000-char tail budgeted AROUND the machine
+    * line. Since r9 build.sbt passes forked stdout through raw
+    * (outputStrategy := StdoutOutput) and suppresses sbt's "[success]
+    * Total time: …" epilogue (showSuccess := false), so the machine
+    * line IS the final stdout line, unprefixed — the r8 artifact showed
+    * the full line inside the tail yet parsed:null, i.e. the driver
+    * parses the LAST line, not a regex over the tail. The old
+    * "[info] " (7) + newline + epilogue (74) budget is kept as safety
+    * margin in case a future sbt version re-wraps the output.
     */
   val TailOverhead = 7 + 1 + 74
 
