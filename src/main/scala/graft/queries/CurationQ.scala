@@ -558,24 +558,20 @@ object CurationQ {
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
 
-  private val docBigramsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
     // three consumers (c12 rollup → c1, and the scoring join's left
     // side) — materialize the per-doc bigram multiset once instead of
     // re-running tokenize→explode→groupBy per plan branch (the
     // postingsArtifact discipline; at 100 TB each un-checkpointed
-    // branch is a full corpus re-scan), and memoize it per
-    // (session, dir) so repeat consumers skip even the one build
-    // DISK_ONLY (r8): corpus-sized and session-pinned — at
-    // MEMORY_AND_DISK it competes with every later battery query's
-    // execution memory (the r7 tail-drift mechanism)
-    val docBigrams = docBigramsMemo.computeIfAbsent((spark, dir), _ =>
+    // branch is a full corpus re-scan). PARQUET artifact (r9): the r8
+    // DISK_ONLY checkpoint made every timed run java-deserialize the
+    // corpus-sized blocks row by row (9.9 s); written once as parquet,
+    // each consumer is a vectorized columnar scan — the shape a shared
+    // derived table has at 100 TB anyway.
+    val docBigrams = graft.sources.ArtifactStore.parquet(
+      spark, dir, "doc_bigrams")(
       docBigramsOf(Tables.documents(spark, dir)
-        .select(col("doc_id"), tokens(col("text")).as("ts")))
-        .localCheckpoint(false,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY))
+        .select(col("doc_id"), tokens(col("text")).as("ts"))))
     val c12 = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))

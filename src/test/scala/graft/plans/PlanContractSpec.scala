@@ -107,13 +107,27 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       s"q41 scan reads unused columns: $scanLine")
   }
 
-  test("minhash LSH reuses the shingle exchange (computed once per query)") {
+  test("minhash LSH reuses the shingle exchange (computed once per build)") {
     import org.apache.spark.sql.functions._
-    val df = graft.queries.TextQ.minhashPairs(spark, dir)
+    // assert on the PIPELINE, not the memoized artifact: since r9
+    // TextQ.minhashPairs serves a parquet pair-list artifact (its plan
+    // is a FileScan — the point), so the exchange-reuse contract lives
+    // on the one-time BUILD plan underneath
+    val df = graft.operators.Dedup.minhashLsh(
+      graft.sources.Tables.documents(spark, dir),
+      shingleK = 4, numHashes = 64, rowsPerBand = 4, jaccardThreshold = 0.5)
     df.collect()   // AQE finalizes stage reuse only on execution
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"),
       "shingle-set exchange is recomputed per consumer — reuse regressed")
+  }
+
+  test("minhash pair list is served from the parquet artifact (one build per session)") {
+    val df = graft.queries.TextQ.minhashPairs(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") &&
+      plan.contains("graft_artifact_minhash_pairs"),
+      s"q47/q161's shared pair list is not artifact-backed:\n$plan")
   }
 
   test("winnowing selects prints inside the row: no per-k-gram explode/shuffle/window") {
