@@ -343,20 +343,15 @@ object AdvancedQ {
     * 1-row scalar broadcast, so cluster granularity is sf-independent.
     */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    // Part1By1 bit spread (Morton): four shift/mask rounds per dim —
-    // pure integer codegen, no per-row array allocation. Identical
-    // values to the lambda formulation the oracle states.
-    def spread(v: Column): Column = {
-      val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
-      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-      val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
-      c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
-    }
+    // Part1By1 bit spread (Morton) — the shared graft.functions.ZOrder
+    // spelling (Snapshots' 2-column clustered compaction interleaves
+    // with the same code). Identical values to the lambda formulation
+    // the oracle states.
     val z = Tables.lineitem(spark, dir)
       .select(pmod(col("l_partkey"), lit(65536)).cast("long").as("x"),
         pmod(col("l_suppkey"), lit(65536)).cast("long").as("y"))
       .withColumn("zcode",
-        spread(col("x")) + shiftleft(spread(col("y")), 1))
+        graft.functions.ZOrder.code(col("x"), col("y")))
     val m = z.agg(max(col("zcode")).as("mz"))
     z.crossJoin(broadcast(m))
       .withColumn("cluster", expr("(zcode * 64L) div (mz + 1L)"))

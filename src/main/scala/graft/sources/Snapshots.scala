@@ -33,12 +33,43 @@ object Snapshots {
   private def manifestPath(root: Path, v: Int): Path =
     root.resolve("_manifests").resolve(s"$v.txt")
 
-  /** Files of snapshot `v`, in manifest order. */
-  def files(root: String, v: Int): Seq[String] = {
+  /** Manifest entry lines of snapshot `v` (one per data file). Since r9
+    * each line is TSV: `path<TAB>#stats<TAB>col=min..max…` — the
+    * per-file INT64 column statistics collected ONCE at commit time,
+    * the Iceberg/Delta manifest contract (writers report stats with the
+    * commit; readers plan file skipping from the manifest alone, no
+    * footer I/O on the query path). Pre-r9 manifests are path-only
+    * lines; [[fileStats]] falls back to footer reads for those.
+    */
+  private def entries(root: String, v: Int): Seq[String] = {
     val p = manifestPath(Paths.get(root), v)
     require(Files.exists(p), s"snapshot $v does not exist under $root")
-    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(p).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#schema\t"))
   }
+
+  /** The schema snapshot `v` was committed with (r9): each manifest
+    * carries its version's full schema as a `#schema` header line —
+    * the Iceberg/Delta metadata contract that makes schema evolution
+    * version-travel correctly: reading v1 after a widening append
+    * returns v1's OWN columns, and reading the widened version
+    * null-fills the new column for rows in pre-evolution files (Spark's
+    * explicit-schema parquet read clips by name). None for a pre-r9
+    * path-only manifest (reader falls back to file-derived schema).
+    */
+  def schemaOf(root: String, v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val p = manifestPath(Paths.get(root), v)
+    require(Files.exists(p), s"snapshot $v does not exist under $root")
+    Files.readAllLines(p).asScala
+      .collectFirst { case l if l.startsWith("#schema\t") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema\t"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType] }
+  }
+
+  /** Files of snapshot `v`, in manifest order. */
+  def files(root: String, v: Int): Seq[String] =
+    entries(root, v).map(_.split('\t').head)
 
   /** Latest committed version, 0 if the table is empty. */
   def latestVersion(root: String): Int = {
@@ -61,14 +92,65 @@ object Snapshots {
     finally listing.close()
   }
 
+  /** Query-path footer opens — incremented ONLY by the legacy
+    * footer-stats fallback, never by commit-time stats collection. The
+    * q165 gate asserts this stays at zero across a manifest-stats
+    * pruning plan: the production contract is that split planning reads
+    * manifests, not N data-file footers from the driver.
+    */
+  val queryPathFooterReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-file min/max of every INT64 leaf column, from one footer read
+    * (metadata pages only). Used at COMMIT time — once per file
+    * lifetime, the write side of the manifest-stats contract — and as
+    * the [[fileStats]] fallback for pre-r9 path-only manifests.
+    */
+  private def footerLongStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      f: String): Map[String, (Long, Long)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPrimitiveType.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+        .filter(c => c.getStatistics != null && c.getStatistics.hasNonNullValue)
+        .groupBy(_.getPath.toDotString)
+        .map { case (name, chunks) =>
+          val st = chunks.map(_.getStatistics)
+          name -> (
+            st.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+            st.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+        }.toMap
+    } finally reader.close()
+  }
+
+  /** Manifest entry lines for freshly written files: path + the
+    * commit-time stats block. A rowless (or all-null) column simply has
+    * no stats token — under the `#stats` marker that means "no value
+    * can match", which is exactly how the pruner treats it.
+    */
+  private def entryLines(df: DataFrame, newFiles: Seq[String]): Seq[String] = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    newFiles.map { f =>
+      val stats = footerLongStats(conf, f).toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }
+      (f +: "#stats" +: stats).mkString("\t")
+    }
+  }
+
   /** Atomically publish version `v` with exactly `fileSet` as its file
     * list: manifest staged under a temp name and renamed into place,
     * `_latest` swapped last — a reader never resolves a half-written
     * commit.
     */
-  private def commit(rootP: Path, v: Int, fileSet: Seq[String]): Unit = {
+  private def commit(rootP: Path, v: Int, schema: org.apache.spark.sql.types.StructType,
+                     fileSet: Seq[String]): Unit = {
     val tmp = rootP.resolve("_manifests").resolve(s"_tmp_$v.txt")
-    Files.write(tmp, fileSet.mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp, (s"#schema\t${schema.json}" +: fileSet)
+      .mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, manifestPath(rootP, v), StandardCopyOption.ATOMIC_MOVE)
     val latestTmp = rootP.resolve(s"_tmp_latest_$v")
     Files.write(latestTmp, v.toString.getBytes("UTF-8"))
@@ -76,15 +158,38 @@ object Snapshots {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Commit `df` as an APPEND snapshot; returns the new version. */
+  /** Commit `df` as an APPEND snapshot; returns the new version. The
+    * prior version's manifest entries ride forward VERBATIM (their
+    * stats were collected at their own commit); only the new files pay
+    * a footer read, once, here.
+    *
+    * SCHEMA EVOLUTION (r9): the committed schema is the prior version's
+    * schema widened by `df`'s new columns (ADD COLUMN — the evolution
+    * every append-mostly store needs first). Same-name columns must
+    * keep their type (type evolution is a different, promotion-ruled
+    * contract — fail loudly rather than corrupt); all fields commit as
+    * nullable because pre-evolution files null-fill the new columns and
+    * a widening append may omit an old column.
+    */
   def append(df: DataFrame, root: String): Int = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("_manifests"))
     val prev = latestVersion(root)
     val v = prev + 1
+    val schema = (if (prev == 0) None else schemaOf(root, prev)) match {
+      case None => df.schema
+      case Some(ps) =>
+        for (f <- df.schema; pf <- ps.find(_.name == f.name))
+          require(pf.dataType == f.dataType,
+            s"type change on '${f.name}': ${pf.dataType} -> ${f.dataType}")
+        org.apache.spark.sql.types.StructType(
+          (ps.fields ++ df.schema.fields.filterNot(f =>
+            ps.fieldNames.contains(f.name))).map(_.copy(nullable = true)))
+    }
     val newFiles = writeDataFiles(df, rootP, v)
-    commit(rootP, v,
-      (if (prev == 0) Nil else files(root, prev)) ++ newFiles)
+    commit(rootP, v, schema,
+      (if (prev == 0) Nil else entries(root, prev)) ++
+        entryLines(df, newFiles))
     v
   }
 
@@ -104,59 +209,87 @@ object Snapshots {
     * path. Returns the new version.
     */
   def compact(spark: SparkSession, root: String, targetFiles: Int,
-              sortBy: Option[String] = None): Int = {
+              sortBy: Option[String] = None,
+              zorderBy: Seq[String] = Nil): Int = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are exclusive clustering modes")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"zorderBy interleaves exactly 2 columns: $zorderBy")
     val rootP = Paths.get(root)
     val prev = latestVersion(root)
     require(prev > 0, s"nothing to compact under $root")
     val v = prev + 1
     val prevData = read(spark, root, prev)
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
     // sortBy: CLUSTERED compaction (Iceberg sort-order rewrite / Delta
     // OPTIMIZE ZORDER's 1-column case) — range-partition + sort within,
     // so each output file covers a disjoint key range and footer
     // min/max stats turn [[readPruned]] into genuine file skipping.
-    // Without it: round-robin, balancing file sizes regardless of the
-    // key distribution that shaped the appends (the production default
-    // for a pure file-count rewrite).
-    val reshaped = sortBy match {
-      case Some(c) => prevData
-        .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col(c))
+    // zorderBy: TWO-dimension clustering (Delta OPTIMIZE ZORDER BY
+    // (x, y)): bucket-normalize each dim to 16 bits against its global
+    // min/max (one scalar broadcast — monotone, skew-tolerant enough
+    // for layout), interleave with the shared [[graft.functions.ZOrder]]
+    // Morton code, range-partition + sort on the code, and DROP the
+    // code before write — every output file gets a bounded min/max BOX
+    // in both dims, so [[readPruned]] skips files on EITHER column.
+    // Without either: round-robin, balancing file sizes regardless of
+    // the key distribution (the production default for a pure
+    // file-count rewrite).
+    val reshaped = (sortBy, zorderBy) match {
+      case (Some(c), _) => prevData
+        .repartitionByRange(targetFiles, col(c))
         .sortWithinPartitions(c)
-      case None => prevData.repartition(targetFiles)
+      case (_, Seq(cx, cy)) =>
+        val mm = prevData.agg(
+          min(col(cx)).as("_mnx"), max(col(cx)).as("_mxx"),
+          min(col(cy)).as("_mny"), max(col(cy)).as("_mxy"))
+        def bucket16(c: org.apache.spark.sql.Column,
+                     mn: org.apache.spark.sql.Column,
+                     mx: org.apache.spark.sql.Column) =
+          (c - mn) * 65536L / (mx - mn + 1L)
+        prevData.crossJoin(broadcast(mm))
+          .withColumn("_zcode", graft.functions.ZOrder.code(
+            bucket16(col(cx), col("_mnx"), col("_mxx")).cast("long"),
+            bucket16(col(cy), col("_mny"), col("_mxy")).cast("long")))
+          .repartitionByRange(targetFiles, col("_zcode"))
+          .sortWithinPartitions("_zcode")
+          .select(prevData.columns.map(col).toIndexedSeq: _*)
+      case _ => prevData.repartition(targetFiles)
     }
     val newFiles = writeDataFiles(reshaped, rootP, v)
-    commit(rootP, v, newFiles)
+    commit(rootP, v,
+      schemaOf(root, prev).getOrElse(prevData.schema),
+      entryLines(reshaped, newFiles))
     v
   }
 
-  /** Per-file (path, min, max) statistics of a LONG column, read from
-    * the parquet FOOTERS of snapshot `v`'s manifest — the stand-in for
-    * the column stats a lakehouse manifest stores beside each data
-    * file. Driver-side metadata reads only (one footer per file, no
-    * data pages); a rowless file yields no stats and is omitted (it
-    * can never match a predicate). At production scale these values
-    * are written into the manifest at commit time rather than
-    * re-derived per query; deriving from footers keeps the manifest
-    * format plain here while exercising the same pruning algebra.
+  /** Per-file (path, min, max) statistics of a LONG column of snapshot
+    * `v` — read from the MANIFEST (r9): the stats were collected once
+    * at commit time and travel with the file entry, so query-path split
+    * planning is a manifest parse, zero data-file I/O (the Iceberg
+    * manifest-stats / Delta Add-action contract; q165 gates the
+    * zero-footer-opens invariant via [[queryPathFooterReads]]). A file
+    * with a `#stats` block but no token for `column` has no non-null
+    * value in it and is omitted (it can never match a predicate).
+    * Pre-r9 path-only entries fall back to a counted footer read.
     */
   def fileStats(spark: SparkSession, root: String, version: Int,
                 column: String): Seq[(String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    files(root, version).flatMap { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val chunks = reader.getFooter.getBlocks.asScala.flatMap(
-          _.getColumns.asScala.filter(
-            _.getPath.toDotString == column))
-        val stats = chunks.map(_.getStatistics).filter(s =>
-          s != null && s.hasNonNullValue)
-        if (stats.isEmpty) None
-        else Some((f,
-          stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
-          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
-      } finally reader.close()
+    entries(root, version).flatMap { line =>
+      val parts = line.split('\t')
+      val f = parts.head
+      if (parts.length > 1 && parts(1) == "#stats")
+        parts.drop(2).collectFirst {
+          case t if t.startsWith(column + "=") =>
+            val b = t.substring(column.length + 1).split("\\.\\.")
+            (f, b(0).toLong, b(1).toLong)
+        }
+      else {
+        queryPathFooterReads.incrementAndGet()
+        footerLongStats(conf, f).get(column).map { case (mn, mx) => (f, mn, mx) }
+      }
     }
   }
 
@@ -185,10 +318,21 @@ object Snapshots {
     base.where(org.apache.spark.sql.functions.col(column).between(lo, hi))
   }
 
-  /** Time-travel read of snapshot `v` (defaults to latest). */
+  /** Time-travel read of snapshot `v` (defaults to latest), under the
+    * version's OWN committed schema: a widening append after `v` never
+    * changes what `v` reads (its manifest pins both the file set and
+    * the schema), and reading a post-evolution version null-fills the
+    * new columns for rows in pre-evolution files (explicit-schema
+    * parquet reads clip by name — no mergeSchema footer sweep over N
+    * files at planning time).
+    */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version == -1) latestVersion(root) else version
-    spark.read.parquet(files(root, v): _*)
+    val fs = files(root, v)
+    schemaOf(root, v) match {
+      case Some(s) => spark.read.schema(s).parquet(fs: _*)
+      case None => spark.read.parquet(fs: _*)
+    }
   }
 
   /** SNAPSHOT EXPIRATION — the garbage-collection half of the
