@@ -13,7 +13,28 @@ import graft.SparkTestSession
 class EventsTsProbeSpec extends AnyFunSuite with SparkTestSession {
 
   private val nanosFixture = "fixtures/events_nanos/events.parquet"
-  private val microsFile = "/root/testdata/sf0.001/events.parquet"
+
+  // generated in-test (repo-relative like the nanos fixture, not a
+  // host-absolute testdata path): Spark writes TIMESTAMP(MICROS) when
+  // told to, which is exactly the encoding the probe must accept
+  private lazy val microsFile: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_micros")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("events.parquet").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      import spark.implicits._
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(out)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    // a single FILE like the old fixture (several tests Files.copy it)
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+    try listing.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get.toString
+    finally listing.close()
+  }
 
   test("micros-encoded file probes true") {
     assert(Tables.eventsTsIsMicros(spark, microsFile))
