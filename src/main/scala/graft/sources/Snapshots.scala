@@ -18,15 +18,16 @@ import scala.jdk.CollectionConverters._
   * place, and files are referenced by the manifest only after they are
   * fully written (the parquet job completed).
   *
-  * Deliberately NOT here: file-level deletes (q112 covers merge
-  * semantics over immutable files; a production format tracks delete
-  * files) and concurrent-writer conflict detection (a single-writer
-  * commit protocol; formats add optimistic retry on the pointer
-  * swap). Compaction IS here (r8, [[compact]]): N-small-files →
-  * few-rewritten-files as a new version whose manifest drops the old
+  * Deliberately NOT here: concurrent-writer conflict detection (a
+  * single-writer commit protocol; formats add optimistic retry on the
+  * pointer swap). Compaction IS here (r8, [[compact]]): N-small-files
+  * → few-rewritten-files as a new version whose manifest drops the old
   * files — while every prior manifest keeps referencing them, so time
   * travel survives the rewrite (Iceberg `rewrite_data_files` /
-  * Delta OPTIMIZE semantics, reduced to the manifest move).
+  * Delta OPTIMIZE semantics, reduced to the manifest move). Row-level
+  * DELETES are here since r9 ([[deleteWhere]]): equality-delete files
+  * in the manifest, merged on read (Iceberg v2 merge-on-read), purged
+  * by the next [[compact]] rewrite.
   */
 object Snapshots {
 
@@ -41,11 +42,39 @@ object Snapshots {
     * footer I/O on the query path). Pre-r9 manifests are path-only
     * lines; [[fileStats]] falls back to footer reads for those.
     */
-  private def entries(root: String, v: Int): Seq[String] = {
+  /** All manifest body lines: data-file entries AND `#delete` lines
+    * (the schema header is metadata, not an entry). Carried forward
+    * verbatim by [[append]]/[[deleteWhere]].
+    */
+  private def rawLines(root: String, v: Int): Seq[String] = {
     val p = manifestPath(Paths.get(root), v)
     require(Files.exists(p), s"snapshot $v does not exist under $root")
     Files.readAllLines(p).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#schema\t"))
+  }
+
+  private def entries(root: String, v: Int): Seq[String] =
+    rawLines(root, v).filterNot(_.startsWith("#delete\t"))
+
+  /** Equality-delete sets of snapshot `v`, grouped (commit version,
+    * key column) → delete-file paths. The commit version scopes which
+    * data files each set applies to (sequence-number semantics).
+    */
+  def deleteSets(root: String, v: Int): Seq[((Int, String), Seq[String])] =
+    rawLines(root, v).collect {
+      case l if l.startsWith("#delete\t") =>
+        val parts = l.split('\t')
+        ((parts(3).toInt, parts(2)), parts(1))
+    }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }.toSeq
+
+  /** The commit version a data file belongs to, from its `data_v<N>`
+    * directory — the sequence number that decides which delete sets
+    * apply to it.
+    */
+  private def dataVersionOf(f: String): Int = {
+    val m = "data_v(\\d+)".r.findFirstMatchIn(f)
+    require(m.isDefined, s"data file outside a data_v dir: $f")
+    m.get.group(1).toInt
   }
 
   /** The schema snapshot `v` was committed with (r9): each manifest
@@ -188,7 +217,7 @@ object Snapshots {
     }
     val newFiles = writeDataFiles(df, rootP, v)
     commit(rootP, v, schema,
-      (if (prev == 0) Nil else entries(root, prev)) ++
+      (if (prev == 0) Nil else rawLines(root, prev)) ++
         entryLines(df, newFiles))
     v
   }
@@ -311,7 +340,7 @@ object Snapshots {
                  column: String, lo: Long, hi: Long): DataFrame = {
     val keep = prunedFiles(spark, root, version, column, lo, hi)
     val base =
-      if (keep.nonEmpty) spark.read.parquet(keep: _*)
+      if (keep.nonEmpty) scanWithDeletes(spark, root, version, keep)
       // all files skipped: empty relation, original schema
       else read(spark, root, version)
         .where(org.apache.spark.sql.functions.lit(false))
@@ -324,15 +353,82 @@ object Snapshots {
     * the schema), and reading a post-evolution version null-fills the
     * new columns for rows in pre-evolution files (explicit-schema
     * parquet reads clip by name — no mergeSchema footer sweep over N
-    * files at planning time).
+    * files at planning time). Equality-delete sets in the manifest are
+    * MERGED ON READ ([[deleteWhere]]).
     */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version == -1) latestVersion(root) else version
-    val fs = files(root, v)
+    scanWithDeletes(spark, root, v, files(root, v))
+  }
+
+  private def rawScan(spark: SparkSession, root: String, v: Int,
+                      paths: Seq[String]): DataFrame =
     schemaOf(root, v) match {
-      case Some(s) => spark.read.schema(s).parquet(fs: _*)
-      case None => spark.read.parquet(fs: _*)
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
     }
+
+  /** Scan `paths` of snapshot `v` with its equality-delete sets merged
+    * on read, sequence-scoped: a delete committed at version d applies
+    * ONLY to data files from versions < d, so rows re-appended after
+    * the delete survive (the Iceberg v2 sequence-number contract —
+    * without it a re-insert of a deleted key would vanish). Data files
+    * are grouped by commit version and each group anti-joins exactly
+    * the delete sets that outrank it; a version with no applicable
+    * deletes scans clean. This per-group plan IS the production shape:
+    * split planning assigns each data file its applicable delete
+    * files, and the anti-join keys shuffle together at any scale.
+    */
+  private def scanWithDeletes(spark: SparkSession, root: String, v: Int,
+                              paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dels = deleteSets(root, v)
+    if (dels.isEmpty || paths.isEmpty) rawScan(spark, root, v, paths)
+    else paths.groupBy(dataVersionOf).toSeq.sortBy(_._1)
+      .map { case (dv, group) =>
+        dels.filter(_._1._1 > dv).foldLeft(rawScan(spark, root, v, group)) {
+          case (df, ((_, column), delFiles)) =>
+            df.join(spark.read.parquet(delFiles: _*)
+              .select(col(column)).distinct(), Seq(column), "left_anti")
+        }
+      }.reduce(_.unionByName(_))
+  }
+
+  /** EQUALITY DELETE (merge-on-read, Iceberg v2 shape): commit a new
+    * version whose manifest carries the previous entries PLUS a delete
+    * set — the distinct `keys` values written as parquet, referenced by
+    * `#delete` lines. NO data file is rewritten (the write cost is
+    * O(|keys|), not O(table)); readers of this and later versions
+    * anti-join the delete set against OLDER data files only; time
+    * travel to any pre-delete version still sees every row; and the
+    * next [[compact]] PURGES the tombstones (it rewrites what read()
+    * returns and commits a delete-free manifest). Returns the new
+    * version.
+    */
+  def deleteWhere(spark: SparkSession, root: String, column: String,
+                  keys: DataFrame): Int = {
+    import org.apache.spark.sql.functions.col
+    val rootP = Paths.get(root)
+    val prev = latestVersion(root)
+    require(prev > 0, s"nothing to delete from under $root")
+    val v = prev + 1
+    val delDir = rootP.resolve(s"delete_v$v")
+    keys.select(col(column)).distinct()
+      .write.mode("overwrite").parquet(delDir.toString)
+    val listing = Files.list(delDir)
+    val delFiles =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq.sorted
+      finally listing.close()
+    val schema = schemaOf(root, prev)
+      .getOrElse(rawScan(spark, root, prev, files(root, prev)).schema)
+    require(schema.fieldNames.contains(column),
+      s"delete key column '$column' is not in the table schema")
+    commit(rootP, v, schema,
+      rawLines(root, prev) ++
+        delFiles.map(f => s"#delete\t$f\t$column\t$v"))
+    v
   }
 
   /** SNAPSHOT EXPIRATION — the garbage-collection half of the
@@ -353,12 +449,17 @@ object Snapshots {
     val latest = latestVersion(root)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom must be in [1, $latest]: $keepFrom")
-    val retained = (keepFrom to latest).flatMap(files(root, _)).toSet
+    // reference-count DATA and DELETE files alike: a delete set is
+    // reachable storage exactly as long as a retained manifest lists it
+    def pathsOf(v: Int): Seq[String] = rawLines(root, v).map { l =>
+      if (l.startsWith("#delete\t")) l.split('\t')(1) else l.split('\t').head
+    }
+    val retained = (keepFrom to latest).flatMap(pathsOf).toSet
     // a version expired by an earlier sweep has no manifest — skip it
     // (expire is idempotent and re-runnable with a larger keepFrom)
     val expiredVersions = (1 until keepFrom)
       .filter(v => Files.exists(manifestPath(rootP, v)))
-    val doomed = expiredVersions.flatMap(files(root, _)).distinct
+    val doomed = expiredVersions.flatMap(pathsOf).distinct
       .filterNot(retained.contains)
     // files first, manifests second: an interrupted expire leaves a
     // manifest naming missing files (a LOUD read failure) rather than
