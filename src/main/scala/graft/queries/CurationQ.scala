@@ -671,7 +671,58 @@ object CurationQ {
         expr("sum(m * p_micro) div sum(m)").as("score_micro"))
   }
 
+  /** q171 — DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much its hashed-feature distribution looks
+    * like a TARGET domain (here lang='en', the corpus plurality)
+    * relative to the rest — the published recipe for "select web data
+    * that resembles the high-quality target" at pretraining scale.
+    * Features are tokens hashed into 256 buckets via the portable
+    * md5-tail ([[graft.operators.Winnowing.portableHash]], the q74/q46
+    * convention), so both engines bucket identically. The per-bucket
+    * importance ratio is Laplace-smoothed and LOG-FREE — kept as the
+    * exact rational p_tgt/p_src in integer millionths,
+    * `(ct+1)(Ts+B)·10⁶ div (cs+1)(Tt+B)` on decimal(38,0) (the q100
+    * overflow discipline: the numerator passes int64 at corpus scale),
+    * and a document's weight is the occurrence-weighted mean of its
+    * buckets' ratios (truncating div — the q139 spelling). Monotone in
+    * DSIR's mean log-ratio direction for ranking purposes while every
+    * value stays gate-exact; the resampling step itself is [[Sampling]]
+    * composition downstream. Plan: one tokenize scan → (doc, bucket)
+    * multiset (partial-agg shuffle); the 256-row ratio table rolls up
+    * from it and BROADCASTS back; final weight is one more partial agg
+    * — no corpus-sized join, no driver state.
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val b = 256L
+    val docB = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .withColumn("b", pmod(Winnowing.portableHash(col("term")), lit(b)))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val docLang = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"))
+    val joined = docB.join(docLang, Seq("doc_id"))
+    val buckets = joined.groupBy(col("b"))
+      .agg(sum(when(col("is_target"), col("m")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), col("m")).otherwise(0L)).as("cs"))
+    val tot = buckets.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+    val ratio = buckets.crossJoin(broadcast(tot))
+      .withColumn("ratio_micro", expr(
+        s"""CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (ts + $b) * 1000000)
+           |  div (CAST(cs + 1 AS DECIMAL(38,0)) * (tt + $b)) AS BIGINT)"""
+          .stripMargin))
+      .select(col("b"), col("ratio_micro"))
+    joined.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("m")).as("n_tokens"),
+        expr("sum(m * ratio_micro) div sum(m)").as("weight_micro"))
+      .select(col("doc_id"), col("is_target"), col("n_tokens"),
+        col("weight_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_importance_weights" -> (importanceWeights _),
     "q149_heldout_lm_score" -> (heldoutLmScore _),
     "q139_bigram_fluency" -> (bigramFluency _),
     "q130_bpe_encode" -> (bpeEncode _),
@@ -744,6 +795,38 @@ object CurationQ {
        |  FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the md5-tail bucket, the Laplace-smoothed rational ratio on
+    // HUGEINT (mirror of the Spark decimal(38,0)), and the truncating
+    // occurrence-weighted mean — all integer, engine-exact
+    "q171_importance_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.term
+         |  FROM (SELECT doc_id, ${OracleSql.tokens("text")} AS ts FROM documents),
+         |       unnest(ts) u(term)),
+         |tb AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 18, 15) AS BIGINT) % 256 AS b
+         |  FROM toks),
+         |docb AS (SELECT doc_id, b, count(*) AS m FROM tb GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, (lang = 'en') AS is_target FROM documents),
+         |j AS (SELECT docb.doc_id, docb.b, docb.m, dl.is_target
+         |      FROM docb JOIN dl USING (doc_id)),
+         |bs AS (
+         |  SELECT b,
+         |    sum(CASE WHEN is_target THEN m ELSE 0 END) AS ct,
+         |    sum(CASE WHEN NOT is_target THEN m ELSE 0 END) AS cs
+         |  FROM j GROUP BY b),
+         |tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM bs),
+         |r AS (
+         |  SELECT b,
+         |    CAST((CAST(ct + 1 AS HUGEINT) * (ts + 256) * 1000000)
+         |      // (CAST(cs + 1 AS HUGEINT) * (tt + 256)) AS BIGINT)
+         |      AS ratio_micro
+         |  FROM bs CROSS JOIN tot)
+         |SELECT doc_id, is_target, CAST(sum(m) AS BIGINT) AS n_tokens,
+         |  CAST(sum(m * ratio_micro) // sum(m) AS BIGINT) AS weight_micro
+         |FROM j JOIN r USING (b)
+         |GROUP BY doc_id, is_target""".stripMargin,
     "q149_heldout_lm_score" ->
       s"""WITH ttoks AS (
          |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts

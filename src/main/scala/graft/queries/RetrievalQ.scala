@@ -159,6 +159,49 @@ object RetrievalQ {
     (perDoc, nq)
   }
 
+  /** q169 — HYBRID retrieval with Reciprocal Rank Fusion (Cormack et
+    * al. 2009, the k=60 constant): the lexical leg is the q100 BM25
+    * top-10 (text probes over the documents corpus), the vector leg is
+    * the q50 exact cosine top-10 (each probe id's embedding against the
+    * embeddings corpus — the fixture's vec_id ≡ doc_id convention), and
+    * the fused score is Σ_legs 1e6 div (60 + rank) — INTEGER micro
+    * units, so the fusion is arithmetic-exact on both engines and the
+    * gate compares fused scores and ranks, not just ids. This is the
+    * production RAG retrieval shape: sparse and dense candidate
+    * generation run independently (each already bucketed/broadcast at
+    * scale — their own gates' plans), and fusion is a thin groupBy over
+    * 2·k·|queries| rows — nothing at corpus scale touches the fusion.
+    * Rank determinism rides the proven per-leg tie orders (score desc,
+    * id asc — q100/q50's gates) and the fused tie order restates it.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val ids = probeQueries.map(_._1)
+    val (perDoc, _) = perDocScored(spark, dir)
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_millionths").desc, col("doc_id").asc)
+    val lex = perDoc
+      .withColumn("rn", row_number().over(wLex))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        expr("1000000L div (60 + rn)").as("contrib"))
+    val emb = Tables.embeddings(spark, dir)
+    val vec = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id").isin(ids: _*)), k = 10)
+      .select(col("query_id"), col("corpus_id").as("doc_id"),
+        expr("1000000L div (60 + rn)").as("contrib"))
+    val wFused = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    lex.unionByName(vec)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_micro"), count(lit(1)).as("n_legs"))
+      .withColumn("rn", row_number().over(wFused).cast("int"))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        col("n_legs"), col("rn"))
+  }
+
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val (perDoc, _) = perDocScored(spark, dir)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
@@ -302,6 +345,7 @@ object RetrievalQ {
     "q135_triangle_count" -> (triangleCount _),
     "q156_two_hop_reach" -> (twoHopReach _),
     "q100_bm25_topk" -> (bm25TopK _),
+    "q169_hybrid_rrf" -> (hybridRrf _),
     "q120_tfidf_topterms" -> (tfidfTopTerms _),
     "q129_term_cooccurrence" -> (termCooccurrence _))
 
@@ -414,6 +458,45 @@ object RetrievalQ {
          |    ORDER BY score_millionths DESC, doc_id ASC) AS INT) AS rn
          |  FROM per_doc)
          |SELECT query_id, doc_id, score_millionths, n_matched_terms, rn
+         |FROM ranked WHERE rn <= 10""".stripMargin,
+    // the q100 BM25 CTE and the q50 cosine CTE verbatim, fused with
+    // integer 1e6 // (60 + rank) contributions — rank determinism and
+    // the round-6 cosine equality are each proven by their own gates
+    "q169_hybrid_rrf" ->
+      s"""WITH ${bm25PerDocCte(probeQueries)},
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(1000000 // (60 + rn) AS BIGINT) AS contrib
+         |  FROM (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_millionths DESC, doc_id ASC) AS rn
+         |        FROM per_doc) WHERE rn <= 10),
+         |vq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |       FROM embeddings
+         |       WHERE vec_id IN (${probeQueries.map(_._1).mkString(", ")})),
+         |vc AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+         |       FROM embeddings),
+         |sims AS (
+         |  SELECT query_id, corpus_id,
+         |    floor(list_cosine_similarity(qv, cv) * 1000000 + 0.5) / 1000000 AS sim
+         |  FROM vq JOIN vc ON corpus_id <> query_id),
+         |vec AS (
+         |  SELECT query_id, corpus_id AS doc_id,
+         |    CAST(1000000 // (60 + rn) AS BIGINT) AS contrib
+         |  FROM (SELECT query_id, corpus_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY sim DESC, corpus_id ASC) AS rn
+         |        FROM sims) WHERE rn <= 10),
+         |fused AS (
+         |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro,
+         |    count(*) AS n_legs
+         |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+         |  GROUP BY query_id, doc_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rn
+         |  FROM fused)
+         |SELECT query_id, doc_id, rrf_micro, n_legs, rn
          |FROM ranked WHERE rn <= 10""".stripMargin)
 
   /** Shared oracle CTE chain — probes through `per_doc(query_id,

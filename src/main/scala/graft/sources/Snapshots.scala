@@ -100,19 +100,37 @@ object Snapshots {
   def files(root: String, v: Int): Seq[String] =
     entries(root, v).map(_.split('\t').head)
 
-  /** Latest committed version, 0 if the table is empty. */
+  /** Latest committed version, 0 if the table is empty. Derived from
+    * the MANIFEST DIRECTORY (max committed number), not the `_latest`
+    * hint file: under concurrent writers the hint can lag or regress
+    * (writer A's pointer update racing writer B's), but a manifest
+    * rename is the commit itself — the set of manifest files IS the
+    * committed history. `_latest` is still written as a debugging hint.
+    */
   def latestVersion(root: String): Int = {
-    val p = Paths.get(root).resolve("_latest")
-    if (Files.exists(p)) Files.readAllLines(p).asScala.head.trim.toInt else 0
+    val dir = Paths.get(root).resolve("_manifests")
+    if (!Files.exists(dir)) return 0
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("\\d+\\.txt") => s.stripSuffix(".txt").toInt }
+      .maxOption.getOrElse(0)
+    finally listing.close()
   }
 
   /** Write `df` into this version's data dir and return the new data
-    * files, sorted. Files.list holds a DirectoryStream fd until closed
-    * — a long-lived driver committing many snapshots would otherwise
-    * exhaust fds.
+    * files, sorted. The dir name carries a WRITER-UNIQUE token beside
+    * the version (r9 optimistic concurrency): two writers racing on the
+    * same target version write to disjoint directories, and the loser
+    * of the manifest CAS renames its dir to the rebased version instead
+    * of re-writing the data (Iceberg's uuid-named data files + retried
+    * metadata commit, reduced to a dir rename). Files.list holds a
+    * DirectoryStream fd until closed — a long-lived driver committing
+    * many snapshots would otherwise exhaust fds.
     */
-  private def writeDataFiles(df: DataFrame, rootP: Path, v: Int): Seq[String] = {
-    val dataDir = rootP.resolve(s"data_v$v")
+  private def writeDataFiles(df: DataFrame, rootP: Path, v: Int,
+                             token: String, kind: String = "data"): Seq[String] = {
+    val dataDir = rootP.resolve(s"${kind}_v${v}_$token")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val listing = Files.list(dataDir)
     try listing.iterator().asScala
@@ -120,6 +138,9 @@ object Snapshots {
       .map(_.toAbsolutePath.toString).toSeq.sorted
     finally listing.close()
   }
+
+  private def newToken(): String =
+    java.util.UUID.randomUUID.toString.take(8)
 
   /** Query-path footer opens — incremented ONLY by the legacy
     * footer-stats fallback, never by commit-time stats collection. The
@@ -171,17 +192,30 @@ object Snapshots {
   }
 
   /** Atomically publish version `v` with exactly `fileSet` as its file
-    * list: manifest staged under a temp name and renamed into place,
-    * `_latest` swapped last — a reader never resolves a half-written
-    * commit.
+    * list. The manifest LINK is the commit — and the CAS: hard-linking
+    * the staged file onto an existing manifest name throws
+    * `FileAlreadyExistsException`, which is exactly the "another
+    * writer claimed this version" signal optimistic committers
+    * ([[append]]/[[deleteWhere]]) catch and rebase on. `_latest` is
+    * written after as a non-authoritative hint ([[latestVersion]] scans
+    * the manifest dir). The staged temp name carries a writer-unique
+    * token so racing stagings never collide.
     */
   private def commit(rootP: Path, v: Int, schema: org.apache.spark.sql.types.StructType,
                      fileSet: Seq[String]): Unit = {
-    val tmp = rootP.resolve("_manifests").resolve(s"_tmp_$v.txt")
+    val token = newToken()
+    val tmp = rootP.resolve("_manifests").resolve(s"_tmp_${v}_$token.txt")
     Files.write(tmp, (s"#schema\t${schema.json}" +: fileSet)
       .mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(rootP, v), StandardCopyOption.ATOMIC_MOVE)
-    val latestTmp = rootP.resolve(s"_tmp_latest_$v")
+    // hard link, NOT rename: POSIX rename(2) silently REPLACES an
+    // existing target (ATOMIC_MOVE is no CAS there), while link(2)
+    // fails with EEXIST — the one atomic create-if-absent the
+    // filesystem gives us (same trick as classic lock files)
+    try Files.createLink(manifestPath(rootP, v), tmp)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp); throw e }
+    finally Files.deleteIfExists(tmp)
+    val latestTmp = rootP.resolve(s"_tmp_latest_${v}_$token")
     Files.write(latestTmp, v.toString.getBytes("UTF-8"))
     Files.move(latestTmp, rootP.resolve("_latest"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -200,12 +234,9 @@ object Snapshots {
     * nullable because pre-evolution files null-fill the new columns and
     * a widening append may omit an old column.
     */
-  def append(df: DataFrame, root: String): Int = {
-    val rootP = Paths.get(root)
-    Files.createDirectories(rootP.resolve("_manifests"))
-    val prev = latestVersion(root)
-    val v = prev + 1
-    val schema = (if (prev == 0) None else schemaOf(root, prev)) match {
+  private def widenedSchema(df: DataFrame, root: String, prev: Int)
+      : org.apache.spark.sql.types.StructType =
+    (if (prev == 0) None else schemaOf(root, prev)) match {
       case None => df.schema
       case Some(ps) =>
         for (f <- df.schema; pf <- ps.find(_.name == f.name))
@@ -215,11 +246,41 @@ object Snapshots {
           (ps.fields ++ df.schema.fields.filterNot(f =>
             ps.fieldNames.contains(f.name))).map(_.copy(nullable = true)))
     }
-    val newFiles = writeDataFiles(df, rootP, v)
-    commit(rootP, v, schema,
-      (if (prev == 0) Nil else rawLines(root, prev)) ++
-        entryLines(df, newFiles))
-    v
+
+  /** OPTIMISTIC-CONCURRENCY append (r9): the data files are written
+    * once to a writer-unique directory; the manifest rename is a CAS on
+    * the version number. On conflict the loser REBASES — recompute the
+    * latest version, rename its (already-written) data dir to the new
+    * version, re-derive the carried-forward entries and schema from the
+    * winner's manifest, and retry the CAS. An append conflicts with
+    * nothing semantically (its rows are new), so the retry always
+    * converges — the Iceberg/Delta optimistic-commit protocol with the
+    * data write amortized across retries.
+    */
+  def append(df: DataFrame, root: String): Int = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP.resolve("_manifests"))
+    val token = newToken()
+    var v = latestVersion(root) + 1
+    var lines = entryLines(df, writeDataFiles(df, rootP, v, token))
+    var committed = -1
+    while (committed < 0) {
+      val prev = v - 1
+      try {
+        commit(rootP, v, widenedSchema(df, root, prev),
+          (if (prev == 0) Nil else rawLines(root, prev)) ++ lines)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newV = latestVersion(root) + 1
+          Files.move(rootP.resolve(s"data_v${v}_$token"),
+            rootP.resolve(s"data_v${newV}_$token"))
+          lines = lines.map(
+            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+          v = newV
+      }
+    }
+    committed
   }
 
   /** COMPACTION — the small-file management every append-only snapshot
@@ -286,10 +347,19 @@ object Snapshots {
           .select(prevData.columns.map(col).toIndexedSeq: _*)
       case _ => prevData.repartition(targetFiles)
     }
-    val newFiles = writeDataFiles(reshaped, rootP, v)
-    commit(rootP, v,
+    val newFiles = writeDataFiles(reshaped, rootP, v, newToken())
+    // a compaction REWRITES version `prev`'s content, so a commit that
+    // landed meanwhile invalidates the rewrite — fail loudly for the
+    // caller to re-run against the new latest (Iceberg's
+    // rewrite_data_files revalidation, reduced to abort-and-retry);
+    // appends/deletes rebase automatically because their rows are new
+    try commit(rootP, v,
       schemaOf(root, prev).getOrElse(prevData.schema),
       entryLines(reshaped, newFiles))
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException(
+        s"concurrent commit landed during compaction of v$prev — " +
+          "re-run compact against the new latest version") }
     v
   }
 
@@ -409,26 +479,46 @@ object Snapshots {
                   keys: DataFrame): Int = {
     import org.apache.spark.sql.functions.col
     val rootP = Paths.get(root)
-    val prev = latestVersion(root)
-    require(prev > 0, s"nothing to delete from under $root")
-    val v = prev + 1
-    val delDir = rootP.resolve(s"delete_v$v")
-    keys.select(col(column)).distinct()
-      .write.mode("overwrite").parquet(delDir.toString)
-    val listing = Files.list(delDir)
-    val delFiles =
+    require(latestVersion(root) > 0, s"nothing to delete from under $root")
+    val token = newToken()
+    var v = latestVersion(root) + 1
+    var delFiles = {
+      val delDir = rootP.resolve(s"delete_v${v}_$token")
+      keys.select(col(column)).distinct()
+        .write.mode("overwrite").parquet(delDir.toString)
+      val listing = Files.list(delDir)
       try listing.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(_.toAbsolutePath.toString).toSeq.sorted
       finally listing.close()
-    val schema = schemaOf(root, prev)
-      .getOrElse(rawScan(spark, root, prev, files(root, prev)).schema)
-    require(schema.fieldNames.contains(column),
-      s"delete key column '$column' is not in the table schema")
-    commit(rootP, v, schema,
-      rawLines(root, prev) ++
-        delFiles.map(f => s"#delete\t$f\t$column\t$v"))
-    v
+    }
+    var committed = -1
+    while (committed < 0) {
+      val prev = v - 1
+      val schema = schemaOf(root, prev)
+        .getOrElse(rawScan(spark, root, prev, files(root, prev)).schema)
+      require(schema.fieldNames.contains(column),
+        s"delete key column '$column' is not in the table schema")
+      try {
+        commit(rootP, v, schema,
+          rawLines(root, prev) ++
+            delFiles.map(f => s"#delete\t$f\t$column\t$v"))
+        committed = v
+      } catch {
+        // rebase like append: an equality delete is defined against
+        // "everything committed before me", so retrying on top of the
+        // winner preserves its semantics (the delete's sequence number
+        // moves up WITH the rebase)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newV = latestVersion(root) + 1
+          Files.move(rootP.resolve(s"delete_v${v}_$token"),
+            rootP.resolve(s"delete_v${newV}_$token"))
+          delFiles = delFiles.map(
+            _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+          v = newV
+      }
+    }
+    committed
   }
 
   /** SNAPSHOT EXPIRATION — the garbage-collection half of the

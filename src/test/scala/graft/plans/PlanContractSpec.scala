@@ -63,6 +63,10 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q145_group_kfold",       // 1-row total-events scalar broadcast onto 5 fold rows
     "q149_heldout_lm_score",  // 1-row train-token-total scalar broadcast
     "q162_cluster_safe_split", // 1-row straddle-invariant scalar broadcast
+    "q169_hybrid_rrf",        // vector leg inherits q50's broadcast-probes shape
+                              // (|probes| rows) + q100's scalar stats broadcast
+    "q171_importance_weights", // 1-row totals scalar broadcast onto the
+                              // 256-row feature-bucket table
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)

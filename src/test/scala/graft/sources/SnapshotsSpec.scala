@@ -114,4 +114,46 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] { Snapshots.expire(root, 0) }
     intercept[IllegalArgumentException] { Snapshots.expire(root, 2) }
   }
+
+  test("concurrent appends all commit via optimistic rebase — no lost updates") {
+    val root = Staging.tempDir("snap_spec8").toString
+    Snapshots.append(Seq((-1L, "base")).toDF("id", "s"), root)
+    // 8 writers race 3 commits each; every conflict must rebase, never
+    // drop a commit or clobber a version
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = for (w <- 0 until 8) yield Future {
+        for (i <- 0 until 3) yield Snapshots.append(
+          Seq((w * 100L + i, s"w$w-$i")).toDF("id", "s"), root)
+      }
+      val versions = Await.result(Future.sequence(fs), 120.seconds).flatten
+      // 1 base + 24 concurrent commits, each with a distinct version
+      assert(versions.toSet.size == 24)
+      assert(Snapshots.latestVersion(root) == 25)
+      // no lost updates: the final version carries every row
+      assert(Snapshots.read(spark, root).count() == 25)
+      // every intermediate version still resolves and is monotone
+      for (v <- 1 to 25) assert(Snapshots.read(spark, root, v).count() == v.toLong)
+    } finally pool.shutdown()
+  }
+
+  test("concurrent delete rebases with sequence-correct scoping") {
+    val root = Staging.tempDir("snap_spec9").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
+    // delete id=2, then re-append id=2 — the re-insert must survive
+    Snapshots.deleteWhere(spark, root, "id", Seq(Tuple1(2L)).toDF("id"))
+    Snapshots.append(Seq((2L, "b2")).toDF("id", "s"), root)
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, root, 2).select($"id").as[Long].collect()
+      .sorted.toSeq == Seq(1L, 3L))
+    // compaction purges the tombstones
+    val v4 = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(Snapshots.deleteSets(root, v4).isEmpty)
+    assert(Snapshots.read(spark, root, v4).count() == 3)
+  }
 }
