@@ -50,7 +50,26 @@ object Snapshots {
     val p = manifestPath(Paths.get(root), v)
     require(Files.exists(p), s"snapshot $v does not exist under $root")
     Files.readAllLines(p).asScala.toSeq
-      .filter(l => l.nonEmpty && !l.startsWith("#schema\t"))
+      .filter(l => l.nonEmpty && !l.startsWith("#schema\t") &&
+        !l.startsWith("#props\t"))
+  }
+
+  /** Commit-scoped properties of version `v` (r9): `#props` header
+    * lines are metadata about THE COMMIT ITSELF — unlike entry lines
+    * they are NOT carried forward by children ([[rawLines]] strips
+    * them). The one producer today is [[compact]]'s `rewrite=true`,
+    * Delta's `dataChange=false`: the commit reorganized bytes without
+    * changing the table's rows, so CDC readers skip it.
+    */
+  def propsOf(root: String, v: Int): Map[String, String] = {
+    val p = manifestPath(Paths.get(root), v)
+    require(Files.exists(p), s"snapshot $v does not exist under $root")
+    Files.readAllLines(p).asScala
+      .filter(_.startsWith("#props\t"))
+      .flatMap(_.stripPrefix("#props\t").split('\t'))
+      .map { kv => val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1) }
+      .toMap
   }
 
   private def entries(root: String, v: Int): Seq[String] =
@@ -157,12 +176,24 @@ object Snapshots {
     */
   private def footerLongStats(
       conf: org.apache.hadoop.conf.Configuration,
-      f: String): Map[String, (Long, Long)] = {
+      f: String): Map[String, (Long, Long)] =
+    footerInfo(conf, f)._2
+
+  /** One footer read → (row count, per-INT64-column min/max). Both
+    * facts ride the same metadata pages; reading them together keeps
+    * "one footer open per file lifetime" true after row counts joined
+    * the manifest (r9 metadata-tables work).
+    */
+  private def footerInfo(
+      conf: org.apache.hadoop.conf.Configuration,
+      f: String): (Long, Map[String, (Long, Long)]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(f), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      reader.getFooter.getBlocks.asScala
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = blocks
         .flatMap(_.getColumns.asScala)
         .filter(_.getPrimitiveType.getPrimitiveTypeName ==
           org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
@@ -174,6 +205,7 @@ object Snapshots {
             st.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
             st.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
         }.toMap
+      (rows, stats)
     } finally reader.close()
   }
 
@@ -185,9 +217,13 @@ object Snapshots {
   private def entryLines(df: DataFrame, newFiles: Seq[String]): Seq[String] = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     newFiles.map { f =>
-      val stats = footerLongStats(conf, f).toSeq.sortBy(_._1)
+      val (rows, colStats) = footerInfo(conf, f)
+      val stats = colStats.toSeq.sortBy(_._1)
         .map { case (c, (mn, mx)) => s"$c=$mn..$mx" }
-      (f +: "#stats" +: stats).mkString("\t")
+      // trailing #rows token: never collides with a `col=..` stats
+      // token (column names can't start with '#'), ignored by pre-r9
+      // parsers that scan for their own column prefix
+      ((f +: "#stats" +: stats) :+ s"#rows=$rows").mkString("\t")
     }
   }
 
@@ -202,10 +238,15 @@ object Snapshots {
     * token so racing stagings never collide.
     */
   private def commit(rootP: Path, v: Int, schema: org.apache.spark.sql.types.StructType,
-                     fileSet: Seq[String]): Unit = {
+                     fileSet: Seq[String],
+                     props: Map[String, String] = Map.empty): Unit = {
     val token = newToken()
     val tmp = rootP.resolve("_manifests").resolve(s"_tmp_${v}_$token.txt")
-    Files.write(tmp, (s"#schema\t${schema.json}" +: fileSet)
+    val headers = s"#schema\t${schema.json}" +:
+      (if (props.isEmpty) Nil
+       else Seq(("#props" +: props.toSeq.sortBy(_._1)
+         .map { case (k, w) => s"$k=$w" }).mkString("\t")))
+    Files.write(tmp, (headers ++ fileSet)
       .mkString("\n").getBytes("UTF-8"))
     // hard link, NOT rename: POSIX rename(2) silently REPLACES an
     // existing target (ATOMIC_MOVE is no CAS there), while link(2)
@@ -355,7 +396,9 @@ object Snapshots {
     // appends/deletes rebase automatically because their rows are new
     try commit(rootP, v,
       schemaOf(root, prev).getOrElse(prevData.schema),
-      entryLines(reshaped, newFiles))
+      entryLines(reshaped, newFiles),
+      // Delta's dataChange=false: same rows, new bytes — CDC skips it
+      props = Map("rewrite" -> "true"))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new IllegalStateException(
         s"concurrent commit landed during compaction of v$prev — " +
@@ -399,6 +442,66 @@ object Snapshots {
                   column: String, lo: Long, hi: Long): Seq[String] =
     fileStats(spark, root, version, column)
       .collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
+
+  private def rowsTokenOf(line: String): Long =
+    line.split('\t').collectFirst {
+      case t if t.startsWith("#rows=") => t.stripPrefix("#rows=").toLong
+    }.getOrElse(-1L)
+
+  /** The per-file metadata TABLE of snapshot `v` — Iceberg's
+    * `table.files` / Delta's Add actions surfaced as a DataFrame,
+    * resolved from the MANIFEST alone (zero data-file opens): path,
+    * the commit version the file belongs to (its sequence number), and
+    * its physical row count (−1 for a pre-r9 entry whose commit did
+    * not record one). Driver-side by design — manifests are the
+    * metadata a planner holds; the table is O(files), not O(rows).
+    */
+  def filesTable(spark: SparkSession, root: String, version: Int = -1)
+      : DataFrame = {
+    import spark.implicits._
+    val v = if (version == -1) latestVersion(root) else version
+    entries(root, v).map { line =>
+      val f = line.split('\t').head
+      (f, dataVersionOf(f), rowsTokenOf(line))
+    }.toDF("file", "commit_version", "row_count")
+  }
+
+  /** The history TABLE — Iceberg's `table.snapshots` / Delta's
+    * DESCRIBE HISTORY: one row per live (unexpired) version with its
+    * file count, delete-set count, manifest-summed physical row count
+    * (−1 if any entry predates row counts), and the rewrite flag.
+    * Resolved entirely from manifests.
+    */
+  def snapshotsTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootP = Paths.get(root)
+    (1 to latestVersion(root))
+      .filter(v => Files.exists(manifestPath(rootP, v)))
+      .map { v =>
+        val es = entries(root, v)
+        val counts = es.map(rowsTokenOf)
+        (v, es.size, deleteSets(root, v).size,
+          if (counts.contains(-1L)) -1L else counts.sum,
+          propsOf(root, v).get("rewrite").contains("true"))
+      }.toDF("version", "n_files", "n_delete_sets", "file_rows",
+        "is_rewrite")
+  }
+
+  /** Metadata-only `count(*)` — the Iceberg count pushdown: answered
+    * from manifest row counts with ZERO data-file reads. Refuses when
+    * the version carries delete sets (merge-on-read makes physical ≠
+    * logical — a correct engine falls back to a scan, it does not
+    * return the wrong number) or when any entry predates row counts.
+    */
+  def metadataCount(root: String, version: Int = -1): Long = {
+    val v = if (version == -1) latestVersion(root) else version
+    require(deleteSets(root, v).isEmpty,
+      s"v$v has merge-on-read delete sets: physical rows != logical rows")
+    val counts = entries(root, v).map(rowsTokenOf)
+    require(!counts.contains(-1L),
+      s"v$v has pre-row-count manifest entries; scan instead")
+    counts.sum
+  }
 
   /** Stats-pruned time-travel read: scan ONLY the files whose footer
     * min/max overlap [lo, hi], then apply the exact row predicate
@@ -519,6 +622,145 @@ object Snapshots {
       }
     }
     committed
+  }
+
+  /** MERGE (upsert, merge-on-read): ONE atomic commit that both
+    * tombstones every `column` key present in `source` and appends
+    * `source`'s rows — matched keys are REPLACED, unmatched keys
+    * INSERT, and a reader sees either the pre-merge table or the fully
+    * merged one, never a half state (the manifest link is the commit).
+    * Sequence scoping does the heavy lifting: the delete set commits at
+    * version v and applies only to data files from versions < v, while
+    * the source's own files live at v — so the merge's inserts survive
+    * the merge's delete by construction, with no ordering flag. Write
+    * cost is O(|source|), not O(table) (the Iceberg v2 merge-on-read
+    * MERGE; copy-on-write would rewrite every touched file). Duplicate
+    * keys in `source` are rejected up front — upsert semantics are
+    * undefined when one target row matches two source rows (Delta's
+    * "multiple source rows matched" error). Concurrency: rebase-and-
+    * retry like [[append]]; a racing append of the same key that lands
+    * first is overwritten by the rebased merge (last-writer-wins on
+    * keys — revalidation-and-abort would be the serializable upgrade).
+    * Returns the new version.
+    */
+  def merge(spark: SparkSession, root: String, column: String,
+            source: DataFrame): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val rootP = Paths.get(root)
+    require(latestVersion(root) > 0, s"nothing to merge into under $root")
+    require(source.columns.contains(column),
+      s"merge key column '$column' is not in the source")
+    val dup = source.groupBy(col(column)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has duplicate '$column' keys (e.g. ${dup.headOption})")
+    val token = newToken()
+    var v = latestVersion(root) + 1
+    var dataLines = entryLines(source, writeDataFiles(source, rootP, v, token))
+    var delFiles = {
+      val delDir = rootP.resolve(s"delete_v${v}_$token")
+      source.select(col(column)).write.mode("overwrite")
+        .parquet(delDir.toString)
+      val listing = Files.list(delDir)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq.sorted
+      finally listing.close()
+    }
+    var committed = -1
+    while (committed < 0) {
+      val prev = v - 1
+      try {
+        commit(rootP, v, widenedSchema(source, root, prev),
+          rawLines(root, prev) ++
+            delFiles.map(f => s"#delete\t$f\t$column\t$v") ++
+            dataLines)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newV = latestVersion(root) + 1
+          Files.move(rootP.resolve(s"data_v${v}_$token"),
+            rootP.resolve(s"data_v${newV}_$token"))
+          Files.move(rootP.resolve(s"delete_v${v}_$token"),
+            rootP.resolve(s"delete_v${newV}_$token"))
+          dataLines = dataLines.map(
+            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+          delFiles = delFiles.map(
+            _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+          v = newV
+      }
+    }
+    committed
+  }
+
+  /** CDC — row-level CHANGES committed in versions (fromV, toV], the
+    * Delta Change-Data-Feed / Iceberg incremental-scan read path:
+    * `_change_type` ∈ insert / delete / update_preimage /
+    * update_postimage beside `_commit_version`. Everything resolves
+    * from MANIFESTS: a version's inserts are exactly its own
+    * `data_v<w>` files (no diffing of row sets), its deletes are the
+    * delete sets committed AT w semi-joined against the version-(w−1)
+    * read, and a deleted key that the same commit re-inserts is an
+    * UPDATE pair (the merge-on-read [[merge]] shape) — keys new to the
+    * table stay plain inserts. Commits marked `rewrite=true`
+    * ([[compact]]) are SKIPPED: same rows, new bytes, no change to
+    * feed. Rows from pre-evolution versions null-fill columns added
+    * later (unionByName over the per-version schemas). Per-version
+    * plans are file scans + key joins — nothing driver-side beyond the
+    * manifest lines, so a 100-version 100 TB history streams version
+    * by version.
+    */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV >= 0 && fromV < toV && toV <= latestVersion(root),
+      s"need 0 <= from < to <= latest: ($fromV, $toV]")
+    val parts = ((fromV + 1) to toV)
+      .filterNot(w => propsOf(root, w).get("rewrite").contains("true"))
+      .flatMap { w =>
+        val newFiles = files(root, w).filter(f => dataVersionOf(f) == w)
+        val ins = if (newFiles.isEmpty) None
+          else Some(rawScan(spark, root, w, newFiles))
+        val delsAtW = deleteSets(root, w).filter(_._1._1 == w)
+        require(delsAtW.size <= 1,
+          s"CDC expects at most one delete set per commit, v$w has ${delsAtW.size}")
+        val typed: Seq[DataFrame] = delsAtW.headOption match {
+          case None =>
+            ins.map(_.withColumn("_change_type", lit("insert"))).toSeq
+          case Some(((_, column), delFiles)) =>
+            val keys = spark.read.parquet(delFiles: _*)
+              .select(col(column)).distinct()
+            val pre = read(spark, root, w - 1)
+              .join(keys, Seq(column), "left_semi")
+            ins match {
+              case None =>
+                Seq(pre.withColumn("_change_type", lit("delete")))
+              case Some(insDf) =>
+                val insKeys = insDf.select(col(column)).distinct()
+                val liveKeys = pre.select(col(column)).distinct()
+                Seq(
+                  pre.join(insKeys, Seq(column), "left_semi")
+                    .withColumn("_change_type", lit("update_preimage")),
+                  pre.join(insKeys, Seq(column), "left_anti")
+                    .withColumn("_change_type", lit("delete")),
+                  insDf.join(liveKeys, Seq(column), "left_semi")
+                    .withColumn("_change_type", lit("update_postimage")),
+                  insDf.join(liveKeys, Seq(column), "left_anti")
+                    .withColumn("_change_type", lit("insert")))
+            }
+        }
+        typed.map(_.withColumn("_commit_version", lit(w)))
+      }
+    require(parts.nonEmpty,
+      s"no data-changing commits in ($fromV, $toV] under $root")
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // present in the target version's column order, change cols last
+    schemaOf(root, toV) match {
+      case Some(s) => all.select(
+        (s.fieldNames.toSeq ++ Seq("_change_type", "_commit_version"))
+          .map(col): _*)
+      case None => all
+    }
   }
 
   /** SNAPSHOT EXPIRATION — the garbage-collection half of the

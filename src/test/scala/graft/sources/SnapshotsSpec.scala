@@ -141,6 +141,92 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     } finally pool.shutdown()
   }
 
+  test("merge upserts in one atomic commit: matched replaced, unmatched inserted") {
+    val root = Staging.tempDir("snap_spec10").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
+    val v2 = Snapshots.merge(spark, root, "id",
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "s"))
+    assert(v2 == 2)
+    assert(Snapshots.latestVersion(root) == 2) // delete + insert = ONE version
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().sorted
+      .toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // time travel to the pre-merge version is untouched
+    assert(Snapshots.read(spark, root, 1).as[(Long, String)].collect().sorted
+      .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a second merge re-replaces a previously merged key (sequence
+    // scoping: the new delete outranks v2's data files)
+    Snapshots.merge(spark, root, "id", Seq((4L, "D3")).toDF("id", "s"))
+    assert(Snapshots.read(spark, root).filter($"id" === 4L)
+      .select($"s").as[String].head() == "D3")
+    // duplicate source keys are rejected up front, nothing committed
+    val before = Snapshots.latestVersion(root)
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, root, "id",
+        Seq((5L, "x"), (5L, "y")).toDF("id", "s"))
+    }
+    assert(Snapshots.latestVersion(root) == before)
+    // compaction purges the merge tombstones, content unchanged
+    val vc = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(Snapshots.deleteSets(root, vc).isEmpty)
+    assert(Snapshots.read(spark, root, vc).as[(Long, String)].collect().sorted
+      .toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "D3")))
+  }
+
+  test("changesBetween emits typed CDC rows and skips rewrite commits") {
+    val root = Staging.tempDir("snap_spec11").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root) // v1
+    Snapshots.merge(spark, root, "id",
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "s"))                                // v2
+    Snapshots.deleteWhere(spark, root, "id", Seq(Tuple1(3L)).toDF("id"))         // v3
+    Snapshots.compact(spark, root, targetFiles = 1)                              // v4 rewrite
+    Snapshots.append(Seq((5L, "e")).toDF("id", "s"), root)                       // v5
+    val changes = Snapshots.changesBetween(spark, root, 0, 5)
+      .select($"id", $"s", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(changes == Set(
+      (1L, "a", "insert", 1), (2L, "b", "insert", 1), (3L, "c", "insert", 1),
+      (2L, "b", "update_preimage", 2), (2L, "B2", "update_postimage", 2),
+      (4L, "d", "insert", 2),
+      (3L, "c", "delete", 3),
+      (5L, "e", "insert", 5))) // v4 (compaction) contributes nothing
+    // incremental tail read: only what changed after v2
+    assert(Snapshots.changesBetween(spark, root, 2, 5)
+      .select($"_change_type").as[String].collect().toSet ==
+      Set("delete", "insert"))
+    // replaying the feed reconstructs the final state: additions are
+    // insert/update_postimage, removals are delete/update_preimage
+    val added = changes.filter(c =>
+      c._3 == "insert" || c._3 == "update_postimage").map(c => (c._1, c._2))
+    val removed = changes.filter(c =>
+      c._3 == "delete" || c._3 == "update_preimage").map(c => (c._1, c._2))
+    assert((added -- removed) ==
+      Snapshots.read(spark, root).as[(Long, String)].collect().toSet)
+  }
+
+  test("metadata tables and metadata-only count resolve from manifests") {
+    val root = Staging.tempDir("snap_spec12").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .repartition(2), root)                                        // v1: 2 files
+    Snapshots.append(Seq((3L, "c")).toDF("id", "s").repartition(1), root) // v2
+    // zero data-file opens on the metadata path
+    val before = Snapshots.queryPathFooterReads.get()
+    assert(Snapshots.metadataCount(root) == 3L)
+    assert(Snapshots.metadataCount(root, 1) == 2L)
+    val ft = Snapshots.filesTable(spark, root)
+      .as[(String, Int, Long)].collect()
+    assert(ft.length == 3 && ft.map(_._3).sum == 3L)
+    assert(ft.map(_._2).toSet == Set(1, 2))
+    Snapshots.compact(spark, root, targetFiles = 1)                 // v3 rewrite
+    val st = Snapshots.snapshotsTable(spark, root)
+      .as[(Int, Int, Int, Long, Boolean)].collect().sortBy(_._1)
+    assert(st.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq == Seq(
+      (1, 2, 0, 2L, false), (2, 3, 0, 3L, false), (3, 1, 0, 3L, true)))
+    assert(Snapshots.queryPathFooterReads.get() == before)
+    // merge-on-read tombstones make physical != logical: refuse
+    Snapshots.deleteWhere(spark, root, "id", Seq(Tuple1(1L)).toDF("id"))
+    intercept[IllegalArgumentException] { Snapshots.metadataCount(root) }
+  }
+
   test("concurrent delete rebases with sequence-correct scoping") {
     val root = Staging.tempDir("snap_spec9").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
