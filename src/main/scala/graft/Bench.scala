@@ -78,11 +78,16 @@ object Bench {
     * Total time: …" epilogue (showSuccess := false), so the machine
     * line IS the final stdout line, unprefixed — the r8 artifact showed
     * the full line inside the tail yet parsed:null, i.e. the driver
-    * parses the LAST line, not a regex over the tail. The old
-    * "[info] " (7) + newline + epilogue (74) budget is kept as safety
-    * margin in case a future sbt version re-wraps the output.
+    * parses the LAST line, not a regex over the tail. Only the
+    * trailing newline is budgeted: the old 82-char cushion for an
+    * "[info] " prefix + "[success]" epilogue protected nothing — if a
+    * future sbt re-wrapped the output, the last line would start with
+    * "[info] " (or BE the epilogue) and the driver's JSON parse would
+    * fail on CONTENT, at any length; the real guards are the build.sbt
+    * settings, and BenchLineSpec's 60-char margin absorbs value-width
+    * outliers and sf-name growth.
     */
-  val TailOverhead = 7 + 1 + 74
+  val TailOverhead = 1
 
   // Locale.ROOT: the f-interpolator uses the JVM default locale, and
   // a comma-decimal locale (de_DE, fr_FR) would emit malformed JSON

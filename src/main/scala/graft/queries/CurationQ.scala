@@ -721,7 +721,65 @@ object CurationQ {
         col("weight_micro"))
   }
 
+  /** q175 — HASHED-FEATURE DOMAIN CLASSIFIER (the fastText-style
+    * domain/quality scorer every curation pipeline trains — Joulin et
+    * al. 2016 reduced to its linear bag-of-buckets core, kept
+    * integer-exact): train on the doc_id % 5 < 4 split, score every
+    * held-out document against all 20 `source` classes, report the
+    * CONFUSION MATRIX. Features are the q171 md5-tail 256-bucket
+    * hashes; a class's weight per bucket is the Laplace-smoothed
+    * p(b|c)/p(b) ratio in integer millionths on decimal(38,0) (q171's
+    * overflow discipline — numerators clear int64 at corpus scale,
+    * decimal(38) holds to ~10³⁰); a document's class score is the
+    * occurrence-weighted mean of its buckets' ratios (truncating div)
+    * and the prediction is argmax with the deterministic (score desc,
+    * class asc) tie order. The |classes|×256 weight GRID (not just
+    * observed pairs — unseen (c,b) still smooth-scores) is built by a
+    * bounded crossJoin (20×256, sized by config not data) and
+    * BROADCASTS to the eval join; training is one tokenize scan → one
+    * partial-agg shuffle. At 100 TB the weight table is still 5 120
+    * rows — the classifier ships to executors, the corpus never moves.
+    */
+  def domainClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val b = 256L
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("term"))
+      .withColumn("b", pmod(Winnowing.portableHash(col("term")), lit(b)))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val train = toks.filter(pmod(col("doc_id"), lit(5)) < 4)
+    val classCounts = train.groupBy(col("source").as("c"), col("b"))
+      .agg(sum(col("m")).as("ct"))
+    val classTotals = train.groupBy(col("source").as("c"))
+      .agg(sum(col("m")).as("tc"))
+    val bucketTotals = train.groupBy(col("b")).agg(sum(col("m")).as("cb"))
+    val grand = train.agg(sum(col("m")).as("t"))
+    val weights = classTotals
+      .crossJoin(spark.range(b).select(col("id").as("b")))
+      .join(classCounts, Seq("c", "b"), "left")
+      .join(bucketTotals, Seq("b"), "left")
+      .crossJoin(broadcast(grand))
+      .na.fill(0L, Seq("ct", "cb"))
+      .withColumn("w_micro", expr(
+        s"""CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (t + $b) * 1000000)
+           |  div (CAST(cb + 1 AS DECIMAL(38,0)) * (tc + $b)) AS BIGINT)"""
+          .stripMargin))
+      .select(col("c"), col("b"), col("w_micro"))
+    val heldout = toks.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val scored = heldout.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("source"), col("c"))
+      .agg(expr("sum(m * w_micro) div sum(m)").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("c").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("source").as("true_source"), col("c").as("pred_source"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_domain_classifier" -> (domainClassifier _),
     "q171_importance_weights" -> (importanceWeights _),
     "q149_heldout_lm_score" -> (heldoutLmScore _),
     "q139_bigram_fluency" -> (bigramFluency _),
@@ -795,6 +853,52 @@ object CurationQ {
        |  FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the full train/score/argmax pipeline replayed: md5-tail buckets,
+    // the HUGEINT mirror of the decimal(38,0) rational weights over the
+    // complete class × range(256) grid, truncating weighted mean, and
+    // the (score desc, class asc) argmax tie order
+    "q175_domain_classifier" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, u.term
+         |  FROM (SELECT doc_id, source, ${OracleSql.tokens("text")} AS ts
+         |        FROM documents),
+         |       unnest(ts) u(term)),
+         |tb AS (
+         |  SELECT doc_id, source,
+         |    CAST('0x' || substr(md5(term), 18, 15) AS BIGINT) % 256 AS b
+         |  FROM toks),
+         |docb AS (SELECT doc_id, source, b, count(*) AS m
+         |         FROM tb GROUP BY 1, 2, 3),
+         |train AS (SELECT * FROM docb WHERE doc_id % 5 < 4),
+         |cc AS (SELECT source AS c, b, sum(m) AS ct FROM train GROUP BY 1, 2),
+         |tcls AS (SELECT source AS c, sum(m) AS tc FROM train GROUP BY 1),
+         |cbkt AS (SELECT b, sum(m) AS cb FROM train GROUP BY 1),
+         |g AS (SELECT sum(m) AS t FROM train),
+         |grid AS (SELECT tcls.c, tcls.tc, r.b FROM tcls
+         |         CROSS JOIN (SELECT range AS b FROM range(256)) r),
+         |w AS (
+         |  SELECT grid.c, grid.b,
+         |    CAST((CAST(coalesce(cc.ct, 0) + 1 AS HUGEINT) * (t + 256)
+         |        * 1000000)
+         |      // (CAST(coalesce(cbkt.cb, 0) + 1 AS HUGEINT) * (grid.tc + 256))
+         |      AS BIGINT) AS w_micro
+         |  FROM grid
+         |  LEFT JOIN cc ON cc.c = grid.c AND cc.b = grid.b
+         |  LEFT JOIN cbkt ON cbkt.b = grid.b
+         |  CROSS JOIN g),
+         |ev AS (SELECT * FROM docb WHERE doc_id % 5 = 4),
+         |scored AS (
+         |  SELECT ev.doc_id, ev.source, w.c,
+         |    CAST(sum(ev.m * w.w_micro) // sum(ev.m) AS BIGINT) AS score_micro
+         |  FROM ev JOIN w ON w.b = ev.b GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT doc_id, source, c,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score_micro DESC, c ASC) AS rn
+         |  FROM scored)
+         |SELECT source AS true_source, c AS pred_source,
+         |  count(*) AS n_docs
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
     // the md5-tail bucket, the Laplace-smoothed rational ratio on
     // HUGEINT (mirror of the Spark decimal(38,0)), and the truncating
     // occurrence-weighted mean — all integer, engine-exact

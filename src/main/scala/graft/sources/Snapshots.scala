@@ -298,12 +298,36 @@ object Snapshots {
     * converges — the Iceberg/Delta optimistic-commit protocol with the
     * data write amortized across retries.
     */
-  def append(df: DataFrame, root: String): Int = {
+  def append(df: DataFrame, root: String): Int = append(df, root, Nil)
+
+  /** [[append]] with per-file BLOOM FILTERS over `bloomCols` (string
+    * point-lookup skipping — the Parquet/Iceberg bloom write property):
+    * each new file's manifest entry gains a `#bloom:<col>=<hex>` token
+    * built by [[bloomHexByFile]]'s one extra columnar pass over the
+    * just-written files. Bloom config is a WRITER property, as in the
+    * real systems: a later [[compact]] rewrite does not re-bloom (its
+    * writer wasn't configured to), and [[bloomPrunedFiles]] keeps any
+    * file without a bloom token — absence of evidence prunes nothing.
+    */
+  def append(df: DataFrame, root: String, bloomCols: Seq[String]): Int = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("_manifests"))
     val token = newToken()
     var v = latestVersion(root) + 1
-    var lines = entryLines(df, writeDataFiles(df, rootP, v, token))
+    val newFiles = writeDataFiles(df, rootP, v, token)
+    val blooms = bloomCols.map(c =>
+      c -> bloomHexByFile(df.sparkSession, newFiles, c)).toMap
+    var lines = entryLines(df, newFiles).map { line =>
+      val f = line.split('\t').head
+      // a file the bloom pass scanned but got no rows from (an empty
+      // partition's file, or an all-null column) carries the EMPTY
+      // bitset — "no value can match", the same semantics the stats
+      // pruner gives a statless column. Only a column NOT configured
+      // for blooms is exempt from pruning.
+      val toks = bloomCols.map(c =>
+        s"#bloom:$c=${blooms(c).getOrElse(f, bitsToHex(Nil))}")
+      (line +: toks).mkString("\t")
+    }
     var committed = -1
     while (committed < 0) {
       val prev = v - 1
@@ -443,6 +467,67 @@ object Snapshots {
     fileStats(spark, root, version, column)
       .collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
 
+  private val BloomBits = 1024
+  private val BloomHashes = 4
+
+  /** md5-low-60 of a UTF-8 string ON THE DRIVER — bit-identical to
+    * [[graft.operators.Winnowing.portableHash]] (the engine-wide
+    * portable hash): last 15 hex chars of the md5 digest parsed
+    * base-16. Used to hash a point-lookup literal against manifest
+    * blooms; one literal per query, so a driver-side hash is the
+    * right tool.
+    */
+  private def md5Low60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(17), 16)
+  }
+
+  /** Canonical bloom hex encoding: 256 hex chars, bit b lives in char
+    * b/4 (from the left) at in-char position b%4. Symmetric with
+    * [[hexHasBit]]; the encoding is part of the manifest contract.
+    */
+  private def bitsToHex(bits: Iterable[Int]): String = {
+    val nib = new Array[Int](BloomBits / 4)
+    bits.foreach(b => nib(b / 4) |= (1 << (b % 4)))
+    nib.map(n => f"$n%x").mkString
+  }
+
+  private def hexHasBit(hex: String, b: Int): Boolean =
+    ((Integer.parseInt(hex.charAt(b / 4).toString, 16) >> (b % 4)) & 1) == 1
+
+  /** Per-file bloom bitsets over `column`, computed DISTRIBUTED from a
+    * columnar scan of ONLY the new files' bloom column — the write-side
+    * cost a real writer (Iceberg/Parquet bloom properties) pays inside
+    * the file writer itself; here it is one extra single-column
+    * vectorized pass over just-written data, never O(table). Each value
+    * sets [[BloomHashes]] salted md5-low-60 bits in a [[BloomBits]]-bit
+    * set; the per-file DISTINCT bucket lists (≤ 1024 ints each —
+    * metadata-sized) come back to the driver to be hex-encoded into the
+    * manifest.
+    */
+  private def bloomHexByFile(spark: SparkSession, newFiles: Seq[String],
+                             bloomCol: String): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    if (newFiles.isEmpty) return Map.empty
+    val salted = (0 until BloomHashes).map(j =>
+      pmod(graft.operators.Winnowing.portableHash(
+        concat(col("_v"), lit("#" + j))), lit(BloomBits.toLong)).cast("int"))
+    val rows = spark.read.parquet(newFiles: _*)
+      .select(input_file_name().as("_file"),
+        col(bloomCol).cast("string").as("_v"))
+      .where(col("_v").isNotNull)
+      .select(col("_file"), explode(array(salted: _*)).as("_b"))
+      .groupBy("_file")
+      .agg(collect_set(col("_b")).as("_bits"))
+      .collect()
+    rows.map { r =>
+      val path = new java.net.URI(r.getString(0)).getPath
+      path -> bitsToHex(r.getSeq[Int](1))
+    }.toMap
+  }
+
   private def rowsTokenOf(line: String): Long =
     line.split('\t').collectFirst {
       case t if t.startsWith("#rows=") => t.stripPrefix("#rows=").toLong
@@ -501,6 +586,49 @@ object Snapshots {
     require(!counts.contains(-1L),
       s"v$v has pre-row-count manifest entries; scan instead")
     counts.sum
+  }
+
+  /** Files of snapshot `v` that MAY contain `value` in `column`, per
+    * the manifest blooms: a file is skipped only when at least one of
+    * the value's [[BloomHashes]] salted bits is absent from its bitset
+    * — no false negatives (the bloom contract); a false positive
+    * merely scans one extra file and the exact predicate in
+    * [[readBloomPruned]] keeps correctness. Files without a bloom
+    * token for `column` are kept. Pure manifest parsing — zero data
+    * or footer I/O.
+    */
+  def bloomPrunedFiles(root: String, version: Int, column: String,
+                       value: String): Seq[String] = {
+    val bits = (0 until BloomHashes)
+      .map(j => (md5Low60(value + "#" + j) % BloomBits).toInt)
+    entries(root, version).flatMap { line =>
+      val parts = line.split('\t')
+      parts.collectFirst {
+        case t if t.startsWith(s"#bloom:$column=") =>
+          t.stripPrefix(s"#bloom:$column=")
+      } match {
+        case Some(hex) if !bits.forall(hexHasBit(hex, _)) => None
+        case _ => Some(parts.head)
+      }
+    }
+  }
+
+  /** Bloom-pruned point lookup: scan only the bloom-surviving files,
+    * then apply the exact equality predicate (blooms prune files;
+    * the predicate keeps correctness — same split of duties as
+    * [[readPruned]]).
+    */
+  def readBloomPruned(spark: SparkSession, root: String, version: Int,
+                      column: String, value: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = bloomPrunedFiles(root, version, column, value)
+    val base = schemaOf(root, version) match {
+      case Some(s) if paths.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case _ => rawScan(spark, root, version, paths)
+    }
+    base.where(col(column) === value)
   }
 
   /** Stats-pruned time-travel read: scan ONLY the files whose footer

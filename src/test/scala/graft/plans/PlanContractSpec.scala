@@ -67,6 +67,9 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
                               // (|probes| rows) + q100's scalar stats broadcast
     "q171_importance_weights", // 1-row totals scalar broadcast onto the
                               // 256-row feature-bucket table
+    "q175_domain_classifier", // |classes|×256 weight grid (20×256, sized
+                              // by config not data) + 1-row grand-total
+                              // scalar broadcast
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)

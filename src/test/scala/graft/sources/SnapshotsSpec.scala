@@ -227,6 +227,28 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] { Snapshots.metadataCount(root) }
   }
 
+  test("bloom tokens skip point-lookup files with no false negatives") {
+    val root = Staging.tempDir("snap_spec13").toString
+    val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"),
+      (4L, "gamma"), (5L, "delta")).toDF("id", "s")
+    Snapshots.append(df.repartition(2, $"s"), root, bloomCols = Seq("s"))
+    assert(Snapshots.files(root, 1).size == 2)
+    // no false negatives: every present value is fully recovered
+    for (v <- Seq("alpha", "beta", "gamma", "delta")) {
+      val expected = df.filter($"s" === v).as[(Long, String)].collect().toSet
+      assert(Snapshots.readBloomPruned(spark, root, 1, "s", v)
+        .as[(Long, String)].collect().toSet == expected)
+      assert(Snapshots.bloomPrunedFiles(root, 1, "s", v).nonEmpty)
+    }
+    // clustered values prune to fewer files than the table holds
+    assert(Snapshots.bloomPrunedFiles(root, 1, "s", "alpha").size == 1)
+    // an absent value prunes everything (deterministic given the data)
+    assert(Snapshots.bloomPrunedFiles(root, 1, "s", "zeta").isEmpty)
+    assert(Snapshots.readBloomPruned(spark, root, 1, "s", "zeta").count() == 0)
+    // a column without bloom tokens never prunes
+    assert(Snapshots.bloomPrunedFiles(root, 1, "id", "1").size == 2)
+  }
+
   test("concurrent delete rebases with sequence-correct scoping") {
     val root = Staging.tempDir("snap_spec9").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
