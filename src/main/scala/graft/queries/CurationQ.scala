@@ -778,7 +778,42 @@ object CurationQ {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q179 — TEMPERATURE-BASED DOMAIN MIXING (the multinomial
+    * pretraining-mix recipe — Lample & Conneau 2019's α-scaled
+    * sampling, the t=2 "rare domains upsampled" knob every LLM data
+    * recipe carries): per-domain sampling weight ∝ n_tokens^(1/2),
+    * computed EXACTLY — `isqrt(n) = floor(sqrt(n))` is deterministic
+    * cross-engine because IEEE-754 sqrt is correctly rounded and a
+    * BIGINT token count is exactly representable in double, so the α
+    * = 1/2 temperature enters through integer arithmetic, not a float
+    * pipeline. Weights and expected EPOCHS (budget = one full corpus:
+    * epochs_d = weight_d · T / n_d — rare domains land > 1, the
+    * upsampling the recipe exists for) are exact integer rationals in
+    * millionths on decimal(38,0). One tokenize scan → 20-row domain
+    * table; the totals broadcast back (whitelisted 1-row cross).
+    */
+  def domainMixing(spark: SparkSession, dir: String): DataFrame = {
+    val perDomain = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok").cast("long")).as("n_tokens"))
+      .withColumn("isqrt_tokens",
+        expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    val totals = perDomain.agg(sum(col("isqrt_tokens")).as("ssum"),
+      sum(col("n_tokens")).as("tsum"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("isqrt_tokens"),
+        expr("""CAST((CAST(isqrt_tokens AS DECIMAL(38,0)) * 1000000)
+                div ssum AS BIGINT)""").as("weight_micro"),
+        expr("""CAST((CAST(isqrt_tokens AS DECIMAL(38,0)) * tsum * 1000000)
+                div (CAST(ssum AS DECIMAL(38,0)) * n_tokens) AS BIGINT)""")
+          .as("epochs_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_domain_mixing" -> (domainMixing _),
     "q175_domain_classifier" -> (domainClassifier _),
     "q171_importance_weights" -> (importanceWeights _),
     "q149_heldout_lm_score" -> (heldoutLmScore _),
@@ -853,6 +888,29 @@ object CurationQ {
        |  FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // isqrt via IEEE-correctly-rounded sqrt (deterministic on BIGINT
+    // inputs), weights/epochs as exact HUGEINT rationals mirroring the
+    // decimal(38,0) spelling
+    "q179_domain_mixing" ->
+      s"""WITH toks AS (
+         |  SELECT source, len(${OracleSql.tokens("text")}) AS ntok
+         |  FROM documents),
+         |pd AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1),
+         |s AS (
+         |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+         |    AS isqrt_tokens
+         |  FROM pd),
+         |t AS (SELECT sum(isqrt_tokens) AS ssum, sum(n_tokens) AS tsum FROM s)
+         |SELECT source, n_docs, n_tokens, isqrt_tokens,
+         |  CAST((CAST(isqrt_tokens AS HUGEINT) * 1000000) // ssum AS BIGINT)
+         |    AS weight_micro,
+         |  CAST((CAST(isqrt_tokens AS HUGEINT) * tsum * 1000000)
+         |    // (CAST(ssum AS HUGEINT) * n_tokens) AS BIGINT)
+         |    AS epochs_micro
+         |FROM s CROSS JOIN t""".stripMargin,
     // the full train/score/argmax pipeline replayed: md5-tail buckets,
     // the HUGEINT mirror of the decimal(38,0) rational weights over the
     // complete class × range(256) grid, truncating weighted mean, and

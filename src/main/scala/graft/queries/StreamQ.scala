@@ -181,6 +181,64 @@ object StreamQ {
     row(1).unionByName(row(2)).unionByName(row(3))
   }
 
+  /** q177 — STREAMING UPSERT into the snapshot store (the CDC-apply /
+    * streaming-MERGE-INTO shape): three staged batches under
+    * `maxFilesPerTrigger=1` — the full base table, then an update
+    * slice (doc_id % 4 = 0, n_chars + 100), then another (doc_id % 6
+    * = 0, n_chars + 200, derived from BASE so a % 12 key's final value
+    * proves last-writer-wins replaced rather than accumulated). Batch
+    * 1 creates the table; batches 2-3 each commit ONE atomic merge
+    * version. The gate time-travels to all three versions: row count
+    * is CONSTANT (pure upserts — a dropped tombstone would inflate
+    * it), and each version's sum carries exactly its prefix of update
+    * deltas. DuckDB recomputes every version from the base table.
+    */
+  private val upsertStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = upsertStaged.computeIfAbsent(dir, d => {
+      val stage = graft.sources.Staging.tempDir("graft_upsert_src")
+      val snapRoot = graft.sources.Staging.tempDir("graft_upsert_snap").toString
+      val docs = graft.sources.Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val batches = Seq(
+        docs,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .withColumn("n_chars", col("n_chars") + 100),
+        docs.filter(pmod(col("doc_id"), lit(6)) === 0)
+          .withColumn("n_chars", col("n_chars") + 200))
+      for ((b, i) <- batches.zipWithIndex) {
+        val tmp = graft.sources.Staging.tempDir(s"graft_upsert_tmp$i")
+        b.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).next()
+        val dest = stage.resolve(s"part-$i.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      Streaming.runForeachBatchSnapshotUpsert(stream, snapRoot, "doc_id")
+      snapRoot
+    })
+    def row(v: Int): DataFrame =
+      graft.sources.Snapshots.read(spark, root, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
+          col("min_id"), col("max_id"))
+    row(1).unionByName(row(2)).unionByName(row(3))
+  }
+
   /** The streaming WRITE path under the gate: the same windowed
     * aggregation as q66, published to parquet per micro-batch through
     * `foreachBatch` with an idempotent full-overwrite — the standard
@@ -331,12 +389,33 @@ object StreamQ {
     "q91_stream_sessions" -> (streamSessions _),
     "q94_stream_static_join" -> (streamStaticJoin _),
     "q95_stream_stream_join" -> (streamStreamJoin _),
-    "q164_stream_versioned_publish" -> (streamVersionedPublish _))
+    "q164_stream_versioned_publish" -> (streamVersionedPublish _),
+    "q177_stream_upsert" -> (streamUpsert _))
 
   val oracles: Map[String, String] = Map(
     // version v = the cumulative union of the first v micro-batches
     // (splits event_id % 3 < v) — a lost batch, an out-of-order
     // commit, or a leaked later file each break a distinct row
+    // constant row count across versions (pure upserts), per-version
+    // sums carrying exactly the prefix of update deltas; the v3 CASE
+    // order states last-writer-wins (a %12 key gets +200, never +300)
+    "q177_stream_upsert" ->
+      """SELECT 1 AS version, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(n_chars +
+        |    CASE WHEN doc_id % 4 = 0 THEN 100 ELSE 0 END) AS BIGINT),
+        |  min(doc_id), max(doc_id)
+        |FROM documents
+        |UNION ALL
+        |SELECT 3, count(*),
+        |  CAST(sum(n_chars + CASE WHEN doc_id % 6 = 0 THEN 200
+        |    WHEN doc_id % 4 = 0 THEN 100 ELSE 0 END) AS BIGINT),
+        |  min(doc_id), max(doc_id)
+        |FROM documents""".stripMargin,
     "q164_stream_versioned_publish" ->
       """SELECT 1 AS version, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,

@@ -588,6 +588,139 @@ object Snapshots {
     counts.sum
   }
 
+  /** Partition TRANSFORMS (Iceberg's hidden partitioning, the two
+    * workhorses): IDENTITY lays files out by the column value itself;
+    * BUCKET by the portable md5-low-60 hash mod n — the transform that
+    * partitions a high-cardinality key without minting a directory per
+    * value. The spec is a WRITE-time layout choice ([[
+    * appendPartitioned]]); queries never name partition values — the
+    * reader derives the partition a literal lands in ([[valueFor]])
+    * and prunes from manifest `#part:` tokens, which is exactly what
+    * makes the partitioning "hidden".
+    */
+  sealed trait PartitionSpec {
+    def column: String
+    /** Manifest token name — carries the transform, not just the
+      * column, so identity(source) and bucket(8, source) never
+      * collide. */
+    def tokenName: String
+    /** The partition value expression evaluated per row at write. */
+    def partExpr: org.apache.spark.sql.Column
+    /** The partition value a point-lookup literal lands in —
+      * driver-side, bit-identical to [[partExpr]]. */
+    def valueFor(literal: String): String
+  }
+
+  case class IdentityPartition(column: String) extends PartitionSpec {
+    def tokenName: String = column
+    def partExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.col(column).cast("string")
+    def valueFor(literal: String): String = literal
+  }
+
+  case class BucketPartition(column: String, n: Int) extends PartitionSpec {
+    def tokenName: String = s"bucket${n}_$column"
+    def partExpr: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      pmod(graft.operators.Winnowing.portableHash(
+        col(column).cast("string")), lit(n.toLong)).cast("string")
+    }
+    def valueFor(literal: String): String = (md5Low60(literal) % n).toString
+  }
+
+  /** APPEND with a partitioned file layout: rows route to
+    * `_p=<value>/` subdirectories of the version's data dir (one file
+    * per partition value — the pre-shuffle clusters them), and every
+    * manifest entry carries its `#part:<transform>=<value>` token.
+    * Point lookups then prune to ONE partition's files from the
+    * manifest alone ([[readPartitionPruned]]) — exact pruning, unlike
+    * the probabilistic bloom skip. Carried-forward files from earlier
+    * un-partitioned appends simply keep no token and are never
+    * pruned. Same optimistic CAS/rebase as [[append]].
+    */
+  def appendPartitioned(df: DataFrame, root: String,
+                        spec: PartitionSpec): Int = {
+    import org.apache.spark.sql.functions.col
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP.resolve("_manifests"))
+    val token = newToken()
+    var v = latestVersion(root) + 1
+    val dataDir = rootP.resolve(s"data_v${v}_$token")
+    df.withColumn("_p", spec.partExpr)
+      .repartition(col("_p"))
+      .write.partitionBy("_p").parquet(dataDir.toString)
+    val byFile: Seq[(String, String)] = {
+      val listing = Files.list(dataDir)
+      try listing.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("_p="))
+        .flatMap { pd =>
+          val value = pd.getFileName.toString.stripPrefix("_p=")
+          val inner = Files.list(pd)
+          try inner.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => f.toAbsolutePath.toString -> value).toSeq
+          finally inner.close()
+        }.toSeq.sortBy(_._1)
+      finally listing.close()
+    }
+    val values = byFile.toMap
+    var lines = entryLines(df.drop("_p"), byFile.map(_._1)).map { line =>
+      val f = line.split('\t').head
+      s"$line\t#part:${spec.tokenName}=${values(f)}"
+    }
+    var committed = -1
+    while (committed < 0) {
+      val prev = v - 1
+      try {
+        commit(rootP, v, widenedSchema(df, root, prev),
+          (if (prev == 0) Nil else rawLines(root, prev)) ++ lines)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newV = latestVersion(root) + 1
+          Files.move(rootP.resolve(s"data_v${v}_$token"),
+            rootP.resolve(s"data_v${newV}_$token"))
+          lines = lines.map(
+            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+          v = newV
+      }
+    }
+    committed
+  }
+
+  /** Files of snapshot `v` in the partition a point-lookup literal
+    * lands in, per the manifest `#part:` tokens — EXACT pruning (a
+    * partition either is or is not the literal's home). Files without
+    * the spec's token are kept.
+    */
+  def partitionPrunedFiles(root: String, version: Int, spec: PartitionSpec,
+                           literal: String): Seq[String] = {
+    val want = s"#part:${spec.tokenName}=${spec.valueFor(literal)}"
+    entries(root, version).flatMap { line =>
+      val parts = line.split('\t')
+      val hasToken = parts.exists(_.startsWith(s"#part:${spec.tokenName}="))
+      if (!hasToken || parts.contains(want)) Some(parts.head) else None
+    }
+  }
+
+  /** Partition-pruned point lookup: the manifest routes to one
+    * partition's files, the exact predicate keeps correctness (same
+    * duty split as [[readPruned]]/[[readBloomPruned]]).
+    */
+  def readPartitionPruned(spark: SparkSession, root: String, version: Int,
+                          spec: PartitionSpec, literal: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = partitionPrunedFiles(root, version, spec, literal)
+    val base = schemaOf(root, version) match {
+      case Some(s) if paths.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case _ => rawScan(spark, root, version, paths)
+    }
+    base.where(col(spec.column).cast("string") === literal)
+  }
+
   /** Files of snapshot `v` that MAY contain `value` in `column`, per
     * the manifest blooms: a file is skipped only when at least one of
     * the value's [[BloomHashes]] salted bits is absent from its bitset

@@ -368,7 +368,36 @@ object Streaming {
     * empty batches commit nothing (a no-data batch must not mint an
     * empty version).
     */
-  def runForeachBatchSnapshotAppend(df: DataFrame, snapRoot: String): Unit = {
+  def runForeachBatchSnapshotAppend(df: DataFrame, snapRoot: String): Unit =
+    runForeachBatchCommit(df) { batch =>
+      graft.sources.Snapshots.append(batch, snapRoot): Unit
+    }
+
+  /** Streaming UPSERT sink on the snapshot store — the CDC-apply /
+    * streaming-MERGE pattern (Delta `foreachBatch` + MERGE INTO): the
+    * first non-empty batch CREATES the table (plain append), every
+    * later batch MERGES on `keyCol` — matched keys replaced, unmatched
+    * inserted, one atomic version per batch. Batch contents must be
+    * key-unique (the [[graft.sources.Snapshots.merge]] contract — a
+    * CDC feed compacted to last-image-per-key satisfies it).
+    */
+  def runForeachBatchSnapshotUpsert(df: DataFrame, snapRoot: String,
+                                    keyCol: String): Unit =
+    runForeachBatchCommit(df) { batch =>
+      if (graft.sources.Snapshots.latestVersion(snapRoot) == 0)
+        graft.sources.Snapshots.append(batch, snapRoot): Unit
+      else
+        graft.sources.Snapshots.merge(
+          batch.sparkSession, snapRoot, keyCol, batch): Unit
+    }
+
+  /** Shared scaffolding for per-micro-batch lake commits: bounded
+    * shuffle width, no-data batches off (a no-data batch must not mint
+    * an empty version), reaped checkpoint, and the non-empty guard
+    * around the supplied committer.
+    */
+  private def runForeachBatchCommit(df: DataFrame)
+                                   (commitBatch: DataFrame => Unit): Unit = {
     val spark = df.sparkSession
     val conf = spark.conf
     val prevShuffle = conf.get("spark.sql.shuffle.partitions")
@@ -384,9 +413,7 @@ object Streaming {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ck.toString)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          if (!batch.isEmpty) {
-            graft.sources.Snapshots.append(batch.toDF(), snapRoot): Unit
-          }
+          if (!batch.isEmpty) commitBatch(batch.toDF())
         }
         .start()
       q.processAllAvailable()

@@ -70,6 +70,8 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q175_domain_classifier", // |classes|×256 weight grid (20×256, sized
                               // by config not data) + 1-row grand-total
                               // scalar broadcast
+    "q179_domain_mixing",     // 1-row totals scalar broadcast onto the
+                              // 20-row domain table
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)

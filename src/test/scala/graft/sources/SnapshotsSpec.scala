@@ -249,6 +249,40 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.bloomPrunedFiles(root, 1, "id", "1").size == 2)
   }
 
+  test("partition transforms prune point lookups exactly") {
+    val root = Staging.tempDir("snap_spec14").toString
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 40L)).toDF("id", "s", "x")
+    Snapshots.appendPartitioned(df, root, Snapshots.IdentityPartition("s"))
+    assert(Snapshots.files(root, 1).size == 3) // one file per value
+    // identity: exact routing, misses prune everything
+    assert(Snapshots.partitionPrunedFiles(root, 1,
+      Snapshots.IdentityPartition("s"), "a").size == 1)
+    assert(Snapshots.partitionPrunedFiles(root, 1,
+      Snapshots.IdentityPartition("s"), "zz").isEmpty)
+    assert(Snapshots.readPartitionPruned(spark, root, 1,
+      Snapshots.IdentityPartition("s"), "a")
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the partition scratch column never leaks into the table
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("id", "s", "x"))
+    assert(Snapshots.read(spark, root).count() == 4)
+    // bucket: the literal's bucket is derived driver-side, same hash
+    val spec = Snapshots.BucketPartition("id", 2)
+    val root2 = Staging.tempDir("snap_spec15").toString
+    Snapshots.appendPartitioned(df, root2, spec)
+    for (i <- 1L to 4L) {
+      val hit = Snapshots.readPartitionPruned(spark, root2, 1, spec, i.toString)
+      assert(hit.select($"id").as[Long].collect().toSeq == Seq(i))
+      assert(Snapshots.partitionPrunedFiles(root2, 1, spec, i.toString)
+        .size < Snapshots.files(root2, 1).size ||
+        Snapshots.files(root2, 1).size == 1)
+    }
+    // a spec with a different transform name never prunes v1's files
+    assert(Snapshots.partitionPrunedFiles(root2, 1,
+      Snapshots.IdentityPartition("id"), "1").size ==
+      Snapshots.files(root2, 1).size)
+  }
+
   test("concurrent delete rebases with sequence-correct scoping") {
     val root = Staging.tempDir("snap_spec9").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
