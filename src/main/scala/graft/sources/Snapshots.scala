@@ -1024,6 +1024,128 @@ object Snapshots {
     }
   }
 
+  /** ORPHAN FILE CLEANUP (Iceberg's `remove_orphan_files`): delete
+    * every parquet file under the table's `data_v*`/`delete_v*` dirs
+    * that NO live manifest references — the debris of writers that
+    * wrote data and died before their manifest CAS landed (the
+    * optimistic protocol makes such debris NORMAL, not exceptional;
+    * this is its janitor). Age-guarded like the real procedure: only
+    * files older than `olderThanMillis` qualify, because an IN-FLIGHT
+    * writer's staged files look orphaned until its commit lands —
+    * with the default 0 every file qualifies (test/gate use; a
+    * production sweep passes hours). Scoped to `.parquet` files — the
+    * referenced namespace — so committer markers are not counted as
+    * orphans. Returns the number of files deleted; idempotent.
+    */
+  def removeOrphans(root: String, olderThanMillis: Long = 0L): Int = {
+    val rootP = Paths.get(root)
+    val referenced = (1 to latestVersion(root))
+      .filter(v => Files.exists(manifestPath(rootP, v)))
+      .flatMap(v => rawLines(root, v).map { l =>
+        if (l.startsWith("#delete\t")) l.split('\t')(1)
+        else l.split('\t').head
+      }).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val top = Files.list(rootP)
+    val dataDirs = try top.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      Files.isDirectory(p) &&
+        (n.startsWith("data_v") || n.startsWith("delete_v"))
+    }.toSeq finally top.close()
+    var deleted = 0
+    dataDirs.foreach { d =>
+      val walk = Files.walk(d)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !referenced.contains(p.toAbsolutePath.toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toSeq // materialize before deleting under the walk stream
+        .foreach { p => Files.delete(p); deleted += 1 }
+      finally walk.close()
+    }
+    deleted
+  }
+
+  /** Metadata-only MIN/MAX — the aggregate-pushdown companion of
+    * [[metadataCount]], answered from manifest stats with zero file
+    * I/O. Same refusal discipline: delete sets make the answer
+    * unsound (a tombstoned row may BE the extreme — fall back to a
+    * scan, never return a wrong number), and a pre-stats entry means
+    * the manifest cannot answer. Files with no stats token for the
+    * column hold only nulls there and are skipped; all-null columns
+    * have no min/max to give.
+    */
+  def metadataMinMax(root: String, version: Int = -1,
+                     column: String): (Long, Long) = {
+    val v = if (version == -1) latestVersion(root) else version
+    require(deleteSets(root, v).isEmpty,
+      s"v$v has merge-on-read delete sets: manifest extremes are unsound")
+    val ranges = entries(root, v).map { line =>
+      val parts = line.split('\t')
+      require(parts.length > 1 && parts(1) == "#stats",
+        s"v$v has pre-stats manifest entries; scan instead")
+      parts.drop(2).collectFirst {
+        case t if t.startsWith(column + "=") =>
+          val b = t.substring(column.length + 1).split("\\.\\.")
+          (b(0).toLong, b(1).toLong)
+      }
+    }
+    val present = ranges.flatten
+    require(present.nonEmpty, s"no stats for column '$column' at v$v")
+    (present.map(_._1).min, present.map(_._2).max)
+  }
+
+  /** TAG a version with an immutable named ref (Iceberg tags): one
+    * file per tag under `_tags/`, created with the hard-link CAS —
+    * tags are immutable, re-tagging an existing name fails loudly
+    * rather than silently moving a ref consumers pin to. The payoff
+    * is in [[expire]]: retention honors tags, so `expire` never
+    * collects a version a tag still names — the "keep the release
+    * snapshot while GC-ing the nightly history" contract tags exist
+    * for.
+    */
+  def tag(root: String, name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"illegal tag name: $name")
+    val rootP = Paths.get(root)
+    require(Files.exists(manifestPath(rootP, version)),
+      s"cannot tag missing version $version under $root")
+    val dir = rootP.resolve("_tags")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_tmp_${name}_${newToken()}")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    try Files.createLink(dir.resolve(name), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists (tags are immutable)") }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** The version a tag names; fails loudly on an unknown tag. */
+  def tagVersion(root: String, name: String): Int = {
+    val p = Paths.get(root).resolve("_tags").resolve(name)
+    require(Files.exists(p), s"no tag '$name' under $root")
+    Files.readAllLines(p).asScala.head.trim.toInt
+  }
+
+  /** All tags as (name, version). */
+  def tags(root: String): Seq[(String, Int)] = {
+    val dir = Paths.get(root).resolve("_tags")
+    if (!Files.exists(dir)) return Nil
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .filterNot(_.getFileName.toString.startsWith("_tmp_"))
+      .map(p => p.getFileName.toString ->
+        Files.readAllLines(p).asScala.head.trim.toInt)
+      .toSeq.sortBy(_._1)
+    finally listing.close()
+  }
+
+  /** Time-travel read through a tag. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, tagVersion(root, name))
+
   /** SNAPSHOT EXPIRATION — the garbage-collection half of the
     * compaction story (Iceberg `expire_snapshots` / Delta VACUUM):
     * drop every version < `keepFrom` and delete the data files no
@@ -1047,10 +1169,19 @@ object Snapshots {
     def pathsOf(v: Int): Seq[String] = rawLines(root, v).map { l =>
       if (l.startsWith("#delete\t")) l.split('\t')(1) else l.split('\t').head
     }
-    val retained = (keepFrom to latest).flatMap(pathsOf).toSet
+    // retention honors TAGS (r9): a tagged version below the cutoff
+    // stays fully readable — its manifest survives and its files count
+    // as referenced. Iceberg's expire_snapshots ref semantics.
+    val tagged = tags(root).map(_._2).toSet
+    val keepVersions = (keepFrom to latest) ++
+      (1 until keepFrom).filter(tagged.contains)
+    val retained = keepVersions
+      .filter(v => Files.exists(manifestPath(rootP, v)))
+      .flatMap(pathsOf).toSet
     // a version expired by an earlier sweep has no manifest — skip it
     // (expire is idempotent and re-runnable with a larger keepFrom)
     val expiredVersions = (1 until keepFrom)
+      .filterNot(tagged.contains)
       .filter(v => Files.exists(manifestPath(rootP, v)))
     val doomed = expiredVersions.flatMap(pathsOf).distinct
       .filterNot(retained.contains)

@@ -16,10 +16,14 @@ class BenchLineSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // 0.42 renders "0.42" — the WIDEST spelling any sub-second value
     // gets (≥1 s values render narrower under 1dp trimming: "1.2",
-    // "12.3"); the 60-char margin absorbs a handful of multi-second
-    // outliers ("123.4" is +1 char each) and sf-dir name growth
+    // "12.3" — both ≤ the 4-char worst case already counted, so a
+    // multi-second entry only widens the line at ≥100 s: "123.4" is
+    // +1). The 45-char margin covers ~45 hundred-second outliers —
+    // far beyond any real battery — plus sf-dir growth. Registry
+    // ceiling under this spelling: ~184 queries; past that the next
+    // lever is 1dp sub-second values (the driver envelope is fixed).
     val worst = Bench.machineLine(names.map(_ -> 0.42), "sf0.001")
-    val budget = 2000 - Bench.TailOverhead - 60
+    val budget = 2000 - Bench.TailOverhead - 45
     assert(worst.length <= budget,
       s"machine line ${worst.length} chars exceeds the ${budget}-char " +
         "driver tail budget — shorten the spelling before registering " +

@@ -283,6 +283,64 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
       Snapshots.files(root2, 1).size)
   }
 
+  test("tags survive expiration, stay immutable, and resolve reads") {
+    val root = Staging.tempDir("snap_spec16").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root) // v1
+    Snapshots.tag(root, "release-1", 1)
+    Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)            // v2
+    Snapshots.compact(spark, root, targetFiles = 1)                   // v3
+    intercept[IllegalArgumentException] { Snapshots.tag(root, "release-1", 2) }
+    intercept[IllegalArgumentException] { Snapshots.tag(root, "nope", 9) }
+    Snapshots.expire(root, keepFrom = 3)
+    // the tagged version survives the sweep in full...
+    assert(Snapshots.tagVersion(root, "release-1") == 1)
+    assert(Snapshots.readTag(spark, root, "release-1")
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // ...while the untagged v2 is gone and latest is intact
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root, 2) }
+    assert(Snapshots.read(spark, root).count() == 3)
+    assert(Snapshots.tags(root) == Seq("release-1" -> 1))
+  }
+
+  test("removeOrphans deletes only unreferenced parquet files") {
+    val root = Staging.tempDir("snap_spec17").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)
+    // debris of a writer that died before its CAS: a data dir and a
+    // delete dir no manifest references
+    Seq((9L, "x")).toDF("id", "s").repartition(1)
+      .write.parquet(s"$root/data_v9_deadbeef")
+    Seq(Tuple1(9L)).toDF("id").repartition(1)
+      .write.parquet(s"$root/delete_v9_deadbeef")
+    assert(Snapshots.removeOrphans(root) == 2)
+    assert(Snapshots.removeOrphans(root) == 0) // idempotent
+    // a young file is protected by the age guard
+    Seq((8L, "y")).toDF("id", "s").repartition(1)
+      .write.parquet(s"$root/data_v8_dead")
+    assert(Snapshots.removeOrphans(root, olderThanMillis = 3600000L) == 0)
+    assert(Snapshots.removeOrphans(root) == 1)
+    // every referenced file survived
+    assert(Snapshots.read(spark, root).count() == 3)
+    assert(Snapshots.read(spark, root, 1).count() == 2)
+  }
+
+  test("metadataMinMax answers from manifests and refuses unsound cases") {
+    val root = Staging.tempDir("snap_spec18").toString
+    Snapshots.append(Seq((5L, "a"), (2L, "b")).toDF("id", "s"), root)
+    Snapshots.append(Seq((9L, "c")).toDF("id", "s"), root)
+    val before = Snapshots.queryPathFooterReads.get()
+    assert(Snapshots.metadataMinMax(root, column = "id") == (2L, 9L))
+    assert(Snapshots.metadataMinMax(root, 1, "id") == (2L, 5L))
+    assert(Snapshots.queryPathFooterReads.get() == before)
+    Snapshots.deleteWhere(spark, root, "id", Seq(Tuple1(9L)).toDF("id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.metadataMinMax(root, column = "id")
+    }
+    val v = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(Snapshots.metadataMinMax(root, v, "id") == (2L, 5L))
+  }
+
   test("concurrent delete rebases with sequence-correct scoping") {
     val root = Staging.tempDir("snap_spec9").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
