@@ -94,12 +94,12 @@ object Bench {
   private def fmt(v: Double, dp: Int): String =
     if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
-  /** Adaptive precision: 2dp under 1 s (absolute error matters), 1dp
-    * above (≤5% relative), trailing zeros stripped — "0.40"→"0.4",
+  /** Adaptive precision: `subSecDp` decimals under 1 s, 1dp above
+    * (≤5% relative), trailing zeros stripped — "0.40"→"0.4",
     * "1.00"→"1": shorter, same value, still valid JSON.
     */
-  private def fmtTrim(v: Double): String = {
-    val s = fmt(v, if (v >= 1.0) 1 else 2)
+  private def fmtTrim(v: Double, subSecDp: Int): String = {
+    val s = fmt(v, if (v >= 1.0) 1 else subSecDp)
     if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     else s
   }
@@ -109,15 +109,33 @@ object Bench {
     * keeps only this line, so per-query PRECISION outranks the
     * cosmetic prefix) + adaptive trimmed values + basename sf. MUST
     * stay under 2000 − [[TailOverhead]] chars or the driver records
-    * parsed:null (the r7 failure) — BenchLineSpec pins the worst case
-    * over the LIVE registry.
+    * parsed:null (the r7 failure). Renders sub-second values at 2dp
+    * and SELF-DEGRADES to 1dp only when the registry has outgrown the
+    * driver's fixed line budget — with real batteries (most values ≥
+    * 0.1 s, many ≥ 1 s rendering ≤3 chars) the 2dp line usually fits
+    * long past the worst-case bound, so precision is lost only in the
+    * render that would otherwise lose the WHOLE artifact.
+    * BenchLineSpec pins the degraded worst case over the LIVE
+    * registry.
     */
   def machineLine(results: Seq[(String, Double)], sfShort: String): String = {
-    val shortQs = results.map { case (k, v) =>
-      val short = k.drop(1).takeWhile(_ != '_').dropWhile(_ == '0')
-      "\"" + short + "\":" + fmtTrim(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$shortQs,"sf":"$sfShort"}"""
+    def render(subSecDp: Int): String = {
+      val shortQs = results.map { case (k, v) =>
+        val short = k.drop(1).takeWhile(_ != '_').dropWhile(_ == '0')
+        "\"" + short + "\":" + fmtTrim(v, subSecDp) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$shortQs,"sf":"$sfShort"}"""
+    }
+    val at2 = render(2)
+    if (at2.length <= LineBudget) at2 else render(1)
   }
+
+  /** The one line-length budget, shared by [[machineLine]]'s
+    * degradation trigger and BenchLineSpec's build-time guard: the
+    * driver's 2000-char tail minus [[TailOverhead]] minus a 45-char
+    * margin for hundred-second value outliers ("123.4" is one char
+    * wider than the sub-second worst case) and sf-dir name growth.
+    */
+  val LineBudget: Int = 2000 - TailOverhead - 45
 }

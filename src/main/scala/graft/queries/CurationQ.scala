@@ -693,16 +693,29 @@ object CurationQ {
     * from it and BROADCASTS back; final weight is one more partial agg
     * — no corpus-sized join, no driver state.
     */
+  /** The (doc_id, source, lang, bucket, multiplicity) multiset of
+    * md5-tail 256-bucket hashed tokens — the shared FEATURE TABLE of
+    * the importance-weighting (q171) and domain-classifier (q175)
+    * pipelines, materialized once as a parquet artifact (the
+    * two-consumer rule): at 100 TB the hashed-feature table is a
+    * written table beside the corpus, not a per-query re-tokenize.
+    */
+  private def docBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.parquet(spark, dir, "doc_buckets") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(tokens(col("text"))).as("term"))
+        .withColumn("b",
+          pmod(Winnowing.portableHash(col("term")), lit(256L)))
+        .groupBy(col("doc_id"), col("source"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("m"))
+    }
+
   def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
     val b = 256L
-    val docB = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .withColumn("b", pmod(Winnowing.portableHash(col("term")), lit(b)))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("m"))
-    val docLang = Tables.documents(spark, dir)
-      .select(col("doc_id"), (col("lang") === "en").as("is_target"))
-    val joined = docB.join(docLang, Seq("doc_id"))
+    val joined = docBuckets(spark, dir)
+      .withColumn("is_target", col("lang") === "en")
+      .select(col("doc_id"), col("is_target"), col("b"), col("m"))
     val buckets = joined.groupBy(col("b"))
       .agg(sum(when(col("is_target"), col("m")).otherwise(0L)).as("ct"),
         sum(when(!col("is_target"), col("m")).otherwise(0L)).as("cs"))
@@ -742,12 +755,8 @@ object CurationQ {
     */
   def domainClassifier(spark: SparkSession, dir: String): DataFrame = {
     val b = 256L
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(tokens(col("text"))).as("term"))
-      .withColumn("b", pmod(Winnowing.portableHash(col("term")), lit(b)))
-      .groupBy(col("doc_id"), col("source"), col("b"))
-      .agg(count(lit(1)).as("m"))
+    val toks = docBuckets(spark, dir)
+      .select(col("doc_id"), col("source"), col("b"), col("m"))
     val train = toks.filter(pmod(col("doc_id"), lit(5)) < 4)
     val classCounts = train.groupBy(col("source").as("c"), col("b"))
       .agg(sum(col("m")).as("ct"))
@@ -812,7 +821,52 @@ object CurationQ {
           .as("epochs_micro"))
   }
 
+  /** q183 — MIXED-SAMPLE EXECUTION: realize the q179 temperature
+    * mix as an actual dataset pass, deterministically. Per document,
+    * copies = ⌊epochs⌋ plus one more iff its salted md5-low-60 (mod
+    * 10⁶) falls under the fractional remainder — an exact-rate,
+    * seedless Bernoulli that any executor can evaluate row-locally
+    * (the q133/q143 hash-sampling discipline applied to the mixing
+    * recipe): downsampled domains keep a hash-chosen subset,
+    * upsampled domains REPLICATE (the epochs > 1 passes the recipe
+    * exists for). Token accounting from the q171/q175 `doc_buckets`
+    * artifact, so the whole pipeline is one artifact scan + a 20-row
+    * broadcast of rates. The gate reports per-domain instances,
+    * distinct survivors, and sampled tokens — DuckDB replays the
+    * identical hash predicate, so one wrong keep/drop breaks the
+    * hash.
+    */
+  def mixedSample(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docBuckets(spark, dir)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("m")).as("ntok"))
+    val perDomain = perDoc.groupBy(col("source"))
+      .agg(sum(col("ntok")).as("n_tokens"))
+      .withColumn("isqrt_tokens",
+        expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    val totals = perDomain.agg(sum(col("isqrt_tokens")).as("ssum"),
+      sum(col("n_tokens")).as("tsum"))
+    val rates = perDomain.crossJoin(broadcast(totals))
+      .select(col("source"),
+        expr("""CAST((CAST(isqrt_tokens AS DECIMAL(38,0)) * tsum * 1000000)
+                div (CAST(ssum AS DECIMAL(38,0)) * n_tokens) AS BIGINT)""")
+          .as("epochs_micro"))
+    perDoc.join(broadcast(rates), Seq("source"))
+      .withColumn("h", pmod(Winnowing.portableHash(
+        concat(col("doc_id").cast("string"), lit("#mix"))), lit(1000000L)))
+      .withColumn("copies", expr(
+        "epochs_micro div 1000000 + " +
+          "CASE WHEN h < epochs_micro % 1000000 THEN 1 ELSE 0 END"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("epochs_micro")).as("epochs_micro"),
+        sum(col("copies")).as("n_instances"),
+        sum(when(col("copies") > 0, 1L).otherwise(0L)).as("n_distinct_kept"),
+        sum(col("ntok") * col("copies")).as("sampled_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_mixed_sample" -> (mixedSample _),
     "q179_domain_mixing" -> (domainMixing _),
     "q175_domain_classifier" -> (domainClassifier _),
     "q171_importance_weights" -> (importanceWeights _),
@@ -888,6 +942,45 @@ object CurationQ {
        |  FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical per-doc hash predicate replayed: bucket multiset →
+    // per-doc token counts → isqrt rates → salted md5-low-60 Bernoulli
+    // + integer replication
+    "q183_mixed_sample" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, u.term
+         |  FROM (SELECT doc_id, source, ${OracleSql.tokens("text")} AS ts
+         |        FROM documents),
+         |       unnest(ts) u(term)),
+         |pd AS (SELECT doc_id, source, count(*) AS ntok
+         |       FROM toks GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT source, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(floor(sqrt(CAST(sum(ntok) AS DOUBLE))) AS BIGINT)
+         |      AS isqrt_tokens
+         |  FROM pd GROUP BY 1),
+         |t AS (SELECT sum(isqrt_tokens) AS ssum, sum(n_tokens) AS tsum
+         |      FROM dom),
+         |rates AS (
+         |  SELECT source,
+         |    CAST((CAST(isqrt_tokens AS HUGEINT) * tsum * 1000000)
+         |      // (CAST(ssum AS HUGEINT) * n_tokens) AS BIGINT)
+         |      AS epochs_micro
+         |  FROM dom CROSS JOIN t),
+         |planned AS (
+         |  SELECT pd.source, pd.ntok, rates.epochs_micro,
+         |    epochs_micro // 1000000 +
+         |      CASE WHEN CAST('0x' || substr(
+         |          md5(CAST(pd.doc_id AS VARCHAR) || '#mix'), 18, 15)
+         |          AS BIGINT) % 1000000 < epochs_micro % 1000000
+         |        THEN 1 ELSE 0 END AS copies
+         |  FROM pd JOIN rates USING (source))
+         |SELECT source, count(*) AS n_docs,
+         |  max(epochs_micro) AS epochs_micro,
+         |  CAST(sum(copies) AS BIGINT) AS n_instances,
+         |  CAST(sum(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_distinct_kept,
+         |  CAST(sum(ntok * copies) AS BIGINT) AS sampled_tokens
+         |FROM planned GROUP BY 1""".stripMargin,
     // isqrt via IEEE-correctly-rounded sqrt (deterministic on BIGINT
     // inputs), weights/epochs as exact HUGEINT rationals mirroring the
     // decimal(38,0) spelling

@@ -14,16 +14,14 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("machine line fits the driver tail buffer at worst-case values") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // 0.42 renders "0.42" — the WIDEST spelling any sub-second value
-    // gets (≥1 s values render narrower under 1dp trimming: "1.2",
-    // "12.3" — both ≤ the 4-char worst case already counted, so a
-    // multi-second entry only widens the line at ≥100 s: "123.4" is
-    // +1). The 45-char margin covers ~45 hundred-second outliers —
-    // far beyond any real battery — plus sf-dir growth. Registry
-    // ceiling under this spelling: ~184 queries; past that the next
-    // lever is 1dp sub-second values (the driver envelope is fixed).
+    // 0.42 is the WIDEST sub-second input (≥1 s values render ≤ its
+    // width until 100 s, "123.4" is +1 each); machineLine SELF-
+    // DEGRADES sub-second precision to 1dp when the 2dp render would
+    // overflow, so this asserts the degraded render of the live
+    // registry still fits with a 45-char margin for hundred-second
+    // outliers and sf-dir growth. Ceiling at 1dp: ~250 queries.
     val worst = Bench.machineLine(names.map(_ -> 0.42), "sf0.001")
-    val budget = 2000 - Bench.TailOverhead - 45
+    val budget = Bench.LineBudget
     assert(worst.length <= budget,
       s"machine line ${worst.length} chars exceeds the ${budget}-char " +
         "driver tail budget — shorten the spelling before registering " +

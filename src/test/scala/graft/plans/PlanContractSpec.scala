@@ -72,6 +72,8 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
                               // scalar broadcast
     "q179_domain_mixing",     // 1-row totals scalar broadcast onto the
                               // 20-row domain table
+    "q183_mixed_sample",      // the q179 1-row totals scalar broadcast,
+                              // feeding the 20-row rate table
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
