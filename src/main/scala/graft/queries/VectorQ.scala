@@ -333,12 +333,136 @@ object VectorQ {
     "q52_embedding_stats" -> (embeddingStats _),
     "q53_cosine_pairs" -> (cosinePairs _),
     "q54_lsh_near_dups" -> (lshNearDups _),
+    "q186_mmr_rerank" -> (mmrRerank _),
     "q80_ann_recall" -> (annRecallGate _),
     "q83_lsh_planted_recall" -> (lshPlantedRecall _),
     "q92_semantic_dedup" -> (semanticDedupGate _),
     "q97_pq_ann" -> (pqAnn _))
 
+  /** q186 — MMR DIVERSITY RE-RANK (Carbonell & Goldstein 1998, λ =
+    * 1/2): greedily select 3 of each probe's top-10 cosine candidates
+    * maximizing `relevance − max-similarity-to-already-selected` — the
+    * rerank stage a RAG stack runs between retrieval and the prompt,
+    * so near-duplicate passages don't crowd the context window. The
+    * SHAPE is the production one: candidate generation is the q50
+    * broadcast-probes corpus scan (distributed, the only part that
+    * touches corpus scale); the greedy loop runs per-query inside
+    * `flatMapGroups` over ≤ 10 candidates + their 90 pairwise sims —
+    * inherently sequential logic on a by-construction-bounded group,
+    * the documented justification for the typed-group API (an
+    * `Expression` can't hold the selection state; a window can't see
+    * the evolving selected set). All similarities are integer micros
+    * (the q50 floor spelling), ties break (mmr desc, id asc), and the
+    * oracle unrolls the 3 greedy steps as explicit SQL stages.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("simq").desc, col("vec_id").asc)
+    val cands = emb.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn("simq",
+        floor(cosine_similarity(col("qv"), col("v")) * 1000000.0d + 0.5d)
+          .cast("long"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("simq"), col("v"))
+    val pairs = cands.as("a").join(cands.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("cand_id"), col("a.simq").as("simq"),
+        col("b.cand_id").as("other_id"),
+        floor(cosine_similarity(col("a.v"), col("b.v")) * 1000000.0d + 0.5d)
+          .cast("long").as("pair_micro"))
+    pairs.as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toSeq
+        val simq = rows.map(r => r._2 -> r._3).toMap
+        val pair = rows.map(r => (r._2, r._4) -> r._5).toMap
+        var selected = List.empty[Long]
+        (1 to 3).iterator.map { step =>
+          val (bestId, bestMmr) = simq.keysIterator
+            .filterNot(selected.contains)
+            .map { c =>
+              val pen =
+                if (selected.isEmpty) 0L
+                else selected.map(s => pair((c, s))).max
+              (c, simq(c) - pen)
+            }
+            .minBy { case (c, m) => (-m, c) }
+          selected ::= bestId
+          (qid, bestId, step, bestMmr)
+        }
+      }
+      .toDF("query_id", "doc_id", "sel_rank", "mmr_micro")
+  }
+
   val oracles: Map[String, String] = Map(
+    // the 3 greedy MMR steps unrolled as explicit stages: s1 = argmax
+    // relevance, s2/s3 = argmax (relevance - max pair-sim to the
+    // selected set), all integer micros, ties (mmr desc, id asc)
+    "q186_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |simqt AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |    CAST(floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5)
+        |      AS BIGINT) AS simq
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |cands AS (
+        |  SELECT query_id, cand_id, simq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY simq DESC, cand_id ASC) AS rn FROM simqt)
+        |  WHERE rn <= 10),
+        |pairs AS (
+        |  SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+        |    CAST(floor(list_cosine_similarity(ea.v, eb.v) * 1000000 + 0.5)
+        |      AS BIGINT) AS psim
+        |  FROM cands a
+        |  JOIN cands b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+        |  JOIN e ea ON ea.vec_id = a.cand_id
+        |  JOIN e eb ON eb.vec_id = b.cand_id),
+        |s1 AS (
+        |  SELECT query_id, cand_id AS id1, simq AS m1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY simq DESC, cand_id ASC) AS r FROM cands)
+        |  WHERE r = 1),
+        |c2 AS (
+        |  SELECT c.query_id, c.cand_id, c.simq - p.psim AS mmr
+        |  FROM cands c
+        |  JOIN s1 ON s1.query_id = c.query_id AND c.cand_id <> s1.id1
+        |  JOIN pairs p ON p.query_id = c.query_id
+        |    AND p.ia = c.cand_id AND p.ib = s1.id1),
+        |s2 AS (
+        |  SELECT query_id, cand_id AS id2, mmr AS m2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, cand_id ASC) AS r FROM c2)
+        |  WHERE r = 1),
+        |c3 AS (
+        |  SELECT c.query_id, c.cand_id,
+        |    c.simq - greatest(p1.psim, p2.psim) AS mmr
+        |  FROM cands c
+        |  JOIN s1 ON s1.query_id = c.query_id
+        |  JOIN s2 ON s2.query_id = c.query_id
+        |  JOIN pairs p1 ON p1.query_id = c.query_id
+        |    AND p1.ia = c.cand_id AND p1.ib = s1.id1
+        |  JOIN pairs p2 ON p2.query_id = c.query_id
+        |    AND p2.ia = c.cand_id AND p2.ib = s2.id2
+        |  WHERE c.cand_id <> s1.id1 AND c.cand_id <> s2.id2),
+        |s3 AS (
+        |  SELECT query_id, cand_id AS id3, mmr AS m3 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, cand_id ASC) AS r FROM c3)
+        |  WHERE r = 1)
+        |SELECT query_id, id1 AS doc_id, 1 AS sel_rank, m1 AS mmr_micro FROM s1
+        |UNION ALL SELECT query_id, id2, 2, m2 FROM s2
+        |UNION ALL SELECT query_id, id3, 3, m3 FROM s3""".stripMargin,
     "q122_array_hof" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS INT) AS n_pos,

@@ -1096,6 +1096,30 @@ object Snapshots {
     (present.map(_._1).min, present.map(_._2).max)
   }
 
+  /** CONTENT DIFF between two versions — the complement of the change
+    * feed: [[changesBetween]] replays HOW history unfolded (typed,
+    * per-commit), `diffVersions` states only the NET difference of two
+    * states ("what changed between the release snapshots", regression
+    * checks, audit). Multiset semantics via exceptAll in both
+    * directions (a duplicated row appearing once more is a real
+    * difference), over the columns the two schemas share (evolution
+    * may have widened one side). The plan is two full-row hash
+    * anti-differences — each side shuffles once on all columns, the
+    * correct distributed diff shape at any scale.
+    */
+  def diffVersions(spark: SparkSession, root: String,
+                   va: Int, vb: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val a = read(spark, root, va)
+    val b = read(spark, root, vb)
+    val common = a.columns.filter(b.columns.contains).toSeq
+    require(common.nonEmpty, s"v$va and v$vb share no columns")
+    val ap = a.select(common.map(col): _*)
+    val bp = b.select(common.map(col): _*)
+    bp.exceptAll(ap).withColumn("_diff", lit("added"))
+      .unionByName(ap.exceptAll(bp).withColumn("_diff", lit("removed")))
+  }
+
   /** TAG a version with an immutable named ref (Iceberg tags): one
     * file per tag under `_tags/`, created with the hard-link CAS —
     * tags are immutable, re-tagging an existing name fails loudly

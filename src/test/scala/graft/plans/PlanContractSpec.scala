@@ -39,6 +39,8 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q51_ann_ivf",            // embeds q50's brute-force baseline as the per-query
                               // recall denominator (r7 graduation)
     "q138_hard_negatives",    // q50's shape with the label-inequality riding the join
+    "q186_mmr_rerank",        // q50's broadcast-probes candidate scan feeding the
+                              // bounded (≤10 per query) rerank groups
     "q80_ann_recall",         // embeds q50's brute-force baseline as the recall denominator
     "q82_simhash_complete",   // exhaustive-sketch reference leg IS the completeness check
                               // (gate-scale diagnostic of the blocked path, by design O(n²))
