@@ -375,41 +375,36 @@ object TextQ {
     * rules (Rae et al. 2021 §A1.1): per document, the char fraction
     * covered by the most frequent 2-gram, and the fraction of 3-gram
     * positions whose gram repeats. High values flag boilerplate /
-    * degenerate text. One (doc, gram) shuffle with partial aggregation;
-    * hash-gated — DuckDB mirrors via unnest + windows.
+    * degenerate text.
+    *
+    * Both statistics are per-DOCUMENT arg-max/rollups, so both compute
+    * IN-ROW ([[graft.functions.TopGramStats]] /
+    * [[graft.functions.DupGramStats]]): one map-only scan of the
+    * corpus, zero shuffles, zero joins. The previous shape — explode
+    * the 2-gram STRING stream, groupBy(doc, g), arg-max, then join the
+    * two branches — shuffled ~2 rows per token corpus-wide to compute
+    * a row-local number (the r9 driver priced it at 6.7 s; at 100 TB
+    * it ships the whole gram stream twice). Hash-multiset counts stand
+    * in for string-gram counts at 2^-64 odds; the tie-break compares
+    * real gram strings, so `max(struct(c, g))` semantics are preserved
+    * exactly. The size filter keeps the OLD row set exactly: 3-grams()
+    * were empty for <3-token docs, so those docs never reached the old
+    * inner join.
     */
   def repetitionReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), length(col("text")).as("len_chars"),
-      tokens(col("text")).as("ts"))
-    val g2 = toks
-      .select(col("doc_id"), col("len_chars"), posexplode(grams(col("ts"), 2)).as(Seq("pos", "g")))
-      .groupBy(col("doc_id"), col("len_chars"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("len_chars"))
-      .agg(max(struct(col("c"), col("g"))).as("top"))
-      .select(col("doc_id"),
-        col("top.c").as("top2_count"),
-        round(col("top.c") * length(col("top.g")).cast("double") /
-          greatest(col("len_chars"), lit(1)), 6).as("top2_char_frac"))
-    // in-row dup stats (see q85): hash-multiset counts ≡ string-gram
-    // counts. The size filter keeps the OLD row set exactly: grams()
-    // was empty for <3-token docs, so they never reached the inner
-    // join — dup_gram_stats would otherwise resurrect them
-    val g3 = toks
+    docs.select(col("doc_id"), length(col("text")).as("len_chars"),
+        tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 3)
+      .withColumn("_tg", graft.functions.ShingleFunctions.top_gram_stats(col("ts"), 2))
       .withColumn("_dg", graft.functions.ShingleFunctions.dup_gram_stats(col("ts"), 3))
       .select(col("doc_id"),
+        element_at(col("_tg"), 1).as("top2_count"),
+        round(element_at(col("_tg"), 1) * element_at(col("_tg"), 2).cast("double") /
+          greatest(col("len_chars"), lit(1)), 6).as("top2_char_frac"),
         round(element_at(col("_dg"), 2).cast("double") /
           greatest(element_at(col("_dg"), 1), lit(1L)), 6).as("dup3_frac"))
-    g2.join(g3, Seq("doc_id"))
   }
-
-  /** Space-joined n-grams of a token array (empty when too short). */
-  private def grams(ts: Column, n: Int): Column =
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
 
   /** First-occurrence n-gram NOVELTY per source — the curation signal
     * for ordering/weighting corpora: how many of a source's distinct
@@ -464,10 +459,16 @@ object TextQ {
           tokens(col("text")), dupSpanK)).as("h"))
       .groupBy(col("doc_id"), col("source"), col("h"))
       .agg(count(lit(1)).as("c"))
-    // g is distinct per (doc, h), so a count over the h-partition IS
-    // the gram's cross-corpus document frequency
+    // g is distinct per (doc, h), so its h-count IS the gram's
+    // cross-corpus document frequency. A groupBy (map-side partial
+    // aggregation: the df table shuffles one pre-combined row per
+    // (partition, h), not the full (doc, h) stream) + an h-keyed join
+    // strictly dominates the old `count(1).over(partitionBy(h))`
+    // window, which cannot partial-aggregate and re-sorts every
+    // (doc, h) row inside its h-partition just to annotate it.
+    val df = g.groupBy(col("h")).agg(count(lit(1)).as("nd"))
     val perDoc = g
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .join(df, Seq("h"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("c")).as("n_spans"),
         sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L))).as("dup_spans"))

@@ -253,4 +253,29 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       !p.contains("hashpartitioning(l_orderkey"),
       s"bucketed join re-shuffled a bucketed side:\n$p")
   }
+
+  test("q76 is a map-only projection: no data-required exchange, join, window or aggregate") {
+    // both repetition statistics are per-document arg-max/rollups and
+    // compute in-row (TopGramStats / DupGramStats); the only exchanges
+    // allowed are the Tables.spread split-starvation repartition
+    // (REPARTITION_BY_NUM — absent at real scale) and the battery-wide
+    // deterministic presentation sort
+    val p = plans("q76_repetition_report")
+    for (bad <- Seq("Join", "Window", "HashAggregate"))
+      assert(!p.contains(bad), s"q76 regressed to a shuffling plan ($bad):\n$p")
+    val required = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
+    assert(required.isEmpty,
+      s"q76 regressed to a data-required hash exchange:\n$p")
+  }
+
+  test("q153's document-frequency side partial-aggregates (no per-h window)") {
+    // count-over-h-partition cannot combine map-side; the df table is a
+    // groupBy joined back on h (broadcast at gate scale, shuffled when
+    // the gram-frequency table outgrows the threshold)
+    val p = plans("q153_dup_span_report")
+    assert(!p.contains("Window"), s"q153 regressed to the per-h window:\n$p")
+    assert(p.contains("Join"),
+      s"q153 lost its h-keyed document-frequency join:\n$p")
+  }
 }
