@@ -31,21 +31,50 @@ object Bench {
     // battery reliably throws 2-4× one-off outliers (GC pause, state
     // store churn from a neighboring streaming query); best-of-two
     // measures the operator, not the neighbor's garbage.
+    // SPARK_GRAFT_IOSTAT=<path>: append one JSON line per query with
+    // the warmup/timed wall times and the per-phase process-level
+    // disk-read/write bytes (/proc/self/io — post-page-cache, i.e.
+    // REAL storage traffic) and GC-time deltas. The lens for
+    // driver-vs-local divergence: a query that is fast warm but slow
+    // on the driver shows WHERE the time goes (disk re-reads vs GC)
+    // without touching the driver's stdout contract.
+    val iostat = sys.env.get("SPARK_GRAFT_IOSTAT").map(new java.io.PrintWriter(_))
+    def ioSnap(): (Long, Long, Long) = {
+      val m = scala.io.Source.fromFile("/proc/self/io").getLines()
+        .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }.toMap
+      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .stream().mapToLong(_.getCollectionTime).sum()
+      (m.getOrElse("read_bytes", 0L), m.getOrElse("write_bytes", 0L), gc)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1)).map { case (name, fn) =>
+      val s0 = if (iostat.isDefined) ioSnap() else null
+      val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val tWarm = (System.nanoTime() - w0) / 1e9
       // a failed run must NOT enter the min as a fast time-to-exception
       // — report only successful runs, or −1 so a flaky query reads as
       // an anomaly in the JSON instead of an impossibly good number
-      def timed(): Double = {
+      def timed(): (Double, (Long, Long, Long)) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
+        val snap = if (iostat.isDefined) ioSnap() else null
+        (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN, snap)
       }
-      val (a, b) = (timed(), timed())
+      val s1 = if (iostat.isDefined) ioSnap() else null
+      val (a, sa) = timed()
+      val (b, sb) = timed()
       val good = Seq(a, b).filterNot(_.isNaN)
       val dt = if (good.isEmpty) -1.0 else good.min
+      iostat.foreach { w =>
+        def d(x: (Long, Long, Long), y: (Long, Long, Long)) =
+          s"""[${y._1 - x._1},${y._2 - x._2},${y._3 - x._3}]"""
+        def ft(v: Double) = fmt(if (v.isNaN) -1 else v, 3)
+        w.println(s"""{"q":"$name","t_warm":${ft(tWarm)},"t1":${ft(a)},"t2":${ft(b)},""" +
+          s""""warm_rwg":${d(s0, s1)},"r1_rwg":${d(s1, sa)},"r2_rwg":${d(sa, sb)}}""")
+        w.flush()
+      }
       // Between queries (outside the timed window), nudge GC so the
       // ContextCleaner releases the previous plans' discarded
       // localCheckpoint / shuffle blocks — battery order must not let
@@ -53,6 +82,7 @@ object Bench {
       System.gc()
       name -> dt
     }
+    iostat.foreach(_.close())
     // Two output lines. The FIRST carries the full query names and
     // millisecond precision (human / judge reading the log). The LAST
     // is the driver's machine line and must fit its 2000-char tail

@@ -568,16 +568,35 @@ object CurationQ {
     // corpus-sized blocks row by row (9.9 s); written once as parquet,
     // each consumer is a vectorized columnar scan — the shape a shared
     // derived table has at 100 TB anyway.
+    //
+    // r10: the artifact stores bigram HASHES, not strings — h1 =
+    // xxhash64(w1), h12 = xxhash64(w1, w2) (chained-seed, so token
+    // boundaries can't alias). Token text is needed only to IDENTIFY a
+    // bigram, never shown in the output, so carrying strings through
+    // the artifact and both (w1, w2)-keyed shuffles paid string
+    // storage, string hashing and string comparison on every run for
+    // nothing (the driver priced it at 4.1 s while a warm page cache
+    // hid it locally). Hash-keyed counts equal string-keyed counts at
+    // 2^-64 collision odds — the q47/q153 convention; the oracle keeps
+    // grouping by token strings.
     val docBigrams = graft.sources.ArtifactStore.parquet(
       spark, dir, "doc_bigrams")(
-      docBigramsOf(Tables.documents(spark, dir)
-        .select(col("doc_id"), tokens(col("text")).as("ts"))))
-    val c12 = docBigrams.groupBy(col("w1"), col("w2"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts)-2)," +
+            " i -> struct(xxhash64(ts[i]) AS h1, xxhash64(ts[i], ts[i+1]) AS h12))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
+        .groupBy(col("doc_id"), col("h1"), col("h12"))
+        .agg(count(lit(1)).as("m")))
+    val c12 = docBigrams.groupBy(col("h1"), col("h12"))
       .agg(sum(col("m")).as("c12"))
-    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c1 = c12.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
     docBigrams
-      .join(c12, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c12, Seq("h1", "h12"))
+      .join(broadcast(c1), Seq("h1"))
       .withColumn("p_micro", expr("c12 * 1000000L div c1"))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_bigrams"),

@@ -371,22 +371,28 @@ object VectorQ {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id").as("cand_id"),
         col("simq"), col("v"))
+    // LEFT join: a probe whose top-10 has a single candidate still
+    // emits one (other_id = −1 sentinel) row, so the candidate set is
+    // derived from cands, not from pair existence — and the greedy
+    // loop runs min(3, |cands|) steps (an under-filled probe returns
+    // its whole candidate set instead of calling minBy on empty)
     val pairs = cands.as("a").join(cands.as("b"),
         col("a.query_id") === col("b.query_id") &&
-          col("a.cand_id") =!= col("b.cand_id"))
+          col("a.cand_id") =!= col("b.cand_id"), "left")
       .select(col("a.query_id").as("query_id"),
         col("a.cand_id").as("cand_id"), col("a.simq").as("simq"),
-        col("b.cand_id").as("other_id"),
-        floor(cosine_similarity(col("a.v"), col("b.v")) * 1000000.0d + 0.5d)
-          .cast("long").as("pair_micro"))
+        coalesce(col("b.cand_id"), lit(-1L)).as("other_id"),
+        coalesce(
+          floor(cosine_similarity(col("a.v"), col("b.v")) * 1000000.0d + 0.5d)
+            .cast("long"), lit(0L)).as("pair_micro"))
     pairs.as[(Long, Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val rows = it.toSeq
         val simq = rows.map(r => r._2 -> r._3).toMap
-        val pair = rows.map(r => (r._2, r._4) -> r._5).toMap
+        val pair = rows.filter(_._4 >= 0L).map(r => (r._2, r._4) -> r._5).toMap
         var selected = List.empty[Long]
-        (1 to 3).iterator.map { step =>
+        (1 to math.min(3, simq.size)).iterator.map { step =>
           val (bestId, bestMmr) = simq.keysIterator
             .filterNot(selected.contains)
             .map { c =>

@@ -28,8 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtifactStore {
 
+  // The map memoizes a LAZY holder, not the built value: the
+  // multi-second Spark write action must execute OUTSIDE the CHM bin
+  // lock (advisor r9 — an eager computeIfAbsent body blocks unrelated
+  // keys hashing to the same bin for the whole build, and a build that
+  // itself resolves another artifact recursively would deadlock or
+  // throw IllegalStateException). computeIfAbsent only ALLOCATES the
+  // lazy cell under the lock; the first thread to force it runs the
+  // build, later threads block on the cell's own initializer — the
+  // exact once-per-key guarantee, minus the map-wide lock hold.
   private val memo =
-    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new ConcurrentHashMap[(SparkSession, String, String), () => DataFrame]()
 
   /** Build `df` once per (session, dir, name), write it as parquet to a
     * reaped temp directory, and return a reader over the written files.
@@ -39,11 +48,16 @@ object ArtifactStore {
     * java-deserializing the lineage.
     */
   def parquet(spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((spark, dir, name), _ => {
-      val path = Staging.tempDir(s"graft_artifact_${name}_")
-        .resolve("data").toString
-      build.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+      (build: => DataFrame): DataFrame = {
+    val cell = memo.computeIfAbsent((spark, dir, name), _ => {
+      lazy val built: DataFrame = {
+        val path = Staging.tempDir(s"graft_artifact_${name}_")
+          .resolve("data").toString
+        build.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      () => built
     })
+    cell()
+  }
 }

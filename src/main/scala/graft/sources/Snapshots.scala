@@ -269,24 +269,54 @@ object Snapshots {
     *
     * SCHEMA EVOLUTION (r9): the committed schema is the prior version's
     * schema widened by `df`'s new columns (ADD COLUMN — the evolution
-    * every append-mostly store needs first). Same-name columns must
-    * keep their type (type evolution is a different, promotion-ruled
-    * contract — fail loudly rather than corrupt); all fields commit as
+    * every append-mostly store needs first); all fields commit as
     * nullable because pre-evolution files null-fill the new columns and
     * a widening append may omit an old column.
+    *
+    * TYPE PROMOTION (r10): same-name columns may differ in type along
+    * the Iceberg promotion matrix — int → long, float → double,
+    * decimal(P, S) → decimal(P' > P, S) — and the committed schema
+    * carries the WIDER of the two in either direction (a narrow append
+    * into a promoted column stays legal; a wide append promotes the
+    * table). Data files are never rewritten: Spark 4's parquet readers
+    * widen a narrow physical type to the requested schema on scan, so
+    * pre-promotion files read as the promoted type while time travel
+    * to a pre-promotion version still reads under THAT version's
+    * schema. Any type change off the matrix still fails loudly —
+    * promotion must never reinterpret bytes (long → int truncates,
+    * scale changes shift the point — both rejected).
     */
   private def widenedSchema(df: DataFrame, root: String, prev: Int)
-      : org.apache.spark.sql.types.StructType =
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def promoted(a: DataType, b: DataType): DataType = (a, b) match {
+      case _ if a == b => a
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case (d1: DecimalType, d2: DecimalType) if d1.scale == d2.scale =>
+        DecimalType(math.max(d1.precision, d2.precision), d1.scale)
+      case _ => throw new IllegalArgumentException(
+        s"type change outside the promotion matrix: $a <-> $b " +
+          "(int->long, float->double, decimal precision widening only)")
+    }
     (if (prev == 0) None else schemaOf(root, prev)) match {
       case None => df.schema
       case Some(ps) =>
-        for (f <- df.schema; pf <- ps.find(_.name == f.name))
-          require(pf.dataType == f.dataType,
-            s"type change on '${f.name}': ${pf.dataType} -> ${f.dataType}")
-        org.apache.spark.sql.types.StructType(
-          (ps.fields ++ df.schema.fields.filterNot(f =>
+        val widened = ps.fields.map { pf =>
+          df.schema.find(_.name == pf.name) match {
+            case Some(f) =>
+              try pf.copy(dataType = promoted(pf.dataType, f.dataType))
+              catch { case e: IllegalArgumentException =>
+                throw new IllegalArgumentException(
+                  s"column '${pf.name}': ${e.getMessage}") }
+            case None => pf
+          }
+        }
+        StructType(
+          (widened ++ df.schema.fields.filterNot(f =>
             ps.fieldNames.contains(f.name))).map(_.copy(nullable = true)))
     }
+  }
 
   /** OPTIMISTIC-CONCURRENCY append (r9): the data files are written
     * once to a writer-unique directory; the manifest rename is a CAS on
@@ -376,7 +406,7 @@ object Snapshots {
     require(prev > 0, s"nothing to compact under $root")
     val v = prev + 1
     val prevData = read(spark, root, prev)
-    import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, max, min}
     // sortBy: CLUSTERED compaction (Iceberg sort-order rewrite / Delta
     // OPTIMIZE ZORDER's 1-column case) — range-partition + sort within,
     // so each output file covers a disjoint key range and footer
@@ -399,14 +429,19 @@ object Snapshots {
         val mm = prevData.agg(
           min(col(cx)).as("_mnx"), max(col(cx)).as("_mxx"),
           min(col(cy)).as("_mny"), max(col(cy)).as("_mxy"))
-        def bucket16(c: org.apache.spark.sql.Column,
-                     mn: org.apache.spark.sql.Column,
-                     mx: org.apache.spark.sql.Column) =
-          (c - mn) * 65536L / (mx - mn + 1L)
+        // DECIMAL(38,0) + integral div (the q171 overflow discipline):
+        // the double spelling `(c-mn)*65536/(mx-mn+1)` overflows the
+        // int64 multiply above a ~2^47 key range and loses ULPs above
+        // 2^53, yielding out-of-range or misordered buckets (advisor
+        // r9). Decimal is exact over the full long range; bucket fits
+        // a long by construction (0..65535).
+        def bucket16(c: String, mn: String, mx: String) =
+          expr(s"(cast($c as decimal(38,0)) - $mn) * 65536" +
+            s" div (cast($mx as decimal(38,0)) - $mn + 1)")
         prevData.crossJoin(broadcast(mm))
           .withColumn("_zcode", graft.functions.ZOrder.code(
-            bucket16(col(cx), col("_mnx"), col("_mxx")).cast("long"),
-            bucket16(col(cy), col("_mny"), col("_mxy")).cast("long")))
+            bucket16(cx, "_mnx", "_mxx").cast("long"),
+            bucket16(cy, "_mny", "_mxy").cast("long")))
           .repartitionByRange(targetFiles, col("_zcode"))
           .sortWithinPartitions("_zcode")
           .select(prevData.columns.map(col).toIndexedSeq: _*)
@@ -898,11 +933,18 @@ object Snapshots {
     * MERGE; copy-on-write would rewrite every touched file). Duplicate
     * keys in `source` are rejected up front — upsert semantics are
     * undefined when one target row matches two source rows (Delta's
-    * "multiple source rows matched" error). Concurrency: rebase-and-
-    * retry like [[append]]; a racing append of the same key that lands
-    * first is overwritten by the rebased merge (last-writer-wins on
-    * keys — revalidation-and-abort would be the serializable upgrade).
-    * Returns the new version.
+    * "multiple source rows matched" error). Concurrency (r10,
+    * SERIALIZABLE): on a CAS conflict the loser REVALIDATES before
+    * rebasing — if any commit it did not see (its base exclusive to
+    * the new latest, rewrite commits excepted: same rows, new bytes)
+    * inserted or deleted one of the merge's own keys, the merge ABORTS
+    * with [[java.util.ConcurrentModificationException]] and removes
+    * its staged files; the caller re-reads and re-runs against the new
+    * snapshot (the Iceberg validateNoConflicting* / Delta
+    * ConcurrentWriteException contract). A conflict on DISJOINT keys
+    * still rebases and retries automatically — the schedule is then
+    * equivalent to the serial order (winner, this merge). Returns the
+    * new version.
     */
   def merge(spark: SparkSession, root: String, column: String,
             source: DataFrame): Int = {
@@ -911,6 +953,13 @@ object Snapshots {
     require(latestVersion(root) > 0, s"nothing to merge into under $root")
     require(source.columns.contains(column),
       s"merge key column '$column' is not in the source")
+    // the snapshot this merge's row values were DERIVED against — the
+    // base the serializability check validates (any commit landing
+    // after this point was never read by this merge). Captured at
+    // ENTRY, before the first Spark action, so a commit racing the
+    // dup-check or the data write is validated too, not only one
+    // racing the manifest CAS.
+    val base0 = latestVersion(root)
     val dup = source.groupBy(col(column)).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -928,9 +977,24 @@ object Snapshots {
         .map(_.toAbsolutePath.toString).toSeq.sorted
       finally listing.close()
     }
+    // the merge's own key set, read back from the already-written
+    // delete files (deterministic — never recomputes `source`)
+    def ownKeys = spark.read.parquet(delFiles: _*).select(col(column))
     var committed = -1
     while (committed < 0) {
       val prev = v - 1
+      // revalidate EVERY attempt's full unseen window (base0, prev],
+      // not only CAS losers': a commit landing between entry and the
+      // first CAS succeeds at CAS yet was still never read
+      if (prev > base0 &&
+          keysTouchedBetween(spark, root, base0, prev, column, ownKeys)) {
+        deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+        deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+        throw new java.util.ConcurrentModificationException(
+          s"serializable merge on '$column' aborted: a concurrent " +
+            s"commit in ($base0, $prev] touched one of this merge's " +
+            "keys — re-read the table and re-run the merge")
+      }
       try {
         commit(rootP, v, widenedSchema(source, root, prev),
           rawLines(root, prev) ++
@@ -953,6 +1017,44 @@ object Snapshots {
     }
     committed
   }
+
+  /** True iff any commit in `(baseV, uptoV]` (rewrite commits excepted
+    * — a [[compact]] carries the same rows) inserted data rows or
+    * committed a delete set whose `column` values intersect `keys` —
+    * the conflict test of a serializable [[merge]]. Cost is one
+    * semi-join per concurrent commit against only ITS new files (the
+    * O(|concurrent changes|) validation scan of the real systems, not
+    * an O(table) read). Commits whose schema predates `column` cannot
+    * carry it and are skipped.
+    */
+  private def keysTouchedBetween(spark: SparkSession, root: String,
+                                 baseV: Int, uptoV: Int, column: String,
+                                 keys: => DataFrame): Boolean = {
+    import org.apache.spark.sql.functions.col
+    ((baseV + 1) to uptoV)
+      .filterNot(w => propsOf(root, w).get("rewrite").contains("true"))
+      .exists { w =>
+        val newFiles = files(root, w).filter(f => dataVersionOf(f) == w)
+        val dataHit = newFiles.nonEmpty &&
+          schemaOf(root, w).forall(_.fieldNames.contains(column)) &&
+          rawScan(spark, root, w, newFiles).select(col(column))
+            .join(keys, Seq(column), "left_semi").limit(1).count() > 0
+        def delHit = deleteSets(root, w).filter(_._1._1 == w).exists {
+          case ((_, c), fs) => c == column &&
+            spark.read.parquet(fs: _*).select(col(c))
+              .join(keys, Seq(column), "left_semi").limit(1).count() > 0
+        }
+        dataHit || delHit
+      }
+  }
+
+  private def deleteTreeQuietly(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
 
   /** CDC — row-level CHANGES committed in versions (fromV, toV], the
     * Delta Change-Data-Feed / Iceberg incremental-scan read path:
@@ -1031,13 +1133,17 @@ object Snapshots {
     * optimistic protocol makes such debris NORMAL, not exceptional;
     * this is its janitor). Age-guarded like the real procedure: only
     * files older than `olderThanMillis` qualify, because an IN-FLIGHT
-    * writer's staged files look orphaned until its commit lands —
-    * with the default 0 every file qualifies (test/gate use; a
-    * production sweep passes hours). Scoped to `.parquet` files — the
-    * referenced namespace — so committer markers are not counted as
-    * orphans. Returns the number of files deleted; idempotent.
+    * writer's staged files look orphaned until its commit lands — so
+    * the age is a REQUIRED parameter (advisor r9: a 0 default on a
+    * production-style call would delete a concurrent writer's staged
+    * files at the moment before its CAS — data loss at commit time).
+    * Pass 0 only as an explicit test/gate opt-in where no writer is in
+    * flight; a production sweep passes hours. Scoped to `.parquet`
+    * files — the referenced namespace — so committer markers are not
+    * counted as orphans. Returns the number of files deleted;
+    * idempotent.
     */
-  def removeOrphans(root: String, olderThanMillis: Long = 0L): Int = {
+  def removeOrphans(root: String, olderThanMillis: Long): Int = {
     val rootP = Paths.get(root)
     val referenced = (1 to latestVersion(root))
       .filter(v => Files.exists(manifestPath(rootP, v)))

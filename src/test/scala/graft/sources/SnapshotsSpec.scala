@@ -313,13 +313,13 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
       .write.parquet(s"$root/data_v9_deadbeef")
     Seq(Tuple1(9L)).toDF("id").repartition(1)
       .write.parquet(s"$root/delete_v9_deadbeef")
-    assert(Snapshots.removeOrphans(root) == 2)
-    assert(Snapshots.removeOrphans(root) == 0) // idempotent
+    assert(Snapshots.removeOrphans(root, olderThanMillis = 0L) == 2)
+    assert(Snapshots.removeOrphans(root, olderThanMillis = 0L) == 0) // idempotent
     // a young file is protected by the age guard
     Seq((8L, "y")).toDF("id", "s").repartition(1)
       .write.parquet(s"$root/data_v8_dead")
     assert(Snapshots.removeOrphans(root, olderThanMillis = 3600000L) == 0)
-    assert(Snapshots.removeOrphans(root) == 1)
+    assert(Snapshots.removeOrphans(root, olderThanMillis = 0L) == 1)
     // every referenced file survived
     assert(Snapshots.read(spark, root).count() == 3)
     assert(Snapshots.read(spark, root, 1).count() == 2)
@@ -356,4 +356,95 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.deleteSets(root, v4).isEmpty)
     assert(Snapshots.read(spark, root, v4).count() == 3)
   }
+
+  test("type promotion: int->long, float->double, decimal widening; off-matrix rejected") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.sum
+    val root = Staging.tempDir("snap_spec_promo").toString
+    Snapshots.append(
+      Seq((1, 1.5f, "12.34")).toDF("id", "x", "d")
+        .select($"id", $"x", $"d".cast(DecimalType(5, 2)).as("d")), root)
+    // a WIDER append promotes the committed schema in place
+    Snapshots.append(
+      Seq((2L, 2.5d, "9999999999.99")).toDF("id", "x", "d")
+        .select($"id", $"x", $"d".cast(DecimalType(12, 2)).as("d")), root)
+    val latest = Snapshots.read(spark, root)
+    assert(latest.schema("id").dataType == LongType)
+    assert(latest.schema("x").dataType == DoubleType)
+    assert(latest.schema("d").dataType == DecimalType(12, 2))
+    // pre-promotion files read back widened, exactly (1.5f == 1.5d)
+    assert(latest.select(sum($"id")).as[Long].head() == 3L)
+    assert(latest.select($"x").as[Double].collect().sorted.toSeq == Seq(1.5d, 2.5d))
+    // time travel: v1 still reads under ITS committed schema
+    assert(Snapshots.read(spark, root, 1).schema("id").dataType == IntegerType)
+    assert(Snapshots.read(spark, root, 1).schema("d").dataType == DecimalType(5, 2))
+    // a NARROW append into the promoted table stays legal, schema stays wide
+    Snapshots.append(
+      Seq((4, 4.5f, "1.00")).toDF("id", "x", "d")
+        .select($"id", $"x", $"d".cast(DecimalType(5, 2)).as("d")), root)
+    assert(Snapshots.read(spark, root).schema("id").dataType == LongType)
+    assert(Snapshots.read(spark, root).select(sum($"id")).as[Long].head() == 7L)
+    // byte-reinterpreting changes stay rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.append(Seq(("oops", 1.0d, "1.00")).toDF("id", "x", "d")
+        .select($"id", $"x", $"d".cast(DecimalType(12, 2)).as("d")), root)
+    }
+    intercept[IllegalArgumentException] { // scale change shifts the point
+      Snapshots.append(Seq((5L, 1.0d, "1.000")).toDF("id", "x", "d")
+        .select($"id", $"x", $"d".cast(DecimalType(12, 3)).as("d")), root)
+    }
+  }
+
+  test("serializable merge: concurrent overlapping commit aborts, disjoint rebases") {
+    import org.apache.spark.sql.functions.{col, udf}
+    def run(concurrentKey: Long): Either[Throwable, Set[(Long, String)]] = {
+      val root = Staging.tempDir("snap_spec_ser").toString
+      Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+      // deterministic interleave: the merge SOURCE parks on a latch at
+      // first evaluation (the dup-check action, after base0 capture),
+      // the main thread lands a concurrent append, then releases
+      SnapshotsSpec.mergeGate.set(new java.util.concurrent.CountDownLatch(1))
+      SnapshotsSpec.mergeEntered.set(new java.util.concurrent.CountDownLatch(1))
+      val wait = udf(() => {
+        SnapshotsSpec.mergeEntered.get().countDown()
+        SnapshotsSpec.mergeGate.get().await()
+        true
+      })
+      val source = Seq((2L, "B2"), (9L, "i")).toDF("id", "s").filter(wait())
+      val worker = new java.util.concurrent.FutureTask(() =>
+        Snapshots.merge(spark, root, "id", source))
+      new Thread(worker, "merge-writer").start()
+      // the merge is parked inside its FIRST action (the dup-check),
+      // which runs after base0 capture — the window is open for sure
+      SnapshotsSpec.mergeEntered.get().await()
+      Snapshots.append(Seq((concurrentKey, "c")).toDF("id", "s"), root)
+      SnapshotsSpec.mergeGate.get().countDown()
+      try Right {
+        worker.get(120, java.util.concurrent.TimeUnit.SECONDS)
+        Snapshots.read(spark, root).as[(Long, String)].collect().toSet
+      } catch {
+        case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+      }
+    }
+    // overlapping key (2): the merge must ABORT, and the table keeps
+    // the winner's row — no silent last-writer-wins on key 2
+    val aborted = run(concurrentKey = 2L)
+    assert(aborted.isLeft &&
+      aborted.swap.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected ConcurrentModificationException, got $aborted")
+    // disjoint key (7): the merge rebases and converges — both commits
+    val ok = run(concurrentKey = 7L)
+    assert(ok == Right(Set(1L -> "a", 2L -> "B2", 7L -> "c", 9L -> "i")), ok)
+  }
+}
+
+object SnapshotsSpec {
+  /** Latch the serializable-merge race test's source UDF parks on —
+    * object-level because the UDF is serialized into the task and must
+    * deref the SAME latch cell in local mode.
+    */
+  val mergeGate =
+    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.CountDownLatch]()
+  val mergeEntered =
+    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.CountDownLatch]()
 }
