@@ -28,13 +28,22 @@ object LabelPropagation {
     * dst)`; returns (node, label). Nodes = src ∪ dst.
     */
   def labels(edges: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 0)
     val eu = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(false)
     val nodes = eu.select(col("src").as("node")).distinct()
       .localCheckpoint(false)
+    labelsPrepared(eu, nodes, iters)
+  }
+
+  /** [[labels]] over a PREPARED graph: `eu` already undirected-distinct
+    * and `nodes` its node set, both backed by materialized storage
+    * (a written table / parquet artifact) — the caller owns the
+    * materialization (the [[PageRank.ranksPrepared]] contract).
+    */
+  def labelsPrepared(eu: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0)
     var l = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       // argmax by (count desc, label asc) as a partial-aggregable

@@ -31,18 +31,30 @@ object PageRank {
     * (node, rank_millionths). Nodes = src ∪ dst.
     */
   def ranks(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    require(iters >= 0)
-    val dampM = math.round(damping * Scale)
-    val baseM = Scale - dampM
     // the graph artifacts feed EVERY iteration — without the lazy
     // checkpoints each round's lazy plan re-derives the edge list (and
     // whatever join produced it) from scratch, so a 3-iteration run
-    // paid the edge build ~7×. Production persists these as tables.
+    // paid the edge build ~7×. Production persists these as tables —
+    // callers that HAVE them as tables (the ArtifactStore gates) use
+    // [[ranksPrepared]] and skip the per-run materialization entirely.
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
+    ranksPrepared(e, nodes, iters, damping)
+  }
+
+  /** [[ranks]] over a PREPARED graph: `e` already (src, dst)-distinct
+    * and `nodes` its src ∪ dst set, both backed by materialized
+    * storage (a written table / parquet artifact) — the caller owns
+    * the materialization, nothing is checkpointed here.
+    */
+  def ranksPrepared(e: DataFrame, nodes: DataFrame, iters: Int,
+                    damping: Double = 0.85): DataFrame = {
+    require(iters >= 0)
+    val dampM = math.round(damping * Scale)
+    val baseM = Scale - dampM
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var r = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to iters) {

@@ -1109,7 +1109,58 @@ object SinkQ {
   private val serEntered =
     new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.CountDownLatch]()
 
+  /** q189 — PARTITION-SPEC EVOLUTION (the Iceberg spec-id contract,
+    * completing q178): one table whose LAYOUT changed across commits —
+    * v1 identity(source), v2 bucket(8, source), v3 not partitioned at
+    * all — and a point lookup where each file prunes under the spec
+    * it was written with. The gate states the mixed-layout arithmetic
+    * exactly, all oracle-computed (file-per-partition-value is the
+    * writer invariant; DuckDB replays the md5-low-60 bucket): a hit
+    * scans identity's one home file + the literal's one bucket file +
+    * the unpartitioned file (always scanned — pre-partitioning files
+    * carry no token); a miss drops the identity term ENTIRELY
+    * (identity misses are certain) but still scans the absent
+    * literal's home bucket (bucket pruning routes, it cannot prove
+    * absence) and the untokened file. Content recomputes from the
+    * base table — the three slices partition it.
+    */
+  private val specEvoStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def partitionSpecEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = specEvoStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_specevo_gate").toString
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.Snapshots.appendPartitioned(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), o,
+        graft.sources.Snapshots.IdentityPartition("source"))
+      graft.sources.Snapshots.appendPartitioned(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), o,
+        graft.sources.Snapshots.BucketPartition("source", 8))
+      graft.sources.Snapshots.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2).repartition(1), o)
+      o
+    })
+    val specs: Seq[graft.sources.Snapshots.PartitionSpec] = Seq(
+      graft.sources.Snapshots.IdentityPartition("source"),
+      graft.sources.Snapshots.BucketPartition("source", 8))
+    def leg(name: String, literal: String): DataFrame =
+      graft.sources.Snapshots
+        .readPartitionPruned(spark, root, 3, specs, literal)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(name).as("leg"),
+          lit(graft.sources.Snapshots.files(root, 3).size)
+            .as("n_files_total"),
+          lit(graft.sources.Snapshots
+            .partitionPrunedFiles(root, 3, specs, literal).size)
+            .as("n_scanned"),
+          col("n_rows"), col("sum_chars"))
+    leg("hit", "src1").unionByName(leg("miss", "src_absent"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_partition_spec_evolution" -> (partitionSpecEvolution _),
     "q187_type_promotion" -> (typePromotion _),
     "q188_serializable_merge" -> (serializableMergeGate _),
     "q185_snapshot_diff" -> (snapshotDiff _),
@@ -1139,6 +1190,36 @@ object SinkQ {
     "q111_schema_evolution" -> (schemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    // mixed-layout scan arithmetic, all computed from the base table:
+    // identity files = distinct sources of slice 0, bucket files =
+    // distinct md5-low-60 buckets of slice 1, plus the one untokened
+    // file; the hit/miss legs add the home-file terms per spec
+    "q189_partition_spec_evolution" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |bk AS (SELECT doc_id, source, n_chars,
+        |  CAST('0x' || substr(md5(source), 18, 15) AS BIGINT) % 8 AS b
+        |  FROM d),
+        |total AS (SELECT CAST(
+        |    (SELECT count(DISTINCT source) FROM d WHERE doc_id % 3 = 0)
+        |  + (SELECT count(DISTINCT b) FROM bk WHERE doc_id % 3 = 1)
+        |  + 1 AS INTEGER) AS nf)
+        |SELECT 'hit' AS leg, (SELECT nf FROM total) AS n_files_total,
+        |  CAST((SELECT count(DISTINCT source) FROM d
+        |        WHERE doc_id % 3 = 0 AND source = 'src1')
+        |    + (SELECT count(DISTINCT b) FROM bk WHERE doc_id % 3 = 1
+        |       AND b = CAST('0x' || substr(md5('src1'), 18, 15) AS BIGINT) % 8)
+        |    + 1 AS INTEGER) AS n_scanned,
+        |  (SELECT count(*) FROM d WHERE source = 'src1') AS n_rows,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM d
+        |   WHERE source = 'src1') AS sum_chars
+        |UNION ALL
+        |SELECT 'miss', (SELECT nf FROM total),
+        |  CAST((SELECT count(DISTINCT source) FROM d
+        |        WHERE doc_id % 3 = 0 AND source = 'src_absent')
+        |    + (SELECT count(DISTINCT b) FROM bk WHERE doc_id % 3 = 1
+        |       AND b = CAST('0x' || substr(md5('src_absent'), 18, 15) AS BIGINT) % 8)
+        |    + 1 AS INTEGER),
+        |  CAST(0 AS BIGINT), CAST(NULL AS BIGINT)""".stripMargin,
     // the promoted reads recompute exactly from the base table: w ends
     // in .5 so 2w = 2·n_chars + 1 exactly at every width, d is exact
     // cents at both precisions; the type strings pin the schema

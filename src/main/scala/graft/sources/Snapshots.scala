@@ -730,12 +730,32 @@ object Snapshots {
     * the spec's token are kept.
     */
   def partitionPrunedFiles(root: String, version: Int, spec: PartitionSpec,
+                           literal: String): Seq[String] =
+    partitionPrunedFiles(root, version, Seq(spec), literal)
+
+  /** PARTITION-SPEC EVOLUTION (r10, the Iceberg spec-id contract): a
+    * long-lived table's layout changes over time — early commits
+    * identity-partitioned, later ones bucketed, the oldest not
+    * partitioned at all — and each FILE prunes under the spec IT was
+    * written with (the token carries the transform, so specs never
+    * collide). A file is pruned iff some passed spec's token is ON
+    * the file and maps the literal to a DIFFERENT partition; a file
+    * carrying none of the tokens (pre-partitioning commits) is always
+    * scanned. All specs must address the same lookup column.
+    */
+  def partitionPrunedFiles(root: String, version: Int,
+                           specs: Seq[PartitionSpec],
                            literal: String): Seq[String] = {
-    val want = s"#part:${spec.tokenName}=${spec.valueFor(literal)}"
+    require(specs.nonEmpty && specs.map(_.column).distinct.size == 1,
+      s"point lookup needs >= 1 spec, all on one column: $specs")
+    val wants = specs.map(s =>
+      s"#part:${s.tokenName}=" -> s"#part:${s.tokenName}=${s.valueFor(literal)}")
     entries(root, version).flatMap { line =>
       val parts = line.split('\t')
-      val hasToken = parts.exists(_.startsWith(s"#part:${spec.tokenName}="))
-      if (!hasToken || parts.contains(want)) Some(parts.head) else None
+      val pruned = wants.exists { case (prefix, want) =>
+        parts.exists(_.startsWith(prefix)) && !parts.contains(want)
+      }
+      if (pruned) None else Some(parts.head)
     }
   }
 
@@ -744,16 +764,24 @@ object Snapshots {
     * duty split as [[readPruned]]/[[readBloomPruned]]).
     */
   def readPartitionPruned(spark: SparkSession, root: String, version: Int,
-                          spec: PartitionSpec, literal: String): DataFrame = {
+                          spec: PartitionSpec, literal: String): DataFrame =
+    readPartitionPruned(spark, root, version, Seq(spec), literal)
+
+  /** [[readPartitionPruned]] across an evolved spec history — each
+    * file prunes under its own write-time spec.
+    */
+  def readPartitionPruned(spark: SparkSession, root: String, version: Int,
+                          specs: Seq[PartitionSpec],
+                          literal: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val paths = partitionPrunedFiles(root, version, spec, literal)
+    val paths = partitionPrunedFiles(root, version, specs, literal)
     val base = schemaOf(root, version) match {
       case Some(s) if paths.isEmpty =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case _ => rawScan(spark, root, version, paths)
     }
-    base.where(col(spec.column).cast("string") === literal)
+    base.where(col(specs.head.column).cast("string") === literal)
   }
 
   /** Files of snapshot `v` that MAY contain `value` in `column`, per
