@@ -130,13 +130,85 @@ object SketchQ {
           col("exact_users") <= 0.05).as("merged_within_5pct"))
   }
 
+  /** q190 — Q-DIGEST quantiles ([[graft.functions.QDigest]]), the
+    * mergeable quantile sketch completing the family (CMS q98, HLL
+    * q63/q114): per-return-flag digests over price cents (universe
+    * 2^24, k = 2048), partial states merging across partitions with
+    * NO sort anywhere — the 100 TB quantile shape (q38's per-group
+    * sort is the cliff it replaces; q148's two-phase selection is the
+    * exact companion). Sketch node sets are batching-dependent by
+    * design, so the gate states the PUBLISHED bound (rank error ≤
+    * n·log2U/k, the q63/q64/q98 discipline): each estimate's exact
+    * neighborhood ranks — recomputed by DuckDB — must bracket the
+    * target rank within ε, and the exact lower-median rides beside
+    * them via the q148 rank spelling.
+    */
+  val qdigLog2U = 24
+  val qdigK = 2048
+
+  def qdigestQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val est = cents.groupBy(col("flag"))
+      .agg(graft.functions.QDigest.qdigest_quantiles(
+        col("cents"), qdigLog2U, qdigK, Seq(0.25, 0.5, 0.75)).as("est"),
+        count(lit(1)).as("n"))
+      .select(col("flag"), col("n"),
+        element_at(col("est"), 1).as("e25"),
+        element_at(col("est"), 2).as("e50"),
+        element_at(col("est"), 3).as("e75"))
+    // exact ranks of the three estimates, one conditional-sum scan
+    val ranks = cents.join(broadcast(est), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(
+        sum(when(col("cents") < col("e25"), 1L).otherwise(0L)).as("lt25"),
+        sum(when(col("cents") <= col("e25"), 1L).otherwise(0L)).as("le25"),
+        sum(when(col("cents") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("cents") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("cents") < col("e75"), 1L).otherwise(0L)).as("lt75"),
+        sum(when(col("cents") <= col("e75"), 1L).otherwise(0L)).as("le75"))
+    val exact = graft.operators.DistributedSelection.medianByGroup(
+      cents.select(col("flag").as("status"), col("cents")),
+      groupCol = "status", valueCol = "cents")
+      .select(col("status").as("flag"), col("median").as("median_cents"))
+    def within(q: Double, lt: String, le: String) = {
+      val eps = ceil(col("n") * lit(qdigLog2U.toDouble / qdigK)).cast("long")
+      val target = ceil(col("n") * lit(q)).cast("long")
+      (col(lt) <= target + eps) && (col(le) >= target - eps)
+    }
+    est.join(ranks, Seq("flag")).join(exact, Seq("flag"))
+      .select(col("flag"), col("n"), col("median_cents"),
+        within(0.25, "lt25", "le25").as("p25_within_eps"),
+        within(0.50, "lt50", "le50").as("p50_within_eps"),
+        within(0.75, "lt75", "le75").as("p75_within_eps"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_qdigest_quantiles" -> (qdigestQuantiles _),
     "q114_hll_partial_merge" -> (hllPartialMerge _),
     "q98_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "q63_approx_distinct" -> (approxDistinct _),
     "q64_approx_percentiles" -> (approxPercentiles _))
 
   val oracles: Map[String, String] = Map(
+    // exact n + lower-median via the q148 rank spelling; the q-digest
+    // estimates themselves are sketch-defined, so their published
+    // rank-error bound rides as literal-TRUE booleans
+    "q190_qdigest_quantiles" ->
+      """WITH l AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |n AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY 1),
+        |rk AS (
+        |  SELECT flag, cents,
+        |    row_number() OVER (PARTITION BY flag ORDER BY cents) AS r
+        |  FROM l)
+        |SELECT n.flag, n.n, rk.cents AS median_cents,
+        |  TRUE AS p25_within_eps, TRUE AS p50_within_eps,
+        |  TRUE AS p75_within_eps
+        |FROM n JOIN rk ON rk.flag = n.flag AND rk.r = (n.n + 1) // 2""".stripMargin,
     "q114_hll_partial_merge" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
