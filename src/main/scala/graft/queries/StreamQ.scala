@@ -378,7 +378,82 @@ object StreamQ {
       extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
 
+  /** q191 — STREAMING CDC TAIL ([[Streaming.tailChanges]]): the
+    * consumption side of the change feed as a REAL Structured
+    * Streaming query — the table's manifest log is the file stream,
+    * each discovered commit resolves to its typed CDC rows, and a
+    * downstream view (per-source n/sum rollup) is incrementally
+    * maintained with the q184 self-maintainability algebra. The gate
+    * stages a full history (append, merge, compaction, equality
+    * delete, append), tails it, then COMMITS MORE AND RESTARTS the
+    * tail on the same durable checkpoint — the maintained view must
+    * equal DuckDB's replay of the final state, the first run must
+    * have seen exactly the 4 data-changing commits (compaction is
+    * invisible to the feed), and the resumed run exactly the 1 new
+    * one (a replayed commit would double-apply and break sum_chars;
+    * a skipped one would lose the v6 delta).
+    */
+  private val cdcTailStaged = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long, Long)], Int, Int)]()
+
+  def streamCdcTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged: (Seq[(String, Long, Long)], Int, Int) =
+      cdcTailStaged.computeIfAbsent(dir, d => {
+      val root = graft.sources.Staging.tempDir("graft_cdc_tail_gate").toString
+      val ck = graft.sources.Staging.tempDir("graft_cdc_tail_ck").toString
+      val docs = graft.sources.Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val S = graft.sources.Snapshots
+      S.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .repartition(2, col("doc_id")), root)                          // v1
+      val updates = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("n_chars", col("n_chars") + 700)
+      S.merge(spark, root, "doc_id",
+        updates.unionByName(inserts).repartition(1))                   // v2
+      S.compact(spark, root, targetFiles = 2)                          // v3
+      S.deleteWhere(spark, root, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("doc_id")))                                      // v4
+      S.append(docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .repartition(1), root)                                         // v5
+      val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      def applyChanges(counter: java.util.concurrent.atomic.AtomicInteger)
+                      (changes: DataFrame, v: Int): Unit = {
+        counter.incrementAndGet()
+        val sign = when(col("_change_type")
+          .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+        changes.select(col("source"), sign.as("sgn"), col("n_chars"))
+          .groupBy(col("source"))
+          .agg(sum(col("sgn")).as("dn"),
+            sum(col("sgn") * col("n_chars")).as("ds"))
+          .collect() // |sources| rows per commit — metadata-sized
+          .foreach { r =>
+            val (n0, s0) = acc.getOrElse(r.getString(0), (0L, 0L))
+            acc(r.getString(0)) = (n0 + r.getLong(1), s0 + r.getLong(2))
+          }
+      }
+      val c1 = new java.util.concurrent.atomic.AtomicInteger()
+      Streaming.tailChanges(spark, root, ck)(applyChanges(c1))
+      // "process death": more commits land, then the tail resumes on
+      // the same checkpoint and must replay ONLY the unseen commit
+      S.append(docs.filter(pmod(col("doc_id"), lit(13)) === 1)
+        .withColumn("n_chars", col("n_chars") + 9).repartition(1), root) // v6
+      val c2 = new java.util.concurrent.atomic.AtomicInteger()
+      Streaming.tailChanges(spark, root, ck)(applyChanges(c2))
+      (acc.toSeq.map { case (s, (n, su)) => (s, n, su) }.sortBy(_._1),
+        c1.get(), c2.get())
+    })
+    staged._1.toDF("source", "n_docs", "sum_chars")
+      .withColumn("first_run_commits", lit(staged._2))
+      .withColumn("resumed_run_commits", lit(staged._3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_stream_cdc_tail" -> (streamCdcTail _),
     "q125_stream_running_mean" -> (streamRunningMean _),
     "q118_stream_sliding_rates" -> (streamSlidingRates _),
     "q117_stream_windowed_distinct" -> (streamWindowedDistinct _),
@@ -393,6 +468,23 @@ object StreamQ {
     "q177_stream_upsert" -> (streamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // replay of the final table state (v1 survivors with their v2
+    // updates, minus the v4 deletes, plus the merge inserts and both
+    // appended slices), grouped by source; the commit counters pin
+    // feed exactly-once across the restart
+    "q191_stream_cdc_tail" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |final AS (
+        |  SELECT source,
+        |    n_chars + CASE WHEN doc_id % 10 = 0 THEN 1000 ELSE 0 END AS nc
+        |  FROM d WHERE doc_id % 2 = 0 AND doc_id % 20 <> 0
+        |  UNION ALL SELECT source, n_chars + 700 FROM d WHERE doc_id % 11 = 5
+        |  UNION ALL SELECT source, n_chars FROM d WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT source, n_chars + 9 FROM d WHERE doc_id % 13 = 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  4 AS first_run_commits, 1 AS resumed_run_commits
+        |FROM final GROUP BY source""".stripMargin,
     // version v = the cumulative union of the first v micro-batches
     // (splits event_id % 3 < v) — a lost batch, an out-of-order
     // commit, or a leaked later file each break a distinct row

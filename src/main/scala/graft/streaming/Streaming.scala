@@ -391,6 +391,52 @@ object Streaming {
           batch.sparkSession, snapRoot, keyCol, batch): Unit
     }
 
+  /** STREAMING CDC TAIL — the consumption side of the snapshot store's
+    * change feed (Delta CDF / Iceberg incremental-scan STREAMING read):
+    * Structured Streaming tails the table's manifest LOG (`_manifests/
+    * <v>.txt` — the commit log IS an append-only file stream, so the
+    * file source's offset tracking is the cursor), and each discovered
+    * version resolves through [[graft.sources.Snapshots.changesBetween]]
+    * to its typed change rows, handed to `apply` exactly once per
+    * version. The checkpoint is CALLER-OWNED and durable: a restarted
+    * tail resumes at the first unseen commit — the contract that makes
+    * a downstream incrementally-maintained view survive process death
+    * (q191 gates exactly that: stop, commit more, resume, only the new
+    * versions replay). Rewrite commits resolve to zero change rows
+    * (compaction is invisible to the feed, the q173 contract), and the
+    * per-batch version list is manifest-path metadata — driver-side
+    * O(new commits), never data-sized.
+    */
+  def tailChanges(spark: SparkSession, root: String, checkpoint: String)
+                 (apply: (DataFrame, Int) => Unit): Unit = {
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$root/_manifests")
+      .select(col("_metadata.file_path").as("path"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val versions = batch.select(col("path")).distinct().collect()
+          .map(_.getString(0))
+          .map(p => p.substring(p.lastIndexOf('/') + 1)
+            .stripSuffix(".txt").toInt)
+          .sorted
+        versions
+          // rewrite commits (compaction) carry no change rows — the
+          // feed skips them outright, as Delta CDF skips OPTIMIZE
+          .filterNot(v => graft.sources.Snapshots.propsOf(root, v)
+            .get("rewrite").contains("true"))
+          .foreach { v =>
+            apply(
+              graft.sources.Snapshots.changesBetween(spark, root, v - 1, v), v)
+          }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Shared scaffolding for per-micro-batch lake commits: bounded
     * shuffle width, no-data batches off (a no-data batch must not mint
     * an empty version), reaped checkpoint, and the non-empty guard
