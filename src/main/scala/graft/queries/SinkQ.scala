@@ -1159,7 +1159,49 @@ object SinkQ {
     leg("hit", "src1").unionByName(leg("miss", "src_absent"))
   }
 
+  /** q192 — POSITIONAL DELETE (Iceberg v2's second delete flavor,
+    * completing q168's equality leg): v1 appends the documents table
+    * PLUS a physically duplicated slice (same doc_id keys, payload+1 —
+    * the duplicates an equality delete on the key could only kill
+    * together); v2 `deleteWhereMatching(n_chars % 2 = 1)` tombstones
+    * exactly the odd-payload PHYSICAL rows — one copy of a pair dies,
+    * the other survives, which is the whole point of (file, pos)
+    * tombstones; v3 appends rows that all MATCH the predicate and must
+    * survive (sequence scoping: tombstones bind to older files only).
+    * DuckDB replays each version's row multiset from the base table;
+    * the tombstone-set count pins merge-on-read (no rewrite happened).
+    */
+  private val posDelStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def positionalDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = posDelStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_posdel_gate").toString
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.Snapshots.append(
+        docs.unionByName(docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+            .withColumn("n_chars", col("n_chars") + 1))
+          .repartition(2, col("doc_id")), o)                           // v1
+      graft.sources.Snapshots.deleteWhereMatching(
+        spark, o, pmod(col("n_chars"), lit(2)) === 1)                  // v2
+      graft.sources.Snapshots.append(
+        docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+          .withColumn("n_chars", col("n_chars") * 2 + 1)
+          .repartition(1), o)                                          // v3
+      o
+    })
+    def leg(v: Int): DataFrame =
+      graft.sources.Snapshots.read(spark, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_chars"),
+          lit(graft.sources.Snapshots.posDeleteSets(root, v).size)
+            .as("n_posdel_sets"))
+    leg(1).unionByName(leg(2)).unionByName(leg(3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_positional_delete" -> (positionalDelete _),
     "q189_partition_spec_evolution" -> (partitionSpecEvolution _),
     "q187_type_promotion" -> (typePromotion _),
     "q188_serializable_merge" -> (serializableMergeGate _),
@@ -1190,6 +1232,21 @@ object SinkQ {
     "q111_schema_evolution" -> (schemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    // per-version row multisets replayed from the base table: v1 =
+    // base + duplicated %4 slice, v2 = v1 minus the odd-payload
+    // physical rows, v3 = v2 plus the all-odd (surviving) append
+    "q192_positional_delete" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |v1 AS (SELECT n_chars FROM d
+        |       UNION ALL SELECT n_chars + 1 FROM d WHERE doc_id % 4 = 0),
+        |v2 AS (SELECT n_chars FROM v1 WHERE n_chars % 2 = 0),
+        |v3 AS (SELECT n_chars FROM v2
+        |       UNION ALL SELECT n_chars * 2 + 1 FROM d WHERE doc_id % 9 = 4)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, 0 AS n_posdel_sets
+        |FROM v1
+        |UNION ALL SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT), 1 FROM v2
+        |UNION ALL SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT), 1 FROM v3""".stripMargin,
     // mixed-layout scan arithmetic, all computed from the base table:
     // identity files = distinct sources of slice 0, bucket files =
     // distinct md5-low-60 buckets of slice 1, plus the one untokened

@@ -73,7 +73,8 @@ object Snapshots {
   }
 
   private def entries(root: String, v: Int): Seq[String] =
-    rawLines(root, v).filterNot(_.startsWith("#delete\t"))
+    rawLines(root, v).filterNot(l =>
+      l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
 
   /** Equality-delete sets of snapshot `v`, grouped (commit version,
     * key column) → delete-file paths. The commit version scopes which
@@ -84,6 +85,20 @@ object Snapshots {
       case l if l.startsWith("#delete\t") =>
         val parts = l.split('\t')
         ((parts(3).toInt, parts(2)), parts(1))
+    }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }.toSeq
+
+  /** POSITIONAL delete sets of snapshot `v` (Iceberg v2's second
+    * delete flavor): commit version → parquet files of
+    * (file_path, pos) tombstones. Where an equality delete kills
+    * EVERY row carrying a key, a positional tombstone kills one
+    * physical row — the only delete that can separate duplicates.
+    * Same sequence scoping as [[deleteSets]].
+    */
+  def posDeleteSets(root: String, v: Int): Seq[(Int, Seq[String])] =
+    rawLines(root, v).collect {
+      case l if l.startsWith("#posdelete\t") =>
+        val parts = l.split('\t')
+        (parts(2).toInt, parts(1))
     }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }.toSeq
 
   /** The commit version a data file belongs to, from its `data_v<N>`
@@ -615,7 +630,7 @@ object Snapshots {
     */
   def metadataCount(root: String, version: Int = -1): Long = {
     val v = if (version == -1) latestVersion(root) else version
-    require(deleteSets(root, v).isEmpty,
+    require(deleteSets(root, v).isEmpty && posDeleteSets(root, v).isEmpty,
       s"v$v has merge-on-read delete sets: physical rows != logical rows")
     val counts = entries(root, v).map(rowsTokenOf)
     require(!counts.contains(-1L),
@@ -877,17 +892,51 @@ object Snapshots {
     * files, and the anti-join keys shuffle together at any scale.
     */
   private def scanWithDeletes(spark: SparkSession, root: String, v: Int,
-                              paths: Seq[String]): DataFrame = {
+                              paths: Seq[String]): DataFrame =
+    liveScan(spark, root, v, paths, keepMeta = false)
+
+  // reserved live-scan metadata column names (file identity + row
+  // position — the join keys of positional tombstones)
+  private val FileCol = "_gf_file"
+  private val PosCol = "_gf_pos"
+
+  /** [[scanWithDeletes]] generalized over BOTH delete flavors, with an
+    * optional (file, pos) identity carried through: equality sets
+    * anti-join on their key column, positional sets on the physical
+    * row identity `_metadata` exposes — each scoped to data files of
+    * OLDER commits, exactly the sequence rule. Metadata columns are
+    * attached only when a positional set (or the caller) needs them:
+    * the common equality-only plan is byte-identical to the old one.
+    */
+  private def liveScan(spark: SparkSession, root: String, v: Int,
+                       paths: Seq[String], keepMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
     val dels = deleteSets(root, v)
-    if (dels.isEmpty || paths.isEmpty) rawScan(spark, root, v, paths)
-    else paths.groupBy(dataVersionOf).toSeq.sortBy(_._1)
+    val pdels = posDeleteSets(root, v)
+    def withMeta(df: DataFrame): DataFrame =
+      df.select(col("*"), col("_metadata.file_path").as(FileCol),
+        col("_metadata.row_index").as(PosCol))
+    if (dels.isEmpty && pdels.isEmpty || paths.isEmpty) {
+      val base = rawScan(spark, root, v, paths)
+      if (keepMeta && paths.nonEmpty) withMeta(base) else base
+    } else paths.groupBy(dataVersionOf).toSeq.sortBy(_._1)
       .map { case (dv, group) =>
-        dels.filter(_._1._1 > dv).foldLeft(rawScan(spark, root, v, group)) {
+        val needMeta = keepMeta || pdels.exists(_._1 > dv)
+        val base0 = rawScan(spark, root, v, group)
+        val base = if (needMeta) withMeta(base0) else base0
+        val afterEq = dels.filter(_._1._1 > dv).foldLeft(base) {
           case (df, ((_, column), delFiles)) =>
             df.join(spark.read.parquet(delFiles: _*)
               .select(col(column)).distinct(), Seq(column), "left_anti")
         }
+        val afterPos = pdels.filter(_._1 > dv).foldLeft(afterEq) {
+          case (df, (_, delFiles)) =>
+            df.join(spark.read.parquet(delFiles: _*)
+              .select(col("file_path").as(FileCol), col("pos").as(PosCol))
+              .distinct(), Seq(FileCol, PosCol), "left_anti")
+        }
+        if (needMeta && !keepMeta) afterPos.drop(FileCol, PosCol)
+        else afterPos
       }.reduce(_.unionByName(_))
   }
 
@@ -936,6 +985,81 @@ object Snapshots {
         // "everything committed before me", so retrying on top of the
         // winner preserves its semantics (the delete's sequence number
         // moves up WITH the rebase)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newV = latestVersion(root) + 1
+          Files.move(rootP.resolve(s"delete_v${v}_$token"),
+            rootP.resolve(s"delete_v${newV}_$token"))
+          delFiles = delFiles.map(
+            _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+          v = newV
+      }
+    }
+    committed
+  }
+
+  /** POSITIONAL DELETE (merge-on-read, Iceberg v2's second delete
+    * flavor): commit a new version whose manifest carries a
+    * (file_path, pos) tombstone set for every LIVE row matching
+    * `predicate` — resolved against the current view, so rows already
+    * dead (equality- or position-deleted) are not re-tombstoned. This
+    * is the delete that can separate DUPLICATES: an equality delete on
+    * a key kills every copy; a positional tombstone kills the one
+    * physical row it names. Write cost O(|matches|); readers anti-join
+    * on the physical row identity, sequence-scoped like equality sets;
+    * time travel and the next [[compact]]'s tombstone purge behave
+    * identically.
+    *
+    * Concurrency: position tombstones name PHYSICAL files, so a
+    * concurrent REWRITE commit (compaction) invalidates them — the
+    * rows would resurrect under the rewritten paths. The commit
+    * therefore validates its whole unseen window and ABORTS with
+    * `ConcurrentModificationException` when a rewrite landed (the
+    * Iceberg validateNoConflicting* rule for position deletes);
+    * non-rewrite winners rebase like [[deleteWhere]].
+    */
+  def deleteWhereMatching(spark: SparkSession, root: String,
+                          predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
+    val rootP = Paths.get(root)
+    require(latestVersion(root) > 0, s"nothing to delete from under $root")
+    val token = newToken()
+    val base0 = latestVersion(root)
+    var v = base0 + 1
+    var delFiles = {
+      val delDir = rootP.resolve(s"delete_v${v}_$token")
+      liveScan(spark, root, base0, files(root, base0), keepMeta = true)
+        .filter(predicate)
+        .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+        .distinct()
+        .write.mode("overwrite").parquet(delDir.toString)
+      val listing = Files.list(delDir)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq.sorted
+      finally listing.close()
+    }
+    var committed = -1
+    while (committed < 0) {
+      val prev = v - 1
+      // a rewrite anywhere in the unseen window moves rows to new
+      // paths — the tombstones would dangle and the rows resurrect;
+      // abort rather than corrupt
+      val rewrote = ((base0 + 1) to prev).find(w =>
+        propsOf(root, w).get("rewrite").contains("true"))
+      if (rewrote.isDefined) {
+        deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+        throw new java.util.ConcurrentModificationException(
+          s"positional delete aborted: commit ${rewrote.get} rewrote the " +
+            "data files these tombstones name — re-read and re-run")
+      }
+      try {
+        val schema = schemaOf(root, prev)
+          .getOrElse(rawScan(spark, root, prev, files(root, prev)).schema)
+        commit(rootP, v, schema,
+          rawLines(root, prev) ++
+            delFiles.map(f => s"#posdelete\t$f\t$v"))
+        committed = v
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val newV = latestVersion(root) + 1
           Files.move(rootP.resolve(s"delete_v${v}_$token"),
@@ -1072,7 +1196,18 @@ object Snapshots {
             spark.read.parquet(fs: _*).select(col(c))
               .join(keys, Seq(column), "left_semi").limit(1).count() > 0
         }
-        dataHit || delHit
+        // a positional tombstone's keys resolve through its preimage
+        // rows (the CDC spelling) — only those carry the merge column
+        def posHit = posDeleteSets(root, w).filter(_._1 == w).exists {
+          case (_, fs) =>
+            liveScan(spark, root, w - 1, files(root, w - 1), keepMeta = true)
+              .join(spark.read.parquet(fs: _*)
+                .select(col("file_path").as(FileCol), col("pos").as(PosCol))
+                .distinct(), Seq(FileCol, PosCol), "left_semi")
+              .select(col(column))
+              .join(keys, Seq(column), "left_semi").limit(1).count() > 0
+        }
+        dataHit || delHit || posHit
       }
   }
 
@@ -1115,7 +1250,18 @@ object Snapshots {
         val delsAtW = deleteSets(root, w).filter(_._1._1 == w)
         require(delsAtW.size <= 1,
           s"CDC expects at most one delete set per commit, v$w has ${delsAtW.size}")
-        val typed: Seq[DataFrame] = delsAtW.headOption match {
+        // positional tombstones committed AT w: their preimages are the
+        // version-(w−1) rows at exactly those physical positions
+        val posAtW = posDeleteSets(root, w).filter(_._1 == w)
+        val posTyped: Seq[DataFrame] = posAtW.map { case (_, delFiles) =>
+          liveScan(spark, root, w - 1, files(root, w - 1), keepMeta = true)
+            .join(spark.read.parquet(delFiles: _*)
+              .select(col("file_path").as(FileCol), col("pos").as(PosCol))
+              .distinct(), Seq(FileCol, PosCol), "left_semi")
+            .drop(FileCol, PosCol)
+            .withColumn("_change_type", lit("delete"))
+        }
+        val typed0: Seq[DataFrame] = delsAtW.headOption match {
           case None =>
             ins.map(_.withColumn("_change_type", lit("insert"))).toSeq
           case Some(((_, column), delFiles)) =>
@@ -1140,7 +1286,7 @@ object Snapshots {
                     .withColumn("_change_type", lit("insert")))
             }
         }
-        typed.map(_.withColumn("_commit_version", lit(w)))
+        (typed0 ++ posTyped).map(_.withColumn("_commit_version", lit(w)))
       }
     require(parts.nonEmpty,
       s"no data-changing commits in ($fromV, $toV] under $root")
@@ -1176,7 +1322,8 @@ object Snapshots {
     val referenced = (1 to latestVersion(root))
       .filter(v => Files.exists(manifestPath(rootP, v)))
       .flatMap(v => rawLines(root, v).map { l =>
-        if (l.startsWith("#delete\t")) l.split('\t')(1)
+        if (l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
+          l.split('\t')(1)
         else l.split('\t').head
       }).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
@@ -1213,7 +1360,7 @@ object Snapshots {
   def metadataMinMax(root: String, version: Int = -1,
                      column: String): (Long, Long) = {
     val v = if (version == -1) latestVersion(root) else version
-    require(deleteSets(root, v).isEmpty,
+    require(deleteSets(root, v).isEmpty && posDeleteSets(root, v).isEmpty,
       s"v$v has merge-on-read delete sets: manifest extremes are unsound")
     val ranges = entries(root, v).map { line =>
       val parts = line.split('\t')
@@ -1325,7 +1472,9 @@ object Snapshots {
     // reference-count DATA and DELETE files alike: a delete set is
     // reachable storage exactly as long as a retained manifest lists it
     def pathsOf(v: Int): Seq[String] = rawLines(root, v).map { l =>
-      if (l.startsWith("#delete\t")) l.split('\t')(1) else l.split('\t').head
+      if (l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
+        l.split('\t')(1)
+      else l.split('\t').head
     }
     // retention honors TAGS (r9): a tagged version below the cutoff
     // stays fully readable — its manifest survives and its files count

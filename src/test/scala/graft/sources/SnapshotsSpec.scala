@@ -357,6 +357,60 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.read(spark, root, v4).count() == 3)
   }
 
+  test("positional deletes: exact physical rows, duplicate separation, sequencing, CDC, purge") {
+    import org.apache.spark.sql.functions.col
+    val root = Staging.tempDir("snap_spec_posdel").toString
+    // two physical copies of key 1 with different payloads — the case
+    // an equality delete cannot separate
+    Snapshots.append(
+      Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 31L)).toDF("id", "x"), root)
+    Snapshots.deleteWhereMatching(spark, root, col("x") % 2 === 1)
+    assert(Snapshots.read(spark, root).as[(Long, Long)].collect().toSet ==
+      Set(1L -> 10L, 2L -> 20L))
+    // time travel unaffected
+    assert(Snapshots.read(spark, root, 1).count() == 4)
+    // a matching row appended AFTER the delete survives (sequence scope)
+    Snapshots.append(Seq((4L, 41L)).toDF("id", "x"), root)
+    assert(Snapshots.read(spark, root).as[(Long, Long)].collect().toSet ==
+      Set(1L -> 10L, 2L -> 20L, 4L -> 41L))
+    // CDC: the delete commit's preimages are exactly the two tombstoned rows
+    assert(Snapshots.changesBetween(spark, root, 1, 2)
+      .select($"id", $"x", $"_change_type").as[(Long, Long, String)]
+      .collect().toSet == Set((1L, 11L, "delete"), (3L, 31L, "delete")))
+    // metadata-only answers refuse while tombstones are live
+    intercept[IllegalArgumentException] { Snapshots.metadataCount(root, 2) }
+    // compaction purges the tombstones, content preserved
+    val v4 = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(Snapshots.posDeleteSets(root, v4).isEmpty)
+    assert(Snapshots.read(spark, root, v4).count() == 3)
+  }
+
+  test("positional delete racing a rewrite aborts instead of resurrecting rows") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val root = Staging.tempDir("snap_spec_posdel_race").toString
+    Snapshots.append(Seq((1L, 10L), (2L, 21L)).toDF("id", "x"), root)
+    SnapshotsSpec.mergeGate.set(new java.util.concurrent.CountDownLatch(1))
+    SnapshotsSpec.mergeEntered.set(new java.util.concurrent.CountDownLatch(1))
+    val wait = udf(() => {
+      SnapshotsSpec.mergeEntered.get().countDown()
+      SnapshotsSpec.mergeGate.get().await()
+      true
+    })
+    val worker = new java.util.concurrent.FutureTask(() =>
+      Snapshots.deleteWhereMatching(spark, root, col("x") % 2 === 1 && wait()))
+    new Thread(worker, "posdel-writer").start()
+    SnapshotsSpec.mergeEntered.get().await() // parked resolving victims
+    Snapshots.compact(spark, root, targetFiles = 1) // the rewrite lands
+    SnapshotsSpec.mergeGate.get().countDown()
+    val r = try { worker.get(); None } catch {
+      case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+    }
+    assert(r.exists(_.isInstanceOf[java.util.ConcurrentModificationException]), r)
+    // nothing was deleted and no tombstone set leaked into the manifest
+    assert(Snapshots.read(spark, root).count() == 2)
+    assert(Snapshots.posDeleteSets(root, Snapshots.latestVersion(root)).isEmpty)
+  }
+
   test("type promotion: int->long, float->double, decimal widening; off-matrix rejected") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.sum
