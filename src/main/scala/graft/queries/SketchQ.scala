@@ -184,7 +184,44 @@ object SketchQ {
         within(0.75, "lt75", "le75").as("p75_within_eps"))
   }
 
+  /** q193 — MISRA–GRIES heavy hitters ([[graft.functions.MisraGries]]),
+    * the deterministic frequency summary closing the sketch family's
+    * last gap: CMS (q98) bounds point estimates from ABOVE, MG bounds
+    * them from BELOW (undercount ≤ ⌊n/(k+1)⌋) and GUARANTEES every
+    * ε-heavy hitter a counter — the completeness property CMS cannot
+    * state. Summaries merge by counter addition + (k+1)-th-largest
+    * subtraction (Agarwal et al.'s mergeable-summaries combine), so
+    * the token stream aggregates map-side and only ≤ k-counter states
+    * cross the exchange. Counter contents below the threshold are
+    * partitioning-dependent by design → the gate states the published
+    * bounds as booleans against the exact top-10 (the q98 harness).
+    */
+  val mgK = 64
+
+  def mgHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val summary = toks.agg(
+      graft.functions.MisraGries.mg_summary(col("tok"), mgK).as("mg"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(10)
+    top.crossJoin(broadcast(summary))
+      .select(col("tok"), col("exact_n"),
+        element_at(col("mg"), col("tok")).as("_est"), col("n_total"))
+      .select(col("tok"), col("exact_n"),
+        (coalesce(col("_est"), lit(0L)) <= col("exact_n"))
+          .as("never_overestimates"),
+        (coalesce(col("_est"), lit(0L)) >=
+          col("exact_n") - expr(s"n_total div ${mgK + 1}L"))
+          .as("within_eps_bound"),
+        (col("exact_n") <= expr(s"n_total div ${mgK + 1}L") ||
+          col("_est").isNotNull).as("heavy_hitter_present"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_mg_heavy_hitters" -> (mgHeavyHitters _),
     "q190_qdigest_quantiles" -> (qdigestQuantiles _),
     "q114_hll_partial_merge" -> (hllPartialMerge _),
     "q98_cms_heavy_hitters" -> (cmsHeavyHitters _),
@@ -192,6 +229,20 @@ object SketchQ {
     "q64_approx_percentiles" -> (approxPercentiles _))
 
   val oracles: Map[String, String] = Map(
+    // the exact top-10 (the q98 harness) + the MG bounds as literal
+    // booleans: deterministic facts of the summary's published
+    // guarantees at every partitioning
+    "q193_mg_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT u.tok FROM (
+        |    SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ts FROM documents), unnest(ts) u(tok)),
+        |top AS (
+        |  SELECT tok, count(*) AS exact_n FROM t GROUP BY tok
+        |  ORDER BY exact_n DESC, tok ASC LIMIT 10)
+        |SELECT tok, exact_n, TRUE AS never_overestimates,
+        |  TRUE AS within_eps_bound, TRUE AS heavy_hitter_present
+        |FROM top""".stripMargin,
     // exact n + lower-median via the q148 rank spelling; the q-digest
     // estimates themselves are sketch-defined, so their published
     // rank-error bound rides as literal-TRUE booleans

@@ -51,6 +51,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q97_pq_ann",             // broadcast queries(+ADC tables) × code-table scan —
                               // the PQ analogue of q50's deliberate shape
     "q98_cms_heavy_hitters",  // 10×1 cross join: top-k candidates × the one-row sketch
+    "q193_mg_heavy_hitters",  // 10×1 cross join: top-k candidates × the one-row MG summary
     "q100_bm25_topk",         // 1-row corpus-stats scalar broadcast onto matched postings
     "q103_source_drift",      // |sources|×|vocab| frame: 5×100 rows by construction
     "q108_eval_split",        // 1×1 cross join: the residual-overlap scalar invariant
