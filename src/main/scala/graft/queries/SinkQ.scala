@@ -1200,7 +1200,45 @@ object SinkQ {
     leg(1).unionByName(leg(2)).unionByName(leg(3))
   }
 
+  /** q194 — ROW-LEVEL UPDATE (merge-on-read, completing the DML
+    * surface: append q126, MERGE q172/q188, equality delete q168,
+    * positional delete q192): v2 updates every src3 row's payload in
+    * ONE atomic commit (position tombstones + updated images, bound
+    * by sequence scoping so the images survive their own commit's
+    * delete); v3 updates the SAME rows again — update-of-update, the
+    * case that proves the v2 images are ordinary older files to the
+    * next commit. Row count is invariant across all three versions (a
+    * cardinality-changing "update" is the classic MoR double-apply
+    * bug), sums recompute exactly, and the tombstone-set count pins
+    * merge-on-read (no rewrite happened).
+    */
+  private val rowUpdStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def rowUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = rowUpdStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_rowupd_gate").toString
+      graft.sources.Snapshots.append(
+        Tables.documents(spark, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .repartition(2, col("doc_id")), o)                            // v1
+      graft.sources.Snapshots.updateWhere(spark, o,
+        col("source") === "src3", Map("n_chars" -> (col("n_chars") + 500L))) // v2
+      graft.sources.Snapshots.updateWhere(spark, o,
+        col("source") === "src3", Map("n_chars" -> (col("n_chars") + 7L)))   // v3
+      o
+    })
+    def leg(v: Int): DataFrame =
+      graft.sources.Snapshots.read(spark, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_chars"),
+          lit(graft.sources.Snapshots.posDeleteSets(root, v).size)
+            .as("n_posdel_sets"))
+    leg(1).unionByName(leg(2)).unionByName(leg(3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_row_update" -> (rowUpdate _),
     "q192_positional_delete" -> (positionalDelete _),
     "q189_partition_spec_evolution" -> (partitionSpecEvolution _),
     "q187_type_promotion" -> (typePromotion _),
@@ -1232,6 +1270,20 @@ object SinkQ {
     "q111_schema_evolution" -> (schemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    // row count invariant across versions; sums recompute with the
+    // cumulative src3 deltas; tombstone sets accumulate one per update
+    "q194_row_update" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |s3 AS (SELECT count(*) AS c FROM d WHERE source = 'src3')
+        |SELECT 1 AS version, (SELECT count(*) FROM d) AS n_rows,
+        |  CAST((SELECT sum(n_chars) FROM d) AS BIGINT) AS sum_chars,
+        |  0 AS n_posdel_sets
+        |UNION ALL SELECT 2, (SELECT count(*) FROM d),
+        |  CAST((SELECT sum(n_chars) FROM d) + 500 * (SELECT c FROM s3)
+        |    AS BIGINT), 1
+        |UNION ALL SELECT 3, (SELECT count(*) FROM d),
+        |  CAST((SELECT sum(n_chars) FROM d) + 507 * (SELECT c FROM s3)
+        |    AS BIGINT), 2""".stripMargin,
     // per-version row multisets replayed from the base table: v1 =
     // base + duplicated %4 slice, v2 = v1 minus the odd-payload
     // physical rows, v3 = v2 plus the all-odd (surviving) append

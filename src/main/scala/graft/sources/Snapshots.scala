@@ -1072,6 +1072,87 @@ object Snapshots {
     committed
   }
 
+  /** ROW-LEVEL UPDATE (merge-on-read): ONE atomic commit that
+    * position-tombstones every LIVE row matching `where` and appends
+    * the same rows with `set` applied — Delta's UPDATE / Iceberg's
+    * MoR row update, completing the DML surface beside append, MERGE
+    * and the two delete flavors. Sequence scoping is the whole
+    * construction, as in [[merge]]: the tombstones commit at v and
+    * bind to files of versions < v, the updated images live AT v, so
+    * they survive their own commit's delete — and a later update can
+    * tombstone THEM (update-of-update), because by then they are
+    * older files. Write cost O(|matches|), never O(table); readers,
+    * time travel, compaction purge and CDC (tombstoned preimages as
+    * typed deletes, new images as inserts — the Iceberg
+    * incremental-scan spelling of a MoR update) all compose from the
+    * existing machinery. Same concurrency rule as
+    * [[deleteWhereMatching]]: a rewrite in the unseen window aborts
+    * (positions would dangle), non-rewrite winners rebase.
+    */
+  def updateWhere(spark: SparkSession, root: String,
+                  where: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): Int = {
+    import org.apache.spark.sql.functions.col
+    val rootP = Paths.get(root)
+    require(latestVersion(root) > 0, s"nothing to update under $root")
+    require(set.nonEmpty, "update needs at least one SET column")
+    val token = newToken()
+    val base0 = latestVersion(root)
+    var v = base0 + 1
+    val matching = liveScan(spark, root, base0, files(root, base0),
+      keepMeta = true).filter(where)
+    var delFiles = {
+      val delDir = rootP.resolve(s"delete_v${v}_$token")
+      matching.select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+        .distinct()
+        .write.mode("overwrite").parquet(delDir.toString)
+      val listing = Files.list(delDir)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq.sorted
+      finally listing.close()
+    }
+    val updated = set.foldLeft(matching.drop(FileCol, PosCol)) {
+      case (df, (c, expr)) =>
+        require(df.columns.contains(c), s"SET names unknown column '$c'")
+        df.withColumn(c, expr)
+    }
+    var dataLines = entryLines(updated, writeDataFiles(updated, rootP, v, token))
+    var committed = -1
+    while (committed < 0) {
+      val prev = v - 1
+      val rewrote = ((base0 + 1) to prev).find(w =>
+        propsOf(root, w).get("rewrite").contains("true"))
+      if (rewrote.isDefined) {
+        deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+        deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+        throw new java.util.ConcurrentModificationException(
+          s"row update aborted: commit ${rewrote.get} rewrote the data " +
+            "files these tombstones name — re-read and re-run")
+      }
+      try {
+        commit(rootP, v, widenedSchema(updated, root, prev),
+          rawLines(root, prev) ++
+            delFiles.map(f => s"#posdelete\t$f\t$v") ++
+            dataLines)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newV = latestVersion(root) + 1
+          Files.move(rootP.resolve(s"data_v${v}_$token"),
+            rootP.resolve(s"data_v${newV}_$token"))
+          Files.move(rootP.resolve(s"delete_v${v}_$token"),
+            rootP.resolve(s"delete_v${newV}_$token"))
+          dataLines = dataLines.map(
+            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+          delFiles = delFiles.map(
+            _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+          v = newV
+      }
+    }
+    committed
+  }
+
   /** MERGE (upsert, merge-on-read): ONE atomic commit that both
     * tombstones every `column` key present in `source` and appends
     * `source`'s rows — matched keys are REPLACED, unmatched keys

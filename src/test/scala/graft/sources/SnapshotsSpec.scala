@@ -411,6 +411,36 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.posDeleteSets(root, Snapshots.latestVersion(root)).isEmpty)
   }
 
+  test("updateWhere: one atomic MoR commit, update-of-update, CDC, time travel") {
+    import org.apache.spark.sql.functions.col
+    val root = Staging.tempDir("snap_spec_upd").toString
+    Snapshots.append(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "x"), root)
+    // v2: x += 100 where id >= 2
+    Snapshots.updateWhere(spark, root, col("id") >= 2,
+      Map("x" -> (col("x") + 100L)))
+    assert(Snapshots.read(spark, root).as[(Long, Long)].collect().toSet ==
+      Set(1L -> 10L, 2L -> 120L, 3L -> 130L))
+    assert(Snapshots.read(spark, root, 1).as[(Long, Long)].collect().toSet ==
+      Set(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // v3: update-of-update — the v2 images are older files by now
+    Snapshots.updateWhere(spark, root, col("id") === 3,
+      Map("x" -> (col("x") + 7L)))
+    assert(Snapshots.read(spark, root).as[(Long, Long)].collect().toSet ==
+      Set(1L -> 10L, 2L -> 120L, 3L -> 137L))
+    // CDC of v2: preimages out, postimages in
+    assert(Snapshots.changesBetween(spark, root, 1, 2)
+      .select($"id", $"x", $"_change_type").as[(Long, Long, String)]
+      .collect().toSet ==
+      Set((2L, 20L, "delete"), (3L, 30L, "delete"),
+        (2L, 120L, "insert"), (3L, 130L, "insert")))
+    // compaction purges both commits' tombstones, content preserved
+    val v4 = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(Snapshots.posDeleteSets(root, v4).isEmpty)
+    assert(Snapshots.read(spark, root, v4).as[(Long, Long)].collect().toSet ==
+      Set(1L -> 10L, 2L -> 120L, 3L -> 137L))
+  }
+
   test("type promotion: int->long, float->double, decimal widening; off-matrix rejected") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.sum
