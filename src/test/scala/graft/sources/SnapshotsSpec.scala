@@ -411,6 +411,21 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.posDeleteSets(root, Snapshots.latestVersion(root)).isEmpty)
   }
 
+  test("zero-match positional delete and update commit cleanly and change nothing") {
+    import org.apache.spark.sql.functions.col
+    val root = Staging.tempDir("snap_spec_nomatch").toString
+    Snapshots.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "x"), root)
+    val v2 = Snapshots.deleteWhereMatching(spark, root, col("x") > 999)
+    val v3 = Snapshots.updateWhere(spark, root, col("x") > 999,
+      Map("x" -> (col("x") + 1L)))
+    assert(v2 == 2 && v3 == 3)
+    // content identical at every version; empty tombstone sets are
+    // harmless metadata, not read-path hazards
+    for (v <- 1 to 3)
+      assert(Snapshots.read(spark, root, v).as[(Long, Long)].collect().toSet ==
+        Set(1L -> 10L, 2L -> 20L), s"v$v drifted")
+  }
+
   test("updateWhere: one atomic MoR commit, update-of-update, CDC, time travel") {
     import org.apache.spark.sql.functions.col
     val root = Staging.tempDir("snap_spec_upd").toString
