@@ -257,26 +257,33 @@ object ShingleRuntime {
       hs(i) = h
       i += 1
     }
+    // distinct (value, count) runs of the sorted hashes — per-position
+    // count lookups then binary-search THIS table, so a degenerate
+    // all-same-gram document (exactly the boilerplate this statistic
+    // hunts) costs O(m log m), not the O(m²) a per-position run
+    // expansion would
     val sorted = hs.clone()
     java.util.Arrays.sort(sorted)
+    val dVals = new Array[Long](m)
+    val dCnts = new Array[Int](m)
+    var nd = 0
     var maxC = 0
     i = 0
     while (i < m) {
       var j = i
       while (j + 1 < m && sorted(j + 1) == sorted(i)) j += 1
-      if (j - i + 1 > maxC) maxC = j - i + 1
+      dVals(nd) = sorted(i)
+      dCnts(nd) = j - i + 1
+      if (dCnts(nd) > maxC) maxC = dCnts(nd)
+      nd += 1
       i = j + 1
     }
     var best = -1
     var bestGram: org.apache.spark.unsafe.types.UTF8String = null
     i = 0
     while (i < m) {
-      val p = java.util.Arrays.binarySearch(sorted, hs(i))
-      var lo = p
-      while (lo > 0 && sorted(lo - 1) == hs(i)) lo -= 1
-      var hi = p
-      while (hi + 1 < m && sorted(hi + 1) == hs(i)) hi += 1
-      if (hi - lo + 1 == maxC) {
+      val p = java.util.Arrays.binarySearch(dVals, 0, nd, hs(i))
+      if (dCnts(p) == maxC) {
         val g = gram(arr, i, w)
         if (best < 0 || g.compareTo(bestGram) > 0) { best = i; bestGram = g }
       }
