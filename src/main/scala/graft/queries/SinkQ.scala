@@ -1237,7 +1237,46 @@ object SinkQ {
     leg(1).unionByName(leg(2)).unionByName(leg(3))
   }
 
+  /** q195 — COMMIT HISTORY (Delta `DESCRIBE HISTORY` / Iceberg
+    * `table.history`): a six-commit table exercising every DML verb —
+    * append, merge, compaction, equality delete, row update,
+    * positional delete — then one metadata-only readout of
+    * [[graft.sources.Snapshots.history]]: per version, the recorded
+    * OPERATION, the rows its new data files added (summed from
+    * manifest `#rows` tokens, zero data-file opens) and the delete
+    * sets it added. The oracle restates the whole audit trail
+    * literally: a mislabeled commit, a rewrite counted as data
+    * change, or a delete set charged to the wrong version each break
+    * a different cell.
+    */
+  private val histStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def commitHistory(spark: SparkSession, dir: String): DataFrame = {
+    val root = histStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_hist_gate").toString
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val S = graft.sources.Snapshots
+      S.append(docs.repartition(2, col("doc_id")), o)                  // v1
+      S.merge(spark, o, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(6)) === 1)
+          .withColumn("n_chars", col("n_chars") + 50).repartition(1))  // v2
+      S.compact(spark, o, targetFiles = 2)                             // v3
+      S.deleteWhere(spark, o, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(15)) === 2)
+          .select(col("doc_id")))                                      // v4
+      S.updateWhere(spark, o, col("source") === "src5",
+        Map("n_chars" -> (col("n_chars") + 9L)))                       // v5
+      S.deleteWhereMatching(spark, o,
+        pmod(col("n_chars"), lit(2)) === 1 && col("source") === "src2") // v6
+      o
+    })
+    graft.sources.Snapshots.history(spark, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_commit_history" -> (commitHistory _),
     "q194_row_update" -> (rowUpdate _),
     "q192_positional_delete" -> (positionalDelete _),
     "q189_partition_spec_evolution" -> (partitionSpecEvolution _),
@@ -1270,6 +1309,23 @@ object SinkQ {
     "q111_schema_evolution" -> (schemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    // the audit trail stated literally: ops by construction, rows
+    // added per commit from the base table (the update's count
+    // excludes keys the v4 delete already removed), delete sets per
+    // the verb's shape (merge/delete/update each add one; append and
+    // rewrite none)
+    "q195_commit_history" ->
+      """WITH d AS (SELECT doc_id, source FROM documents)
+        |SELECT 1 AS version, 'append' AS operation,
+        |  (SELECT count(*) FROM d) AS rows_added, 0 AS delete_sets_added
+        |UNION ALL SELECT 2, 'merge',
+        |  (SELECT count(*) FROM d WHERE doc_id % 6 = 1), 1
+        |UNION ALL SELECT 3, 'rewrite', (SELECT count(*) FROM d), 0
+        |UNION ALL SELECT 4, 'delete', 0, 1
+        |UNION ALL SELECT 5, 'update',
+        |  (SELECT count(*) FROM d
+        |   WHERE source = 'src5' AND doc_id % 15 <> 2), 1
+        |UNION ALL SELECT 6, 'delete', 0, 1""".stripMargin,
     // row count invariant across versions; sums recompute with the
     // cumulative src3 deltas; tombstone sets accumulate one per update
     "q194_row_update" ->

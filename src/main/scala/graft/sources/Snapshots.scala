@@ -378,7 +378,8 @@ object Snapshots {
       val prev = v - 1
       try {
         commit(rootP, v, widenedSchema(df, root, prev),
-          (if (prev == 0) Nil else rawLines(root, prev)) ++ lines)
+          (if (prev == 0) Nil else rawLines(root, prev)) ++ lines,
+          props = Map("op" -> "append"))
         committed = v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -472,7 +473,7 @@ object Snapshots {
       schemaOf(root, prev).getOrElse(prevData.schema),
       entryLines(reshaped, newFiles),
       // Delta's dataChange=false: same rows, new bytes — CDC skips it
-      props = Map("rewrite" -> "true"))
+      props = Map("rewrite" -> "true", "op" -> "rewrite"))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new IllegalStateException(
         s"concurrent commit landed during compaction of v$prev — " +
@@ -576,6 +577,27 @@ object Snapshots {
       val path = new java.net.URI(r.getString(0)).getPath
       path -> bitsToHex(r.getSeq[Int](1))
     }.toMap
+  }
+
+  /** COMMIT HISTORY — Delta's `DESCRIBE HISTORY` / Iceberg's
+    * `table.history`: one row per version with the OPERATION the
+    * commit recorded (`op=` prop, r10: append / merge / delete /
+    * update / rewrite; "unknown" for pre-r10 manifests), the rows its
+    * NEW data files added (summed from the manifest `#rows` tokens —
+    * zero data-file opens), and the delete sets it added. Driver-side
+    * manifest text by design, like every metadata table here.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    (1 to latestVersion(root)).map { v =>
+      val op = propsOf(root, v).getOrElse("op", "unknown")
+      val added = entries(root, v)
+        .filter(l => dataVersionOf(l.split('\t').head) == v)
+      val rows = added.map(rowsTokenOf).map(r => math.max(r, 0L)).sum
+      val delsAdded = deleteSets(root, v).count(_._1._1 == v) +
+        posDeleteSets(root, v).count(_._1 == v)
+      (v, op, rows, delsAdded)
+    }.toDF("version", "operation", "rows_added", "delete_sets_added")
   }
 
   private def rowsTokenOf(line: String): Long =
@@ -724,7 +746,8 @@ object Snapshots {
       val prev = v - 1
       try {
         commit(rootP, v, widenedSchema(df, root, prev),
-          (if (prev == 0) Nil else rawLines(root, prev)) ++ lines)
+          (if (prev == 0) Nil else rawLines(root, prev)) ++ lines,
+          props = Map("op" -> "append"))
         committed = v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -978,7 +1001,8 @@ object Snapshots {
       try {
         commit(rootP, v, schema,
           rawLines(root, prev) ++
-            delFiles.map(f => s"#delete\t$f\t$column\t$v"))
+            delFiles.map(f => s"#delete\t$f\t$column\t$v"),
+          props = Map("op" -> "delete"))
         committed = v
       } catch {
         // rebase like append: an equality delete is defined against
@@ -1057,7 +1081,8 @@ object Snapshots {
           .getOrElse(rawScan(spark, root, prev, files(root, prev)).schema)
         commit(rootP, v, schema,
           rawLines(root, prev) ++
-            delFiles.map(f => s"#posdelete\t$f\t$v"))
+            delFiles.map(f => s"#posdelete\t$f\t$v"),
+          props = Map("op" -> "delete"))
         committed = v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -1134,7 +1159,8 @@ object Snapshots {
         commit(rootP, v, widenedSchema(updated, root, prev),
           rawLines(root, prev) ++
             delFiles.map(f => s"#posdelete\t$f\t$v") ++
-            dataLines)
+            dataLines,
+          props = Map("op" -> "update"))
         committed = v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -1232,7 +1258,8 @@ object Snapshots {
         commit(rootP, v, widenedSchema(source, root, prev),
           rawLines(root, prev) ++
             delFiles.map(f => s"#delete\t$f\t$column\t$v") ++
-            dataLines)
+            dataLines,
+          props = Map("op" -> "merge"))
         committed = v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
