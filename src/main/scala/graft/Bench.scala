@@ -40,8 +40,10 @@ object Bench {
     // without touching the driver's stdout contract.
     val iostat = sys.env.get("SPARK_GRAFT_IOSTAT").map(new java.io.PrintWriter(_))
     def ioSnap(): (Long, Long, Long) = {
-      val m = scala.io.Source.fromFile("/proc/self/io").getLines()
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      val m = try src.getLines()
         .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }.toMap
+      finally src.close()
       val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .stream().mapToLong(_.getCollectionTime).sum()
       (m.getOrElse("read_bytes", 0L), m.getOrElse("write_bytes", 0L), gc)

@@ -586,10 +586,16 @@ object Snapshots {
     * NEW data files added (summed from the manifest `#rows` tokens —
     * zero data-file opens), and the delete sets it added. Driver-side
     * manifest text by design, like every metadata table here.
+    * Expired versions (manifest deleted by [[expire]]) are simply
+    * absent rows — DESCRIBE HISTORY keeps working after retention,
+    * as it does in Delta/Iceberg.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    (1 to latestVersion(root)).map { v =>
+    val rootP = Paths.get(root)
+    (1 to latestVersion(root))
+      .filter(v => Files.exists(manifestPath(rootP, v)))
+      .map { v =>
       val op = propsOf(root, v).getOrElse("op", "unknown")
       val added = entries(root, v)
         .filter(l => dataVersionOf(l.split('\t').head) == v)
@@ -941,7 +947,15 @@ object Snapshots {
         col("_metadata.row_index").as(PosCol))
     if (dels.isEmpty && pdels.isEmpty || paths.isEmpty) {
       val base = rawScan(spark, root, v, paths)
-      if (keepMeta && paths.nonEmpty) withMeta(base) else base
+      if (keepMeta) {
+        // an empty file set has no _metadata source — attach typed null
+        // identity columns so row-level DML on an all-deleted version
+        // commits a clean no-op instead of failing to resolve
+        if (paths.nonEmpty) withMeta(base)
+        else base.select(col("*"),
+          org.apache.spark.sql.functions.lit(null).cast("string").as(FileCol),
+          org.apache.spark.sql.functions.lit(null).cast("bigint").as(PosCol))
+      } else base
     } else paths.groupBy(dataVersionOf).toSeq.sortBy(_._1)
       .map { case (dv, group) =>
         val needMeta = keepMeta || pdels.exists(_._1 > dv)
@@ -1305,9 +1319,12 @@ object Snapshots {
               .join(keys, Seq(column), "left_semi").limit(1).count() > 0
         }
         // a positional tombstone's keys resolve through its preimage
-        // rows (the CDC spelling) — only those carry the merge column
+        // rows (the CDC spelling) — only those carry the merge column;
+        // a preimage on a pre-promotion schema lacking it cannot
+        // conflict, same skip rule as the dataHit branch
         def posHit = posDeleteSets(root, w).filter(_._1 == w).exists {
           case (_, fs) =>
+            schemaOf(root, w - 1).forall(_.fieldNames.contains(column)) &&
             liveScan(spark, root, w - 1, files(root, w - 1), keepMeta = true)
               .join(spark.read.parquet(fs: _*)
                 .select(col("file_path").as(FileCol), col("pos").as(PosCol))

@@ -421,16 +421,51 @@ object Streaming {
           .map(_.getString(0))
           .map(p => p.substring(p.lastIndexOf('/') + 1)
             .stripSuffix(".txt").toInt)
-          .sorted
-        versions
-          // rewrite commits (compaction) carry no change rows — the
-          // feed skips them outright, as Delta CDF skips OPTIMIZE
-          .filterNot(v => graft.sources.Snapshots.propsOf(root, v)
-            .get("rewrite").contains("true"))
-          .foreach { v =>
-            apply(
-              graft.sources.Snapshots.changesBetween(spark, root, v - 1, v), v)
-          }
+        // ORDERED delivery across micro-batches: FileStreamSource breaks
+        // equal-mtime ties lexicographically ("10.txt" < "2.txt"), so a
+        // later version can be DISCOVERED before an earlier one. An
+        // ordered change feed must never hand v10 to `apply` before v2 —
+        // buffer discovered versions and apply contiguously from a
+        // high-water mark persisted beside the caller's checkpoint
+        // (same durability domain; a restart resumes the contiguous
+        // frontier, not the discovery order). Manifests are minted
+        // sequentially, so a gap below min(pending) whose file is
+        // absent on disk can only be an EXPIRED version — skip it;
+        // a gap whose file still exists is merely not-yet-discovered —
+        // hold the later versions until it arrives.
+        val state = java.nio.file.Paths.get(checkpoint, "_graft_order")
+        var (hwm, pending) =
+          if (java.nio.file.Files.exists(state)) {
+            val toks = new String(java.nio.file.Files.readAllBytes(state),
+              java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+            (toks.head.toInt, toks.tail.map(_.toInt).to(scala.collection.mutable.SortedSet))
+          } else (0, scala.collection.mutable.SortedSet.empty[Int])
+        pending ++= versions.filter(_ > hwm)
+        val manifests = java.nio.file.Paths.get(root, "_manifests")
+        var progress = true
+        while (progress && pending.nonEmpty) {
+          val next = hwm + 1
+          if (pending.contains(next)) {
+            // rewrite commits (compaction) carry no change rows — the
+            // feed skips them outright, as Delta CDF skips OPTIMIZE
+            if (!graft.sources.Snapshots.propsOf(root, next)
+                .get("rewrite").contains("true"))
+              apply(graft.sources.Snapshots
+                .changesBetween(spark, root, next - 1, next), next)
+            pending -= next; hwm = next
+          } else if (!java.nio.file.Files.exists(manifests.resolve(s"$next.txt")))
+            hwm = next // expired before discovery — will never arrive
+          else progress = false // exists but not yet discovered: hold
+        }
+        val tmp = java.nio.file.Files.createTempFile(
+          java.nio.file.Paths.get(checkpoint), "_graft_order", ".tmp")
+        java.nio.file.Files.write(tmp,
+          (hwm +: pending.toSeq).mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, state,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
