@@ -538,24 +538,34 @@ object CurationQ {
     * joins or aggregates on — at 100 TB the bigram-type table is the
     * only large intermediate and it never carries text bodies.
     */
-  /** Exploded (doc_id, w1, w2) bigram rows from a (doc_id, ts)
-    * token-array frame — the ONE spelling of the fiddly index
-    * expression (q139/q149 share it so the two can never drift),
-    * returned PRE-aggregation so each caller groups on the key it
-    * actually needs: per-doc consumers on (doc_id, w1, w2), the
-    * corpus-model build directly on (w1, w2) with cross-doc map-side
-    * combining and one shuffle.
+  /** Exploded HASHED bigram rows from a (doc_id, ts) token-array
+    * frame — the ONE spelling of the fiddly index expression
+    * (q139/q149 share it so the two can never drift): h1 =
+    * xxhash64(w1), h2 = xxhash64(w2), h12 = xxhash64(w1, w2)
+    * (chained-seed, so token boundaries can't alias). Token text is
+    * needed only to IDENTIFY a bigram, never shown in any output, so
+    * every model shuffle and scoring join runs on fixed-width int64
+    * keys — hash-keyed counts equal string-keyed counts at 2^-64
+    * collision odds (the q47/q153 convention; oracles keep grouping by
+    * token strings). Returned PRE-aggregation so each caller groups on
+    * the key it actually needs: per-doc consumers on (doc_id, h1, h12),
+    * the corpus-model build directly on (h1, h12) with cross-doc
+    * map-side combining and one shuffle; h2 exists for the unigram
+    * backoff join (q149) and prunes away for callers that drop it.
     */
   private def bigramRows(toks: DataFrame): DataFrame = toks
     .filter(size(col("ts")) >= 2)
     .select(col("doc_id"), explode(
-      expr("transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))"))
+      expr("transform(sequence(0, size(ts)-2), i -> struct(" +
+        "xxhash64(ts[i]) AS h1, xxhash64(ts[i+1]) AS h2," +
+        " xxhash64(ts[i], ts[i+1]) AS h12))"))
       .as("b"))
-    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"),
+      col("b.h12").as("h12"))
 
   private def docBigramsOf(toks: DataFrame): DataFrame =
     bigramRows(toks)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .groupBy(col("doc_id"), col("h1"), col("h2"), col("h12"))
       .agg(count(lit(1)).as("m"))
 
   def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
@@ -569,26 +579,18 @@ object CurationQ {
     // each consumer is a vectorized columnar scan — the shape a shared
     // derived table has at 100 TB anyway.
     //
-    // r10: the artifact stores bigram HASHES, not strings — h1 =
-    // xxhash64(w1), h12 = xxhash64(w1, w2) (chained-seed, so token
-    // boundaries can't alias). Token text is needed only to IDENTIFY a
-    // bigram, never shown in the output, so carrying strings through
-    // the artifact and both (w1, w2)-keyed shuffles paid string
-    // storage, string hashing and string comparison on every run for
-    // nothing (the driver priced it at 4.1 s while a warm page cache
-    // hid it locally). Hash-keyed counts equal string-keyed counts at
-    // 2^-64 collision odds — the q47/q153 convention; the oracle keeps
-    // grouping by token strings.
+    // r10: the artifact stores bigram HASHES, not strings — the shared
+    // [[bigramRows]] spelling (r11: re-unified with q149, which now
+    // runs the same hash convention). Carrying strings through the
+    // artifact and both (w1, w2)-keyed shuffles paid string storage,
+    // string hashing and string comparison on every run for nothing
+    // (the driver priced it at 4.1 s while a warm page cache hid it
+    // locally). h2 is dropped before the groupBy, so generator-struct
+    // pruning keeps it out of the artifact.
     val docBigrams = graft.sources.ArtifactStore.parquet(
       spark, dir, "doc_bigrams")(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ts)-2)," +
-            " i -> struct(xxhash64(ts[i]) AS h1, xxhash64(ts[i], ts[i+1]) AS h12))"))
-          .as("b"))
-        .select(col("doc_id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
+      bigramRows(Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts")))
         .groupBy(col("doc_id"), col("h1"), col("h12"))
         .agg(count(lit(1)).as("m")))
     val c12 = docBigrams.groupBy(col("h1"), col("h12"))
@@ -656,25 +658,28 @@ object CurationQ {
       .select(col("doc_id"), tokens(
         concat(lit("zqnb"), col("doc_id"), lit(" "), col("text"),
           lit(" zqov"), col("doc_id"))).as("ts"))
-    // model build groups the exploded rows DIRECTLY on (w1, w2): one
+    // model build groups the exploded rows DIRECTLY on (h1, h12): one
     // shuffle with cross-doc map-side combine (a detour through the
-    // per-doc multiset would shuffle the same stream twice)
+    // per-doc multiset would shuffle the same stream twice), int64
+    // keys end to end — r11 closed the last string-keyed bigram plan
+    // (the train split's full bigram stream shuffled as token text;
+    // the driver priced it at 2.7 s while q139's hashed twin ran 1.8).
     // c12 feeds two branches (c1 rollup + the scoring left-join):
     // checkpoint the aggregated bigram-type table so each reads the
     // materialized model, not a re-explode of the train split
-    val c12 = bigramRows(train).groupBy(col("w1"), col("w2"))
+    val c12 = bigramRows(train).groupBy(col("h1"), col("h12"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(false)
-    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val uni = train.select(explode(col("ts")).as("w2"))
-      .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c12.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+    val uni = train.select(explode(col("ts")).as("w"))
+      .groupBy(xxhash64(col("w")).as("h2")).agg(count(lit(1)).as("c2"))
     val t = uni.agg(sum(col("c2")).as("t_tokens"))
     docBigramsOf(held)
-      .join(c12, Seq("w1", "w2"), "left")
+      .join(c12, Seq("h1", "h12"), "left")
       // vocab-sized model tables broadcast back (the q139 discipline —
       // AQE's stats-dependent fallback is not a 100 TB guarantee)
-      .join(broadcast(c1), Seq("w1"), "left")
-      .join(broadcast(uni), Seq("w2"), "left")
+      .join(broadcast(c1), Seq("h1"), "left")
+      .join(broadcast(uni), Seq("h2"), "left")
       .crossJoin(broadcast(t))
       .withColumn("p_micro",
         when(col("c12").isNotNull, expr("c12 * 1000000L div c1"))
