@@ -345,6 +345,12 @@ object Snapshots {
     */
   def append(df: DataFrame, root: String): Int = append(df, root, Nil)
 
+  /** [[append]] onto a BRANCH head (r11): same protocol, the parent is
+    * the branch's current head and the commit advances the branch ref.
+    */
+  def appendTo(df: DataFrame, root: String, branch: String): Int =
+    append(df, root, Nil, branch)
+
   /** [[append]] with per-file BLOOM FILTERS over `bloomCols` (string
     * point-lookup skipping — the Parquet/Iceberg bloom write property):
     * each new file's manifest entry gains a `#bloom:<col>=<hex>` token
@@ -354,7 +360,8 @@ object Snapshots {
     * writer wasn't configured to), and [[bloomPrunedFiles]] keeps any
     * file without a bloom token — absence of evidence prunes nothing.
     */
-  def append(df: DataFrame, root: String, bloomCols: Seq[String]): Int = {
+  def append(df: DataFrame, root: String, bloomCols: Seq[String],
+             branch: String = "main"): Int = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("_manifests"))
     val token = newToken()
@@ -373,14 +380,29 @@ object Snapshots {
         s"#bloom:$c=${blooms(c).getOrElse(f, bitsToHex(Nil))}")
       (line +: toks).mkString("\t")
     }
+    // the staged dirs carry the ATTEMPTED version in their name; a
+    // reallocation renames them so [[dataVersionOf]] sequence scoping
+    // stays truthful
+    def reallocate(): Unit = {
+      val newV = latestVersion(root) + 1
+      if (newV > v) {
+        Files.move(rootP.resolve(s"data_v${v}_$token"),
+          rootP.resolve(s"data_v${newV}_$token"))
+        lines = lines.map(
+          _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+        v = newV
+      }
+    }
     var committed = -1
     while (committed < 0) {
-      val prev = v - 1
+      val (parent, seq) = commitBasis(root, branch, v)
       try {
-        commit(rootP, v, widenedSchema(df, root, prev),
-          (if (prev == 0) Nil else rawLines(root, prev)) ++ lines,
-          props = Map("op" -> "append"))
-        committed = v
+        if (publish(rootP, root, branch, v, seq,
+            parent, widenedSchema(df, root, parent),
+            (if (parent == 0) Nil else rawLines(root, parent)) ++ lines,
+            props = Map("op" -> "append")))
+          committed = v
+        else reallocate() // head CAS lost: rebase on the new head
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val newV = latestVersion(root) + 1
@@ -411,16 +433,17 @@ object Snapshots {
     */
   def compact(spark: SparkSession, root: String, targetFiles: Int,
               sortBy: Option[String] = None,
-              zorderBy: Seq[String] = Nil): Int = {
+              zorderBy: Seq[String] = Nil,
+              branch: String = "main"): Int = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are exclusive clustering modes")
     require(zorderBy.isEmpty || zorderBy.size == 2,
       s"zorderBy interleaves exactly 2 columns: $zorderBy")
     val rootP = Paths.get(root)
-    val prev = latestVersion(root)
+    val prev = headOf(root, branch)
     require(prev > 0, s"nothing to compact under $root")
-    val v = prev + 1
+    var v = latestVersion(root) + 1
     val prevData = read(spark, root, prev)
     import org.apache.spark.sql.functions.{broadcast, col, expr, lit, max, min}
     // sortBy: CLUSTERED compaction (Iceberg sort-order rewrite / Delta
@@ -463,22 +486,44 @@ object Snapshots {
           .select(prevData.columns.map(col).toIndexedSeq: _*)
       case _ => prevData.repartition(targetFiles)
     }
-    val newFiles = writeDataFiles(reshaped, rootP, v, newToken())
+    val token = newToken()
+    var newFiles = writeDataFiles(reshaped, rootP, v, token)
+    var lines = entryLines(reshaped, newFiles)
     // a compaction REWRITES version `prev`'s content, so a commit that
-    // landed meanwhile invalidates the rewrite — fail loudly for the
-    // caller to re-run against the new latest (Iceberg's
+    // landed meanwhile ON THIS BRANCH invalidates the rewrite — fail
+    // loudly for the caller to re-run against the new head (Iceberg's
     // rewrite_data_files revalidation, reduced to abort-and-retry);
-    // appends/deletes rebase automatically because their rows are new
-    try commit(rootP, v,
-      schemaOf(root, prev).getOrElse(prevData.schema),
-      entryLines(reshaped, newFiles),
-      // Delta's dataChange=false: same rows, new bytes — CDC skips it
-      props = Map("rewrite" -> "true", "op" -> "rewrite"))
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new IllegalStateException(
-        s"concurrent commit landed during compaction of v$prev — " +
-          "re-run compact against the new latest version") }
-    v
+    // appends/deletes rebase automatically because their rows are new.
+    // A mere VERSION-NUMBER collision (another branch's writer claimed
+    // the number) is not a conflict: reallocate and retry.
+    var committed = -1
+    while (committed < 0) {
+      val (parent, seq) = commitBasis(root, branch, v)
+      if (parent != prev) {
+        deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+        throw new IllegalStateException(
+          s"concurrent commit landed during compaction of v$prev — " +
+            "re-run compact against the new head version")
+      }
+      try {
+        if (publish(rootP, root, branch, v, seq, parent,
+            schemaOf(root, prev).getOrElse(prevData.schema), lines,
+            // Delta's dataChange=false: same rows, new bytes — CDC
+            // skips it
+            props = Map("rewrite" -> "true", "op" -> "rewrite")))
+          committed = v
+        // head CAS lost: loop re-resolves — a moved head aborts above
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val newV = latestVersion(root) + 1
+          Files.move(rootP.resolve(s"data_v${v}_$token"),
+            rootP.resolve(s"data_v${newV}_$token"))
+          lines = lines.map(
+            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+          v = newV
+      }
+    }
+    committed
   }
 
   /** Per-file (path, min, max) statistics of a LONG column of snapshot
@@ -588,13 +633,15 @@ object Snapshots {
     * manifest text by design, like every metadata table here.
     * Expired versions (manifest deleted by [[expire]]) are simply
     * absent rows — DESCRIBE HISTORY keeps working after retention,
-    * as it does in Delta/Iceberg.
+    * as it does in Delta/Iceberg. BRANCH-AWARE (r11): the history is
+    * the ref's parent-pointer [[lineage]], so two branches report
+    * disjoint-after-the-fork trails and version numbers another
+    * branch claimed never appear.
     */
-  def history(spark: SparkSession, root: String): DataFrame = {
+  def history(spark: SparkSession, root: String,
+              branch: String = "main"): DataFrame = {
     import spark.implicits._
-    val rootP = Paths.get(root)
-    (1 to latestVersion(root))
-      .filter(v => Files.exists(manifestPath(rootP, v)))
+    lineage(root, headOf(root, branch))
       .map { v =>
       val op = propsOf(root, v).getOrElse("op", "unknown")
       val added = entries(root, v)
@@ -622,7 +669,7 @@ object Snapshots {
   def filesTable(spark: SparkSession, root: String, version: Int = -1)
       : DataFrame = {
     import spark.implicits._
-    val v = if (version == -1) latestVersion(root) else version
+    val v = if (version == -1) headOf(root, "main") else version
     entries(root, v).map { line =>
       val f = line.split('\t').head
       (f, dataVersionOf(f), rowsTokenOf(line))
@@ -657,7 +704,7 @@ object Snapshots {
     * return the wrong number) or when any entry predates row counts.
     */
   def metadataCount(root: String, version: Int = -1): Long = {
-    val v = if (version == -1) latestVersion(root) else version
+    val v = if (version == -1) headOf(root, "main") else version
     require(deleteSets(root, v).isEmpty && posDeleteSets(root, v).isEmpty,
       s"v$v has merge-on-read delete sets: physical rows != logical rows")
     val counts = entries(root, v).map(rowsTokenOf)
@@ -717,7 +764,8 @@ object Snapshots {
     * pruned. Same optimistic CAS/rebase as [[append]].
     */
   def appendPartitioned(df: DataFrame, root: String,
-                        spec: PartitionSpec): Int = {
+                        spec: PartitionSpec,
+                        branch: String = "main"): Int = {
     import org.apache.spark.sql.functions.col
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("_manifests"))
@@ -747,22 +795,27 @@ object Snapshots {
       val f = line.split('\t').head
       s"$line\t#part:${spec.tokenName}=${values(f)}"
     }
+    def reallocate(): Unit = {
+      val newV = math.max(latestVersion(root), v) + 1
+      Files.move(rootP.resolve(s"data_v${v}_$token"),
+        rootP.resolve(s"data_v${newV}_$token"))
+      lines = lines.map(
+        _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+      v = newV
+    }
     var committed = -1
     while (committed < 0) {
-      val prev = v - 1
+      val (parent, seq) = commitBasis(root, branch, v)
       try {
-        commit(rootP, v, widenedSchema(df, root, prev),
-          (if (prev == 0) Nil else rawLines(root, prev)) ++ lines,
-          props = Map("op" -> "append"))
-        committed = v
+        if (publish(rootP, root, branch, v, seq, parent,
+            widenedSchema(df, root, parent),
+            (if (parent == 0) Nil else rawLines(root, parent)) ++ lines,
+            props = Map("op" -> "append")))
+          committed = v
+        else reallocate()
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val newV = latestVersion(root) + 1
-          Files.move(rootP.resolve(s"data_v${v}_$token"),
-            rootP.resolve(s"data_v${newV}_$token"))
-          lines = lines.map(
-            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
-          v = newV
+          reallocate()
       }
     }
     committed
@@ -898,7 +951,7 @@ object Snapshots {
     * MERGED ON READ ([[deleteWhere]]).
     */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
-    val v = if (version == -1) latestVersion(root) else version
+    val v = if (version == -1) headOf(root, "main") else version
     scanWithDeletes(spark, root, v, files(root, v))
   }
 
@@ -989,10 +1042,10 @@ object Snapshots {
     * version.
     */
   def deleteWhere(spark: SparkSession, root: String, column: String,
-                  keys: DataFrame): Int = {
+                  keys: DataFrame, branch: String = "main"): Int = {
     import org.apache.spark.sql.functions.col
     val rootP = Paths.get(root)
-    require(latestVersion(root) > 0, s"nothing to delete from under $root")
+    require(headOf(root, branch) > 0, s"nothing to delete from under $root")
     val token = newToken()
     var v = latestVersion(root) + 1
     var delFiles = {
@@ -1005,31 +1058,37 @@ object Snapshots {
         .map(_.toAbsolutePath.toString).toSeq.sorted
       finally listing.close()
     }
+    def reallocate(floor: Int): Unit = {
+      val newV = math.max(latestVersion(root), floor) + 1
+      if (newV > v) {
+        Files.move(rootP.resolve(s"delete_v${v}_$token"),
+          rootP.resolve(s"delete_v${newV}_$token"))
+        delFiles = delFiles.map(
+          _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+        v = newV
+      }
+    }
     var committed = -1
     while (committed < 0) {
-      val prev = v - 1
-      val schema = schemaOf(root, prev)
-        .getOrElse(rawScan(spark, root, prev, files(root, prev)).schema)
+      val (parent, seq) = commitBasis(root, branch, v)
+      val schema = schemaOf(root, parent)
+        .getOrElse(rawScan(spark, root, parent, files(root, parent)).schema)
       require(schema.fieldNames.contains(column),
         s"delete key column '$column' is not in the table schema")
       try {
-        commit(rootP, v, schema,
-          rawLines(root, prev) ++
-            delFiles.map(f => s"#delete\t$f\t$column\t$v"),
-          props = Map("op" -> "delete"))
-        committed = v
+        if (publish(rootP, root, branch, v, seq, parent, schema,
+            rawLines(root, parent) ++
+              delFiles.map(f => s"#delete\t$f\t$column\t$v"),
+            props = Map("op" -> "delete")))
+          committed = v
+        else reallocate(v)
       } catch {
         // rebase like append: an equality delete is defined against
         // "everything committed before me", so retrying on top of the
         // winner preserves its semantics (the delete's sequence number
         // moves up WITH the rebase)
         case _: java.nio.file.FileAlreadyExistsException =>
-          val newV = latestVersion(root) + 1
-          Files.move(rootP.resolve(s"delete_v${v}_$token"),
-            rootP.resolve(s"delete_v${newV}_$token"))
-          delFiles = delFiles.map(
-            _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
-          v = newV
+          reallocate(v)
       }
     }
     committed
@@ -1056,13 +1115,14 @@ object Snapshots {
     * non-rewrite winners rebase like [[deleteWhere]].
     */
   def deleteWhereMatching(spark: SparkSession, root: String,
-                          predicate: org.apache.spark.sql.Column): Int = {
+                          predicate: org.apache.spark.sql.Column,
+                          branch: String = "main"): Int = {
     import org.apache.spark.sql.functions.col
     val rootP = Paths.get(root)
-    require(latestVersion(root) > 0, s"nothing to delete from under $root")
+    require(headOf(root, branch) > 0, s"nothing to delete from under $root")
     val token = newToken()
-    val base0 = latestVersion(root)
-    var v = base0 + 1
+    val base0 = headOf(root, branch)
+    var v = latestVersion(root) + 1
     var delFiles = {
       val delDir = rootP.resolve(s"delete_v${v}_$token")
       liveScan(spark, root, base0, files(root, base0), keepMeta = true)
@@ -1076,13 +1136,22 @@ object Snapshots {
         .map(_.toAbsolutePath.toString).toSeq.sorted
       finally listing.close()
     }
+    def reallocate(): Unit = {
+      val newV = math.max(latestVersion(root), v) + 1
+      Files.move(rootP.resolve(s"delete_v${v}_$token"),
+        rootP.resolve(s"delete_v${newV}_$token"))
+      delFiles = delFiles.map(
+        _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+      v = newV
+    }
     var committed = -1
     while (committed < 0) {
-      val prev = v - 1
-      // a rewrite anywhere in the unseen window moves rows to new
+      val (parent, seq) = commitBasis(root, branch, v)
+      // a rewrite anywhere in the unseen window (the branch chain from
+      // this delete's base to the current head) moves rows to new
       // paths — the tombstones would dangle and the rows resurrect;
       // abort rather than corrupt
-      val rewrote = ((base0 + 1) to prev).find(w =>
+      val rewrote = lineageBetween(root, base0, parent).find(w =>
         propsOf(root, w).get("rewrite").contains("true"))
       if (rewrote.isDefined) {
         deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
@@ -1091,21 +1160,17 @@ object Snapshots {
             "data files these tombstones name — re-read and re-run")
       }
       try {
-        val schema = schemaOf(root, prev)
-          .getOrElse(rawScan(spark, root, prev, files(root, prev)).schema)
-        commit(rootP, v, schema,
-          rawLines(root, prev) ++
-            delFiles.map(f => s"#posdelete\t$f\t$v"),
-          props = Map("op" -> "delete"))
-        committed = v
+        val schema = schemaOf(root, parent)
+          .getOrElse(rawScan(spark, root, parent, files(root, parent)).schema)
+        if (publish(rootP, root, branch, v, seq, parent, schema,
+            rawLines(root, parent) ++
+              delFiles.map(f => s"#posdelete\t$f\t$v"),
+            props = Map("op" -> "delete")))
+          committed = v
+        else reallocate()
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val newV = latestVersion(root) + 1
-          Files.move(rootP.resolve(s"delete_v${v}_$token"),
-            rootP.resolve(s"delete_v${newV}_$token"))
-          delFiles = delFiles.map(
-            _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
-          v = newV
+          reallocate()
       }
     }
     committed
@@ -1130,14 +1195,15 @@ object Snapshots {
     */
   def updateWhere(spark: SparkSession, root: String,
                   where: org.apache.spark.sql.Column,
-                  set: Map[String, org.apache.spark.sql.Column]): Int = {
+                  set: Map[String, org.apache.spark.sql.Column],
+                  branch: String = "main"): Int = {
     import org.apache.spark.sql.functions.col
     val rootP = Paths.get(root)
-    require(latestVersion(root) > 0, s"nothing to update under $root")
+    require(headOf(root, branch) > 0, s"nothing to update under $root")
     require(set.nonEmpty, "update needs at least one SET column")
     val token = newToken()
-    val base0 = latestVersion(root)
-    var v = base0 + 1
+    val base0 = headOf(root, branch)
+    var v = latestVersion(root) + 1
     val matching = liveScan(spark, root, base0, files(root, base0),
       keepMeta = true).filter(where)
     var delFiles = {
@@ -1157,10 +1223,22 @@ object Snapshots {
         df.withColumn(c, expr)
     }
     var dataLines = entryLines(updated, writeDataFiles(updated, rootP, v, token))
+    def reallocate(): Unit = {
+      val newV = math.max(latestVersion(root), v) + 1
+      Files.move(rootP.resolve(s"data_v${v}_$token"),
+        rootP.resolve(s"data_v${newV}_$token"))
+      Files.move(rootP.resolve(s"delete_v${v}_$token"),
+        rootP.resolve(s"delete_v${newV}_$token"))
+      dataLines = dataLines.map(
+        _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+      delFiles = delFiles.map(
+        _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+      v = newV
+    }
     var committed = -1
     while (committed < 0) {
-      val prev = v - 1
-      val rewrote = ((base0 + 1) to prev).find(w =>
+      val (parent, seq) = commitBasis(root, branch, v)
+      val rewrote = lineageBetween(root, base0, parent).find(w =>
         propsOf(root, w).get("rewrite").contains("true"))
       if (rewrote.isDefined) {
         deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
@@ -1170,24 +1248,17 @@ object Snapshots {
             "files these tombstones name — re-read and re-run")
       }
       try {
-        commit(rootP, v, widenedSchema(updated, root, prev),
-          rawLines(root, prev) ++
-            delFiles.map(f => s"#posdelete\t$f\t$v") ++
-            dataLines,
-          props = Map("op" -> "update"))
-        committed = v
+        if (publish(rootP, root, branch, v, seq, parent,
+            widenedSchema(updated, root, parent),
+            rawLines(root, parent) ++
+              delFiles.map(f => s"#posdelete\t$f\t$v") ++
+              dataLines,
+            props = Map("op" -> "update")))
+          committed = v
+        else reallocate()
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val newV = latestVersion(root) + 1
-          Files.move(rootP.resolve(s"data_v${v}_$token"),
-            rootP.resolve(s"data_v${newV}_$token"))
-          Files.move(rootP.resolve(s"delete_v${v}_$token"),
-            rootP.resolve(s"delete_v${newV}_$token"))
-          dataLines = dataLines.map(
-            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
-          delFiles = delFiles.map(
-            _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
-          v = newV
+          reallocate()
       }
     }
     committed
@@ -1220,10 +1291,10 @@ object Snapshots {
     * new version.
     */
   def merge(spark: SparkSession, root: String, column: String,
-            source: DataFrame): Int = {
+            source: DataFrame, branch: String = "main"): Int = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val rootP = Paths.get(root)
-    require(latestVersion(root) > 0, s"nothing to merge into under $root")
+    require(headOf(root, branch) > 0, s"nothing to merge into under $root")
     require(source.columns.contains(column),
       s"merge key column '$column' is not in the source")
     // the snapshot this merge's row values were DERIVED against — the
@@ -1232,7 +1303,7 @@ object Snapshots {
     // ENTRY, before the first Spark action, so a commit racing the
     // dup-check or the data write is validated too, not only one
     // racing the manifest CAS.
-    val base0 = latestVersion(root)
+    val base0 = headOf(root, branch)
     val dup = source.groupBy(col(column)).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -1253,40 +1324,46 @@ object Snapshots {
     // the merge's own key set, read back from the already-written
     // delete files (deterministic — never recomputes `source`)
     def ownKeys = spark.read.parquet(delFiles: _*).select(col(column))
+    def reallocate(): Unit = {
+      val newV = math.max(latestVersion(root), v) + 1
+      Files.move(rootP.resolve(s"data_v${v}_$token"),
+        rootP.resolve(s"data_v${newV}_$token"))
+      Files.move(rootP.resolve(s"delete_v${v}_$token"),
+        rootP.resolve(s"delete_v${newV}_$token"))
+      dataLines = dataLines.map(
+        _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+      delFiles = delFiles.map(
+        _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+      v = newV
+    }
     var committed = -1
     while (committed < 0) {
-      val prev = v - 1
-      // revalidate EVERY attempt's full unseen window (base0, prev],
-      // not only CAS losers': a commit landing between entry and the
-      // first CAS succeeds at CAS yet was still never read
-      if (prev > base0 &&
-          keysTouchedBetween(spark, root, base0, prev, column, ownKeys)) {
+      val (parent, seq) = commitBasis(root, branch, v)
+      // revalidate EVERY attempt's full unseen window — the branch
+      // chain (base0, parent] — not only CAS losers': a commit landing
+      // between entry and the first CAS succeeds at CAS yet was still
+      // never read
+      if (parent != base0 &&
+          keysTouchedBetween(spark, root, base0, parent, column, ownKeys)) {
         deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
         deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
         throw new java.util.ConcurrentModificationException(
           s"serializable merge on '$column' aborted: a concurrent " +
-            s"commit in ($base0, $prev] touched one of this merge's " +
+            s"commit in ($base0, $parent] touched one of this merge's " +
             "keys — re-read the table and re-run the merge")
       }
       try {
-        commit(rootP, v, widenedSchema(source, root, prev),
-          rawLines(root, prev) ++
-            delFiles.map(f => s"#delete\t$f\t$column\t$v") ++
-            dataLines,
-          props = Map("op" -> "merge"))
-        committed = v
+        if (publish(rootP, root, branch, v, seq, parent,
+            widenedSchema(source, root, parent),
+            rawLines(root, parent) ++
+              delFiles.map(f => s"#delete\t$f\t$column\t$v") ++
+              dataLines,
+            props = Map("op" -> "merge")))
+          committed = v
+        else reallocate()
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val newV = latestVersion(root) + 1
-          Files.move(rootP.resolve(s"data_v${v}_$token"),
-            rootP.resolve(s"data_v${newV}_$token"))
-          Files.move(rootP.resolve(s"delete_v${v}_$token"),
-            rootP.resolve(s"delete_v${newV}_$token"))
-          dataLines = dataLines.map(
-            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
-          delFiles = delFiles.map(
-            _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
-          v = newV
+          reallocate()
       }
     }
     committed
@@ -1305,7 +1382,7 @@ object Snapshots {
                                  baseV: Int, uptoV: Int, column: String,
                                  keys: => DataFrame): Boolean = {
     import org.apache.spark.sql.functions.col
-    ((baseV + 1) to uptoV)
+    lineageBetween(root, baseV, uptoV)
       .filterNot(w => propsOf(root, w).get("rewrite").contains("true"))
       .exists { w =>
         val newFiles = files(root, w).filter(f => dataVersionOf(f) == w)
@@ -1324,8 +1401,9 @@ object Snapshots {
         // conflict, same skip rule as the dataHit branch
         def posHit = posDeleteSets(root, w).filter(_._1 == w).exists {
           case (_, fs) =>
-            schemaOf(root, w - 1).forall(_.fieldNames.contains(column)) &&
-            liveScan(spark, root, w - 1, files(root, w - 1), keepMeta = true)
+            val p = parentOf(root, w)
+            schemaOf(root, p).forall(_.fieldNames.contains(column)) &&
+            liveScan(spark, root, p, files(root, p), keepMeta = true)
               .join(spark.read.parquet(fs: _*)
                 .select(col("file_path").as(FileCol), col("pos").as(PosCol))
                 .distinct(), Seq(FileCol, PosCol), "left_semi")
@@ -1366,9 +1444,15 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromV >= 0 && fromV < toV && toV <= latestVersion(root),
       s"need 0 <= from < to <= latest: ($fromV, $toV]")
-    val parts = ((fromV + 1) to toV)
+    // BRANCH-AWARE (r11): the window is the parent-pointer chain, so
+    // on a branched table the feed carries exactly the tailed ref's
+    // commits — version numbers claimed by other branches are not in
+    // the chain and never surface. Legacy linear tables walk the same
+    // numeric range they always did.
+    val parts = lineageBetween(root, fromV, toV)
       .filterNot(w => propsOf(root, w).get("rewrite").contains("true"))
       .flatMap { w =>
+        val prevW = parentOf(root, w)
         val newFiles = files(root, w).filter(f => dataVersionOf(f) == w)
         val ins = if (newFiles.isEmpty) None
           else Some(rawScan(spark, root, w, newFiles))
@@ -1376,10 +1460,10 @@ object Snapshots {
         require(delsAtW.size <= 1,
           s"CDC expects at most one delete set per commit, v$w has ${delsAtW.size}")
         // positional tombstones committed AT w: their preimages are the
-        // version-(w−1) rows at exactly those physical positions
+        // parent-version rows at exactly those physical positions
         val posAtW = posDeleteSets(root, w).filter(_._1 == w)
         val posTyped: Seq[DataFrame] = posAtW.map { case (_, delFiles) =>
-          liveScan(spark, root, w - 1, files(root, w - 1), keepMeta = true)
+          liveScan(spark, root, prevW, files(root, prevW), keepMeta = true)
             .join(spark.read.parquet(delFiles: _*)
               .select(col("file_path").as(FileCol), col("pos").as(PosCol))
               .distinct(), Seq(FileCol, PosCol), "left_semi")
@@ -1392,7 +1476,7 @@ object Snapshots {
           case Some(((_, column), delFiles)) =>
             val keys = spark.read.parquet(delFiles: _*)
               .select(col(column)).distinct()
-            val pre = read(spark, root, w - 1)
+            val pre = read(spark, root, prevW)
               .join(keys, Seq(column), "left_semi")
             ins match {
               case None =>
@@ -1444,6 +1528,24 @@ object Snapshots {
     */
   def removeOrphans(root: String, olderThanMillis: Long): Int = {
     val rootP = Paths.get(root)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    // BRANCHED tables (r11) can hold unreachable MANIFESTS too: a
+    // dropped branch's commits, or a crashed writer that linked its
+    // manifest but died before the ref CAS. Reap those first — same
+    // age guard, because an in-flight commit's manifest looks
+    // unreachable until its CAS lands — then refcount data files over
+    // the survivors. Never-branched tables have no unreachable
+    // manifests (the manifest link IS the whole commit there).
+    if (branched(root)) {
+      val reachable = (branches(root).map(_._2) ++
+        tags(root).map(_._2)).toSet.flatMap((h: Int) => lineage(root, h))
+      (1 to latestVersion(root))
+        .filterNot(reachable.contains)
+        .map(v => manifestPath(rootP, v))
+        .filter(p => Files.exists(p) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .foreach(Files.delete(_))
+    }
     val referenced = (1 to latestVersion(root))
       .filter(v => Files.exists(manifestPath(rootP, v)))
       .flatMap(v => rawLines(root, v).map { l =>
@@ -1451,7 +1553,6 @@ object Snapshots {
           l.split('\t')(1)
         else l.split('\t').head
       }).toSet
-    val cutoff = System.currentTimeMillis() - olderThanMillis
     val top = Files.list(rootP)
     val dataDirs = try top.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
@@ -1484,7 +1585,7 @@ object Snapshots {
     */
   def metadataMinMax(root: String, version: Int = -1,
                      column: String): (Long, Long) = {
-    val v = if (version == -1) latestVersion(root) else version
+    val v = if (version == -1) headOf(root, "main") else version
     require(deleteSets(root, v).isEmpty && posDeleteSets(root, v).isEmpty,
       s"v$v has merge-on-read delete sets: manifest extremes are unsound")
     val ranges = entries(root, v).map { line =>
@@ -1576,6 +1677,265 @@ object Snapshots {
   def readTag(spark: SparkSession, root: String, name: String): DataFrame =
     read(spark, root, tagVersion(root, name))
 
+  // ------------------------------------------------------------------
+  // REFS — writable branches (r11). Iceberg branch refs / the
+  // Write-Audit-Publish workflow, reduced to two primitives the
+  // filesystem gives us:
+  //
+  //   * the GLOBAL VERSION ALLOCATOR stays what it always was — the
+  //     manifest-name link(2) CAS ([[commit]]): a version number is a
+  //     table-wide snapshot id, claimed once, never branch-scoped
+  //     (Iceberg snapshot ids are global too);
+  //   * each ref's HEAD is an append-only chain of tiny files
+  //     `_refs/<name>/<seq>.ref`, each holding one version number.
+  //     Claiming `<seq+1>.ref` via the same link(2) EEXIST trick IS
+  //     the head CAS — two writers racing the same branch serialize
+  //     exactly like two writers racing the legacy single history.
+  //
+  // Every branched commit records `parent=<head>` and `branch=<name>`
+  // in its manifest props, so a ref's history is the PARENT-POINTER
+  // CHAIN from its head — not the numeric range — and two branches'
+  // histories interleave version numbers without ever sharing a
+  // commit. A manifest without a parent prop (pre-r11, or a
+  // never-branched table) has the implicit parent v−1, which keeps
+  // every legacy table a valid linear chain with zero migration.
+  //
+  // A committer that wins the manifest link but LOSES the head CAS
+  // unlinks its own manifest before retrying (it was never reachable
+  // from any ref, and no reader resolves versions except through a
+  // ref or an explicit number handed out post-commit); a writer that
+  // dies between the two leaves an unreachable manifest that
+  // [[removeOrphans]] reaps under the same age guard as data-dir
+  // debris. Branch creation itself must not race writers (it
+  // materializes `_refs/main` from the legacy head — the one step a
+  // real catalog serializes for us; documented admin op).
+  // ------------------------------------------------------------------
+
+  private def refsDir(rootP: Path): Path = rootP.resolve("_refs")
+  private def refDir(rootP: Path, name: String): Path =
+    refsDir(rootP).resolve(name)
+
+  /** True once [[createBranch]] has materialized explicit refs; from
+    * then on `main` is resolved through its ref chain, and the max
+    * manifest number is ONLY the version allocator.
+    */
+  def branched(root: String): Boolean =
+    Files.exists(refsDir(Paths.get(root)))
+
+  /** (seq, version) at the head of a ref's chain; (0, -1) for a ref
+    * with no dir, (0, 0)-seeded refs read back naturally.
+    */
+  private def refHead(root: String, name: String): (Int, Int) = {
+    val dir = refDir(Paths.get(root), name)
+    if (!Files.exists(dir)) return (0, -1)
+    val listing = Files.list(dir)
+    val maxSeq = try listing.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("\\d+\\.ref") =>
+        s.stripSuffix(".ref").toInt }
+      .maxOption.getOrElse(0)
+    finally listing.close()
+    if (maxSeq == 0) (0, -1)
+    else (maxSeq, Files.readAllLines(dir.resolve(s"$maxSeq.ref"))
+      .asScala.head.trim.toInt)
+  }
+
+  /** Atomically advance `name`'s head to `version` IF its chain is
+    * still at `expectSeq` — link(2) EEXIST on the next seq file is the
+    * compare-and-swap. Returns false when another writer got there.
+    */
+  private def casRef(rootP: Path, name: String, expectSeq: Int,
+                     version: Int): Boolean = {
+    val dir = refDir(rootP, name)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_tmp_${newToken()}")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    try { Files.createLink(dir.resolve(s"${expectSeq + 1}.ref"), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** The version a ref names. On a never-branched table only `main`
+    * resolves — to [[latestVersion]], the legacy head. 0 means the
+    * ref points at the empty table.
+    */
+  def headOf(root: String, ref: String = "main"): Int =
+    if (!branched(root)) {
+      require(ref == "main", s"table has no branches; unknown ref '$ref'")
+      latestVersion(root)
+    } else {
+      val (_, v) = refHead(root, ref)
+      require(v >= 0, s"no ref '$ref' under $root")
+      v
+    }
+
+  /** Commit parent along the chain: the explicit `parent=` prop when
+    * the commit was branch-aware, the numeric predecessor otherwise.
+    */
+  def parentOf(root: String, v: Int): Int =
+    propsOf(root, v).get("parent").map(_.toInt).getOrElse(v - 1)
+
+  /** The branch a commit landed on (`main` for legacy manifests). */
+  def branchOf(root: String, v: Int): String =
+    propsOf(root, v).getOrElse("branch", "main")
+
+  /** Ancestors of `head` (inclusive) by parent pointers, ascending.
+    * The walk STOPS at the first expired (missing) manifest — history
+    * before an expiration horizon is simply absent, as in
+    * Delta/Iceberg. On a legacy table this is the numeric range down
+    * to the horizon.
+    */
+  def lineage(root: String, head: Int): Seq[Int] = {
+    val rootP = Paths.get(root)
+    var v = head
+    var acc = List.empty[Int]
+    while (v > 0 && Files.exists(manifestPath(rootP, v))) {
+      acc = v :: acc
+      v = parentOf(root, v)
+    }
+    acc
+  }
+
+  /** Chain versions in `(from, to]`, ascending — the validation/CDC
+    * window between two commits on ONE branch. Unlike [[lineage]] this
+    * FAILS on a missing intermediate manifest (a correctness window
+    * cannot silently skip history) and on `from` not being an ancestor
+    * of `to` (diverged refs have no linear window).
+    */
+  private def lineageBetween(root: String, from: Int, to: Int): Seq[Int] = {
+    var v = to
+    var acc = List.empty[Int]
+    while (v > from) {
+      acc = v :: acc
+      v = parentOf(root, v)
+    }
+    require(v == from,
+      s"v$from is not an ancestor of v$to under $root (diverged refs?)")
+    acc
+  }
+
+  /** Create branch `name` at `from` (default: the current main head).
+    * The FIRST branch materializes `_refs/main` from the legacy head —
+    * from that point every commit path resolves and advances refs.
+    * Must not race concurrent writers (admin op; a real catalog's
+    * metadata CAS serializes this step).
+    */
+  def createBranch(root: String, name: String, from: Int = -1): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"illegal branch name: $name")
+    require(name != "main", "'main' always exists")
+    val rootP = Paths.get(root)
+    if (!branched(root)) {
+      val cur = latestVersion(root)
+      casRef(rootP, "main", 0, cur)
+    }
+    val v = if (from == -1) headOf(root, "main") else from
+    require(v == 0 || Files.exists(manifestPath(rootP, v)),
+      s"cannot branch from missing version $v under $root")
+    require(refHead(root, name)._2 < 0 && casRef(rootP, name, 0, v),
+      s"branch '$name' already exists")
+  }
+
+  /** Drop a branch ref. Its commits stay on disk as unreachable
+    * manifests until [[removeOrphans]] (age-guarded) reaps them.
+    */
+  def dropBranch(root: String, name: String): Unit = {
+    require(name != "main", "cannot drop main")
+    val dir = refDir(Paths.get(root), name)
+    require(Files.exists(dir), s"no branch '$name' under $root")
+    deleteTreeQuietly(dir)
+  }
+
+  /** All branches as (name, head version). Includes `main` once the
+    * table is branched.
+    */
+  def branches(root: String): Seq[(String, Int)] = {
+    val dir = refsDir(Paths.get(root))
+    if (!Files.exists(dir)) return Nil
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+      .map(n => n -> refHead(root, n)._2)
+      .filter(_._2 >= 0)
+    finally listing.close()
+  }
+
+  /** FAST-FORWARD `target` to `source`'s head — the publish step of
+    * Write-Audit-Publish: the audit branch's commits become `target`'s
+    * history in one ref swap, no data or manifest I/O. Requires
+    * `target`'s head to be an ancestor of (or equal to) `source`'s —
+    * a diverged target needs a merge, not a fast-forward — and fails
+    * on a concurrent `target` commit (the head CAS). Returns the new
+    * shared head version.
+    */
+  def fastForward(root: String, target: String, source: String): Int = {
+    require(branched(root), s"no refs under $root")
+    val rootP = Paths.get(root)
+    val (tSeq, tHead) = refHead(root, target)
+    require(tHead >= 0, s"no ref '$target' under $root")
+    val sHead = headOf(root, source)
+    if (tHead == sHead) return sHead
+    // ancestry check: walk source's chain down to target's head
+    lineageBetween(root, tHead, sHead)
+    require(casRef(rootP, target, tSeq, sHead),
+      s"concurrent commit moved '$target' during fast-forward — re-run")
+    sHead
+  }
+
+  /** Read the table as a branch sees it. */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, headOf(root, name))
+
+  /** The refs metadata TABLE — Iceberg's `table.refs`: every branch
+    * and tag with the version it names. Driver-side ref/tag files by
+    * design, like every metadata table here.
+    */
+  def refsTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val bs = (if (branched(root)) branches(root)
+              else Seq("main" -> latestVersion(root)))
+      .map { case (n, v) => (n, "branch", v) }
+    val ts = tags(root).map { case (n, v) => (n, "tag", v) }
+    (bs ++ ts).toDF("name", "type", "version")
+  }
+
+  /** Resolve the basis of a commit on `branch`: (parent version, head
+    * seq for the ref CAS). Legacy tables commit against the numeric
+    * predecessor with no ref step (seq −1).
+    */
+  private def commitBasis(root: String, branch: String, v: Int): (Int, Int) =
+    if (!branched(root)) {
+      require(branch == "main",
+        s"table has no branches; cannot commit to '$branch' " +
+          "(createBranch first)")
+      (v - 1, -1)
+    } else {
+      val (seq, head) = refHead(root, branch)
+      require(head >= 0, s"no branch '$branch' under $root")
+      (head, seq)
+    }
+
+  /** Manifest link + (branched) ref CAS — the two-step publish of one
+    * commit attempt. Returns true when the commit is durable on the
+    * branch; false when the head CAS lost (own manifest unlinked —
+    * caller re-resolves the head and retries). Propagates
+    * [[java.nio.file.FileAlreadyExistsException]] when the VERSION
+    * NUMBER was claimed by someone else (caller reallocates).
+    */
+  private def publish(rootP: Path, root: String, branch: String, v: Int,
+                      seq: Int, parent: Int,
+                      schema: org.apache.spark.sql.types.StructType,
+                      lines: Seq[String],
+                      props: Map[String, String]): Boolean = {
+    val fullProps =
+      if (seq < 0) props
+      else props + ("parent" -> parent.toString) + ("branch" -> branch)
+    commit(rootP, v, schema, lines, fullProps)
+    if (seq < 0) true
+    else if (casRef(rootP, branch, seq, v)) true
+    else { Files.deleteIfExists(manifestPath(rootP, v)); false }
+  }
+
   /** SNAPSHOT EXPIRATION — the garbage-collection half of the
     * compaction story (Iceberg `expire_snapshots` / Delta VACUUM):
     * drop every version < `keepFrom` and delete the data files no
@@ -1601,20 +1961,31 @@ object Snapshots {
         l.split('\t')(1)
       else l.split('\t').head
     }
-    // retention honors TAGS (r9): a tagged version below the cutoff
-    // stays fully readable — its manifest survives and its files count
-    // as referenced. Iceberg's expire_snapshots ref semantics.
+    // retention honors TAGS (r9) and BRANCHES (r11): a tagged version
+    // below the cutoff stays fully readable, and every version in a
+    // non-main branch's lineage survives regardless of its number —
+    // Iceberg's expire_snapshots ref-retention semantics. The cutoff
+    // itself applies to MAIN's parent-pointer chain: on a branched
+    // table "versions below keepFrom" means main-lineage versions, not
+    // raw numbers (another branch's commit numbered below the cutoff
+    // is that branch's business). Unreachable manifests (dropped
+    // branches, crashed two-phase commits) are NOT expired here —
+    // [[removeOrphans]] reaps them under its age guard, because a
+    // just-linked manifest whose ref CAS is in flight looks
+    // unreachable for a moment.
     val tagged = tags(root).map(_._2).toSet
-    val keepVersions = (keepFrom to latest) ++
-      (1 until keepFrom).filter(tagged.contains)
-    val retained = keepVersions
-      .filter(v => Files.exists(manifestPath(rootP, v)))
+    val branchKept =
+      branches(root).filterNot(_._1 == "main")
+        .flatMap { case (_, head) => lineage(root, head) }.toSet
+    val mainChain = lineage(root, headOf(root, "main"))
+    val expiredVersions = mainChain
+      .filter(v => v < keepFrom && !tagged.contains(v) &&
+        !branchKept.contains(v))
+    val expiredSet = expiredVersions.toSet
+    val retained = (1 to latest)
+      .filter(v => !expiredSet.contains(v) &&
+        Files.exists(manifestPath(rootP, v)))
       .flatMap(pathsOf).toSet
-    // a version expired by an earlier sweep has no manifest — skip it
-    // (expire is idempotent and re-runnable with a larger keepFrom)
-    val expiredVersions = (1 until keepFrom)
-      .filterNot(tagged.contains)
-      .filter(v => Files.exists(manifestPath(rootP, v)))
     val doomed = expiredVersions.flatMap(pathsOf).distinct
       .filterNot(retained.contains)
     // files first, manifests second: an interrupted expire leaves a

@@ -408,7 +408,96 @@ object Streaming {
     * O(new commits), never data-sized.
     */
   def tailChanges(spark: SparkSession, root: String, checkpoint: String)
-                 (apply: (DataFrame, Int) => Unit): Unit = {
+                 (apply: (DataFrame, Int) => Unit): Unit =
+    tailChanges(spark, root, checkpoint, "main")(apply)
+
+  /** Branch-aware [[tailChanges]] (r11): a BRANCHED table's commit log
+    * is its ref chain `_refs/<branch>/<seq>.ref` — an append-only file
+    * sequence with DENSE seq numbers (each claimed by the head CAS),
+    * free of orphaned manifests and other branches' version numbers —
+    * so the stream tails the ref dir and applies strictly in seq
+    * order. The FIRST seq discovered on a fresh checkpoint replays the
+    * full surviving [[graft.sources.Snapshots.lineage]] of the version
+    * it names (the manifest tail's replay-from-v1 semantics); each
+    * later seq applies exactly its own commit. Branching a table
+    * changes the tailed path, so checkpoints created against the
+    * legacy manifest tail do not carry over — start a fresh
+    * checkpoint after createBranch (documented migration, as with any
+    * source-path change in Structured Streaming).
+    */
+  def tailChanges(spark: SparkSession, root: String, checkpoint: String,
+                  branch: String)
+                 (apply: (DataFrame, Int) => Unit): Unit =
+    if (graft.sources.Snapshots.branched(root))
+      tailRef(spark, root, checkpoint, branch)(apply)
+    else {
+      require(branch == "main",
+        s"table has no branches; cannot tail '$branch'")
+      tailManifests(spark, root, checkpoint)(apply)
+    }
+
+  private def tailRef(spark: SparkSession, root: String, checkpoint: String,
+                      branch: String)
+                     (apply: (DataFrame, Int) => Unit): Unit = {
+    val S = graft.sources.Snapshots
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$root/_refs/$branch")
+      .select(col("_metadata.file_path").as("path"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val discovered = batch.collect().map { r =>
+          val p = r.getString(0)
+          val seq = p.substring(p.lastIndexOf('/') + 1)
+            .stripSuffix(".ref").toInt
+          seq -> r.getString(1).trim.toInt
+        }.toMap
+        // contiguous-seq frontier, persisted beside the checkpoint:
+        // seqs are dense by CAS construction, so "hold until seq+1
+        // arrives" never stalls
+        val state = java.nio.file.Paths.get(checkpoint, "_graft_order")
+        var (hwm, pending) =
+          if (java.nio.file.Files.exists(state)) {
+            val toks = new String(java.nio.file.Files.readAllBytes(state),
+              java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+            (toks.head.toInt, toks.tail.map { t =>
+              val Array(s, v) = t.split("="); s.toInt -> v.toInt
+            }.to(scala.collection.mutable.SortedMap))
+          } else (0, scala.collection.mutable.SortedMap.empty[Int, Int])
+        pending ++= discovered.filter(_._1 > hwm)
+        def applyCommit(v: Int): Unit =
+          if (!S.propsOf(root, v).get("rewrite").contains("true"))
+            apply(S.changesBetween(spark, root, S.parentOf(root, v), v), v)
+        while (pending.contains(hwm + 1)) {
+          val v = pending(hwm + 1)
+          if (hwm == 0)
+            // fresh tail: replay the named version's whole surviving
+            // chain, oldest first (the manifest tail's from-v1 replay)
+            S.lineage(root, v).foreach(applyCommit)
+          else applyCommit(v)
+          pending -= (hwm + 1); hwm += 1
+        }
+        val tmp = java.nio.file.Files.createTempFile(
+          java.nio.file.Paths.get(checkpoint), "_graft_order", ".tmp")
+        java.nio.file.Files.write(tmp,
+          (hwm.toString +: pending.toSeq.map { case (s, v) => s"$s=$v" })
+            .mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, state,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def tailManifests(spark: SparkSession, root: String,
+                            checkpoint: String)
+                           (apply: (DataFrame, Int) => Unit): Unit = {
     val q = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(s"$root/_manifests")

@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Writable branches (r11): the ref/allocator split, parent-pointer
+  * chains, Write-Audit-Publish fast-forward, branch-aware history /
+  * CDC / expire, and orphan reaping of dropped branches.
+  */
+class BranchSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select($"id").as[Long].collect().toSet
+
+  test("branch commits are invisible to main and vice versa") {
+    val root = Staging.tempDir("branch_spec1").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
+    Snapshots.createBranch(root, "audit")
+    val vb = Snapshots.appendTo(Seq((2L, "b")).toDF("id", "s"), root, "audit")
+    val vm = Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)
+    // global allocator: distinct version numbers, shared counter
+    assert(vb != vm && Set(vb, vm) == Set(2, 3))
+    // each ref reads ONLY its own chain
+    assert(ids(Snapshots.readBranch(spark, root, "main")) == Set(1L, 3L))
+    assert(ids(Snapshots.readBranch(spark, root, "audit")) == Set(1L, 2L))
+    // default read resolves main's ref, not the max version number
+    assert(ids(Snapshots.read(spark, root)) == Set(1L, 3L))
+    // parent pointers: both children fork from v1
+    assert(Snapshots.parentOf(root, vb) == 1)
+    assert(Snapshots.parentOf(root, vm) == 1)
+    assert(Snapshots.branchOf(root, vb) == "audit")
+    assert(Snapshots.branchOf(root, vm) == "main")
+  }
+
+  test("history and CDC walk the branch chain, not the number range") {
+    val root = Staging.tempDir("branch_spec2").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
+    Snapshots.createBranch(root, "wip")
+    Snapshots.appendTo(Seq((2L, "b")).toDF("id", "s"), root, "wip") // v2 (wip)
+    Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)          // v3 (main)
+    Snapshots.appendTo(Seq((4L, "d")).toDF("id", "s"), root, "wip") // v4 (wip)
+    val mainHist = Snapshots.history(spark, root)
+      .select($"version").as[Int].collect().toSet
+    val wipHist = Snapshots.history(spark, root, "wip")
+      .select($"version").as[Int].collect().toSet
+    assert(mainHist == Set(1, 3) && wipHist == Set(1, 2, 4))
+    // CDC along wip's chain: (v1, v4] = commits v2 and v4 only
+    val feed = Snapshots.changesBetween(spark, root, 1, 4)
+    assert(feed.select($"id").as[Long].collect().toSet == Set(2L, 4L))
+    // a window across diverged refs has no linear chain — loud failure
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 3, 4)
+    }
+  }
+
+  test("fast-forward publishes an audit branch; diverged refs refuse") {
+    val root = Staging.tempDir("branch_spec3").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
+    Snapshots.createBranch(root, "audit")
+    Snapshots.appendTo(Seq((2L, "b")).toDF("id", "s"), root, "audit")
+    Snapshots.appendTo(Seq((3L, "c")).toDF("id", "s"), root, "audit")
+    // WAP: main untouched while the audit branch accumulates
+    assert(ids(Snapshots.read(spark, root)) == Set(1L))
+    val head = Snapshots.fastForward(root, "main", "audit")
+    assert(Snapshots.headOf(root, "main") == head)
+    assert(ids(Snapshots.read(spark, root)) == Set(1L, 2L, 3L))
+    // idempotent when already equal
+    assert(Snapshots.fastForward(root, "main", "audit") == head)
+    // diverge: a main commit makes audit non-fast-forwardable
+    Snapshots.append(Seq((4L, "d")).toDF("id", "s"), root)
+    Snapshots.appendTo(Seq((5L, "e")).toDF("id", "s"), root, "audit")
+    intercept[IllegalArgumentException] {
+      Snapshots.fastForward(root, "main", "audit")
+    }
+  }
+
+  test("branch DML: merge and delete advance only their branch") {
+    val root = Staging.tempDir("branch_spec4").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    Snapshots.createBranch(root, "fix")
+    Snapshots.merge(spark, root, "id",
+      Seq((2L, "B!"), (9L, "i")).toDF("id", "s"), branch = "fix")
+    Snapshots.deleteWhere(spark, root, "id",
+      Seq(Tuple1(1L)).toDF("id"), branch = "fix")
+    assert(Snapshots.readBranch(spark, root, "fix")
+      .as[(Long, String)].collect().toSet == Set((2L, "B!"), (9L, "i")))
+    assert(Snapshots.read(spark, root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("expire keeps branch lineages; removeOrphans reaps dropped ones") {
+    val root = Staging.tempDir("branch_spec5").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
+    Snapshots.createBranch(root, "keepme", from = 1)
+    Snapshots.appendTo(Seq((2L, "b")).toDF("id", "s"), root, "keepme") // v2
+    Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)          // v3
+    Snapshots.append(Seq((4L, "d")).toDF("id", "s"), root)          // v4
+    // main chain 1,3,4 — cutoff 4 would expire 1 and 3, but 1 anchors
+    // keepme's lineage and survives
+    Snapshots.expire(root, keepFrom = 4)
+    assert(ids(Snapshots.readBranch(spark, root, "keepme")) == Set(1L, 2L))
+    assert(ids(Snapshots.read(spark, root, 1)) == Set(1L))
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root, 3) }
+    // main's history truncates at the expired v3, as after any expire
+    assert(Snapshots.history(spark, root)
+      .select($"version").as[Int].collect().toSet == Set(4))
+    // drop the branch: v2 (and now-unanchored v1) become unreachable
+    // manifests; the age-0 test sweep reaps them and their data files
+    Snapshots.dropBranch(root, "keepme")
+    assert(Snapshots.removeOrphans(root, 0L) > 0)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root, 2) }
+    assert(ids(Snapshots.read(spark, root)) == Set(1L, 3L, 4L))
+  }
+
+  test("same-branch racers serialize through the head CAS") {
+    val root = Staging.tempDir("branch_spec6").toString
+    Snapshots.append(Seq((0L, "z")).toDF("id", "s"), root)
+    Snapshots.createBranch(root, "hot")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = Snapshots.appendTo(
+            Seq((i.toLong, s"r$i")).toDF("id", "s"), root, "hot")
+        })
+      }
+      val versions = futs.map(_.get())
+      assert(versions.distinct.size == 4)
+      // all four rows landed, linear chain from the head
+      assert(ids(Snapshots.readBranch(spark, root, "hot")) ==
+        Set(0L, 1L, 2L, 3L, 4L))
+      assert(Snapshots.lineage(root,
+        Snapshots.headOf(root, "hot")).size == 5)
+      // main never moved
+      assert(ids(Snapshots.read(spark, root)) == Set(0L))
+    } finally pool.shutdown()
+  }
+
+  test("refsTable lists branches and tags") {
+    val root = Staging.tempDir("branch_spec7").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
+    Snapshots.tag(root, "rel", 1)
+    Snapshots.createBranch(root, "dev")
+    val rows = Snapshots.refsTable(spark, root)
+      .as[(String, String, Int)].collect().toSet
+    assert(rows == Set(("main", "branch", 1), ("dev", "branch", 1),
+      ("rel", "tag", 1)))
+  }
+}
