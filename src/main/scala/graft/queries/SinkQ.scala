@@ -1249,6 +1249,67 @@ object SinkQ {
     * change, or a delete set charged to the wrong version each break
     * a different cell.
     */
+  /** q196 — WRITABLE BRANCHES / Write-Audit-Publish (r11): the gate
+    * drives the full ref lifecycle on one staged table. An `audit`
+    * branch accumulates two commits while `main` stays pinned (the WAP
+    * audit step), then publishes via fast-forward (one ref swap, no
+    * data I/O); an `exp` branch forks from v1 and diverges from main
+    * for good; a main commit lands after the publish; the audit ref is
+    * dropped; and `expire` cuts main's history below the fork while
+    * the exp lineage anchors the fork-point version. The output is
+    * each surviving ref's STATE — row count, content sum, and its
+    * branch-aware history length after expiration — which the oracle
+    * recomputes from the base table and the construction's arithmetic:
+    * main = slices {0,1,2,4}, its post-expire history truncated to 2
+    * commits (expiring v2 broke main's chain there, so the walk stops
+    * at {3,5} even though the exp-anchored v1 still exists); exp =
+    * slices {0,3} with its full 2-commit lineage {1,4}. A
+    * branch read leaking another ref's rows, a fast-forward moving
+    * data, expire eating a branch-anchored version, or history
+    * walking raw version numbers each break a different cell.
+    */
+  private val branchStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def branchWap(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = branchStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_branch_gate").toString
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def slice(r: Int) =
+        docs.filter(pmod(col("doc_id"), lit(5)) === r)
+      S.append(slice(0).repartition(2, col("doc_id")), o)           // v1 main
+      S.createBranch(o, "audit")
+      S.appendTo(slice(1).repartition(1), o, "audit")               // v2 audit
+      S.appendTo(slice(2).repartition(1), o, "audit")               // v3 audit
+      // the audit step: branch commits are INVISIBLE on main until
+      // published
+      require(S.read(spark, o).count() == slice(0).count(),
+        "audit-branch commits leaked into main before publish")
+      require(S.fastForward(o, "main", "audit") == 3,
+        "fast-forward did not land main on the audit head")         // main→v3
+      S.createBranch(o, "exp", from = 1)
+      S.appendTo(slice(3).repartition(1), o, "exp")                 // v4 exp
+      S.append(slice(4).repartition(1), o)                          // v5 main
+      S.dropBranch(o, "audit")
+      // main chain {1,2,3,5}: cutoff 3 expires v2 (audit is dropped);
+      // v1 survives as exp's fork anchor
+      S.expire(o, keepFrom = 3)
+      require(!scala.util.Try(S.read(spark, o, 2)).isSuccess,
+        "time travel to the expired v2 should fail loudly")
+      require(scala.util.Try(S.read(spark, o, 1)).isSuccess,
+        "expire ate the exp branch's fork-point version")
+      o
+    })
+    Seq("exp", "main").map { b =>
+      S.readBranch(spark, root, b)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(b).as("ref"), col("n_rows"), col("sum_chars"),
+          lit(S.history(spark, root, b).count()).as("n_commits"))
+    }.reduce(_.unionByName(_))
+  }
+
   private val histStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1276,6 +1337,7 @@ object SinkQ {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_branch_wap" -> (branchWap _),
     "q195_commit_history" -> (commitHistory _),
     "q194_row_update" -> (rowUpdate _),
     "q192_positional_delete" -> (positionalDelete _),
@@ -1309,6 +1371,19 @@ object SinkQ {
     "q111_schema_evolution" -> (schemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    // each surviving ref's state recomputed from the base table: main
+    // published the audit slices {1,2} on top of {0} then appended
+    // {4}; exp forked at v1 ({0}) and added {3}. History lengths are
+    // the construction's chain arithmetic: expire(keepFrom=3) removed
+    // v2, truncating main's parent walk to {3,5} = 2 commits; exp's
+    // lineage {1,4} = 2 commits survives untouched
+    "q196_branch_wap" ->
+      """SELECT 'exp' AS ref, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, 2 AS n_commits
+        |FROM documents WHERE doc_id % 5 IN (0, 3)
+        |UNION ALL
+        |SELECT 'main', count(*), CAST(sum(n_chars) AS BIGINT), 2
+        |FROM documents WHERE doc_id % 5 IN (0, 1, 2, 4)""".stripMargin,
     // the audit trail stated literally: ops by construction, rows
     // added per commit from the base table (the update's count
     // excludes keys the v4 delete already removed), delete sets per
