@@ -277,33 +277,58 @@ object RetrievalQ {
   }
 
   /** q135 — triangle counting over the positively-associated term
-    * graph (q129's co-occurrence edges with lift ≥ 1): the classic
-    * distributed graph statistic, via the ORDERED-edge join — every
-    * edge is stored once as (a < b), a wedge is e1(a,b)⋈e2(b,c), and a
-    * triangle closes with an equi-join back onto e3(a,c); the ordering
-    * counts each triangle exactly once with three equi-joins and no
-    * row ever compared twice. At 100 TB the standard refinement is
-    * degree-ordering (orient edges low→high degree) so wedge fan-out
-    * is bounded by the max ORIENTED degree — the shape here is already
-    * that join, the orientation key just changes. Pure integer gate:
-    * (n_nodes, n_edges, n_triangles).
+    * graph (q129's co-occurrence edges with lift ≥ 1), via
+    * DEGREE-ORDERED ORIENTATION (r11 — the compact-forward /
+    * node-iterator++ algorithm, the production shape for skewed
+    * graphs): every edge is oriented from its lower-(degree, name)
+    * endpoint to the higher, each triangle then has exactly ONE vertex
+    * with two out-edges into it (its minimum-rank corner), so wedges
+    * are pairs of out-edges at a common source and a triangle closes
+    * with one equi-join back onto the oriented edge set. The payoff
+    * over plain lexicographic ordering is the wedge fan-out bound: a
+    * hub of degree d contributes C(d,2) lexicographic wedges, but its
+    * ORIENTED out-degree is O(√m) on any graph (a vertex only points
+    * at neighbors of equal-or-higher degree), so the join's per-key
+    * fan-in — the straggler term on a power-law term graph at
+    * 100 TB — is bounded by √m instead of max-degree². Same three
+    * joins, same exactly-once count, no row compared twice. Pure
+    * integer gate: (n_nodes, n_edges, n_triangles).
     */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    // five consumers (e1/e2/e3/nodes/edges) — materialize the small
-    // edge list once instead of re-running the co-occurrence pipeline
-    // per consumer (lazy localCheckpoint: the CC/boundary idiom)
+    // multiple consumers (degree build, both orientation legs, nodes/
+    // edges scalars) — materialize the small edge list once instead of
+    // re-running the co-occurrence pipeline per consumer (lazy
+    // localCheckpoint: the CC/boundary idiom)
     val e = termCooccurrence(spark, dir)
       .filter(col("lift_micro") >= 1000000L)
       .select(col("term_a"), col("term_b"))
       .localCheckpoint(false)
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.term_b") === col("e2.term_a"))
-    val tris = wedges.join(e.as("e3"),
-        col("e3.term_a") === col("e1.term_a") &&
-          col("e3.term_b") === col("e2.term_b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val nodes = e.select(col("term_a").as("t"))
+    val deg = e.select(col("term_a").as("t"))
       .unionByName(e.select(col("term_b").as("t")))
-      .distinct().agg(count(lit(1)).as("n_nodes"))
+      .groupBy(col("t")).agg(count(lit(1)).as("deg"))
+    // orient low-rank → high-rank; the destination's rank rides along
+    // so the wedge join can order its two legs without re-joining deg
+    val lowFirst = e
+      .join(deg.select(col("t").as("term_a"), col("deg").as("deg_a")),
+        Seq("term_a"))
+      .join(deg.select(col("t").as("term_b"), col("deg").as("deg_b")),
+        Seq("term_b"))
+      .withColumn("fwd", col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("term_a") < col("term_b")))
+    val o = lowFirst.select(
+        when(col("fwd"), col("term_a")).otherwise(col("term_b")).as("src"),
+        when(col("fwd"), col("term_b")).otherwise(col("term_a")).as("dst"),
+        when(col("fwd"), col("deg_b")).otherwise(col("deg_a")).as("dst_deg"))
+      .localCheckpoint(false) // three consumers: both wedge legs + close
+    val wedges = o.as("o1").join(o.as("o2"),
+      col("o1.src") === col("o2.src") &&
+        (col("o1.dst_deg") < col("o2.dst_deg") ||
+          (col("o1.dst_deg") === col("o2.dst_deg") &&
+            col("o1.dst") < col("o2.dst"))))
+    val tris = wedges.join(o.as("o3"),
+        col("o3.src") === col("o1.dst") && col("o3.dst") === col("o2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     val edges = e.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(edges).crossJoin(tris)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))

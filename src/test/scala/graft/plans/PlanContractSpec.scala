@@ -270,6 +270,17 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       s"q76 regressed to a data-required hash exchange:\n$p")
   }
 
+  test("q135 counts triangles over the degree-ORIENTED edge set") {
+    // the oriented wedge join carries the destination-rank comparison
+    // (dst_deg) in its condition — lexicographic wedges don't; losing
+    // it reverts the per-key fan-in bound from O(sqrt m) to
+    // O(max-degree^2) on a power-law graph
+    val p = plans("q135_triangle_count")
+    assert(p.contains("dst_deg"),
+      s"q135 lost the degree-ordered orientation (no dst_deg rank in the plan):\n$p")
+    assert(!p.contains("Window"), s"q135 must stay window-free:\n$p")
+  }
+
   test("q153's document-frequency side partial-aggregates (no per-h window)") {
     // count-over-h-partition cannot combine map-side; the df table is a
     // groupBy joined back on h (broadcast at gate scale, shuffled when
