@@ -42,15 +42,45 @@ object LabelPropagation {
     * (a written table / parquet artifact) — the caller owns the
     * materialization (the [[PageRank.ranksPrepared]] contract).
     */
-  def labelsPrepared(eu: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+  /** HIGH-DEGREE HANDLING (r11): same contract as
+    * [[PageRank.ranksPrepared]] — with `hubDegreeCutoff` > 0 the
+    * undirected edge set splits once, hub-source edges join a
+    * broadcast of the (≤ |E|/cutoff) hub label rows, the tail keeps
+    * the shuffle join with per-key fan-in bounded by the cutoff, and
+    * the vote union partial-aggregates on (node, label) either way.
+    * Bit-identical labels; 0 = off (the pre-r11 plan, the gate
+    * default).
+    */
+  def labelsPrepared(eu: DataFrame, nodes: DataFrame, iters: Int,
+                     hubDegreeCutoff: Long = 0): DataFrame = {
     require(iters >= 0)
+    val hubs = if (hubDegreeCutoff > 0)
+      Some(eu.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= hubDegreeCutoff).select(col("src"))
+        .localCheckpoint(false))
+    else None
+    val (eCold, eHub) = hubs match {
+      case Some(h) =>
+        (eu.join(h, Seq("src"), "left_anti").localCheckpoint(false),
+          eu.join(h, Seq("src"), "left_semi").localCheckpoint(false))
+      case None => (eu, eu.limit(0))
+    }
     var l = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       // argmax by (count desc, label asc) as a partial-aggregable
       // struct-max — max((c, −label)) picks the same winner a sorted
       // window would, without the per-round sort shuffle
-      val vote = eu
-        .join(l.withColumnRenamed("node", "src"), Seq("src"))
+      val ls = l.withColumnRenamed("node", "src")
+      val stream = hubs match {
+        case Some(h) =>
+          def adopted(edges: DataFrame, labs: DataFrame) = edges
+            .join(labs, Seq("src"))
+            .select(col("dst"), col("label"))
+          adopted(eCold, ls).unionByName(
+            adopted(eHub, broadcast(ls.join(h, Seq("src"), "left_semi"))))
+        case None => eCold.join(ls, Seq("src"))
+      }
+      val vote = stream
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))

@@ -49,22 +49,66 @@ object PageRank {
     * and `nodes` its src ∪ dst set, both backed by materialized
     * storage (a written table / parquet artifact) — the caller owns
     * the materialization, nothing is checkpointed here.
+    *
+    * HIGH-DEGREE HANDLING (r11, `hubDegreeCutoff` > 0): the per-round
+    * edges⋈ranks equi-join on `src` puts every edge of one source in
+    * ONE task — uniform on the gate fixtures, a straggler on a
+    * power-law graph where a single hub can carry 10⁷ out-edges. With
+    * a cutoff the edge set splits ONCE (iteration-invariant, so it is
+    * part of the prepared-graph artifact family): hub-source edges
+    * join a BROADCAST of the hub rank rows — map-side, no skewed
+    * shuffle key anywhere — while the long tail keeps the shuffle
+    * join, whose per-key fan-in is now bounded by the cutoff. The two
+    * contribution streams union BEFORE the dst aggregation, which
+    * partial-aggregates map-side either way (in-degree hubs were
+    * always safe). Hub-side broadcast size is ≤ |E|/cutoff rank rows
+    * by construction — cutoff ≈ √|E| bounds both the broadcast and
+    * the residual skew at √|E| (the q135 orientation constant). The
+    * result is BIT-IDENTICAL to the plain plan: same contributions,
+    * same integer sums, only the physical route changes. 0 = off
+    * (exactly the pre-r11 plan, the gate default).
     */
   def ranksPrepared(e: DataFrame, nodes: DataFrame, iters: Int,
-                    damping: Double = 0.85): DataFrame = {
+                    damping: Double = 0.85,
+                    hubDegreeCutoff: Long = 0): DataFrame = {
     require(iters >= 0)
     val dampM = math.round(damping * Scale)
     val baseM = Scale - dampM
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val hubs = if (hubDegreeCutoff > 0)
+      Some(outDeg.filter(col("deg") >= hubDegreeCutoff).select(col("src"))
+        .localCheckpoint(false))
+    else None
+    // iteration-invariant split: each edge is scanned once per round
+    // on exactly one leg
+    val (eCold, eHub) = hubs match {
+      case Some(h) =>
+        (e.join(h, Seq("src"), "left_anti").localCheckpoint(false),
+          e.join(h, Seq("src"), "left_semi").localCheckpoint(false))
+      case None => (e, e.limit(0))
+    }
     var r = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to iters) {
-      val inbound = e
-        .join(r.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
-        // `div`, not `/`: Spark's slash on longs is a DOUBLE division
-        // whose truncation can disagree with exact integer floor near
-        // representability edges — div is true integer division
-        .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+      // `div`, not `/`: Spark's slash on longs is a DOUBLE division
+      // whose truncation can disagree with exact integer floor near
+      // representability edges — div is true integer division
+      val all = hubs match {
+        case Some(h) =>
+          // node-sized (rank, deg) table built once per round; hub rows
+          // broadcast, tail rows shuffle with bounded fan-in
+          val ranked = r.withColumnRenamed("node", "src")
+            .join(outDeg, Seq("src"))
+          def contribs(edges: DataFrame, rk: DataFrame) = edges
+            .join(rk, Seq("src"))
+            .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+          contribs(eCold, ranked).unionByName(
+            contribs(eHub, broadcast(ranked.join(h, Seq("src"), "left_semi"))))
+        case None => eCold
+          .join(r.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outDeg, Seq("src"))
+          .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+      }
+      val inbound = all
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("inflow"))
       // overflow-free damping: (q·S + r)·d div S = q·d + (r·d div S)
