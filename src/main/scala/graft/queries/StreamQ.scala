@@ -452,7 +452,89 @@ object StreamQ {
       .withColumn("resumed_run_commits", lit(staged._3))
   }
 
+  /** q197 — BRANCH-AWARE CDC TAIL ([[Streaming.tailChanges]] on a
+    * BRANCHED table, r11): once refs exist the commit log is the ref
+    * chain `_refs/main/<seq>.ref`, so the tail streams ref files —
+    * dense seqs, orphan-free, other branches' version numbers never in
+    * the stream. The gate runs the full WAP choreography around the
+    * feed: a fast-forwarded audit commit arrives as an ordinary feed
+    * entry, a merge on main lands typed update/insert rows, a
+    * compaction advances the ref but is skipped (no apply), a NOISE
+    * branch commits concurrently and must never surface, and the tail
+    * restarts on its durable checkpoint to replay exactly the one
+    * unseen main commit. The maintained per-source view must equal
+    * DuckDB's replay of main's final state; the commit counters pin
+    * exactly-once across the restart and branch isolation (a leaked
+    * noise commit, a double-applied replay, or an applied rewrite each
+    * break a pinned cell).
+    */
+  private val branchTailStaged = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long, Long)], Int, Int)]()
+
+  def branchCdcTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged: (Seq[(String, Long, Long)], Int, Int) =
+      branchTailStaged.computeIfAbsent(dir, d => {
+      val root = graft.sources.Staging.tempDir("graft_branch_tail_gate").toString
+      val ck = graft.sources.Staging.tempDir("graft_branch_tail_ck").toString
+      val docs = graft.sources.Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val S = graft.sources.Snapshots
+      S.append(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .repartition(2, col("doc_id")), root)                          // v1 main
+      S.createBranch(root, "audit")
+      S.appendTo(docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .repartition(1), root, "audit")                                // v2 audit
+      S.fastForward(root, "main", "audit")                             // main→v2
+      // merge ON MAIN: %9 keys (⊂ the v1 slice) update +500, shifted
+      // %7 keys insert +300 — typed update pairs + inserts in the feed
+      S.merge(spark, root, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .withColumn("n_chars", col("n_chars") + 500)
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+            .withColumn("doc_id", col("doc_id") + 3000000L)
+            .withColumn("n_chars", col("n_chars") + 300))
+          .repartition(1))                                             // v3 main
+      val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      def applyChanges(counter: java.util.concurrent.atomic.AtomicInteger)
+                      (changes: DataFrame, v: Int): Unit = {
+        counter.incrementAndGet()
+        val sign = when(col("_change_type")
+          .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+        changes.select(col("source"), sign.as("sgn"), col("n_chars"))
+          .groupBy(col("source"))
+          .agg(sum(col("sgn")).as("dn"),
+            sum(col("sgn") * col("n_chars")).as("ds"))
+          .collect() // |sources| rows per commit — metadata-sized
+          .foreach { r =>
+            val (n0, s0) = acc.getOrElse(r.getString(0), (0L, 0L))
+            acc(r.getString(0)) = (n0 + r.getLong(1), s0 + r.getLong(2))
+          }
+      }
+      val c1 = new java.util.concurrent.atomic.AtomicInteger()
+      Streaming.tailChanges(spark, root, ck)(applyChanges(c1))
+      // between runs: a rewrite on main (ref advances, feed skips), a
+      // NOISE branch commit (never in main's ref chain), one real
+      // main append
+      S.compact(spark, root, targetFiles = 2)                          // v4 main
+      S.createBranch(root, "noise")
+      S.appendTo(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .repartition(1), root, "noise")                                // v5 noise
+      S.append(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .withColumn("n_chars", col("n_chars") + 9)
+        .repartition(1), root)                                         // v6 main
+      val c2 = new java.util.concurrent.atomic.AtomicInteger()
+      Streaming.tailChanges(spark, root, ck)(applyChanges(c2))
+      (acc.toSeq.map { case (s, (n, su)) => (s, n, su) }.sortBy(_._1),
+        c1.get(), c2.get())
+    })
+    staged._1.toDF("source", "n_docs", "sum_chars")
+      .withColumn("first_run_commits", lit(staged._2))
+      .withColumn("resumed_run_commits", lit(staged._3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_branch_cdc_tail" -> (branchCdcTail _),
     "q191_stream_cdc_tail" -> (streamCdcTail _),
     "q125_stream_running_mean" -> (streamRunningMean _),
     "q118_stream_sliding_rates" -> (streamSlidingRates _),
@@ -468,6 +550,25 @@ object StreamQ {
     "q177_stream_upsert" -> (streamUpsert _))
 
   val oracles: Map[String, String] = Map(
+    // replay of MAIN's final state: the %3=0 base with its %9 keys
+    // updated +500, the fast-forwarded audit slice, the merge inserts
+    // and the resumed-run append; the noise branch's %2=0 slice is
+    // absent by construction. Counters: first run = v1 + published v2
+    // + merge v3 (3 applies), resumed = the one unseen main append
+    // (compaction skipped, noise invisible)
+    "q197_branch_cdc_tail" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |final AS (
+        |  SELECT source, n_chars AS nc FROM d
+        |  WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
+        |  UNION ALL SELECT source, n_chars + 500 FROM d WHERE doc_id % 9 = 0
+        |  UNION ALL SELECT source, n_chars FROM d WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT source, n_chars + 300 FROM d WHERE doc_id % 7 = 2
+        |  UNION ALL SELECT source, n_chars + 9 FROM d WHERE doc_id % 5 = 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  3 AS first_run_commits, 1 AS resumed_run_commits
+        |FROM final GROUP BY source""".stripMargin,
     // replay of the final table state (v1 survivors with their v2
     // updates, minus the v4 deletes, plus the merge inserts and both
     // appended slices), grouped by source; the commit counters pin
