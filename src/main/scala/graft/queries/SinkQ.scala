@@ -1310,6 +1310,48 @@ object SinkQ {
     }.reduce(_.unionByName(_))
   }
 
+  /** q198 — CHERRY-PICK onto a diverged ref (r11): main and a feature
+    * branch diverge (fast-forward verifiably refuses), then ONE audited
+    * append is picked from the branch onto main. The construction pins
+    * the sequence-number half of the contract: main commits an
+    * equality-delete for keys that only EXIST on the branch BEFORE the
+    * pick, so a naive pick that reused the source's `data_v2` paths
+    * would let the older tombstone kill the arriving rows — the
+    * hard-linked `data_v4` spelling gives them the new commit's
+    * sequence number and they survive exactly as a fresh append would.
+    * Output is both refs' states; the oracle recomputes them from the
+    * base table (main = the %4=0 base minus its %8=0 deletes, plus the
+    * picked %4=1 slice INTACT — its %8=1 keys included).
+    */
+  private val pickStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def cherryPickGate(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = pickStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_pick_gate").toString
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      S.append(docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .repartition(2, col("doc_id")), o)                           // v1 main
+      S.createBranch(o, "feat")
+      S.appendTo(docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .repartition(1), o, "feat")                                  // v2 feat
+      S.deleteWhere(spark, o, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(8)) <= 1)
+          .select(col("doc_id")))                                    // v3 main
+      require(!scala.util.Try(S.fastForward(o, "main", "feat")).isSuccess,
+        "diverged refs must refuse a fast-forward")
+      S.cherryPick(spark, o, "main", 2)                              // v4 main
+      o
+    })
+    Seq("feat", "main").map { b =>
+      S.readBranch(spark, root, b)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(b).as("ref"), col("n_rows"), col("sum_chars"))
+    }.reduce(_.unionByName(_))
+  }
+
   private val histStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1337,6 +1379,7 @@ object SinkQ {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_cherry_pick" -> (cherryPickGate _),
     "q196_branch_wap" -> (branchWap _),
     "q195_commit_history" -> (commitHistory _),
     "q194_row_update" -> (rowUpdate _),
@@ -1377,6 +1420,17 @@ object SinkQ {
     // the construction's chain arithmetic: expire(keepFrom=3) removed
     // v2, truncating main's parent walk to {3,5} = 2 commits; exp's
     // lineage {1,4} = 2 commits survives untouched
+    // both refs recomputed from the base table; the main row breaks
+    // if the v3 tombstones (committed before the pick) kill the picked
+    // slice's %8=1 keys — the sequence-number contract
+    "q198_cherry_pick" ->
+      """SELECT 'feat' AS ref, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 4 IN (0, 1)
+        |UNION ALL
+        |SELECT 'main', count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents
+        |WHERE (doc_id % 4 = 0 AND doc_id % 8 <> 0) OR doc_id % 4 = 1""".stripMargin,
     "q196_branch_wap" ->
       """SELECT 'exp' AS ref, count(*) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, 2 AS n_commits

@@ -302,6 +302,11 @@ object Snapshots {
     * scale changes shift the point — both rejected).
     */
   private def widenedSchema(df: DataFrame, root: String, prev: Int)
+      : org.apache.spark.sql.types.StructType =
+    promotedSchema(df.schema, root, prev)
+
+  private def promotedSchema(incoming: org.apache.spark.sql.types.StructType,
+                             root: String, prev: Int)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     def promoted(a: DataType, b: DataType): DataType = (a, b) match {
@@ -315,10 +320,10 @@ object Snapshots {
           "(int->long, float->double, decimal precision widening only)")
     }
     (if (prev == 0) None else schemaOf(root, prev)) match {
-      case None => df.schema
+      case None => incoming
       case Some(ps) =>
         val widened = ps.fields.map { pf =>
-          df.schema.find(_.name == pf.name) match {
+          incoming.find(_.name == pf.name) match {
             case Some(f) =>
               try pf.copy(dataType = promoted(pf.dataType, f.dataType))
               catch { case e: IllegalArgumentException =>
@@ -328,7 +333,7 @@ object Snapshots {
           }
         }
         StructType(
-          (widened ++ df.schema.fields.filterNot(f =>
+          (widened ++ incoming.fields.filterNot(f =>
             ps.fieldNames.contains(f.name))).map(_.copy(nullable = true)))
     }
   }
@@ -1880,6 +1885,96 @@ object Snapshots {
     require(casRef(rootP, target, tSeq, sHead),
       s"concurrent commit moved '$target' during fast-forward — re-run")
     sHead
+  }
+
+  /** CHERRY-PICK (Iceberg `cherrypick_snapshot`, append-only): replay
+    * version `v`'s OWN change — the data files its commit added — onto
+    * `target`'s head as a NEW commit, without moving `target` to `v`'s
+    * whole lineage. This is the diverged-refs story [[fastForward]]
+    * refuses: pull one audited commit from a branch whose other
+    * history main does not want. Restricted to plain APPEND commits,
+    * as in Iceberg — a delete/merge/update/rewrite delta is defined
+    * against its parent's row set and cannot replay safely onto a
+    * diverged head.
+    *
+    * SEQUENCE-NUMBER CORRECTNESS is the subtle half: reusing the
+    * source entry lines verbatim would carry `data_v<v>` paths, and a
+    * delete set committed on `target` at d > v would wrongly apply to
+    * the replayed rows (they'd arrive "in the past" and tombstones
+    * could kill them on arrival). The pick therefore HARD-LINKS the
+    * source parquet files under a `data_v<w>` directory carrying the
+    * NEW commit's number — zero data copy, the files get the sequence
+    * number of the commit that (re)introduced them, and a re-insert
+    * after a delete survives exactly as a fresh append would. Stats /
+    * bloom / partition tokens ride the manifest lines unchanged (same
+    * bytes, same footers). Returns the new version on `target`.
+    */
+  def cherryPick(spark: SparkSession, root: String, target: String,
+                 v: Int): Int = {
+    val rootP = Paths.get(root)
+    require(branched(root), s"no refs under $root")
+    require(Files.exists(manifestPath(rootP, v)),
+      s"cannot cherry-pick missing version $v under $root")
+    val op = propsOf(root, v).getOrElse("op", "unknown")
+    require(op == "append",
+      s"only append commits cherry-pick; v$v is '$op' (its delta is " +
+        "defined against its own parent's row set)")
+    val targetHist = lineage(root, headOf(root, target))
+    require(!targetHist.contains(v) &&
+      !targetHist.flatMap(h => propsOf(root, h).get("pickedFrom"))
+        .contains(v.toString),
+      s"v$v is already in '$target''s history — a second pick would " +
+        "duplicate its rows")
+    val own = rawLines(root, v).filter { l =>
+      !l.startsWith("#delete\t") && !l.startsWith("#posdelete\t") &&
+        dataVersionOf(l.split('\t').head) == v
+    }
+    require(own.nonEmpty, s"v$v added no data files; nothing to pick")
+    val token = newToken()
+    var w = latestVersion(root) + 1
+    val rootAbs = rootP.toAbsolutePath
+    def relink(into: Int): Seq[String] = {
+      val dst = rootP.resolve(s"data_v${into}_$token")
+      own.map { line =>
+        val parts = line.split('\t')
+        val f = Paths.get(parts.head).toAbsolutePath
+        val rel = rootAbs.relativize(f)
+        // drop the source data dir's top segment, keep any partition
+        // subdirs beneath it
+        val sub = rel.subpath(1, rel.getNameCount)
+        val out = dst.resolve(sub.toString)
+        Files.createDirectories(out.getParent)
+        if (!Files.exists(out)) Files.createLink(out, f)
+        (out.toAbsolutePath.toString +: parts.tail.toSeq).mkString("\t")
+      }
+    }
+    var lines = relink(w)
+    def reallocate(): Unit = {
+      val newW = math.max(latestVersion(root), w) + 1
+      Files.move(rootP.resolve(s"data_v${w}_$token"),
+        rootP.resolve(s"data_v${newW}_$token"))
+      lines = lines.map(
+        _.replace(s"data_v${w}_$token", s"data_v${newW}_$token"))
+      w = newW
+    }
+    val srcSchema = schemaOf(root, v)
+      .getOrElse(rawScan(spark, root, v, files(root, v)).schema)
+    var committed = -1
+    while (committed < 0) {
+      val (parent, seq) = commitBasis(root, target, w)
+      try {
+        if (publish(rootP, root, target, w, seq, parent,
+            promotedSchema(srcSchema, root, parent),
+            (if (parent == 0) Nil else rawLines(root, parent)) ++ lines,
+            props = Map("op" -> "append", "pickedFrom" -> v.toString)))
+          committed = w
+        else reallocate()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          reallocate()
+      }
+    }
+    committed
   }
 
   /** Read the table as a branch sees it. */

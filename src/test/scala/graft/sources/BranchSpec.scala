@@ -137,6 +137,33 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     } finally pool.shutdown()
   }
 
+  test("cherry-pick replays one append onto a diverged ref with a fresh sequence number") {
+    val root = Staging.tempDir("branch_spec8").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
+    Snapshots.createBranch(root, "feat")
+    Snapshots.appendTo(Seq((2L, "b"), (3L, "c")).toDF("id", "s"),
+      root, "feat")                                                  // v2
+    // main diverges: a tombstone for key 2 lands BEFORE the pick
+    Snapshots.deleteWhere(spark, root, "id", Seq(Tuple1(2L)).toDF("id")) // v3
+    intercept[IllegalArgumentException] {
+      Snapshots.fastForward(root, "main", "feat") // diverged — refused
+    }
+    val w = Snapshots.cherryPick(spark, root, "main", 2)
+    // sequence correctness: the picked rows carry the NEW commit's
+    // number, so the older v3 tombstone must NOT kill key 2
+    assert(ids(Snapshots.read(spark, root)) == Set(1L, 2L, 3L))
+    assert(Snapshots.parentOf(root, w) == 3)
+    // feat untouched; double-pick of an ancestor refused
+    assert(ids(Snapshots.readBranch(spark, root, "feat")) == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Snapshots.cherryPick(spark, root, "main", 2)
+    }
+    // non-append commits refuse
+    intercept[IllegalArgumentException] {
+      Snapshots.cherryPick(spark, root, "feat", 3)
+    }
+  }
+
   test("refsTable lists branches and tags") {
     val root = Staging.tempDir("branch_spec7").toString
     Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
