@@ -137,6 +137,36 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     } finally pool.shutdown()
   }
 
+  test("cross-branch racers share the allocator but never each other's history") {
+    val root = Staging.tempDir("branch_spec9").toString
+    Snapshots.append(Seq((0L, "z")).toDF("id", "s"), root)
+    Snapshots.createBranch(root, "left")
+    Snapshots.createBranch(root, "right")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futs = (1 to 6).map { i =>
+        val branch = if (i % 2 == 0) "left" else "right"
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = Snapshots.appendTo(
+            Seq((i.toLong, branch)).toDF("id", "s"), root, branch)
+        })
+      }
+      val versions = futs.map(_.get())
+      // the global allocator never hands out the same number twice
+      assert(versions.distinct.size == 6)
+      assert(ids(Snapshots.readBranch(spark, root, "left")) ==
+        Set(0L, 2L, 4L, 6L))
+      assert(ids(Snapshots.readBranch(spark, root, "right")) ==
+        Set(0L, 1L, 3L, 5L))
+      assert(ids(Snapshots.read(spark, root)) == Set(0L))
+      // each branch's chain is linear over its own commits only
+      assert(Snapshots.lineage(root, Snapshots.headOf(root, "left"))
+        .size == 4)
+      assert(Snapshots.lineage(root, Snapshots.headOf(root, "right"))
+        .size == 4)
+    } finally pool.shutdown()
+  }
+
   test("cherry-pick replays one append onto a diverged ref with a fresh sequence number") {
     val root = Staging.tempDir("branch_spec8").toString
     Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
