@@ -270,6 +270,21 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       s"q76 regressed to a data-required hash exchange:\n$p")
   }
 
+  test("q139/q149 bigram plans shuffle hashed keys, never token strings") {
+    // the r10/r11 fix pair: both the in-corpus and held-out LM plans
+    // key every model shuffle and scoring join on xxhash64 bigram ids;
+    // a token-string shuffle key (w1/w2) reappearing means the shared
+    // hashed bigramRows helper was bypassed — the exact drift the
+    // re-unification exists to prevent
+    for (q <- Seq("q139_bigram_fluency", "q149_heldout_lm_score")) {
+      val p = plans(q)
+      assert(!p.contains("hashpartitioning(w1"),
+        s"$q shuffles token strings again (w1 key):\n$p")
+      assert(p.contains("h12"),
+        s"$q lost its hashed bigram keys:\n$p")
+    }
+  }
+
   test("q135 counts triangles over the degree-ORIENTED edge set") {
     // the oriented wedge join carries the destination-rank comparison
     // (dst_deg) in its condition — lexicographic wedges don't; losing

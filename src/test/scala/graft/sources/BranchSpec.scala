@@ -194,6 +194,22 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("metadata defaults resolve main's ref on a branched table") {
+    val root = Staging.tempDir("branch_spec10").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root) // v1
+    Snapshots.createBranch(root, "big")
+    Snapshots.appendTo(Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "s"),
+      root, "big")                                                    // v2
+    // -1 means MAIN's head (2 rows), not the max version number's
+    // 5-row branch state
+    assert(Snapshots.metadataCount(root) == 2L)
+    assert(Snapshots.filesTable(spark, root).count() ==
+      Snapshots.files(root, 1).size.toLong)
+    // explicit versions still time-travel anywhere, branch or not
+    assert(Snapshots.metadataCount(root, 2) == 5L)
+    assert(ids(Snapshots.read(spark, root, 2)) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("refsTable lists branches and tags") {
     val root = Staging.tempDir("branch_spec7").toString
     Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
