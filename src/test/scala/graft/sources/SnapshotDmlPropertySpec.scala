@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Randomized DML invariants for the snapshot store: arbitrary
+  * interleavings of append / merge / equality-delete / row-update /
+  * compact must keep the live table equal to a trivial reference
+  * interpreter (a driver-side Map), and every REMEMBERED version must
+  * read back byte-stably no matter what lands after it — the
+  * sequence-scoping contract (a key re-inserted after its delete
+  * survives; an update's post-image outlives its own commit's
+  * tombstones; compaction changes bytes, never rows) exercised down
+  * random paths instead of the hand-picked gate choreographies.
+  */
+class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private sealed trait Op
+  private case class Append(keys: Seq[Long], delta: Long) extends Op
+  private case class Merge(keys: Seq[Long], delta: Long) extends Op
+  private case class Delete(keys: Seq[Long]) extends Op
+  private case class Update(mod: Long, delta: Long) extends Op
+  private case object Compact extends Op
+
+  private val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 39L)).map(_.distinct)
+  private val opGen: Gen[Op] = Gen.frequency(
+    4 -> (for { k <- keysGen; d <- Gen.choose(1L, 9L) } yield Append(k, d)),
+    4 -> (for { k <- keysGen; d <- Gen.choose(1L, 9L) } yield Merge(k, d)),
+    3 -> keysGen.map(Delete(_)),
+    2 -> (for { m <- Gen.choose(2L, 5L); d <- Gen.choose(1L, 9L) }
+      yield Update(m, d)),
+    1 -> Gen.const(Compact))
+
+  test("random DML interleavings match the reference interpreter; remembered versions stay stable") {
+    (1 to 5).foreach { i =>
+      val ops = Gen.listOfN(12, opGen)
+        .pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val root = Staging.tempDir(s"dml_prop_$i").toString
+      val S = Snapshots
+
+      // model: MULTISET of (id, v) — appends may duplicate ids; merge
+      // and delete act on ALL rows of a key; update rewrites matching
+      // rows in place
+      var model = Vector.empty[(Long, Long)]
+      var snapshots = List.empty[(Int, Vector[(Long, Long)])]
+      def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "v")
+
+      S.append(df((0L to 9L).map(k => k -> k)), root)
+      model = (0L to 9L).map(k => k -> k).toVector
+      snapshots ::= (1, model)
+
+      ops.foreach { op =>
+        val ver = op match {
+          case Append(keys, d) =>
+            val rows = keys.map(k => k -> (k + d))
+            model = model ++ rows
+            S.append(df(rows).repartition(2), root)
+          case Merge(keys, d) =>
+            val rows = keys.map(k => k -> (k * 10 + d))
+            model = model.filterNot(r => keys.contains(r._1)) ++ rows
+            S.merge(spark, root, "id", df(rows).repartition(1))
+          case Delete(keys) =>
+            model = model.filterNot(r => keys.contains(r._1))
+            S.deleteWhere(spark, root, "id", keys.toDF("id"))
+          case Update(m, d) =>
+            model = model.map { case (k, v) =>
+              if (v % m == 0) (k, v + d) else (k, v) }
+            S.updateWhere(spark, root, pmod(col("v"), lit(m)) === 0,
+              Map("v" -> (col("v") + d)))
+          case Compact =>
+            S.compact(spark, root, targetFiles = 2)
+        }
+        val got = S.read(spark, root)
+          .as[(Long, Long)].collect().toVector.sorted
+        assert(got == model.sorted,
+          s"seed $i after $op: got $got\nwant ${model.sorted}")
+        snapshots ::= (ver, model)
+      }
+
+      // every remembered version reads back exactly its frozen state
+      snapshots.foreach { case (v, want) =>
+        val got = S.read(spark, root, v)
+          .as[(Long, Long)].collect().toVector.sorted
+        assert(got == want.sorted, s"seed $i: v$v drifted")
+      }
+    }
+  }
+}
