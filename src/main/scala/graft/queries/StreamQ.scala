@@ -483,9 +483,18 @@ object StreamQ {
       S.append(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
         .repartition(2, col("doc_id")), root)                          // v1 main
       S.createBranch(root, "audit")
+      // TWO audit commits before the publish: the fast-forward then
+      // advances main's ref by one seq naming a version two commits
+      // past the old head, and the tail must replay the whole (v1, v3]
+      // window — a tail that applies only the named head's own delta
+      // silently loses v2 (the r11 review finding, now gated)
       S.appendTo(docs.filter(pmod(col("doc_id"), lit(3)) === 1)
         .repartition(1), root, "audit")                                // v2 audit
-      S.fastForward(root, "main", "audit")                             // main→v2
+      S.appendTo(docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .filter(col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + 40)
+        .repartition(1), root, "audit")                                // v3 audit
+      S.fastForward(root, "main", "audit")                             // main→v3
       // merge ON MAIN: %9 keys (⊂ the v1 slice) update +500, shifted
       // %7 keys insert +300 — typed update pairs + inserts in the feed
       S.merge(spark, root, "doc_id",
@@ -494,7 +503,7 @@ object StreamQ {
           .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 2)
             .withColumn("doc_id", col("doc_id") + 3000000L)
             .withColumn("n_chars", col("n_chars") + 300))
-          .repartition(1))                                             // v3 main
+          .repartition(1))                                             // v4 main
       val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
       def applyChanges(counter: java.util.concurrent.atomic.AtomicInteger)
                       (changes: DataFrame, v: Int): Unit = {
@@ -516,13 +525,13 @@ object StreamQ {
       // between runs: a rewrite on main (ref advances, feed skips), a
       // NOISE branch commit (never in main's ref chain), one real
       // main append
-      S.compact(spark, root, targetFiles = 2)                          // v4 main
+      S.compact(spark, root, targetFiles = 2)                          // v5 main
       S.createBranch(root, "noise")
       S.appendTo(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .repartition(1), root, "noise")                                // v5 noise
+        .repartition(1), root, "noise")                                // v6 noise
       S.append(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
         .withColumn("n_chars", col("n_chars") + 9)
-        .repartition(1), root)                                         // v6 main
+        .repartition(1), root)                                         // v7 main
       val c2 = new java.util.concurrent.atomic.AtomicInteger()
       Streaming.tailChanges(spark, root, ck)(applyChanges(c2))
       (acc.toSeq.map { case (s, (n, su)) => (s, n, su) }.sortBy(_._1),
@@ -551,11 +560,13 @@ object StreamQ {
 
   val oracles: Map[String, String] = Map(
     // replay of MAIN's final state: the %3=0 base with its %9 keys
-    // updated +500, the fast-forwarded audit slice, the merge inserts
-    // and the resumed-run append; the noise branch's %2=0 slice is
-    // absent by construction. Counters: first run = v1 + published v2
-    // + merge v3 (3 applies), resumed = the one unseen main append
-    // (compaction skipped, noise invisible)
+    // updated +500, BOTH fast-forwarded audit slices (the publish
+    // advances one seq across a 2-commit window — a tail applying only
+    // the named head's own delta loses the %3=1 slice), the merge
+    // inserts and the resumed-run append; the noise branch's %2=0
+    // slice is absent by construction. Counters: first run = v1 + the
+    // two published audit commits + the merge (4 applies), resumed =
+    // the one unseen main append (compaction skipped, noise invisible)
     "q197_branch_cdc_tail" ->
       """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
         |final AS (
@@ -563,11 +574,13 @@ object StreamQ {
         |  WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
         |  UNION ALL SELECT source, n_chars + 500 FROM d WHERE doc_id % 9 = 0
         |  UNION ALL SELECT source, n_chars FROM d WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT source, n_chars + 40 FROM d
+        |  WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
         |  UNION ALL SELECT source, n_chars + 300 FROM d WHERE doc_id % 7 = 2
         |  UNION ALL SELECT source, n_chars + 9 FROM d WHERE doc_id % 5 = 1)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(nc) AS BIGINT) AS sum_chars,
-        |  3 AS first_run_commits, 1 AS resumed_run_commits
+        |  4 AS first_run_commits, 1 AS resumed_run_commits
         |FROM final GROUP BY source""".stripMargin,
     // replay of the final table state (v1 survivors with their v2
     // updates, minus the v4 deletes, plus the merge inserts and both

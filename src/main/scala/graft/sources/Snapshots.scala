@@ -389,19 +389,16 @@ object Snapshots {
     // reallocation renames them so [[dataVersionOf]] sequence scoping
     // stays truthful
     def reallocate(): Unit = {
-      val newV = latestVersion(root) + 1
-      if (newV > v) {
-        Files.move(rootP.resolve(s"data_v${v}_$token"),
-          rootP.resolve(s"data_v${newV}_$token"))
-        lines = lines.map(
-          _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
-        v = newV
-      }
+      val newV = reallocateStaged(rootP, root, v, token, Seq("data"))
+      lines = lines.map(
+        _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
+      v = newV
     }
     var committed = -1
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, branch, v)
-      try {
+      if (v <= parent) reallocate() // stale pre-write allocation
+      else try {
         if (publish(rootP, root, branch, v, seq,
             parent, widenedSchema(df, root, parent),
             (if (parent == 0) Nil else rawLines(root, parent)) ++ lines,
@@ -410,12 +407,7 @@ object Snapshots {
         else reallocate() // head CAS lost: rebase on the new head
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val newV = latestVersion(root) + 1
-          Files.move(rootP.resolve(s"data_v${v}_$token"),
-            rootP.resolve(s"data_v${newV}_$token"))
-          lines = lines.map(
-            _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
-          v = newV
+          reallocate()
       }
     }
     committed
@@ -801,9 +793,7 @@ object Snapshots {
       s"$line\t#part:${spec.tokenName}=${values(f)}"
     }
     def reallocate(): Unit = {
-      val newV = math.max(latestVersion(root), v) + 1
-      Files.move(rootP.resolve(s"data_v${v}_$token"),
-        rootP.resolve(s"data_v${newV}_$token"))
+      val newV = reallocateStaged(rootP, root, v, token, Seq("data"))
       lines = lines.map(
         _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
       v = newV
@@ -811,7 +801,8 @@ object Snapshots {
     var committed = -1
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, branch, v)
-      try {
+      if (v <= parent) reallocate() // stale pre-write allocation
+      else try {
         if (publish(rootP, root, branch, v, seq, parent,
             widenedSchema(df, root, parent),
             (if (parent == 0) Nil else rawLines(root, parent)) ++ lines,
@@ -1063,19 +1054,17 @@ object Snapshots {
         .map(_.toAbsolutePath.toString).toSeq.sorted
       finally listing.close()
     }
-    def reallocate(floor: Int): Unit = {
-      val newV = math.max(latestVersion(root), floor) + 1
-      if (newV > v) {
-        Files.move(rootP.resolve(s"delete_v${v}_$token"),
-          rootP.resolve(s"delete_v${newV}_$token"))
-        delFiles = delFiles.map(
-          _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
-        v = newV
-      }
+    def reallocate(): Unit = {
+      val newV = reallocateStaged(rootP, root, v, token, Seq("delete"))
+      delFiles = delFiles.map(
+        _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+      v = newV
     }
     var committed = -1
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, branch, v)
+      if (v <= parent) { reallocate() } // stale pre-write allocation
+      else {
       val schema = schemaOf(root, parent)
         .getOrElse(rawScan(spark, root, parent, files(root, parent)).schema)
       require(schema.fieldNames.contains(column),
@@ -1086,14 +1075,15 @@ object Snapshots {
               delFiles.map(f => s"#delete\t$f\t$column\t$v"),
             props = Map("op" -> "delete")))
           committed = v
-        else reallocate(v)
+        else reallocate()
       } catch {
         // rebase like append: an equality delete is defined against
         // "everything committed before me", so retrying on top of the
         // winner preserves its semantics (the delete's sequence number
         // moves up WITH the rebase)
         case _: java.nio.file.FileAlreadyExistsException =>
-          reallocate(v)
+          reallocate()
+      }
       }
     }
     committed
@@ -1142,9 +1132,7 @@ object Snapshots {
       finally listing.close()
     }
     def reallocate(): Unit = {
-      val newV = math.max(latestVersion(root), v) + 1
-      Files.move(rootP.resolve(s"delete_v${v}_$token"),
-        rootP.resolve(s"delete_v${newV}_$token"))
+      val newV = reallocateStaged(rootP, root, v, token, Seq("delete"))
       delFiles = delFiles.map(
         _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
       v = newV
@@ -1152,6 +1140,8 @@ object Snapshots {
     var committed = -1
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, branch, v)
+      if (v <= parent) { reallocate() } // stale pre-write allocation
+      else {
       // a rewrite anywhere in the unseen window (the branch chain from
       // this delete's base to the current head) moves rows to new
       // paths — the tombstones would dangle and the rows resurrect;
@@ -1176,6 +1166,7 @@ object Snapshots {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           reallocate()
+      }
       }
     }
     committed
@@ -1229,11 +1220,8 @@ object Snapshots {
     }
     var dataLines = entryLines(updated, writeDataFiles(updated, rootP, v, token))
     def reallocate(): Unit = {
-      val newV = math.max(latestVersion(root), v) + 1
-      Files.move(rootP.resolve(s"data_v${v}_$token"),
-        rootP.resolve(s"data_v${newV}_$token"))
-      Files.move(rootP.resolve(s"delete_v${v}_$token"),
-        rootP.resolve(s"delete_v${newV}_$token"))
+      val newV = reallocateStaged(rootP, root, v, token,
+        Seq("data", "delete"))
       dataLines = dataLines.map(
         _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
       delFiles = delFiles.map(
@@ -1243,6 +1231,8 @@ object Snapshots {
     var committed = -1
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, branch, v)
+      if (v <= parent) { reallocate() } // stale pre-write allocation
+      else {
       val rewrote = lineageBetween(root, base0, parent).find(w =>
         propsOf(root, w).get("rewrite").contains("true"))
       if (rewrote.isDefined) {
@@ -1264,6 +1254,7 @@ object Snapshots {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           reallocate()
+      }
       }
     }
     committed
@@ -1330,11 +1321,8 @@ object Snapshots {
     // delete files (deterministic — never recomputes `source`)
     def ownKeys = spark.read.parquet(delFiles: _*).select(col(column))
     def reallocate(): Unit = {
-      val newV = math.max(latestVersion(root), v) + 1
-      Files.move(rootP.resolve(s"data_v${v}_$token"),
-        rootP.resolve(s"data_v${newV}_$token"))
-      Files.move(rootP.resolve(s"delete_v${v}_$token"),
-        rootP.resolve(s"delete_v${newV}_$token"))
+      val newV = reallocateStaged(rootP, root, v, token,
+        Seq("data", "delete"))
       dataLines = dataLines.map(
         _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
       delFiles = delFiles.map(
@@ -1344,6 +1332,8 @@ object Snapshots {
     var committed = -1
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, branch, v)
+      if (v <= parent) { reallocate() } // stale pre-write allocation
+      else {
       // revalidate EVERY attempt's full unseen window — the branch
       // chain (base0, parent] — not only CAS losers': a commit landing
       // between entry and the first CAS succeeds at CAS yet was still
@@ -1369,6 +1359,7 @@ object Snapshots {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           reallocate()
+      }
       }
     }
     committed
@@ -1752,7 +1743,17 @@ object Snapshots {
   private def casRef(rootP: Path, name: String, expectSeq: Int,
                      version: Int): Boolean = {
     val dir = refDir(rootP, name)
-    Files.createDirectories(dir)
+    // only the SEED step (expectSeq 0, branch creation) may mint the
+    // dir: a writer advancing seq N whose ref dir vanished raced a
+    // [[dropBranch]] — recreating the dir here would resurrect the
+    // ref with a gap-toothed seq chain (breaking the CDC tail's
+    // dense-seq invariant) and silently un-drop the branch. Fail
+    // loudly instead; the already-linked manifest becomes an orphan
+    // for [[removeOrphans]].
+    if (expectSeq == 0) Files.createDirectories(dir)
+    else require(Files.exists(dir),
+      s"ref '$name' was dropped while a commit was in flight — " +
+        "the commit is not on any ref")
     val tmp = dir.resolve(s"_tmp_${newToken()}")
     Files.write(tmp, version.toString.getBytes("UTF-8"))
     try { Files.createLink(dir.resolve(s"${expectSeq + 1}.ref"), tmp); true }
@@ -1805,9 +1806,10 @@ object Snapshots {
     * window between two commits on ONE branch. Unlike [[lineage]] this
     * FAILS on a missing intermediate manifest (a correctness window
     * cannot silently skip history) and on `from` not being an ancestor
-    * of `to` (diverged refs have no linear window).
+    * of `to` (diverged refs have no linear window). Public because the
+    * streaming ref tail replays exactly this window per ref advance.
     */
-  private def lineageBetween(root: String, from: Int, to: Int): Seq[Int] = {
+  def lineageBetween(root: String, from: Int, to: Int): Seq[Int] = {
     var v = to
     var acc = List.empty[Int]
     while (v > from) {
@@ -1842,6 +1844,9 @@ object Snapshots {
 
   /** Drop a branch ref. Its commits stay on disk as unreachable
     * manifests until [[removeOrphans]] (age-guarded) reaps them.
+    * Like [[createBranch]], an admin op that must not race writers ON
+    * THIS BRANCH: an in-flight commit loses its ref CAS loudly (its
+    * manifest orphans), never resurrects the dropped ref.
     */
   def dropBranch(root: String, name: String): Unit = {
     require(name != "main", "cannot drop main")
@@ -1950,9 +1955,7 @@ object Snapshots {
     }
     var lines = relink(w)
     def reallocate(): Unit = {
-      val newW = math.max(latestVersion(root), w) + 1
-      Files.move(rootP.resolve(s"data_v${w}_$token"),
-        rootP.resolve(s"data_v${newW}_$token"))
+      val newW = reallocateStaged(rootP, root, w, token, Seq("data"))
       lines = lines.map(
         _.replace(s"data_v${w}_$token", s"data_v${newW}_$token"))
       w = newW
@@ -1962,6 +1965,7 @@ object Snapshots {
     var committed = -1
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, target, w)
+      if (w <= parent) { reallocate() } else
       try {
         if (publish(rootP, root, target, w, seq, parent,
             promotedSchema(srcSchema, root, parent),
@@ -2017,6 +2021,28 @@ object Snapshots {
     * [[java.nio.file.FileAlreadyExistsException]] when the VERSION
     * NUMBER was claimed by someone else (caller reallocates).
     */
+  /** Pick the next attempt's version number and move the staged
+    * `<kind>_v<v>_<token>` dirs under it — the ONE spelling of the
+    * rebase/reallocation step every committer retries through. The
+    * result exceeds BOTH the current global allocator state and the
+    * caller's previous attempt, so a version number never regresses
+    * across retries; callers must ALSO re-check `v > parent` each
+    * iteration (see the loop guards): a writer whose allocation went
+    * stale while another branch advanced could otherwise publish a
+    * commit numbered below its parent, inverting the sequence-number
+    * order that delete scoping and lineage both rely on.
+    */
+  private def reallocateStaged(rootP: Path, root: String, v: Int,
+                               token: String, kinds: Seq[String]): Int = {
+    val newV = math.max(latestVersion(root), v) + 1
+    kinds.foreach { k =>
+      val src = rootP.resolve(s"${k}_v${v}_$token")
+      if (Files.exists(src))
+        Files.move(src, rootP.resolve(s"${k}_v${newV}_$token"))
+    }
+    newV
+  }
+
   private def publish(rootP: Path, root: String, branch: String, v: Int,
                       seq: Int, parent: Int,
                       schema: org.apache.spark.sql.types.StructType,
@@ -2072,10 +2098,17 @@ object Snapshots {
     val branchKept =
       branches(root).filterNot(_._1 == "main")
         .flatMap { case (_, head) => lineage(root, head) }.toSet
+    // no ref's CURRENT snapshot is ever expirable (Iceberg's rule) —
+    // on a branched table `keepFrom` can legally exceed main's head
+    // version number (the global allocator runs ahead of every ref),
+    // and without this guard such a call would delete main's head
+    // manifest and brick the ref
+    val refHeads = (headOf(root, "main") +:
+      branches(root).map(_._2)).toSet
     val mainChain = lineage(root, headOf(root, "main"))
     val expiredVersions = mainChain
       .filter(v => v < keepFrom && !tagged.contains(v) &&
-        !branchKept.contains(v))
+        !branchKept.contains(v) && !refHeads.contains(v))
     val expiredSet = expiredVersions.toSet
     val retained = (1 to latest)
       .filter(v => !expiredSet.contains(v) &&

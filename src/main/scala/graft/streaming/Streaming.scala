@@ -454,35 +454,51 @@ object Streaming {
             .stripSuffix(".ref").toInt
           seq -> r.getString(1).trim.toInt
         }.toMap
-        // contiguous-seq frontier, persisted beside the checkpoint:
-        // seqs are dense by CAS construction, so "hold until seq+1
-        // arrives" never stalls
+        // contiguous-seq frontier + last-applied VERSION (chainTip),
+        // persisted beside the checkpoint: seqs are dense by CAS
+        // construction, so "hold until seq+1 arrives" never stalls.
+        // chainTip matters because one ref advance can name a version
+        // SEVERAL commits past the previous head — a multi-commit
+        // fast-forward publishes the whole audit chain in one seq —
+        // so each seq applies the chain WINDOW (tip, v], not just v's
+        // own delta; dropping the intermediates would silently lose
+        // their changes from the feed.
         val state = java.nio.file.Paths.get(checkpoint, "_graft_order")
-        var (hwm, pending) =
+        var (hwm, chainTip, pending) =
           if (java.nio.file.Files.exists(state)) {
             val toks = new String(java.nio.file.Files.readAllBytes(state),
               java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-            (toks.head.toInt, toks.tail.map { t =>
+            require(toks.length >= 2 && toks.take(2).forall(_.forall(_.isDigit))
+              && toks.drop(2).forall(_.contains("=")),
+              s"checkpoint $checkpoint was written by the pre-branch " +
+                "manifest tail — branching a table changes the tailed " +
+                "path; start a fresh checkpoint (documented migration)")
+            (toks(0).toInt, toks(1).toInt, toks.drop(2).map { t =>
               val Array(s, v) = t.split("="); s.toInt -> v.toInt
             }.to(scala.collection.mutable.SortedMap))
-          } else (0, scala.collection.mutable.SortedMap.empty[Int, Int])
+          } else (0, 0, scala.collection.mutable.SortedMap.empty[Int, Int])
         pending ++= discovered.filter(_._1 > hwm)
         def applyCommit(v: Int): Unit =
           if (!S.propsOf(root, v).get("rewrite").contains("true"))
             apply(S.changesBetween(spark, root, S.parentOf(root, v), v), v)
         while (pending.contains(hwm + 1)) {
           val v = pending(hwm + 1)
-          if (hwm == 0)
+          if (chainTip == 0)
             // fresh tail: replay the named version's whole surviving
             // chain, oldest first (the manifest tail's from-v1 replay)
             S.lineage(root, v).foreach(applyCommit)
-          else applyCommit(v)
-          pending -= (hwm + 1); hwm += 1
+          else if (v != chainTip)
+            // the full window this ref advance published; loud (not
+            // truncating) on an expired intermediate — a feed may
+            // never silently skip history
+            S.lineageBetween(root, chainTip, v).foreach(applyCommit)
+          pending -= (hwm + 1); hwm += 1; chainTip = v
         }
         val tmp = java.nio.file.Files.createTempFile(
           java.nio.file.Paths.get(checkpoint), "_graft_order", ".tmp")
         java.nio.file.Files.write(tmp,
-          (hwm.toString +: pending.toSeq.map { case (s, v) => s"$s=$v" })
+          (Seq(hwm.toString, chainTip.toString) ++
+            pending.toSeq.map { case (s, v) => s"$s=$v" })
             .mkString(" ")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.move(tmp, state,

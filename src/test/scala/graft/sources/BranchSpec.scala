@@ -194,6 +194,23 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("expire never eats a ref head, even when keepFrom outruns main's version number") {
+    val root = Staging.tempDir("branch_spec11").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
+    Snapshots.createBranch(root, "exp")
+    Snapshots.append(Seq((2L, "b")).toDF("id", "s"), root)          // v2 main (head)
+    Snapshots.appendTo(Seq((3L, "c")).toDF("id", "s"), root, "exp") // v3
+    Snapshots.appendTo(Seq((4L, "d")).toDF("id", "s"), root, "exp") // v4
+    // the global allocator ran ahead of main's head (latest=4 > 2);
+    // a cutoff above main's head must not delete the head manifest
+    Snapshots.expire(root, keepFrom = 4)
+    assert(ids(Snapshots.read(spark, root)) == Set(1L, 2L))
+    assert(ids(Snapshots.readBranch(spark, root, "exp")) == Set(1L, 3L, 4L))
+    // and main still accepts commits
+    Snapshots.append(Seq((5L, "e")).toDF("id", "s"), root)
+    assert(ids(Snapshots.read(spark, root)) == Set(1L, 2L, 5L))
+  }
+
   test("metadata defaults resolve main's ref on a branched table") {
     val root = Staging.tempDir("branch_spec10").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root) // v1
