@@ -166,7 +166,16 @@ object Snapshots {
                              token: String, kind: String = "data"): Seq[String] = {
     val dataDir = rootP.resolve(s"${kind}_v${v}_$token")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val listing = Files.list(dataDir)
+    listParquet(dataDir)
+  }
+
+  /** The `.parquet` files directly under a staged dir, absolute and
+    * sorted — the one spelling of "what did that write job produce"
+    * (committer markers excluded; DirectoryStream closed, the fd
+    * discipline every lister here must keep).
+    */
+  private def listParquet(dir: Path): Seq[String] = {
+    val listing = Files.list(dir)
     try listing.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(_.toAbsolutePath.toString).toSeq.sorted
@@ -512,9 +521,7 @@ object Snapshots {
         // head CAS lost: loop re-resolves — a moved head aborts above
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val newV = latestVersion(root) + 1
-          Files.move(rootP.resolve(s"data_v${v}_$token"),
-            rootP.resolve(s"data_v${newV}_$token"))
+          val newV = reallocateStaged(rootP, root, v, token, Seq("data"))
           lines = lines.map(
             _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
           v = newV
@@ -643,7 +650,10 @@ object Snapshots {
       val op = propsOf(root, v).getOrElse("op", "unknown")
       val added = entries(root, v)
         .filter(l => dataVersionOf(l.split('\t').head) == v)
-      val rows = added.map(rowsTokenOf).map(r => math.max(r, 0L)).sum
+      // −1 = "row count unknown" (a pre-r9 path-only entry): surface
+      // the sentinel rather than a wrong 0, as snapshotsTable does
+      val counts = added.map(rowsTokenOf)
+      val rows = if (counts.contains(-1L)) -1L else counts.sum
       val delsAdded = deleteSets(root, v).count(_._1._1 == v) +
         posDeleteSets(root, v).count(_._1 == v)
       (v, op, rows, delsAdded)
@@ -778,7 +788,13 @@ object Snapshots {
         .filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("_p="))
         .flatMap { pd =>
-          val value = pd.getFileName.toString.stripPrefix("_p=")
+          // Spark Hive-escapes special characters in partition dir
+          // names (: -> %3A etc.); the manifest token must carry the
+          // RAW value or [[partitionPrunedFiles]]' literal compare
+          // silently prunes every file of such a partition
+          val value = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(
+              pd.getFileName.toString.stripPrefix("_p="))
           val inner = Files.list(pd)
           try inner.iterator().asScala
             .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -1048,11 +1064,7 @@ object Snapshots {
       val delDir = rootP.resolve(s"delete_v${v}_$token")
       keys.select(col(column)).distinct()
         .write.mode("overwrite").parquet(delDir.toString)
-      val listing = Files.list(delDir)
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
-      finally listing.close()
+      listParquet(delDir)
     }
     def reallocate(): Unit = {
       val newV = reallocateStaged(rootP, root, v, token, Seq("delete"))
@@ -1125,11 +1137,7 @@ object Snapshots {
         .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
         .distinct()
         .write.mode("overwrite").parquet(delDir.toString)
-      val listing = Files.list(delDir)
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
-      finally listing.close()
+      listParquet(delDir)
     }
     def reallocate(): Unit = {
       val newV = reallocateStaged(rootP, root, v, token, Seq("delete"))
@@ -1207,17 +1215,17 @@ object Snapshots {
       matching.select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
         .distinct()
         .write.mode("overwrite").parquet(delDir.toString)
-      val listing = Files.list(delDir)
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
-      finally listing.close()
+      listParquet(delDir)
     }
-    val updated = set.foldLeft(matching.drop(FileCol, PosCol)) {
-      case (df, (c, expr)) =>
-        require(df.columns.contains(c), s"SET names unknown column '$c'")
-        df.withColumn(c, expr)
-    }
+    // ONE select, not chained withColumn: SQL UPDATE evaluates every
+    // SET right-hand side against the OLD row, so interdependent
+    // assignments (SET a = b, b = a swaps) must not see each other's
+    // new values — and must not depend on the Map's iteration order
+    val preimage = matching.drop(FileCol, PosCol)
+    set.keys.foreach(c => require(preimage.columns.contains(c),
+      s"SET names unknown column '$c'"))
+    val updated = preimage.select(preimage.columns.toIndexedSeq.map(c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     var dataLines = entryLines(updated, writeDataFiles(updated, rootP, v, token))
     def reallocate(): Unit = {
       val newV = reallocateStaged(rootP, root, v, token,
@@ -1311,11 +1319,7 @@ object Snapshots {
       val delDir = rootP.resolve(s"delete_v${v}_$token")
       source.select(col(column)).write.mode("overwrite")
         .parquet(delDir.toString)
-      val listing = Files.list(delDir)
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
-      finally listing.close()
+      listParquet(delDir)
     }
     // the merge's own key set, read back from the already-written
     // delete files (deterministic — never recomputes `source`)
@@ -1984,6 +1988,17 @@ object Snapshots {
   /** Read the table as a branch sees it. */
   def readBranch(spark: SparkSession, root: String, name: String): DataFrame =
     read(spark, root, headOf(root, name))
+
+  /** True iff commit `v` recorded any row-level change — its own data
+    * files or a delete set committed at `v`. A NO-CHANGE commit (an
+    * append of an empty frame that produced no files) has nothing for
+    * the CDC feed; the streaming tails skip it instead of crashing
+    * [[changesBetween]]'s non-empty-window require on every restart.
+    */
+  def commitHasChanges(root: String, v: Int): Boolean =
+    entries(root, v).exists(l => dataVersionOf(l.split('\t').head) == v) ||
+      deleteSets(root, v).exists(_._1._1 == v) ||
+      posDeleteSets(root, v).exists(_._1 == v)
 
   /** The refs metadata TABLE — Iceberg's `table.refs`: every branch
     * and tag with the version it names. Driver-side ref/tag files by

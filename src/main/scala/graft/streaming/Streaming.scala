@@ -281,10 +281,17 @@ object Streaming {
     *    flatMapGroupsWithState, append-mode windowed aggs): their
     *    final results only materialize in that trailing batch.
     */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode,
-      skipNoDataBatch: Boolean = false,
-      extraConfs: Map[String, String] = Map.empty): DataFrame = {
-    val spark = df.sparkSession
+  /** The ONE spelling of the bounded-run staging every gate-path
+    * streaming entry shares: bounded shuffle width, no-data batches
+    * on/off, caller confs (all restored afterwards), a reaped tmpfs
+    * checkpoint, and a `q.stop()` in a finally — without it, a drain
+    * failure would leave the finally deleting the checkpoint out from
+    * under a live query.
+    */
+  private def runStaged[A](spark: SparkSession, skipNoDataBatch: Boolean,
+      extraConfs: Map[String, String])
+      (start: String => org.apache.spark.sql.streaming.StreamingQuery)
+      (result: => A): A = {
     val conf = spark.conf
     val prevShuffle = conf.get("spark.sql.shuffle.partitions")
     val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
@@ -298,15 +305,9 @@ object Streaming {
       conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         (!skipNoDataBatch).toString)
       extraConfs.foreach { case (k, v) => conf.set(k, v) }
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ck.toString)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      spark.table(name)
+      val q = start(ck.toString)
+      try q.processAllAvailable() finally q.stop()
+      result
     } finally {
       conf.set("spark.sql.shuffle.partitions", prevShuffle)
       prevNoData match {
@@ -321,6 +322,20 @@ object Streaming {
     }
   }
 
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode,
+      skipNoDataBatch: Boolean = false,
+      extraConfs: Map[String, String] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    runStaged(spark, skipNoDataBatch, extraConfs) { ck =>
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ck)
+        .start()
+    }(spark.table(name))
+  }
+
   /** Publish a (bounded) stream to parquet via `foreachBatch` with an
     * idempotent full overwrite per micro-batch — the lake-publish
     * pattern for Complete-mode aggregates, which the append-only native
@@ -329,36 +344,16 @@ object Streaming {
     * checkpoint staging as [[runToMemory]]; Complete-mode re-emits from
     * the data batch itself, so the no-data batch is skipped.
     */
-  def runForeachBatchOverwrite(df: DataFrame, path: String, mode: OutputMode): Unit = {
-    val spark = df.sparkSession
-    val conf = spark.conf
-    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    val ckBase = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-      "/dev/shm" else System.getProperty("java.io.tmpdir")
-    val ck = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(ckBase), "graft_stream_ck")
-    try {
-      conf.set("spark.sql.shuffle.partitions", "8")
-      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val q = df.writeStream
+  def runForeachBatchOverwrite(df: DataFrame, path: String, mode: OutputMode): Unit =
+    runStaged(df.sparkSession, skipNoDataBatch = true, Map.empty) { ck =>
+      df.writeStream
         .outputMode(mode)
-        .option("checkpointLocation", ck.toString)
+        .option("checkpointLocation", ck)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
           batch.write.mode("overwrite").parquet(path)
         }
         .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevNoData match {
-        case Some(v) => conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None => conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
-      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
-    }
-  }
+    }(())
 
   /** Publish a bounded stream into a [[graft.sources.Snapshots]] store,
     * one VERSIONED COMMIT per non-empty micro-batch — the streaming
@@ -384,7 +379,12 @@ object Streaming {
   def runForeachBatchSnapshotUpsert(df: DataFrame, snapRoot: String,
                                     keyCol: String): Unit =
     runForeachBatchCommit(df) { batch =>
-      if (graft.sources.Snapshots.latestVersion(snapRoot) == 0)
+      // headOf, not latestVersion: on a branched root the global
+      // allocator runs ahead of main's head, and "is the table empty"
+      // must ask the REF (a branch-minted version 1 with main still
+      // at 0 would otherwise route the first batch into merge, which
+      // correctly refuses an empty main)
+      if (graft.sources.Snapshots.headOf(snapRoot) == 0)
         graft.sources.Snapshots.append(batch, snapRoot): Unit
       else
         graft.sources.Snapshots.merge(
@@ -397,12 +397,17 @@ object Streaming {
     * <v>.txt` — the commit log IS an append-only file stream, so the
     * file source's offset tracking is the cursor), and each discovered
     * version resolves through [[graft.sources.Snapshots.changesBetween]]
-    * to its typed change rows, handed to `apply` exactly once per
-    * version. The checkpoint is CALLER-OWNED and durable: a restarted
-    * tail resumes at the first unseen commit — the contract that makes
-    * a downstream incrementally-maintained view survive process death
-    * (q191 gates exactly that: stop, commit more, resume, only the new
-    * versions replay). Rewrite commits resolve to zero change rows
+    * to its typed change rows, handed to `apply` once per version on
+    * every CLEAN run boundary. The checkpoint is CALLER-OWNED and
+    * durable: a restarted tail resumes at the first unseen commit —
+    * the contract that makes a downstream incrementally-maintained
+    * view survive process death (q191 gates exactly that: stop, commit
+    * more, resume, only the new versions replay). Delivery across a
+    * CRASH is at-least-once, as for any foreachBatch consumer: the
+    * frontier persists after `apply` returns, so a failure between the
+    * two re-delivers that version's window on restart — an `apply`
+    * maintaining external state must be idempotent per version (key
+    * its writes by `_commit_version`, the standard CDC-consumer rule). Rewrite commits resolve to zero change rows
     * (compaction is invisible to the feed, the q173 contract), and the
     * per-batch version list is manifest-path metadata — driver-side
     * O(new commits), never data-sized.
@@ -468,18 +473,22 @@ object Streaming {
           if (java.nio.file.Files.exists(state)) {
             val toks = new String(java.nio.file.Files.readAllBytes(state),
               java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
-            require(toks.length >= 2 && toks.take(2).forall(_.forall(_.isDigit))
-              && toks.drop(2).forall(_.contains("=")),
+            // the leading format marker is the migration tripwire: a
+            // legacy manifest-tail state is plain ints ("3 7" = hwm 3,
+            // pending {7}) and would otherwise PARSE as (hwm, tip) and
+            // silently skip ref history
+            require(toks.headOption.contains("ref2"),
               s"checkpoint $checkpoint was written by the pre-branch " +
                 "manifest tail — branching a table changes the tailed " +
                 "path; start a fresh checkpoint (documented migration)")
-            (toks(0).toInt, toks(1).toInt, toks.drop(2).map { t =>
+            (toks(1).toInt, toks(2).toInt, toks.drop(3).map { t =>
               val Array(s, v) = t.split("="); s.toInt -> v.toInt
             }.to(scala.collection.mutable.SortedMap))
           } else (0, 0, scala.collection.mutable.SortedMap.empty[Int, Int])
         pending ++= discovered.filter(_._1 > hwm)
         def applyCommit(v: Int): Unit =
-          if (!S.propsOf(root, v).get("rewrite").contains("true"))
+          if (!S.propsOf(root, v).get("rewrite").contains("true") &&
+              S.commitHasChanges(root, v))
             apply(S.changesBetween(spark, root, S.parentOf(root, v), v), v)
         while (pending.contains(hwm + 1)) {
           val v = pending(hwm + 1)
@@ -497,7 +506,7 @@ object Streaming {
         val tmp = java.nio.file.Files.createTempFile(
           java.nio.file.Paths.get(checkpoint), "_graft_order", ".tmp")
         java.nio.file.Files.write(tmp,
-          (Seq(hwm.toString, chainTip.toString) ++
+          (Seq("ref2", hwm.toString, chainTip.toString) ++
             pending.toSeq.map { case (s, v) => s"$s=$v" })
             .mkString(" ")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -552,9 +561,13 @@ object Streaming {
           val next = hwm + 1
           if (pending.contains(next)) {
             // rewrite commits (compaction) carry no change rows — the
-            // feed skips them outright, as Delta CDF skips OPTIMIZE
+            // feed skips them outright, as Delta CDF skips OPTIMIZE;
+            // likewise a no-change commit (empty append), which would
+            // otherwise crash changesBetween's non-empty require on
+            // every restart
             if (!graft.sources.Snapshots.propsOf(root, next)
-                .get("rewrite").contains("true"))
+                .get("rewrite").contains("true") &&
+                graft.sources.Snapshots.commitHasChanges(root, next))
               apply(graft.sources.Snapshots
                 .changesBetween(spark, root, next - 1, next), next)
             pending -= next; hwm = next
@@ -583,34 +596,14 @@ object Streaming {
     * around the supplied committer.
     */
   private def runForeachBatchCommit(df: DataFrame)
-                                   (commitBatch: DataFrame => Unit): Unit = {
-    val spark = df.sparkSession
-    val conf = spark.conf
-    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    val ckBase = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-      "/dev/shm" else System.getProperty("java.io.tmpdir")
-    val ck = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(ckBase), "graft_stream_ck")
-    try {
-      conf.set("spark.sql.shuffle.partitions", "8")
-      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val q = df.writeStream
+                                   (commitBatch: DataFrame => Unit): Unit =
+    runStaged(df.sparkSession, skipNoDataBatch = true, Map.empty) { ck =>
+      df.writeStream
         .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ck.toString)
+        .option("checkpointLocation", ck)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
           if (!batch.isEmpty) commitBatch(batch.toDF())
         }
         .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevNoData match {
-        case Some(v) => conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None => conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
-      org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
-    }
-  }
+    }(())
 }

@@ -249,6 +249,33 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.bloomPrunedFiles(root, 1, "id", "1").size == 2)
   }
 
+  test("partition values with Hive-escaped characters round-trip through pruning") {
+    val root = Staging.tempDir("snap_spec_esc").toString
+    val df = Seq((1L, "a:b"), (2L, "c=d"), (3L, "plain"))
+      .toDF("id", "s")
+    Snapshots.appendPartitioned(df, root, Snapshots.IdentityPartition("s"))
+    // Spark writes _p=a%3Ab on disk; the manifest token must carry the
+    // RAW value or the literal compare silently prunes the partition
+    for ((v, id) <- Seq(("a:b", 1L), ("c=d", 2L), ("plain", 3L))) {
+      val hit = Snapshots.readPartitionPruned(spark, root, 1,
+        Snapshots.IdentityPartition("s"), v)
+      assert(hit.select($"id").as[Long].collect().toSeq == Seq(id),
+        s"value '$v' mispruned")
+    }
+  }
+
+  test("updateWhere SET right-hand sides all read the OLD row (swap works)") {
+    val root = Staging.tempDir("snap_spec_swap").toString
+    Snapshots.append(Seq((1L, 10L, 20L), (2L, 30L, 40L))
+      .toDF("id", "a", "b"), root)
+    Snapshots.updateWhere(spark, root, $"id" === 1L,
+      Map("a" -> $"b", "b" -> $"a"))
+    val got = Snapshots.read(spark, root)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 20L, 10L), (2L, 30L, 40L)),
+      s"SET must not see its sibling assignment's new value: $got")
+  }
+
   test("partition transforms prune point lookups exactly") {
     val root = Staging.tempDir("snap_spec14").toString
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
