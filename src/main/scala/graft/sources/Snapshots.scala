@@ -1985,6 +1985,35 @@ object Snapshots {
     committed
   }
 
+  /** ROLLBACK (Iceberg `rollback_to_snapshot`): move a ref's head
+    * back to one of its own ancestors — the undo story for a bad
+    * commit, one ref swap, no data I/O. The abandoned suffix commits
+    * stay on disk as unreachable manifests (time travel by explicit
+    * version still reads them) until [[removeOrphans]]' age guard
+    * reaps them; the next commit on the ref forks from the rollback
+    * point. The CDC ref tail treats the rollback seq as carrying
+    * nothing to apply (it does NOT retract the abandoned commits'
+    * changes — a consumer needing exactness re-syncs, the Delta CDF
+    * restore semantics) and post-rollback commits flow as ordinary
+    * windows from the new head. Requires `to` to be in the
+    * ref's current lineage — rolling "back" to an unrelated version
+    * is a fork, not a rollback. Fails on a concurrent head move.
+    */
+  def rollback(root: String, ref: String, to: Int): Int = {
+    require(branched(root),
+      s"no refs under $root — createBranch first (rollback is a ref op)")
+    val rootP = Paths.get(root)
+    val (seq, head) = refHead(root, ref)
+    require(head >= 0, s"no ref '$ref' under $root")
+    require(to != head, s"'$ref' is already at v$to")
+    require(lineage(root, head).contains(to),
+      s"v$to is not an ancestor of '$ref''s head v$head — " +
+        "that would be a fork, not a rollback")
+    require(casRef(rootP, ref, seq, to),
+      s"concurrent commit moved '$ref' during rollback — re-run")
+    to
+  }
+
   /** Read the table as a branch sees it. */
   def readBranch(spark: SparkSession, root: String, name: String): DataFrame =
     read(spark, root, headOf(root, name))

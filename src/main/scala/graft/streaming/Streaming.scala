@@ -496,11 +496,23 @@ object Streaming {
             // fresh tail: replay the named version's whole surviving
             // chain, oldest first (the manifest tail's from-v1 replay)
             S.lineage(root, v).foreach(applyCommit)
-          else if (v != chainTip)
+          else if (v != chainTip) {
             // the full window this ref advance published; loud (not
             // truncating) on an expired intermediate — a feed may
-            // never silently skip history
-            S.lineageBetween(root, chainTip, v).foreach(applyCommit)
+            // never silently skip history. A ROLLBACK seq (the new
+            // head an ancestor of the tip) carries nothing to apply:
+            // the feed does not retract the abandoned commits'
+            // changes (a consumer needing exactness re-syncs — the
+            // Delta CDF restore semantics); post-rollback commits
+            // then flow as ordinary windows from the new head.
+            val window =
+              try Some(S.lineageBetween(root, chainTip, v))
+              catch { case e: IllegalArgumentException =>
+                if (S.lineage(root, chainTip).contains(v)) None
+                else throw e
+              }
+            window.foreach(_.foreach(applyCommit))
+          }
           pending -= (hwm + 1); hwm += 1; chainTip = v
         }
         val tmp = java.nio.file.Files.createTempFile(

@@ -194,6 +194,30 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("rollback moves a ref to an ancestor; the next commit forks there") {
+    val root = Staging.tempDir("branch_spec12").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
+    Snapshots.createBranch(root, "dev")                             // refs on
+    Snapshots.append(Seq((2L, "bad")).toDF("id", "s"), root)        // v2
+    Snapshots.append(Seq((3L, "worse")).toDF("id", "s"), root)      // v3
+    assert(Snapshots.rollback(root, "main", 1) == 1)
+    assert(ids(Snapshots.read(spark, root)) == Set(1L))
+    // abandoned commits stay time-travelable by explicit version
+    assert(ids(Snapshots.read(spark, root, 3)) == Set(1L, 2L, 3L))
+    // the next commit forks from the rollback point
+    val w = Snapshots.append(Seq((4L, "good")).toDF("id", "s"), root)
+    assert(Snapshots.parentOf(root, w) == 1)
+    assert(ids(Snapshots.read(spark, root)) == Set(1L, 4L))
+    // rolling back to a non-ancestor (the abandoned v2) is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(root, "main", 2)
+    }
+    // the abandoned suffix reaps as unreachable once aged
+    assert(Snapshots.removeOrphans(root, 0L) > 0)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root, 2) }
+    assert(ids(Snapshots.read(spark, root)) == Set(1L, 4L))
+  }
+
   test("expire never eats a ref head, even when keepFrom outruns main's version number") {
     val root = Staging.tempDir("branch_spec11").toString
     Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)          // v1
