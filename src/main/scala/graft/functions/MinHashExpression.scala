@@ -41,6 +41,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
+      // skip null hash slots (a null shingle contributes nothing)
+      // rather than minhashing the zeroed slot as hash 0
+      if (hashes.isNullAt(i)) { i += 1 }
+      else {
       val h = hashes.getLong(i)
       var j = 0
       while (j < numHashes) {
@@ -52,6 +56,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }
@@ -66,6 +71,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  long $h = $a.getLong($i);
          |  for (int $j = 0; $j < $numHashes; $j++) {
          |    long $z = $h + $j * -7046029254386353131L;

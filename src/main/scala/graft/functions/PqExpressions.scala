@@ -40,7 +40,11 @@ object PqUtil {
         val base = (j * ksub + c) * dsub
         var d2 = 0.0; var i = 0
         while (i < dsub) {
-          val diff = v.getDouble(j * dsub + i) - centers(base + i)
+          // a NULL dim reads as NaN (not the zeroed slot), so the
+          // subvector codes to -1 — the documented NaN drop-out
+          val x = if (v.isNullAt(j * dsub + i)) Double.NaN
+            else v.getDouble(j * dsub + i)
+          val diff = x - centers(base + i)
           d2 += diff * diff; i += 1
         }
         if (d2 < best) { best = d2; bestC = c }
@@ -62,7 +66,13 @@ object PqUtil {
       while (c < ksub) {
         val base = (j * ksub + c) * dsub
         var dot = 0.0; var i = 0
-        while (i < dsub) { dot += q.getDouble(j * dsub + i) * centers(base + i); i += 1 }
+        while (i < dsub) {
+          // null query dim -> NaN table entries -> NaN ADC estimates,
+          // which adcTopK's NaN filter already excludes
+          dot += (if (q.isNullAt(j * dsub + i)) Double.NaN
+            else q.getDouble(j * dsub + i)) * centers(base + i)
+          i += 1
+        }
         t(j * ksub + c) = dot
         c += 1
       }

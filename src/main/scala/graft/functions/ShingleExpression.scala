@@ -151,62 +151,18 @@ case class DupGramStats(child: Expression, k: Int) extends UnaryExpression {
           s"dup_gram_stats needs array<string> tokens, got ${t.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = ShingleHashes(child, k, dedup = false)
-      .nullSafeEval(input).asInstanceOf[GenericArrayData]
-      .toLongArray()
-    java.util.Arrays.sort(hs)
-    var dup = 0L
-    var i = 0
-    while (i < hs.length) {
-      var j = i
-      while (j + 1 < hs.length && hs(j + 1) == hs(i)) j += 1
-      if (j > i) dup += (j - i + 1)
-      i = j + 1
-    }
-    new GenericArrayData(Array(hs.length.toLong, dup))
-  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleRuntime.dupGramStats(input.asInstanceOf[ArrayData], k))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val th = ctx.freshName("th")
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val m = ctx.freshName("m"); val w = ctx.freshName("w")
-      val h = ctx.freshName("h"); val s = ctx.freshName("s")
-      val hs = ctx.freshName("hs"); val dup = ctx.freshName("dup")
-      s"""
-         |int $n = $a.numElements();
-         |long[] $th = new long[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |    $th[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |  }
-         |}
-         |int $m = ($n <= $k) ? 1 : ($n - $k + 1);
-         |int $w = ($n <= $k) ? $n : $k;
-         |long[] $hs = new long[$m];
-         |for (int $i = 0; $i < $m; $i++) {
-         |  long $h = -3750763034362895579L;
-         |  for (int $j = 0; $j < $w; $j++) {
-         |    $h = ($h ^ $th[$i + $j]) * 1099511628211L;
-         |    $h ^= ($h >>> 29);
-         |  }
-         |  $hs[$i] = $h;
-         |}
-         |java.util.Arrays.sort($hs);
-         |long $dup = 0L;
-         |for (int $i = 0; $i < $m; ) {
-         |  int $j = $i;
-         |  while ($j + 1 < $m && $hs[$j + 1] == $hs[$i]) $j++;
-         |  if ($j > $i) $dup += ($j - $i + 1);
-         |  $i = $j + 1;
-         |}
+    // single static call into the shared kernel (the TopGramStats
+    // shape): Janino compiles one invocation, HotSpot inlines it, and
+    // the gram-hash convention has one spelling to maintain
+    nullSafeCodeGen(ctx, ev, a => s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  new long[]{(long) $m, $dup});
-       """.stripMargin
-    })
+         |  graft.functions.ShingleRuntime.dupGramStats($a, $k));
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -219,6 +175,51 @@ case class DupGramStats(child: Expression, k: Int) extends UnaryExpression {
   */
 object ShingleRuntime {
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** `[n_grams, n_dup_grams]` over the [[ShingleHashes]]-identical
+    * rolled gram hashes — the [[DupGramStats]] kernel as ONE static
+    * (both its eval and codegen call here, the [[TopGramStats]]
+    * shape), so the gram-hash convention lives in this object, not in
+    * a fourth inline spelling.
+    */
+  def dupGramStats(arr: ArrayData, k: Int): Array[Long] = {
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      }
+      i += 1
+    }
+    val m = if (n <= k) 1 else n - k + 1
+    val w = if (n <= k) n else k
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = -3750763034362895579L
+      var j = 0
+      while (j < w) {
+        h = (h ^ th(i + j)) * 1099511628211L
+        h ^= (h >>> 29)
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var dup = 0L
+    i = 0
+    while (i < m) {
+      var j = i
+      while (j + 1 < m && hs(j + 1) == hs(i)) j += 1
+      if (j > i) dup += (j - i + 1)
+      i = j + 1
+    }
+    Array(m.toLong, dup)
+  }
 
   /** `[count, char_len]` of a token array's most frequent k-gram —
     * count ties broken by the lexicographically LARGEST gram string

@@ -53,6 +53,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      // a NULL element propagates (SQL semantics): reading the zeroed
+      // slot as 0.0 would return a finite, WRONG similarity for a
+      // corrupt embedding instead of null
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
       val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
@@ -67,7 +71,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val n = ctx.freshName("n"); val bad = ctx.freshName("hasNullElem")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |int $n = $a.numElements();
@@ -76,13 +80,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    "cosine_similarity: length mismatch " + $n + " vs " + $b.numElements());
          |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $x = (double) $a.$lGet($i);
          |  double $y = (double) $b.$rGet($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
   }
@@ -222,7 +232,14 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], nPro
       require(cvec.length == n,
         s"nearest_centroids: dim mismatch ${cvec.length} vs $n")
       var dot = 0.0; var i = 0
-      while (i < n) { dot += v.getDouble(i) * cvec(i); i += 1 }
+      // a NULL dim reads as NaN, not the zeroed slot: the NaN dot then
+      // ranks below every centroid and the row assigns to no cluster
+      // (cid −1) — the SAME policy NaN vectors already get, instead of
+      // silently joining whatever cluster the 0.0 misread lands in
+      while (i < n) {
+        dot += (if (v.isNullAt(i)) Double.NaN else v.getDouble(i)) * cvec(i)
+        i += 1
+      }
       var pos = p
       while (pos > 0 && dot > topS(pos - 1)) pos -= 1
       if (pos < p) {
@@ -258,7 +275,8 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], nPro
          |  }
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $a.getDouble($i) * $cvec[$i];
+         |    $dot += ($a.isNullAt($i) ? Double.NaN : $a.getDouble($i))
+         |      * $cvec[$i];
          |  }
          |  int $pos = $p;
          |  while ($pos > 0 && $dot > $topS[$pos - 1]) $pos--;

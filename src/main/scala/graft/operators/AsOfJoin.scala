@@ -43,6 +43,13 @@ object AsOfJoin {
     val dupCols = left.columns.toSet.intersect(rightValueCols.toSet)
     require(dupCols.isEmpty,
       s"right value columns collide with left: ${dupCols.mkString(", ")} — rename first")
+    // the operator's internal columns would silently OVERWRITE a user
+    // column of the same name (withColumn replaces) — refuse loudly
+    val reserved = Set("_ts", "_side", "_rpay")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved) ++
+      left.columns.filter(_.startsWith("_l_"))
+    require(clash.isEmpty,
+      s"column names reserved by AsOfJoin: ${clash.mkString(", ")} — rename first")
 
     // right rows must win ties: for backward they sort BEFORE an equal-ts
     // left row (so last() sees them); for forward AFTER (so first() does)

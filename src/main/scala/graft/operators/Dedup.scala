@@ -25,14 +25,25 @@ object Dedup {
   def canonicalText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** Per-row dedup key: the 128-bit hash of the canonical text, with
+    * NULL text keyed by the row's own id — a failed extraction is not
+    * evidence of duplicate content, and without the fallback every
+    * null-text row would land in the single null-hash group and all
+    * but one would silently vanish as "exact duplicates".
+    */
+  private def contentHash(idCol: String, textCol: String): Column =
+    coalesce(md5(canonicalText(col(textCol))),
+      concat(lit("null:"), col(idCol).cast("string")))
+
   /** Exact dedup: keep the lowest-id document of each canonical-text
     * group. groupBy on the 128-bit content hash — never on the raw text,
-    * so wide documents don't travel through the shuffle.
+    * so wide documents don't travel through the shuffle. Null-text rows
+    * all survive (see [[contentHash]]).
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol).asc)
     docs
-      .withColumn("content_hash", md5(canonicalText(col(textCol))))
+      .withColumn("content_hash", contentHash(idCol, textCol))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
@@ -41,24 +52,11 @@ object Dedup {
   /** Groups of exact duplicates (size > 1), for reporting. */
   def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .withColumn("content_hash", md5(canonicalText(col(textCol))))
+      .withColumn("content_hash", contentHash(idCol, textCol))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"),
         collect_list(col(idCol)).as("doc_ids"))
       .filter(col("n_dups") > 1)
-
-  /** MinHash signature: numHashes independent min-hashes of the
-    * document's shingle set. Shingles are hashed once (xxhash64), then
-    * [[graft.functions.MinHashSignature]] computes all minima in a
-    * single codegen'd pass. (The all-builtins alternative — one
-    * array_min(transform(...)) per hash function — re-evaluates the
-    * shingle pipeline per function because lambdas block subexpression
-    * elimination: 64× slower, measured.)
-    */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
-    graft.functions.MinHashFunctions.minhash_signature(
-      transform(TextFunctions.shingleSet(text, shingleK), s => xxhash64(s)),
-      numHashes)
 
   /** MinHash + LSH near-dup pairs.
     *
@@ -73,6 +71,12 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
                  rowsPerBand: Int = 4, jaccardThreshold: Double = 0.8,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // integer division would silently DISCARD the trailing hashes (64
+    // hashes at 6 per band = 10 bands covering 60 — a different LSH
+    // S-curve than the parameters claim); misconfiguration fails loudly
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — trailing hashes would be silently dropped")
     val numBands = numHashes / rowsPerBand
     // One pass over hashed shingles feeds BOTH the signatures and the
     // verification joins ([[graft.functions.ShingleHashes]] rolls

@@ -70,15 +70,21 @@ object LabelPropagation {
       // argmax by (count desc, label asc) as a partial-aggregable
       // struct-max — max((c, −label)) picks the same winner a sorted
       // window would, without the per-round sort shuffle
-      val ls = l.withColumnRenamed("node", "src")
+      val ls0 = l.withColumnRenamed("node", "src")
       val stream = hubs match {
         case Some(h) =>
+          // two consumers of the label iterate (tail join + hub
+          // broadcast): lazily checkpoint it or each round's plan
+          // embeds two copies of the previous round's — exponential
+          // plan growth. The "consumed exactly once" no-checkpoint
+          // rule below holds only for the single-consumer default path.
+          val ls = ls0.localCheckpoint(false)
           def adopted(edges: DataFrame, labs: DataFrame) = edges
             .join(labs, Seq("src"))
             .select(col("dst"), col("label"))
           adopted(eCold, ls).unionByName(
             adopted(eHub, broadcast(ls.join(h, Seq("src"), "left_semi"))))
-        case None => eCold.join(ls, Seq("src"))
+        case None => eCold.join(ls0, Seq("src"))
       }
       val vote = stream
         .groupBy(col("dst").as("node"), col("label"))

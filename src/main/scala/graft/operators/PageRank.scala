@@ -95,9 +95,17 @@ object PageRank {
       val all = hubs match {
         case Some(h) =>
           // node-sized (rank, deg) table built once per round; hub rows
-          // broadcast, tail rows shuffle with bounded fan-in
+          // broadcast, tail rows shuffle with bounded fan-in. The LAZY
+          // checkpoint is load-bearing: `ranked` feeds BOTH legs, and
+          // without it each round's plan embeds two copies of the
+          // previous round's — exponential plan growth that hangs the
+          // driver by ~15 iterations. Materializing the node-sized
+          // iterate once per round is the price of the second consumer
+          // (the artifacts-not-iterates rule holds for the single-
+          // consumer default path below).
           val ranked = r.withColumnRenamed("node", "src")
             .join(outDeg, Seq("src"))
+            .localCheckpoint(false)
           def contribs(edges: DataFrame, rk: DataFrame) = edges
             .join(rk, Seq("src"))
             .select(col("dst").as("node"), expr("rank div deg").as("contrib"))

@@ -139,11 +139,15 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val ctrs = centers.getOrElse(
       kmeansCenters(corpus, numCentroids, lloydIters, buildSampleMod, idCol, vecCol))
-    // truly empty corpus: nothing to index or return
+    // truly empty corpus: nothing to index or return. The empty frame
+    // derives its id columns from the INPUTS (limit 0), so string-keyed
+    // tables get the same schema here as on the non-empty path — a
+    // hardcoded bigint range(0) would fail a later unionByName exactly
+    // on the edge this branch exists to handle
     if (ctrs.isEmpty)
-      return c.sparkSession.range(0).select(
-        col("id").as("query_id"), col("id").as("corpus_id"),
-        col("id").cast("double").as("sim"), col("id").cast("int").as("rn"))
+      return q.limit(0).crossJoin(c.limit(0)).select(
+        col("query_id"), col("corpus_id"),
+        lit(0.0).as("sim"), lit(0).as("rn"))
 
     // NaN rows (cid/probe −1) drop out of the index and the probes
     // rather than silently matching each other in the bucket join.
@@ -225,8 +229,10 @@ object Similarity {
     import graft.functions.VectorFunctions.nearest_centroids
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     if (centers.isEmpty)
-      return c.sparkSession.range(0).select(
-        col("id").as("id_a"), col("id").as("id_b"), col("id").cast("double").as("cosine"))
+      // schema from the input (see ivfTopK's empty branch note)
+      return c.limit(0).select(col("id").as("id_a"))
+        .crossJoin(c.limit(0).select(col("id").as("id_b")))
+        .select(col("id_a"), col("id_b"), lit(0.0).as("cosine"))
     // NaN vectors assign to no cluster (cid −1) and drop out here
     val assigned = c.select(col("id"), col("v"),
         explode(nearest_centroids(col("v"), centers, replicas)).as("cid"))

@@ -49,6 +49,21 @@ class GraphSkewSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("PageRank: hub path stays linear in iterations (no exponential plan growth)") {
+    // before the r11 per-round checkpoint, the two consumers of the
+    // rank iterate doubled the plan per round — 2^12 embedded copies
+    // here would hang analysis long before any task ran
+    val e = edges.localCheckpoint(false)
+    val nodes = e.select($"src".as("node"))
+      .unionByName(e.select($"dst".as("node"))).distinct()
+      .localCheckpoint(false)
+    val plain = PageRank.ranksPrepared(e, nodes, iters = 12)
+      .as[(Long, Long)].collect().toMap
+    val hubbed = PageRank.ranksPrepared(e, nodes, iters = 12,
+      hubDegreeCutoff = 100).as[(Long, Long)].collect().toMap
+    assert(plain == hubbed)
+  }
+
   test("PageRank: cutoff above every degree degenerates to the plain plan") {
     val e = edges.localCheckpoint(false)
     val nodes = e.select($"src".as("node"))
