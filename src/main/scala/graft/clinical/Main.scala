@@ -25,6 +25,12 @@ object Main {
     args.grouped(2).foreach {
       case Array(k, _) if !k.startsWith("--") => bad(s"expected a --flag, got '$k'")
       case Array(k) => bad(s"flag $k is missing a value")
+      // a forgotten value would otherwise silently consume the NEXT
+      // flag as its value ('--path_to_data --cohort' reads a directory
+      // literally named --cohort) and fail far away with a confusing
+      // error
+      case Array(k, v) if v.startsWith("--") =>
+        bad(s"flag $k is missing a value (got the flag '$v' instead)")
       case _ =>
     }
     val known = Set("--path_to_data", "--cohort", "--gender", "--min_age",
@@ -51,6 +57,10 @@ object Main {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("clinical-pipeline")
+      // strict mode's filter-below-windows plan relies on the graft
+      // pushdown rule; without the extensions the CLI session would
+      // run the documented optimization's UNoptimized plan silently
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -52,11 +52,15 @@ object Metrics {
   /** Days between two timestamps with pandas semantics:
     * `(a - b).dt.days` floors the true timedelta toward -inf
     * (pandas_DataModel.py:97), which differs from Spark's `datediff`
-    * (day-boundary count) whenever the times-of-day differ. Computed as
-    * floor(seconds/86400) for exact parity.
+    * (day-boundary count) whenever the times-of-day differ. Computed
+    * over MICROSECONDS — `unix_timestamp` truncates each side to whole
+    * seconds first, which breaks the floor-of-timedelta parity on
+    * sub-second times (0.5 s short of a full day truncated UP to a
+    * day); micro differences are exact integers in double to 2^53, so
+    * the floor is exact.
     */
   def dayDiff(a: Column, b: Column): Column =
-    floor((unix_timestamp(a) - unix_timestamp(b)) / lit(86400.0))
+    floor((unix_micros(a) - unix_micros(b)) / lit(86400000000.0))
 
   /** Months since treatment start: floor(days / 30.417) — pandas whole-day
     * truncation semantics (SURVEY.md §2.8 decision 1;

@@ -231,7 +231,11 @@ object MediaContainers {
       val sz = rdLe32(b, io + 4)
       if (sz < 0) bad = true
       else {
-        if (id == "fmt " && off + 8 + 16 <= b.length) {
+        // the fmt fields must lie INSIDE the chunk's declared size: a
+        // garbage fmt chunk with sz < 16 would otherwise parse the
+        // NEXT chunk's bytes as format fields and return Some(...)
+        // built from misaligned reads instead of failing clean
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
           val audioFormat = rdLe16(b, io + 8)
           channels = rdLe16(b, io + 10)
           sampleRate = rdLe32(b, io + 12)

@@ -89,9 +89,10 @@ object Multimodal {
     }
 
     def decodeStub(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      // the ONE hash spelling (shared with the real-decode path): a
+      // drifted copy here would desynchronize stub content_hash from
+      // real content_hash and break any dedup keyed on it
+      val h = contentHash(bytes)
       val w = 64 + math.floorMod(h, 512).toInt
       val ht = 64 + math.floorMod(h >> 9, 512).toInt
       val frames = modality match {

@@ -42,6 +42,11 @@ object Fd {
     */
   def declareConstantPer(df: DataFrame, anchor: String, cols: Seq[String]): DataFrame = {
     require(df.columns.contains(anchor), s"anchor $anchor not in ${df.columns.mkString(",")}")
+    // a typo'd dependent name would otherwise stamp nothing and the
+    // pushdown would silently never fire for the intended column
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"declared columns not in the frame: ${missing.mkString(", ")}")
     val token = java.util.UUID.randomUUID().toString
     val tagged = cols.toSet
     df.select(df.columns.map { c =>

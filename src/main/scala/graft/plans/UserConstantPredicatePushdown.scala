@@ -53,7 +53,13 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
       cond.references.forall(determinedBy(_, keys)) &&
       // referenced columns must come from below the window, not be
       // window outputs
-      cond.references.subsetOf(w.child.outputSet)
+      cond.references.subsetOf(w.child.outputSet) &&
+      // a Union anywhere below merges rows from branches that never
+      // made the declaration (its output attrs carry the LEFT child's
+      // metadata), so the FD claim need not hold for the merged
+      // partition contents — refuse; declare on the union result
+      // instead if the dependency genuinely holds there
+      !w.child.exists(_.isInstanceOf[Union])
   }
 
   /** Is this predicate carried by FD-tagged (or matching-anchor)

@@ -28,17 +28,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtifactStore {
 
-  // The map memoizes a LAZY holder, not the built value: the
-  // multi-second Spark write action must execute OUTSIDE the CHM bin
+  // COMPLETED readers in one map, per-key build locks in another: the
+  // multi-second Spark write action must execute OUTSIDE any CHM bin
   // lock (advisor r9 — an eager computeIfAbsent body blocks unrelated
   // keys hashing to the same bin for the whole build, and a build that
   // itself resolves another artifact recursively would deadlock or
   // throw IllegalStateException). computeIfAbsent only ALLOCATES the
-  // lazy cell under the lock; the first thread to force it runs the
-  // build, later threads block on the cell's own initializer — the
-  // exact once-per-key guarantee, minus the map-wide lock hold.
-  private val memo =
-    new ConcurrentHashMap[(SparkSession, String, String), () => DataFrame]()
+  // per-key monitor; racing builders serialize on it, and the
+  // double-check inside keeps the once-per-key guarantee. Unlike the
+  // earlier lazy-cell spelling, the `build` THUNK is released once the
+  // artifact materializes — a lazy val's closure retained the builder
+  // (and every DataFrame/plan it captured) for the JVM lifetime — and
+  // a FAILED build deletes its staged directory before rethrowing, so
+  // retries don't accumulate orphan temp trees.
+  private val done =
+    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val locks =
+    new ConcurrentHashMap[(SparkSession, String, String), Object]()
 
   /** Build `df` once per (session, dir, name), write it as parquet to a
     * reaped temp directory, and return a reader over the written files.
@@ -49,15 +55,20 @@ object ArtifactStore {
     */
   def parquet(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
-    val cell = memo.computeIfAbsent((spark, dir, name), _ => {
-      lazy val built: DataFrame = {
-        val path = Staging.tempDir(s"graft_artifact_${name}_")
-          .resolve("data").toString
-        build.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      }
-      () => built
-    })
-    cell()
+    val k = (spark, dir, name)
+    val hit = done.get(k)
+    if (hit != null) return hit
+    val lock = locks.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      val again = done.get(k)
+      if (again != null) return again
+      val stage = Staging.tempDir(s"graft_artifact_${name}_")
+      val path = stage.resolve("data").toString
+      try build.write.mode("overwrite").parquet(path)
+      catch { case e: Throwable => Staging.delTree(stage); throw e }
+      val df = spark.read.parquet(path)
+      done.put(k, df)
+      df
+    }
   }
 }

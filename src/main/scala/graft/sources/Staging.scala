@@ -12,9 +12,17 @@ object Staging {
 
   def delTree(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => Files.deleteIfExists(f))
+    if (Files.exists(p)) {
+      // close the walk stream (it holds directory handles) and shrug
+      // off per-entry failures: a reaper racing a still-flushing
+      // writer at JVM exit should delete what it can, not abort the
+      // sweep (and leak the handles) on the first busy entry
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+      catch { case _: Exception => () }
+      finally walk.close()
+    }
   }
 
   /** A fresh temp directory reaped at JVM exit. */

@@ -17,6 +17,9 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
@@ -46,8 +49,11 @@ object Tables {
     // type and reads the physical INT64); the probe only decides the
     // unit. Timestamp semantics are then derived identically for both:
     // timestamp_micros = UTC-epoch micros, matching the oracle's naive
-    // TIMESTAMP under the battery's pinned UTC session.
-    val factor = if (eventsTsIsMicros(s, path)) 1000L else 1L
+    // TIMESTAMP under the battery's pinned UTC session. The verdict is
+    // immutable per path — memoized so a battery's ~200 events() calls
+    // pay the footer probe once per JVM, not once per gate entry.
+    val factor = if (probeMemo.computeIfAbsent(path,
+      p => eventsTsIsMicros(s, p))) 1000L else 1L
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -136,9 +142,18 @@ object Tables {
     * real scale. (The explicit partition count also keeps AQE from
     * coalescing the tiny shuffle straight back to one task.)
     */
-  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Boolean]()
+
+  private def spread(s: SparkSession, df: DataFrame, key: String,
+                     path: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    // the split count of an immutable source path never changes —
+    // memoize the verdict so repeated loads skip the physical-plan
+    // instantiation df.rdd costs per call
+    val starved = spreadMemo.computeIfAbsent((path, target),
+      _ => df.rdd.getNumPartitions < math.max(2, target / 2))
+    if (!starved) df
     // hash-partition on the table's unique id: unlike round-robin
     // repartition(n), no full-row determinism sort rides the exchange
     else df.repartition(target, df.col(key))
@@ -150,6 +165,8 @@ object Tables {
     * cheap scans/filters where an unconditional exchange would only
     * add cost.
     */
-  def documents(s: SparkSession, d: String): DataFrame  = spread(s, load(s, d, "documents"), "doc_id")
-  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "embeddings"), "vec_id")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "documents"), "doc_id", s"$d/documents.parquet")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "embeddings"), "vec_id", s"$d/embeddings.parquet")
 }

@@ -95,6 +95,34 @@ class PushdownSpec extends AnyFunSuite with SparkTestSession {
       "an FD-tagged filter crossed a window keyed by a token-less same-named column")
   }
 
+  test("a Union below the window blocks the push (merged rows never declared)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    withRule {
+      val declared = Fd.declareConstantPer(
+        Seq((1L, "F", 1.0), (2L, "M", 2.0)).toDF("UID", "Gender", "v"),
+        "UID", Seq("Gender"))
+      // same UID, DIFFERENT gender — the FD does not hold for the
+      // union, but Union's output attrs carry the left child's tokens
+      val undeclared = Seq((1L, "M", 9.0)).toDF("UID", "Gender", "v")
+      val mixed = declared.unionByName(undeclared)
+        .withColumn("cnt", count(lit(1)).over(WSpec.partitionBy($"UID")))
+        .filter($"Gender" === "F")
+      // pushing the filter below the window would shrink UID 1's
+      // partition from 2 rows to 1 — cnt must stay 2
+      assert(mixed.select($"UID", $"cnt").as[(Long, Long)]
+        .collect().toSet == Set((1L, 2L)))
+      // and the optimized plan keeps the Gender FILTER above the window
+      val lines = mixed.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+      val winAt = lines.indexWhere(_.contains("Window"))
+      assert(winAt >= 0 &&
+        !lines.drop(winAt + 1).exists(l =>
+          l.contains("Filter") && l.contains("Gender")),
+        s"Gender predicate crossed the window despite the Union:\n${lines.mkString("\n")}")
+    }
+  }
+
   test("undeclared column with a UID window is NOT pushed (FD is per-plan, not by name)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
