@@ -18,12 +18,19 @@ object AdvancedQ {
   def asOfPurchases(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+    // ONE purchase per (user, µs), lowest event_id wins — the q106
+    // collision rule: with two right rows on the same microsecond both
+    // the union-window idiom and DuckDB ASOF would pick an ARBITRARY
+    // survivor and the joined payload columns could disagree
     val purchases = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         expr("ts_ns div 1000").as("p_ts_us"),
         col("event_id").as("p_event_id"),
         col("value").as("p_value"))
+      .groupBy(col("user_id"), col("p_ts_us"))
+      .agg(min(col("p_event_id")).as("p_event_id"),
+        min_by(col("p_value"), col("p_event_id")).as("p_value"))
     AsOfJoin.backward(ev, purchases, Seq("user_id"), "ts_us", "p_ts_us")
   }
 
@@ -728,8 +735,10 @@ object AdvancedQ {
     "q36_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
         |     p AS (SELECT user_id, epoch_us(ts) AS p_ts_us,
-        |                  event_id AS p_event_id, "value" AS p_value
-        |           FROM events WHERE event_type = 'purchase')
+        |                  min(event_id) AS p_event_id,
+        |                  arg_min("value", event_id) AS p_value
+        |           FROM events WHERE event_type = 'purchase'
+        |           GROUP BY 1, 2)
         |SELECT ev.event_id, ev.user_id, ev.ts_us,
         |       p.p_ts_us, p.p_event_id, p.p_value
         |FROM ev ASOF LEFT JOIN p

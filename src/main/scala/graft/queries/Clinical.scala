@@ -123,8 +123,26 @@ object Clinical {
   /** DuckDB re-statement of the synthetic tables + pipeline. Same
     * arithmetic, same window frames, same null ordering.
     */
-  private def oracle(leadPartition: String): String =
-    s"""WITH users AS (
+  private val weekExprSql =
+    "CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT)"
+
+  /** The ONE clinical oracle template, parameterized by the lead
+    * partition, the cohort column name + SQL expression, and the
+    * demographic WHERE — the month/expression variants pass their own
+    * values instead of text-surgery on the week oracle (an exact
+    * `.replace` chain silently no-ops when a cosmetic edit stops a
+    * pattern matching, leaving a variant gate testing stale
+    * semantics).
+    */
+  /** The synthetic-tables + join + cohort-derivation CTE prefix
+    * (users..derived) — the ONE spelling of the clinical synthetic
+    * arithmetic, shared by every clinical oracle here AND by q60's
+    * summary oracle (SummaryQ) so the two gate families can never
+    * drift on it (the bm25PerDocCte rule).
+    */
+  private[queries] def syntheticCtePrefix(cohort: String = "week",
+      cohortExprSql: String = weekExprSql): String =
+    s"""users AS (
        |  SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS UID,
        |         CASE WHEN c_custkey % 2 = 0 THEN 'Male' ELSE 'Female' END AS Gender,
        |         18 + c_custkey % 55 AS Age,
@@ -152,29 +170,36 @@ object Clinical {
        |  LEFT JOIN weights w ON u.UID = w.MasterUserID
        |  LEFT JOIN treatments t ON u.UID = t.MasterUserID),
        |derived AS (
-       |  SELECT *, CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT) AS week
-       |  FROM joined),
+       |  SELECT *, $cohortExprSql AS $cohort
+       |  FROM joined)""".stripMargin
+
+  private def oracle(leadPartition: String,
+                     cohort: String = "week",
+                     cohortExprSql: String = weekExprSql,
+                     where: String =
+                       "Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1"): String =
+    s"""WITH ${syntheticCtePrefix(cohort, cohortExprSql)},
        |fw AS (
        |  SELECT *,
-       |    count(Wts_UpdatedDate) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week) AS WIR,
+       |    count(Wts_UpdatedDate) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, $cohort) AS WIR,
        |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS PSW,
        |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS TSW,
        |    last_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS TEW,
-       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cohort_fw
+       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, $cohort ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cohort_fw
        |  FROM derived),
        |diffed AS (
        |  SELECT *, cohort_fw - lead(cohort_fw) OVER ($leadPartition ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST) AS wgt_diff
        |  FROM fw),
        |final AS (
-       |  SELECT *, max(wgt_diff) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week) AS patient_TBWL
+       |  SELECT *, max(wgt_diff) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, $cohort) AS patient_TBWL
        |  FROM diffed)
-       |SELECT UID, Gender, Age, ClinicID, Wts_CreatedDate, week, WIR,
+       |SELECT UID, Gender, Age, ClinicID, Wts_CreatedDate, $cohort, WIR,
        |       round(Weight, 6) AS Weight,
        |       round(PSW, 6) AS PSW, round(TSW, 6) AS TSW, round(TEW, 6) AS TEW,
        |       round(TEW - TSW, 6) AS treatment_TBWL,
        |       round(patient_TBWL, 6) AS patient_TBWL
        |FROM final
-       |WHERE Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1""".stripMargin
+       |WHERE $where""".stripMargin
 
   /** Month-cohort variant (dynamic `cohort` parameter — reference op
     * list "dynamic grouping", pandas_DataModel.py:112-149): same
@@ -196,15 +221,10 @@ object Clinical {
   }
 
   private def oracleMonth: String =
-    oracle("PARTITION BY UID")
-      .replace(", week)", ", month)")
-      .replace("Tmt_StartDate, week ", "Tmt_StartDate, month ")
-      .replace(
-        "CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT) AS week",
-        "CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 30.417) AS INT) AS month")
-      .replace("Wts_CreatedDate, week, WIR", "Wts_CreatedDate, month, WIR")
-      .replace("WHERE Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1",
-        "WHERE Gender = 'Female' AND Age BETWEEN 20 AND 60 AND ClinicID = 2")
+    oracle("PARTITION BY UID", cohort = "month",
+      cohortExprSql = "CAST(floor(floor((epoch(Wts_CreatedDate) - " +
+        "epoch(Tmt_StartDate)) / 86400.0) / 30.417) AS INT)",
+      where = "Gender = 'Female' AND Age BETWEEN 20 AND 60 AND ClinicID = 2")
 
   /** Arbitrary-cohort variant (SURVEY §7.5): cohort is a free
     * EXPRESSION — calendar year-month of the weigh-in — not one of the
@@ -235,15 +255,10 @@ object Clinical {
   }
 
   private def oracleExprCohort: String =
-    oracle("PARTITION BY UID")
-      .replace(", week)", ", calmonth)")
-      .replace("Tmt_StartDate, week ", "Tmt_StartDate, calmonth ")
-      .replace(
-        "CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT) AS week",
-        "CAST(year(Wts_CreatedDate) * 100 + month(Wts_CreatedDate) AS INT) AS calmonth")
-      .replace("Wts_CreatedDate, week, WIR", "Wts_CreatedDate, calmonth, WIR")
-      .replace("WHERE Gender = 'Male' AND Age BETWEEN 20 AND 60 AND ClinicID = 1",
-        "WHERE Age BETWEEN 20 AND 60 AND ClinicID = 0")
+    oracle("PARTITION BY UID", cohort = "calmonth",
+      cohortExprSql =
+        "CAST(year(Wts_CreatedDate) * 100 + month(Wts_CreatedDate) AS INT)",
+      where = "Age BETWEEN 20 AND 60 AND ClinicID = 0")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_clinical_pipeline" -> (pipeline _),

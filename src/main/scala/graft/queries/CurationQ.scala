@@ -1365,7 +1365,7 @@ object CurationQ {
          |    row_number() OVER (PARTITION BY component ORDER BY node) AS rn
          |  FROM comp)
          |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
          |  min(doc_id) AS min_id
          |FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > $clusterCapN)

@@ -400,10 +400,14 @@ object EventsQ {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n, round(sum("value"), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the cumulative session counter must order by FULL-precision ts
+    // (+ event_id), exactly like the gap lag above it and the Spark
+    // window — ordering by the truncated second could place two
+    // same-second events differently on the two sides whenever their
+    // event_id order inverts their sub-second ts order
     "q34_sessionize" ->
       """WITH g AS (
-        |  SELECT user_id, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |  SELECT user_id, event_id, ts,
         |    CAST(floor(epoch(ts)) AS BIGINT)
         |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
         |  FROM events),
@@ -411,7 +415,7 @@ object EventsQ {
         |  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
         |  FROM g),
         |sid AS (
-        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM s),
         |se AS (

@@ -85,67 +85,60 @@ object MediaQ {
     "q57_media_resize" -> (mediaResize _),
     "q69_media_real_dims" -> (mediaRealDims _))
 
-  val oracles: Map[String, String] = Map(
-    "q104_frame_sample" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(greatest(1, (strlen(text) + 383) // 384) AS INT) AS n_frames,
-        |  CAST((greatest(1, (strlen(text) + 383) // 384) + 2) // 3 AS INT)
-        |    AS n_sampled
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
-    "q55_media_bytes" ->
-      """WITH m AS (
-        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |              ELSE 'video' END AS modality,
-        |    CASE doc_id % 3
+  // ---- the ONE spelling of the synthetic-container arithmetic ----
+  // (the OracleSql.tokens rule applied to the media gates): modality
+  // assignment and the per-modality container length / dims / frame
+  // formulas appear in every media oracle — one builder, four
+  // consumers, so a codec change (BMP row padding 192, WAV 44-byte
+  // header, AVI 224+392n frame layout) cannot drift between gates.
+  // strlen = BYTES, correct here: the containers encode text.getBytes.
+  private val modalityCase =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'" +
+      " ELSE 'video' END"
+  private val framesVideo = "greatest(1, (strlen(text) + 383) // 384)"
+  private val containerLenCase =
+    s"""CASE doc_id % 3
         |      WHEN 0 THEN 54 + 192 * greatest(1, (strlen(text) + 191) // 192)
         |      WHEN 1 THEN 44 + strlen(text)
-        |      ELSE 224 + 392 * greatest(1, (strlen(text) + 383) // 384)
-        |    END AS container_len
-        |  FROM documents)
-        |SELECT modality, count(*) AS n,
-        |  CAST(sum(container_len) AS BIGINT) AS total_bytes,
-        |  CAST(min(container_len) AS INT) AS min_bytes,
-        |  CAST(max(container_len) AS INT) AS max_bytes
-        |FROM m GROUP BY 1""".stripMargin,
-    "q56_media_features" ->
-      """WITH m AS (
-        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |              ELSE 'video' END AS modality,
+        |      ELSE 224 + 392 * $framesVideo
+        |    END""".stripMargin
+  private val mediaCte =
+    s"""WITH m AS (
+        |  SELECT $modalityCase AS modality,
         |    CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 16000 ELSE 16 END AS w,
         |    CASE doc_id % 3 WHEN 0 THEN greatest(1, (strlen(text) + 191) // 192)
         |         WHEN 1 THEN 1 ELSE 8 END AS h,
         |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN strlen(text)
-        |         ELSE greatest(1, (strlen(text) + 383) // 384) END AS frames,
-        |    CASE doc_id % 3
-        |      WHEN 0 THEN 54 + 192 * greatest(1, (strlen(text) + 191) // 192)
-        |      WHEN 1 THEN 44 + strlen(text)
-        |      ELSE 224 + 392 * greatest(1, (strlen(text) + 383) // 384)
-        |    END AS len
-        |  FROM documents)
+        |         ELSE $framesVideo END AS frames,
+        |    $containerLenCase AS len
+        |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q104_frame_sample" ->
+      s"""SELECT doc_id AS media_id,
+        |  CAST($framesVideo AS INT) AS n_frames,
+        |  CAST(($framesVideo + 2) // 3 AS INT)
+        |    AS n_sampled
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q55_media_bytes" ->
+      s"""$mediaCte
+        |SELECT modality, count(*) AS n,
+        |  CAST(sum(len) AS BIGINT) AS total_bytes,
+        |  CAST(min(len) AS INT) AS min_bytes,
+        |  CAST(max(len) AS INT) AS max_bytes
+        |FROM m GROUP BY 1""".stripMargin,
+    "q56_media_features" ->
+      s"""$mediaCte
         |SELECT modality, count(*) AS n, CAST(sum(len) AS BIGINT) AS total_bytes,
         |  round(avg(w), 4) AS avg_w, round(avg(h), 4) AS avg_h,
         |  CAST(max(frames) AS INT) AS max_frames
         |FROM m GROUP BY modality""".stripMargin,
     "q57_media_resize" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |            ELSE 'video' END AS modality,
+      s"""SELECT $modalityCase AS modality,
         |  count(*) AS n, 320 AS min_tw, 240 AS max_th
         |FROM documents GROUP BY 1""".stripMargin,
     "q69_media_real_dims" ->
-      """WITH m AS (
-        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |              ELSE 'video' END AS modality,
-        |    CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 16000 ELSE 16 END AS w,
-        |    CASE doc_id % 3 WHEN 0 THEN greatest(1, (strlen(text) + 191) // 192)
-        |         WHEN 1 THEN 1 ELSE 8 END AS h,
-        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN strlen(text)
-        |         ELSE greatest(1, (strlen(text) + 383) // 384) END AS frames,
-        |    CASE doc_id % 3
-        |      WHEN 0 THEN 54 + 192 * greatest(1, (strlen(text) + 191) // 192)
-        |      WHEN 1 THEN 44 + strlen(text)
-        |      ELSE 224 + 392 * greatest(1, (strlen(text) + 383) // 384)
-        |    END AS len
-        |  FROM documents)
+      s"""$mediaCte
         |SELECT modality, count(*) AS n,
         |  CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
         |  CAST(min(h) AS INT) AS min_h, CAST(max(h) AS INT) AS max_h,

@@ -234,8 +234,13 @@ object RetrievalQ {
     postings
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
+      // DECIMAL(38,0) numerator (the q100/q171 overflow discipline):
+      // tf*n_docs*1e6 passes int64 around n_docs ~ 3e6 — at corpus
+      // scale ANSI mode would throw while DuckDB's HUGEINT keeps
+      // computing; div on decimals is the same truncating integral
+      // divide, so gate values are unchanged
       .withColumn("score_micro",
-        expr("(tf * n_docs * 1000000L) div df"))
+        expr("(cast(tf as decimal(38,0)) * n_docs * 1000000) div df"))
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("score_micro"), col("rn"))
@@ -270,8 +275,12 @@ object RetrievalQ {
       .join(dfreq.withColumnRenamed("term", "term_a").withColumnRenamed("df", "df_a"), Seq("term_a"))
       .join(dfreq.withColumnRenamed("term", "term_b").withColumnRenamed("df", "df_b"), Seq("term_b"))
       .crossJoin(broadcast(n))
+      // DECIMAL(38,0) on both operands (see q120's note): numerator
+      // AND the df_a*df_b denominator product pass int64 at corpus
+      // scale
       .withColumn("lift_micro",
-        expr("(n_both * n_docs * 1000000L) div (df_a * df_b)"))
+        expr("(cast(n_both as decimal(38,0)) * n_docs * 1000000)" +
+          " div (cast(df_a as decimal(38,0)) * df_b)"))
       .select(col("term_a"), col("term_b"), col("n_both"),
         col("df_a"), col("df_b"), col("lift_micro"))
   }

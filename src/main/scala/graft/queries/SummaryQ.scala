@@ -75,38 +75,12 @@ object SummaryQ {
     "q62_token_explode" -> (tokenExplode _))
 
   private val clinicalSummaryOracle: String = {
-    // reuse the strict clinical oracle as a subquery, aggregate on top
+    // the synthetic-tables CTE prefix is Clinical's shared spelling —
+    // a change to the clinical synthetic arithmetic updates BOTH gate
+    // families or neither (this block hand-copied it before r11, with
+    // the epoch constants re-hardcoded)
     val inner =
-      """WITH users AS (
-        |  SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS UID,
-        |         CASE WHEN c_custkey % 2 = 0 THEN 'Male' ELSE 'Female' END AS Gender,
-        |         18 + c_custkey % 55 AS Age,
-        |         CAST(c_nationkey % 3 AS BIGINT) AS ClinicID,
-        |         make_timestamp((1672531200 + c_custkey) * 1000000) AS UIDCreatedDate
-        |  FROM customer),
-        |weights AS (
-        |  SELECT lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS MasterUserID,
-        |         o_totalprice / 1000.0 AS Weight,
-        |         make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey) * 1000000) AS Wts_CreatedDate,
-        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
-        |              ELSE make_timestamp((CAST(epoch(o_orderdate) AS BIGINT) + o_orderkey) * 1000000)
-        |         END AS Wts_UpdatedDate
-        |  FROM orders),
-        |treatments AS (
-        |  SELECT lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS MasterUserID,
-        |         c_custkey % 3 + 1 AS TreatmentTypeID,
-        |         make_timestamp((694224000 + c_custkey * 60) * 1000000) AS Tmt_StartDate
-        |  FROM customer),
-        |joined AS (
-        |  SELECT u.UID, u.Gender, u.Age, u.ClinicID, u.UIDCreatedDate,
-        |         w.Weight, w.Wts_CreatedDate, w.Wts_UpdatedDate,
-        |         t.TreatmentTypeID, t.Tmt_StartDate
-        |  FROM users u
-        |  LEFT JOIN weights w ON u.UID = w.MasterUserID
-        |  LEFT JOIN treatments t ON u.UID = t.MasterUserID),
-        |derived AS (
-        |  SELECT *, CAST(floor(floor((epoch(Wts_CreatedDate) - epoch(Tmt_StartDate)) / 86400.0) / 7.0) AS INT) AS week
-        |  FROM joined),
+      s"""WITH ${Clinical.syntheticCtePrefix()},
         |fw AS (
         |  SELECT *,
         |    count(Wts_UpdatedDate) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, week) AS WIR,

@@ -791,7 +791,7 @@ object TextQ {
         |  comp AS (SELECT u AS node, least(u, min(v)) AS component
         |           FROM reach GROUP BY u)
         |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_id
         |FROM documents
         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
@@ -825,7 +825,7 @@ object TextQ {
         |  FROM documents)
         |SELECT source, count(*) AS n_sampled,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
-        |  CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM b
         |WHERE (source = 'src0' AND bk < 800000)
         |   OR (source = 'src1' AND bk < 500000)
