@@ -18,25 +18,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Clinical.pipeline(spark, "/root/testdata/sf0.001")
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  /** One row per query module: (name, queries, oracles). Named and
+    * `private[graft]` so QIndex iterates THIS list instead of a
+    * hand-maintained copy (r11 review: two lists drifted one module
+    * behind each other only by luck of the size check).
+    */
+  private[graft] val modules: Seq[(String,
+      Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracles),
-      (Joins.queries, Joins.oracles),
-      (Shapes.queries, Shapes.oracles),
-      (WindowsQ.queries, WindowsQ.oracles),
-      (Clinical.queries, Clinical.oracles),
-      (EventsQ.queries, EventsQ.oracles),
-      (TextQ.queries, TextQ.oracles),
-      (CurationQ.queries, CurationQ.oracles),
-      (RetrievalQ.queries, RetrievalQ.oracles),
-      (EvalQ.queries, EvalQ.oracles),
-      (VectorQ.queries, VectorQ.oracles),
-      (MediaQ.queries, MediaQ.oracles),
-      (AdvancedQ.queries, AdvancedQ.oracles),
-      (SummaryQ.queries, SummaryQ.oracles),
-      (SketchQ.queries, SketchQ.oracles),
-      (StreamQ.queries, StreamQ.oracles),
-      (SinkQ.queries, SinkQ.oracles))
+      ("Relational", Relational.queries, Relational.oracles),
+      ("Joins", Joins.queries, Joins.oracles),
+      ("Shapes", Shapes.queries, Shapes.oracles),
+      ("WindowsQ", WindowsQ.queries, WindowsQ.oracles),
+      ("Clinical", Clinical.queries, Clinical.oracles),
+      ("EventsQ", EventsQ.queries, EventsQ.oracles),
+      ("TextQ", TextQ.queries, TextQ.oracles),
+      ("CurationQ", CurationQ.queries, CurationQ.oracles),
+      ("RetrievalQ", RetrievalQ.queries, RetrievalQ.oracles),
+      ("EvalQ", EvalQ.queries, EvalQ.oracles),
+      ("VectorQ", VectorQ.queries, VectorQ.oracles),
+      ("MediaQ", MediaQ.queries, MediaQ.oracles),
+      ("AdvancedQ", AdvancedQ.queries, AdvancedQ.oracles),
+      ("SummaryQ", SummaryQ.queries, SummaryQ.oracles),
+      ("SketchQ", SketchQ.queries, SketchQ.oracles),
+      ("StreamQ", StreamQ.queries, StreamQ.oracles),
+      ("SinkQ", SinkQ.queries, SinkQ.oracles))
 
   /** Battery-wide deterministic output order (r7, VERDICT r6 #2): the
     * gate surface ends in an explicit total sort over ALL output
@@ -54,16 +60,35 @@ object SparkEntry {
     df.orderBy(df.columns.map(c => df(c).asc_nulls_first).toIndexedSeq: _*)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _).map { case (name, fn) =>
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.map(_._2).reduce(_ ++ _)
+    // a duplicated key across modules would SILENTLY shadow one
+    // implementation (Map ++ keeps the later entry) — the shadowed
+    // query would never bench or gate; fail at every entry point
+    require(merged.size == modules.map(_._2.size).sum,
+      "duplicate query key across modules: " +
+        modules.flatMap(_._2.keys).groupBy(identity)
+          .collect { case (k, vs) if vs.size > 1 => k }.mkString(", "))
+    merged.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => deterministicOrder(fn(s, dir)))
     }
+  }
+
+  /** The module queries WITHOUT the deterministic-order wrapper — the
+    * bench surface (r11). The battery-wide total sort exists for the
+    * hash gate's row-order stability, not for the operator; a
+    * production caller drops it (the [[deterministicOrder]] scaladoc's
+    * own point), so timing it would charge every query a
+    * harness-artifact sort. Verify keeps the wrapped [[queries]].
+    */
+  private[graft] def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_._2).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    modules.map(_._2).reduce(_ ++ _).map { case (name, sql) =>
+    modules.map(_._3).reduce(_ ++ _).map { case (name, sql) =>
       name -> s"SELECT * FROM (\n$sql\n) _gate ORDER BY ALL NULLS FIRST"
     }
 }

@@ -22,13 +22,26 @@ object SketchQ {
     * commutative — so the booleans are deterministic under any
     * partitioning), and the exact count is plain SQL.
     */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // sketches and the exact count in SEPARATE aggregates joined on
+    // the group key (r11): mixing countDistinct with non-distinct
+    // sketch aggregates makes Spark run the Expand-based
+    // distinct-rewrite — every input row doubled, the HLL buffers
+    // dragged through the distinct machinery — measured 3.0 s vs
+    // 1.9 s split at sf0.1, and at 100 TB the Expand is a 2× scan tax.
+    // The exact side is the classic two-phase distinct (pre-distinct
+    // partial-aggregates map-side); |statuses| rows join broadcast.
+    val orders = Tables.orders(spark, dir)
+    val sketches = orders
       .groupBy(col("o_orderstatus"))
       .agg(
         approx_count_distinct(col("o_custkey")).as("a_default"),
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a_1pct"),
-        countDistinct(col("o_custkey")).as("exact_customers"))
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a_1pct"))
+    val exact = orders
+      .select(col("o_orderstatus"), col("o_custkey")).distinct()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("exact_customers"))
+    sketches.join(broadcast(exact), Seq("o_orderstatus"))
       .select(
         col("o_orderstatus"),
         (abs(col("a_default") - col("exact_customers")).cast("double") /
@@ -36,6 +49,7 @@ object SketchQ {
         (abs(col("a_1pct") - col("exact_customers")).cast("double") /
           col("exact_customers") <= 0.01 * 3).as("approx_1pct_within_3sigma"),
         col("exact_customers"))
+  }
 
   /** approx_percentile (GK summary) vs exact interpolated percentile.
     *

@@ -90,8 +90,11 @@ for name in sorted(oracle):
         gs = canon(got_raw, sort_rows=False)
         es = canon(exp_raw, sort_rows=False)
         for c in gs.columns:
-            a = gs[c].astype(str).fillna("<null>")
-            b = es[c].astype(str).fillna("<null>")
+            # fillna BEFORE astype(str): afterwards NaN/None are already
+            # the literal strings "nan"/"None" and a real null would
+            # compare equal to a literal "None" varchar cell
+            a = gs[c].fillna("<null>").astype(str)
+            b = es[c].fillna("<null>").astype(str)
             if not (a.values == b.values).all():
                 print(f"  {name}.{c}: FILE-ORDER mismatch "
                       f"({int((a.values != b.values).sum())} cells) — not gate-safe "
@@ -100,7 +103,16 @@ for name in sorted(oracle):
     for c in got.columns:
         g, e = got[c].values, exp[c].values
         if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(exp[c].dtype, np.floating):
-            gg = got[c].astype(float).values; ee = exp[c].astype(float).values
+            # one side float, other side non-numeric objects (a
+            # stringified array/datetime against a DOUBLE oracle):
+            # report the mismatch instead of crashing the whole
+            # checker mid-battery on the ValueError
+            try:
+                gg = got[c].astype(float).values; ee = exp[c].astype(float).values
+            except (ValueError, TypeError) as e:
+                print(f"  {name}.{c}: type clash on float compare: {e}")
+                ok = False
+                continue
             both_nan = np.isnan(gg) & np.isnan(ee)
             exact = np.sum((gg == ee) | both_nan)
             if exact != len(gg):

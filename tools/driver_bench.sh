@@ -6,14 +6,17 @@
 # decomposes into disk re-reads vs GC vs compute locally.
 #
 # Usage: tools/driver_bench.sh [sfDir] [iostatOut]
-set -e
+set -e -o pipefail
 SF=${1:-/root/testdata/sf0.1}
 OUT=${2:-/tmp/bench_iostat.jsonl}
 rm -f "$OUT"
 sbt -batch compile >/dev/null 2>&1   # compile OUTSIDE the cold window
 sync
 echo 3 > /proc/sys/vm/drop_caches
+# pipefail + a kept stderr log: a crashed bench must not exit 0 with
+# stale/partial lines while its failure messages vanish
+ERR=${3:-/tmp/bench_stderr.log}
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   SPARK_GRAFT_IOSTAT="$OUT" \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | tail -2
+  sbt -batch "runMain graft.Bench" 2>"$ERR" | tail -2
 echo "per-query iostat: $OUT" >&2
