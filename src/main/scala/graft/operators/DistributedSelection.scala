@@ -22,6 +22,59 @@ import org.apache.spark.sql.functions._
   */
 object DistributedSelection {
 
+  /** (group, n, rank_idx, value) — exact order statistics at SEVERAL
+    * ranks per group in one two-phase pass (r11; the per-group
+    * `percentile` aggregate this replaces buffers every distinct value
+    * of a group in one task's memory — the exact cliff this object
+    * exists to remove, and q38/q64's exact sides were its last
+    * callers). `rankSqls` are 1-based rank expressions over the
+    * group-size column `n` (e.g. `"1L + CAST(floor(0.5 * (n - 1)) AS
+    * BIGINT)"`); `rank_idx` is the expression's position. Phase 1
+    * histograms once for ALL ranks; the cumulative walk marks each
+    * (group, rank)'s bucket; phase 2 re-aggregates only the picked
+    * buckets, each ≤ bucketWidth distinct values per (group, rank) —
+    * config-bounded, never data-bounded.
+    */
+  def orderStatsByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                        rankSqls: Seq[String],
+                        bucketWidth: Long = 10000L): DataFrame = {
+    require(bucketWidth > 0 && rankSqls.nonEmpty)
+    val o = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val coarse = o.groupBy(col("g"),
+        expr(s"v div ${bucketWidth}L").as("cb"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val nstat = coarse.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    // (g, n, rank_idx, r): every requested rank, resolved from n
+    val ranks = nstat.select(col("g"), col("n"),
+      posexplode(array(rankSqls.map(s => expr(s)): _*))
+        .as(Seq("rank_idx", "r")))
+    val wc = Window.partitionBy(col("g")).orderBy(col("cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pick = coarse
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .join(ranks, Seq("g"))
+      .filter(col("cum_before") < col("r") &&
+        col("r") <= col("cum_before") + col("cnt"))
+      .select(col("g").as("p_g"), col("cb").as("p_cb"),
+        col("cum_before"), col("n"), col("rank_idx"), col("r"))
+    // phase-2 cumulative runs per (g, rank): two ranks sharing a
+    // bucket each get their own bounded re-count
+    val wf = Window.partitionBy(col("g"), col("rank_idx")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    o.join(broadcast(pick),
+        col("g") === col("p_g") &&
+          expr(s"v div ${bucketWidth}L") === col("p_cb"))
+      .groupBy(col("g"), col("v"), col("cum_before"), col("n"),
+        col("rank_idx"), col("r"))
+      .agg(count(lit(1)).as("cnt2"))
+      .withColumn("cum2", coalesce(sum(col("cnt2")).over(wf), lit(0L)))
+      .filter(col("cum_before") + col("cum2") < col("r") &&
+        col("r") <= col("cum_before") + col("cum2") + col("cnt2"))
+      .select(col("g").as(groupCol), col("n"), col("rank_idx"),
+        col("v").as("value"))
+  }
+
   /** (group, n, median) — exact lower median of `valueCol` per group. */
   def medianByGroup(df: DataFrame, groupCol: String, valueCol: String,
                     bucketWidth: Long = 10000L): DataFrame = {

@@ -78,18 +78,42 @@ object AdvancedQ {
         |WHERE a.vec_id < 50""".stripMargin)
   }
 
-  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`), plus median, per order status.
+  /** Exact interpolated percentiles per order status — computed by
+    * two-phase distributed selection over CENTS (r11): Spark's
+    * `percentile` aggregate buffers every distinct value of a group
+    * in one task's memory, the per-group cliff the q148/q190
+    * machinery exists to avoid. The two neighboring order statistics
+    * come from [[graft.operators.DistributedSelection
+    * .orderStatsByGroup]] and the quantile_cont interpolation —
+    * lower + frac·(upper − lower), frac = p·(n−1) − floor(p·(n−1)) —
+    * is recomputed in cent space on BOTH engines (the oracle
+    * interpolates over the same cents), so the doubles agree bit for
+    * bit. `med` restates p50 (Spark `median` ≡ percentile 0.5).
     */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
-        round(median(col("o_totalprice")), 4).as("med"))
+  private val q38Ps = Seq(0.25, 0.5, 0.75, 0.95)
+
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val rankSqls = q38Ps.flatMap(p => Seq(
+      s"1L + CAST(floor(${p}D * (n - 1)) AS BIGINT)",
+      s"1L + CAST(ceil(${p}D * (n - 1)) AS BIGINT)"))
+    val stats = graft.operators.DistributedSelection
+      .orderStatsByGroup(cents, "o_orderstatus", "cents", rankSqls)
+    val vCols = q38Ps.indices.flatMap(k => Seq(2 * k, 2 * k + 1)).map(i =>
+      max(when(col("rank_idx") === i, col("value"))).as(s"v$i"))
+    def q(k: Int): org.apache.spark.sql.Column = {
+      val p = q38Ps(k)
+      round(expr(s"(v${2 * k} + (${p}D * (n - 1) - floor(${p}D * (n - 1)))" +
+        s" * (v${2 * k + 1} - v${2 * k})) / 100.0D"), 4)
+    }
+    stats.groupBy(col("o_orderstatus"), col("n"))
+      .agg(vCols.head, vCols.tail: _*)
+      .select(col("o_orderstatus"),
+        q(0).as("p25"), q(1).as("p50"), q(2).as("p75"), q(3).as("p95"),
+        q(1).as("med"))
+  }
 
   /** Salted join (skew utility) — result must equal the plain inner
     * join, so the oracle IS the plain join SQL.
@@ -754,14 +778,20 @@ object AdvancedQ {
         |  AND o_orderdate < TIMESTAMP '1995-03-15'
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    // quantile_cont over CENTS, divided after interpolation — the
+    // arithmetic the Spark selection side recomputes from order
+    // statistics (same doubles on both engines)
     "q38_percentiles" ->
-      """SELECT o_orderstatus,
-        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
-        |  round(median(o_totalprice), 4) AS med
-        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      """WITH c AS (SELECT o_orderstatus,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  round(quantile_cont(cents, 0.25) / 100.0, 4) AS p25,
+        |  round(quantile_cont(cents, 0.5) / 100.0, 4) AS p50,
+        |  round(quantile_cont(cents, 0.75) / 100.0, 4) AS p75,
+        |  round(quantile_cont(cents, 0.95) / 100.0, 4) AS p95,
+        |  round(quantile_cont(cents, 0.5) / 100.0, 4) AS med
+        |FROM c GROUP BY o_orderstatus""".stripMargin,
     "q39_salted_join" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)

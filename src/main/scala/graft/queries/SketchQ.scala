@@ -62,22 +62,52 @@ object SketchQ {
     * Exact columns follow q38's hash-match discipline
     * (round(,4) ≡ DuckDB round(quantile_cont,4)).
     */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("ap"),
-        expr("percentile(l_extendedprice, array(0.495, 0.5, 0.505, 0.945, 0.95, 0.955))").as("ep"))
+  private val q64Ps = Seq(0.495, 0.5, 0.505, 0.945, 0.95, 0.955)
+
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    // EXACT side via two-phase distributed selection over CENTS (r11):
+    // the `percentile(...)` aggregate this replaces buffers every
+    // distinct value of a group in one task — the per-group memory
+    // cliff the repo's own q148/q190 machinery exists to avoid, left
+    // here only because the lenient bench never timed it. Interpolation
+    // is recomputed from the two neighboring order statistics with the
+    // quantile_cont formula — lower + frac·(upper − lower), frac =
+    // p·(n−1) − floor(p·(n−1)) — in CENT space on both engines (the
+    // oracle interpolates quantile_cont over the same cents), so the
+    // doubles agree bit for bit.
+    val li = Tables.lineitem(spark, dir)
+    val cents = li.select(col("l_returnflag"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val rankSqls = q64Ps.flatMap(p => Seq(
+      s"1L + CAST(floor(${p}D * (n - 1)) AS BIGINT)",
+      s"1L + CAST(ceil(${p}D * (n - 1)) AS BIGINT)"))
+    val stats = graft.operators.DistributedSelection
+      .orderStatsByGroup(cents, "l_returnflag", "cents", rankSqls)
+    val vCols = q64Ps.indices.flatMap(k => Seq(2 * k, 2 * k + 1)).map(i =>
+      max(when(col("rank_idx") === i, col("value"))).as(s"v$i"))
+    val wide = stats.groupBy(col("l_returnflag"), col("n"))
+      .agg(vCols.head, vCols.tail: _*)
+    def eq(k: Int): org.apache.spark.sql.Column = {
+      val p = q64Ps(k)
+      // ${p}D: a bare 0.505 literal parses as DECIMAL in Spark SQL —
+      // the D suffix keeps the whole interpolation in doubles, the
+      // arithmetic quantile_cont uses
+      expr(s"(v${2 * k} + (${p}D * (n - 1) - floor(${p}D * (n - 1)))" +
+        s" * (v${2 * k + 1} - v${2 * k})) / 100.0D")
+    }
+    val ap = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+        .as("ap"))
+    wide.join(broadcast(ap), Seq("l_returnflag"))
       .select(
         col("l_returnflag"),
-        element_at(col("ap"), 1)
-          .between(element_at(col("ep"), 1), element_at(col("ep"), 3))
+        element_at(col("ap"), 1).between(eq(0), eq(2))
           .as("approx_p50_in_bounds"),
-        element_at(col("ap"), 2)
-          .between(element_at(col("ep"), 4), element_at(col("ep"), 6))
+        element_at(col("ap"), 2).between(eq(3), eq(5))
           .as("approx_p95_in_bounds"),
-        round(element_at(col("ep"), 2), 4).as("exact_p50"),
-        round(element_at(col("ep"), 5), 4).as("exact_p95"))
+        round(eq(1), 4).as("exact_p50"),
+        round(eq(4), 4).as("exact_p95"))
+  }
 
   /** Count-Min Sketch heavy hitters — the frequency sketch counterpart
     * of q63's HLL: per-partition (depth×width) grids merge map-side,
@@ -296,11 +326,17 @@ object SketchQ {
         |  TRUE AS approx_1pct_within_3sigma,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // quantile_cont over CENTS, divided after interpolation — the
+    // exact arithmetic the Spark selection-side recomputes from order
+    // statistics (same doubles on both engines)
     "q64_approx_percentiles" ->
-      """SELECT l_returnflag,
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag,
         |  TRUE AS approx_p50_in_bounds,
         |  TRUE AS approx_p95_in_bounds,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |  round(quantile_cont(cents, 0.5) / 100.0, 4) AS exact_p50,
+        |  round(quantile_cont(cents, 0.95) / 100.0, 4) AS exact_p95
+        |FROM c GROUP BY l_returnflag""".stripMargin)
 }

@@ -29,6 +29,31 @@ class DistributedSelectionSpec extends AnyFunSuite with SparkTestSession {
     assert(got == expected)
   }
 
+  test("multi-rank order statistics equal the sort-based reference on seeded random data") {
+    val rnd = new scala.util.Random(99)
+    val data = Seq.tabulate(4000) { i =>
+      (s"g${i % 5}", rnd.nextInt(100001).toLong - 50000L)
+    } ++ Seq(("solo", 42L))
+    val df = data.toDF("g", "v")
+    // min, lower quartile-ish rank, median rank, max — exercised as
+    // rank expressions over n, two of which collide in small groups
+    val rankSqls = Seq("1L", "1L + (n - 1L) div 4L", "(n + 1L) div 2L", "n")
+    val got = DistributedSelection
+      .orderStatsByGroup(df, "g", "v", rankSqls, bucketWidth = 777L)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val s = rows.map(_._2).sorted
+      val n = s.size.toLong
+      val want = Seq(s(0), s(((n - 1) / 4).toInt), s((((n + 1) / 2) - 1).toInt),
+        s(n.toInt - 1))
+      want.zipWithIndex.foreach { case (v, i) =>
+        assert(got((g, i)) == (n, v), s"group $g rank $i")
+      }
+    }
+  }
+
   test("empty input yields empty output; width 1 degenerates correctly") {
     val empty = Seq.empty[(String, Long)].toDF("g", "v")
     assert(DistributedSelection.medianByGroup(empty, "g", "v").count() == 0)
