@@ -26,6 +26,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // a null ARRAY ELEMENT makes the result null even when both child
+  // arrays are non-nullable — BinaryExpression's derived nullability
+  // (children-only) would let Catalyst fold IsNull(this) to false and
+  // unsafe projections skip the null bit
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType | DoubleType, _) => true

@@ -45,7 +45,7 @@ object AsOfJoin {
       s"right value columns collide with left: ${dupCols.mkString(", ")} — rename first")
     // the operator's internal columns would silently OVERWRITE a user
     // column of the same name (withColumn replaces) — refuse loudly
-    val reserved = Set("_ts", "_side", "_rpay")
+    val reserved = Set("_ts", "_side", "_rpay", "_match")
     val clash = (left.columns ++ right.columns).toSet.intersect(reserved) ++
       left.columns.filter(_.startsWith("_l_"))
     require(clash.isEmpty,

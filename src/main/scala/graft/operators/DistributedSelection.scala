@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object DistributedSelection {
 
+  /** Floor-division bucket id. `div` truncates toward zero, so for
+    * signed data bucket 0 would span (−width, +width) — up to
+    * 2×width−1 distinct values, double the documented phase-2 memory
+    * bound. pmod is non-negative, so (v − pmod(v,w)) div w is a true
+    * floor and every bucket spans exactly `width` values.
+    */
+  private def bucketSql(width: Long): String =
+    s"(v - pmod(v, ${width}L)) div ${width}L"
+
   /** (group, n, rank_idx, value) — exact order statistics at SEVERAL
     * ranks per group in one two-phase pass (r11; the per-group
     * `percentile` aggregate this replaces buffers every distinct value
@@ -41,7 +50,7 @@ object DistributedSelection {
     require(bucketWidth > 0 && rankSqls.nonEmpty)
     val o = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
     val coarse = o.groupBy(col("g"),
-        expr(s"v div ${bucketWidth}L").as("cb"))
+        expr(bucketSql(bucketWidth)).as("cb"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
     val nstat = coarse.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
@@ -64,7 +73,7 @@ object DistributedSelection {
       .rowsBetween(Window.unboundedPreceding, -1)
     o.join(broadcast(pick),
         col("g") === col("p_g") &&
-          expr(s"v div ${bucketWidth}L") === col("p_cb"))
+          expr(bucketSql(bucketWidth)) === col("p_cb"))
       .groupBy(col("g"), col("v"), col("cum_before"), col("n"),
         col("rank_idx"), col("r"))
       .agg(count(lit(1)).as("cnt2"))
@@ -83,7 +92,7 @@ object DistributedSelection {
     // two consumers (nstat, pick) over a config-bounded table — one
     // source scan via the lazy-checkpoint artifact idiom
     val coarse = o.groupBy(col("g"),
-        expr(s"v div ${bucketWidth}L").as("cb"))
+        expr(bucketSql(bucketWidth)).as("cb"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
     val wc = Window.partitionBy(col("g")).orderBy(col("cb"))
@@ -104,7 +113,7 @@ object DistributedSelection {
       .rowsBetween(Window.unboundedPreceding, -1)
     o.join(broadcast(pick),
         col("g") === col("p_g") &&
-          expr(s"v div ${bucketWidth}L") === col("p_cb"))
+          expr(bucketSql(bucketWidth)) === col("p_cb"))
       .select(col("g"), col("v"), col("cum_before"), col("n"), col("r"))
       .groupBy(col("g"), col("v"), col("cum_before"), col("n"), col("r"))
       .agg(count(lit(1)).as("cnt2"))

@@ -1571,6 +1571,33 @@ object Snapshots {
         .foreach { p => Files.delete(p); deleted += 1 }
       finally walk.close()
     }
+    // crash debris: a writer that dies between staging `_tmp_*` and
+    // its finally-delete leaves the tmp file forever (reads already
+    // ignore them — refHead, the CDC tail and latestVersion all filter
+    // the `_tmp_` prefix — but nothing else ever reaps them). Sweep
+    // age-guarded tmp files in every directory that stages them:
+    // `_refs/<name>/`, `_manifests/`, and the table root
+    // (`_tmp_latest_*`). Not counted in the return — the contract is
+    // "data files deleted"; these are zero-cost marker bytes.
+    val tmpDirs = {
+      val refs = refsDir(rootP)
+      val refSubdirs = if (Files.isDirectory(refs)) {
+        val s = Files.list(refs)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+        finally s.close()
+      } else Nil
+      refSubdirs ++ Seq(rootP.resolve("_manifests"), rootP)
+    }
+    tmpDirs.filter(Files.isDirectory(_)).foreach { d =>
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("_tmp_") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toSeq
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
     deleted
   }
 
