@@ -480,6 +480,56 @@ object TextQ {
       .withColumn("dup_frac_micro", expr("(dup_spans * 1000000L) div total_spans"))
   }
 
+  /** Minimal duplicated-run length the PURGE actually cuts (q199/q200).
+    * Strictly above [[dupSpanK]] so an isolated 8-gram collision —
+    * coverage exactly 8 — survives while real verbatim overlaps (every
+    * ≥ 2-gram-long chain covers ≥ 9 positions, and the planted corpus
+    * overlaps run 20-95) are removed; sf0.001 has a source whose
+    * longest covered run is 10, so the threshold is exercised in data,
+    * not just in the unit fixture.
+    */
+  val dupSpanMin = 12
+
+  /** The purged corpus, materialized ONCE per (session, dir) — q199's
+    * accounting and q200's rewrite gate both consume it, and a purge
+    * step's production shape IS a written table beside the corpus
+    * (the RefinedWeb output artifact), not a recomputed lineage.
+    */
+  private def purgedDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.parquet(spark, dir, "purged_docs") {
+      graft.operators.DupSpanPurge.purge(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        dupSpanK, dupSpanMin)
+    }
+
+  /** q199 — ExactSubstr PURGE accounting: per-source token counts
+    * before/after duplicated-span removal ([[graft.operators.DupSpanPurge]]
+    * — the rewrite half of q153's report). The oracle recomputes the
+    * whole removal from gram STRINGS (gaps-and-islands run detection),
+    * so the engine's hash stream, coverage arithmetic and run
+    * thresholding are all under the hash gate.
+    */
+  def dupSpanPurgeReport(spark: SparkSession, dir: String): DataFrame =
+    purgedDocs(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_before")).as("tokens_before"),
+        sum(col("n_after")).as("tokens_after"),
+        sum(when(col("n_after") < col("n_before"), lit(1L)).otherwise(lit(0L)))
+          .as("docs_modified"),
+        sum(when(col("n_after") === 0 && col("n_before") > 0, lit(1L))
+          .otherwise(lit(0L))).as("docs_emptied"))
+
+  /** q200 — the rewritten documents themselves: every modified doc with
+    * its md5-fingerprinted post-purge text, so the gate proves the
+    * RECONSTRUCTION (surviving tokens, in order, space-joined), not
+    * just the counts. The oracle rebuilds each survivor string with an
+    * ordered string_agg over non-removed positions.
+    */
+  def dupSpanRewrites(spark: SparkSession, dir: String): DataFrame =
+    purgedDocs(spark, dir).filter(col("n_after") < col("n_before"))
+      .select(col("doc_id"), col("source"), col("n_before"), col("n_after"),
+        md5(col("new_text")).as("new_md5"))
+
   /** End-to-end curation FUNNEL — the composition a training-data
     * pipeline actually runs, with per-stage survivor accounting:
     * token-length band → quality floor → repetition ceiling → exact
@@ -715,6 +765,8 @@ object TextQ {
     "q140_chunk_plan" -> (chunkPlan _),
     "q84_ngram_novelty" -> (ngramNovelty _),
     "q153_dup_span_report" -> (dupSpanReport _),
+    "q199_dup_span_purge" -> (dupSpanPurgeReport _),
+    "q200_dup_span_rewrite" -> (dupSpanRewrites _),
     "q85_curation_funnel" -> (curationFunnel _))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
@@ -1058,6 +1110,96 @@ object TextQ {
         |  (CAST(sum(dup_spans) AS BIGINT) * 1000000) // CAST(sum(n_spans) AS BIGINT)
         |    AS dup_frac_micro
         |FROM pd GROUP BY source""".stripMargin,
+    // ExactSubstr purge: the oracle recomputes the ENTIRE removal from
+    // gram strings — coverage as the union of [pos, pos+8), maximal
+    // runs via gaps-and-islands (t - row_number), runs >= 12 removed —
+    // so hash-stream, interval and threshold arithmetic all gate.
+    // Docs with < 8 tokens carry no gram position (pure-position
+    // semantics here, unlike q153's whole-doc-gram convention: a
+    // sub-gram doc cannot hold a >= minSpan run, so it passes through)
+    "q199_dup_span_purge" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    array_to_string(list_slice(ts, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 8), ' ') AS g
+        |  FROM toks, unnest(range(greatest(len(ts) - 7, 0))) u(i)
+        |  WHERE len(ts) >= 8),
+        |dupg AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g)
+        |  WHERE nd >= 2),
+        |cov AS (
+        |  SELECT DISTINCT gr.doc_id, gr.pos + CAST(u.o AS INT) AS t
+        |  FROM gr JOIN dupg USING (g), unnest(range(8)) u(o)),
+        |runs AS (
+        |  SELECT doc_id, t,
+        |    t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+        |  FROM cov),
+        |removed AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, t, count(*) OVER (PARTITION BY doc_id, grp) AS rl FROM runs)
+        |  WHERE rl >= 12),
+        |rem AS (SELECT doc_id, count(*) AS nrem FROM removed GROUP BY doc_id),
+        |pd AS (
+        |  SELECT toks.doc_id, toks.source, len(ts) AS n_before,
+        |    len(ts) - coalesce(nrem, 0) AS n_after
+        |  FROM toks LEFT JOIN rem ON toks.doc_id = rem.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_before) AS BIGINT) AS tokens_before,
+        |  CAST(sum(n_after) AS BIGINT) AS tokens_after,
+        |  CAST(sum(CASE WHEN n_after < n_before THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_modified,
+        |  CAST(sum(CASE WHEN n_after = 0 AND n_before > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_emptied
+        |FROM pd GROUP BY source""".stripMargin,
+    // the rewrite gate: per modified doc, the md5 of the post-purge
+    // text (surviving tokens in position order, space-joined; an
+    // emptied doc fingerprints the empty string on both engines)
+    "q200_dup_span_rewrite" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    array_to_string(list_slice(ts, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 8), ' ') AS g
+        |  FROM toks, unnest(range(greatest(len(ts) - 7, 0))) u(i)
+        |  WHERE len(ts) >= 8),
+        |dupg AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g)
+        |  WHERE nd >= 2),
+        |cov AS (
+        |  SELECT DISTINCT gr.doc_id, gr.pos + CAST(u.o AS INT) AS t
+        |  FROM gr JOIN dupg USING (g), unnest(range(8)) u(o)),
+        |runs AS (
+        |  SELECT doc_id, t,
+        |    t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+        |  FROM cov),
+        |removed AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, t, count(*) OVER (PARTITION BY doc_id, grp) AS rl FROM runs)
+        |  WHERE rl >= 12),
+        |rem AS (SELECT doc_id, count(*) AS nrem FROM removed GROUP BY doc_id),
+        |tokpos AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS p, ts[CAST(u.i AS INT) + 1] AS tok
+        |  FROM toks, unnest(range(len(ts))) u(i)),
+        |surv AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok
+        |  FROM tokpos tp LEFT JOIN removed r ON tp.doc_id = r.doc_id AND tp.p = r.t
+        |  WHERE r.doc_id IS NULL),
+        |sa AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+        |  FROM surv GROUP BY doc_id),
+        |pd AS (
+        |  SELECT toks.doc_id, toks.source, len(ts) AS n_before,
+        |    len(ts) - coalesce(nrem, 0) AS n_after
+        |  FROM toks LEFT JOIN rem ON toks.doc_id = rem.doc_id)
+        |SELECT pd.doc_id, pd.source, pd.n_before, pd.n_after,
+        |  md5(coalesce(sa.txt, '')) AS new_md5
+        |FROM pd LEFT JOIN sa ON pd.doc_id = sa.doc_id
+        |WHERE pd.n_after < pd.n_before""".stripMargin,
     "q85_curation_funnel" ->
       """WITH toks AS (
         |  SELECT doc_id, text,
