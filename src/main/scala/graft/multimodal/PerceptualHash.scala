@@ -1,0 +1,227 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Perceptual fingerprints over DECODED media — the piece that makes
+  * near-duplicate IMAGES/AUDIO visible to the dedup pipeline (until
+  * now every dedup operator keyed on text or pre-supplied embeddings;
+  * the codecs decoded real pixels/samples that nothing consumed for
+  * similarity).
+  *
+  * Both hashes are 64-bit gradient signatures with pure-INTEGER
+  * arithmetic end to end, so an oracle can replay them exactly from
+  * container bytes — no float rounding ever crosses an engine
+  * boundary:
+  *
+  *  - [[MediaHash.dhashBmp]]: classic dHash (9×8 luma grid, horizontal
+  *    gradient). Grid cell (r,c) covers pixel block
+  *    [⌊r·h/8⌋, max(⌊(r+1)·h/8⌋, ⌊r·h/8⌋+1)) × [⌊c·w/9⌋, …) — pure
+  *    area blocks when downscaling, nearest-row duplication when the
+  *    image is shorter than the grid (h < 8 — this corpus' BMPs are
+  *    1-4 rows tall). Luma is integer milli-luma 299R+587G+114B; the
+  *    mean comparison avg(c+1) > avg(c) is cross-multiplied to
+  *    S(c+1)·w(c) > S(c)·w(c+1) (row counts cancel within a grid row),
+  *    so no division happens at all.
+  *  - [[MediaHash.fingerprintWav]]: the audio companion — 65 sample
+  *    blocks, integer energy Σ(v−128)² per block, adjacent-block
+  *    energy gradient → 64 bits, same cross-multiplied comparison.
+  *
+  * Bit (r,c) / bit b sits at position 63−(r·8+c) / 63−b (MSB-first).
+  * Undecodable rows (wrong container / bpp / encoding, empty data)
+  * hash to NULL and fall out of the dedup candidate stream.
+  */
+object MediaHash {
+
+  /** 64-bit dHash of a 24bpp uncompressed BMP; null otherwise. */
+  def dhashBmp(b: Array[Byte]): java.lang.Long = {
+    if (!MediaContainers.isBmp(b)) return null
+    def rdLe16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def rdLe32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    val dataOffset = rdLe32(10)
+    val w = rdLe32(18); val h = rdLe32(22)
+    val bpp = rdLe16(28); val compression = rdLe32(30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
+      w > (1 << 20) || h > (1 << 20) || dataOffset < 54) return null
+    val rowSize = (w * 3 + 3) & ~3
+    if (dataOffset.toLong + rowSize.toLong * h > b.length) return null
+    // 8 grid rows × 9 grid cols of block luma sums
+    val s = Array.ofDim[Long](8, 9)
+    val wblk = new Array[Long](9)
+    var c = 0
+    while (c < 9) {
+      val x0 = c * w / 9
+      val x1 = math.max((c + 1) * w / 9, x0 + 1)
+      wblk(c) = x1 - x0
+      var r = 0
+      while (r < 8) {
+        val y0 = r * h / 8
+        val y1 = math.max((r + 1) * h / 8, y0 + 1)
+        var acc = 0L
+        var y = y0
+        while (y < y1) {
+          // bottom-up storage: image row y is stored row h-1-y
+          val rowOff = dataOffset + (h - 1 - y) * rowSize
+          var x = x0
+          while (x < x1) {
+            val o = rowOff + x * 3
+            acc += 114L * (b(o) & 0xFF) + 587L * (b(o + 1) & 0xFF) +
+              299L * (b(o + 2) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        s(r)(c) = acc
+        r += 1
+      }
+      c += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      c = 0
+      while (c < 8) {
+        if (s(r)(c + 1) * wblk(c) > s(r)(c) * wblk(c + 1))
+          hash |= 1L << (63 - (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** 64-bit energy-gradient fingerprint of a PCM u8 mono WAV; null for
+    * any other encoding or empty sample data. Chunk walk mirrors
+    * [[MediaContainers.decodeWav]]'s hostile-bytes guards.
+    */
+  def fingerprintWav(b: Array[Byte]): java.lang.Long = {
+    if (!MediaContainers.isWav(b)) return null
+    def rdLe16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def rdLe32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    var off = 12L
+    var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    var bad = false
+    while (!bad && off + 8 <= b.length) {
+      val io = off.toInt
+      val id = new String(b, io, 4, "US-ASCII")
+      val sz = rdLe32(io + 4)
+      if (sz < 0) bad = true
+      else {
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+          val audioFormat = rdLe16(io + 8)
+          val channels = rdLe16(io + 10)
+          val bits = rdLe16(io + 22)
+          fmtOk = audioFormat == 1 && bits == 8 && channels == 1
+        } else if (id == "data") {
+          dataOff = io + 8; dataLen = math.min(sz, b.length - dataOff)
+        }
+        off += 8L + sz + (sz & 1)
+      }
+    }
+    if (bad || !fmtOk || dataOff < 0 || dataLen <= 0) return null
+    val n = dataLen
+    val e = new Array[Long](65)
+    val cnt = new Array[Long](65)
+    var blk = 0
+    while (blk < 65) {
+      val s0 = blk * n / 65
+      val s1 = math.min(math.max((blk + 1) * n / 65, s0 + 1), n)
+      var acc = 0L
+      var i = s0
+      while (i < s1) {
+        val v = (b(dataOff + i) & 0xFF) - 128
+        acc += v.toLong * v
+        i += 1
+      }
+      e(blk) = acc; cnt(blk) = s1 - s0
+      blk += 1
+    }
+    var hash = 0L
+    blk = 0
+    while (blk < 64) {
+      if (e(blk + 1) * cnt(blk) > e(blk) * cnt(blk + 1))
+        hash |= 1L << (63 - blk)
+      blk += 1
+    }
+    hash
+  }
+}
+
+/** `bmp_dhash(bytes)` — codegen'd; see [[MediaHash.dhashBmp]]. */
+case class BmpDHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  // null for undecodable bytes even when the child is non-nullable —
+  // without this override Catalyst trusts the derived nullability and
+  // unsafe projections skip the null bit (the CosineSimilarity lesson)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bmp_dhash needs binary input, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaHash.dhashBmp(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("dh")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |java.lang.Long $boxed = graft.multimodal.MediaHash.dhashBmp($a);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `wav_fingerprint(bytes)` — codegen'd; see [[MediaHash.fingerprintWav]]. */
+case class WavFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"wav_fingerprint needs binary input, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaHash.fingerprintWav(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("fp")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |java.lang.Long $boxed = graft.multimodal.MediaHash.fingerprintWav($a);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PerceptualHashFunctions {
+  def bmp_dhash(bytes: Column): Column =
+    ColumnBridge.column(BmpDHash(ColumnBridge.expression(bytes)))
+  def wav_fingerprint(bytes: Column): Column =
+    ColumnBridge.column(WavFingerprint(ColumnBridge.expression(bytes)))
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.multimodal.PerceptualHashFunctions.{bmp_dhash, wav_fingerprint}
+
+/** Near-duplicate detection over DECODED media bytes — dHash for
+  * images, energy fingerprints for audio ([[graft.multimodal.MediaHash]])
+  * — wired into the exact pigeonhole machinery the text SimHash path
+  * uses ([[Dedup.simhashPairs]]): a 64-bit signature splits into 4
+  * disjoint 16-bit blocks, Hamming ≤ 3 < 4 forces at least one equal
+  * block, candidates join ONLY inside (block_id, block_val) buckets,
+  * then the exact `bit_count(xor)` distance filters. No all-pairs
+  * shape anywhere; candidate generation is a bucketed self-join that
+  * shuffles on the block key — the same plan at 167 images or 10^9.
+  */
+object MediaDedup {
+
+  /** (media_id, sig) of the decodable rows of one modality. */
+  def signatures(media: DataFrame, modality: String): DataFrame = {
+    val sig = modality match {
+      case "image" => bmp_dhash(col("bytes"))
+      case "audio" => wav_fingerprint(col("bytes"))
+      case m => throw new IllegalArgumentException(
+        s"no perceptual signature for modality '$m'")
+    }
+    media.filter(col("modality") === modality)
+      .select(col("media_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** Near-dup pairs (id_a < id_b, hamming ≤ maxHamming) over a
+    * (media_id, sig) table. maxHamming must stay below the 4-block
+    * pigeonhole bound or recall silently drops.
+    */
+  def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"4-block pigeonhole only guarantees recall for hamming < 4, got $maxHamming")
+    val blocked = sigs.select(col("media_id").as("id"), col("sig"), explode(
+      array((0 until 4).map(b => struct(lit(b).as("block_id"),
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("block_val"))): _*))
+      .as("blk"))
+      .select(col("id"), col("sig"), col("blk.block_id"), col("blk.block_val"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.block_id") === col("b.block_id") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -78,12 +78,56 @@ object MediaQ {
         stride = 3)
       .select(col("media_id"), col("n_frames"), col("n_sampled"))
 
+  /** q201 — perceptual image hash over DECODED pixels: the 64-bit
+    * integer-arithmetic dHash ([[graft.multimodal.MediaHash.dhashBmp]])
+    * of every image row's real BMP container, emitted as 16-hex-char
+    * strings. The oracle replays the ENTIRE hash — header geometry,
+    * bottom-up row order, 9×8 block luma sums, cross-multiplied
+    * gradient comparisons — from the source text bytes (byte access
+    * via `hex(encode(text))` pairs), so the pixel decode and the hash
+    * arithmetic are both under the gate.
+    */
+  def imageDHash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MediaDedup.signatures(
+        Multimodal.syntheticMedia(Tables.documents(spark, dir)), "image")
+      .select(col("media_id"), format_string("%016x", col("sig")).as("dh"))
+
+  /** q202 — near-duplicate IMAGES: Hamming ≤ 3 dHash pairs via the
+    * 4×16-bit pigeonhole bucket join ([[graft.operators.MediaDedup]]).
+    * The oracle brute-forces `bit_count(xor)` over its independently
+    * replayed hashes — exhaustive reference vs banded candidate
+    * generation, the q82 completeness pattern.
+    */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MediaDedup.nearDupPairs(
+      graft.operators.MediaDedup.signatures(
+        Multimodal.syntheticMedia(Tables.documents(spark, dir)), "image"))
+
+  /** q203 — audio fingerprints: 65-block integer energy gradient over
+    * the real WAV sample data ([[graft.multimodal.MediaHash.fingerprintWav]]);
+    * same full replay discipline as q201.
+    */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MediaDedup.signatures(
+        Multimodal.syntheticMedia(Tables.documents(spark, dir)), "audio")
+      .select(col("media_id"), format_string("%016x", col("sig")).as("fp"))
+
+  /** q204 — near-duplicate AUDIO, the q202 shape over WAV fingerprints. */
+  def audioNearDups(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MediaDedup.nearDupPairs(
+      graft.operators.MediaDedup.signatures(
+        Multimodal.syntheticMedia(Tables.documents(spark, dir)), "audio"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_frame_sample" -> (mediaFrameSample _),
     "q55_media_bytes" -> (mediaBytes _),
     "q56_media_features" -> (mediaFeatures _),
     "q57_media_resize" -> (mediaResize _),
-    "q69_media_real_dims" -> (mediaRealDims _))
+    "q69_media_real_dims" -> (mediaRealDims _),
+    "q201_image_dhash" -> (imageDHash _),
+    "q202_image_near_dups" -> (imageNearDups _),
+    "q203_audio_fingerprint" -> (audioFingerprint _),
+    "q204_audio_near_dups" -> (audioNearDups _))
 
   // ---- the ONE spelling of the synthetic-container arithmetic ----
   // (the OracleSql.tokens rule applied to the media gates): modality
@@ -113,7 +157,107 @@ object MediaQ {
         |    $containerLenCase AS len
         |  FROM documents)""".stripMargin
 
+  // ---- perceptual-hash replay (q201-q204): byte p of the payload is
+  // hex pair p of encode(text) — '0x'||pair casts to its value; beyond
+  // strlen the containers zero-pad. The dHash/fingerprint arithmetic
+  // is ALL integer (milli-luma 299R+587G+114B, cross-multiplied block
+  // means), so the replay is exact, not approximate. The 64-bit value
+  // assembles from two 32-bit halves (a BIGINT shift at bit 63 would
+  // wrap the sign) printf'd to the same %016x the engine emits.
+  private val imageHashCte =
+    """WITH img AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS len,
+      |    greatest(1, (strlen(text) + 191) // 192) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |blocks AS (
+      |  SELECT doc_id, hx, len, h,
+      |    CAST(r.r AS INT) AS r, CAST(c.c AS INT) AS c,
+      |    CAST((r.r * h) // 8 AS INT) AS y0,
+      |    greatest(CAST(((r.r + 1) * h) // 8 AS INT),
+      |             CAST((r.r * h) // 8 AS INT) + 1) AS y1,
+      |    CAST((c.c * 64) // 9 AS INT) AS x0,
+      |    CAST(((c.c + 1) * 64) // 9 AS INT) AS x1
+      |  FROM img, (SELECT unnest(range(8)) AS r) r,
+      |       (SELECT unnest(range(9)) AS c) c),
+      |px AS (
+      |  SELECT doc_id, r, c, x1 - x0 AS wblk,
+      |    (h - 1 - CAST(y.y AS INT)) * 192 + 3 * CAST(x.x AS INT) AS o,
+      |    hx, len
+      |  FROM blocks, unnest(range(y0, y1)) y(y), unnest(range(x0, x1)) x(x)),
+      |lum AS (
+      |  SELECT doc_id, r, c, wblk,
+      |    sum(299 * (CASE WHEN o + 2 < len
+      |          THEN ('0x' || substring(hx, 2*(o+2)+1, 2))::BIGINT ELSE 0 END)
+      |      + 587 * (CASE WHEN o + 1 < len
+      |          THEN ('0x' || substring(hx, 2*(o+1)+1, 2))::BIGINT ELSE 0 END)
+      |      + 114 * (CASE WHEN o < len
+      |          THEN ('0x' || substring(hx, 2*o+1, 2))::BIGINT ELSE 0 END)) AS s
+      |  FROM px GROUP BY ALL),
+      |bits AS (
+      |  SELECT a.doc_id, a.r, a.c,
+      |    CASE WHEN b.s * a.wblk > a.s * b.wblk
+      |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.r = b.r
+      |    AND b.c = a.c + 1
+      |  WHERE a.c < 8),
+      |halves AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN r < 4 THEN bit << (31 - (r*8 + c)) ELSE 0 END)
+      |      AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN r >= 4 THEN bit << (63 - (r*8 + c)) ELSE 0 END)
+      |      AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id),
+      |hashes AS (SELECT doc_id, printf('%08x%08x', hi, lo) AS dh FROM halves)""".stripMargin
+  private val audioHashCte =
+    """WITH aud AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+      |  FROM documents WHERE doc_id % 3 = 1 AND strlen(text) > 0),
+      |blocks AS (
+      |  SELECT doc_id, hx, CAST(b.b AS INT) AS blk,
+      |    CAST((b.b * n) // 65 AS INT) AS s0,
+      |    least(greatest(CAST(((b.b + 1) * n) // 65 AS INT),
+      |                   CAST((b.b * n) // 65 AS INT) + 1), n) AS s1
+      |  FROM aud, (SELECT unnest(range(65)) AS b) b),
+      |en AS (
+      |  SELECT doc_id, blk, s1 - s0 AS cnt,
+      |    sum((('0x' || substring(hx, 2*CAST(i.i AS INT)+1, 2))::BIGINT - 128)
+      |      * (('0x' || substring(hx, 2*CAST(i.i AS INT)+1, 2))::BIGINT - 128)) AS e
+      |  FROM blocks, unnest(range(s0, s1)) i(i)
+      |  GROUP BY ALL),
+      |bits AS (
+      |  SELECT a.doc_id, a.blk,
+      |    CASE WHEN b.e * a.cnt > a.e * b.cnt
+      |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.blk = a.blk + 1
+      |  WHERE a.blk < 64),
+      |halves AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN blk < 32 THEN bit << (31 - blk) ELSE 0 END)
+      |      AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN blk >= 32 THEN bit << (63 - blk) ELSE 0 END)
+      |      AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id),
+      |hashes AS (SELECT doc_id, printf('%08x%08x', hi, lo) AS dh FROM halves)""".stripMargin
+  private def hashPairsSelect =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(('0x' || a.dh)::UBIGINT, ('0x' || b.dh)::UBIGINT))
+      |    AS INT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(('0x' || a.dh)::UBIGINT, ('0x' || b.dh)::UBIGINT)) <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q201_image_dhash" ->
+      s"""$imageHashCte
+        |SELECT doc_id AS media_id, dh FROM hashes""".stripMargin,
+    "q202_image_near_dups" ->
+      s"""$imageHashCte
+        |$hashPairsSelect""".stripMargin,
+    "q203_audio_fingerprint" ->
+      s"""$audioHashCte
+        |SELECT doc_id AS media_id, dh AS fp FROM hashes""".stripMargin,
+    "q204_audio_near_dups" ->
+      s"""$audioHashCte
+        |$hashPairsSelect""".stripMargin,
     "q104_frame_sample" ->
       s"""SELECT doc_id AS media_id,
         |  CAST($framesVideo AS INT) AS n_frames,

@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.operators.MediaDedup
+
+/** Perceptual near-dup detection over planted payload-perturbed
+  * containers (the q83 fixture pattern): a perturbed copy must land
+  * within the Hamming threshold, unrelated content outside it, and the
+  * banded candidate join must equal the brute-force reference at t=3
+  * (the 4×16 pigeonhole guarantee).
+  */
+class MediaDedupSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def rndPayload(seed: Int, n: Int): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(r.nextInt(256).toByte)
+  }
+
+  private def perturb(p: Array[Byte], at: Seq[Int]): Array[Byte] = {
+    val q = p.clone()
+    at.foreach(i => q(i) = (q(i) + 40).toByte)
+    q
+  }
+
+  private def mediaDf(rows: Seq[(Long, String, Array[Byte])]) =
+    rows.toDF("media_id", "modality", "bytes")
+
+  test("identical image payloads hash identically; a perturbed copy lands at small Hamming") {
+    val p = rndPayload(1, 600)   // 4-row BMP
+    val bmp = MediaContainers.encodeBmp(p)
+    assert(MediaHash.dhashBmp(bmp) == MediaHash.dhashBmp(MediaContainers.encodeBmp(p.clone())))
+    val near = MediaHash.dhashBmp(MediaContainers.encodeBmp(perturb(p, Seq(10, 300))))
+    val ham = java.lang.Long.bitCount(MediaHash.dhashBmp(bmp) ^ near)
+    assert(ham <= 3, s"2-byte perturbation moved dHash by $ham bits")
+    val far = MediaHash.dhashBmp(MediaContainers.encodeBmp(rndPayload(99, 600)))
+    assert(java.lang.Long.bitCount(MediaHash.dhashBmp(bmp) ^ far) > 3,
+      "unrelated images must not collide inside the threshold")
+  }
+
+  test("nearDupPairs finds the planted perturbed image pair and nothing else") {
+    val p = rndPayload(2, 500)
+    val rows = mediaDf(Seq(
+      (1L, "image", MediaContainers.encodeBmp(p)),
+      (2L, "image", MediaContainers.encodeBmp(perturb(p, Seq(42)))),
+      (3L, "image", MediaContainers.encodeBmp(rndPayload(7, 500))),
+      (4L, "audio", MediaContainers.encodeWav(p))))   // wrong modality: excluded
+    val pairs = MediaDedup.nearDupPairs(MediaDedup.signatures(rows, "image"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("undecodable bytes drop out of the signature stream") {
+    val rows = mediaDf(Seq(
+      (1L, "image", Array[Byte](1, 2, 3)),
+      (2L, "image", MediaContainers.encodeWav(rndPayload(3, 100))),  // WAV under image modality
+      (3L, "image", MediaContainers.encodeBmp(rndPayload(4, 100)))))
+    assert(MediaDedup.signatures(rows, "image").count() == 1)
+  }
+
+  test("audio: a perturbed copy lands inside the threshold, unrelated audio outside") {
+    val p = rndPayload(5, 520)
+    val rows = mediaDf(Seq(
+      (1L, "audio", MediaContainers.encodeWav(p)),
+      (2L, "audio", MediaContainers.encodeWav(perturb(p, Seq(100)))),
+      (3L, "audio", MediaContainers.encodeWav(rndPayload(11, 520)))))
+    val pairs = MediaDedup.nearDupPairs(MediaDedup.signatures(rows, "audio"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("banded candidates equal the brute-force reference at t = 3 (pigeonhole completeness)") {
+    val payloads = (0 until 40).map(i => rndPayload(100 + i, 400)) ++
+      (0 until 8).map(i => perturb(rndPayload(100 + i, 400), Seq(i * 17 + 5)))
+    val rows = mediaDf(payloads.zipWithIndex.map { case (p, i) =>
+      (i.toLong, "image", MediaContainers.encodeBmp(p))
+    })
+    val sigs = MediaDedup.signatures(rows, "image")
+    val banded = MediaDedup.nearDupPairs(sigs)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSet
+    val flat = sigs.as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- flat; (ib, sb) <- flat
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture must actually plant near pairs")
+  }
+
+  test("the engine dHash matches a straight reimplementation of the documented grid") {
+    // independent spelling: floats for the mean, but comparison done on
+    // the same cross-multiplied integers — guards the bit layout
+    val p = rndPayload(6, 700)
+    val bmp = MediaContainers.encodeBmp(p)
+    val h = math.max(1, (p.length + 191) / 192)
+    def byteAt(o: Int): Int = if (o < p.length) p(o) & 0xFF else 0
+    def lum(x: Int, y: Int): Long = {
+      val o = (h - 1 - y) * 192 + 3 * x
+      114L * byteAt(o) + 587L * byteAt(o + 1) + 299L * byteAt(o + 2)
+    }
+    var expect = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      def cell(cc: Int): (Long, Long) = {
+        val x0 = cc * 64 / 9; val x1 = math.max((cc + 1) * 64 / 9, x0 + 1)
+        val y0 = r * h / 8; val y1 = math.max((r + 1) * h / 8, y0 + 1)
+        var s = 0L
+        for (y <- y0 until y1; x <- x0 until x1) s += lum(x, y)
+        (s, (x1 - x0).toLong)
+      }
+      val (s0, w0) = cell(c); val (s1, w1) = cell(c + 1)
+      if (s1 * w0 > s0 * w1) expect |= 1L << (63 - (r * 8 + c))
+    }
+    assert(MediaHash.dhashBmp(bmp) == expect)
+  }
+}
