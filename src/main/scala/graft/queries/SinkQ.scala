@@ -1352,6 +1352,61 @@ object SinkQ {
     }.reduce(_.unionByName(_))
   }
 
+  /** q205 — PER-REF RETENTION (r12): a long-lived side branch sweeps
+    * its own aged history by count ([[graft.sources.Snapshots.expireRefs]]
+    * `minSnapshotsToKeep`, with `maxAgeMillis = 0` so the gate is
+    * deterministic) while every OTHER retention owner survives — the
+    * main lineage, a tag pinned mid-branch, and the branch's own
+    * recent window. The staging asserts the destructive half (expired
+    * versions fail loudly, protected ones read); the output gates the
+    * surviving states (main head, branch head, the pinned tag) against
+    * DuckDB's recomputation from the source slices.
+    */
+  private val retainStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def branchRetention(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = retainStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_retain_gate").toString
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def slice(r: Int) =
+        docs.filter(pmod(col("doc_id"), lit(6)) === r)
+      S.append(slice(0).repartition(2, col("doc_id")), o)           // v1 main
+      S.createBranch(o, "logs")
+      S.appendTo(slice(1).repartition(1), o, "logs")                // v2 logs
+      S.appendTo(slice(2).repartition(1), o, "logs")                // v3 logs
+      S.appendTo(slice(3).repartition(1), o, "logs")                // v4 logs
+      S.appendTo(slice(4).repartition(1), o, "logs")                // v5 logs
+      S.tag(o, "pin3", 3)
+      // logs chain {1,2,3,4,5}, keep-count 1 → candidates {1,2,3,4};
+      // v1 survives as main's lineage+head, v3 as the tag → {2,4}
+      // sweep. Every swept file is carried forward by v5's manifest,
+      // so refcounting must delete ZERO data files.
+      require(S.expireRefs(o, "logs", minSnapshotsToKeep = 1,
+        maxAgeMillis = 0L) == 0,
+        "append-only lineage: every expired version's files are " +
+          "carried forward — refcounting must spare them all")
+      require(!scala.util.Try(S.read(spark, o, 2)).isSuccess &&
+        !scala.util.Try(S.read(spark, o, 4)).isSuccess,
+        "aged branch versions beyond the keep window must be expired")
+      require(scala.util.Try(S.read(spark, o, 3)).isSuccess,
+        "the tagged mid-branch version must survive retention")
+      require(S.history(spark, o, "logs").count() == 1,
+        "the branch walk should truncate at the expired parent")
+      o
+    })
+    Seq("main", "logs").map { b =>
+      S.readBranch(spark, root, b)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(b).as("ref"), col("n_rows"), col("sum_chars"))
+    }.reduce(_.unionByName(_))
+      .unionByName(S.read(spark, root, 3)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit("pin3").as("ref"), col("n_rows"), col("sum_chars")))
+  }
+
   private val histStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1379,6 +1434,7 @@ object SinkQ {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_branch_retention" -> (branchRetention _),
     "q198_cherry_pick" -> (cherryPickGate _),
     "q196_branch_wap" -> (branchWap _),
     "q195_commit_history" -> (commitHistory _),
@@ -1431,6 +1487,20 @@ object SinkQ {
         |SELECT 'main', count(*), CAST(sum(n_chars) AS BIGINT)
         |FROM documents
         |WHERE (doc_id % 4 = 0 AND doc_id % 8 <> 0) OR doc_id % 4 = 1""".stripMargin,
+    // retention survivors recomputed from the slices: main = slice 0;
+    // the logs head carries every appended slice (0-4); the pinned v3
+    // is the chain through slice 2. The swept {v2, v4} are staging
+    // requires, destructively asserted engine-side.
+    "q205_branch_retention" ->
+      """SELECT 'main' AS ref, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 6 = 0
+        |UNION ALL
+        |SELECT 'logs', count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 IN (0, 1, 2, 3, 4)
+        |UNION ALL
+        |SELECT 'pin3', count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 IN (0, 1, 2)""".stripMargin,
     "q196_branch_wap" ->
       """SELECT 'exp' AS ref, count(*) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, 2 AS n_commits

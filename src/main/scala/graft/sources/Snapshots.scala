@@ -2141,18 +2141,39 @@ object Snapshots {
     * `keepFrom` is untouched; reading an expired version fails loudly
     * at manifest resolution. Returns the number of data files deleted.
     */
-  def expire(root: String, keepFrom: Int): Int = {
-    val rootP = Paths.get(root)
-    val latest = latestVersion(root)
-    require(keepFrom >= 1 && keepFrom <= latest,
-      s"keepFrom must be in [1, $latest]: $keepFrom")
-    // reference-count DATA and DELETE files alike: a delete set is
-    // reachable storage exactly as long as a retained manifest lists it
-    def pathsOf(v: Int): Seq[String] = rawLines(root, v).map { l =>
+  // reference-count DATA and DELETE files alike: a delete set is
+  // reachable storage exactly as long as a retained manifest lists it
+  private def storagePathsOf(root: String, v: Int): Seq[String] =
+    rawLines(root, v).map { l =>
       if (l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
         l.split('\t')(1)
       else l.split('\t').head
     }
+
+  // shared destructive tail of [[expire]]/[[expireRefs]]: delete the
+  // data files no surviving manifest references, then the doomed
+  // manifests — files first, so an interrupted run leaves a manifest
+  // naming missing files (a LOUD read failure) rather than an orphaned
+  // file set silently leaking disk
+  private def reapVersions(root: String, doomed: Seq[Int]): Int = {
+    val rootP = Paths.get(root)
+    val doomedSet = doomed.toSet
+    val retained = (1 to latestVersion(root))
+      .filter(v => !doomedSet.contains(v) &&
+        Files.exists(manifestPath(rootP, v)))
+      .flatMap(storagePathsOf(root, _)).toSet
+    val files = doomed.flatMap(storagePathsOf(root, _)).distinct
+      .filterNot(retained.contains)
+    files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    doomed.foreach(v => Files.deleteIfExists(manifestPath(rootP, v)))
+    files.size
+  }
+
+  def expire(root: String, keepFrom: Int): Int = {
+    val latest = latestVersion(root)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom must be in [1, $latest]: $keepFrom")
+    def pathsOf(v: Int): Seq[String] = storagePathsOf(root, v)
     // retention honors TAGS (r9) and BRANCHES (r11): a tagged version
     // below the cutoff stays fully readable, and every version in a
     // non-main branch's lineage survives regardless of its number —
@@ -2180,18 +2201,50 @@ object Snapshots {
     val expiredVersions = mainChain
       .filter(v => v < keepFrom && !tagged.contains(v) &&
         !branchKept.contains(v) && !refHeads.contains(v))
-    val expiredSet = expiredVersions.toSet
-    val retained = (1 to latest)
-      .filter(v => !expiredSet.contains(v) &&
-        Files.exists(manifestPath(rootP, v)))
-      .flatMap(pathsOf).toSet
-    val doomed = expiredVersions.flatMap(pathsOf).distinct
-      .filterNot(retained.contains)
-    // files first, manifests second: an interrupted expire leaves a
-    // manifest naming missing files (a LOUD read failure) rather than
-    // an orphaned file set no manifest can reach silently leaking disk
-    doomed.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    expiredVersions.foreach(v => Files.deleteIfExists(manifestPath(rootP, v)))
-    doomed.size
+    reapVersions(root, expiredVersions)
+  }
+
+  /** PER-REF RETENTION — the branch-lifecycle knobs [[expire]] lacks
+    * (Iceberg branch retention: `min-snapshots-to-keep` +
+    * `max-snapshot-age-ms`): sweep `branch`'s OWN history by count and
+    * age instead of main's version cutoff. A lineage snapshot is
+    * expirable iff it is (a) more than `minSnapshotsToKeep` commits
+    * behind the branch head AND (b) its manifest is older than
+    * `maxAgeMillis` — pass 0 to retain purely by count — AND (c) no
+    * OTHER retention rule owns it: tagged versions, every other ref's
+    * lineage (main's chain, other branches, a tag's own ancestry walk)
+    * and ref heads all survive. Expiring a mid-chain version truncates
+    * the branch's [[lineage]] walk there (the same dangling-parent
+    * stop [[expire]] already produces on main); the head and the
+    * retained recent window stay fully readable, and protected older
+    * versions remain reachable through their own refs. Data files are
+    * reference-counted across ALL surviving manifests, never deleted
+    * by version age. Returns the number of data files deleted.
+    */
+  def expireRefs(root: String, branch: String, minSnapshotsToKeep: Int,
+                 maxAgeMillis: Long): Int = {
+    require(minSnapshotsToKeep >= 1,
+      s"a ref's head is never expirable: minSnapshotsToKeep must be >= 1, " +
+        s"got $minSnapshotsToKeep")
+    require(maxAgeMillis >= 0, s"maxAgeMillis must be >= 0: $maxAgeMillis")
+    require(branched(root), s"$root has no refs to retain")
+    val rootP = Paths.get(root)
+    val chain = lineage(root, headOf(root, branch))   // ascending
+    val cutoff = System.currentTimeMillis() - maxAgeMillis
+    // tags protect their own VERSION, not its ancestry — the same rule
+    // [[expire]] applies on main (tag time travel reads the tagged
+    // manifest directly; its parent walk truncating is the documented
+    // dangling-parent stop)
+    val tagged = tags(root).map(_._2).toSet
+    val otherKept = branches(root).filterNot(_._1 == branch).map(_._2)
+      .flatMap(lineage(root, _)).toSet
+    val refHeads = branches(root).map(_._2).toSet
+    val doomed = chain.dropRight(minSnapshotsToKeep)
+      .filter { v =>
+        Files.getLastModifiedTime(manifestPath(rootP, v)).toMillis <= cutoff &&
+          !tagged.contains(v) && !otherKept.contains(v) &&
+          !refHeads.contains(v)
+      }
+    reapVersions(root, doomed)
   }
 }

@@ -261,4 +261,70 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Set(("main", "branch", 1), ("dev", "branch", 1),
       ("rel", "tag", 1)))
   }
+
+  // ---- per-ref retention (r12): expireRefs ----
+
+  private def chainOf5(name: String): String = {
+    val root = Staging.tempDir(name).toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)            // v1 main
+    Snapshots.createBranch(root, "logs")
+    for (i <- 2 to 5)
+      Snapshots.appendTo(Seq((i.toLong, "b")).toDF("id", "s"), root, "logs")
+    root                                                              // logs: 1..5
+  }
+
+  private def manifest(root: String, v: Int) =
+    java.nio.file.Paths.get(root, "_manifests", s"$v.txt")
+
+  test("count-based ref retention sweeps aged branch history, spares tag/main/head") {
+    val root = chainOf5("retain_spec1")
+    Snapshots.tag(root, "pin", 3)
+    assert(Snapshots.expireRefs(root, "logs", minSnapshotsToKeep = 1,
+      maxAgeMillis = 0L) == 0)   // append-only: all files carried forward
+    // v2/v4 swept; v1 (main), v3 (tag), v5 (head) survive
+    assert(!java.nio.file.Files.exists(manifest(root, 2)))
+    assert(!java.nio.file.Files.exists(manifest(root, 4)))
+    assert(ids(Snapshots.read(spark, root, 3)) == Set(1L, 2L, 3L))
+    assert(ids(Snapshots.readBranch(spark, root, "logs")) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(Snapshots.read(spark, root)) == Set(1L))
+    // the branch walk truncates at the expired parent
+    assert(Snapshots.lineage(root, Snapshots.headOf(root, "logs")) == Seq(5))
+  }
+
+  test("minSnapshotsToKeep bounds the sweep window from the head") {
+    val root = chainOf5("retain_spec2")
+    Snapshots.expireRefs(root, "logs", minSnapshotsToKeep = 3, maxAgeMillis = 0L)
+    // candidates {1, 2}; v1 is main's lineage -> only v2 goes
+    assert(!java.nio.file.Files.exists(manifest(root, 2)))
+    (3 to 5).foreach(v => assert(java.nio.file.Files.exists(manifest(root, v))))
+  }
+
+  test("maxAgeMillis keeps young snapshots; an aged one expires") {
+    val root = chainOf5("retain_spec3")
+    // everything is seconds old: an hour-long age guard expires nothing
+    Snapshots.expireRefs(root, "logs", minSnapshotsToKeep = 1,
+      maxAgeMillis = 3600L * 1000)
+    (1 to 5).foreach(v => assert(java.nio.file.Files.exists(manifest(root, v))))
+    // age v2 two hours into the past -> it alone crosses the guard
+    java.nio.file.Files.setLastModifiedTime(manifest(root, 2),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600L * 1000))
+    Snapshots.expireRefs(root, "logs", minSnapshotsToKeep = 1,
+      maxAgeMillis = 3600L * 1000)
+    assert(!java.nio.file.Files.exists(manifest(root, 2)))
+    (3 to 5).foreach(v => assert(java.nio.file.Files.exists(manifest(root, v))))
+  }
+
+  test("another ref's lineage is untouchable; a headless keep-count is refused") {
+    val root = chainOf5("retain_spec4")
+    Snapshots.createBranch(root, "fork", from = 3)    // fork pins 1..3
+    Snapshots.expireRefs(root, "logs", minSnapshotsToKeep = 1, maxAgeMillis = 0L)
+    // only v4 is sweepable: 1..3 are fork's lineage, 5 is the head
+    assert(!java.nio.file.Files.exists(manifest(root, 4)))
+    (1 to 3).foreach(v => assert(java.nio.file.Files.exists(manifest(root, v))))
+    assert(ids(Snapshots.readBranch(spark, root, "fork")) == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Snapshots.expireRefs(root, "logs", minSnapshotsToKeep = 0, maxAgeMillis = 0L)
+    }
+  }
 }
