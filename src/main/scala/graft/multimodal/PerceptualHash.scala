@@ -36,20 +36,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object MediaHash {
 
-  /** 64-bit dHash of a 24bpp uncompressed BMP; null otherwise. */
-  def dhashBmp(b: Array[Byte]): java.lang.Long = {
-    if (!MediaContainers.isBmp(b)) return null
-    def rdLe16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-    def rdLe32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-    val dataOffset = rdLe32(10)
-    val w = rdLe32(18); val h = rdLe32(22)
-    val bpp = rdLe16(28); val compression = rdLe32(30)
-    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
-      w > (1 << 20) || h > (1 << 20) || dataOffset < 54) return null
-    val rowSize = (w * 3 + 3) & ~3
-    if (dataOffset.toLong + rowSize.toLong * h > b.length) return null
-    // 8 grid rows × 9 grid cols of block luma sums
+  /** The 9×8 gradient kernel over one bottom-up 24bpp pixel grid whose
+    * image row y starts at byte `base + (h−1−y)·rowSize` — shared by
+    * the BMP hash and the per-frame AVI hash (one spelling of the grid
+    * arithmetic; the oracles replay exactly this).
+    */
+  private def dhashPixels(b: Array[Byte], base: Int, w: Int, h: Int,
+                          rowSize: Int): Long = {
     val s = Array.ofDim[Long](8, 9)
     val wblk = new Array[Long](9)
     var c = 0
@@ -65,7 +58,7 @@ object MediaHash {
         var y = y0
         while (y < y1) {
           // bottom-up storage: image row y is stored row h-1-y
-          val rowOff = dataOffset + (h - 1 - y) * rowSize
+          val rowOff = base + (h - 1 - y) * rowSize
           var x = x0
           while (x < x1) {
             val o = rowOff + x * 3
@@ -92,6 +85,85 @@ object MediaHash {
       r += 1
     }
     hash
+  }
+
+  /** 64-bit dHash of a 24bpp uncompressed BMP; null otherwise. */
+  def dhashBmp(b: Array[Byte]): java.lang.Long = {
+    if (!MediaContainers.isBmp(b)) return null
+    def rdLe16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def rdLe32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    val dataOffset = rdLe32(10)
+    val w = rdLe32(18); val h = rdLe32(22)
+    val bpp = rdLe16(28); val compression = rdLe32(30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
+      w > (1 << 20) || h > (1 << 20) || dataOffset < 54) return null
+    val rowSize = (w * 3 + 3) & ~3
+    if (dataOffset.toLong + rowSize.toLong * h > b.length) return null
+    dhashPixels(b, dataOffset, w, h, rowSize)
+  }
+
+  /** Per-frame 64-bit dHashes of an uncompressed-DIB AVI, in frame
+    * order; null for any other container flavor or zero frames. Chunk
+    * walk mirrors [[MediaContainers.decodeAvi]]'s hostile-bytes guards.
+    */
+  def dhashAviFrames(b: Array[Byte]): Array[Long] = {
+    if (!MediaContainers.isAvi(b)) return null
+    def rdLe32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    var w = -1; var h = -1
+    var moviOff = -1L; var moviEnd = -1L
+    var off = 12L
+    var bad = false
+    while (!bad && off + 8 <= b.length) {
+      val io = off.toInt
+      val id = new String(b, io, 4, "US-ASCII")
+      val sz = rdLe32(io + 4)
+      if (sz < 0 || off + 8 + sz > b.length) bad = true
+      else {
+        if (id == "LIST" && sz >= 4) {
+          val listType = new String(b, io + 8, 4, "US-ASCII")
+          if (listType == "hdrl") {
+            var o2 = off + 12
+            val end2 = off + 8 + sz
+            while (!bad && o2 + 8 <= end2) {
+              val i2 = o2.toInt
+              val cid = new String(b, i2, 4, "US-ASCII")
+              val csz = rdLe32(i2 + 4)
+              if (csz < 0 || o2 + 8 + csz > end2) bad = true
+              else {
+                if (cid == "avih" && csz >= 40) {
+                  w = rdLe32(i2 + 8 + 32); h = rdLe32(i2 + 8 + 36)
+                }
+                o2 += 8L + csz + (csz & 1)
+              }
+            }
+          } else if (listType == "movi") {
+            moviOff = off + 12; moviEnd = off + 8 + sz
+          }
+        }
+        off += 8L + sz + (sz & 1)
+      }
+    }
+    if (bad || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+      moviOff < 0) return null
+    val rowSize = (w * 3 + 3) & ~3
+    val frameBytes = rowSize.toLong * h
+    if (frameBytes > Int.MaxValue) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var fo = moviOff
+    while (!bad && fo + 8 <= moviEnd) {
+      val io = fo.toInt
+      val cid = new String(b, io, 4, "US-ASCII")
+      val csz = rdLe32(io + 4)
+      if (csz < 0 || fo + 8 + csz > moviEnd) bad = true
+      else {
+        if ((cid == "00db" || cid == "00dc") && csz == frameBytes)
+          out += dhashPixels(b, io + 8, w, h, rowSize)
+        fo += 8L + csz + (csz & 1)
+      }
+    }
+    if (bad || out.isEmpty) null else out.toArray
   }
 
   /** 64-bit energy-gradient fingerprint of a PCM u8 mono WAV; null for
@@ -219,9 +291,49 @@ case class WavFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `avi_frame_dhash(bytes)` — per-frame hashes in frame order;
+  * codegen'd; see [[MediaHash.dhashAviFrames]].
+  */
+case class AviFrameDHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"avi_frame_dhash needs binary input, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = MediaHash.dhashAviFrames(input.asInstanceOf[Array[Byte]])
+    if (hs == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(hs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hs = ctx.freshName("frameHashes")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |long[] $hs = graft.multimodal.MediaHash.dhashAviFrames($a);
+         |if ($hs == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($hs); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object PerceptualHashFunctions {
   def bmp_dhash(bytes: Column): Column =
     ColumnBridge.column(BmpDHash(ColumnBridge.expression(bytes)))
   def wav_fingerprint(bytes: Column): Column =
     ColumnBridge.column(WavFingerprint(ColumnBridge.expression(bytes)))
+  def avi_frame_dhash(bytes: Column): Column =
+    ColumnBridge.column(AviFrameDHash(ColumnBridge.expression(bytes)))
 }

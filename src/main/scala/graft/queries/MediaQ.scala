@@ -118,6 +118,40 @@ object MediaQ {
       graft.operators.MediaDedup.signatures(
         Multimodal.syntheticMedia(Tables.documents(spark, dir)), "audio"))
 
+  private def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.PerceptualHashFunctions.avi_frame_dhash
+    Multimodal.syntheticMedia(Tables.documents(spark, dir))
+      .filter(col("modality") === "video")
+      .select(col("media_id"),
+        posexplode(avi_frame_dhash(col("bytes"))).as(Seq("frame_idx", "sig")))
+  }
+
+  /** q206 — per-FRAME video dHash: the image kernel applied to every
+    * decoded AVI DIB frame ([[graft.multimodal.MediaHash.dhashAviFrames]]),
+    * in frame order. Same full-replay gate discipline as q201: the
+    * oracle re-derives the movi chunk layout (frame f's pixels at
+    * payload bytes f·384 + bottom-up 48-byte rows) and the whole grid
+    * arithmetic from the source text bytes.
+    */
+  def videoFrameHash(spark: SparkSession, dir: String): DataFrame =
+    videoFrames(spark, dir)
+      .select(col("media_id"), col("frame_idx"),
+        format_string("%016x", col("sig")).as("dh"))
+
+  /** q207 — frame-level duplicate groups ACROSS videos (the q68
+    * fingerprint-group convention): which frame hashes appear in ≥ 2
+    * distinct videos, with their video/frame fan-out — the
+    * shared-scene signal a near-dup video detector buckets on.
+    */
+  def frameDupGroups(spark: SparkSession, dir: String): DataFrame =
+    videoFrames(spark, dir)
+      .groupBy(col("sig"))
+      .agg(countDistinct(col("media_id")).as("n_videos"),
+        count(lit(1)).as("n_frames"))
+      .filter(col("n_videos") >= 2)
+      .select(format_string("%016x", col("sig")).as("dh"),
+        col("n_videos"), col("n_frames"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_frame_sample" -> (mediaFrameSample _),
     "q55_media_bytes" -> (mediaBytes _),
@@ -127,7 +161,9 @@ object MediaQ {
     "q201_image_dhash" -> (imageDHash _),
     "q202_image_near_dups" -> (imageNearDups _),
     "q203_audio_fingerprint" -> (audioFingerprint _),
-    "q204_audio_near_dups" -> (audioNearDups _))
+    "q204_audio_near_dups" -> (audioNearDups _),
+    "q206_video_frame_hash" -> (videoFrameHash _),
+    "q207_frame_dup_groups" -> (frameDupGroups _))
 
   // ---- the ONE spelling of the synthetic-container arithmetic ----
   // (the OracleSql.tokens rule applied to the media gates): modality
@@ -238,6 +274,52 @@ object MediaQ {
       |      AS BIGINT) AS lo
       |  FROM bits GROUP BY doc_id),
       |hashes AS (SELECT doc_id, printf('%08x%08x', hi, lo) AS dh FROM halves)""".stripMargin
+  // frame f of the synthetic AVI carries payload bytes [f·384, (f+1)·384)
+  // as a 16×8 bottom-up DIB (48-byte rows); same byte-replay + 9×8 grid
+  // as the BMP, per frame
+  private val videoHashCte =
+    """WITH vid AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS len,
+      |    greatest(1, (strlen(text) + 383) // 384) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |blocks AS (
+      |  SELECT doc_id, hx, len, CAST(f.f AS INT) AS f,
+      |    CAST(r.r AS INT) AS r, CAST(c.c AS INT) AS c,
+      |    CAST((c.c * 16) // 9 AS INT) AS x0,
+      |    CAST(((c.c + 1) * 16) // 9 AS INT) AS x1
+      |  FROM vid, unnest(range(nf)) f(f),
+      |       (SELECT unnest(range(8)) AS r) r,
+      |       (SELECT unnest(range(9)) AS c) c),
+      |px AS (
+      |  SELECT doc_id, f, r, c, x1 - x0 AS wblk,
+      |    f * 384 + (7 - r) * 48 + 3 * CAST(x.x AS INT) AS o, hx, len
+      |  FROM blocks, unnest(range(x0, x1)) x(x)),
+      |lum AS (
+      |  SELECT doc_id, f, r, c, wblk,
+      |    sum(299 * (CASE WHEN o + 2 < len
+      |          THEN ('0x' || substring(hx, 2*(o+2)+1, 2))::BIGINT ELSE 0 END)
+      |      + 587 * (CASE WHEN o + 1 < len
+      |          THEN ('0x' || substring(hx, 2*(o+1)+1, 2))::BIGINT ELSE 0 END)
+      |      + 114 * (CASE WHEN o < len
+      |          THEN ('0x' || substring(hx, 2*o+1, 2))::BIGINT ELSE 0 END)) AS s
+      |  FROM px GROUP BY ALL),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, a.r, a.c,
+      |    CASE WHEN b.s * a.wblk > a.s * b.wblk
+      |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8),
+      |halves AS (
+      |  SELECT doc_id, f,
+      |    CAST(sum(CASE WHEN r < 4 THEN bit << (31 - (r*8 + c)) ELSE 0 END)
+      |      AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN r >= 4 THEN bit << (63 - (r*8 + c)) ELSE 0 END)
+      |      AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id, f),
+      |hashes AS (
+      |  SELECT doc_id, f, printf('%08x%08x', hi, lo) AS dh FROM halves)""".stripMargin
+
   private def hashPairsSelect =
     """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(bit_count(xor(('0x' || a.dh)::UBIGINT, ('0x' || b.dh)::UBIGINT))
@@ -258,6 +340,15 @@ object MediaQ {
     "q204_audio_near_dups" ->
       s"""$audioHashCte
         |$hashPairsSelect""".stripMargin,
+    "q206_video_frame_hash" ->
+      s"""$videoHashCte
+        |SELECT doc_id AS media_id, f AS frame_idx, dh FROM hashes""".stripMargin,
+    "q207_frame_dup_groups" ->
+      s"""$videoHashCte
+        |SELECT dh, count(DISTINCT doc_id) AS n_videos,
+        |  count(*) AS n_frames
+        |FROM hashes GROUP BY dh
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "q104_frame_sample" ->
       s"""SELECT doc_id AS media_id,
         |  CAST($framesVideo AS INT) AS n_frames,

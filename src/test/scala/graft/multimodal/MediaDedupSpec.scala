@@ -89,6 +89,28 @@ class MediaDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(brute.nonEmpty, "fixture must actually plant near pairs")
   }
 
+  test("AVI frame hashes: shared frames collide, perturbed frames diverge, frame order holds") {
+    val f0 = rndPayload(20, 384)   // exactly one frame each
+    val f1 = rndPayload(21, 384)
+    // a heavy localized edit (one flattened block region) so at least
+    // one gradient comparison provably flips for this fixed seed
+    val f1p = f1.clone(); (192 until 240).foreach(i => f1p(i) = 0)
+    // video A = [f0, f1], video B = [f1, f1p]: B shares A's second
+    // frame verbatim and carries a perturbed copy of it
+    val a = MediaContainers.encodeAvi(f0 ++ f1)
+    val bv = MediaContainers.encodeAvi(f1 ++ f1p)
+    val ha = MediaHash.dhashAviFrames(a)
+    val hb = MediaHash.dhashAviFrames(bv)
+    assert(ha.length == 2 && hb.length == 2)
+    assert(ha(1) == hb(0), "an identical frame must hash identically across videos")
+    assert(hb(0) != hb(1),
+      "zeroing a whole pixel row region must change the hash")
+    assert(java.lang.Long.bitCount(hb(0) ^ hb(1)) <= 16,
+      "a one-row edit must stay perceptually near (localized bits only)")
+    assert(MediaHash.dhashAviFrames(MediaContainers.encodeBmp(f0)) == null,
+      "non-AVI bytes must yield null, not garbage")
+  }
+
   test("the engine dHash matches a straight reimplementation of the documented grid") {
     // independent spelling: floats for the mean, but comparison done on
     // the same cross-multiplied integers — guards the bit layout
