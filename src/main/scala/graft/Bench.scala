@@ -157,16 +157,19 @@ object Bench {
   /** The driver's machine line: bare-number keys (the query's qNN
     * digits — the full names ride the first stdout line; the artifact
     * keeps only this line, so per-query PRECISION outranks the
-    * cosmetic prefix) + adaptive trimmed values + basename sf. MUST
-    * stay under 2000 − [[TailOverhead]] chars or the driver records
-    * parsed:null (the r7 failure). Renders sub-second values at 2dp
-    * and SELF-DEGRADES to 1dp only when the registry has outgrown the
-    * driver's fixed line budget — with real batteries (most values ≥
-    * 0.1 s, many ≥ 1 s rendering ≤3 chars) the 2dp line usually fits
-    * long past the worst-case bound, so precision is lost only in the
-    * render that would otherwise lose the WHOLE artifact.
-    * BenchLineSpec pins the degraded worst case over the LIVE
-    * registry.
+    * cosmetic prefix) + adaptive trimmed values + basename sf.
+    * Renders sub-second values at 2dp and SELF-DEGRADES to 1dp when
+    * the render would outgrow [[LineBudget]].
+    *
+    * Since r12 fitting whole is a PREFERENCE, not a requirement: the
+    * registry outgrew the driver's fixed 2000-char tail at worst-case
+    * widths, so an over-budget line is emitted anyway and degrades
+    * GRACEFULLY — the driver records parsed:null for it (tolerated;
+    * round_report recovers from the raw tail), and the ascending
+    * entry order + trailing "value" guarantee the clipped head eats
+    * only the fastest entries. BenchLineSpec pins that guarantee
+    * (total + the ≥150 slowest entries always inside the kept
+    * window) over the LIVE registry.
     */
   def machineLine(results: Seq[(String, Double)], sfShort: String): String = {
     // r12 (the registry outgrew the budget's worst case): entries
@@ -174,10 +177,12 @@ object Bench {
     // when the driver's tail clips the head it eats only the FASTEST
     // entries' values — "value" and every slow entry (the per-query
     // signal the judge actually reads) sit inside the kept window at
-    // any registry size. round_report parses "value" position-
-    // independently and already recovers surviving pairs from a
-    // clipped head.
-    val ordered = results.sortBy { case (k, v) => (v, k) }
+    // any registry size. Failure markers (-1) sort LAST, past the
+    // slowest timing — a failure is the one entry clipping must never
+    // eat. round_report parses "value" position-independently and
+    // already recovers surviving pairs from a clipped head.
+    val ordered = results.sortBy { case (k, v) =>
+      (if (v < 0) Double.MaxValue else v, k) }
     def render(subSecDp: Int): String = {
       val shortQs = ordered.map { case (k, v) =>
         val short = k.drop(1).takeWhile(_ != '_').dropWhile(_ == '0')
@@ -190,11 +195,13 @@ object Bench {
     if (at2.length <= LineBudget) at2 else render(1)
   }
 
-  /** The one line-length budget, shared by [[machineLine]]'s
-    * degradation trigger and BenchLineSpec's build-time guard: the
-    * driver's 2000-char tail minus [[TailOverhead]] minus a 45-char
-    * margin for hundred-second value outliers ("123.4" is one char
-    * wider than the sub-second worst case) and sf-dir name growth.
+  /** [[machineLine]]'s precision-degradation trigger: the driver's
+    * 2000-char tail minus [[TailOverhead]] minus a 45-char margin for
+    * hundred-second value outliers ("123.4" is one char wider than
+    * the sub-second worst case) and sf-dir name growth. Since r12 an
+    * over-budget 1dp render is emitted anyway (graceful clip — see
+    * [[machineLine]]); BenchLineSpec guards the clip window, not
+    * this budget.
     */
   val LineBudget: Int = 2000 - TailOverhead - 45
 }

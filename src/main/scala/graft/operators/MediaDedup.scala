@@ -48,7 +48,10 @@ object MediaDedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // threshold BEFORE the dedup shuffle: near-miss collisions (one
+      // shared block, hamming > t) are the bulk of the candidate
+      // stream on a skewed corpus and are about to be dropped anyway
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

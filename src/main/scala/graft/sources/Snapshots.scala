@@ -1576,7 +1576,7 @@ object Snapshots {
     // ignore them — refHead, the CDC tail and latestVersion all filter
     // the `_tmp_` prefix — but nothing else ever reaps them). Sweep
     // age-guarded tmp files in every directory that stages them:
-    // `_refs/<name>/`, `_manifests/`, and the table root
+    // `_refs/<name>/`, `_tags/`, `_manifests/`, and the table root
     // (`_tmp_latest_*`). Not counted in the return — the contract is
     // "data files deleted"; these are zero-cost marker bytes.
     val tmpDirs = {
@@ -1586,7 +1586,8 @@ object Snapshots {
         try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
         finally s.close()
       } else Nil
-      refSubdirs ++ Seq(rootP.resolve("_manifests"), rootP)
+      refSubdirs ++ Seq(rootP.resolve("_tags"),
+        rootP.resolve("_manifests"), rootP)
     }
     tmpDirs.filter(Files.isDirectory(_)).foreach { d =>
       val s = Files.list(d)

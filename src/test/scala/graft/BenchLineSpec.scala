@@ -45,10 +45,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"value\":63.00}"))
   }
 
-  test("machine line has bare-number keys, ascending times, value at the end") {
+  test("bare-number keys, ascending times, failures last, value at the end") {
     val line = Bench.machineLine(
       Seq("q01_agg" -> 0.4, "q100_bm25_topk" -> 1.0, "q13_x" -> -1.0), "sf0.1")
+    // -1 failure markers sort PAST the slowest timing: clipping must
+    // never eat the failure signal
     assert(line ==
-      """{"metric":"total","unit":"sec","queries":{"13":-1,"1":0.4,"100":1},"sf":"sf0.1","value":1.40}""")
+      """{"metric":"total","unit":"sec","queries":{"1":0.4,"100":1,"13":-1},"sf":"sf0.1","value":1.40}""")
   }
 }

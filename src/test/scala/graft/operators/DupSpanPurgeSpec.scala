@@ -69,6 +69,46 @@ class DupSpanPurgeSpec extends AnyFunSuite with SparkTestSession {
     assert(out(1L)._1 == out(1L)._2, "within-doc repetition is q76's business, not the purge's")
   }
 
+  test("kernel fuzz: 500 random (tokens, starts, k, minSpan) cases match a brute-force reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(ts: IndexedSeq[String], starts: Seq[Int], k: Int,
+                  minSpan: Int): Seq[String] = {
+      val covered = starts.filter(d => d >= 0 && d < ts.length)
+        .flatMap(d => d until math.min(d + k, ts.length)).toSet
+      val removed = scala.collection.mutable.Set.empty[Int]
+      var i = 0
+      while (i < ts.length) {
+        if (covered(i)) {
+          var j = i
+          while (j < ts.length && covered(j)) j += 1
+          if (j - i >= minSpan) (i until j).foreach(removed += _)
+          i = j
+        } else i += 1
+      }
+      ts.indices.filterNot(removed).map(ts)
+    }
+    val rnd = new scala.util.Random(4242)
+    for (case_ <- 0 until 500) {
+      val n = rnd.nextInt(61)
+      val ts = IndexedSeq.tabulate(n)(i => s"t${rnd.nextInt(9)}_$i")
+      val k = 1 + rnd.nextInt(8)
+      val minSpan = k + rnd.nextInt(7)
+      // random starts, incl. occasional out-of-range values to hit the
+      // kernel's defensive clamp
+      val starts = (0 until rnd.nextInt(n + 3))
+        .map(_ => rnd.nextInt(n + 6) - 3).distinct.sorted
+      val got = graft.functions.SpanRuntime.removeDupSpans(
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(starts.toArray[Any]), k, minSpan)
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      val want = reference(ts, starts, k, minSpan)
+      assert(gotSeq == want,
+        s"case $case_: n=$n k=$k minSpan=$minSpan starts=$starts")
+    }
+  }
+
   test("two overlapping dup spans chain into one maximal run") {
     // doc 1 shares its first 10 tokens with doc 2 and the NEXT 10 with
     // doc 3; coverage is contiguous 0..19 -> one 20-run, all removed
