@@ -144,10 +144,15 @@ object MediaQ {
     * shared-scene signal a near-dup video detector buckets on.
     */
   def frameDupGroups(spark: SparkSession, dir: String): DataFrame =
+    // two partial-agg layers instead of countDistinct+count in one
+    // aggregate — the mixed form runs Spark's Expand-based distinct
+    // rewrite (2× the stream; the q63 lesson), the layered form
+    // map-side-combines both hops
     videoFrames(spark, dir)
+      .groupBy(col("sig"), col("media_id"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("sig"))
-      .agg(countDistinct(col("media_id")).as("n_videos"),
-        count(lit(1)).as("n_frames"))
+      .agg(count(lit(1)).as("n_videos"), sum(col("c")).as("n_frames"))
       .filter(col("n_videos") >= 2)
       .select(format_string("%016x", col("sig")).as("dh"),
         col("n_videos"), col("n_frames"))
