@@ -54,4 +54,34 @@ object MediaDedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Near-duplicate VIDEOS by frame-set Jaccard over per-frame
+    * signatures (`frames`: one (media_id, sig) row per frame, e.g.
+    * [[graft.multimodal.MediaHash.dhashAviFrames]] exploded): videos
+    * only meet through a SHARED frame hash — candidate generation is
+    * a sig-keyed self-join (bucket fan-in bounded by a frame's
+    * cross-corpus popularity, the q47/q153 discipline), never
+    * all-pairs — then exact |A∩B| / |A∪B| from two bounded rollups.
+    * Within-video repeats collapse first, so a still frame repeated
+    * 100× counts once.
+    */
+  def frameJaccardPairs(frames: DataFrame, minJaccard: Double): DataFrame = {
+    val d = frames.select(col("media_id"), col("sig")).distinct()
+    val sz = d.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val inter = d.as("a")
+      .join(d.as("b"),
+        col("a.sig") === col("b.sig") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id"), col("b.media_id"))
+      .agg(count(lit(1)).as("i"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("i"))
+    inter
+      .join(sz.select(col("media_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sz.select(col("media_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -157,6 +157,17 @@ object MediaQ {
       .select(format_string("%016x", col("sig")).as("dh"),
         col("n_videos"), col("n_frames"))
 
+  /** q208 — near-duplicate VIDEOS: frame-set Jaccard ≥ 0.5 over the
+    * q206 per-frame hashes ([[graft.operators.MediaDedup.frameJaccardPairs]]),
+    * completing the modality set (images q202, audio q204). The 0.5
+    * floor sits cleanly above the corpus' single-shared-frame noise
+    * band (two 2-frame videos sharing one frame score 1/3). Oracle:
+    * the same set arithmetic over its independently replayed hashes.
+    */
+  def videoNearDups(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MediaDedup.frameJaccardPairs(
+      videoFrames(spark, dir), minJaccard = 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_frame_sample" -> (mediaFrameSample _),
     "q55_media_bytes" -> (mediaBytes _),
@@ -168,7 +179,8 @@ object MediaQ {
     "q203_audio_fingerprint" -> (audioFingerprint _),
     "q204_audio_near_dups" -> (audioNearDups _),
     "q206_video_frame_hash" -> (videoFrameHash _),
-    "q207_frame_dup_groups" -> (frameDupGroups _))
+    "q207_frame_dup_groups" -> (frameDupGroups _),
+    "q208_video_near_dups" -> (videoNearDups _))
 
   // ---- the ONE spelling of the synthetic-container arithmetic ----
   // (the OracleSql.tokens rule applied to the media gates): modality
@@ -354,6 +366,19 @@ object MediaQ {
         |  count(*) AS n_frames
         |FROM hashes GROUP BY dh
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "q208_video_near_dups" ->
+      s"""$videoHashCte,
+        |d AS (SELECT DISTINCT doc_id, dh FROM hashes),
+        |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM d a JOIN d b ON a.dh = b.dh AND a.doc_id < b.doc_id
+        |  GROUP BY id_a, id_b)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id
+        |  JOIN sz sb ON id_b = sb.doc_id
+        |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5""".stripMargin,
     "q104_frame_sample" ->
       s"""SELECT doc_id AS media_id,
         |  CAST($framesVideo AS INT) AS n_frames,

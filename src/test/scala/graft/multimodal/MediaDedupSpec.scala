@@ -111,6 +111,23 @@ class MediaDedupSpec extends AnyFunSuite with SparkTestSession {
       "non-AVI bytes must yield null, not garbage")
   }
 
+  test("video frame-set Jaccard: shared-majority videos pair, single-frame overlap stays below") {
+    import graft.multimodal.PerceptualHashFunctions.avi_frame_dhash
+    import org.apache.spark.sql.functions.posexplode
+    val fA = rndPayload(30, 384); val fB = rndPayload(31, 384)
+    val fC = rndPayload(32, 384); val fD = rndPayload(33, 384)
+    val rows = mediaDf(Seq(
+      (1L, "video", MediaContainers.encodeAvi(fA ++ fB)),         // {A,B}
+      (2L, "video", MediaContainers.encodeAvi(fA ++ fB ++ fC)),   // {A,B,C} — J=2/3
+      (3L, "video", MediaContainers.encodeAvi(fB ++ fD))))        // {B,D} — J(1,3)=1/3
+    val frames = rows.select($"media_id",
+      posexplode(avi_frame_dhash($"bytes")).as(Seq("frame_idx", "sig")))
+    val pairs = MediaDedup.frameJaccardPairs(frames, minJaccard = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      "only the majority-overlap pair clears the 0.5 floor")
+  }
+
   test("the engine dHash matches a straight reimplementation of the documented grid") {
     // independent spelling: floats for the mean, but comparison done on
     // the same cross-multiplied integers — guards the bit layout
