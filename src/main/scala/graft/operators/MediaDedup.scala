@@ -66,6 +66,11 @@ object MediaDedup {
     * 100× counts once.
     */
   def frameJaccardPairs(frames: DataFrame, minJaccard: Double): DataFrame = {
+    // candidates exist ONLY via a shared frame hash: a zero floor
+    // would read as "all pairs" but disjoint-set pairs (J = 0) can
+    // never surface — refuse the contract we cannot honor
+    require(minJaccard > 0,
+      s"candidates only meet through a shared frame; minJaccard must be > 0, got $minJaccard")
     val d = frames.select(col("media_id"), col("sig")).distinct()
     val sz = d.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
     val inter = d.as("a")
@@ -79,9 +84,11 @@ object MediaDedup {
     inter
       .join(sz.select(col("media_id").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sz.select(col("media_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .withColumn("jaccard", round(col("i").cast("double") /
-        (col("na") + col("nb") - col("i")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // threshold on the UNROUNDED ratio (the documented contract);
+      // 6dp rounding is display-only, applied to the emitted column
+      .withColumn("jac_raw",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jac_raw") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
   }
 }

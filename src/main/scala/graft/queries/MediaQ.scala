@@ -378,7 +378,7 @@ object MediaQ {
         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
         |FROM inter JOIN sz sa ON id_a = sa.doc_id
         |  JOIN sz sb ON id_b = sb.doc_id
-        |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5""".stripMargin,
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
     "q104_frame_sample" ->
       s"""SELECT doc_id AS media_id,
         |  CAST($framesVideo AS INT) AS n_frames,
