@@ -84,11 +84,25 @@ object MediaDedup {
     inter
       .join(sz.select(col("media_id").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sz.select(col("media_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      // threshold on the UNROUNDED ratio (the documented contract);
-      // 6dp rounding is display-only, applied to the emitted column
-      .withColumn("jac_raw",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jac_raw") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
+      // ALL-INTEGER threshold and output (the float-gate rule):
+      // i/(na+nb−i) ≥ J ⟺ i ≥ J·union, evaluated as i·denom ≥
+      // J_num·union with J expressed as an exact rational; the emitted
+      // similarity is exact millionths (integer div, non-negative
+      // operands — the q153 dup_frac_micro convention)
+      .withColumn("u", col("na") + col("nb") - col("i"))
+      .filter(col("i") * lit(jNumDen(minJaccard)._2) >=
+        lit(jNumDen(minJaccard)._1) * col("u"))
+      .select(col("id_a"), col("id_b"),
+        expr("(i * 1000000L) div u").as("jaccard_micro"))
+  }
+
+  /** `minJaccard` as an exact rational (numerator, denominator) in
+    * millionths — the threshold comparison stays in integers.
+    */
+  private def jNumDen(j: Double): (Long, Long) = {
+    val num = math.round(j * 1000000L)
+    require(math.abs(num / 1000000.0 - j) < 1e-12,
+      s"minJaccard must be expressible in millionths, got $j")
+    (num, 1000000L)
   }
 }

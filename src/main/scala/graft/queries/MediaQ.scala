@@ -375,10 +375,10 @@ object MediaQ {
         |  FROM d a JOIN d b ON a.dh = b.dh AND a.doc_id < b.doc_id
         |  GROUP BY id_a, id_b)
         |SELECT id_a, id_b,
-        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |  (i * 1000000) // (sa.n + sb.n - i) AS jaccard_micro
         |FROM inter JOIN sz sa ON id_a = sa.doc_id
         |  JOIN sz sb ON id_b = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+        |WHERE i * 2 >= (sa.n + sb.n - i)""".stripMargin,
     "q104_frame_sample" ->
       s"""SELECT doc_id AS media_id,
         |  CAST($framesVideo AS INT) AS n_frames,
