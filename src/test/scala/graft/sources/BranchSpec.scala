@@ -262,6 +262,30 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
       ("rel", "tag", 1)))
   }
 
+  test("removeOrphans sweeps crash-debris _tmp_ files in every staging directory") {
+    import java.nio.file.{Files, Paths}
+    val root = Staging.tempDir("tmp_debris_spec").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
+    Snapshots.createBranch(root, "wip")
+    Snapshots.tag(root, "rel", 1)
+    // a writer that died between staging and its finally-delete, in
+    // each of the four staging sites
+    val debris = Seq(
+      Paths.get(root, "_refs", "wip", "_tmp_deadbeef"),
+      Paths.get(root, "_tags", "_tmp_rel_cafe"),
+      Paths.get(root, "_manifests", "_tmp_9_feed.txt"),
+      Paths.get(root, "_tmp_latest_9_f00d"))
+    debris.foreach(p => Files.write(p, "9".getBytes("UTF-8")))
+    // age-guarded: a fresh file (in-flight writer) survives a 1h sweep
+    Snapshots.removeOrphans(root, olderThanMillis = 3600L * 1000)
+    assert(debris.forall(Files.exists(_)), "young tmp files are an in-flight writer's")
+    Snapshots.removeOrphans(root, olderThanMillis = 0)
+    assert(debris.forall(!Files.exists(_)), "aged tmp debris must be reaped")
+    // the sweep touched nothing real: refs, tags and data still read
+    assert(ids(Snapshots.readBranch(spark, root, "wip")) == Set(1L))
+    assert(Snapshots.tags(root).toSet == Set(("rel", 1)))
+  }
+
   // ---- per-ref retention (r12): expireRefs ----
 
   private def chainOf5(name: String): String = {
