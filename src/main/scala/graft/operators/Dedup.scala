@@ -21,6 +21,47 @@ import graft.functions.VectorFunctions.{cosine_similarity6, simhash60}
   */
 object Dedup {
 
+  /** Default document-frequency cap for pigeonhole/shared-key candidate
+    * buckets ([[simhashPairs]], [[MediaDedup.nearDupPairs]],
+    * [[MediaDedup.frameJaccardPairs]]): a bucket's candidate fan-in is
+    * quadratic in its population, so one degenerate key — the all-zero
+    * dHash every uniform black frame produces, the empty-document
+    * SimHash — turns a bounded self-join into an all-pairs explosion at
+    * corpus scale. Buckets above the cap are DROPPED from candidate
+    * generation (the ExactSubstr df-bounded contract applied to media:
+    * a key shared by millions of items is corpus boilerplate, not
+    * duplication evidence — the idf intuition). (10⁴)²/2 ≈ 5·10⁷
+    * worst-case candidates per surviving bucket: one heavy task, not a
+    * job-killer. The drop set is NOT silent: it is a first-class
+    * queryable output ([[hotBuckets]] / [[MediaDedup.droppedBuckets]] /
+    * [[MediaDedup.droppedFrameSigs]]) — in a lazy distributed engine
+    * the honest "log" of a data-dependent cap is a table the pipeline
+    * can gate on, not a driver print that needs an extra job to know
+    * its own count.
+    */
+  val DefaultMaxBucketDf = 10000L
+
+  /** Rows of `blocked` whose bucket (the `keys` tuple) has population
+    * ≤ `cap`. One partial-agg rollup keyed exactly like the candidate
+    * self-join that follows, so the exchange is reused, and the count
+    * table (one row per DISTINCT bucket) is dwarfed by `blocked`.
+    */
+  private[operators] def capHotBuckets(blocked: DataFrame, keys: Seq[String],
+                                       cap: Long): DataFrame = {
+    val kc = keys.map(col)
+    val counts = blocked.groupBy(kc: _*).agg(count(lit(1)).as("_df"))
+    blocked.join(counts.filter(col("_df") <= cap), keys).drop("_df")
+  }
+
+  /** The complement of [[capHotBuckets]]: the over-cap buckets with
+    * their populations — the queryable drop report the no-silent-caps
+    * rule requires.
+    */
+  private[operators] def hotBuckets(blocked: DataFrame, keys: Seq[String],
+                                    cap: Long): DataFrame =
+    blocked.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_df"))
+      .filter(col("bucket_df") > cap)
+
   /** Canonical text for exact dedup: lowercased, whitespace-collapsed. */
   def canonicalText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
@@ -132,17 +173,26 @@ object Dedup {
     * that also consume the sketches elsewhere (e.g. the q82
     * completeness gate's exhaustive reference leg) compute them once
     * instead of re-sketching the corpus per consumer.
+    *
+    * `maxBucketDf` caps each block bucket's population (see
+    * [[DefaultMaxBucketDf]] — a degenerate sketch value shared by
+    * millions of docs would go quadratic); over-cap buckets drop from
+    * candidate generation, so a pair whose ONLY shared block is viral
+    * is not reported — corpus-boilerplate similarity, the same
+    * judgement the ExactSubstr df bound makes.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
-                   sketches: Option[DataFrame] = None): DataFrame = {
+                   sketches: Option[DataFrame] = None,
+                   maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
     val sk = sketches.getOrElse(docs.select(col(idCol).as("id"),
       simhash60(TextFunctions.tokens(col(textCol))).as("sk")))
-    val blocked = sk.select(col("id"), col("sk"), explode(
+    val blocked = capHotBuckets(sk.select(col("id"), col("sk"), explode(
       array((0 until 4).map(b => struct(lit(b).as("block_id"),
         shiftright(col("sk"), b * 15).bitwiseAND(0x7FFFL).as("block_val"))): _*))
       .as("blk"))
-      .select(col("id"), col("sk"), col("blk.block_id"), col("blk.block_val"))
+      .select(col("id"), col("sk"), col("blk.block_id"), col("blk.block_val")),
+      Seq("block_id", "block_val"), maxBucketDf)
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.block_id") === col("b.block_id") &&
@@ -150,8 +200,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("hamming"))
-      .distinct()
+      // threshold BEFORE the dedup shuffle (the MediaDedup r12 review
+      // lesson): near-miss collisions are the bulk of the candidate
+      // stream and are about to be dropped anyway
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking

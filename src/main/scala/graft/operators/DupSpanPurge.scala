@@ -39,11 +39,28 @@ object DupSpanPurge {
     */
   def purge(docs: DataFrame, k: Int, minSpan: Int): DataFrame = {
     require(k >= 1 && minSpan >= k)
+    purgeWithPositions(docs,
+      docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= k)
+        .select(col("doc_id"),
+          posexplode(shingle_hashes_all(col("ts"), k)).as(Seq("pos", "h"))),
+      k, minSpan)
+  }
+
+  /** [[purge]] with the (doc_id, pos, h) position stream supplied by
+    * the caller — the r13 family promotion: at scale the ExactSubstr
+    * evidence stream is a WRITTEN table beside the corpus (the Lee et
+    * al. suffix-array analogue), built once and consumed by the report
+    * (q153) and the purge (q199/q200) alike instead of re-tokenized per
+    * consumer. `positions` must cover exactly the docs with ≥ k tokens
+    * (the [[purge]] convention — shorter docs pass through verbatim).
+    */
+  def purgeWithPositions(docs: DataFrame, positions: DataFrame,
+                         k: Int, minSpan: Int): DataFrame = {
+    require(k >= 1 && minSpan >= k)
     val toks = docs.select(col("doc_id"), col("source"),
       tokens(col("text")).as("ts"))
-    val pos = toks.filter(size(col("ts")) >= k)
-      .select(col("doc_id"),
-        posexplode(shingle_hashes_all(col("ts"), k)).as(Seq("pos", "h")))
+    val pos = positions.select(col("doc_id"), col("pos"), col("h"))
     // distinct (doc, h) first so the h-rollup counts DOCUMENT
     // frequency; both layers partial-aggregate map-side
     val nd = pos.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))

@@ -32,15 +32,23 @@ object MediaDedup {
   /** Near-dup pairs (id_a < id_b, hamming ≤ maxHamming) over a
     * (media_id, sig) table. maxHamming must stay below the 4-block
     * pigeonhole bound or recall silently drops.
+    *
+    * `maxBucketDf` caps each block bucket's population before the
+    * self-join ([[Dedup.DefaultMaxBucketDf]]): the all-zero dHash of a
+    * uniform frame — every gradient bit zero by construction — is
+    * shared by every black/white image in a production corpus, and
+    * without the cap that single bucket's fan-in is quadratic in its
+    * millions-strong population. Over-cap buckets drop from candidate
+    * generation (exact copies inside them are the EXACT-dedup
+    * operator's job — groupBy sig — not the pigeonhole's); the drop
+    * set is queryable via [[droppedBuckets]], never silent.
     */
-  def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3,
+                   maxBucketDf: Long = Dedup.DefaultMaxBucketDf): DataFrame = {
     require(maxHamming < 4,
       s"4-block pigeonhole only guarantees recall for hamming < 4, got $maxHamming")
-    val blocked = sigs.select(col("media_id").as("id"), col("sig"), explode(
-      array((0 until 4).map(b => struct(lit(b).as("block_id"),
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("block_val"))): _*))
-      .as("blk"))
-      .select(col("id"), col("sig"), col("blk.block_id"), col("blk.block_val"))
+    val blocked = Dedup.capHotBuckets(blockedSigs(sigs),
+      Seq("block_id", "block_val"), maxBucketDf)
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.block_id") === col("b.block_id") &&
@@ -55,6 +63,26 @@ object MediaDedup {
       .distinct()
   }
 
+  /** The 4×16-bit pigeonhole blocking of a (media_id, sig) table —
+    * shared by [[nearDupPairs]] and its [[droppedBuckets]] report so
+    * the cap and the accounting can never disagree on what a bucket is.
+    */
+  private def blockedSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id").as("id"), col("sig"), explode(
+      array((0 until 4).map(b => struct(lit(b).as("block_id"),
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("block_val"))): _*))
+      .as("blk"))
+      .select(col("id"), col("sig"), col("blk.block_id"), col("blk.block_val"))
+
+  /** The no-silent-caps report for [[nearDupPairs]]: every block bucket
+    * `maxBucketDf` would drop, with its population — (block_id,
+    * block_val, bucket_df). Empty on a healthy corpus; a production
+    * pipeline gates on `count == expected_viral_keys`, not a log line.
+    */
+  def droppedBuckets(sigs: DataFrame,
+                     maxBucketDf: Long = Dedup.DefaultMaxBucketDf): DataFrame =
+    Dedup.hotBuckets(blockedSigs(sigs), Seq("block_id", "block_val"), maxBucketDf)
+
   /** Near-duplicate VIDEOS by frame-set Jaccard over per-frame
     * signatures (`frames`: one (media_id, sig) row per frame, e.g.
     * [[graft.multimodal.MediaHash.dhashAviFrames]] exploded): videos
@@ -65,13 +93,25 @@ object MediaDedup {
     * Within-video repeats collapse first, so a still frame repeated
     * 100× counts once.
     */
-  def frameJaccardPairs(frames: DataFrame, minJaccard: Double): DataFrame = {
+  def frameJaccardPairs(frames: DataFrame, minJaccard: Double,
+                        maxSigDf: Long = Dedup.DefaultMaxBucketDf): DataFrame = {
     // candidates exist ONLY via a shared frame hash: a zero floor
     // would read as "all pairs" but disjoint-set pairs (J = 0) can
     // never surface — refuse the contract we cannot honor
     require(minJaccard > 0,
       s"candidates only meet through a shared frame; minJaccard must be > 0, got $minJaccard")
-    val d = frames.select(col("media_id"), col("sig")).distinct()
+    // maxSigDf drops frame hashes present in more than that many
+    // VIDEOS from the whole computation — intersection AND union, so
+    // the Jaccard stays a true set similarity over the surviving frame
+    // vocabulary. A frame shared by millions of videos (the uniform
+    // black frame: dHash ≡ 0 by construction) is production
+    // boilerplate, not similarity evidence, and its shared-frame join
+    // key would otherwise fan in quadratically ([[Dedup
+    // .DefaultMaxBucketDf]]); the drop set is queryable via
+    // [[droppedFrameSigs]], never silent.
+    val d = Dedup.capHotBuckets(
+      frames.select(col("media_id"), col("sig")).distinct(),
+      Seq("sig"), maxSigDf)
     val sz = d.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
     val inter = d.as("a")
       .join(d.as("b"),
@@ -95,6 +135,15 @@ object MediaDedup {
       .select(col("id_a"), col("id_b"),
         expr("(i * 1000000L) div u").as("jaccard_micro"))
   }
+
+  /** The no-silent-caps report for [[frameJaccardPairs]]: frame hashes
+    * present in more than `maxSigDf` distinct videos, with their video
+    * counts — (sig, bucket_df).
+    */
+  def droppedFrameSigs(frames: DataFrame,
+                       maxSigDf: Long = Dedup.DefaultMaxBucketDf): DataFrame =
+    Dedup.hotBuckets(frames.select(col("media_id"), col("sig")).distinct(),
+      Seq("sig"), maxSigDf)
 
   /** `minJaccard` as an exact rational (numerator, denominator) in
     * millionths — the threshold comparison stays in integers.

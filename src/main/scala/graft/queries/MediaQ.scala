@@ -168,6 +168,37 @@ object MediaQ {
     graft.operators.MediaDedup.frameJaccardPairs(
       videoFrames(spark, dir), minJaccard = 0.5)
 
+  /** q209 — the CLEANED media corpus, closing the perceptual family the
+    * way q72 closed text: the three modalities' near-dup pair lists
+    * (q202 images, q204 audio, q208 videos — id spaces disjoint by the
+    * doc_id%3 modality split, so one component pass serves all three)
+    * feed [[graft.operators.Dedup.connectedComponents]], each cluster
+    * keeps its minimum media_id, and the report states what SURVIVES
+    * per modality — docs, bytes, min id. The production deliverable of
+    * perceptual dedup is this corpus, not the pair list: pairs are
+    * intermediate evidence, the anti-join is what ships. Oracle: DuckDB
+    * replays all three pair lists from container bytes, recomputes
+    * component minima by recursive reachability (the q72 pattern) and
+    * aggregates the survivors independently.
+    */
+  def mediaCleanedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, MediaDedup}
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, dir))
+    val pairs = MediaDedup.nearDupPairs(MediaDedup.signatures(media, "image"))
+      .unionByName(MediaDedup.nearDupPairs(MediaDedup.signatures(media, "audio")))
+      .select(col("id_a"), col("id_b"))
+      .unionByName(MediaDedup.frameJaccardPairs(videoFrames(spark, dir), minJaccard = 0.5)
+        .select(col("id_a"), col("id_b")))
+    Dedup.keepCanonical(
+        media.select(col("media_id"), col("modality"),
+          length(col("bytes")).as("len")),
+        pairs, idCol = "media_id")
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("len").cast("long")).as("total_bytes"),
+        min(col("media_id")).as("min_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_frame_sample" -> (mediaFrameSample _),
     "q55_media_bytes" -> (mediaBytes _),
@@ -180,7 +211,8 @@ object MediaQ {
     "q204_audio_near_dups" -> (audioNearDups _),
     "q206_video_frame_hash" -> (videoFrameHash _),
     "q207_frame_dup_groups" -> (frameDupGroups _),
-    "q208_video_near_dups" -> (videoNearDups _))
+    "q208_video_near_dups" -> (videoNearDups _),
+    "q209_media_cleaned_corpus" -> (mediaCleanedCorpus _))
 
   // ---- the ONE spelling of the synthetic-container arithmetic ----
   // (the OracleSql.tokens rule applied to the media gates): modality
@@ -344,19 +376,33 @@ object MediaQ {
       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(('0x' || a.dh)::UBIGINT, ('0x' || b.dh)::UBIGINT)) <= 3""".stripMargin
 
+  // the three pair-list replays, hoisted so q202/q204/q208 and q209's
+  // component pass quote the SAME text — one spelling, four gates
+  private val imagePairsSql = s"$imageHashCte\n$hashPairsSelect"
+  private val audioPairsSql = s"$audioHashCte\n$hashPairsSelect"
+  private val videoPairsSql =
+    s"""$videoHashCte,
+      |d AS (SELECT DISTINCT doc_id, dh FROM hashes),
+      |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM d a JOIN d b ON a.dh = b.dh AND a.doc_id < b.doc_id
+      |  GROUP BY id_a, id_b)
+      |SELECT id_a, id_b,
+      |  (i * 1000000) // (sa.n + sb.n - i) AS jaccard_micro
+      |FROM inter JOIN sz sa ON id_a = sa.doc_id
+      |  JOIN sz sb ON id_b = sb.doc_id
+      |WHERE i * 2 >= (sa.n + sb.n - i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q201_image_dhash" ->
       s"""$imageHashCte
         |SELECT doc_id AS media_id, dh FROM hashes""".stripMargin,
-    "q202_image_near_dups" ->
-      s"""$imageHashCte
-        |$hashPairsSelect""".stripMargin,
+    "q202_image_near_dups" -> imagePairsSql,
     "q203_audio_fingerprint" ->
       s"""$audioHashCte
         |SELECT doc_id AS media_id, dh AS fp FROM hashes""".stripMargin,
-    "q204_audio_near_dups" ->
-      s"""$audioHashCte
-        |$hashPairsSelect""".stripMargin,
+    "q204_audio_near_dups" -> audioPairsSql,
     "q206_video_frame_hash" ->
       s"""$videoHashCte
         |SELECT doc_id AS media_id, f AS frame_idx, dh FROM hashes""".stripMargin,
@@ -366,19 +412,35 @@ object MediaQ {
         |  count(*) AS n_frames
         |FROM hashes GROUP BY dh
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
-    "q208_video_near_dups" ->
-      s"""$videoHashCte,
-        |d AS (SELECT DISTINCT doc_id, dh FROM hashes),
-        |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM d a JOIN d b ON a.dh = b.dh AND a.doc_id < b.doc_id
-        |  GROUP BY id_a, id_b)
-        |SELECT id_a, id_b,
-        |  (i * 1000000) // (sa.n + sb.n - i) AS jaccard_micro
-        |FROM inter JOIN sz sa ON id_a = sa.doc_id
-        |  JOIN sz sb ON id_b = sb.doc_id
-        |WHERE i * 2 >= (sa.n + sb.n - i)""".stripMargin,
+    "q208_video_near_dups" -> videoPairsSql,
+    "q209_media_cleaned_corpus" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |$imagePairsSql
+        |  ) ip
+        |  UNION ALL SELECT id_a, id_b FROM (
+        |$audioPairsSql
+        |  ) ap
+        |  UNION ALL SELECT id_a, id_b FROM (
+        |$videoPairsSql
+        |  ) vp),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT rc.u, e.v FROM reach rc JOIN edges e ON rc.v = e.u),
+        |comp AS (SELECT u AS node, least(u, min(v)) AS component
+        |         FROM reach GROUP BY u),
+        |m AS (SELECT doc_id, $modalityCase AS modality,
+        |        $containerLenCase AS len
+        |      FROM documents)
+        |SELECT modality, count(*) AS n_media,
+        |  CAST(sum(len) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS min_id
+        |FROM m
+        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        |GROUP BY modality""".stripMargin,
     "q104_frame_sample" ->
       s"""SELECT doc_id AS media_id,
         |  CAST($framesVideo AS INT) AS n_frames,

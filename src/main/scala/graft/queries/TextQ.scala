@@ -438,27 +438,54 @@ object TextQ {
     * fraction in exact millionths (integer `div`, non-negative
     * operands).
     *
-    * Scale shape: the exploded stream is one LONG hash per token
+    * Scale shape (r13): the evidence stream is one LONG hash per token
     * position ([[graft.functions.ShingleFunctions.shingle_hashes_all]]
-    * — multiset preserved; text bodies never leave the scan), the
-    * (doc, h) rollup partial-aggregates map-side, and the cross-doc
-    * count rides a per-h window whose fan-in is bounded by the gram's
-    * document frequency (the q84 first_doc shape). No driver state, no
-    * all-pairs anywhere; the oracle groups by the gram STRING, so the
-    * 60-bit hash never crosses the gate (2^-64-odds collisions
-    * accepted, the q47 convention). Short docs (< k tokens) contribute
-    * one whole-doc gram (the shingles() convention, incl. '' for empty
-    * docs) on both engines.
+    * — multiset preserved; text bodies never leave the scan),
+    * materialized ONCE per (session, dir) as the [[spanPositions]] /
+    * [[dupSpanGramCounts]] artifacts the whole q153/q199/q200 family
+    * shares; the report itself is two map-side-combining rollups and
+    * one h-keyed join whose fan-in is bounded by the gram's document
+    * frequency. No driver state, no all-pairs anywhere; the oracle
+    * groups by the gram STRING, so the 60-bit hash never crosses the
+    * gate (2^-64-odds collisions accepted, the q47 convention). Short
+    * docs (< k tokens) contribute one whole-doc gram (the shingles()
+    * convention, incl. '' for empty docs) on both engines.
     */
   val dupSpanK = 8
 
+  /** The ExactSubstr EVIDENCE STREAM — one (pos, h) row per token
+    * position of every document, k = [[dupSpanK]] — materialized once
+    * per (session, dir) and shared by the whole family: q153's report
+    * rolls it up, q199/q200's purge marks duplicated positions in it.
+    * This is the Lee et al. suffix-array analogue as a written table
+    * beside the corpus: at 100 TB you build the evidence index once,
+    * not per consumer (the r12 VERDICT's armed promotion). `n_toks`
+    * rides along so the purge can apply its ≥ k-token eligibility
+    * without a second tokenize pass.
+    */
+  private def spanPositions(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.parquet(spark, dir, "span_positions") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("source"), size(col("ts")).as("n_toks"),
+          posexplode(graft.functions.ShingleFunctions.shingle_hashes_all(
+            col("ts"), dupSpanK)).as(Seq("pos", "h")))
+    }
+
+  /** The (doc, source, gram) multiplicity rollup of [[spanPositions]]
+    * — q153's `g` — as its own artifact: distinct-(doc,h) counts are
+    * what the report consumes per run, and they are an order smaller
+    * than the position stream.
+    */
+  private def dupSpanGramCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.parquet(spark, dir, "dup_span_gram_counts") {
+      spanPositions(spark, dir)
+        .groupBy(col("doc_id"), col("source"), col("h"))
+        .agg(count(lit(1)).as("c"))
+    }
+
   def dupSpanReport(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(graft.functions.ShingleFunctions.shingle_hashes_all(
-          tokens(col("text")), dupSpanK)).as("h"))
-      .groupBy(col("doc_id"), col("source"), col("h"))
-      .agg(count(lit(1)).as("c"))
+    val g = dupSpanGramCounts(spark, dir)
     // g is distinct per (doc, h), so its h-count IS the gram's
     // cross-corpus document frequency. A groupBy (map-side partial
     // aggregation: the df table shuffles one pre-combined row per
@@ -497,8 +524,9 @@ object TextQ {
     */
   private def purgedDocs(spark: SparkSession, dir: String): DataFrame =
     graft.sources.ArtifactStore.parquet(spark, dir, "purged_docs") {
-      graft.operators.DupSpanPurge.purge(
+      graft.operators.DupSpanPurge.purgeWithPositions(
         Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        spanPositions(spark, dir).filter(col("n_toks") >= dupSpanK),
         dupSpanK, dupSpanMin)
     }
 

@@ -128,6 +128,66 @@ class MediaDedupSpec extends AnyFunSuite with SparkTestSession {
       "only the majority-overlap pair clears the 0.5 floor")
   }
 
+  test("viral image bucket: the df cap bounds candidates and the drop report names it") {
+    // 8 uniform-black images — every gradient bit zero by construction,
+    // so all four 16-bit blocks of all eight land in the same (b, 0)
+    // buckets — plus one planted near pair that must SURVIVE the cap
+    val black = (0 until 8).map(i =>
+      (10L + i, "image", MediaContainers.encodeBmp(Array.fill(400)(0.toByte))))
+    val p = rndPayload(40, 500)
+    val rows = mediaDf(black ++ Seq(
+      (1L, "image", MediaContainers.encodeBmp(p)),
+      (2L, "image", MediaContainers.encodeBmp(perturb(p, Seq(42))))))
+    val sigs = MediaDedup.signatures(rows, "image")
+    assert(sigs.filter($"sig" === 0L).count() == 8,
+      "a uniform frame must dHash to exactly 0")
+    // default cap: nothing viral at this scale — all 28 black pairs out
+    val uncapped = MediaDedup.nearDupPairs(sigs)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 28 + 1)
+    // cap below the viral bucket's population: black candidates vanish,
+    // the planted pair survives (its buckets hold 2 rows each)
+    val capped = MediaDedup.nearDupPairs(sigs, maxBucketDf = 5L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      s"capped candidates must be exactly the planted pair, got $capped")
+    val dropped = MediaDedup.droppedBuckets(sigs, maxBucketDf = 5L)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(dropped == (0 until 4).map(b => (b, 0L, 8L)).toSet,
+      "the drop report must name all four all-zero blocks with df=8")
+    assert(MediaDedup.droppedBuckets(sigs).count() == 0,
+      "no bucket is viral at the default cap")
+  }
+
+  test("viral frame sig: capped out of Jaccard evidence, reported, denominators stay consistent") {
+    import graft.multimodal.PerceptualHashFunctions.avi_frame_dhash
+    import org.apache.spark.sql.functions.posexplode
+    val black = Array.fill(384)(0.toByte)
+    val fA = rndPayload(50, 384); val fB = rndPayload(51, 384)
+    // five videos all share the black frame; videos 1/2 also share both
+    // real frames (J = 1 on the surviving vocabulary), video 3 shares
+    // ONLY the black frame with them
+    val rows = mediaDf(Seq(
+      (1L, "video", MediaContainers.encodeAvi(black ++ fA ++ fB)),
+      (2L, "video", MediaContainers.encodeAvi(fA ++ black ++ fB)),
+      (3L, "video", MediaContainers.encodeAvi(black ++ rndPayload(52, 384))),
+      (4L, "video", MediaContainers.encodeAvi(black ++ rndPayload(53, 384))),
+      (5L, "video", MediaContainers.encodeAvi(black ++ rndPayload(54, 384)))))
+    val frames = rows.select($"media_id",
+      posexplode(avi_frame_dhash($"bytes")).as(Seq("frame_idx", "sig")))
+    // uncapped: the black frame alone lifts J(3,4) to 1/3 < 0.5 — no
+    // spurious pair — but it IS candidate fan-in: 5 videos meet there
+    val capped = MediaDedup.frameJaccardPairs(frames, minJaccard = 0.5, maxSigDf = 4L)
+      .select($"id_a", $"id_b", $"jaccard_micro").as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1000000L)),
+      s"videos 1/2 must score J=1 on the surviving vocabulary, got $capped")
+    val dropped = MediaDedup.droppedFrameSigs(frames, maxSigDf = 4L)
+      .as[(Long, Long)].collect().toSet
+    assert(dropped == Set((0L, 5L)),
+      "the drop report must name the black frame sig with its video df")
+    assert(MediaDedup.droppedFrameSigs(frames).count() == 0)
+  }
+
   test("the engine dHash matches a straight reimplementation of the documented grid") {
     // independent spelling: floats for the mean, but comparison done on
     // the same cross-multiplied integers — guards the bit layout
