@@ -38,6 +38,16 @@ object Dedup {
     * the honest "log" of a data-dependent cap is a table the pipeline
     * can gate on, not a driver print that needs an extra job to know
     * its own count.
+    *
+    * Gate convention: the DuckDB oracles model the CAP-FREE ideal (a
+    * brute-force pair scan has no buckets to cap), and the gate corpora
+    * sit below the cap by construction — the same convention as the
+    * q47 hash-collision odds: the oracle states the ideal, the engine's
+    * documented deviation threshold is part of its contract. A corpus
+    * that crosses the cap diverges from the ideal EXACTLY on the
+    * reported drop set; completeness diagnostics that compare blocked
+    * vs exhaustive legs (the q82 gate) must pin the cap off
+    * (`Long.MaxValue`).
     */
   val DefaultMaxBucketDf = 10000L
 
@@ -185,13 +195,8 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    sketches: Option[DataFrame] = None,
                    maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
-    val sk = sketches.getOrElse(docs.select(col(idCol).as("id"),
-      simhash60(TextFunctions.tokens(col(textCol))).as("sk")))
-    val blocked = capHotBuckets(sk.select(col("id"), col("sk"), explode(
-      array((0 until 4).map(b => struct(lit(b).as("block_id"),
-        shiftright(col("sk"), b * 15).bitwiseAND(0x7FFFL).as("block_val"))): _*))
-      .as("blk"))
-      .select(col("id"), col("sk"), col("blk.block_id"), col("blk.block_val")),
+    val blocked = capHotBuckets(
+      blockedSketches(docs, idCol, textCol, sketches),
       Seq("block_id", "block_val"), maxBucketDf)
     blocked.as("a")
       .join(blocked.as("b"),
@@ -206,6 +211,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** The 4×15-bit pigeonhole blocking of the corpus sketches — one
+    * spelling shared by [[simhashPairs]] and its
+    * [[simhashDroppedBuckets]] report, so the cap and the accounting
+    * can never disagree on what a bucket is.
+    */
+  private def blockedSketches(docs: DataFrame, idCol: String, textCol: String,
+                              sketches: Option[DataFrame]): DataFrame = {
+    val sk = sketches.getOrElse(docs.select(col(idCol).as("id"),
+      simhash60(TextFunctions.tokens(col(textCol))).as("sk")))
+    sk.select(col("id"), col("sk"), explode(
+      array((0 until 4).map(b => struct(lit(b).as("block_id"),
+        shiftright(col("sk"), b * 15).bitwiseAND(0x7FFFL).as("block_val"))): _*))
+      .as("blk"))
+      .select(col("id"), col("sk"), col("blk.block_id"), col("blk.block_val"))
+  }
+
+  /** The no-silent-caps report for [[simhashPairs]] (r13 review: the
+    * media path had a public drop report, the text path didn't —
+    * "queryable drop set" must hold for EVERY capped consumer): block
+    * buckets `maxBucketDf` would drop, with their populations.
+    */
+  def simhashDroppedBuckets(docs: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            sketches: Option[DataFrame] = None,
+                            maxBucketDf: Long = DefaultMaxBucketDf): DataFrame =
+    hotBuckets(blockedSketches(docs, idCol, textCol, sketches),
+      Seq("block_id", "block_val"), maxBucketDf)
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking
     * key (e.g. same language) — the verification-only path when

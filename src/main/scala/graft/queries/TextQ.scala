@@ -267,7 +267,12 @@ object TextQ {
     val sk = docs.select(col("doc_id").as("id"),
         simhash60(tokens(col("text"))).as("sk"))
       .repartition(col("id"))
-    val blocked = Dedup.simhashPairs(docs, sketches = Some(sk))
+    // the completeness DIAGNOSTIC must compare the raw pigeonhole
+    // against the exhaustive scan: pin the df cap OFF (r13 review) —
+    // the exhaustive leg knows nothing of viral buckets, and a capped
+    // blocked leg would report a designed drop as a completeness hole
+    val blocked = Dedup.simhashPairs(docs, sketches = Some(sk),
+        maxBucketDf = Long.MaxValue)
       .select(col("id_a"), col("id_b")).withColumn("_b", lit(1))
     val exhaustive = sk.as("a").join(sk.as("b"), col("a.id") < col("b.id"))
       .filter(bit_count(col("a.sk").bitwiseXOR(col("b.sk"))) <= 3)

@@ -679,19 +679,30 @@ object Snapshots {
   def fileStats(spark: SparkSession, root: String, version: Int,
                 column: String): Seq[(String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    entries(root, version).flatMap { line =>
-      val parts = line.split('\t')
-      val f = parts.head
-      if (parts.length > 1 && parts(1) == "#stats")
-        parts.drop(2).collectFirst {
-          case t if t.startsWith(column + "=") =>
-            val b = t.substring(column.length + 1).split("\\.\\.")
-            (f, b(0).toLong, b(1).toLong)
-        }
-      else {
-        queryPathFooterReads.incrementAndGet()
-        footerLongStats(conf, f).get(column).map { case (mn, mx) => (f, mn, mx) }
+    entries(root, version).flatMap(entryStatsFor(conf, _, column))
+  }
+
+  /** The ONE parser of a data entry's per-column stats (r13 review:
+    * [[fileStats]] and [[prunedFiles]] each carried a copy of the
+    * token grammar + footer-fallback accounting): `(path, min, max)`
+    * for `column`, from the entry's `#stats` token or — for a pre-r9
+    * path-only entry — a counted footer read; None when the file holds
+    * no non-null value of the column.
+    */
+  private def entryStatsFor(conf: org.apache.hadoop.conf.Configuration,
+                            line: String,
+                            column: String): Option[(String, Long, Long)] = {
+    val parts = line.split('\t')
+    val f = parts.head
+    if (parts.length > 1 && parts(1) == "#stats")
+      parts.drop(2).collectFirst {
+        case t if t.startsWith(column + "=") =>
+          val b = t.substring(column.length + 1).split("\\.\\.")
+          (f, b(0).toLong, b(1).toLong)
       }
+    else {
+      queryPathFooterReads.incrementAndGet()
+      footerLongStats(conf, f).get(column).map { case (mn, mx) => (f, mn, mx) }
     }
   }
 
@@ -713,19 +724,8 @@ object Snapshots {
     def fileOverlap(line: String): Option[String] = {
       if (line.startsWith("#delete\t") || line.startsWith("#posdelete\t"))
         return None
-      val parts = line.split('\t')
-      val f = parts.head
-      if (parts.length > 1 && parts(1) == "#stats")
-        parts.drop(2).collectFirst {
-          case t if t.startsWith(column + "=") =>
-            val b = t.substring(column.length + 1).split("\\.\\.")
-            (b(0).toLong, b(1).toLong)
-        }.collect { case (mn, mx) if mx >= lo && mn <= hi => f }
-      else {
-        queryPathFooterReads.incrementAndGet()
-        footerLongStats(conf, f).get(column)
-          .collect { case (mn, mx) if mx >= lo && mn <= hi => f }
-      }
+      entryStatsFor(conf, line, column)
+        .collect { case (f, mn, mx) if mx >= lo && mn <= hi => f }
     }
     bodyRefs(root, version).flatMap { ref =>
       if (ref.startsWith(SegmentPtr)) {

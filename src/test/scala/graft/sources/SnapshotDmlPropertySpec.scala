@@ -87,6 +87,59 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
           .as[(Long, Long)].collect().toVector.sorted
         assert(got == want.sorted, s"seed $i: v$v drifted")
       }
+
+      // two-level manifest invariants (r13), down the same random
+      // paths: every pointer resolves to an existing segment whose
+      // line count matches its advertisement, and after an orphan
+      // sweep the on-disk segment set equals the referenced set (a
+      // CAS-retried commit may strand a content-addressed segment;
+      // nothing referenced may vanish)
+      segmentInvariants(root, i)
+      S.removeOrphans(root, olderThanMillis = 0L)
+      segmentInvariants(root, i)
+      assert(diskSegments(root) == referencedSegments(root).keySet,
+        s"seed $i: orphan sweep must leave exactly the referenced segments")
+      snapshots.foreach { case (v, want) =>
+        val got = S.read(spark, root, v)
+          .as[(Long, Long)].collect().toVector.sorted
+        assert(got == want.sorted, s"seed $i: v$v drifted after orphan sweep")
+      }
+    }
+  }
+
+  private def manifestsDir(root: String) =
+    java.nio.file.Paths.get(root).resolve("_manifests")
+
+  /** (segment file name → advertised line count) across LIVE lists. */
+  private def referencedSegments(root: String): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    val md = manifestsDir(root)
+    val s = java.nio.file.Files.list(md)
+    val lists = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.matches("\\d+\\.txt")).toSeq finally s.close()
+    lists.flatMap { l =>
+      java.nio.file.Files.readAllLines(md.resolve(l)).asScala
+        .filter(_.startsWith("#segment\t"))
+        .map { p => val t = p.split('\t'); t(1) -> t(2).toInt }
+    }.toMap
+  }
+
+  private def diskSegments(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(manifestsDir(root))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("_seg_")).toSet finally s.close()
+  }
+
+  private def segmentInvariants(root: String, seed: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val md = manifestsDir(root)
+    referencedSegments(root).foreach { case (name, n) =>
+      val p = md.resolve(name)
+      assert(java.nio.file.Files.exists(p), s"seed $seed: dangling segment $name")
+      val lines = java.nio.file.Files.readAllLines(p).asScala.count(_.nonEmpty)
+      assert(lines == n,
+        s"seed $seed: $name advertises $n lines, holds $lines")
     }
   }
 }
