@@ -420,6 +420,72 @@ object SinkQ {
       .withColumn("footer_reads_plan", lit(footerReads).cast("int"))
   }
 
+  /** q210 — TWO-LEVEL manifest pruning (the r13 Snapshots contract):
+    * each commit writes one content-addressed manifest SEGMENT whose
+    * list pointer carries aggregate column stats, so stats pruning
+    * plans from the LIST and opens only overlapping segments — at
+    * 100 TB the per-snapshot manifest is itself big data, and this is
+    * what keeps planning O(commits), not O(files). The gate stages
+    * four appends of contiguous doc_id quarters (one 1-file segment
+    * each), then runs four pruning legs while metering
+    * [[graft.sources.Snapshots.segmentReads]] (the segment analogue of
+    * q165's footer meter) and the footer counter: the planner
+    * invariants — files scanned, segments opened (1/1/4/0), segment
+    * total from [[graft.sources.Snapshots.manifestsTable]], zero
+    * footer opens — are stated literally by the oracle, and each leg's
+    * content aggregates are recomputed by DuckDB over the same
+    * quarter-arithmetic WHERE ranges, so a wrong pointer aggregate
+    * surfaces as lost rows, not just a wrong count.
+    */
+  private val segmentPruneStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def manifestSegmentPruning(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = segmentPruneStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_segment_prune_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val span = mx - mn + 1
+      (0 until 4).foreach { i =>
+        val lo = mn + span * i / 4
+        val hi = mn + span * (i + 1) / 4 // exclusive
+        S.append(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1), o.toString)
+      }
+      o.toString
+    })
+    val v = S.latestVersion(root)
+    // table extremes from the MANIFEST (commit-time stats — one list +
+    // four segment reads, zero data I/O), so the leg arithmetic is the
+    // same integer-quarter formula the oracle replays over the table
+    val stats = S.fileStats(spark, root, v, "doc_id")
+    val (mn, mx) = (stats.map(_._2).min, stats.map(_._3).max)
+    val span = mx - mn + 1
+    val (b1, b2) = (mn + span / 4, mn + span * 2 / 4)
+    val legs = Seq(
+      ("1_point", mn, mn),
+      ("2_quarter2", b1, b2 - 1),
+      ("3_full", mn, mx),
+      ("4_empty", mn - 10, mn - 1)).map { case (name, lo, hi) =>
+      val f0 = S.queryPathFooterReads.get()
+      val s0 = S.segmentReads.get()
+      val nScanned = S.prunedFiles(spark, root, v, "doc_id", lo, hi).size
+      (name, lo, hi, nScanned, (S.segmentReads.get() - s0).toInt,
+        (S.queryPathFooterReads.get() - f0).toInt)
+    }
+    val nSegs = S.manifestsTable(spark, root, v).count().toInt
+    legs.map { case (name, lo, hi, nScanned, opened, _) =>
+      S.readPruned(spark, root, v, "doc_id", lo, hi)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(name).as("leg"), lit(nScanned).as("n_files_scanned"),
+          lit(opened).as("segments_opened"), col("n_docs"), col("sum_chars"))
+    }.reduce(_.unionByName(_))
+      .withColumn("n_segments_total", lit(nSegs))
+      .withColumn("footer_reads_plan", lit(legs.map(_._6).sum))
+  }
+
   /** q166 — SCHEMA EVOLUTION on the snapshot store (the q111
     * mergeSchema semantics moved into the manifest, where a lakehouse
     * keeps them): v1 appends (doc_id, n_chars); v2 appends the
@@ -1434,6 +1500,7 @@ object SinkQ {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_manifest_segment_pruning" -> (manifestSegmentPruning _),
     "q205_branch_retention" -> (branchRetention _),
     "q198_cherry_pick" -> (cherryPickGate _),
     "q196_branch_wap" -> (branchWap _),
@@ -1488,6 +1555,29 @@ object SinkQ {
         |FROM documents
         |WHERE (doc_id % 4 = 0 AND doc_id % 8 <> 0) OR doc_id % 4 = 1""".stripMargin,
     // retention survivors recomputed from the slices: main = slice 0;
+    // planner invariants (files scanned / segments opened / segment
+    // total / zero footer opens) stated literally — the quarter layout
+    // makes them exact: 1/1/4/0 per the leg geometry; content
+    // aggregates re-run the same integer-quarter WHERE ranges
+    "q210_manifest_segment_pruning" ->
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx,
+        |             max(doc_id) - min(doc_id) + 1 AS span
+        |           FROM documents)
+        |SELECT '1_point' AS leg, 1 AS n_files_scanned, 1 AS segments_opened,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  4 AS n_segments_total, 0 AS footer_reads_plan
+        |FROM documents WHERE doc_id = (SELECT mn FROM b)
+        |UNION ALL
+        |SELECT '2_quarter2', 1, 1, count(*), CAST(sum(n_chars) AS BIGINT), 4, 0
+        |FROM documents
+        |WHERE doc_id >= (SELECT mn + span // 4 FROM b)
+        |  AND doc_id < (SELECT mn + span * 2 // 4 FROM b)
+        |UNION ALL
+        |SELECT '3_full', 4, 4, count(*), CAST(sum(n_chars) AS BIGINT), 4, 0
+        |FROM documents
+        |UNION ALL
+        |SELECT '4_empty', 0, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |  4, 0""".stripMargin,
     // the logs head carries every appended slice (0-4); the pinned v3
     // is the chain through slice 2. The swept {v2, v4} are staging
     // requires, destructively asserted engine-side.

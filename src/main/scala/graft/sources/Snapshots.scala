@@ -880,6 +880,25 @@ object Snapshots {
         "is_rewrite")
   }
 
+  /** Metadata table over version `v`'s manifest LIST (r13 — Iceberg's
+    * `.manifests` relation): one row per `#segment` pointer, in list
+    * order — segment file name, advertised entry count, and whether
+    * pointer-level aggregate stats permit skipping it unopened
+    * (`false` = a `#nostats` sweep of legacy entries). Inline legacy
+    * entry lines are not segments and do not appear; a fully flat
+    * pre-r13 manifest yields an empty relation.
+    */
+  def manifestsTable(spark: SparkSession, root: String,
+                     version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val v = if (version == -1) headOf(root, "main") else version
+    bodyRefs(root, v).zipWithIndex.collect {
+      case (l, i) if l.startsWith(SegmentPtr) =>
+        val t = l.split('\t')
+        (i, t(1), t(2).toLong, !t.drop(3).contains("#nostats"))
+    }.toDF("position", "segment", "n_entries", "skippable")
+  }
+
   /** Metadata-only `count(*)` — the Iceberg count pushdown: answered
     * from manifest row counts with ZERO data-file reads. Refuses when
     * the version carries delete sets (merge-on-read makes physical ≠
