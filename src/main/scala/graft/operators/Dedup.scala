@@ -52,16 +52,25 @@ object Dedup {
   val DefaultMaxBucketDf = 10000L
 
   /** Rows of `blocked` whose bucket (the `keys` tuple) has population
-    * ≤ `cap`. One partial-agg rollup keyed exactly like the candidate
-    * self-join that follows, so the exchange is reused, and the count
-    * table (one row per DISTINCT bucket) is dwarfed by `blocked`.
+    * ≤ `cap`. The OVER-cap set is what gets joined, not the under-cap
+    * one: hot buckets number at most |blocked|/cap by construction
+    * (each holds > cap rows — at 10⁹ docs × 4 blocks and the default
+    * cap that is ≤ 4·10⁵ keys, a few MB), so they BROADCAST and the
+    * corpus stream anti-joins through without a join shuffle; the df
+    * rollup itself partial-aggregates map-side (the q153 stance: a
+    * count-over-window per bucket would buffer the viral bucket whole
+    * in one task — the groupBy never does). `Long.MaxValue` means
+    * "cap off" and is a true passthrough (the q82 completeness
+    * diagnostic's leg). Bucket keys are non-null by construction
+    * (block values of a non-null sig); the anti-join would KEEP a
+    * null-keyed row, the inner-join spelling would have dropped it.
     */
   private[operators] def capHotBuckets(blocked: DataFrame, keys: Seq[String],
-                                       cap: Long): DataFrame = {
-    val kc = keys.map(col)
-    val counts = blocked.groupBy(kc: _*).agg(count(lit(1)).as("_df"))
-    blocked.join(counts.filter(col("_df") <= cap), keys).drop("_df")
-  }
+                                       cap: Long): DataFrame =
+    if (cap == Long.MaxValue) blocked
+    else blocked.join(
+      broadcast(hotBuckets(blocked, keys, cap).select(keys.map(col): _*)),
+      keys, "left_anti")
 
   /** The complement of [[capHotBuckets]]: the over-cap buckets with
     * their populations — the queryable drop report the no-silent-caps
