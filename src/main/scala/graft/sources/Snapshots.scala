@@ -111,6 +111,12 @@ object Snapshots {
       } else Seq(l)
     }
 
+  /** Most distinct partition values a `#partagg:` summary records; a
+    * segment spanning more simply isn't partition-skippable (opened and
+    * pruned per entry, as before).
+    */
+  private val MaxPartSummaryValues = 32
+
   /** Per-column aggregate stats tokens for a segment pointer:
     * `col=min..max` over every entry that carries the column (entries
     * without a column's token hold no matchable value — the pruner
@@ -118,26 +124,56 @@ object Snapshots {
     * entry predates commit-time stats (its files need the footer
     * fallback, so the segment must never be skipped unopened). Delete
     * lines carry no prunable stats and are ignored here.
+    *
+    * Partition summaries (r13): `#partagg:<transform>=v1,v2,…` when
+    * EVERY data entry carries the transform's `#part:` token, the
+    * distinct value set is ≤ [[MaxPartSummaryValues]], and every value
+    * is token-safe — Iceberg's manifest-level partition summary: a
+    * point lookup whose home value is absent skips the segment
+    * unopened ([[partitionPrunedFiles]]). The all-entries condition is
+    * what makes the skip sound: one untokened file inside would have
+    * to be scanned.
     */
   private def segmentAggTokens(lines: Seq[String]): Seq[String] = {
     val dataLines = lines.filterNot(l =>
       l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
-    if (dataLines.exists { l =>
-        val parts = l.split('\t'); parts.length < 2 || parts(1) != "#stats" })
-      Seq("#nostats")
-    else {
-      val agg = scala.collection.mutable.Map[String, (Long, Long)]()
-      for (l <- dataLines; t <- l.split('\t').drop(2).takeWhile(!_.startsWith("#"))) {
-        val i = t.indexOf('=')
-        val c = t.take(i)
-        val b = t.drop(i + 1).split("\\.\\.")
-        val (mn, mx) = (b(0).toLong, b(1).toLong)
-        val cur = agg.get(c)
-        agg(c) = (cur.fold(mn)(p => math.min(p._1, mn)),
-          cur.fold(mx)(p => math.max(p._2, mx)))
+    val colTokens: Seq[String] =
+      if (dataLines.exists { l =>
+          val parts = l.split('\t'); parts.length < 2 || parts(1) != "#stats" })
+        Seq("#nostats")
+      else {
+        val agg = scala.collection.mutable.Map[String, (Long, Long)]()
+        for (l <- dataLines; t <- l.split('\t').drop(2).takeWhile(!_.startsWith("#"))) {
+          val i = t.indexOf('=')
+          val c = t.take(i)
+          val b = t.drop(i + 1).split("\\.\\.")
+          val (mn, mx) = (b(0).toLong, b(1).toLong)
+          val cur = agg.get(c)
+          agg(c) = (cur.fold(mn)(p => math.min(p._1, mn)),
+            cur.fold(mx)(p => math.max(p._2, mx)))
+        }
+        agg.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$c=$mn..$mx" }
       }
-      agg.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"$c=$mn..$mx" }
+    val partTokens: Seq[String] = {
+      val perEntry: Seq[Map[String, String]] = dataLines.map { l =>
+        l.split('\t').filter(_.startsWith("#part:")).map { t =>
+          val kv = t.stripPrefix("#part:")
+          val i = kv.indexOf('=')
+          kv.take(i) -> kv.drop(i + 1)
+        }.toMap
+      }
+      perEntry.flatMap(_.keys).distinct.sorted.flatMap { tr =>
+        val vals = perEntry.map(_.get(tr))
+        if (dataLines.nonEmpty && vals.forall(_.isDefined)) {
+          val distinct = vals.flatten.distinct.sorted
+          if (distinct.size <= MaxPartSummaryValues &&
+              distinct.forall(_.matches("[A-Za-z0-9_.-]+")))
+            Some(s"#partagg:$tr=${distinct.mkString(",")}")
+          else None
+        } else None
+      }
     }
+    colTokens ++ partTokens
   }
 
   /** Write `lines` as a content-addressed segment (md5 of content —
@@ -1052,14 +1088,35 @@ object Snapshots {
                            literal: String): Seq[String] = {
     require(specs.nonEmpty && specs.map(_.column).distinct.size == 1,
       s"point lookup needs >= 1 spec, all on one column: $specs")
+    val rootP = Paths.get(root)
     val wants = specs.map(s =>
-      s"#part:${s.tokenName}=" -> s"#part:${s.tokenName}=${s.valueFor(literal)}")
-    entries(root, version).flatMap { line =>
+      (s"#part:${s.tokenName}=", s"#part:${s.tokenName}=${s.valueFor(literal)}",
+        s"#partagg:${s.tokenName}=", s.valueFor(literal)))
+    def fileKeep(line: String): Option[String] = {
+      if (line.startsWith("#delete\t") || line.startsWith("#posdelete\t"))
+        return None
       val parts = line.split('\t')
-      val pruned = wants.exists { case (prefix, want) =>
+      val pruned = wants.exists { case (prefix, want, _, _) =>
         parts.exists(_.startsWith(prefix)) && !parts.contains(want)
       }
       if (pruned) None else Some(parts.head)
+    }
+    // two-level fast path (r13): a pointer whose `#partagg:` summary
+    // for some spec's transform covers EVERY entry and lacks the
+    // literal's home value cannot contain a keepable file — sound
+    // because every entry then carries that transform's token with a
+    // different value, i.e. every entry prunes individually
+    bodyRefs(root, version).flatMap { ref =>
+      if (ref.startsWith(SegmentPtr)) {
+        val toks = ref.split('\t').drop(3)
+        val skippable = wants.exists { case (_, _, aggPrefix, want) =>
+          toks.collectFirst { case t if t.startsWith(aggPrefix) =>
+            !t.stripPrefix(aggPrefix).split(',').contains(want)
+          }.getOrElse(false)
+        }
+        if (skippable) Nil
+        else resolveBody(rootP, Seq(ref)).flatMap(fileKeep)
+      } else fileKeep(ref).toSeq
     }
   }
 

@@ -117,6 +117,37 @@ class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.read(spark, root).count() == 3)
   }
 
+  test("partition summaries skip whole segments on point lookups; untokened segments still scan") {
+    val root = Staging.tempDir("seg_part").toString
+    val spec = Snapshots.IdentityPartition("src")
+    // commit 0: UN-partitioned (no #part tokens — never skippable),
+    // then three partition-aligned ingests, one identity value each
+    Snapshots.append(Seq((0L, "z")).toDF("id", "src"), root)
+    Seq("a", "b", "c").foreach { v =>
+      Snapshots.appendPartitioned(
+        (1L to 5L).map(i => (i, v)).toDF("id", "src"), root, spec)
+    }
+    val v = Snapshots.latestVersion(root)
+    val before = Snapshots.segmentReads.get()
+    val hit = Snapshots.partitionPrunedFiles(root, v, spec, "b")
+    val opened = Snapshots.segmentReads.get() - before
+    // the 'a' and 'c' segments skip via their #partagg summaries; the
+    // un-partitioned segment has no summary and must be opened (its
+    // token-less file is kept by the evolution rule), so 2 opens
+    assert(opened == 2, s"expected 2 segment opens (b + legacy), got $opened")
+    val all = Snapshots.files(root, v)
+    val bOnly = Snapshots.files(root, 3).diff(Snapshots.files(root, 2))
+    val legacy = Snapshots.files(root, 1)
+    assert(hit.toSet == (bOnly ++ legacy).toSet,
+      "lookup must keep exactly partition b's files plus the untokened legacy file")
+    // a literal NO partition holds: only the legacy segment opens
+    val b2 = Snapshots.segmentReads.get()
+    val miss = Snapshots.partitionPrunedFiles(root, v, spec, "nope")
+    assert(Snapshots.segmentReads.get() - b2 == 1)
+    assert(miss.toSet == legacy.toSet)
+    assert(all.size == bOnly.size * 3 + legacy.size)
+  }
+
   test("delete commits carry delete lines through segments; DML still round-trips") {
     val root = Staging.tempDir("seg_dml").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
