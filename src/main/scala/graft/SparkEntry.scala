@@ -84,6 +84,17 @@ object SparkEntry {
   private[graft] def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._2).reduce(_ ++ _)
 
+  /** Gate-corpus cap preflights (r14, ADVICE): for each capped gate
+    * whose oracle models the cap-free ideal, a guard returning
+    * (cap description, over-cap bucket count) pairs. Verify evaluates
+    * a query's guard BEFORE dumping it and fails the query loudly —
+    * naming the cap — if the corpus crossed a threshold the oracle
+    * doesn't model, instead of leaving a bare hash mismatch.
+    */
+  private[graft] def capGuards: Map[String,
+      (SparkSession, String) => Seq[(String, Long)]] =
+    MediaQ.capGuards ++ TextQ.capGuards
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */

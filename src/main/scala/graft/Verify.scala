@@ -22,9 +22,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // cap preflight (r14): capped gates' oracles model the cap-free
+        // ideal — a corpus crossing a bucket-df cap must fail HERE with
+        // the cap named, not as an unexplained hash mismatch downstream
+        SparkEntry.capGuards.get(name).foreach { guard =>
+          val crossed = guard(spark, sfDir).filter(_._2 > 0)
+          if (crossed.nonEmpty) throw new IllegalStateException(
+            "gate corpus crosses bucket-df cap — oracle models the " +
+              "cap-free ideal; offending caps: " + crossed.map {
+                case (cap, n) => s"$cap ($n over-cap buckets)" }.mkString("; "))
+        }
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

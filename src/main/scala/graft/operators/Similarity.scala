@@ -184,6 +184,65 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))
   }
 
+  /** kNN JOIN — top-k right-side neighbors for EVERY left row, where
+    * BOTH sides are large (r14). [[bruteForceTopK]]/[[ivfTopK]]
+    * broadcast the query side (queries ≪ corpus); this is the other
+    * regime — dataset-to-dataset linkage, eval-against-train
+    * decontamination by embedding, retrieval-augmented labeling —
+    * where the "query" side is itself a corpus and a broadcast would
+    * OOM every executor. Shape: right rows are indexed under their
+    * `replicas` nearest k-means cells, left rows under their `nProbe`
+    * nearest cells, and the candidate join is a plain shuffle
+    * equi-join on the cell id — both sides partition by cell, no
+    * broadcast, no all-pairs. Per-left top-k is a window over the
+    * candidate stream partitioned by left id (never a global sort).
+    * The cosine runs INSIDE the join stage and only (ids, sim) rows
+    * reach the dedup/rank exchange — the [[ivfTopK]] lesson: vectors
+    * never shuffle past the join.
+    *
+    * Recall semantics are IVF's: a true neighbor is missed only if ALL
+    * of its replica cells escape the left row's probe set. `nProbe =
+    * numCentroids` probes every cell — EXACT kNN join (the gate
+    * setting, q211): still no broadcast and no |A|×|B| blowup beyond
+    * the per-cell products, which is what makes the exact spelling
+    * usable when neither side fits in memory. At 100 TB size
+    * `numCentroids` ≫ shuffle partitions (thousands of cells) so cell
+    * buckets stay bounded and the equi-join shuffle has no hot key;
+    * the centers stay the same bounded driver artifact as [[ivfTopK]]'s
+    * (k·dim doubles, persisted and reused across runs).
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int,
+              numCentroids: Int = 16, nProbe: Int = 6, replicas: Int = 3,
+              lloydIters: Int = 2, buildSampleMod: Int = 1,
+              centers: Option[Seq[Seq[Double]]] = None,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    val l = left.select(col(idCol).as("left_id"), col(vecCol).cast("array<double>").as("lv"))
+    val r = right.select(col(idCol).as("right_id"), col(vecCol).cast("array<double>").as("rv"))
+    val ctrs = centers.getOrElse(
+      kmeansCenters(right, numCentroids, lloydIters, buildSampleMod, idCol, vecCol))
+    if (ctrs.isEmpty)
+      return l.limit(0).crossJoin(r.limit(0)).select(
+        col("left_id"), col("right_id"), lit(0.0).as("sim"), lit(0).as("rn"))
+    // NaN vectors (cell −1) drop from index and probes, as in ivfTopK
+    val indexed = r.select(col("right_id"), col("rv"),
+        explode(nearest_centroids(col("rv"), ctrs, replicas)).as("cell"))
+      .filter(col("cell") >= 0)
+    val probes = l.select(col("left_id"), col("lv"),
+        explode(nearest_centroids(col("lv"), ctrs, nProbe)).as("cell"))
+      .filter(col("cell") >= 0)
+    val wTop = Window.partitionBy(col("left_id"))
+      .orderBy(col("sim").desc, col("right_id").asc)
+    probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        cosine_similarity6(col("lv"), col("rv")).as("sim"))
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("left_id"), col("right_id"), col("sim"), col("rn"))
+  }
+
   /** All pairs above a cosine threshold among a bucketed corpus — see
     * [[Dedup.embeddingNearDups]] for the LSH variant; this is the exact
     * within-blocking-key version.

@@ -236,6 +236,37 @@ object MediaQ {
     "q208_video_near_dups" -> (videoNearDups _),
     "q209_media_cleaned_corpus" -> (mediaCleanedCorpus _))
 
+  // ---- gate-corpus cap preflight (r14, ADVICE) ----
+  // The capped gates (q202/q204/q208/q209) run with the bucket-df cap
+  // ON while their DuckDB oracles model the cap-free ideal; the
+  // convention is sound only while gate corpora sit below the cap. A
+  // future sf corpus crossing the threshold would hash-diverge with no
+  // pointer to the cause — so Verify evaluates these guards BEFORE the
+  // gated query and fails it loudly, naming the cap. Each guard
+  // returns (cap description, over-cap bucket count) pairs; all sig
+  // inputs come from the session ArtifactStore tables the queries
+  // themselves read, so the preflight costs one rollup, not a decode.
+  private def imageDrops(s: SparkSession, d: String) =
+    ("image dHash pigeonhole buckets (Dedup.DefaultMaxBucketDf=" +
+      s"${graft.operators.Dedup.DefaultMaxBucketDf})",
+      graft.operators.MediaDedup.droppedBuckets(sigsOf(s, d, "image")).count())
+  private def audioDrops(s: SparkSession, d: String) =
+    ("audio fingerprint pigeonhole buckets (Dedup.DefaultMaxBucketDf=" +
+      s"${graft.operators.Dedup.DefaultMaxBucketDf})",
+      graft.operators.MediaDedup.droppedBuckets(sigsOf(s, d, "audio")).count())
+  private def frameDrops(s: SparkSession, d: String) =
+    ("video frame-sig buckets (Dedup.DefaultMaxBucketDf=" +
+      s"${graft.operators.Dedup.DefaultMaxBucketDf})",
+      graft.operators.MediaDedup.droppedFrameSigs(videoFrames(s, d)).count())
+
+  private[graft] val capGuards: Map[String,
+      (SparkSession, String) => Seq[(String, Long)]] = Map(
+    "q202_image_near_dups" -> ((s, d) => Seq(imageDrops(s, d))),
+    "q204_audio_near_dups" -> ((s, d) => Seq(audioDrops(s, d))),
+    "q208_video_near_dups" -> ((s, d) => Seq(frameDrops(s, d))),
+    "q209_media_cleaned_corpus" -> ((s, d) =>
+      Seq(imageDrops(s, d), audioDrops(s, d), frameDrops(s, d))))
+
   // ---- the ONE spelling of the synthetic-container arithmetic ----
   // (the OracleSql.tokens rule applied to the media gates): modality
   // assignment and the per-modality container length / dims / frame

@@ -802,6 +802,20 @@ object TextQ {
     "q200_dup_span_rewrite" -> (dupSpanRewrites _),
     "q85_curation_funnel" -> (curationFunnel _))
 
+  /** Gate-corpus cap preflight for q48 (the MediaQ.capGuards shape):
+    * [[Dedup.simhashPairs]] runs with the bucket-df cap ON while the
+    * DuckDB oracle replays the cap-free pigeonhole — Verify fails the
+    * gate loudly if a corpus ever crosses the cap. (q82 pins the cap
+    * OFF by design and needs no guard; minhashLsh's band keys are
+    * uniform by construction and uncapped.)
+    */
+  private[graft] val capGuards: Map[String,
+      (SparkSession, String) => Seq[(String, Long)]] = Map(
+    "q48_simhash_pairs" -> ((s, d) => Seq(
+      ("simhash 15-bit pigeonhole buckets (Dedup.DefaultMaxBucketDf=" +
+        s"${Dedup.DefaultMaxBucketDf})",
+        Dedup.simhashDroppedBuckets(Tables.documents(s, d)).count()))))
+
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
     * byte-wise scan (UTF-8 is self-synchronizing, so char-aligned =

@@ -73,7 +73,7 @@ object Snapshots {
   // ---- MANIFEST LISTS (r13): two-level snapshot metadata ----
   // A version's manifest is a LIST: header lines plus body refs, where
   // a body ref is either an inline line (legacy / degenerate) or a
-  //   #segment\t<_seg_<md5>.txt>\t<n>\t<agg col=min..max… | #nostats>
+  //   #segment\t<_seg_<sha256>.txt>\t<n>\t<agg col=min..max… | #nostats>
   // pointer to an immutable, CONTENT-ADDRESSED segment file holding n
   // body lines. Commits write ONE new segment for their own lines and
   // re-reference every carried-forward segment by name, so commit cost
@@ -176,16 +176,21 @@ object Snapshots {
     colTokens ++ partTokens
   }
 
-  /** Write `lines` as a content-addressed segment (md5 of content —
+  /** Write `lines` as a content-addressed segment (SHA-256 of content —
     * identical content converges on one file; racing writers of the
-    * same bytes both succeed) and return its pointer line. Staged under
-    * a `_tmp_` name (the crash-debris sweep's contract) and hard-linked
-    * into place; EEXIST means the identical segment is already
-    * published.
+    * same bytes both succeed) and return its pointer line. SHA-256, not
+    * MD5: segment bytes embed data-derived values (`#part:` identity
+    * tokens), and MD5 collisions are CONSTRUCTIBLE — a crafted pair of
+    * partition values could alias two distinct segments and silently
+    * corrupt a snapshot's file set. md5-low-60 survives elsewhere only
+    * as a portable COMPARISON hash (bucketing/blooms), never identity.
+    * Staged under a `_tmp_` name (the crash-debris sweep's contract)
+    * and hard-linked into place; EEXIST means the identical segment is
+    * already published.
     */
   private def writeSegment(rootP: Path, lines: Seq[String]): String = {
     val bytes = lines.mkString("\n").getBytes("UTF-8")
-    val hash = java.security.MessageDigest.getInstance("MD5")
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map(b => f"$b%02x").mkString
     val name = s"_seg_$hash.txt"
     val target = rootP.resolve("_manifests").resolve(name)
@@ -204,14 +209,39 @@ object Snapshots {
     * inline lines becomes one new segment, pointer refs pass through
     * untouched — order-preserving for any interleaving, and in
     * practice a commit is (carried pointers)* + (its own new lines).
+    *
+    * Runs additionally split where consecutive DATA lines change
+    * "statsness": on flat-manifest migration the parent's carried
+    * legacy path-only entries and the commit's freshly written
+    * stats-bearing entries would otherwise merge into ONE segment,
+    * whose pointer gets `#nostats` — making the NEW files permanently
+    * unskippable (and footer-read-taxed) until a compact rewrites
+    * them. Flushing the legacy run separately quarantines `#nostats`
+    * to the entries that earned it. Delete lines carry no prunable
+    * stats and ride whichever run is open.
     */
   private def segmentize(rootP: Path, lines: Seq[String]): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val run = scala.collection.mutable.ArrayBuffer[String]()
+    var runHasStats: Option[Boolean] = None
     def flush(): Unit =
-      if (run.nonEmpty) { out += writeSegment(rootP, run.toSeq); run.clear() }
+      if (run.nonEmpty) {
+        out += writeSegment(rootP, run.toSeq); run.clear()
+        runHasStats = None
+      }
+    def isDelete(l: String) =
+      l.startsWith("#delete\t") || l.startsWith("#posdelete\t")
     lines.foreach { l =>
-      if (l.startsWith(SegmentPtr)) { flush(); out += l } else run += l
+      if (l.startsWith(SegmentPtr)) { flush(); out += l }
+      else {
+        if (!isDelete(l)) {
+          val parts = l.split('\t')
+          val hasStats = parts.length >= 2 && parts(1) == "#stats"
+          if (runHasStats.exists(_ != hasStats)) flush()
+          runHasStats = Some(hasStats)
+        }
+        run += l
+      }
     }
     flush()
     out.toSeq

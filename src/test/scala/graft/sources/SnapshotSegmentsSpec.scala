@@ -91,6 +91,21 @@ class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
     // the swept segment carries #nostats (path-only entries): pruning
     // must fall back to per-file footer stats, not skip it
     assert(Snapshots.prunedFiles(spark, root, 2, "id", 1L, 1L).nonEmpty)
+    // the legacy run is quarantined in ITS OWN segment: the commit's
+    // freshly written entries keep pointer-level stats instead of
+    // inheriting #nostats from the swept inline lines
+    val segs = Snapshots.manifestsTable(spark, root, 2)
+      .orderBy("position").collect()
+    assert(segs.length == 2,
+      s"legacy sweep and fresh entries must land in separate segments, got ${segs.length}")
+    assert(!segs(0).getBoolean(3), "legacy segment must be #nostats")
+    assert(segs(1).getBoolean(3), "fresh-entry segment must keep stats")
+    // and the fresh segment's stats actually skip: a predicate outside
+    // its range opens only the legacy (never-skippable) segment
+    val b0 = Snapshots.segmentReads.get()
+    Snapshots.prunedFiles(spark, root, 2, "id", 50L, 60L)
+    assert(Snapshots.segmentReads.get() - b0 == 1,
+      "only the #nostats legacy segment may need opening")
   }
 
   test("expire reaps segments no retained list references; shared segments survive") {
