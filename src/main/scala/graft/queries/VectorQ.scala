@@ -324,6 +324,49 @@ object VectorQ {
                 * 1000000.0D + 0.5D) AS BIGINT)""")
         .as("maxabs_micro"))
 
+  /** q211 — kNN JOIN, exact setting: top-3 odd-id neighbors for EVERY
+    * even-id vector via [[Similarity.knnJoin]] with `nProbe =
+    * numCentroids` (all cells probed — exact, so the brute-force SQL
+    * is the oracle) and `replicas = 1`. The plan under test is the
+    * big-big regime's: both sides shuffle on the cell id — NO
+    * broadcast, no |A|×|B| materialization — and per-left top-k is a
+    * window over candidates, never a global sort. q212 is the
+    * approximate-path companion (planted recall at nProbe < cells).
+    */
+  def knnJoinExact(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Similarity.knnJoin(
+      embs.filter(pmod(col("vec_id"), lit(2)) === 0),
+      embs.filter(pmod(col("vec_id"), lit(2)) === 1),
+      k = 3, numCentroids = 8, nProbe = 8, replicas = 1)
+  }
+
+  /** q212 — kNN-join RECALL on the approximate path (the q83/q92
+    * planted pattern): the 20 near-identical planted copies (negative
+    * ids, cos ≈ 0.99999 to their originals) form the LEFT side, the
+    * real corpus the RIGHT, and [[Similarity.knnJoin]] runs with the
+    * q92 SemDeDup centers at nProbe = replicas = 2 — the same
+    * cell-coassignment condition q92 proves holds for every planted
+    * pair on these fixtures, so each copy must surface its original at
+    * rank 1. The emitted booleans assert exactly that; a probe,
+    * assignment, join, or ranking regression flips one and fails the
+    * driver's compare.
+    */
+  def knnJoinPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val found = Similarity.knnJoin(
+        plantedCopies(embs), embs, k = 1,
+        nProbe = 2, replicas = 2, centers = Some(semCenters(spark, dir)))
+      .filter(col("rn") === 1 &&
+        col("right_id") === -col("left_id") - lit(1L))
+    embs.filter(col("vec_id") < 20)
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found.agg(count(lit(1)).as("_nf"), min(col("sim")).as("_ms")))
+      .select(col("n_planted"),
+        (col("_nf") === col("n_planted")).as("all_found_rank1"),
+        (col("_ms") >= 0.99).as("planted_sim_ge_099"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_array_hof" -> (arrayHof _),
     "q138_hard_negatives" -> (hardNegatives _),
@@ -337,7 +380,9 @@ object VectorQ {
     "q80_ann_recall" -> (annRecallGate _),
     "q83_lsh_planted_recall" -> (lshPlantedRecall _),
     "q92_semantic_dedup" -> (semanticDedupGate _),
-    "q97_pq_ann" -> (pqAnn _))
+    "q97_pq_ann" -> (pqAnn _),
+    "q211_knn_join" -> (knnJoinExact _),
+    "q212_knn_join_recall" -> (knnJoinPlantedRecall _))
 
   /** q186 — MMR DIVERSITY RE-RANK (Carbonell & Goldstein 1998, λ =
     * 1/2): greedily select 3 of each probe's top-10 cosine candidates
@@ -616,5 +661,27 @@ object VectorQ {
         |       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |         ORDER BY sim DESC, corpus_id ASC) AS INT) AS rn
         |       FROM sims)
-        |SELECT query_id, corpus_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin)
+        |SELECT query_id, corpus_id, sim, rn FROM ranked WHERE rn <= 5""".stripMargin,
+    // exact kNN JOIN (nProbe = numCentroids probes every cell): the
+    // brute-force big-big join is the oracle, q50's float convention
+    "q211_knn_join" ->
+      """WITH l AS (SELECT vec_id AS left_id, embedding::DOUBLE[] AS lv
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |     r AS (SELECT vec_id AS right_id, embedding::DOUBLE[] AS rv
+        |           FROM embeddings WHERE vec_id % 2 = 1),
+        |     sims AS (
+        |       SELECT left_id, right_id,
+        |         floor(list_cosine_similarity(lv, rv) * 1000000 + 0.5) / 1000000 AS sim
+        |       FROM l JOIN r ON left_id <> right_id),
+        |     ranked AS (
+        |       SELECT *, CAST(row_number() OVER (PARTITION BY left_id
+        |         ORDER BY sim DESC, right_id ASC) AS INT) AS rn
+        |       FROM sims)
+        |SELECT left_id, right_id, sim, rn FROM ranked WHERE rn <= 3""".stripMargin,
+    // engine-measured planted-recall invariants, stated literally (the
+    // q83/q92 convention)
+    "q212_knn_join_recall" ->
+      """SELECT count(*) AS n_planted, TRUE AS all_found_rank1,
+        |  TRUE AS planted_sim_ge_099
+        |FROM embeddings WHERE vec_id < 20""".stripMargin)
 }

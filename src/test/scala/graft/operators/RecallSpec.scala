@@ -80,4 +80,40 @@ class RecallSpec extends AnyFunSuite with SparkTestSession {
     assert(rAll >= r5)
     assert(rAll >= 0.95, f"probing every centroid must approach exact ($rAll%.3f)")
   }
+
+  test("kNN join with nProbe = numCentroids is EXACT vs brute force") {
+    val embs = Tables.embeddings(spark, dir)
+    val left = embs.filter($"vec_id" % 2 === 0)
+    val right = embs.filter($"vec_id" % 2 === 1)
+    // brute-force reference via the broadcast-queries path (left as
+    // queries of a right-only corpus — same semantics, proven exact)
+    val exact = Similarity.bruteForceTopK(right, left, k = 3)
+      .select($"query_id", $"corpus_id", $"rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val joined = Similarity.knnJoin(left, right, k = 3,
+        numCentroids = 8, nProbe = 8, replicas = 1)
+      .select($"left_id", $"right_id", $"rn")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(joined == exact,
+      s"exact-setting kNN join diverged: ${(joined diff exact).take(3)} vs ${(exact diff joined).take(3)}")
+  }
+
+  test("kNN join recall rises with nProbe; empty-center corpus returns empty") {
+    val embs = Tables.embeddings(spark, dir)
+    val left = embs.filter($"vec_id" % 2 === 0 && $"vec_id" < 40)
+    val right = embs.filter($"vec_id" % 2 === 1)
+    val exact = Similarity.bruteForceTopK(right, left, k = 3)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int) = {
+      val a = Similarity.knnJoin(left, right, k = 3, numCentroids = 8,
+          nProbe = nProbe, replicas = 2)
+        .select($"left_id", $"right_id").as[(Long, Long)].collect().toSet
+      (exact intersect a).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4); val r8 = recallAt(8)
+    info(f"kNN-join recall@3: nProbe=1 -> $r1%.3f, 4 -> $r4%.3f, 8 -> $r8%.3f")
+    assert(r4 >= r1 && r8 >= r4)
+    assert(r8 >= 0.999, f"all-cells probe must be exact ($r8%.3f)")
+    assert(Similarity.knnJoin(left, right.limit(0), k = 3).count() == 0)
+  }
 }
