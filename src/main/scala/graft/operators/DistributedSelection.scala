@@ -84,6 +84,37 @@ object DistributedSelection {
         col("v").as("value"))
   }
 
+  /** Per-group top-fraction filter (r14): the rows whose `valueCol` is
+    * ≥ the group's keep-threshold — the value at ascending rank
+    * n − ⌈keepFrac·n⌉ + 1 — i.e. keep each group's top ⌈keepFrac·n⌉
+    * rows BY VALUE, ties kept. Membership depends only on a row's
+    * value, never an arbitrary tiebreak, so the kept set is stable
+    * across partitionings (ties can push the count above the target —
+    * the honest deterministic spelling; a row_number cut would be
+    * partition-scheduling-dependent). This is the curation primitive
+    * "keep the top p% per domain by quality score".
+    *
+    * Scale shape: thresholds come from [[orderStatsByGroup]] (two
+    * bounded passes — never a per-group sort, which would buffer a
+    * whole domain in one task), land in a #groups-row table (bounded:
+    * groups are domains/sources), BROADCAST back onto the stream, and
+    * the filter is map-side. No window over data rows, no global sort.
+    */
+  def topFracByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                     keepFrac: Double, bucketWidth: Long = 10000L): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    // toPlainString: a bare interpolation prints small fractions in
+    // scientific notation, which is not valid SQL in a rank expression
+    val f = java.math.BigDecimal.valueOf(keepFrac).toPlainString
+    val thr = orderStatsByGroup(df, groupCol, valueCol,
+        Seq(s"n - CAST(ceil($f * n) AS BIGINT) + 1L"), bucketWidth)
+      .select(col(groupCol), col("value").as("_thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(valueCol).cast("long") >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** (group, n, median) — exact lower median of `valueCol` per group. */
   def medianByGroup(df: DataFrame, groupCol: String, valueCol: String,
                     bucketWidth: Long = 10000L): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, IncrementalDedup, Sampling, Winnowing}
+import graft.operators.{Dedup, DistributedSelection, IncrementalDedup, Sampling, Winnowing}
 import graft.sources.Tables
 
 /** Corpus-curation operators beyond the per-document filters in
@@ -84,6 +84,32 @@ object CurationQ {
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_tok")).as("kept_tokens"),
         sum(floor(col("q") * 1000000 + 0.5).cast("long")).as("sum_q_millionths"))
+
+  /** q213 — per-SOURCE quality PRUNING: keep each source's top 25% of
+    * documents by the q45 quality blend (micro-int), the
+    * budgeted-curation primitive "every domain keeps its best p%"
+    * (quality filtering with per-domain budgets — a global threshold
+    * would let one verbose domain crowd out the rest). The threshold
+    * is an EXACT per-group order statistic from
+    * [[DistributedSelection.topFracByGroup]]: two bounded passes +
+    * broadcast of a #sources-row threshold table — no per-source sort,
+    * no window over data rows. Ties at the threshold are kept (the
+    * value-membership contract), which the oracle replays exactly.
+    */
+  def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.QualityFunctions.quality_stats(col("text")).as("qs"))
+      .select(col("doc_id"), col("source"),
+        floor(col("qs.q") * 1000000 + 0.5).cast("long").as("q_micro"),
+        col("qs.n_tok").cast("long").as("n_tok"))
+    DistributedSelection.topFracByGroup(scored, "source", "q_micro", keepFrac = 0.25)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).as("kept_tokens"),
+        min(col("q_micro")).as("min_q_micro"),
+        max(col("q_micro")).as("max_q_micro"))
+  }
 
   /** Shard plan — the deterministic global "shuffle" that randomizes
     * training order at 100 TB without a sort: every document lands in
@@ -916,6 +942,7 @@ object CurationQ {
     "q96_incremental_dedup" -> (incrementalDedup _),
     "q86_mixture_rebalance" -> (mixtureRebalance _),
     "q87_quality_resample" -> (qualityResample _),
+    "q213_quality_prune" -> (qualityPrune _),
     "q88_shard_plan" -> (shardPlan _),
     "q89_cluster_cap" -> (clusterCap _),
     "q90_top_terms" -> (topTerms _),
@@ -1187,6 +1214,26 @@ object CurationQ {
          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
          |  CAST(sum(m * p_micro) // sum(m) AS BIGINT) AS fluency_micro
          |FROM sc GROUP BY doc_id""".stripMargin,
+    // per-source top-25% by quality: threshold = value at ascending
+    // rank n − ⌈0.25·n⌉ + 1, ties kept — the exact value-membership
+    // contract topFracByGroup states
+    "q213_quality_prune" -> {
+      s"""WITH ${qualityCtes},
+         |qq AS (SELECT doc_id, source, n_tok,
+         |  CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS q_micro FROM q),
+         |t AS (SELECT *,
+         |  row_number() OVER (PARTITION BY source ORDER BY q_micro ASC,
+         |                     doc_id ASC) AS rnk,
+         |  count(*) OVER (PARTITION BY source) AS n FROM qq),
+         |th AS (SELECT source, q_micro AS thr FROM t
+         |       WHERE rnk = n - CAST(ceil(0.25 * n) AS BIGINT) + 1),
+         |kept AS (SELECT qq.* FROM qq JOIN th USING (source)
+         |         WHERE q_micro >= thr)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+         |  min(q_micro) AS min_q_micro, max(q_micro) AS max_q_micro
+         |FROM kept GROUP BY source""".stripMargin
+    },
     "q157_curriculum_plan" -> {
       s"""WITH ${qualityCtes},
          |qq AS (SELECT doc_id, n_tok,

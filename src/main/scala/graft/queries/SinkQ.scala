@@ -457,6 +457,14 @@ object SinkQ {
       o.toString
     })
     val v = S.latestVersion(root)
+    // COUNTER-METERING CONVENTION (r14, ADVICE): the per-leg deltas
+    // below read the global mutable counters Snapshots.segmentReads /
+    // queryPathFooterReads, which any concurrent snapshot activity in
+    // the same session would pollute. Sound under the q165 convention
+    // — the gate/bench harness executes queries single-threaded on the
+    // driver — and the legs themselves resolve synchronously. If the
+    // harness ever parallelizes queries, scope the counters per call
+    // (or serialize counter-metered gates) before trusting the deltas.
     // table extremes from the MANIFEST (commit-time stats — one list +
     // four segment reads, zero data I/O), so the leg arithmetic is the
     // same integer-quarter formula the oracle replays over the table

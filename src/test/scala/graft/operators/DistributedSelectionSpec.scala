@@ -54,6 +54,35 @@ class DistributedSelectionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("topFracByGroup keeps each group's top ceil(f*n) by value, ties kept") {
+    val rnd = new scala.util.Random(7)
+    // heavy ties on purpose: values drawn from a small range so the
+    // threshold value repeats and the ties-kept contract is exercised
+    val data = Seq.tabulate(3000) { i =>
+      (s"g${i % 6}", rnd.nextInt(40).toLong - 20L)
+    } ++ Seq(("solo", 5L))
+    val df = data.toDF("g", "v")
+    val got = DistributedSelection.topFracByGroup(df, "g", "v",
+        keepFrac = 0.25, bucketWidth = 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.size
+      val k = math.ceil(0.25 * n).toLong.toInt
+      val thr = vs(n - k) // value at ascending rank n-k+1 (0-based n-k)
+      val want = rows.map(_._2).filter(_ >= thr).sorted
+      assert(got(g) == want, s"group $g: threshold $thr")
+      assert(want.size >= k, s"group $g must keep at least ceil(f*n)")
+    }
+    // keepFrac = 1.0 keeps everything; invalid fractions refuse
+    assert(DistributedSelection.topFracByGroup(df, "g", "v", 1.0).count() ==
+      data.size)
+    intercept[IllegalArgumentException] {
+      DistributedSelection.topFracByGroup(df, "g", "v", 0.0)
+    }
+  }
+
   test("empty input yields empty output; width 1 degenerates correctly") {
     val empty = Seq.empty[(String, Long)].toDF("g", "v")
     assert(DistributedSelection.medianByGroup(empty, "g", "v").count() == 0)
