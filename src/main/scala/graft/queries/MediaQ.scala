@@ -120,8 +120,28 @@ object MediaQ {
     * replayed hashes — exhaustive reference vs banded candidate
     * generation, the q82 completeness pattern.
     */
+  /** Near-dup PAIR artifacts (r14): each modality's pair list has two
+    * battery consumers — its own gate (q202/q204/q208) and the q209
+    * cleaned corpus — so the two-consumer ArtifactStore rule applies:
+    * the capped bucket join + verify runs ONCE per (session, dir) and
+    * q209 reads three small parquet tables instead of re-running all
+    * three candidate pipelines (the r13 bench priced that re-run at
+    * 3.9 s battery — ~25 small stages, job-count bound).
+    */
+  private def stillPairsArtifact(spark: SparkSession, dir: String,
+                                 modality: String): DataFrame =
+    graft.sources.ArtifactStore.parquet(spark, dir, s"${modality}_near_dup_pairs") {
+      graft.operators.MediaDedup.nearDupPairs(sigsOf(spark, dir, modality))
+    }
+
+  private def videoPairsArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ArtifactStore.parquet(spark, dir, "video_near_dup_pairs") {
+      graft.operators.MediaDedup.frameJaccardPairs(
+        videoFrames(spark, dir), minJaccard = 0.5)
+    }
+
   def imageNearDups(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MediaDedup.nearDupPairs(sigsOf(spark, dir, "image"))
+    stillPairsArtifact(spark, dir, "image")
 
   /** q203 — audio fingerprints: 65-block integer energy gradient over
     * the real WAV sample data ([[graft.multimodal.MediaHash.fingerprintWav]]);
@@ -133,7 +153,7 @@ object MediaQ {
 
   /** q204 — near-duplicate AUDIO, the q202 shape over WAV fingerprints. */
   def audioNearDups(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MediaDedup.nearDupPairs(sigsOf(spark, dir, "audio"))
+    stillPairsArtifact(spark, dir, "audio")
 
   /** Per-frame video signatures, the video half of the [[mediaSigs]]
     * index (one row per decoded AVI frame, frame order preserved) —
@@ -187,8 +207,7 @@ object MediaQ {
     * the same set arithmetic over its independently replayed hashes.
     */
   def videoNearDups(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MediaDedup.frameJaccardPairs(
-      videoFrames(spark, dir), minJaccard = 0.5)
+    videoPairsArtifact(spark, dir)
 
   /** q209 — the CLEANED media corpus, closing the perceptual family the
     * way q72 closed text: the three modalities' near-dup pair lists
@@ -204,11 +223,11 @@ object MediaQ {
     * aggregates the survivors independently.
     */
   def mediaCleanedCorpus(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Dedup, MediaDedup}
-    val pairs = MediaDedup.nearDupPairs(sigsOf(spark, dir, "image"))
-      .unionByName(MediaDedup.nearDupPairs(sigsOf(spark, dir, "audio")))
+    import graft.operators.Dedup
+    val pairs = stillPairsArtifact(spark, dir, "image")
+      .unionByName(stillPairsArtifact(spark, dir, "audio"))
       .select(col("id_a"), col("id_b"))
-      .unionByName(MediaDedup.frameJaccardPairs(videoFrames(spark, dir), minJaccard = 0.5)
+      .unionByName(videoPairsArtifact(spark, dir)
         .select(col("id_a"), col("id_b")))
     Dedup.keepCanonical(
         Multimodal.syntheticMedia(Tables.documents(spark, dir))

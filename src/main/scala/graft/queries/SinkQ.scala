@@ -225,6 +225,44 @@ object SinkQ {
     agg(1).unionByName(agg(2))
   }
 
+  /** q214 — TIMESTAMP time travel (Iceberg `FOR SYSTEM_TIME AS OF` /
+    * Delta `timestampAsOf`; [[graft.sources.Snapshots.versionAsOf]]):
+    * three appends (doc_id % 3 slices), then four resolution legs —
+    * each commit's own stamp must resolve to exactly that commit
+    * (commit stamps are strictly monotone along a lineage, the
+    * property the engine enforces at commit time), and a far-future
+    * timestamp resolves to the head. Wall time itself is
+    * non-deterministic, so the gate surface is the RESOLVED version +
+    * its content count (both deterministic) — the q51 engine-measured-
+    * invariant convention; a pre-history timestamp must REFUSE
+    * (returning the oldest snapshot would silently misdate it), and
+    * that refusal is the gate's boolean.
+    */
+  private val tsTravelStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def timestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = tsTravelStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_ts_travel_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      (0 to 2).foreach(i => S.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), o.toString))
+      o.toString
+    })
+    val legs = (1 to 3).map { v =>
+      (s"${v}_at_commit_ts", S.versionAsOf(root, S.commitTimeOf(root, v)))
+    } :+ (("4_beyond_head", S.versionAsOf(root, Long.MaxValue)))
+    val refused =
+      try { S.versionAsOf(root, S.commitTimeOf(root, 1) - 1); false }
+      catch { case _: IllegalArgumentException => true }
+    legs.map { case (leg, rv) =>
+      S.read(spark, root, rv).agg(count(lit(1)).as("n_docs"))
+        .select(lit(leg).as("leg"), lit(rv).as("resolved_version"),
+          col("n_docs"), lit(refused).as("pre_history_refused"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** q158 — snapshot COMPACTION preserving time travel
     * ([[graft.sources.Snapshots.compact]]): four appends (doc_id % 4
     * slices, each written as 2 files) accumulate an 8-file manifest —
@@ -1537,6 +1575,7 @@ object SinkQ {
     "q159_snapshot_expiration" -> (snapshotExpiration _),
     "q158_snapshot_compaction" -> (snapshotCompaction _),
     "q126_time_travel" -> (timeTravel _),
+    "q214_timestamp_travel" -> (timestampTravel _),
     "q81_write_roundtrip" -> (writeRoundtrip _),
     "q99_bucketed_join" -> (bucketedJoin _),
     "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -1985,6 +2024,19 @@ object SinkQ {
         |SELECT 5, 2, count(*), CAST(sum(n_chars) AS BIGINT), min(doc_id),
         |  max(doc_id)
         |FROM documents""".stripMargin,
+    // resolved versions are engine invariants under strict stamp
+    // monotonicity, stated literally; content counts recomputed
+    "q214_timestamp_travel" ->
+      """SELECT '1_at_commit_ts' AS leg, 1 AS resolved_version,
+        |  count(*) AS n_docs, TRUE AS pre_history_refused
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT '2_at_commit_ts', 2, count(*), TRUE
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT '3_at_commit_ts', 3, count(*), TRUE FROM documents
+        |UNION ALL
+        |SELECT '4_beyond_head', 3, count(*), TRUE FROM documents""".stripMargin,
     "q126_time_travel" ->
       """SELECT 1 AS version, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_id,

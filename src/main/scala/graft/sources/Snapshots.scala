@@ -465,10 +465,23 @@ object Snapshots {
                      props: Map[String, String] = Map.empty): Unit = {
     val token = newToken()
     val tmp = rootP.resolve("_manifests").resolve(s"_tmp_${v}_$token.txt")
+    // commit timestamp (r14): stamped on EVERY commit, strictly
+    // monotone along the lineage (a same-millisecond burst bumps by
+    // 1 ms off the parent's stamp) — the property [[versionAsOf]]
+    // needs for timestamp travel to be well-defined; Iceberg leaves
+    // ties to the catalog, we close them at the source. Wall time is
+    // metadata here, never query-result data, so determinism of the
+    // gate hashes is untouched.
+    val parentV = props.get("parent").map(_.toInt).getOrElse(v - 1)
+    val parentTs =
+      if (parentV >= 1 && Files.exists(manifestPath(rootP, parentV)))
+        commitTimeOf(rootP.toString, parentV)
+      else 0L
+    val stamped = props +
+      ("ts" -> math.max(System.currentTimeMillis(), parentTs + 1L).toString)
     val headers = s"#schema\t${schema.json}" +:
-      (if (props.isEmpty) Nil
-       else Seq(("#props" +: props.toSeq.sortBy(_._1)
-         .map { case (k, w) => s"$k=$w" }).mkString("\t")))
+      Seq(("#props" +: stamped.toSeq.sortBy(_._1)
+        .map { case (k, w) => s"$k=$w" }).mkString("\t"))
     // two-level commit (r13): inline body lines become content-addressed
     // segments, carried-forward pointers ride through by reference —
     // the list file stays O(commits since last compact), never O(files)
@@ -2113,6 +2126,34 @@ object Snapshots {
     */
   def parentOf(root: String, v: Int): Int =
     propsOf(root, v).get("parent").map(_.toInt).getOrElse(v - 1)
+
+  /** Commit wall-clock of version `v`, epoch millis: the `ts` prop
+    * [[commit]] stamps (strictly monotone along a lineage); a pre-r14
+    * manifest without one falls back to the manifest file's mtime —
+    * the same physical clock retention already trusts.
+    */
+  def commitTimeOf(root: String, v: Int): Long =
+    propsOf(root, v).get("ts").map(_.toLong).getOrElse(
+      Files.getLastModifiedTime(manifestPath(Paths.get(root), v)).toMillis)
+
+  /** TIMESTAMP time travel (Iceberg's `FOR SYSTEM_TIME AS OF` /
+    * Delta's `timestampAsOf`): the LATEST commit on `ref`'s lineage
+    * whose commit time is ≤ `tsMillis` — "the table as a reader at
+    * that wall-clock instant saw it". Commit stamps are strictly
+    * monotone along a lineage ([[commit]]), so the answer is unique;
+    * resolution walks surviving metadata only (O(history) small file
+    * reads on the driver, zero data I/O). Refuses a timestamp before
+    * the ref's surviving history: there was no table to read then —
+    * returning the oldest snapshot would silently misdate it.
+    */
+  def versionAsOf(root: String, tsMillis: Long, ref: String = "main"): Int = {
+    val at = lineage(root, headOf(root, ref))
+      .filter(commitTimeOf(root, _) <= tsMillis)
+    require(at.nonEmpty,
+      s"no commit on '$ref' at or before ts=$tsMillis under $root " +
+        "(timestamp predates the ref's surviving history)")
+    at.max
+  }
 
   /** The branch a commit landed on (`main` for legacy manifests). */
   def branchOf(root: String, v: Int): String =

@@ -562,6 +562,31 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     val ok = run(concurrentKey = 7L)
     assert(ok == Right(Set(1L -> "a", 2L -> "B2", 7L -> "c", 9L -> "i")), ok)
   }
+
+  test("commit stamps are strictly monotone; versionAsOf resolves and refuses correctly") {
+    val root = Staging.tempDir("snap_ts").toString
+    // burst commits would land within the same millisecond without the bump
+    (1 to 4).foreach(i => Snapshots.append(Seq((i.toLong, "x")).toDF("id", "s"), root))
+    val ts = (1 to 4).map(v => Snapshots.commitTimeOf(root, v))
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"commit stamps must be strictly increasing along the lineage, got $ts")
+    // each commit's own stamp resolves to exactly that commit
+    (1 to 4).foreach(v =>
+      assert(Snapshots.versionAsOf(root, ts(v - 1)) == v))
+    // between two stamps → the earlier commit; beyond head → head
+    assert(Snapshots.versionAsOf(root, ts(2) - 1) == 2)
+    assert(Snapshots.versionAsOf(root, Long.MaxValue) == 4)
+    // before history: refuse, never silently return the oldest
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(root, ts(0) - 1)
+    }
+    // branch-aware: a branch resolves along ITS lineage — at the fork
+    // stamp it sees the fork commit, never main-only successors
+    Snapshots.createBranch(root, "b", from = 2)
+    val bv = Snapshots.appendTo(Seq((99L, "y")).toDF("id", "s"), root, "b")
+    assert(Snapshots.versionAsOf(root, Long.MaxValue, "b") == bv)
+    assert(Snapshots.versionAsOf(root, ts(1), "b") == 2)
+  }
 }
 
 object SnapshotsSpec {
