@@ -210,11 +210,19 @@ object Similarity {
     * buckets stay bounded and the equi-join shuffle has no hot key;
     * the centers stay the same bounded driver artifact as [[ivfTopK]]'s
     * (k·dim doubles, persisted and reused across runs).
+    *
+    * `dropSameId = true` excludes candidates whose ids coincide — set
+    * it ONLY for a self-join (left and right are the same dataset,
+    * where a row's nearest neighbor is trivially itself). For two
+    * DIFFERENT datasets it must stay false: independent id spaces can
+    * collide, and dropping an (eval 7, train 7) pair would silently
+    * lose a legitimate cross-dataset neighbor.
     */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int,
               numCentroids: Int = 16, nProbe: Int = 6, replicas: Int = 3,
               lloydIters: Int = 2, buildSampleMod: Int = 1,
               centers: Option[Seq[Seq[Double]]] = None,
+              dropSameId: Boolean = false,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions.nearest_centroids
     val l = left.select(col(idCol).as("left_id"), col(vecCol).cast("array<double>").as("lv"))
@@ -233,8 +241,9 @@ object Similarity {
       .filter(col("cell") >= 0)
     val wTop = Window.partitionBy(col("left_id"))
       .orderBy(col("sim").desc, col("right_id").asc)
-    probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
-      .filter(col("left_id") =!= col("right_id"))
+    val candidates = probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
+    (if (dropSameId) candidates.filter(col("left_id") =!= col("right_id"))
+     else candidates)
       .select(col("left_id"), col("right_id"),
         cosine_similarity6(col("lv"), col("rv")).as("sim"))
       .dropDuplicates("left_id", "right_id")

@@ -114,12 +114,6 @@ object MediaQ {
     sigsOf(spark, dir, "image")
       .select(col("media_id"), format_string("%016x", col("sig")).as("dh"))
 
-  /** q202 — near-duplicate IMAGES: Hamming ≤ 3 dHash pairs via the
-    * 4×16-bit pigeonhole bucket join ([[graft.operators.MediaDedup]]).
-    * The oracle brute-forces `bit_count(xor)` over its independently
-    * replayed hashes — exhaustive reference vs banded candidate
-    * generation, the q82 completeness pattern.
-    */
   /** Near-dup PAIR artifacts (r14): each modality's pair list has two
     * battery consumers — its own gate (q202/q204/q208) and the q209
     * cleaned corpus — so the two-consumer ArtifactStore rule applies:
@@ -140,6 +134,12 @@ object MediaQ {
         videoFrames(spark, dir), minJaccard = 0.5)
     }
 
+  /** q202 — near-duplicate IMAGES: Hamming ≤ 3 dHash pairs via the
+    * 4×16-bit pigeonhole bucket join ([[graft.operators.MediaDedup]]).
+    * The oracle brute-forces `bit_count(xor)` over its independently
+    * replayed hashes — exhaustive reference vs banded candidate
+    * generation, the q82 completeness pattern.
+    */
   def imageNearDups(spark: SparkSession, dir: String): DataFrame =
     stillPairsArtifact(spark, dir, "image")
 
@@ -265,17 +265,23 @@ object MediaQ {
   // returns (cap description, over-cap bucket count) pairs; all sig
   // inputs come from the session ArtifactStore tables the queries
   // themselves read, so the preflight costs one rollup, not a decode.
-  private def imageDrops(s: SparkSession, d: String) =
-    ("image dHash pigeonhole buckets (Dedup.DefaultMaxBucketDf=" +
+  // guard results memoized per (session, dir): q209's guard reuses
+  // q202/q204/q208's counts instead of re-running three rollups
+  private val guardMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Long]()
+  private def memoGuard(key: String, s: SparkSession, d: String)
+                       (eval: => Long): (String, Long) =
+    (s"$key buckets (Dedup.DefaultMaxBucketDf=" +
       s"${graft.operators.Dedup.DefaultMaxBucketDf})",
+      guardMemo.computeIfAbsent((s, d, key), _ => eval))
+  private def imageDrops(s: SparkSession, d: String) =
+    memoGuard("image dHash pigeonhole", s, d)(
       graft.operators.MediaDedup.droppedBuckets(sigsOf(s, d, "image")).count())
   private def audioDrops(s: SparkSession, d: String) =
-    ("audio fingerprint pigeonhole buckets (Dedup.DefaultMaxBucketDf=" +
-      s"${graft.operators.Dedup.DefaultMaxBucketDf})",
+    memoGuard("audio fingerprint pigeonhole", s, d)(
       graft.operators.MediaDedup.droppedBuckets(sigsOf(s, d, "audio")).count())
   private def frameDrops(s: SparkSession, d: String) =
-    ("video frame-sig buckets (Dedup.DefaultMaxBucketDf=" +
-      s"${graft.operators.Dedup.DefaultMaxBucketDf})",
+    memoGuard("video frame-sig", s, d)(
       graft.operators.MediaDedup.droppedFrameSigs(videoFrames(s, d)).count())
 
   private[graft] val capGuards: Map[String,

@@ -809,12 +809,16 @@ object TextQ {
     * OFF by design and needs no guard; minhashLsh's band keys are
     * uniform by construction and uncapped.)
     */
+  private val simhashGuardMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+
   private[graft] val capGuards: Map[String,
       (SparkSession, String) => Seq[(String, Long)]] = Map(
     "q48_simhash_pairs" -> ((s, d) => Seq(
       ("simhash 15-bit pigeonhole buckets (Dedup.DefaultMaxBucketDf=" +
         s"${Dedup.DefaultMaxBucketDf})",
-        Dedup.simhashDroppedBuckets(Tables.documents(s, d)).count()))))
+        simhashGuardMemo.computeIfAbsent((s, d), _ =>
+          Dedup.simhashDroppedBuckets(Tables.documents(s, d)).count())))))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s

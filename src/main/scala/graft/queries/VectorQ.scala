@@ -336,9 +336,14 @@ object VectorQ {
   def knnJoinExact(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
     Similarity.knnJoin(
-      embs.filter(pmod(col("vec_id"), lit(2)) === 0),
-      embs.filter(pmod(col("vec_id"), lit(2)) === 1),
-      k = 3, numCentroids = 8, nProbe = 8, replicas = 1)
+        embs.filter(pmod(col("vec_id"), lit(2)) === 0),
+        embs.filter(pmod(col("vec_id"), lit(2)) === 1),
+        k = 3, numCentroids = 8, nProbe = 8, replicas = 1)
+      // gate in scaled ints (the frozen double-gate rule): sim is
+      // already 6dp-rounded, so micro is a monotone injection of it
+      .select(col("left_id"), col("right_id"),
+        floor(col("sim") * 1000000.0 + 0.5).cast("long").as("sim_micro"),
+        col("rn"))
   }
 
   /** q212 — kNN-join RECALL on the approximate path (the q83/q92
@@ -671,13 +676,14 @@ object VectorQ {
         |           FROM embeddings WHERE vec_id % 2 = 1),
         |     sims AS (
         |       SELECT left_id, right_id,
-        |         floor(list_cosine_similarity(lv, rv) * 1000000 + 0.5) / 1000000 AS sim
-        |       FROM l JOIN r ON left_id <> right_id),
+        |         CAST(floor(list_cosine_similarity(lv, rv) * 1000000 + 0.5)
+        |           AS BIGINT) AS sim_micro
+        |       FROM l CROSS JOIN r),
         |     ranked AS (
         |       SELECT *, CAST(row_number() OVER (PARTITION BY left_id
-        |         ORDER BY sim DESC, right_id ASC) AS INT) AS rn
+        |         ORDER BY sim_micro DESC, right_id ASC) AS INT) AS rn
         |       FROM sims)
-        |SELECT left_id, right_id, sim, rn FROM ranked WHERE rn <= 3""".stripMargin,
+        |SELECT left_id, right_id, sim_micro, rn FROM ranked WHERE rn <= 3""".stripMargin,
     // engine-measured planted-recall invariants, stated literally (the
     // q83/q92 convention)
     "q212_knn_join_recall" ->

@@ -256,9 +256,12 @@ object Snapshots {
   /** Commit-scoped properties of version `v` (r9): `#props` header
     * lines are metadata about THE COMMIT ITSELF — unlike entry lines
     * they are NOT carried forward by children ([[rawLines]] strips
-    * them). The one producer today is [[compact]]'s `rewrite=true`,
-    * Delta's `dataChange=false`: the commit reorganized bytes without
-    * changing the table's rows, so CDC readers skip it.
+    * them). Since r14 EVERY commit carries one (the monotone `ts`
+    * stamp, plus `op`/`parent`/`branch` where the writer sets them);
+    * notable consumers: [[compact]]'s `rewrite=true` (Delta's
+    * `dataChange=false` — the commit reorganized bytes without
+    * changing the table's rows, so CDC readers skip it) and
+    * [[versionAsOf]]'s `ts`.
     */
   def propsOf(root: String, v: Int): Map[String, String] = {
     val p = manifestPath(Paths.get(root), v)
@@ -473,10 +476,16 @@ object Snapshots {
     // metadata here, never query-result data, so determinism of the
     // gate hashes is untouched.
     val parentV = props.get("parent").map(_.toInt).getOrElse(v - 1)
+    // a concurrent expire can reap the parent manifest between the
+    // exists check and the read (TOCTOU) — an expired parent imposes
+    // no ordering constraint, so degrade to the plain wall clock
+    // rather than aborting a commit whose data is already written
     val parentTs =
-      if (parentV >= 1 && Files.exists(manifestPath(rootP, parentV)))
-        commitTimeOf(rootP.toString, parentV)
-      else 0L
+      try {
+        if (parentV >= 1 && Files.exists(manifestPath(rootP, parentV)))
+          commitTimeOf(rootP.toString, parentV)
+        else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     val stamped = props +
       ("ts" -> math.max(System.currentTimeMillis(), parentTs + 1L).toString)
     val headers = s"#schema\t${schema.json}" +:

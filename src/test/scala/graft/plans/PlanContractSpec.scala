@@ -77,6 +77,8 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
                               // 20-row domain table
     "q183_mixed_sample",      // the q179 1-row totals scalar broadcast,
                               // feeding the 20-row rate table
+    "q212_knn_join_recall",   // 1×1 cross of the planted-count and
+                              // found-count scalars (the q83/q92 shape)
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
