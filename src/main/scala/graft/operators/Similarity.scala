@@ -242,11 +242,19 @@ object Similarity {
     val wTop = Window.partitionBy(col("left_id"))
       .orderBy(col("sim").desc, col("right_id").asc)
     val candidates = probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
-    (if (dropSameId) candidates.filter(col("left_id") =!= col("right_id"))
-     else candidates)
-      .select(col("left_id"), col("right_id"),
-        cosine_similarity6(col("lv"), col("rv")).as("sim"))
-      .dropDuplicates("left_id", "right_id")
+    val scored =
+      (if (dropSameId) candidates.filter(col("left_id") =!= col("right_id"))
+       else candidates)
+        .select(col("left_id"), col("right_id"),
+          cosine_similarity6(col("lv"), col("rv")).as("sim"))
+    // replicas == 1 ⇒ each right row lives in exactly one cell, so a
+    // (left, right) pair can meet at most once regardless of nProbe —
+    // the dedup exchange is provably a no-op; skip it (one of the two
+    // post-join shuffles at the exact-gate setting)
+    val unique =
+      if (replicas == 1) scored
+      else scored.dropDuplicates("left_id", "right_id")
+    unique
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("left_id"), col("right_id"), col("sim"), col("rn"))

@@ -372,6 +372,41 @@ object VectorQ {
         (col("_ms") >= 0.99).as("planted_sim_ge_099"))
   }
 
+  /** q215 — EMBEDDING DECONTAMINATION, the kNN join's documented
+    * cross-dataset use: purge from the TRAIN side every vector whose
+    * exact nearest EVAL neighbor has cosine ≥ 0.95 (the q92 SemDeDup
+    * threshold, applied across datasets — the leak an n-gram
+    * decontaminator (q77/q163) cannot see: a paraphrase shares
+    * embedding space, not shingles). Fixture: eval = vec_id < 25,
+    * train = the rest PLUS the 20 planted near-copies of eval members
+    * (negative ids) — so contamination demonstrably exists and its
+    * exact membership is known. The gate emits counts + booleans
+    * asserting the purge removed EXACTLY the planted set (the
+    * uniform-random fixture has no true ≥ 0.95 cross pairs of its
+    * own — the q92-proven invariant); the oracle states them
+    * literally over the same id arithmetic. knnJoin runs at the exact
+    * setting (nProbe = numCentroids) so the purge is deterministic.
+    */
+  def embeddingDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val evalSide = embs.filter(col("vec_id") < 25)
+    val train = embs.filter(col("vec_id") >= 25)
+      .unionByName(plantedCopies(embs))
+    val purged = Similarity.knnJoin(train, evalSide, k = 1,
+        numCentroids = 8, nProbe = 8, replicas = 1)
+      .filter(col("rn") === 1 && col("sim") >= 0.95)
+      .select(col("left_id").as("vec_id"))
+    val survivors = train.join(purged, Seq("vec_id"), "left_anti")
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(purged.agg(count(lit(1)).as("n_purged"),
+        coalesce(sum(when(col("vec_id") < 0, 1L)), lit(0L)).as("_negp")))
+      .crossJoin(survivors.agg(count(lit(1)).as("n_survivors"),
+        coalesce(sum(when(col("vec_id") < 0, 1L)), lit(0L)).as("_negs")))
+      .select(col("n_train"), col("n_purged"), col("n_survivors"),
+        (col("_negp") === col("n_purged")).as("purged_only_planted"),
+        (col("_negs") === 0L).as("no_planted_survives"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_array_hof" -> (arrayHof _),
     "q138_hard_negatives" -> (hardNegatives _),
@@ -387,7 +422,8 @@ object VectorQ {
     "q92_semantic_dedup" -> (semanticDedupGate _),
     "q97_pq_ann" -> (pqAnn _),
     "q211_knn_join" -> (knnJoinExact _),
-    "q212_knn_join_recall" -> (knnJoinPlantedRecall _))
+    "q212_knn_join_recall" -> (knnJoinPlantedRecall _),
+    "q215_embedding_decontamination" -> (embeddingDecontamination _))
 
   /** q186 — MMR DIVERSITY RE-RANK (Carbonell & Goldstein 1998, λ =
     * 1/2): greedily select 3 of each probe's top-10 cosine candidates
@@ -689,5 +725,15 @@ object VectorQ {
     "q212_knn_join_recall" ->
       """SELECT count(*) AS n_planted, TRUE AS all_found_rank1,
         |  TRUE AS planted_sim_ge_099
-        |FROM embeddings WHERE vec_id < 20""".stripMargin)
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // exact-purge membership is the planted set (q92-proven: no true
+    // >= 0.95 cross pairs in the fixture), counts from id arithmetic
+    "q215_embedding_decontamination" ->
+      """WITH t AS (SELECT
+        |    (SELECT count(*) FROM embeddings WHERE vec_id >= 25) +
+        |    (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_train),
+        |  p AS (SELECT count(*) AS n_purged FROM embeddings WHERE vec_id < 20)
+        |SELECT n_train, n_purged, n_train - n_purged AS n_survivors,
+        |  TRUE AS purged_only_planted, TRUE AS no_planted_survives
+        |FROM t CROSS JOIN p""".stripMargin)
 }

@@ -79,6 +79,8 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
                               // feeding the 20-row rate table
     "q212_knn_join_recall",   // 1×1 cross of the planted-count and
                               // found-count scalars (the q83/q92 shape)
+    "q215_embedding_decontamination", // 1×1×1 cross of the train/purged/
+                              // survivor count scalars (the q135 shape)
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)
