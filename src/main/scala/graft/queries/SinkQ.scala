@@ -263,6 +263,58 @@ object SinkQ {
     }.reduce(_.unionByName(_))
   }
 
+  /** q216 — METADATA-ONLY manifest rewrite
+    * ([[graft.sources.Snapshots.compactManifests]] — Iceberg's
+    * `rewrite_manifests`): six appends + one MoR delete accumulate a
+    * 7-pointer head list; the rewrite packs it to ONE segment with
+    * ZERO data I/O. Three legs prove the contract: pre-rewrite state
+    * (7 segments / 6 files), post-rewrite (1 segment, SAME 6 files —
+    * an engine boolean pins file-set identity, and the delete line
+    * rode through verbatim so the MoR subtraction still applies),
+    * and time travel back to the pre-rewrite version (its own list
+    * untouched). `n_cdc_rows` = the change feed across the rewrite
+    * commit — 0, because it publishes `rewrite=true` (Delta's
+    * dataChange=false) and CDC readers skip it. Segment/file counts
+    * and the CDC zero are engine-defined invariants the oracle states
+    * literally (the q210/q158 pattern); content aggregates are
+    * recomputed by DuckDB under the same `% 17` delete split.
+    */
+  private val manifestRewriteStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def manifestRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = manifestRewriteStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_manifest_rewrite_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      (0 to 5).foreach(i => S.append(
+        docs.filter(pmod(col("doc_id"), lit(6)) === i).coalesce(1), o.toString))
+      S.deleteWhere(spark, o.toString, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(17)) === 0).select(col("doc_id")))
+      S.compactManifests(o.toString)
+      o.toString
+    })
+    val (vPre, vPost) = (S.latestVersion(root) - 1, S.latestVersion(root))
+    val filesSame = S.files(root, vPre) == S.files(root, vPost)
+    // a rewrite-ONLY window is refused outright ("no data-changing
+    // commits" — the stronger contract); span the delete + rewrite
+    // commits instead: the feed must carry exactly the delete's rows
+    // and NOTHING from the rewrite
+    val nCdc = S.changesBetween(spark, root, vPre - 1, vPost).count()
+    def leg(name: String, v: Int): DataFrame =
+      S.read(spark, root, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(name).as("leg"),
+          lit(S.manifestsTable(spark, root, v).count()).as("n_segments"),
+          lit(S.files(root, v).size).as("n_files"),
+          col("n_docs"), col("sum_chars"))
+    leg("1_pre_rewrite", vPre)
+      .unionByName(leg("2_post_rewrite", vPost))
+      .unionByName(leg("3_time_travel_pre", vPre))
+      .withColumn("files_identical", lit(filesSame))
+      .withColumn("n_cdc_rows", lit(nCdc))
+  }
+
   /** q158 — snapshot COMPACTION preserving time travel
     * ([[graft.sources.Snapshots.compact]]): four appends (doc_id % 4
     * slices, each written as 2 files) accumulate an 8-file manifest —
@@ -1576,6 +1628,7 @@ object SinkQ {
     "q158_snapshot_compaction" -> (snapshotCompaction _),
     "q126_time_travel" -> (timeTravel _),
     "q214_timestamp_travel" -> (timestampTravel _),
+    "q216_manifest_rewrite" -> (manifestRewrite _),
     "q81_write_roundtrip" -> (writeRoundtrip _),
     "q99_bucketed_join" -> (bucketedJoin _),
     "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -2024,6 +2077,22 @@ object SinkQ {
         |SELECT 5, 2, count(*), CAST(sum(n_chars) AS BIGINT), min(doc_id),
         |  max(doc_id)
         |FROM documents""".stripMargin,
+    // segment/file counts and the CDC zero are engine invariants
+    // stated literally; content recomputed under the same %17 delete
+    "q216_manifest_rewrite" ->
+      """WITH k AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 17 = 0) AS n_del
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT '1_pre_rewrite' AS leg, CAST(7 AS BIGINT) AS n_segments,
+        |  6 AS n_files, n_docs, sum_chars, TRUE AS files_identical,
+        |  n_del AS n_cdc_rows FROM k
+        |UNION ALL
+        |SELECT '2_post_rewrite', CAST(1 AS BIGINT), 6, n_docs, sum_chars,
+        |  TRUE, n_del FROM k
+        |UNION ALL
+        |SELECT '3_time_travel_pre', CAST(7 AS BIGINT), 6, n_docs, sum_chars,
+        |  TRUE, n_del FROM k""".stripMargin,
     // resolved versions are engine invariants under strict stamp
     // monotonicity, stated literally; content counts recomputed
     "q214_timestamp_travel" ->

@@ -754,6 +754,54 @@ object Snapshots {
     committed
   }
 
+  /** METADATA-ONLY manifest compaction (r14 — Iceberg's
+    * `rewrite_manifests`): collapse `branch`'s head pointer list — one
+    * `#segment` ref per commit since the last rewrite — into freshly
+    * packed segments, touching NO data files. [[compact]] already
+    * collapses the list as a side effect of rewriting data, but a
+    * long-lived append-only table should not have to rewrite its
+    * BYTES to tidy its METADATA: after 10k commits the head list
+    * carries 10k pointer lines (each a resolve-time file open), and
+    * this one commit packs them back to O(stats-runs) segments while
+    * every entry — data lines with their original commit versions,
+    * delete lines with their sequence scoping — rides through
+    * VERBATIM, so reads, CDC windows, and delete semantics are
+    * untouched. Commits with `rewrite=true` (Delta's
+    * `dataChange=false`), so CDC readers skip it; old versions keep
+    * their own lists for time travel; orphaned segments reap through
+    * [[expire]]/[[removeOrphans]] exactly like data files. Aborts if
+    * a concurrent commit moves the head mid-rewrite (the [[compact]]
+    * revalidation contract); a mere version-number collision with
+    * another branch's writer just reallocates and retries.
+    */
+  def compactManifests(root: String, branch: String = "main"): Int = {
+    val rootP = Paths.get(root)
+    val prev = headOf(root, branch)
+    require(prev > 0, s"nothing to compact under $root")
+    val schema = schemaOf(root, prev).getOrElse(
+      throw new IllegalStateException(
+        s"v$prev carries no schema header; commit data before compacting manifests"))
+    val lines = resolveBody(rootP, bodyRefs(root, prev))
+    var v = latestVersion(root) + 1
+    var committed = -1
+    while (committed < 0) {
+      val (parent, seq) = commitBasis(root, branch, v)
+      if (parent != prev) throw new IllegalStateException(
+        s"concurrent commit landed during manifest compaction of v$prev — " +
+          "re-run against the new head version")
+      try {
+        if (publish(rootP, root, branch, v, seq, parent, schema, lines,
+            props = Map("rewrite" -> "true", "op" -> "rewrite-manifests")))
+          committed = v
+        else v = latestVersion(root) + 1 // head CAS lost: loop re-resolves
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          v = latestVersion(root) + 1 // number claimed by another branch
+      }
+    }
+    committed
+  }
+
   /** Per-file (path, min, max) statistics of a LONG column of snapshot
     * `v` — read from the MANIFEST (r9): the stats were collected once
     * at commit time and travel with the file entry, so query-path split

@@ -163,6 +163,35 @@ class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
     assert(all.size == bOnly.size * 3 + legacy.size)
   }
 
+  test("compactManifests packs the pointer list metadata-only; expire reaps the stranded segments") {
+    val root = Staging.tempDir("seg_mrewrite").toString
+    (1L to 5L).foreach(i =>
+      Snapshots.append(Seq((i, s"r$i")).toDF("id", "s"), root))
+    val pre = Snapshots.latestVersion(root)
+    val dataFiles = Snapshots.files(root, pre)
+    assert(segPtrs(root, pre).size == 5)
+    val v = Snapshots.compactManifests(root)
+    // one packed segment, the SAME data files, identical content
+    assert(segPtrs(root, v).size == 1)
+    assert(Snapshots.files(root, v) == dataFiles,
+      "manifest rewrite must not touch the data file set")
+    assert(Snapshots.read(spark, root).select($"id").as[Long].collect().toSet ==
+      (1L to 5L).toSet)
+    // the pre-rewrite version keeps its own 5-pointer list (time travel)
+    assert(segPtrs(root, pre).size == 5)
+    // CDC skips the rewrite commit when a real change flanks it
+    Snapshots.append(Seq((9L, "z")).toDF("id", "s"), root)
+    val feed = Snapshots.changesBetween(spark, root, pre, v + 1)
+    assert(feed.count() == 1, "the rewrite commit must contribute zero CDC rows")
+    // expiring history strands the five per-commit segments; reap them
+    val preSegs = segPtrs(root, pre).toSet
+    Snapshots.expire(root, keepFrom = v)
+    val left = segFiles(root)
+    assert(!preSegs.exists(left.contains),
+      s"pre-rewrite segments must be reaped once no retained list references them: $left")
+    assert(Snapshots.read(spark, root).count() == 6)
+  }
+
   test("delete commits carry delete lines through segments; DML still round-trips") {
     val root = Staging.tempDir("seg_dml").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
