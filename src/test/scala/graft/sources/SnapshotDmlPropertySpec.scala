@@ -25,6 +25,7 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
   private case class Delete(keys: Seq[Long]) extends Op
   private case class Update(mod: Long, delta: Long) extends Op
   private case object Compact extends Op
+  private case object CompactManifests extends Op
 
   private val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 39L)).map(_.distinct)
   private val opGen: Gen[Op] = Gen.frequency(
@@ -33,7 +34,10 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
     3 -> keysGen.map(Delete(_)),
     2 -> (for { m <- Gen.choose(2L, 5L); d <- Gen.choose(1L, 9L) }
       yield Update(m, d)),
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    // r14: metadata-only manifest rewrite — rows, delete scoping, and
+    // every remembered version must be bit-identical through it
+    1 -> Gen.const(CompactManifests))
 
   test("random DML interleavings match the reference interpreter; remembered versions stay stable") {
     (1 to 5).foreach { i =>
@@ -73,6 +77,8 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
               Map("v" -> (col("v") + d)))
           case Compact =>
             S.compact(spark, root, targetFiles = 2)
+          case CompactManifests =>
+            S.compactManifests(root)
         }
         val got = S.read(spark, root)
           .as[(Long, Long)].collect().toVector.sorted
