@@ -315,6 +315,52 @@ object SinkQ {
       .withColumn("n_cdc_rows", lit(nCdc))
   }
 
+  /** q217 — CHECKED APPEND (Delta CHECK constraints / expectations
+    * with fail-the-write semantics;
+    * [[graft.sources.Snapshots.appendChecked]]): three legs — a clean
+    * batch commits under declared constraints (unique key, NOT NULL,
+    * range); a batch with a planted duplicate key is REFUSED with the
+    * staged files deleted and NOTHING published (no version, no
+    * manifest, no ref movement — the table still reads as leg 1);
+    * a clean retry then commits normally. Versions and refusal are
+    * engine invariants the oracle states literally; row counts are
+    * recomputed from the same `% 2` split. Validation runs against
+    * the WRITTEN bytes (one columnar re-read), so the gate also pins
+    * that the staged-write → validate → publish pipeline round-trips.
+    */
+  private val checkedAppendStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def checkedAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityChecks.{RowPredicate, Unique}
+    val S = graft.sources.Snapshots
+    val checks = Seq(
+      Unique("unique_doc_id", col("doc_id")),
+      RowPredicate("doc_id_not_null", col("doc_id").isNull),
+      RowPredicate("n_chars_nonneg", col("n_chars") < 0))
+    val root = checkedAppendStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_checked_append_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      S.appendChecked(even, o.toString, checks)
+      val refused =
+        try { S.appendChecked(odd.unionByName(odd.limit(1)), o.toString, checks); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("unique_doc_id") }
+      require(refused, "violating batch must be refused naming the check")
+      S.appendChecked(odd, o.toString, checks)
+      o.toString
+    })
+    // the refusal minted NOTHING: the clean retry is version 2, not 3
+    val noVersionMinted = S.latestVersion(root) == 2
+    def leg(name: String, v: Int): DataFrame =
+      S.read(spark, root, v).agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("leg"), lit(v).as("version"), col("n_docs"),
+          lit(noVersionMinted).as("refusal_minted_no_version"))
+    leg("1_clean_append", 1).unionByName(leg("2_clean_after_refusal", 2))
+  }
+
   /** q158 — snapshot COMPACTION preserving time travel
     * ([[graft.sources.Snapshots.compact]]): four appends (doc_id % 4
     * slices, each written as 2 files) accumulate an 8-file manifest —
@@ -1629,6 +1675,7 @@ object SinkQ {
     "q126_time_travel" -> (timeTravel _),
     "q214_timestamp_travel" -> (timestampTravel _),
     "q216_manifest_rewrite" -> (manifestRewrite _),
+    "q217_checked_append" -> (checkedAppend _),
     "q81_write_roundtrip" -> (writeRoundtrip _),
     "q99_bucketed_join" -> (bucketedJoin _),
     "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -2076,6 +2123,15 @@ object SinkQ {
         |UNION ALL
         |SELECT 5, 2, count(*), CAST(sum(n_chars) AS BIGINT), min(doc_id),
         |  max(doc_id)
+        |FROM documents""".stripMargin,
+    // versions and the refusal invariant are engine facts stated
+    // literally; counts recomputed under the same %2 split
+    "q217_checked_append" ->
+      """SELECT '1_clean_append' AS leg, 1 AS version,
+        |  count(*) AS n_docs, TRUE AS refusal_minted_no_version
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT '2_clean_after_refusal', 2, count(*), TRUE
         |FROM documents""".stripMargin,
     // segment/file counts and the CDC zero are engine invariants
     // stated literally; content recomputed under the same %17 delete

@@ -618,9 +618,21 @@ object Snapshots {
         s"#bloom:$c=${blooms(c).getOrElse(f, bitsToHex(Nil))}")
       (line +: toks).mkString("\t")
     }
-    // the staged dirs carry the ATTEMPTED version in their name; a
-    // reallocation renames them so [[dataVersionOf]] sequence scoping
-    // stays truthful
+    casAppend(df, rootP, root, branch, v, token, lines)
+  }
+
+  /** The append commit protocol, shared by [[append]] and
+    * [[appendChecked]]: optimistic CAS with rebase (an append
+    * conflicts with nothing semantically — its rows are new — so the
+    * retry always converges). The staged dirs carry the ATTEMPTED
+    * version in their name; a reallocation renames them so
+    * [[dataVersionOf]] sequence scoping stays truthful.
+    */
+  private def casAppend(df: DataFrame, rootP: Path, root: String,
+                        branch: String, v0: Int, token: String,
+                        lines0: Seq[String]): Int = {
+    var v = v0
+    var lines = lines0
     def reallocate(): Unit = {
       val newV = reallocateStaged(rootP, root, v, token, Seq("data"))
       lines = lines.map(
@@ -644,6 +656,48 @@ object Snapshots {
       }
     }
     committed
+  }
+
+  /** CHECKED append (r14 — Delta CHECK constraints / expectations with
+    * fail-the-write semantics): stage `df`'s data files, validate the
+    * WRITTEN BYTES against `checks` ([[graft.operators.QualityChecks]]
+    * — row predicates, uniqueness, referential integrity), and publish
+    * only if every check passes; otherwise delete the staged files and
+    * refuse with the violating checks named. Validating what was
+    * actually written — a cheap columnar re-read, not a second pass
+    * over the source plan — means a non-deterministic or
+    * serialization-lossy source cannot sneak rows past the contract,
+    * and a crash between stage and publish leaves only `_tmp_`-swept
+    * debris. The check plan is QualityChecks' one-scan shape (all row
+    * predicates as conditional sums in a single aggregate; anti-joins
+    * ship key columns only), so the total cost is one write + one
+    * columnar validation read at any scale. A refused batch changes
+    * NOTHING: no version, no manifest, no ref movement.
+    */
+  def appendChecked(df: DataFrame, root: String,
+                    checks: Seq[graft.operators.QualityChecks.Check],
+                    branch: String = "main"): Int = {
+    require(checks.nonEmpty, "appendChecked without checks is append")
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP.resolve("_manifests"))
+    val token = newToken()
+    val v = latestVersion(root) + 1
+    val newFiles = writeDataFiles(df, rootP, v, token)
+    // an all-empty-partition write stages no files; nothing written
+    // can violate a constraint
+    val bad =
+      if (newFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else graft.operators.QualityChecks.report(
+          df.sparkSession.read.parquet(newFiles: _*), checks)
+        .filter(!org.apache.spark.sql.functions.col("passed"))
+        .collect() // bounded: ≤ one row per declared check
+    if (bad.nonEmpty) {
+      deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+      throw new IllegalStateException(
+        "appendChecked refused — constraint violations: " + bad.map(r =>
+          s"${r.getString(0)} (${r.getLong(1)} rows)").mkString(", "))
+    }
+    casAppend(df, rootP, root, branch, v, token, entryLines(df, newFiles))
   }
 
   /** COMPACTION — the small-file management every append-only snapshot

@@ -563,6 +563,49 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(ok == Right(Set(1L -> "a", 2L -> "B2", 7L -> "c", 9L -> "i")), ok)
   }
 
+  test("appendChecked publishes clean batches, refuses violations, and leaves no debris") {
+    import graft.operators.QualityChecks.{RowPredicate, Unique}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Staging.tempDir("snap_checked").toString
+    val checks = Seq(
+      Unique("unique_id", $"id"),
+      RowPredicate("v_nonneg", $"v" < 0L))
+    val v1 = Snapshots.appendChecked(
+      Seq((1L, 5L), (2L, 7L)).toDF("id", "v"), root, checks)
+    assert(v1 == 1 && Snapshots.read(spark, root).count() == 2)
+    def dataDirs() = {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("data_v")).toSet
+      finally s.close()
+    }
+    val before = dataDirs()
+    // duplicate key: refused, named, staged files deleted, no version
+    val e1 = intercept[IllegalStateException] {
+      Snapshots.appendChecked(
+        Seq((3L, 1L), (3L, 2L)).toDF("id", "v"), root, checks)
+    }
+    assert(e1.getMessage.contains("unique_id"))
+    // range violation: refused and named
+    val e2 = intercept[IllegalStateException] {
+      Snapshots.appendChecked(Seq((4L, -9L)).toDF("id", "v"), root, checks)
+    }
+    assert(e2.getMessage.contains("v_nonneg"))
+    assert(dataDirs() == before, "refused batches must leave no staged files")
+    assert(Snapshots.latestVersion(root) == 1,
+      "a refused batch must mint no version")
+    assert(Snapshots.read(spark, root).count() == 2)
+    // a clean retry proceeds normally
+    assert(Snapshots.appendChecked(
+      Seq((3L, 1L)).toDF("id", "v"), root, checks) == 2)
+    assert(Snapshots.read(spark, root).count() == 3)
+    // and no checks at all is a contract error, not a silent append
+    intercept[IllegalArgumentException] {
+      Snapshots.appendChecked(Seq((9L, 9L)).toDF("id", "v"), root, Nil)
+    }
+  }
+
   test("commit stamps are strictly monotone; versionAsOf resolves and refuses correctly") {
     val root = Staging.tempDir("snap_ts").toString
     // burst commits would land within the same millisecond without the bump
