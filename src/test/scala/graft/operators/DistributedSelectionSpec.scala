@@ -86,6 +86,7 @@ class DistributedSelectionSpec extends AnyFunSuite with SparkTestSession {
   test("empty input yields empty output; width 1 degenerates correctly") {
     val empty = Seq.empty[(String, Long)].toDF("g", "v")
     assert(DistributedSelection.medianByGroup(empty, "g", "v").count() == 0)
+    assert(DistributedSelection.topFracByGroup(empty, "g", "v", 0.5).count() == 0)
     val tiny = Seq(("a", 3L), ("a", 1L), ("a", 2L)).toDF("g", "v")
     val r = DistributedSelection.medianByGroup(tiny, "g", "v", bucketWidth = 1L)
       .collect()
