@@ -217,6 +217,12 @@ object Similarity {
     * DIFFERENT datasets it must stay false: independent id spaces can
     * collide, and dropping an (eval 7, train 7) pair would silently
     * lose a legitimate cross-dataset neighbor.
+    *
+    * Contract: `idCol` identifies a vector — UNIQUE within each side
+    * (the same precondition every idCol operator here carries). Two
+    * rows sharing an id would fold two different vectors' similarities
+    * under one ranking key, which no dedup spelling can repair; the
+    * replicas == 1 dedup skip below additionally relies on it.
     */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int,
               numCentroids: Int = 16, nProbe: Int = 6, replicas: Int = 3,

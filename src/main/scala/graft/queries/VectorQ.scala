@@ -392,10 +392,15 @@ object VectorQ {
     val evalSide = embs.filter(col("vec_id") < 25)
     val train = embs.filter(col("vec_id") >= 25)
       .unionByName(plantedCopies(embs))
+    // localCheckpoint: the purged id list (tiny — bounded by the
+    // planted count) feeds BOTH the counting aggregate and the
+    // anti-join; without it the k-means build + shuffle join + window
+    // would run twice (r14 review)
     val purged = Similarity.knnJoin(train, evalSide, k = 1,
         numCentroids = 8, nProbe = 8, replicas = 1)
       .filter(col("rn") === 1 && col("sim") >= 0.95)
       .select(col("left_id").as("vec_id"))
+      .localCheckpoint(false)
     val survivors = train.join(purged, Seq("vec_id"), "left_anti")
     train.agg(count(lit(1)).as("n_train"))
       .crossJoin(purged.agg(count(lit(1)).as("n_purged"),

@@ -603,11 +603,11 @@ object Snapshots {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("_manifests"))
     val token = newToken()
-    var v = latestVersion(root) + 1
+    val v = latestVersion(root) + 1
     val newFiles = writeDataFiles(df, rootP, v, token)
     val blooms = bloomCols.map(c =>
       c -> bloomHexByFile(df.sparkSession, newFiles, c)).toMap
-    var lines = entryLines(df, newFiles).map { line =>
+    val lines = entryLines(df, newFiles).map { line =>
       val f = line.split('\t').head
       // a file the bloom pass scanned but got no rows from (an empty
       // partition's file, or an all-null column) carries the EMPTY
@@ -684,13 +684,22 @@ object Snapshots {
     val v = latestVersion(root) + 1
     val newFiles = writeDataFiles(df, rootP, v, token)
     // an all-empty-partition write stages no files; nothing written
-    // can violate a constraint
+    // can violate a constraint. The staged dir is deleted on EVERY
+    // validation failure — a malformed check (column typo) or a failed
+    // validation job must not strand the batch's bytes any more than a
+    // refusal does ("a refused batch changes NOTHING" covers the
+    // error paths too)
     val bad =
-      if (newFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else graft.operators.QualityChecks.report(
-          df.sparkSession.read.parquet(newFiles: _*), checks)
-        .filter(!org.apache.spark.sql.functions.col("passed"))
-        .collect() // bounded: ≤ one row per declared check
+      try {
+        if (newFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else graft.operators.QualityChecks.report(
+            df.sparkSession.read.parquet(newFiles: _*), checks)
+          .filter(!org.apache.spark.sql.functions.col("passed"))
+          .collect() // bounded: ≤ one row per declared check
+      } catch { case scala.util.control.NonFatal(e) =>
+        deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+        throw e
+      }
     if (bad.nonEmpty) {
       deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
       throw new IllegalStateException(
