@@ -315,6 +315,71 @@ object SinkQ {
       .withColumn("n_cdc_rows", lit(nCdc))
   }
 
+  /** q218 — SIZE-BOUNDED manifest packing preserves pruning (r15; the
+    * missing half of q216's contract): a rewrite that packs a
+    * multi-commit list into ONE table-spanning segment is metadata-
+    * correct but destroys the two-level skip structure q210 exists to
+    * protect — the packed pointer's aggregate min/max covers the whole
+    * table, so every lookup opens it. [[graft.sources.Snapshots
+    * .compactManifests]] now bin-packs at a line target (Iceberg's
+    * `rewrite_manifests` target size), keeping packed stats
+    * commit-order-local. The gate stages EIGHT appends of contiguous
+    * doc_id eighths (an 8-pointer head list), rewrites with
+    * `targetLines = 2` → exactly 4 packed segments of 2 entries, then
+    * runs four pruning legs AFTER the rewrite metering
+    * [[graft.sources.Snapshots.segmentReads]]: a point lookup opens 1
+    * of 4 segments and scans 1 file, a half-range opens 2, full scan
+    * 4, below-range 0 — invariants the oracle states literally (the
+    * q210 pattern), with content aggregates recomputed by DuckDB over
+    * the same integer-eighth WHERE ranges so a wrong packed aggregate
+    * surfaces as lost rows.
+    */
+  private val packedPruneStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def packedManifestPruning(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = packedPruneStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_packed_prune_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val span = mx - mn + 1
+      (0 until 8).foreach { i =>
+        val lo = mn + span * i / 8
+        val hi = mn + span * (i + 1) / 8 // exclusive
+        S.append(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1), o.toString)
+      }
+      S.compactManifests(o.toString, targetLines = 2)
+      o.toString
+    })
+    val v = S.latestVersion(root)
+    // the rewrite is metadata-only: same files, packed 8 → 4 segments
+    val filesSame = S.files(root, v) == S.files(root, v - 1)
+    val stats = S.fileStats(spark, root, v, "doc_id")
+    val (mn, mx) = (stats.map(_._2).min, stats.map(_._3).max)
+    val span = mx - mn + 1
+    val legs = Seq(
+      ("1_point", mn, mn),
+      ("2_second_half", mn + span * 4 / 8, mx),
+      ("3_full", mn, mx),
+      ("4_empty", mn - 10, mn - 1)).map { case (name, lo, hi) =>
+      val s0 = S.segmentReads.get()
+      val nScanned = S.prunedFiles(spark, root, v, "doc_id", lo, hi).size
+      (name, lo, hi, nScanned, (S.segmentReads.get() - s0).toInt)
+    }
+    val nSegs = S.manifestsTable(spark, root, v).count().toInt
+    legs.map { case (name, lo, hi, nScanned, opened) =>
+      S.readPruned(spark, root, v, "doc_id", lo, hi)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(name).as("leg"), lit(nScanned).as("n_files_scanned"),
+          lit(opened).as("segments_opened"), col("n_docs"), col("sum_chars"))
+    }.reduce(_.unionByName(_))
+      .withColumn("n_segments_total", lit(nSegs))
+      .withColumn("files_identical", lit(filesSame))
+  }
+
   /** q217 — CHECKED APPEND (Delta CHECK constraints / expectations
     * with fail-the-write semantics;
     * [[graft.sources.Snapshots.appendChecked]]): three legs — a clean
@@ -1676,6 +1741,7 @@ object SinkQ {
     "q214_timestamp_travel" -> (timestampTravel _),
     "q216_manifest_rewrite" -> (manifestRewrite _),
     "q217_checked_append" -> (checkedAppend _),
+    "q218_packed_manifest_pruning" -> (packedManifestPruning _),
     "q81_write_roundtrip" -> (writeRoundtrip _),
     "q99_bucketed_join" -> (bucketedJoin _),
     "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -2149,6 +2215,28 @@ object SinkQ {
         |UNION ALL
         |SELECT '3_time_travel_pre', CAST(7 AS BIGINT), 6, n_docs, sum_chars,
         |  TRUE, n_del FROM k""".stripMargin,
+    // planner invariants after the size-bounded rewrite (files
+    // scanned / segments opened / 4 packed segments / identical file
+    // set) stated literally per the eighth-pair geometry; content
+    // aggregates re-run the same integer-eighth WHERE ranges
+    "q218_packed_manifest_pruning" ->
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx,
+        |             max(doc_id) - min(doc_id) + 1 AS span
+        |           FROM documents)
+        |SELECT '1_point' AS leg, 1 AS n_files_scanned, 1 AS segments_opened,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  4 AS n_segments_total, TRUE AS files_identical
+        |FROM documents WHERE doc_id = (SELECT mn FROM b)
+        |UNION ALL
+        |SELECT '2_second_half', 4, 2, count(*), CAST(sum(n_chars) AS BIGINT),
+        |  4, TRUE
+        |FROM documents WHERE doc_id >= (SELECT mn + span * 4 // 8 FROM b)
+        |UNION ALL
+        |SELECT '3_full', 8, 4, count(*), CAST(sum(n_chars) AS BIGINT), 4, TRUE
+        |FROM documents
+        |UNION ALL
+        |SELECT '4_empty', 0, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |  4, TRUE""".stripMargin,
     // resolved versions are engine invariants under strict stamp
     // monotonicity, stated literally; content counts recomputed
     "q214_timestamp_travel" ->

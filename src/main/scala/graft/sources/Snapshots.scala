@@ -117,6 +117,23 @@ object Snapshots {
     */
   private val MaxPartSummaryValues = 32
 
+  /** Max body lines per packed segment (r15 — the line-count analogue
+    * of Iceberg `rewrite_manifests`' target-size bin-packing). Two
+    * scale failures of unbounded packing at 100 TB: (a) one segment
+    * spanning the whole table carries table-wide aggregate min/max, so
+    * the segment-level skip [[prunedFiles]] plans from degrades to
+    * open-everything right after the operation meant to tidy metadata;
+    * (b) resolving that segment is one driver call reading O(table
+    * files) lines. Cutting runs at this bound keeps a packed list at
+    * O(files/target) segments, each with commit-order-local stats —
+    * tight for the range-correlated ingest every append-only table is
+    * — and bounds per-segment driver I/O. 8192 lines ≈ 1-2 MB per
+    * segment file (Iceberg's 8 MB default scaled to the skinnier line
+    * grammar), small enough that a point lookup's opened segments stay
+    * cheap, large enough that list length stays O(commits)/O(packs).
+    */
+  val SegmentTargetLines = 8192
+
   /** Per-column aggregate stats tokens for a segment pointer:
     * `col=min..max` over every entry that carries the column (entries
     * without a column's token hold no matchable value — the pruner
@@ -219,8 +236,19 @@ object Snapshots {
     * them. Flushing the legacy run separately quarantines `#nostats`
     * to the entries that earned it. Delete lines carry no prunable
     * stats and ride whichever run is open.
+    *
+    * Runs also cut at `targetLines` ([[SegmentTargetLines]]): a
+    * resolved body re-packed by [[compactManifests]] (or one huge
+    * append) becomes O(lines/target) segments instead of one, so each
+    * pointer's aggregate stats stay commit-order-local — skippable —
+    * and no single segment resolve reads unbounded lines. Order is
+    * preserved across cuts, so delete-line sequence scoping and CDC
+    * windows are untouched (a segment boundary is physical grouping
+    * only; [[resolveBody]] splices pointers back in place).
     */
-  private def segmentize(rootP: Path, lines: Seq[String]): Seq[String] = {
+  private def segmentize(rootP: Path, lines: Seq[String],
+                         targetLines: Int = SegmentTargetLines): Seq[String] = {
+    require(targetLines > 0, s"targetLines must be positive, got $targetLines")
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val run = scala.collection.mutable.ArrayBuffer[String]()
     var runHasStats: Option[Boolean] = None
@@ -241,6 +269,7 @@ object Snapshots {
           runHasStats = Some(hasStats)
         }
         run += l
+        if (run.size >= targetLines) flush()
       }
     }
     flush()
@@ -825,26 +854,39 @@ object Snapshots {
     * long-lived append-only table should not have to rewrite its
     * BYTES to tidy its METADATA: after 10k commits the head list
     * carries 10k pointer lines (each a resolve-time file open), and
-    * this one commit packs them back to O(stats-runs) segments while
-    * every entry — data lines with their original commit versions,
-    * delete lines with their sequence scoping — rides through
-    * VERBATIM, so reads, CDC windows, and delete semantics are
-    * untouched. Commits with `rewrite=true` (Delta's
-    * `dataChange=false`), so CDC readers skip it; old versions keep
-    * their own lists for time travel; orphaned segments reap through
-    * [[expire]]/[[removeOrphans]] exactly like data files. Aborts if
-    * a concurrent commit moves the head mid-rewrite (the [[compact]]
-    * revalidation contract); a mere version-number collision with
-    * another branch's writer just reallocates and retries.
+    * this one commit packs them into O(body/`targetLines`) freshly cut
+    * segments ([[SegmentTargetLines]] default — size-bounded like
+    * Iceberg's bin-packed `rewrite_manifests`, NOT one table-spanning
+    * segment, so each packed pointer keeps commit-order-local stats
+    * and point lookups still skip segments after the rewrite; q218
+    * gates exactly that) while every entry — data lines with their
+    * original commit versions, delete lines with their sequence
+    * scoping — rides through VERBATIM in order, so reads, CDC windows,
+    * and delete semantics are untouched. Commits with `rewrite=true`
+    * (Delta's `dataChange=false`), so CDC readers skip it; old
+    * versions keep their own lists for time travel; orphaned segments
+    * — including ones pre-cut here for an attempt that then lost the
+    * head race — reap through [[expire]]/[[removeOrphans]] exactly
+    * like data files (content addressing means a retry converges on
+    * the same files). Aborts if a concurrent commit moves the head
+    * mid-rewrite (the [[compact]] revalidation contract); a mere
+    * version-number collision with another branch's writer just
+    * reallocates and retries.
     */
-  def compactManifests(root: String, branch: String = "main"): Int = {
+  def compactManifests(root: String, branch: String = "main",
+                       targetLines: Int = SegmentTargetLines): Int = {
     val rootP = Paths.get(root)
     val prev = headOf(root, branch)
     require(prev > 0, s"nothing to compact under $root")
     val schema = schemaOf(root, prev).getOrElse(
       throw new IllegalStateException(
         s"v$prev carries no schema header; commit data before compacting manifests"))
-    val lines = resolveBody(rootP, bodyRefs(root, prev))
+    // pre-cut the resolved body into size-bounded segments HERE (the
+    // publish path passes `#segment` pointers through untouched) —
+    // segment files are content-addressed and immutable, so writing
+    // them before the CAS loop is safe under races
+    val lines = segmentize(rootP,
+      resolveBody(rootP, bodyRefs(root, prev)), targetLines)
     var v = latestVersion(root) + 1
     var committed = -1
     while (committed < 0) {

@@ -192,6 +192,37 @@ class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.read(spark, root).count() == 6)
   }
 
+  test("compactManifests bin-packs at targetLines; packed stats stay commit-local and skippable") {
+    val root = Staging.tempDir("seg_packed").toString
+    // six disjoint contiguous id ranges, one 1-entry segment each
+    (0 until 6).foreach { i =>
+      val lo = i * 100L + 1
+      Snapshots.append((lo to lo + 9).map(j => (j, s"r$j")).toDF("id", "s")
+        .coalesce(1), root)
+    }
+    val pre = Snapshots.latestVersion(root)
+    assert(segPtrs(root, pre).size == 6)
+    val v = Snapshots.compactManifests(root, targetLines = 2)
+    // 6 entries at target 2 → exactly 3 packed segments, same files
+    assert(segPtrs(root, v).size == 3,
+      s"expected 3 packed segments, got ${segPtrs(root, v)}")
+    assert(Snapshots.files(root, v) == Snapshots.files(root, pre))
+    // a point lookup AFTER the rewrite opens exactly one segment: the
+    // packed pointers carry pair-local min/max, not table-wide spans
+    val before = Snapshots.segmentReads.get()
+    val hit = Snapshots.prunedFiles(spark, root, v, "id", 205L, 205L)
+    assert(Snapshots.segmentReads.get() - before == 1,
+      "point lookup must skip the two non-overlapping packed segments")
+    assert(hit == Snapshots.files(root, 3).diff(Snapshots.files(root, 2)))
+    // content round-trips; the rewrite stays CDC-invisible
+    assert(Snapshots.read(spark, root).count() == 60)
+    Snapshots.append(Seq((9999L, "z")).toDF("id", "s"), root)
+    assert(Snapshots.changesBetween(spark, root, pre, v + 1).count() == 1)
+    // the default target leaves small commits untouched (one segment
+    // per commit run, no gratuitous cuts)
+    assert(segPtrs(root, v + 1).size == 4)
+  }
+
   test("delete commits carry delete lines through segments; DML still round-trips") {
     val root = Staging.tempDir("seg_dml").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
