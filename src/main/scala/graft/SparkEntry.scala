@@ -93,7 +93,7 @@ object SparkEntry {
     */
   private[graft] def capGuards: Map[String,
       (SparkSession, String) => Seq[(String, Long)]] =
-    MediaQ.capGuards ++ TextQ.capGuards
+    MediaQ.capGuards ++ TextQ.capGuards ++ VectorQ.capGuards
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.

@@ -21,8 +21,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failed guard or query must never leave a COMPARABLE artifact
+    // (r15, ADVICE): with a reused outDir, a prior run's successful
+    // parquet for the name would survive the stderr-only failure and
+    // the downstream compare could silently pass on stale output
+    def clearDump(name: String): Unit = {
+      val d = Paths.get(outDir, name)
+      if (Files.exists(d)) {
+        val s = Files.walk(d)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
+    }
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
+        clearDump(name)
         // cap preflight (r14): capped gates' oracles model the cap-free
         // ideal — a corpus crossing a bucket-df cap must fail HERE with
         // the cap named, not as an unexplained hash mismatch downstream
@@ -37,6 +51,7 @@ object Verify {
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        clearDump(name) // the write itself may have left partial output
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

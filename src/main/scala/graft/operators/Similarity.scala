@@ -19,6 +19,62 @@ import graft.functions.VectorFunctions.{cosine_similarity, cosine_similarity6}
   */
 object Similarity {
 
+  /** Cap on an indexed CELL's population for the centroid-bucketed
+    * similarity joins ([[knnJoin]], [[semanticPairs]]) — the vector
+    * family's analogue of [[Dedup.DefaultMaxBucketDf]] (same value,
+    * same no-silent-caps contract). The scaladoc bound "numCentroids ≫
+    * partitions ⇒ cells stay bounded" assumes roughly balanced cells;
+    * real embedding corpora are CLUSTERED — one dense semantic cluster
+    * (boilerplate, near-identical spam, a template family) lands in
+    * one cell and its Σ|cell|² candidate fan-in goes quadratic on a
+    * single shuffle key. Cells over the cap drop from candidate
+    * generation and are queryable via [[droppedCells]]; the drop
+    * report is the re-index signal (more centroids, or quarantine the
+    * cluster). Gate corpora sit below the cap by construction and
+    * Verify preflights it (the MediaDedup convention); `Long.MaxValue`
+    * = cap off for completeness diagnostics.
+    */
+  val DefaultMaxCellSize: Long = Dedup.DefaultMaxBucketDf
+
+  /** The ONE spelling of cell assignment (explode over the `n` nearest
+    * centroids, NaN rows dropped) shared by the joins, [[cellSizes]],
+    * and the cap — so the cap and the accounting can never disagree on
+    * what a cell is (the [[Dedup.simhashPairs]] blockedSketches rule).
+    */
+  private def withCells(df: DataFrame, vecCol: String,
+                        centers: Seq[Seq[Double]], n: Int,
+                        cellCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.nearest_centroids
+    df.select(df.columns.map(col) :+
+        explode(nearest_centroids(col(vecCol), centers, n)).as(cellCol): _*)
+      .filter(col(cellCol) >= 0)
+  }
+
+  /** Per-cell population of `corpus` under `centers` at `replicas`
+    * assignments — the index-health report a production deployment
+    * checks before trusting a centroid-bucketed join's shuffle shape.
+    */
+  def cellSizes(corpus: DataFrame, centers: Seq[Seq[Double]],
+                replicas: Int = 3, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    withCells(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")),
+      "v", centers, replicas, "cell")
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+
+  /** The no-silent-caps report for [[knnJoin]]/[[semanticPairs]]:
+    * cells whose population exceeds `maxCellSize`, with their sizes —
+    * exactly the cells the joins drop from candidate generation.
+    */
+  def droppedCells(corpus: DataFrame, centers: Seq[Seq[Double]],
+                   replicas: Int = 3,
+                   maxCellSize: Long = DefaultMaxCellSize,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    cellSizes(corpus, centers, replicas, idCol, vecCol)
+      .filter(col("cell_size") > maxCellSize)
+
   /** Exact top-k by cosine for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -211,6 +267,18 @@ object Similarity {
     * the centers stay the same bounded driver artifact as [[ivfTopK]]'s
     * (k·dim doubles, persisted and reused across runs).
     *
+    * HOT CELLS (r15): balance is an assumption, not a guarantee — a
+    * dense semantic cluster puts one cell's index population far above
+    * the mean and that cell's fan-in (|probes in cell| × |index in
+    * cell|) dominates the join. Indexed cells over `maxCellSize`
+    * ([[DefaultMaxCellSize]]) drop from candidate generation — so each
+    * left row meets ≤ nProbe·maxCellSize candidates, a hard bound —
+    * and are queryable via [[droppedCells]](right, centers, replicas):
+    * a left row probing a dropped cell loses exactly that cell's
+    * candidates (recall loss is scoped to the reported cells, never
+    * silent). The cap is a backstop contract over ANY input, not a
+    * tuning knob: production sizes numCentroids so no cell crosses it.
+    *
     * `dropSameId = true` excludes candidates whose ids coincide — set
     * it ONLY for a self-join (left and right are the same dataset,
     * where a row's nearest neighbor is trivially itself). For two
@@ -229,8 +297,8 @@ object Similarity {
               lloydIters: Int = 2, buildSampleMod: Int = 1,
               centers: Option[Seq[Seq[Double]]] = None,
               dropSameId: Boolean = false,
+              maxCellSize: Long = DefaultMaxCellSize,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorFunctions.nearest_centroids
     val l = left.select(col(idCol).as("left_id"), col(vecCol).cast("array<double>").as("lv"))
     val r = right.select(col(idCol).as("right_id"), col(vecCol).cast("array<double>").as("rv"))
     val ctrs = centers.getOrElse(
@@ -238,13 +306,13 @@ object Similarity {
     if (ctrs.isEmpty)
       return l.limit(0).crossJoin(r.limit(0)).select(
         col("left_id"), col("right_id"), lit(0.0).as("sim"), lit(0).as("rn"))
-    // NaN vectors (cell −1) drop from index and probes, as in ivfTopK
-    val indexed = r.select(col("right_id"), col("rv"),
-        explode(nearest_centroids(col("rv"), ctrs, replicas)).as("cell"))
-      .filter(col("cell") >= 0)
-    val probes = l.select(col("left_id"), col("lv"),
-        explode(nearest_centroids(col("lv"), ctrs, nProbe)).as("cell"))
-      .filter(col("cell") >= 0)
+    // NaN vectors (cell −1) drop from index and probes, as in ivfTopK.
+    // The INDEX side carries the cell cap: capping it alone bounds
+    // every left row at ≤ nProbe·maxCellSize candidates (a probe into
+    // a dropped cell simply finds no match in the equi-join)
+    val indexed = Dedup.capHotBuckets(
+      withCells(r, "rv", ctrs, replicas, "cell"), Seq("cell"), maxCellSize)
+    val probes = withCells(l, "lv", ctrs, nProbe, "cell")
     val wTop = Window.partitionBy(col("left_id"))
       .orderBy(col("sim").desc, col("right_id").asc)
     val candidates = probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
@@ -304,21 +372,33 @@ object Similarity {
     *
     * `centers` is the same persisted index artifact as [[ivfTopK]]'s —
     * one k-means build serves both search and dedup.
+    *
+    * HOT CELLS (r15): the "cluster stays bounded" sizing premise has
+    * the same failure mode as [[knnJoin]]'s — the densest semantic
+    * cluster is simultaneously where the duplicates live AND the hot
+    * shuffle key whose |cell|² fan-in goes quadratic. Cells over
+    * `maxCellSize` ([[DefaultMaxCellSize]]) drop from the self-join
+    * (bounding candidates at Σ min(|cell|, cap)²) and are queryable
+    * via [[droppedCells]](corpus, centers, replicas): an over-cap
+    * cluster's pairs go UNREPORTED here — the report is the signal to
+    * re-index finer or quarantine that cluster for a dedicated pass,
+    * the same judgement the media/simhash families make for viral
+    * buckets. Pass `Long.MaxValue` to pin the cap off.
     */
   def semanticPairs(corpus: DataFrame, threshold: Double,
                     centers: Seq[Seq[Double]], replicas: Int = 2,
+                    maxCellSize: Long = DefaultMaxCellSize,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorFunctions.nearest_centroids
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     if (centers.isEmpty)
       // schema from the input (see ivfTopK's empty branch note)
       return c.limit(0).select(col("id").as("id_a"))
         .crossJoin(c.limit(0).select(col("id").as("id_b")))
         .select(col("id_a"), col("id_b"), lit(0.0).as("cosine"))
-    // NaN vectors assign to no cluster (cid −1) and drop out here
-    val assigned = c.select(col("id"), col("v"),
-        explode(nearest_centroids(col("v"), centers, replicas)).as("cid"))
-      .filter(col("cid") >= 0)
+    // NaN vectors assign to no cluster (cid −1) and drop out here;
+    // over-cap cells drop from BOTH join legs via the one capped frame
+    val assigned = Dedup.capHotBuckets(
+      withCells(c, "v", centers, replicas, "cid"), Seq("cid"), maxCellSize)
     assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -333,8 +413,10 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     centers: Seq[Seq[Double]], replicas: Int = 2,
+                    maxCellSize: Long = DefaultMaxCellSize,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Dedup.keepCanonical(corpus,
-      semanticPairs(corpus, threshold, centers, replicas, idCol, vecCol),
+      semanticPairs(corpus, threshold, centers, replicas, maxCellSize,
+        idCol, vecCol),
       idCol = idCol)
 }
