@@ -426,6 +426,95 @@ object SinkQ {
     leg("1_clean_append", 1).unionByName(leg("2_clean_after_refusal", 2))
   }
 
+  /** q219 — CHECKED MERGE ([[graft.sources.Snapshots.mergeChecked]] —
+    * the q217 CHECK contract on the upsert path): a table committed
+    * under constraints (unique key, value range) first sees a merge
+    * whose source plants a NEGATIVE n_chars — REFUSED with staged data
+    * AND delete files removed, no version minted — then the clean
+    * version of the same merge (doc_id % 5 == 0 rows with n_chars
+    * shifted by +1000) publishes as v2. The gate reads the POST-IMAGE
+    * and DuckDB recomputes it from the base table under the same
+    * %5 arithmetic — "a clean merge hash-matches the oracle's
+    * post-image" is the whole point; versions and the refusal boolean
+    * are engine invariants stated literally.
+    */
+  private val checkedMergeStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def checkedMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityChecks.{RowPredicate, Unique}
+    val S = graft.sources.Snapshots
+    val checks = Seq(
+      Unique("unique_doc_id", col("doc_id")),
+      RowPredicate("n_chars_nonneg", col("n_chars") < 0))
+    val root = checkedMergeStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_checked_merge_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      S.appendChecked(docs, o.toString, checks)
+      val fifth = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val refused =
+        try {
+          S.mergeChecked(spark, o.toString, "doc_id",
+            fifth.withColumn("n_chars", lit(-1L)), checks); false
+        } catch { case e: IllegalStateException =>
+          e.getMessage.contains("n_chars_nonneg") }
+      require(refused, "violating merge must be refused naming the check")
+      S.mergeChecked(spark, o.toString, "doc_id",
+        fifth.withColumn("n_chars", col("n_chars") + 1000L), checks)
+      o.toString
+    })
+    // the refusal minted NOTHING: the clean merge is version 2, not 3
+    val noVersionMinted = S.latestVersion(root) == 2
+    def leg(name: String, v: Int): DataFrame =
+      S.read(spark, root, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(name).as("leg"), lit(v).as("version"), col("n_docs"),
+          col("sum_chars"), lit(noVersionMinted).as("refusal_minted_no_version"))
+    leg("1_pre_merge", 1).unionByName(leg("2_post_merge", 2))
+  }
+
+  /** q220 — CHECKED UPDATE ([[graft.sources.Snapshots.updateChecked]]
+    * — the q217/q219 CHECK contract completing the DML surface): an
+    * update whose SET drives n_chars negative on the doc_id % 7 == 0
+    * rows is REFUSED (staged tombstones + images deleted, nothing
+    * published), then the clean doubling of the same rows publishes
+    * as v2 and its post-image hash-matches DuckDB's CASE arithmetic.
+    */
+  private val checkedUpdateStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def checkedUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityChecks.{RowPredicate, Unique}
+    val S = graft.sources.Snapshots
+    val checks = Seq(
+      Unique("unique_doc_id", col("doc_id")),
+      RowPredicate("n_chars_nonneg", col("n_chars") < 0))
+    val root = checkedUpdateStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_checked_update_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      S.appendChecked(docs, o.toString, checks)
+      val refused =
+        try {
+          S.updateChecked(spark, o.toString,
+            pmod(col("doc_id"), lit(7)) === 0,
+            Map("n_chars" -> lit(-1L)), checks); false
+        } catch { case e: IllegalStateException =>
+          e.getMessage.contains("n_chars_nonneg") }
+      require(refused, "violating update must be refused naming the check")
+      S.updateChecked(spark, o.toString,
+        pmod(col("doc_id"), lit(7)) === 0,
+        Map("n_chars" -> (col("n_chars") * 2L)), checks)
+      o.toString
+    })
+    val noVersionMinted = S.latestVersion(root) == 2
+    def leg(name: String, v: Int): DataFrame =
+      S.read(spark, root, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(name).as("leg"), lit(v).as("version"), col("n_docs"),
+          col("sum_chars"), lit(noVersionMinted).as("refusal_minted_no_version"))
+    leg("1_pre_update", 1).unionByName(leg("2_post_update", 2))
+  }
+
   /** q158 — snapshot COMPACTION preserving time travel
     * ([[graft.sources.Snapshots.compact]]): four appends (doc_id % 4
     * slices, each written as 2 files) accumulate an 8-file manifest —
@@ -1742,6 +1831,8 @@ object SinkQ {
     "q216_manifest_rewrite" -> (manifestRewrite _),
     "q217_checked_append" -> (checkedAppend _),
     "q218_packed_manifest_pruning" -> (packedManifestPruning _),
+    "q219_checked_merge" -> (checkedMerge _),
+    "q220_checked_update" -> (checkedUpdate _),
     "q81_write_roundtrip" -> (writeRoundtrip _),
     "q99_bucketed_join" -> (bucketedJoin _),
     "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -2215,6 +2306,29 @@ object SinkQ {
         |UNION ALL
         |SELECT '3_time_travel_pre', CAST(7 AS BIGINT), 6, n_docs, sum_chars,
         |  TRUE, n_del FROM k""".stripMargin,
+    // versions and the refusal invariant are engine facts stated
+    // literally; the post-image recomputed under the same %5 shift
+    "q219_checked_merge" ->
+      """SELECT '1_pre_merge' AS leg, 1 AS version, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  TRUE AS refusal_minted_no_version
+        |FROM documents
+        |UNION ALL
+        |SELECT '2_post_merge', 2, count(*),
+        |  CAST(sum(n_chars + CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END)
+        |    AS BIGINT), TRUE
+        |FROM documents""".stripMargin,
+    // same shape for the UPDATE path under the %7 doubling
+    "q220_checked_update" ->
+      """SELECT '1_pre_update' AS leg, 1 AS version, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  TRUE AS refusal_minted_no_version
+        |FROM documents
+        |UNION ALL
+        |SELECT '2_post_update', 2, count(*),
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars * 2 ELSE n_chars END)
+        |    AS BIGINT), TRUE
+        |FROM documents""".stripMargin,
     // planner invariants after the size-bounded rewrite (files
     // scanned / segments opened / 4 packed segments / identical file
     // set) stated literally per the eighth-pair geometry; content

@@ -687,6 +687,74 @@ object Snapshots {
     committed
   }
 
+  /** The ONE staged-batch validation of the checked writes
+    * ([[appendChecked]]/[[mergeChecked]]/[[updateChecked]]): run
+    * `checks` against the staged bytes at `newFiles`, extend every
+    * [[graft.operators.QualityChecks.Unique]] check to the POST-IMAGE
+    * by also counting batch keys colliding with `survivors` (the
+    * post-image rows NOT written by this commit — r15, closing the
+    * r14 batch-scoped-uniqueness gap), and on ANY violation or
+    * validation error delete `stagedDirs` and throw with the
+    * violating checks named. Scale shape: the batch legs are
+    * QualityChecks' one-scan report; each cross-batch unique leg is a
+    * key-column-pruned semi-join of the batch against the survivor
+    * scan — O(table's key column), the price of a uniqueness promise
+    * without a key index, paid only when a Unique check is declared.
+    * A survivor scan on a schema that predates the key column holds
+    * no matchable value and contributes zero (the
+    * [[keysTouchedBetween]] skip rule); the batch leg has already
+    * proven the key resolves, so the AnalysisException catch below
+    * cannot mask a typo. RowPredicate and RefIntegrity stay
+    * batch-scoped BY CONSTRUCTION, not as a gap: they are row-local,
+    * and rows not in this batch passed them at their own checked
+    * commit (delete/compact commits cannot mint a row-local
+    * violation).
+    */
+  private def validateStagedOrAbort(spark: SparkSession,
+      stagedDirs: Seq[Path], newFiles: Seq[String],
+      checks: Seq[graft.operators.QualityChecks.Check],
+      survivors: Option[DataFrame], op: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    def abort(): Unit = stagedDirs.foreach(deleteTreeQuietly)
+    // an all-empty-partition write stages no files; nothing written
+    // can violate a constraint (and an empty batch collides with
+    // nothing). The staged dirs are deleted on EVERY validation
+    // failure — a malformed check (column typo) or a failed
+    // validation job must not strand the batch's bytes any more than
+    // a refusal does ("a refused batch changes NOTHING" covers the
+    // error paths too)
+    val bad: Seq[(String, Long)] =
+      try {
+        if (newFiles.isEmpty) Nil
+        else {
+          val batch = spark.read.parquet(newFiles: _*)
+          val batchBad = graft.operators.QualityChecks.report(batch, checks)
+            .filter(!col("passed"))
+            .collect() // bounded: ≤ one row per declared check
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val crossBad = survivors.toSeq.flatMap { surv =>
+            checks.collect { case u: graft.operators.QualityChecks.Unique =>
+              u.name -> (try {
+                batch.select(u.key.as("_k")).filter(col("_k").isNotNull)
+                  .join(surv.select(u.key.as("_k")), Seq("_k"), "left_semi")
+                  .count()
+              } catch { // pre-evolution survivor schema: no matchable value
+                case _: org.apache.spark.sql.AnalysisException => 0L
+              })
+            }.filter(_._2 > 0)
+          }
+          (batchBad ++ crossBad).groupBy(_._1)
+            .map { case (n, xs) => (n, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+        }
+      } catch { case scala.util.control.NonFatal(e) => abort(); throw e }
+    if (bad.nonEmpty) {
+      abort()
+      throw new IllegalStateException(
+        s"$op refused — constraint violations: " + bad.map {
+          case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    }
+  }
+
   /** CHECKED append (r14 — Delta CHECK constraints / expectations with
     * fail-the-write semantics): stage `df`'s data files, validate the
     * WRITTEN BYTES against `checks` ([[graft.operators.QualityChecks]]
@@ -702,6 +770,16 @@ object Snapshots {
     * ship key columns only), so the total cost is one write + one
     * columnar validation read at any scale. A refused batch changes
     * NOTHING: no version, no manifest, no ref movement.
+    *
+    * Unique checks are SNAPSHOT-WIDE (r15): the batch is validated
+    * internally AND against the branch head's live rows, so duplicate
+    * keys across separate appends refuse exactly like duplicates
+    * within one ([[validateStagedOrAbort]]). The survivor set is the
+    * head read at validation time — under the append CAS's rebase a
+    * racing append of the same key can still slip a duplicate in (the
+    * optimistic-concurrency caveat every CHECK-on-read-snapshot
+    * system carries); [[mergeChecked]] on the key is the primitive
+    * with the serializable key guarantee.
     */
   def appendChecked(df: DataFrame, root: String,
                     checks: Seq[graft.operators.QualityChecks.Check],
@@ -712,29 +790,12 @@ object Snapshots {
     val token = newToken()
     val v = latestVersion(root) + 1
     val newFiles = writeDataFiles(df, rootP, v, token)
-    // an all-empty-partition write stages no files; nothing written
-    // can violate a constraint. The staged dir is deleted on EVERY
-    // validation failure — a malformed check (column typo) or a failed
-    // validation job must not strand the batch's bytes any more than a
-    // refusal does ("a refused batch changes NOTHING" covers the
-    // error paths too)
-    val bad =
-      try {
-        if (newFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else graft.operators.QualityChecks.report(
-            df.sparkSession.read.parquet(newFiles: _*), checks)
-          .filter(!org.apache.spark.sql.functions.col("passed"))
-          .collect() // bounded: ≤ one row per declared check
-      } catch { case scala.util.control.NonFatal(e) =>
-        deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
-        throw e
-      }
-    if (bad.nonEmpty) {
-      deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
-      throw new IllegalStateException(
-        "appendChecked refused — constraint violations: " + bad.map(r =>
-          s"${r.getString(0)} (${r.getLong(1)} rows)").mkString(", "))
-    }
+    val head = headOf(root, branch)
+    validateStagedOrAbort(df.sparkSession,
+      Seq(rootP.resolve(s"data_v${v}_$token")), newFiles, checks,
+      survivors = if (head > 0) Some(read(df.sparkSession, root, head))
+                  else None,
+      op = "appendChecked")
     casAppend(df, rootP, root, branch, v, token, entryLines(df, newFiles))
   }
 
@@ -1657,7 +1718,34 @@ object Snapshots {
   def updateWhere(spark: SparkSession, root: String,
                   where: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
-                  branch: String = "main"): Int = {
+                  branch: String = "main"): Int =
+    updateImpl(spark, root, where, set, branch, Nil)
+
+  /** CHECKED row update (r15 — the [[mergeChecked]] contract on the
+    * UPDATE path): stage the tombstones and updated images exactly
+    * like [[updateWhere]], validate the WRITTEN post-image bytes via
+    * [[validateStagedOrAbort]] before any publish attempt — a SET
+    * that nulls a NOT-NULL column, drives a value out of range, or
+    * collides a unique key with an untouched row refuses with staged
+    * files deleted and NOTHING published. Unique survivors are the
+    * head's rows the predicate does NOT match (the updated rows'
+    * preimages are being replaced, so an update that keeps its own
+    * keys never false-refuses).
+    */
+  def updateChecked(spark: SparkSession, root: String,
+                    where: org.apache.spark.sql.Column,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    checks: Seq[graft.operators.QualityChecks.Check],
+                    branch: String = "main"): Int = {
+    require(checks.nonEmpty, "updateChecked without checks is updateWhere")
+    updateImpl(spark, root, where, set, branch, checks)
+  }
+
+  private def updateImpl(spark: SparkSession, root: String,
+                  where: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  branch: String,
+                  checks: Seq[graft.operators.QualityChecks.Check]): Int = {
     import org.apache.spark.sql.functions.col
     val rootP = Paths.get(root)
     require(headOf(root, branch) > 0, s"nothing to update under $root")
@@ -1683,7 +1771,20 @@ object Snapshots {
       s"SET names unknown column '$c'"))
     val updated = preimage.select(preimage.columns.toIndexedSeq.map(c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-    var dataLines = entryLines(updated, writeDataFiles(updated, rootP, v, token))
+    val newFiles = writeDataFiles(updated, rootP, v, token)
+    var dataLines = entryLines(updated, newFiles)
+    if (checks.nonEmpty)
+      // survivors = the head's rows the predicate does not match (a
+      // NULL predicate row is unmatched and SURVIVES — coalesce keeps
+      // it in the survivor leg; see updateChecked)
+      validateStagedOrAbort(spark,
+        Seq(rootP.resolve(s"data_v${v}_$token"),
+          rootP.resolve(s"delete_v${v}_$token")),
+        newFiles, checks,
+        survivors = Some(read(spark, root, base0)
+          .filter(!org.apache.spark.sql.functions.coalesce(where,
+            org.apache.spark.sql.functions.lit(false)))),
+        op = "updateChecked")
     def reallocate(): Unit = {
       val newV = reallocateStaged(rootP, root, v, token,
         Seq("data", "delete"))
@@ -1752,7 +1853,34 @@ object Snapshots {
     * new version.
     */
   def merge(spark: SparkSession, root: String, column: String,
-            source: DataFrame, branch: String = "main"): Int = {
+            source: DataFrame, branch: String = "main"): Int =
+    mergeImpl(spark, root, column, source, branch, Nil)
+
+  /** CHECKED merge (r15 — the [[appendChecked]] contract on the
+    * upsert path, closing "constraints enforce on every write path"):
+    * stage exactly like [[merge]], then validate the staged source
+    * bytes via [[validateStagedOrAbort]] BEFORE any publish attempt —
+    * row predicates and referential checks over the written batch,
+    * Unique checks additionally against the POST-IMAGE's survivor
+    * rows (the head minus the keys this merge replaces, so replacing
+    * a key never false-refuses while colliding with an untouched row
+    * on a SECONDARY unique column does). A refused merge changes
+    * NOTHING: staged data and delete files deleted, no version, no
+    * ref movement. A clean merge then runs the unchanged serializable
+    * CAS loop — validation composes with, never replaces, the
+    * concurrent-key abort contract.
+    */
+  def mergeChecked(spark: SparkSession, root: String, column: String,
+                   source: DataFrame,
+                   checks: Seq[graft.operators.QualityChecks.Check],
+                   branch: String = "main"): Int = {
+    require(checks.nonEmpty, "mergeChecked without checks is merge")
+    mergeImpl(spark, root, column, source, branch, checks)
+  }
+
+  private def mergeImpl(spark: SparkSession, root: String, column: String,
+            source: DataFrame, branch: String,
+            checks: Seq[graft.operators.QualityChecks.Check]): Int = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val rootP = Paths.get(root)
     require(headOf(root, branch) > 0, s"nothing to merge into under $root")
@@ -1771,7 +1899,8 @@ object Snapshots {
       s"merge source has duplicate '$column' keys (e.g. ${dup.headOption})")
     val token = newToken()
     var v = latestVersion(root) + 1
-    var dataLines = entryLines(source, writeDataFiles(source, rootP, v, token))
+    val newFiles = writeDataFiles(source, rootP, v, token)
+    var dataLines = entryLines(source, newFiles)
     var delFiles = {
       val delDir = rootP.resolve(s"delete_v${v}_$token")
       source.select(col(column)).write.mode("overwrite")
@@ -1781,6 +1910,16 @@ object Snapshots {
     // the merge's own key set, read back from the already-written
     // delete files (deterministic — never recomputes `source`)
     def ownKeys = spark.read.parquet(delFiles: _*).select(col(column))
+    if (checks.nonEmpty)
+      // survivors = the head's live rows minus the replaced keys: the
+      // post-image complement of this staged batch (see mergeChecked)
+      validateStagedOrAbort(spark,
+        Seq(rootP.resolve(s"data_v${v}_$token"),
+          rootP.resolve(s"delete_v${v}_$token")),
+        newFiles, checks,
+        survivors = Some(read(spark, root, base0)
+          .join(ownKeys, Seq(column), "left_anti")),
+        op = "mergeChecked")
     def reallocate(): Unit = {
       val newV = reallocateStaged(rootP, root, v, token,
         Seq("data", "delete"))

@@ -26,6 +26,13 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
   private case class Update(mod: Long, delta: Long) extends Op
   private case object Compact extends Op
   private case object CompactManifests extends Op
+  // r15: the CHECKED commit paths join the interleavings — a clean
+  // checked write behaves exactly like its unchecked twin; a violating
+  // one must refuse leaving NO version, NO model drift, NO debris
+  private case class CheckedAppend(keys: Seq[Long], delta: Long,
+                                   violate: Boolean) extends Op
+  private case class CheckedMerge(keys: Seq[Long], delta: Long,
+                                  violate: Boolean) extends Op
 
   private val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 39L)).map(_.distinct)
   private val opGen: Gen[Op] = Gen.frequency(
@@ -37,7 +44,16 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
     1 -> Gen.const(Compact),
     // r14: metadata-only manifest rewrite — rows, delete scoping, and
     // every remembered version must be bit-identical through it
-    1 -> Gen.const(CompactManifests))
+    1 -> Gen.const(CompactManifests),
+    2 -> (for { k <- keysGen; d <- Gen.choose(1L, 9L); bad <- Gen.oneOf(true, false) }
+      yield CheckedAppend(k, d, bad)),
+    2 -> (for { k <- keysGen; d <- Gen.choose(1L, 9L); bad <- Gen.oneOf(true, false) }
+      yield CheckedMerge(k, d, bad)))
+
+  // every value any clean op writes is ≥ 0, so the range check passes
+  // exactly when no violation was planted
+  private val vChecks = Seq(
+    graft.operators.QualityChecks.RowPredicate("v_nonneg", col("v") < 0L))
 
   test("random DML interleavings match the reference interpreter; remembered versions stay stable") {
     (1 to 5).foreach { i =>
@@ -79,6 +95,34 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
             S.compact(spark, root, targetFiles = 2)
           case CompactManifests =>
             S.compactManifests(root)
+          case CheckedAppend(keys, d, bad) =>
+            val rows = keys.map(k => k -> (if (bad) -(k + d) else k + d))
+            if (bad) {
+              val head = S.latestVersion(root)
+              intercept[IllegalStateException] {
+                S.appendChecked(df(rows).repartition(2), root, vChecks)
+              }
+              assert(S.latestVersion(root) == head,
+                s"seed $i: refused checked append minted a version")
+              head
+            } else {
+              model = model ++ rows
+              S.appendChecked(df(rows).repartition(2), root, vChecks)
+            }
+          case CheckedMerge(keys, d, bad) =>
+            val rows = keys.map(k => k -> (if (bad) -(k * 10 + d) else k * 10 + d))
+            if (bad) {
+              val head = S.latestVersion(root)
+              intercept[IllegalStateException] {
+                S.mergeChecked(spark, root, "id", df(rows).repartition(1), vChecks)
+              }
+              assert(S.latestVersion(root) == head,
+                s"seed $i: refused checked merge minted a version")
+              head
+            } else {
+              model = model.filterNot(r => keys.contains(r._1)) ++ rows
+              S.mergeChecked(spark, root, "id", df(rows).repartition(1), vChecks)
+            }
         }
         val got = S.read(spark, root)
           .as[(Long, Long)].collect().toVector.sorted
@@ -109,6 +153,18 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
         val got = S.read(spark, root, v)
           .as[(Long, Long)].collect().toVector.sorted
         assert(got == want.sorted, s"seed $i: v$v drifted after orphan sweep")
+      }
+
+      // r15: commit stamps strictly monotone down the same random
+      // paths, and timestamp travel resolves EVERY remembered version
+      // exactly from its own commit time
+      val head = S.latestVersion(root)
+      val tss = (1 to head).map(v => S.commitTimeOf(root, v))
+      assert(tss == tss.sorted && tss.distinct == tss,
+        s"seed $i: commit stamps not strictly monotone: $tss")
+      snapshots.map(_._1).distinct.foreach { v =>
+        assert(S.versionAsOf(root, S.commitTimeOf(root, v)) == v,
+          s"seed $i: versionAsOf(ts(v$v)) must resolve v$v")
       }
     }
   }

@@ -604,6 +604,82 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] {
       Snapshots.appendChecked(Seq((9L, 9L)).toDF("id", "v"), root, Nil)
     }
+    // Unique is SNAPSHOT-WIDE (r15): a later batch re-appending a key
+    // that already lives in the table refuses like an internal dup
+    val preCross = dataDirs()
+    val e3 = intercept[IllegalStateException] {
+      Snapshots.appendChecked(Seq((1L, 8L)).toDF("id", "v"), root, checks)
+    }
+    assert(e3.getMessage.contains("unique_id"))
+    assert(Snapshots.latestVersion(root) == 2 && dataDirs() == preCross,
+      "cross-append refusal must publish nothing and strand nothing")
+    // a deleted key is re-insertable: uniqueness is over LIVE rows
+    Snapshots.deleteWhere(spark, root, "id", Seq(1L).toDF("id"))
+    assert(Snapshots.appendChecked(
+      Seq((1L, 8L)).toDF("id", "v"), root, checks) == 4)
+  }
+
+  test("mergeChecked/updateChecked validate the post-image; refusals publish nothing") {
+    import graft.operators.QualityChecks.{RowPredicate, Unique}
+    import org.apache.spark.sql.functions.lit
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Staging.tempDir("snap_checked_dml").toString
+    val checks = Seq(
+      Unique("unique_id", $"id"),
+      Unique("unique_tag", $"tag"),
+      RowPredicate("v_nonneg", $"v" < 0L))
+    Snapshots.appendChecked(
+      Seq((1L, 5L, "a"), (2L, 7L, "b")).toDF("id", "v", "tag"), root, checks)
+    def stagedDirs() = {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("data_v") || n.startsWith("delete_v")).toSet
+      finally s.close()
+    }
+    val before = stagedDirs()
+    // row-predicate violation in the merge source: refused, named
+    val e1 = intercept[IllegalStateException] {
+      Snapshots.mergeChecked(spark, root, "id",
+        Seq((2L, -1L, "b2")).toDF("id", "v", "tag"), checks)
+    }
+    assert(e1.getMessage.contains("v_nonneg"))
+    // secondary-unique collision with an UNTOUCHED row: merging key 3
+    // with tag "a" collides with survivor id=1 — refused
+    val e2 = intercept[IllegalStateException] {
+      Snapshots.mergeChecked(spark, root, "id",
+        Seq((3L, 9L, "a")).toDF("id", "v", "tag"), checks)
+    }
+    assert(e2.getMessage.contains("unique_tag"))
+    assert(stagedDirs() == before && Snapshots.latestVersion(root) == 1,
+      "refused merges must publish nothing and strand nothing")
+    // replacing a key with its OWN tag never false-refuses (the
+    // survivor set excludes the replaced key)
+    val v2 = Snapshots.mergeChecked(spark, root, "id",
+      Seq((2L, 9L, "b")).toDF("id", "v", "tag"), checks)
+    assert(v2 == 2)
+    assert(Snapshots.read(spark, root).as[(Long, Long, String)].collect().toSet
+      == Set((1L, 5L, "a"), (2L, 9L, "b")))
+    // updateChecked: a SET driving a value out of range refuses
+    val e3 = intercept[IllegalStateException] {
+      Snapshots.updateChecked(spark, root, $"id" === 1L,
+        Map("v" -> lit(-3L)), checks)
+    }
+    assert(e3.getMessage.contains("v_nonneg"))
+    // a SET colliding a unique column with an untouched row refuses
+    val e4 = intercept[IllegalStateException] {
+      Snapshots.updateChecked(spark, root, $"id" === 1L,
+        Map("tag" -> lit("b")), checks)
+    }
+    assert(e4.getMessage.contains("unique_tag"))
+    assert(stagedDirs().filterNot(_.contains("_v2_")) == before &&
+      Snapshots.latestVersion(root) == 2)
+    // a clean checked update (keeps its own keys) publishes
+    val v3 = Snapshots.updateChecked(spark, root, $"id" === 1L,
+      Map("v" -> lit(6L)), checks)
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, root).as[(Long, Long, String)].collect().toSet
+      == Set((1L, 6L, "a"), (2L, 9L, "b")))
   }
 
   test("commit stamps are strictly monotone; versionAsOf resolves and refuses correctly") {
