@@ -2431,7 +2431,10 @@ object Snapshots {
   /** Commit wall-clock of version `v`, epoch millis: the `ts` prop
     * [[commit]] stamps (strictly monotone along a lineage); a pre-r14
     * manifest without one falls back to the manifest file's mtime —
-    * the same physical clock retention already trusts.
+    * the same physical clock retention already trusts. NOTE the
+    * fallback is RAW: mtimes can tie or invert along a legacy lineage
+    * (copies, clock steps), so consumers needing the monotone premise
+    * must clamp along the walk, as [[versionAsOf]] does.
     */
   def commitTimeOf(root: String, v: Int): Long =
     propsOf(root, v).get("ts").map(_.toLong).getOrElse(
@@ -2446,14 +2449,25 @@ object Snapshots {
     * reads on the driver, zero data I/O). Refuses a timestamp before
     * the ref's surviving history: there was no table to read then —
     * returning the oldest snapshot would silently misdate it.
+    *
+    * Pre-r14 history (r15, ADVICE): a legacy commit's mtime fallback
+    * can tie with or invert against its neighbors, which would break
+    * the uniqueness argument — so resolution clamps each commit's
+    * time to the RUNNING MAX along the ascending lineage. Stamped
+    * (r14+) commits are untouched by the clamp (already strictly
+    * increasing); legacy stretches resolve best-effort but
+    * DETERMINISTICALLY: the latest version whose clamped time is
+    * ≤ the ask, never an arbitrary member of a tied set.
     */
   def versionAsOf(root: String, tsMillis: Long, ref: String = "main"): Int = {
-    val at = lineage(root, headOf(root, ref))
-      .filter(commitTimeOf(root, _) <= tsMillis)
+    var run = Long.MinValue
+    val at = lineage(root, headOf(root, ref)) // ascending
+      .map { v => run = math.max(run, commitTimeOf(root, v)); (v, run) }
+      .filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"no commit on '$ref' at or before ts=$tsMillis under $root " +
         "(timestamp predates the ref's surviving history)")
-    at.max
+    at.last._1
   }
 
   /** The branch a commit landed on (`main` for legacy manifests). */

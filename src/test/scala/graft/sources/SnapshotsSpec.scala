@@ -706,6 +706,40 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.versionAsOf(root, Long.MaxValue, "b") == bv)
     assert(Snapshots.versionAsOf(root, ts(1), "b") == 2)
   }
+
+  test("versionAsOf clamps legacy mtime fallbacks to a running max (pre-r14 history)") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val root = Staging.tempDir("snap_legacy_ts").toString
+    (1 to 3).foreach(i => Snapshots.append(Seq((i.toLong, "x")).toDF("id", "s"), root))
+    // simulate pre-r14 manifests: strip the ts stamps, then give the
+    // files TIED/INVERTED mtimes (copies and clock steps do this)
+    val md = Paths.get(root).resolve("_manifests")
+    (1 to 3).foreach { v =>
+      val p = md.resolve(s"$v.txt")
+      val lines = Files.readAllLines(p).asScala.map { l =>
+        if (l.startsWith("#props\t"))
+          l.split('\t').filterNot(_.startsWith("ts=")).mkString("\t")
+        else l
+      }
+      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val t0 = 1000000L
+    Files.setLastModifiedTime(md.resolve("1.txt"), FileTime.fromMillis(t0))
+    Files.setLastModifiedTime(md.resolve("2.txt"), FileTime.fromMillis(t0 + 2000))
+    Files.setLastModifiedTime(md.resolve("3.txt"), FileTime.fromMillis(t0 + 1000))
+    // raw mtimes would resolve t0+1000 to v3 — a "reader at that
+    // instant" seeing a child of a commit (v2) that did not exist yet.
+    // The running-max clamp keeps resolution consistent with lineage:
+    assert(Snapshots.versionAsOf(root, t0) == 1)
+    assert(Snapshots.versionAsOf(root, t0 + 1000) == 1,
+      "v3's inverted mtime must clamp up to v2's, not shadow under it")
+    // tie at the clamped time: the LATEST version wins, deterministically
+    assert(Snapshots.versionAsOf(root, t0 + 2000) == 3)
+    assert(Snapshots.versionAsOf(root, t0 + 9999) == 3)
+    intercept[IllegalArgumentException] { Snapshots.versionAsOf(root, t0 - 1) }
+  }
 }
 
 object SnapshotsSpec {
