@@ -380,6 +380,69 @@ object SinkQ {
       .withColumn("files_identical", lit(filesSame))
   }
 
+  /** q221 — CLUSTERED manifest rewrite (r15; Iceberg
+    * `rewrite_manifests` cluster-by, completing q218): commit-order
+    * packing keeps segment stats tight only when values correlate
+    * with ingest order. Here the eight contiguous doc_id eighths are
+    * appended in a SHUFFLED order (0,4,1,5,2,6,3,7 — a backfill's
+    * shape), so commit-order pairs would each span half the table and
+    * a point lookup would open every segment;
+    * `compactManifests(clusterBy = doc_id)` sorts entries by their
+    * manifest-recorded min before cutting, restoring the q218
+    * geometry exactly: 4 packed segments of adjacent eighths, point
+    * lookup opens 1, second half 2, full 4, below-range 0. Engine
+    * invariants stated literally; content aggregates recomputed by
+    * DuckDB over the same integer-eighth ranges (sound because
+    * clustering reorders manifest ENTRIES only — file set, rows, and
+    * delete scoping ride through untouched, which files_identical
+    * pins).
+    */
+  private val clusteredPruneStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def clusteredManifestPruning(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = clusteredPruneStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_clustered_prune_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val span = mx - mn + 1
+      Seq(0, 4, 1, 5, 2, 6, 3, 7).foreach { i =>
+        val lo = mn + span * i / 8
+        val hi = mn + span * (i + 1) / 8 // exclusive
+        S.append(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1), o.toString)
+      }
+      S.compactManifests(o.toString, targetLines = 2,
+        clusterBy = Some("doc_id"))
+      o.toString
+    })
+    val v = S.latestVersion(root)
+    val filesSame = S.files(root, v).toSet == S.files(root, v - 1).toSet
+    val stats = S.fileStats(spark, root, v, "doc_id")
+    val (mn, mx) = (stats.map(_._2).min, stats.map(_._3).max)
+    val span = mx - mn + 1
+    val legs = Seq(
+      ("1_point", mn, mn),
+      ("2_second_half", mn + span * 4 / 8, mx),
+      ("3_full", mn, mx),
+      ("4_empty", mn - 10, mn - 1)).map { case (name, lo, hi) =>
+      val s0 = S.segmentReads.get()
+      val nScanned = S.prunedFiles(spark, root, v, "doc_id", lo, hi).size
+      (name, lo, hi, nScanned, (S.segmentReads.get() - s0).toInt)
+    }
+    val nSegs = S.manifestsTable(spark, root, v).count().toInt
+    legs.map { case (name, lo, hi, nScanned, opened) =>
+      S.readPruned(spark, root, v, "doc_id", lo, hi)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(name).as("leg"), lit(nScanned).as("n_files_scanned"),
+          lit(opened).as("segments_opened"), col("n_docs"), col("sum_chars"))
+    }.reduce(_.unionByName(_))
+      .withColumn("n_segments_total", lit(nSegs))
+      .withColumn("files_identical", lit(filesSame))
+  }
+
   /** q217 — CHECKED APPEND (Delta CHECK constraints / expectations
     * with fail-the-write semantics;
     * [[graft.sources.Snapshots.appendChecked]]): three legs — a clean
@@ -1833,6 +1896,7 @@ object SinkQ {
     "q218_packed_manifest_pruning" -> (packedManifestPruning _),
     "q219_checked_merge" -> (checkedMerge _),
     "q220_checked_update" -> (checkedUpdate _),
+    "q221_clustered_manifest_pruning" -> (clusteredManifestPruning _),
     "q81_write_roundtrip" -> (writeRoundtrip _),
     "q99_bucketed_join" -> (bucketedJoin _),
     "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -2329,6 +2393,26 @@ object SinkQ {
         |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars * 2 ELSE n_chars END)
         |    AS BIGINT), TRUE
         |FROM documents""".stripMargin,
+    // the clustered rewrite restores q218's leg geometry on a
+    // shuffled-order ingest — identical oracle shape by design
+    "q221_clustered_manifest_pruning" ->
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx,
+        |             max(doc_id) - min(doc_id) + 1 AS span
+        |           FROM documents)
+        |SELECT '1_point' AS leg, 1 AS n_files_scanned, 1 AS segments_opened,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  4 AS n_segments_total, TRUE AS files_identical
+        |FROM documents WHERE doc_id = (SELECT mn FROM b)
+        |UNION ALL
+        |SELECT '2_second_half', 4, 2, count(*), CAST(sum(n_chars) AS BIGINT),
+        |  4, TRUE
+        |FROM documents WHERE doc_id >= (SELECT mn + span * 4 // 8 FROM b)
+        |UNION ALL
+        |SELECT '3_full', 8, 4, count(*), CAST(sum(n_chars) AS BIGINT), 4, TRUE
+        |FROM documents
+        |UNION ALL
+        |SELECT '4_empty', 0, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |  4, TRUE""".stripMargin,
     // planner invariants after the size-bounded rewrite (files
     // scanned / segments opened / 4 packed segments / identical file
     // set) stated literally per the eighth-pair geometry; content

@@ -933,21 +933,45 @@ object Snapshots {
     * mid-rewrite (the [[compact]] revalidation contract); a mere
     * version-number collision with another branch's writer just
     * reallocates and retries.
+    *
+    * `clusterBy` (r15 — Iceberg `rewrite_manifests`' cluster-by):
+    * commit-order packing keeps segment stats tight only when values
+    * correlate with ingest order; an ingest that interleaves ranges
+    * (backfills, multi-source loads) leaves every packed segment
+    * spanning the table and nothing skips. Clustering SORTS the data
+    * entries by their manifest-recorded min of the named column
+    * before cutting, so each packed segment covers a contiguous value
+    * range regardless of commit order. Sound because entry ORDER in a
+    * manifest carries no semantics: delete lines scope by their
+    * embedded version stamps and data files by their `data_v<N>`
+    * paths, never by position ([[deleteSets]]/[[dataVersionOf]]) —
+    * only scan order changes. Entries without a stats token for the
+    * column sort stably to the tail (and the statsness split keeps
+    * legacy `#nostats` runs quarantined as before); the sort reads
+    * TOKENS only — a metadata-only op never pays a footer read.
     */
   def compactManifests(root: String, branch: String = "main",
-                       targetLines: Int = SegmentTargetLines): Int = {
+                       targetLines: Int = SegmentTargetLines,
+                       clusterBy: Option[String] = None): Int = {
     val rootP = Paths.get(root)
     val prev = headOf(root, branch)
     require(prev > 0, s"nothing to compact under $root")
     val schema = schemaOf(root, prev).getOrElse(
       throw new IllegalStateException(
         s"v$prev carries no schema header; commit data before compacting manifests"))
+    val resolved = resolveBody(rootP, bodyRefs(root, prev))
+    val body = clusterBy match {
+      case None => resolved
+      case Some(c) =>
+        val (dels, data) = resolved.partition(l =>
+          l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
+        dels ++ data.sortBy(statMinOf(_, c).getOrElse(Long.MaxValue))
+    }
     // pre-cut the resolved body into size-bounded segments HERE (the
     // publish path passes `#segment` pointers through untouched) —
     // segment files are content-addressed and immutable, so writing
     // them before the CAS loop is safe under races
-    val lines = segmentize(rootP,
-      resolveBody(rootP, bodyRefs(root, prev)), targetLines)
+    val lines = segmentize(rootP, body, targetLines)
     var v = latestVersion(root) + 1
     var committed = -1
     while (committed < 0) {
@@ -966,6 +990,22 @@ object Snapshots {
       }
     }
     committed
+  }
+
+  /** TOKEN-ONLY stats min of a data entry's `column` — the cluster
+    * sort key of [[compactManifests]]: same `col=mn..mx` grammar as
+    * [[entryStatsFor]] but with NO footer fallback (a metadata-only
+    * rewrite must never open data files); None for path-only entries
+    * or entries holding no value of the column.
+    */
+  private def statMinOf(line: String, column: String): Option[Long] = {
+    val parts = line.split('\t')
+    if (parts.length > 1 && parts(1) == "#stats")
+      parts.drop(2).takeWhile(!_.startsWith("#")).collectFirst {
+        case t if t.startsWith(column + "=") =>
+          t.substring(column.length + 1).split("\\.\\.")(0).toLong
+      }
+    else None
   }
 
   /** Per-file (path, min, max) statistics of a LONG column of snapshot

@@ -223,6 +223,41 @@ class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
     assert(segPtrs(root, v + 1).size == 4)
   }
 
+  test("clusterBy packing restores skipping on ingest-order-uncorrelated tables") {
+    val root = Staging.tempDir("seg_cluster").toString
+    // six contiguous id ranges committed in SHUFFLED order — the
+    // backfill/multi-source ingest where commit-order packing fails:
+    // adjacent commits span distant ranges, so every packed pair's
+    // min/max covers most of the table
+    Seq(0, 3, 1, 4, 2, 5).foreach { i =>
+      val lo = i * 100L + 1
+      Snapshots.append((lo to lo + 9).map(j => (j, s"r$j")).toDF("id", "s")
+        .coalesce(1), root)
+    }
+    val pre = Snapshots.latestVersion(root)
+    val v = Snapshots.compactManifests(root, targetLines = 2,
+      clusterBy = Some("id"))
+    assert(segPtrs(root, v).size == 3)
+    assert(Snapshots.files(root, v).toSet == Snapshots.files(root, pre).toSet,
+      "clustering reorders entries, never changes the file set")
+    // clustered pairs are (ranges 0,1)(2,3)(4,5): a point lookup opens
+    // exactly one segment — commit-order pairs (0,3)(1,4)(2,5) would
+    // each span half the table and all three would open
+    val before = Snapshots.segmentReads.get()
+    val hit = Snapshots.prunedFiles(spark, root, v, "id", 305L, 305L)
+    assert(Snapshots.segmentReads.get() - before == 1,
+      "point lookup must open exactly the clustered segment")
+    assert(hit.size == 1)
+    // rows and remembered versions intact through the reorder
+    assert(Snapshots.read(spark, root).count() == 60)
+    assert(Snapshots.read(spark, root, 2).count() == 20)
+    // delete scoping survives entry reordering: delete + re-cluster
+    Snapshots.deleteWhere(spark, root, "id", Seq(305L, 6L).toDF("id"))
+    Snapshots.compactManifests(root, targetLines = 2, clusterBy = Some("id"))
+    assert(Snapshots.read(spark, root).count() == 58)
+    assert(Snapshots.read(spark, root).filter($"id" === 305L).count() == 0)
+  }
+
   test("delete commits carry delete lines through segments; DML still round-trips") {
     val root = Staging.tempDir("seg_dml").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)
