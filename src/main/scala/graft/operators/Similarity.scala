@@ -19,20 +19,23 @@ import graft.functions.VectorFunctions.{cosine_similarity, cosine_similarity6}
   */
 object Similarity {
 
-  /** Cap on an indexed CELL's population for the centroid-bucketed
-    * similarity joins ([[knnJoin]], [[semanticPairs]]) — the vector
-    * family's analogue of [[Dedup.DefaultMaxBucketDf]] (same value,
-    * same no-silent-caps contract). The scaladoc bound "numCentroids ≫
-    * partitions ⇒ cells stay bounded" assumes roughly balanced cells;
-    * real embedding corpora are CLUSTERED — one dense semantic cluster
-    * (boilerplate, near-identical spam, a template family) lands in
-    * one cell and its Σ|cell|² candidate fan-in goes quadratic on a
-    * single shuffle key. Cells over the cap drop from candidate
-    * generation and are queryable via [[droppedCells]]; the drop
-    * report is the re-index signal (more centroids, or quarantine the
-    * cluster). Gate corpora sit below the cap by construction and
-    * Verify preflights it (the MediaDedup convention); `Long.MaxValue`
-    * = cap off for completeness diagnostics.
+  /** Bound on an indexed CELL's population for the centroid-bucketed
+    * similarity joins — the vector family's analogue of
+    * [[Dedup.DefaultMaxBucketDf]] (same value). The scaladoc bound
+    * "numCentroids ≫ partitions ⇒ cells stay bounded" assumes roughly
+    * balanced cells; real embedding corpora are CLUSTERED — one dense
+    * semantic cluster (boilerplate, near-identical spam, a template
+    * family) lands in one cell and its candidate fan-in goes
+    * quadratic on a single shuffle key. The two joins respond
+    * differently, each per its semantics:
+    *  - [[knnJoin]] SALTS the hot cell into ⌈size/cap⌉ sub-keys —
+    *    lossless (per-pair work is inherent and merely redistributed);
+    *  - [[semanticPairs]] DROPS it with a queryable report
+    *    ([[droppedCells]]) — its within-cell |cell|² pair work IS the
+    *    blowup, so the report is the re-index signal (finer k, or
+    *    quarantine the cluster for a dedicated pass). Gate corpora
+    *    sit below the cap by construction and Verify preflights it
+    *    (the MediaDedup convention); `Long.MaxValue` = off.
     */
   val DefaultMaxCellSize: Long = Dedup.DefaultMaxBucketDf
 
@@ -63,9 +66,10 @@ object Similarity {
       "v", centers, replicas, "cell")
       .groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
 
-  /** The no-silent-caps report for [[knnJoin]]/[[semanticPairs]]:
-    * cells whose population exceeds `maxCellSize`, with their sizes —
-    * exactly the cells the joins drop from candidate generation.
+  /** The no-silent-caps report: cells whose population exceeds
+    * `maxCellSize`, with their sizes — exactly the cells
+    * [[semanticPairs]] drops from candidate generation, and the cells
+    * [[knnJoin]] pays ⌈size/cap⌉× probe replication to salt.
     */
   def droppedCells(corpus: DataFrame, centers: Seq[Seq[Double]],
                    replicas: Int = 3,
@@ -269,15 +273,23 @@ object Similarity {
     *
     * HOT CELLS (r15): balance is an assumption, not a guarantee — a
     * dense semantic cluster puts one cell's index population far above
-    * the mean and that cell's fan-in (|probes in cell| × |index in
-    * cell|) dominates the join. Indexed cells over `maxCellSize`
-    * ([[DefaultMaxCellSize]]) drop from candidate generation — so each
-    * left row meets ≤ nProbe·maxCellSize candidates, a hard bound —
-    * and are queryable via [[droppedCells]](right, centers, replicas):
-    * a left row probing a dropped cell loses exactly that cell's
-    * candidates (recall loss is scoped to the reported cells, never
-    * silent). The cap is a backstop contract over ANY input, not a
-    * tuning knob: production sizes numCentroids so no cell crosses it.
+    * the mean and that cell becomes a hot shuffle key whose fan-in
+    * (|probes in cell| × |index in cell|) lands on ONE task. Indexed
+    * cells over `maxCellSize` ([[DefaultMaxCellSize]]) are SALTED:
+    * each such cell's index rows spread over ⌈size/cap⌉ sub-cells by
+    * id hash and its probes replicate across all of them, so the join
+    * key becomes (cell, salt) with ≤ maxCellSize index rows per key —
+    * the skew-split every salted join does, applied only where
+    * needed. NO candidate is lost (results are bit-identical to the
+    * unsalted join — the per-pair work is inherent; only its
+    * placement changes), and the probe replication cost is scoped to
+    * exactly the hot cells. [[cellSizes]]/[[droppedCells]] remain the
+    * index-health diagnostics for sizing numCentroids; a report row
+    * here means "this cell pays ⌈size/cap⌉× probe replication", not
+    * "this cell was skipped". Detection is one map-side-combined
+    * count over the assignment stream — a second codegen pass over
+    * the index side; a production deployment persists the assignment
+    * (or reuses the [[cellSizes]] artifact) beside the centers.
     *
     * `dropSameId = true` excludes candidates whose ids coincide — set
     * it ONLY for a self-join (left and right are the same dataset,
@@ -306,16 +318,36 @@ object Similarity {
     if (ctrs.isEmpty)
       return l.limit(0).crossJoin(r.limit(0)).select(
         col("left_id"), col("right_id"), lit(0.0).as("sim"), lit(0).as("rn"))
-    // NaN vectors (cell −1) drop from index and probes, as in ivfTopK.
-    // The INDEX side carries the cell cap: capping it alone bounds
-    // every left row at ≤ nProbe·maxCellSize candidates (a probe into
-    // a dropped cell simply finds no match in the equi-join)
-    val indexed = Dedup.capHotBuckets(
-      withCells(r, "rv", ctrs, replicas, "cell"), Seq("cell"), maxCellSize)
+    // NaN vectors (cell −1) drop from index and probes, as in ivfTopK
+    val indexed = withCells(r, "rv", ctrs, replicas, "cell")
     val probes = withCells(l, "lv", ctrs, nProbe, "cell")
     val wTop = Window.partitionBy(col("left_id"))
       .orderBy(col("sim").desc, col("right_id").asc)
-    val candidates = probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
+    // hot-cell salting (see scaladoc): cells whose index population
+    // exceeds maxCellSize join on (cell, salt) instead — index rows
+    // hashed over ⌈size/cap⌉ salts, probes replicated across them.
+    // Hot cells number ≤ |index|/cap by construction, so the salt
+    // table broadcasts; cold cells pay one broadcast-probe and salt 0
+    val candidates =
+      if (maxCellSize == Long.MaxValue)
+        probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
+      else {
+        val hot = indexed.groupBy(col("cell"))
+          .agg(count(lit(1)).as("_cn")).filter(col("_cn") > maxCellSize)
+          .select(col("cell"),
+            ceil(col("_cn").cast("double") / maxCellSize).cast("int")
+              .as("_nsalt"))
+        val idxS = indexed.join(broadcast(hot), Seq("cell"), "left")
+          .withColumn("_salt", when(col("_nsalt").isNull, lit(0))
+            .otherwise(pmod(xxhash64(col("right_id")), col("_nsalt"))
+              .cast("int")))
+          .drop("_nsalt")
+        val prbS = probes.join(broadcast(hot), Seq("cell"), "left")
+          .withColumn("_salt",
+            explode(sequence(lit(0), coalesce(col("_nsalt"), lit(1)) - 1)))
+          .drop("_nsalt")
+        prbS.join(idxS, Seq("cell", "_salt")).drop("_salt")
+      }
     val scored =
       (if (dropSameId) candidates.filter(col("left_id") =!= col("right_id"))
        else candidates)

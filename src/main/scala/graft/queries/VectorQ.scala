@@ -412,13 +412,15 @@ object VectorQ {
         (col("_negs") === 0L).as("no_planted_survives"))
   }
 
-  // ---- cap preflight (r15): the centroid-bucketed similarity joins
-  // carry a hot-cell cap ([[Similarity.DefaultMaxCellSize]]) and their
+  // ---- cap preflight (r15): [[Similarity.semanticPairs]] drops
+  // over-cap cells ([[Similarity.DefaultMaxCellSize]]) and its gates'
   // oracles model the cap-free ideal, so Verify must fail LOUDLY if a
-  // gate corpus ever grows a cell past the cap (the MediaQ convention).
-  // Each guard rebuilds the gate's own centers/replicas spelling so
-  // the accounting can't drift from what the gate joins on; the
-  // k-means builds are deterministic and the counts memoized.
+  // gate corpus ever grows a cell past the cap (the MediaQ
+  // convention). knnJoin gates need NO guard: its hot cells SALT
+  // losslessly, so the oracle holds at any cell size. The guard
+  // rebuilds the gate's own centers/replicas spelling so the
+  // accounting can't drift from what the gate joins on; the k-means
+  // build is deterministic and the count memoized.
   private val cellGuardMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Long]()
   private def cellGuard(key: String, s: SparkSession, d: String)
@@ -427,31 +429,15 @@ object VectorQ {
       s"${Similarity.DefaultMaxCellSize})",
       cellGuardMemo.computeIfAbsent((s, d, key), _ => eval))
   private def semDedupCells(s: SparkSession, d: String) =
-    cellGuard("q92/q212 SemDeDup-center", s, d) {
+    cellGuard("q92 SemDeDup-center", s, d) {
       val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       Similarity.droppedCells(embs.unionByName(plantedCopies(embs)),
         semCenters(s, d), replicas = 2).count()
     }
-  private def knnExactCells(s: SparkSession, d: String) =
-    cellGuard("q211 knn-join index-side", s, d) {
-      val right = Tables.embeddings(s, d)
-        .filter(pmod(col("vec_id"), lit(2)) === 1)
-      Similarity.droppedCells(right,
-        Similarity.kmeansCenters(right, numCentroids = 8), replicas = 1).count()
-    }
-  private def decontamCells(s: SparkSession, d: String) =
-    cellGuard("q215 decontamination eval-side", s, d) {
-      val evalSide = Tables.embeddings(s, d).filter(col("vec_id") < 25)
-      Similarity.droppedCells(evalSide,
-        Similarity.kmeansCenters(evalSide, numCentroids = 8), replicas = 1).count()
-    }
 
   private[graft] val capGuards: Map[String,
       (SparkSession, String) => Seq[(String, Long)]] = Map(
-    "q92_semantic_dedup" -> ((s, d) => Seq(semDedupCells(s, d))),
-    "q212_knn_join_recall" -> ((s, d) => Seq(semDedupCells(s, d))),
-    "q211_knn_join" -> ((s, d) => Seq(knnExactCells(s, d))),
-    "q215_embedding_decontamination" -> ((s, d) => Seq(decontamCells(s, d))))
+    "q92_semantic_dedup" -> ((s, d) => Seq(semDedupCells(s, d))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_array_hof" -> (arrayHof _),

@@ -36,23 +36,37 @@ class HotCellSpec extends AnyFunSuite with SparkTestSession {
       maxCellSize = 30).count() == 0, "cap at the population is not over-cap")
   }
 
-  test("knnJoin caps the hot index cell: candidates bounded, drop scoped, cap-off restores") {
+  test("knnJoin salts the hot index cell: bit-identical results, no candidate lost") {
     val left = Seq((1000L, Seq(1.0, 0.0)), (1001L, Seq(0.0, 1.0)))
       .toDF("vec_id", "embedding")
     def run(cap: Long) = Similarity.knnJoin(left, corpus, k = 3,
         centers = Some(ctrs), nProbe = 1, replicas = 1, maxCellSize = cap)
-      .select($"left_id", $"right_id").as[(Long, Long)].collect().toSet
-    val capped = run(10)
-    // the dense cell dropped: the probe into it finds nothing, and NO
-    // dense-cluster id appears anywhere — the fan-in bound in action
-    assert(!capped.exists(_._2 < 100), s"dense-cell candidate leaked: $capped")
-    // recall loss is SCOPED to the reported cell: the sparse probe is whole
-    assert(capped.count(_._1 == 1001L) == 3)
-    val uncapped = run(Long.MaxValue)
-    assert(uncapped.count(_._1 == 1000L) == 3 &&
-      uncapped.filter(_._1 == 1000L).forall(_._2 < 100),
-      "cap off must restore the dense cell's neighbors")
-    assert(uncapped.filter(_._1 == 1001L) == capped.filter(_._1 == 1001L))
+      .select($"left_id", $"right_id", $"sim", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // the dense cell (30 rows) splits over ⌈30/4⌉ sub-keys at cap 4;
+    // the salted join must return EXACTLY the unsalted join's rows —
+    // per-pair work is inherent, only its shuffle placement changes
+    val salted = run(4)
+    val unsalted = run(Long.MaxValue)
+    assert(salted == unsalted,
+      s"salting lost/invented candidates: ${salted diff unsalted} / ${unsalted diff salted}")
+    // the dense probe found its neighbors INSIDE the hot cell
+    assert(salted.count(_._1 == 1000L) == 3 &&
+      salted.filter(_._1 == 1000L).forall(_._2 < 100))
+    // a cap larger than every cell is a true no-op path too
+    assert(run(1000) == unsalted)
+  }
+
+  test("knnJoin salting composes with replicas dedup and dropSameId") {
+    // self-join over the corpus itself: replicas = 2 makes pairs
+    // reachable through two cells, dropSameId excludes the trivial hit
+    def run(cap: Long) = Similarity.knnJoin(corpus, corpus, k = 2,
+        centers = Some(ctrs), nProbe = 2, replicas = 2,
+        dropSameId = true, maxCellSize = cap)
+      .select($"left_id", $"right_id", $"rn").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(run(4) == run(Long.MaxValue),
+      "salting must stay invisible under multi-replica dedup")
   }
 
   test("semanticPairs caps the hot cell: quadratic pair set suppressed and reported, cap-off restores") {
