@@ -332,11 +332,16 @@ object Similarity {
       if (maxCellSize == Long.MaxValue)
         probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
       else {
+        // localCheckpoint (lazy): the hot table feeds TWO broadcast
+        // joins — without it each consumer would re-run the detection
+        // aggregate (and its assignment pass over the index side).
+        // Bounded by contract: ≤ |index|·replicas/cap rows
         val hot = indexed.groupBy(col("cell"))
           .agg(count(lit(1)).as("_cn")).filter(col("_cn") > maxCellSize)
           .select(col("cell"),
             ceil(col("_cn").cast("double") / maxCellSize).cast("int")
               .as("_nsalt"))
+          .localCheckpoint(false)
         val idxS = indexed.join(broadcast(hot), Seq("cell"), "left")
           .withColumn("_salt", when(col("_nsalt").isNull, lit(0))
             .otherwise(pmod(xxhash64(col("right_id")), col("_nsalt"))

@@ -337,26 +337,39 @@ object SinkQ {
   private val packedPruneStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def packedManifestPruning(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE spelling of the q218/q221 gate (r15 review: the two were
+    * near-verbatim copies): append the eight contiguous doc_id eighths
+    * in `ingestOrder`, rewrite at `targetLines = 2` (optionally
+    * clustered), then run the four pruning legs metering
+    * [[graft.sources.Snapshots.segmentReads]]. The two gates differ
+    * ONLY in ingest order and the clusterBy arg — which is exactly the
+    * claim: clustering restores the ordered ingest's geometry on a
+    * shuffled one.
+    */
+  private def manifestPruneLegs(spark: SparkSession, dir: String,
+      staged: java.util.concurrent.ConcurrentHashMap[String, String],
+      tmpPrefix: String, ingestOrder: Seq[Int],
+      clusterBy: Option[String]): DataFrame = {
     val S = graft.sources.Snapshots
-    val root = packedPruneStaged.computeIfAbsent(dir, d => {
-      val o = Staging.tempDir("graft_packed_prune_gate")
+    val root = staged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir(tmpPrefix)
       val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
       val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
       val span = mx - mn + 1
-      (0 until 8).foreach { i =>
+      ingestOrder.foreach { i =>
         val lo = mn + span * i / 8
         val hi = mn + span * (i + 1) / 8 // exclusive
         S.append(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
           .coalesce(1), o.toString)
       }
-      S.compactManifests(o.toString, targetLines = 2)
+      S.compactManifests(o.toString, targetLines = 2, clusterBy = clusterBy)
       o.toString
     })
     val v = S.latestVersion(root)
-    // the rewrite is metadata-only: same files, packed 8 → 4 segments
-    val filesSame = S.files(root, v) == S.files(root, v - 1)
+    // the rewrite is metadata-only: same file SET, packed 8 → 4
+    // segments (clustering may reorder entries, never the set)
+    val filesSame = S.files(root, v).toSet == S.files(root, v - 1).toSet
     val stats = S.fileStats(spark, root, v, "doc_id")
     val (mn, mx) = (stats.map(_._2).min, stats.map(_._3).max)
     val span = mx - mn + 1
@@ -367,10 +380,10 @@ object SinkQ {
       ("4_empty", mn - 10, mn - 1)).map { case (name, lo, hi) =>
       val s0 = S.segmentReads.get()
       val nScanned = S.prunedFiles(spark, root, v, "doc_id", lo, hi).size
-      (name, lo, hi, nScanned, (S.segmentReads.get() - s0).toInt)
+      (name, nScanned, (S.segmentReads.get() - s0).toInt, lo, hi)
     }
     val nSegs = S.manifestsTable(spark, root, v).count().toInt
-    legs.map { case (name, lo, hi, nScanned, opened) =>
+    legs.map { case (name, nScanned, opened, lo, hi) =>
       S.readPruned(spark, root, v, "doc_id", lo, hi)
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .select(lit(name).as("leg"), lit(nScanned).as("n_files_scanned"),
@@ -379,6 +392,33 @@ object SinkQ {
       .withColumn("n_segments_total", lit(nSegs))
       .withColumn("files_identical", lit(filesSame))
   }
+
+  def packedManifestPruning(spark: SparkSession, dir: String): DataFrame =
+    manifestPruneLegs(spark, dir, packedPruneStaged,
+      "graft_packed_prune_gate", 0 until 8, clusterBy = None)
+
+  /** The q218/q221 shared oracle: the eighth-pair leg geometry stated
+    * literally, content aggregates over the same integer-eighth WHERE
+    * ranges (see [[manifestPruneLegs]]).
+    */
+  private val eighthPruneOracle: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx,
+      |             max(doc_id) - min(doc_id) + 1 AS span
+      |           FROM documents)
+      |SELECT '1_point' AS leg, 1 AS n_files_scanned, 1 AS segments_opened,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  4 AS n_segments_total, TRUE AS files_identical
+      |FROM documents WHERE doc_id = (SELECT mn FROM b)
+      |UNION ALL
+      |SELECT '2_second_half', 4, 2, count(*), CAST(sum(n_chars) AS BIGINT),
+      |  4, TRUE
+      |FROM documents WHERE doc_id >= (SELECT mn + span * 4 // 8 FROM b)
+      |UNION ALL
+      |SELECT '3_full', 8, 4, count(*), CAST(sum(n_chars) AS BIGINT), 4, TRUE
+      |FROM documents
+      |UNION ALL
+      |SELECT '4_empty', 0, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+      |  4, TRUE""".stripMargin
 
   /** q221 — CLUSTERED manifest rewrite (r15; Iceberg
     * `rewrite_manifests` cluster-by, completing q218): commit-order
@@ -400,48 +440,10 @@ object SinkQ {
   private val clusteredPruneStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def clusteredManifestPruning(spark: SparkSession, dir: String): DataFrame = {
-    val S = graft.sources.Snapshots
-    val root = clusteredPruneStaged.computeIfAbsent(dir, d => {
-      val o = Staging.tempDir("graft_clustered_prune_gate")
-      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
-      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-      val span = mx - mn + 1
-      Seq(0, 4, 1, 5, 2, 6, 3, 7).foreach { i =>
-        val lo = mn + span * i / 8
-        val hi = mn + span * (i + 1) / 8 // exclusive
-        S.append(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .coalesce(1), o.toString)
-      }
-      S.compactManifests(o.toString, targetLines = 2,
-        clusterBy = Some("doc_id"))
-      o.toString
-    })
-    val v = S.latestVersion(root)
-    val filesSame = S.files(root, v).toSet == S.files(root, v - 1).toSet
-    val stats = S.fileStats(spark, root, v, "doc_id")
-    val (mn, mx) = (stats.map(_._2).min, stats.map(_._3).max)
-    val span = mx - mn + 1
-    val legs = Seq(
-      ("1_point", mn, mn),
-      ("2_second_half", mn + span * 4 / 8, mx),
-      ("3_full", mn, mx),
-      ("4_empty", mn - 10, mn - 1)).map { case (name, lo, hi) =>
-      val s0 = S.segmentReads.get()
-      val nScanned = S.prunedFiles(spark, root, v, "doc_id", lo, hi).size
-      (name, lo, hi, nScanned, (S.segmentReads.get() - s0).toInt)
-    }
-    val nSegs = S.manifestsTable(spark, root, v).count().toInt
-    legs.map { case (name, lo, hi, nScanned, opened) =>
-      S.readPruned(spark, root, v, "doc_id", lo, hi)
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .select(lit(name).as("leg"), lit(nScanned).as("n_files_scanned"),
-          lit(opened).as("segments_opened"), col("n_docs"), col("sum_chars"))
-    }.reduce(_.unionByName(_))
-      .withColumn("n_segments_total", lit(nSegs))
-      .withColumn("files_identical", lit(filesSame))
-  }
+  def clusteredManifestPruning(spark: SparkSession, dir: String): DataFrame =
+    manifestPruneLegs(spark, dir, clusteredPruneStaged,
+      "graft_clustered_prune_gate", Seq(0, 4, 1, 5, 2, 6, 3, 7),
+      clusterBy = Some("doc_id"))
 
   /** q217 — CHECKED APPEND (Delta CHECK constraints / expectations
     * with fail-the-write semantics;
@@ -2393,48 +2395,14 @@ object SinkQ {
         |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars * 2 ELSE n_chars END)
         |    AS BIGINT), TRUE
         |FROM documents""".stripMargin,
-    // the clustered rewrite restores q218's leg geometry on a
-    // shuffled-order ingest — identical oracle shape by design
-    "q221_clustered_manifest_pruning" ->
-      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx,
-        |             max(doc_id) - min(doc_id) + 1 AS span
-        |           FROM documents)
-        |SELECT '1_point' AS leg, 1 AS n_files_scanned, 1 AS segments_opened,
-        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  4 AS n_segments_total, TRUE AS files_identical
-        |FROM documents WHERE doc_id = (SELECT mn FROM b)
-        |UNION ALL
-        |SELECT '2_second_half', 4, 2, count(*), CAST(sum(n_chars) AS BIGINT),
-        |  4, TRUE
-        |FROM documents WHERE doc_id >= (SELECT mn + span * 4 // 8 FROM b)
-        |UNION ALL
-        |SELECT '3_full', 8, 4, count(*), CAST(sum(n_chars) AS BIGINT), 4, TRUE
-        |FROM documents
-        |UNION ALL
-        |SELECT '4_empty', 0, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
-        |  4, TRUE""".stripMargin,
     // planner invariants after the size-bounded rewrite (files
     // scanned / segments opened / 4 packed segments / identical file
     // set) stated literally per the eighth-pair geometry; content
-    // aggregates re-run the same integer-eighth WHERE ranges
-    "q218_packed_manifest_pruning" ->
-      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx,
-        |             max(doc_id) - min(doc_id) + 1 AS span
-        |           FROM documents)
-        |SELECT '1_point' AS leg, 1 AS n_files_scanned, 1 AS segments_opened,
-        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  4 AS n_segments_total, TRUE AS files_identical
-        |FROM documents WHERE doc_id = (SELECT mn FROM b)
-        |UNION ALL
-        |SELECT '2_second_half', 4, 2, count(*), CAST(sum(n_chars) AS BIGINT),
-        |  4, TRUE
-        |FROM documents WHERE doc_id >= (SELECT mn + span * 4 // 8 FROM b)
-        |UNION ALL
-        |SELECT '3_full', 8, 4, count(*), CAST(sum(n_chars) AS BIGINT), 4, TRUE
-        |FROM documents
-        |UNION ALL
-        |SELECT '4_empty', 0, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
-        |  4, TRUE""".stripMargin,
+    // aggregates re-run the same integer-eighth WHERE ranges. q221
+    // (the clustered rewrite of a SHUFFLED ingest) restores exactly
+    // q218's geometry, so the two gates share one oracle BY DESIGN
+    "q218_packed_manifest_pruning" -> eighthPruneOracle,
+    "q221_clustered_manifest_pruning" -> eighthPruneOracle,
     // resolved versions are engine invariants under strict stamp
     // monotonicity, stated literally; content counts recomputed
     "q214_timestamp_travel" ->

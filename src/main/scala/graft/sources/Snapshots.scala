@@ -713,9 +713,11 @@ object Snapshots {
   private def validateStagedOrAbort(spark: SparkSession,
       stagedDirs: Seq[Path], newFiles: Seq[String],
       checks: Seq[graft.operators.QualityChecks.Check],
-      survivors: Option[DataFrame], op: String): Unit = {
+      survivors: => Option[DataFrame], op: String): Unit = {
     import org.apache.spark.sql.functions.col
     def abort(): Unit = stagedDirs.foreach(deleteTreeQuietly)
+    val uniques = checks.collect {
+      case u: graft.operators.QualityChecks.Unique => u }
     // an all-empty-partition write stages no files; nothing written
     // can violate a constraint (and an empty batch collides with
     // nothing). The staged dirs are deleted on EVERY validation
@@ -732,17 +734,26 @@ object Snapshots {
             .filter(!col("passed"))
             .collect() // bounded: ≤ one row per declared check
             .map(r => (r.getString(0), r.getLong(1))).toSeq
-          val crossBad = survivors.toSeq.flatMap { surv =>
-            checks.collect { case u: graft.operators.QualityChecks.Unique =>
-              u.name -> (try {
-                batch.select(u.key.as("_k")).filter(col("_k").isNotNull)
-                  .join(surv.select(u.key.as("_k")), Seq("_k"), "left_semi")
-                  .count()
-              } catch { // pre-evolution survivor schema: no matchable value
-                case _: org.apache.spark.sql.AnalysisException => 0L
-              })
-            }.filter(_._2 > 0)
-          }
+          // `survivors` is by-name and resolved only here: a checked
+          // write with no Unique check never pays the survivor scan
+          val crossBad =
+            if (uniques.isEmpty) Nil
+            else survivors.toSeq.flatMap { surv =>
+              uniques.map { u =>
+                // null-SAFE equality: two NULL keys in one batch
+                // refuse (report's groupBy leg), so a NULL in the
+                // batch against a NULL survivor must refuse the same
+                // way — verdicts cannot depend on batching
+                u.name -> (try {
+                  batch.select(u.key.as("_bk"))
+                    .join(surv.select(u.key.as("_sk")),
+                      col("_bk") <=> col("_sk"), "left_semi")
+                    .count()
+                } catch { // pre-evolution survivor schema: no matchable value
+                  case _: org.apache.spark.sql.AnalysisException => 0L
+                })
+              }.filter(_._2 > 0)
+            }
           (batchBad ++ crossBad).groupBy(_._1)
             .map { case (n, xs) => (n, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
         }
@@ -1839,6 +1850,15 @@ object Snapshots {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) { reallocate() } // stale pre-write allocation
       else {
+      // same validation-basis rule as the checked merge (r15 review)
+      if (checks.nonEmpty && parent != base0) {
+        deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+        deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+        throw new java.util.ConcurrentModificationException(
+          s"checked update aborted: a concurrent commit in ($base0, " +
+            s"$parent] invalidated its constraint-validation basis — " +
+            "re-read and re-run")
+      }
       val rewrote = lineageBetween(root, base0, parent).find(w =>
         propsOf(root, w).get("rewrite").contains("true"))
       if (rewrote.isDefined) {
@@ -1906,9 +1926,15 @@ object Snapshots {
     * a key never false-refuses while colliding with an untouched row
     * on a SECONDARY unique column does). A refused merge changes
     * NOTHING: staged data and delete files deleted, no version, no
-    * ref movement. A clean merge then runs the unchanged serializable
-    * CAS loop — validation composes with, never replaces, the
-    * concurrent-key abort contract.
+    * ref movement. A clean merge then runs the serializable CAS loop
+    * with ONE stricter rule (r15 review): ANY concurrent commit —
+    * not only a key-touching one — aborts a checked merge with
+    * [[java.util.ConcurrentModificationException]], because it
+    * invalidates the basis the constraint validation ran against
+    * (a disjoint-key append can still collide on a SECONDARY unique
+    * column). Re-read and re-run, exactly as with a key conflict;
+    * the stricter abort is scoped to checked merges, so unchecked
+    * [[merge]] keeps its rebase liveness.
     */
   def mergeChecked(spark: SparkSession, root: String, column: String,
                    source: DataFrame,
@@ -1974,6 +2000,20 @@ object Snapshots {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) { reallocate() } // stale pre-write allocation
       else {
+      // a checked merge's validation (incl. cross-batch Unique) ran
+      // against base0's survivors; ANY later commit could add a
+      // colliding row on a column the merge-key serializability check
+      // does not cover — abort rather than publish an unvalidated
+      // post-image (r15 review; same re-read-and-re-run contract as a
+      // key conflict, paid only under contention on a checked write)
+      if (checks.nonEmpty && parent != base0) {
+        deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+        deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+        throw new java.util.ConcurrentModificationException(
+          s"checked merge aborted: a concurrent commit in ($base0, " +
+            s"$parent] invalidated its constraint-validation basis — " +
+            "re-read and re-run")
+      }
       // revalidate EVERY attempt's full unseen window — the branch
       // chain (base0, parent] — not only CAS losers': a commit landing
       // between entry and the first CAS succeeds at CAS yet was still

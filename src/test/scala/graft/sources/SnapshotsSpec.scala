@@ -682,6 +682,57 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
       == Set((1L, 6L, "a"), (2L, 9L, "b")))
   }
 
+  test("cross-batch Unique is null-safe: two NULL keys refuse across commits like within one") {
+    import graft.operators.QualityChecks.Unique
+    val root = Staging.tempDir("snap_checked_null").toString
+    val checks = Seq(Unique("unique_id", $"id"))
+    // one NULL key in a batch is fine (a single-member group)
+    Snapshots.appendChecked(
+      Seq((Some(1L), 5L), (None, 6L)).toDF("id", "v"), root, checks)
+    // a second NULL key arriving in a LATER batch must refuse exactly
+    // like two NULLs in one batch (the report's groupBy leg) —
+    // verdicts cannot depend on batching
+    val e = intercept[IllegalStateException] {
+      Snapshots.appendChecked(
+        Seq((Option.empty[Long], 7L)).toDF("id", "v"), root, checks)
+    }
+    assert(e.getMessage.contains("unique_id"))
+    assert(Snapshots.latestVersion(root) == 1)
+  }
+
+  test("checked merge aborts on ANY concurrent commit — the validation-basis rule") {
+    import org.apache.spark.sql.functions.udf
+    import graft.operators.QualityChecks.RowPredicate
+    val root = Staging.tempDir("snap_checked_race").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    SnapshotsSpec.mergeGate.set(new java.util.concurrent.CountDownLatch(1))
+    SnapshotsSpec.mergeEntered.set(new java.util.concurrent.CountDownLatch(1))
+    val wait = udf(() => {
+      SnapshotsSpec.mergeEntered.get().countDown()
+      SnapshotsSpec.mergeGate.get().await()
+      true
+    })
+    val source = Seq((2L, "B2"), (9L, "i")).toDF("id", "s").filter(wait())
+    val checks = Seq(RowPredicate("s_not_null", $"s".isNull))
+    val worker = new java.util.concurrent.FutureTask(() =>
+      Snapshots.mergeChecked(spark, root, "id", source, checks))
+    new Thread(worker, "checked-merge-writer").start()
+    SnapshotsSpec.mergeEntered.get().await()
+    // a DISJOINT-key append — the unchecked merge would rebase past it
+    // (the serializable-merge test proves that); a CHECKED merge must
+    // abort instead: its validation basis is gone
+    Snapshots.append(Seq((7L, "c")).toDF("id", "s"), root)
+    SnapshotsSpec.mergeGate.get().countDown()
+    val out = try Right(worker.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      catch { case e: java.util.concurrent.ExecutionException => Left(e.getCause) }
+    assert(out.isLeft && out.swap.exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected ConcurrentModificationException, got $out")
+    // nothing published, nothing stranded: the table is the winner's
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b", 7L -> "c"))
+  }
+
   test("commit stamps are strictly monotone; versionAsOf resolves and refuses correctly") {
     val root = Staging.tempDir("snap_ts").toString
     // burst commits would land within the same millisecond without the bump
