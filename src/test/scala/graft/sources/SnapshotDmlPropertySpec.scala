@@ -33,6 +33,11 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
                                    violate: Boolean) extends Op
   private case class CheckedMerge(keys: Seq[Long], delta: Long,
                                   violate: Boolean) extends Op
+  private case class CheckedUpdate(mod: Long, delta: Long,
+                                   violate: Boolean) extends Op
+  // r15: stats-clustered rewrite — entry reordering must be invisible
+  // to rows, delete scoping, and every remembered version
+  private case object CompactManifestsClustered extends Op
 
   private val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 39L)).map(_.distinct)
   private val opGen: Gen[Op] = Gen.frequency(
@@ -48,7 +53,10 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
     2 -> (for { k <- keysGen; d <- Gen.choose(1L, 9L); bad <- Gen.oneOf(true, false) }
       yield CheckedAppend(k, d, bad)),
     2 -> (for { k <- keysGen; d <- Gen.choose(1L, 9L); bad <- Gen.oneOf(true, false) }
-      yield CheckedMerge(k, d, bad)))
+      yield CheckedMerge(k, d, bad)),
+    1 -> (for { m <- Gen.choose(2L, 5L); d <- Gen.choose(1L, 9L); bad <- Gen.oneOf(true, false) }
+      yield CheckedUpdate(m, d, bad)),
+    1 -> Gen.const(CompactManifestsClustered))
 
   // every value any clean op writes is ≥ 0, so the range check passes
   // exactly when no violation was planted
@@ -123,6 +131,33 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
               model = model.filterNot(r => keys.contains(r._1)) ++ rows
               S.mergeChecked(spark, root, "id", df(rows).repartition(1), vChecks)
             }
+          case CheckedUpdate(m, d, bad) =>
+            val set = Map("v" -> (if (bad) lit(-1L) else col("v") + d))
+            if (bad) {
+              // refused only if some row MATCHES; an empty match set
+              // stages no files and commits a (valid) empty update
+              val matches = model.exists(_._2 % m == 0)
+              val head = S.latestVersion(root)
+              if (matches) {
+                intercept[IllegalStateException] {
+                  S.updateChecked(spark, root,
+                    pmod(col("v"), lit(m)) === 0, set, vChecks)
+                }
+                assert(S.latestVersion(root) == head,
+                  s"seed $i: refused checked update minted a version")
+                head
+              } else
+                S.updateChecked(spark, root,
+                  pmod(col("v"), lit(m)) === 0, set, vChecks)
+            } else {
+              model = model.map { case (k, v) =>
+                if (v % m == 0) (k, v + d) else (k, v) }
+              S.updateChecked(spark, root,
+                pmod(col("v"), lit(m)) === 0, set, vChecks)
+            }
+          case CompactManifestsClustered =>
+            S.compactManifests(root, targetLines = 3,
+              clusterBy = Some("id"))
         }
         val got = S.read(spark, root)
           .as[(Long, Long)].collect().toVector.sorted
