@@ -656,12 +656,27 @@ object Snapshots {
     * retry always converges). The staged dirs carry the ATTEMPTED
     * version in their name; a reallocation renames them so
     * [[dataVersionOf]] sequence scoping stays truthful.
+    *
+    * `checks`/`validatedBasis` (r15): [[appendChecked]]'s snapshot-
+    * wide Unique validation ran against `validatedBasis`'s live rows;
+    * whenever the commit parent moves past that basis, the cross-
+    * unique legs REVALIDATE against the new head before publishing —
+    * unlike [[mergeChecked]]'s abort-on-any-commit rule, an append
+    * stays live under contention (its rows conflict with nothing
+    * unless a key collides, which is exactly what the revalidation
+    * refuses). Bounded at one key-pruned survivor scan per basis
+    * move; unchecked appends (checks empty) skip all of it.
     */
   private def casAppend(df: DataFrame, rootP: Path, root: String,
                         branch: String, v0: Int, token: String,
-                        lines0: Seq[String]): Int = {
+                        lines0: Seq[String],
+                        checks: Seq[graft.operators.QualityChecks.Check] = Nil,
+                        validatedBasis: Int = -1): Int = {
     var v = v0
     var lines = lines0
+    var basis = validatedBasis
+    val uniques = checks.collect {
+      case u: graft.operators.QualityChecks.Unique => u }
     def reallocate(): Unit = {
       val newV = reallocateStaged(rootP, root, v, token, Seq("data"))
       lines = lines.map(
@@ -672,7 +687,22 @@ object Snapshots {
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) reallocate() // stale pre-write allocation
-      else try {
+      else {
+      if (uniques.nonEmpty && parent != basis && parent > 0) {
+        val files = lines.map(_.split('\t').head)
+        val bad =
+          if (files.isEmpty) Nil
+          else crossUniqueBad(df.sparkSession.read.parquet(files: _*),
+            uniques, read(df.sparkSession, root, parent))
+        if (bad.nonEmpty) {
+          deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+          throw new IllegalStateException(
+            "appendChecked refused — constraint violations: " + bad.map {
+              case (n, c) => s"$n ($c rows)" }.mkString(", "))
+        }
+        basis = parent
+      }
+      try {
         if (publish(rootP, root, branch, v, seq,
             parent, widenedSchema(df, root, parent),
             (if (parent == 0) Nil else bodyRefs(root, parent)) ++ lines,
@@ -682,6 +712,7 @@ object Snapshots {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           reallocate()
+      }
       }
     }
     committed
@@ -710,6 +741,33 @@ object Snapshots {
     * commit (delete/compact commits cannot mint a row-local
     * violation).
     */
+  /** Cross-batch leg of a snapshot-wide Unique check: per check, how
+    * many batch keys collide with `survivors`' keys. Null-SAFE
+    * equality — two NULL keys in one batch refuse (report's groupBy
+    * leg), so a NULL against a NULL survivor must refuse the same
+    * way; verdicts cannot depend on batching. A survivor schema that
+    * predates the key column holds no matchable value and contributes
+    * zero (the [[keysTouchedBetween]] skip rule — the batch leg has
+    * already proven the key resolves, so this catch can't mask a
+    * typo). Shared by [[validateStagedOrAbort]] and [[casAppend]]'s
+    * revalidate-on-rebase.
+    */
+  private def crossUniqueBad(batch: DataFrame,
+      uniques: Seq[graft.operators.QualityChecks.Unique],
+      survivors: DataFrame): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    uniques.map { u =>
+      u.name -> (try {
+        batch.select(u.key.as("_bk"))
+          .join(survivors.select(u.key.as("_sk")),
+            col("_bk") <=> col("_sk"), "left_semi")
+          .count()
+      } catch { // pre-evolution survivor schema: no matchable value
+        case _: org.apache.spark.sql.AnalysisException => 0L
+      })
+    }.filter(_._2 > 0)
+  }
+
   private def validateStagedOrAbort(spark: SparkSession,
       stagedDirs: Seq[Path], newFiles: Seq[String],
       checks: Seq[graft.operators.QualityChecks.Check],
@@ -738,22 +796,7 @@ object Snapshots {
           // write with no Unique check never pays the survivor scan
           val crossBad =
             if (uniques.isEmpty) Nil
-            else survivors.toSeq.flatMap { surv =>
-              uniques.map { u =>
-                // null-SAFE equality: two NULL keys in one batch
-                // refuse (report's groupBy leg), so a NULL in the
-                // batch against a NULL survivor must refuse the same
-                // way — verdicts cannot depend on batching
-                u.name -> (try {
-                  batch.select(u.key.as("_bk"))
-                    .join(surv.select(u.key.as("_sk")),
-                      col("_bk") <=> col("_sk"), "left_semi")
-                    .count()
-                } catch { // pre-evolution survivor schema: no matchable value
-                  case _: org.apache.spark.sql.AnalysisException => 0L
-                })
-              }.filter(_._2 > 0)
-            }
+            else survivors.toSeq.flatMap(crossUniqueBad(batch, uniques, _))
           (batchBad ++ crossBad).groupBy(_._1)
             .map { case (n, xs) => (n, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
         }
@@ -785,12 +828,13 @@ object Snapshots {
     * Unique checks are SNAPSHOT-WIDE (r15): the batch is validated
     * internally AND against the branch head's live rows, so duplicate
     * keys across separate appends refuse exactly like duplicates
-    * within one ([[validateStagedOrAbort]]). The survivor set is the
-    * head read at validation time — under the append CAS's rebase a
-    * racing append of the same key can still slip a duplicate in (the
-    * optimistic-concurrency caveat every CHECK-on-read-snapshot
-    * system carries); [[mergeChecked]] on the key is the primitive
-    * with the serializable key guarantee.
+    * within one ([[validateStagedOrAbort]]); if the head moves before
+    * this append's CAS lands, the cross-unique legs REVALIDATE
+    * against the new head inside the commit loop ([[casAppend]]), so
+    * a racing append of the same key cannot slip a duplicate through
+    * the optimistic window. Appends stay live under disjoint-key
+    * contention (the rebase revalidates and proceeds), unlike
+    * [[mergeChecked]]'s stricter abort-on-any-commit rule.
     */
   def appendChecked(df: DataFrame, root: String,
                     checks: Seq[graft.operators.QualityChecks.Check],
@@ -807,8 +851,17 @@ object Snapshots {
       survivors = if (head > 0) Some(read(df.sparkSession, root, head))
                   else None,
       op = "appendChecked")
-    casAppend(df, rootP, root, branch, v, token, entryLines(df, newFiles))
+    afterCheckedValidation()
+    casAppend(df, rootP, root, branch, v, token, entryLines(df, newFiles),
+      checks = checks, validatedBasis = head)
   }
+
+  /** Test seam (SnapshotsSpec): runs between [[appendChecked]]'s
+    * constraint validation and its CAS loop, so the revalidate-on-
+    * rebase path is deterministically exercisable. A no-op in
+    * production.
+    */
+  private[sources] var afterCheckedValidation: () => Unit = () => ()
 
   /** COMPACTION — the small-file management every append-only snapshot
     * store accumulates a need for: rewrite the LATEST version's file

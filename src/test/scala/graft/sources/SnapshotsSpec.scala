@@ -700,6 +700,33 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.latestVersion(root) == 1)
   }
 
+  test("appendChecked revalidates Unique on rebase: a racing duplicate refuses, disjoint proceeds") {
+    import graft.operators.QualityChecks.Unique
+    val root = Staging.tempDir("snap_checked_rebase").toString
+    val checks = Seq(Unique("unique_id", $"id"))
+    Snapshots.appendChecked(Seq((1L, 5L)).toDF("id", "v"), root, checks)
+    // a commit lands INSIDE the optimistic window (after validation,
+    // before the CAS) carrying the same key this batch appends — the
+    // in-loop revalidation must refuse what validation couldn't see
+    Snapshots.afterCheckedValidation =
+      () => { Snapshots.append(Seq((2L, 9L)).toDF("id", "v"), root); () }
+    try {
+      val e = intercept[IllegalStateException] {
+        Snapshots.appendChecked(Seq((2L, 7L)).toDF("id", "v"), root, checks)
+      }
+      assert(e.getMessage.contains("unique_id"))
+      assert(Snapshots.latestVersion(root) == 2,
+        "only the racing append may have committed")
+      // disjoint key through the same window: revalidates and proceeds
+      Snapshots.afterCheckedValidation =
+        () => { Snapshots.append(Seq((3L, 9L)).toDF("id", "v"), root); () }
+      assert(Snapshots.appendChecked(
+        Seq((4L, 7L)).toDF("id", "v"), root, checks) == 4)
+      assert(Snapshots.read(spark, root).as[(Long, Long)].collect().toSet ==
+        Set((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L)))
+    } finally Snapshots.afterCheckedValidation = () => ()
+  }
+
   test("checked merge aborts on ANY concurrent commit — the validation-basis rule") {
     import org.apache.spark.sql.functions.udf
     import graft.operators.QualityChecks.RowPredicate
