@@ -328,20 +328,29 @@ object Similarity {
     // hashed over ⌈size/cap⌉ salts, probes replicated across them.
     // Hot cells number ≤ |index|/cap by construction, so the salt
     // table broadcasts; cold cells pay one broadcast-probe and salt 0
-    val candidates =
-      if (maxCellSize == Long.MaxValue)
-        probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
-      else {
-        // localCheckpoint (lazy): the hot table feeds TWO broadcast
-        // joins — without it each consumer would re-run the detection
-        // aggregate (and its assignment pass over the index side).
-        // Bounded by contract: ≤ |index|·replicas/cap rows
-        val hot = indexed.groupBy(col("cell"))
+    val candidates = {
+      // detection: one map-side-combined count over the assignment
+      // stream, COLLECTED — bounded by contract at ≤ |index|·replicas
+      // / cap rows (the capHotBuckets broadcast argument; ~3·10⁵ keys
+      // at 10⁹ rows and the default cap), the same driver-artifact
+      // class as the k-means centers. Collecting (second review pass:
+      // replaces a leaked, lineage-truncating localCheckpoint) buys
+      // the common case outright: NO hot cells → the plain two-sided
+      // equi-join, zero salting overhead beyond this one count job
+      val hotRows =
+        if (maxCellSize == Long.MaxValue) Array.empty[(Int, Int)]
+        else indexed.groupBy(col("cell"))
           .agg(count(lit(1)).as("_cn")).filter(col("_cn") > maxCellSize)
           .select(col("cell"),
             ceil(col("_cn").cast("double") / maxCellSize).cast("int")
               .as("_nsalt"))
-          .localCheckpoint(false)
+          .collect().map(r => (r.getInt(0), r.getInt(1)))
+      if (hotRows.isEmpty)
+        probes.join(indexed, Seq("cell")) // shuffle equi-join — NO broadcast
+      else {
+        val sp = left.sparkSession
+        import sp.implicits._
+        val hot = hotRows.toSeq.toDF("cell", "_nsalt")
         val idxS = indexed.join(broadcast(hot), Seq("cell"), "left")
           .withColumn("_salt", when(col("_nsalt").isNull, lit(0))
             .otherwise(pmod(xxhash64(col("right_id")), col("_nsalt"))
@@ -353,6 +362,7 @@ object Similarity {
           .drop("_nsalt")
         prbS.join(idxS, Seq("cell", "_salt")).drop("_salt")
       }
+    }
     val scored =
       (if (dropSameId) candidates.filter(col("left_id") =!= col("right_id"))
        else candidates)

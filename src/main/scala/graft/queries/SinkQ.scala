@@ -367,9 +367,13 @@ object SinkQ {
       o.toString
     })
     val v = S.latestVersion(root)
-    // the rewrite is metadata-only: same file SET, packed 8 → 4
-    // segments (clustering may reorder entries, never the set)
-    val filesSame = S.files(root, v).toSet == S.files(root, v - 1).toSet
+    // the rewrite is metadata-only: same files, packed 8 → 4 segments.
+    // ORDERED equality for the plain rewrite (entries ride verbatim —
+    // the r14 q216 strength, kept by the shared helper); clustering
+    // deliberately reorders, so q221 pins the SET
+    val filesSame =
+      if (clusterBy.isEmpty) S.files(root, v) == S.files(root, v - 1)
+      else S.files(root, v).toSet == S.files(root, v - 1).toSet
     val stats = S.fileStats(spark, root, v, "doc_id")
     val (mn, mx) = (stats.map(_._2).min, stats.map(_._3).max)
     val span = mx - mn + 1

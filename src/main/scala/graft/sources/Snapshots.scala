@@ -689,11 +689,19 @@ object Snapshots {
       if (v <= parent) reallocate() // stale pre-write allocation
       else {
       if (uniques.nonEmpty && parent != basis && parent > 0) {
-        val files = lines.map(_.split('\t').head)
+        // the staged dir is deleted on refusal AND on a revalidation
+        // error — "a refused batch changes NOTHING" covers error
+        // paths here exactly as in validateStagedOrAbort
         val bad =
-          if (files.isEmpty) Nil
-          else crossUniqueBad(df.sparkSession.read.parquet(files: _*),
-            uniques, read(df.sparkSession, root, parent))
+          try {
+            val files = lines.map(_.split('\t').head)
+            if (files.isEmpty) Nil
+            else crossUniqueBad(df.sparkSession.read.parquet(files: _*),
+              uniques, read(df.sparkSession, root, parent))
+          } catch { case scala.util.control.NonFatal(e) =>
+            deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+            throw e
+          }
         if (bad.nonEmpty) {
           deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
           throw new IllegalStateException(
@@ -1903,13 +1911,17 @@ object Snapshots {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) { reallocate() } // stale pre-write allocation
       else {
-      // same validation-basis rule as the checked merge (r15 review)
-      if (checks.nonEmpty && parent != base0) {
+      // same Unique-scoped validation-basis rule as the checked merge
+      // (rewrites are handled by the dangling-tombstone abort below)
+      if (checks.exists(_.isInstanceOf[graft.operators.QualityChecks.Unique])
+          && parent != base0 &&
+          lineageBetween(root, base0, parent).exists(w =>
+            !propsOf(root, w).get("rewrite").contains("true"))) {
         deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
         deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
         throw new java.util.ConcurrentModificationException(
           s"checked update aborted: a concurrent commit in ($base0, " +
-            s"$parent] invalidated its constraint-validation basis — " +
+            s"$parent] invalidated its Unique-validation basis — " +
             "re-read and re-run")
       }
       val rewrote = lineageBetween(root, base0, parent).find(w =>
@@ -1980,14 +1992,14 @@ object Snapshots {
     * on a SECONDARY unique column does). A refused merge changes
     * NOTHING: staged data and delete files deleted, no version, no
     * ref movement. A clean merge then runs the serializable CAS loop
-    * with ONE stricter rule (r15 review): ANY concurrent commit —
-    * not only a key-touching one — aborts a checked merge with
-    * [[java.util.ConcurrentModificationException]], because it
-    * invalidates the basis the constraint validation ran against
-    * (a disjoint-key append can still collide on a SECONDARY unique
-    * column). Re-read and re-run, exactly as with a key conflict;
-    * the stricter abort is scoped to checked merges, so unchecked
-    * [[merge]] keeps its rebase liveness.
+    * with ONE stricter rule (r15): when UNIQUE checks are declared,
+    * any concurrent NON-REWRITE commit — not only a key-touching one
+    * — aborts with [[java.util.ConcurrentModificationException]],
+    * because it invalidates the survivor basis the Unique validation
+    * ran against (a disjoint-key append can still collide on a
+    * SECONDARY unique column). Row-local checks are basis-free and a
+    * rewrite carries the same rows, so neither costs liveness; an
+    * unchecked [[merge]] keeps its full rebase liveness.
     */
   def mergeChecked(spark: SparkSession, root: String, column: String,
                    source: DataFrame,
@@ -2053,18 +2065,24 @@ object Snapshots {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) { reallocate() } // stale pre-write allocation
       else {
-      // a checked merge's validation (incl. cross-batch Unique) ran
-      // against base0's survivors; ANY later commit could add a
+      // a checked merge's cross-batch Unique validation ran against
+      // base0's survivors; a later NON-REWRITE commit could add a
       // colliding row on a column the merge-key serializability check
       // does not cover — abort rather than publish an unvalidated
-      // post-image (r15 review; same re-read-and-re-run contract as a
-      // key conflict, paid only under contention on a checked write)
-      if (checks.nonEmpty && parent != base0) {
+      // post-image (r15; same re-read-and-re-run contract as a key
+      // conflict). Scoped precisely (second review pass): row-local
+      // checks are basis-free (they validate the written bytes
+      // alone), and a rewrite carries the same rows — neither can
+      // invalidate anything, so neither costs liveness here
+      if (checks.exists(_.isInstanceOf[graft.operators.QualityChecks.Unique])
+          && parent != base0 &&
+          lineageBetween(root, base0, parent).exists(w =>
+            !propsOf(root, w).get("rewrite").contains("true"))) {
         deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
         deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
         throw new java.util.ConcurrentModificationException(
           s"checked merge aborted: a concurrent commit in ($base0, " +
-            s"$parent] invalidated its constraint-validation basis — " +
+            s"$parent] invalidated its Unique-validation basis — " +
             "re-read and re-run")
       }
       // revalidate EVERY attempt's full unseen window — the branch

@@ -727,37 +727,46 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     } finally Snapshots.afterCheckedValidation = () => ()
   }
 
-  test("checked merge aborts on ANY concurrent commit — the validation-basis rule") {
+  test("checked merge: Unique checks abort on any concurrent commit; row-local checks rebase") {
     import org.apache.spark.sql.functions.udf
-    import graft.operators.QualityChecks.RowPredicate
-    val root = Staging.tempDir("snap_checked_race").toString
-    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
-    SnapshotsSpec.mergeGate.set(new java.util.concurrent.CountDownLatch(1))
-    SnapshotsSpec.mergeEntered.set(new java.util.concurrent.CountDownLatch(1))
-    val wait = udf(() => {
-      SnapshotsSpec.mergeEntered.get().countDown()
-      SnapshotsSpec.mergeGate.get().await()
-      true
-    })
-    val source = Seq((2L, "B2"), (9L, "i")).toDF("id", "s").filter(wait())
-    val checks = Seq(RowPredicate("s_not_null", $"s".isNull))
-    val worker = new java.util.concurrent.FutureTask(() =>
-      Snapshots.mergeChecked(spark, root, "id", source, checks))
-    new Thread(worker, "checked-merge-writer").start()
-    SnapshotsSpec.mergeEntered.get().await()
-    // a DISJOINT-key append — the unchecked merge would rebase past it
-    // (the serializable-merge test proves that); a CHECKED merge must
-    // abort instead: its validation basis is gone
-    Snapshots.append(Seq((7L, "c")).toDF("id", "s"), root)
-    SnapshotsSpec.mergeGate.get().countDown()
-    val out = try Right(worker.get(120, java.util.concurrent.TimeUnit.SECONDS))
-      catch { case e: java.util.concurrent.ExecutionException => Left(e.getCause) }
-    assert(out.isLeft && out.swap.exists(
+    import graft.operators.QualityChecks.{RowPredicate, Unique}
+    def run(checks: Seq[graft.operators.QualityChecks.Check])
+        : (Either[Throwable, Int], Set[(Long, String)]) = {
+      val root = Staging.tempDir("snap_checked_race").toString
+      Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+      SnapshotsSpec.mergeGate.set(new java.util.concurrent.CountDownLatch(1))
+      SnapshotsSpec.mergeEntered.set(new java.util.concurrent.CountDownLatch(1))
+      val wait = udf(() => {
+        SnapshotsSpec.mergeEntered.get().countDown()
+        SnapshotsSpec.mergeGate.get().await()
+        true
+      })
+      val source = Seq((2L, "B2"), (9L, "i")).toDF("id", "s").filter(wait())
+      val worker = new java.util.concurrent.FutureTask(() =>
+        Snapshots.mergeChecked(spark, root, "id", source, checks))
+      new Thread(worker, "checked-merge-writer").start()
+      SnapshotsSpec.mergeEntered.get().await()
+      // a DISJOINT-key append lands inside the merge's window
+      Snapshots.append(Seq((7L, "c")).toDF("id", "s"), root)
+      SnapshotsSpec.mergeGate.get().countDown()
+      val out = try Right(worker.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        catch { case e: java.util.concurrent.ExecutionException => Left(e.getCause) }
+      (out, Snapshots.read(spark, root).as[(Long, String)].collect().toSet)
+    }
+    // a declared Unique could collide with the concurrent row on a
+    // column the merge-key check doesn't cover — the checked merge
+    // must ABORT (the unchecked merge would rebase; the serializable-
+    // merge test proves that), publishing nothing
+    val (aborted, tableAfterAbort) = run(Seq(Unique("unique_id", $"id")))
+    assert(aborted.isLeft && aborted.swap.exists(
       _.isInstanceOf[java.util.ConcurrentModificationException]),
-      s"expected ConcurrentModificationException, got $out")
-    // nothing published, nothing stranded: the table is the winner's
-    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSet ==
-      Set(1L -> "a", 2L -> "b", 7L -> "c"))
+      s"expected ConcurrentModificationException, got $aborted")
+    assert(tableAfterAbort == Set(1L -> "a", 2L -> "b", 7L -> "c"))
+    // row-local checks are basis-free: the same race REBASES and lands
+    val (ok, tableAfterOk) = run(Seq(RowPredicate("s_not_null", $"s".isNull)))
+    assert(ok.isRight, s"row-local checked merge must rebase, got $ok")
+    assert(tableAfterOk ==
+      Set(1L -> "a", 2L -> "B2", 7L -> "c", 9L -> "i"))
   }
 
   test("commit stamps are strictly monotone; versionAsOf resolves and refuses correctly") {
