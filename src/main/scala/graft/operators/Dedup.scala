@@ -55,22 +55,42 @@ object Dedup {
     * ≤ `cap`. The OVER-cap set is what gets joined, not the under-cap
     * one: hot buckets number at most |blocked|/cap by construction
     * (each holds > cap rows — at 10⁹ docs × 4 blocks and the default
-    * cap that is ≤ 4·10⁵ keys, a few MB), so they BROADCAST and the
-    * corpus stream anti-joins through without a join shuffle; the df
-    * rollup itself partial-aggregates map-side (the q153 stance: a
-    * count-over-window per bucket would buffer the viral bucket whole
-    * in one task — the groupBy never does). `Long.MaxValue` means
-    * "cap off" and is a true passthrough (the q82 completeness
-    * diagnostic's leg). Bucket keys are non-null by construction
-    * (block values of a non-null sig); the anti-join would KEEP a
-    * null-keyed row, the inner-join spelling would have dropped it.
+    * cap that is ≤ 4·10⁵ keys, a few MB), so they COLLECT to the
+    * driver (r15 — the same bounded-artifact class as k-means
+    * centers) and the corpus stream anti-joins through a LOCAL
+    * broadcast relation without a join shuffle; the df rollup itself
+    * partial-aggregates map-side (the q153 stance: a count-over-
+    * window per bucket would buffer the viral bucket whole in one
+    * task — the groupBy never does). Collecting instead of leaving
+    * the rollup as an in-plan broadcast subtree buys the COMMON case
+    * outright: no bucket over cap → the input passes through
+    * untouched, no anti-join, no broadcast — one count job is the
+    * cap's entire price on a clean corpus (previously every capped
+    * join paid the broadcast-subtree round trip even when the hot
+    * set was empty — the r13/r14 in-battery-latency headroom note).
+    * `Long.MaxValue` means "cap off" and is a true passthrough (the
+    * q82 completeness diagnostic's leg). Bucket keys are non-null by
+    * construction (block values of a non-null sig); the anti-join
+    * would KEEP a null-keyed row, the inner-join spelling would have
+    * dropped it.
     */
   private[operators] def capHotBuckets(blocked: DataFrame, keys: Seq[String],
                                        cap: Long): DataFrame =
     if (cap == Long.MaxValue) blocked
-    else blocked.join(
-      broadcast(hotBuckets(blocked, keys, cap).select(keys.map(col): _*)),
-      keys, "left_anti")
+    else {
+      val keyCols = keys.map(col)
+      val hotRows = hotBuckets(blocked, keys, cap)
+        .select(keyCols: _*).collect()
+      if (hotRows.isEmpty) blocked
+      else {
+        val sp = blocked.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(
+          keys.map(k => blocked.schema(k)))
+        val hot = sp.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), schema)
+        blocked.join(broadcast(hot), keys, "left_anti")
+      }
+    }
 
   /** The complement of [[capHotBuckets]]: the over-cap buckets with
     * their populations — the queryable drop report the no-silent-caps
