@@ -73,6 +73,19 @@ object Dedup {
     * construction (block values of a non-null sig); the anti-join
     * would KEEP a null-keyed row, the inner-join spelling would have
     * dropped it.
+    *
+    * EAGER-ACTION CONTRACT (r16, ADVICE): the count job runs HERE, at
+    * plan-construction time — building a capped operator's DataFrame
+    * triggers a Spark job even if the result is never executed, and
+    * the collected hot set is a point-in-time snapshot of `blocked`.
+    * Callers ([[simhashPairs]], [[MediaDedup]]'s pair joins,
+    * [[graft.operators.Similarity.semanticPairs]]) inherit both
+    * properties and carry the precondition: the input must be
+    * DETERMINISTIC (cache/checkpoint a non-deterministic source
+    * first), or the snapshot can diverge from the recomputed input in
+    * the downstream anti-join. Kept eager deliberately: the empty
+    * fast path — the common case — must decide the PLAN (passthrough
+    * vs anti-join), which a lazy rollup cannot do.
     */
   private[operators] def capHotBuckets(blocked: DataFrame, keys: Seq[String],
                                        cap: Long): DataFrame =
@@ -218,7 +231,9 @@ object Dedup {
     * millions of docs would go quadratic); over-cap buckets drop from
     * candidate generation, so a pair whose ONLY shared block is viral
     * is not reported — corpus-boilerplate similarity, the same
-    * judgement the ExactSubstr df bound makes.
+    * judgement the ExactSubstr df bound makes. Capped construction is
+    * EAGER and needs a deterministic input (the [[capHotBuckets]]
+    * contract).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",

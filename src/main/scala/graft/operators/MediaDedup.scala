@@ -41,7 +41,9 @@ object MediaDedup {
     * millions-strong population. Over-cap buckets drop from candidate
     * generation (exact copies inside them are the EXACT-dedup
     * operator's job — groupBy sig — not the pigeonhole's); the drop
-    * set is queryable via [[droppedBuckets]], never silent.
+    * set is queryable via [[droppedBuckets]], never silent. Capped
+    * construction is EAGER and needs a deterministic input (the
+    * [[Dedup.capHotBuckets]] contract).
     */
   def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3,
                    maxBucketDf: Long = Dedup.DefaultMaxBucketDf): DataFrame = {
@@ -108,7 +110,9 @@ object MediaDedup {
     // boilerplate, not similarity evidence, and its shared-frame join
     // key would otherwise fan in quadratically ([[Dedup
     // .DefaultMaxBucketDf]]); the drop set is queryable via
-    // [[droppedFrameSigs]], never silent.
+    // [[droppedFrameSigs]], never silent. Capped construction is
+    // EAGER and needs a deterministic input (the Dedup.capHotBuckets
+    // contract).
     val d = Dedup.capHotBuckets(
       frames.select(col("media_id"), col("sig")).distinct(),
       Seq("sig"), maxSigDf)

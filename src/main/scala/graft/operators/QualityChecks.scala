@@ -28,6 +28,20 @@ object QualityChecks {
     */
   final case class RefIntegrity(name: String, key: Column,
                                 ref: DataFrame, refKey: Column) extends Check
+  /** The INBOUND mirror of [[RefIntegrity]] (r16): values of `refKey`
+    * in the external `referencing` table absent from `key` of the
+    * CHECKED table fail (nulls pass). Declared on the REFERENCED
+    * (parent) side, it holds the checked table responsible for
+    * covering a referencing table's keys — the constraint a
+    * parent-side DELETE can break, and the reason
+    * [[graft.sources.Snapshots.deleteChecked]] exists. Post-image-
+    * scoped BY NATURE: it must be evaluated against the table's full
+    * surviving rows, never a lone batch (the checked-write paths do
+    * this; [[report]] checks whatever `df` it is handed). Cost: one
+    * anti-join shipping key columns only.
+    */
+  final case class InboundRef(name: String, referencing: DataFrame,
+                              refKey: Column, key: Column) extends Check
 
   /** The report: one row per check — (check_name, n_violations, passed),
     * ordered by check name for deterministic output.
@@ -63,7 +77,13 @@ object QualityChecks {
         .agg(count(lit(1)).as("n_violations"))
         .select(lit(c.name).as("check_name"), col("n_violations"))
     }
-    (rowLeg ++ uniqueLegs ++ refLegs)
+    val inboundLegs = checks.collect { case c: InboundRef =>
+      c.referencing.select(c.refKey.as("_k")).filter(col("_k").isNotNull)
+        .join(df.select(c.key.as("_k")), Seq("_k"), "anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(c.name).as("check_name"), col("n_violations"))
+    }
+    (rowLeg ++ uniqueLegs ++ refLegs ++ inboundLegs)
       .reduce(_ unionByName _)
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy(col("check_name"))

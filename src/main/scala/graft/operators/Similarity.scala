@@ -19,6 +19,36 @@ import graft.functions.VectorFunctions.{cosine_similarity, cosine_similarity6}
   */
 object Similarity {
 
+  /** How [[semanticPairs]]/[[semanticDedup]] treat a cell whose
+    * population exceeds `maxCellSize` — the drop-vs-distribute choice
+    * is the CALLER's (r16): the cap is a cost guard either way, but
+    * only the caller knows whether the densest cluster's pairs are
+    * expendable boilerplate or exactly the duplicates the run exists
+    * to find.
+    */
+  sealed trait HotCellPolicy
+  object HotCellPolicy {
+    /** Over-cap cells DROP from candidate generation, with the
+      * queryable [[droppedCells]] report — bounded cost, documented
+      * pair loss (the media/simhash bucket-cap convention). The
+      * default: a cap crossing usually means the index is too coarse
+      * and the answer is re-indexing, not a quadratic join.
+      */
+    case object Drop extends HotCellPolicy
+    /** Over-cap cells DISTRIBUTE losslessly: each splits into
+      * m = ⌈size/cap⌉ id-hash blocks and all m(m+1)/2 block pairs
+      * join under their own (cell, i, j) key — triangle replication.
+      * Total within-cell |cell|² pair work is UNCHANGED (it is
+      * inherent to all-pairs semantics); what changes is placement —
+      * ~cap-bounded-in-expectation rows per join key instead of one
+      * quadratic straggler task. Each row replicates ~m/2 times per
+      * leg, so candidate-generation I/O grows by the same ⌈size/cap⌉
+      * factor [[knnJoin]]'s salted probes pay. Results are
+      * bit-identical to the cap-free join.
+      */
+    case object Distribute extends HotCellPolicy
+  }
+
   /** Bound on an indexed CELL's population for the centroid-bucketed
     * similarity joins — the vector family's analogue of
     * [[Dedup.DefaultMaxBucketDf]] (same value). The scaladoc bound
@@ -277,10 +307,13 @@ object Similarity {
     * (|probes in cell| × |index in cell|) lands on ONE task. Indexed
     * cells over `maxCellSize` ([[DefaultMaxCellSize]]) are SALTED:
     * each such cell's index rows spread over ⌈size/cap⌉ sub-cells by
-    * id hash and its probes replicate across all of them, so the join
-    * key becomes (cell, salt) with ≤ maxCellSize index rows per key —
-    * the skew-split every salted join does, applied only where
-    * needed. NO candidate is lost (results are bit-identical to the
+    * (cell, id) hash and its probes replicate across all of them, so
+    * the join key becomes (cell, salt) with ~maxCellSize index rows
+    * EXPECTED per key — ids are unique per the contract below, so
+    * placement is a balls-into-bins spread: balanced in expectation
+    * and concentrated tightly around it, not a worst-case guarantee
+    * (a hash bound never is). The skew-split every salted join does,
+    * applied only where needed. NO candidate is lost (results are bit-identical to the
     * unsalted join — the per-pair work is inherent; only its
     * placement changes), and the probe replication cost is scoped to
     * exactly the hot cells. [[cellSizes]]/[[droppedCells]] remain the
@@ -351,10 +384,12 @@ object Similarity {
         val sp = left.sparkSession
         import sp.implicits._
         val hot = hotRows.toSeq.toDF("cell", "_nsalt")
+        // hash (cell, id), not id alone: an index row replicated into
+        // several hot cells decorrelates its salt across them
         val idxS = indexed.join(broadcast(hot), Seq("cell"), "left")
           .withColumn("_salt", when(col("_nsalt").isNull, lit(0))
-            .otherwise(pmod(xxhash64(col("right_id")), col("_nsalt"))
-              .cast("int")))
+            .otherwise(pmod(xxhash64(col("cell"), col("right_id")),
+              col("_nsalt")).cast("int")))
           .drop("_nsalt")
         val prbS = probes.join(broadcast(hot), Seq("cell"), "left")
           .withColumn("_salt",
@@ -420,21 +455,38 @@ object Similarity {
     * `centers` is the same persisted index artifact as [[ivfTopK]]'s —
     * one k-means build serves both search and dedup.
     *
-    * HOT CELLS (r15): the "cluster stays bounded" sizing premise has
-    * the same failure mode as [[knnJoin]]'s — the densest semantic
-    * cluster is simultaneously where the duplicates live AND the hot
-    * shuffle key whose |cell|² fan-in goes quadratic. Cells over
-    * `maxCellSize` ([[DefaultMaxCellSize]]) drop from the self-join
-    * (bounding candidates at Σ min(|cell|, cap)²) and are queryable
-    * via [[droppedCells]](corpus, centers, replicas): an over-cap
-    * cluster's pairs go UNREPORTED here — the report is the signal to
-    * re-index finer or quarantine that cluster for a dedicated pass,
-    * the same judgement the media/simhash families make for viral
-    * buckets. Pass `Long.MaxValue` to pin the cap off.
+    * HOT CELLS (r15, caller policy r16): the "cluster stays bounded"
+    * sizing premise has the same failure mode as [[knnJoin]]'s — the
+    * densest semantic cluster is simultaneously where the duplicates
+    * live AND the hot shuffle key whose |cell|² fan-in goes quadratic.
+    * What happens to cells over `maxCellSize` ([[DefaultMaxCellSize]])
+    * is `hotCells`' choice:
+    *  - [[HotCellPolicy.Drop]] (default): they drop from the
+    *    self-join (bounding candidates at Σ min(|cell|, cap)²) and
+    *    are queryable via [[droppedCells]](corpus, centers, replicas)
+    *    — the report is the signal to re-index finer or quarantine
+    *    that cluster, the same judgement the media/simhash families
+    *    make for viral buckets. An over-cap cluster's pairs go
+    *    UNREPORTED here.
+    *  - [[HotCellPolicy.Distribute]]: they split into ⌈size/cap⌉
+    *    id-hash blocks whose triangle of block pairs joins under
+    *    separate keys — NO pair is lost (bit-identical to cap-off),
+    *    the inherent |cell|² work just spreads over bounded tasks.
+    *    For SemDeDup this is usually the right call: the densest
+    *    cluster is exactly where the duplicates are.
+    * Pass `Long.MaxValue` to pin the cap off.
+    *
+    * EAGER by construction when capped (the capHotBuckets contract):
+    * building the returned plan runs one count job over the
+    * assignment to find hot cells, and the hot set is a point-in-time
+    * snapshot — `corpus` must be deterministic (cache or checkpoint a
+    * non-deterministic source first) or the snapshot can diverge from
+    * the recomputed input under the hood.
     */
   def semanticPairs(corpus: DataFrame, threshold: Double,
                     centers: Seq[Seq[Double]], replicas: Int = 2,
                     maxCellSize: Long = DefaultMaxCellSize,
+                    hotCells: HotCellPolicy = HotCellPolicy.Drop,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     if (centers.isEmpty)
@@ -442,14 +494,69 @@ object Similarity {
       return c.limit(0).select(col("id").as("id_a"))
         .crossJoin(c.limit(0).select(col("id").as("id_b")))
         .select(col("id_a"), col("id_b"), lit(0.0).as("cosine"))
-    // NaN vectors assign to no cluster (cid −1) and drop out here;
-    // over-cap cells drop from BOTH join legs via the one capped frame
-    val assigned = Dedup.capHotBuckets(
-      withCells(c, "v", centers, replicas, "cid"), Seq("cid"), maxCellSize)
-    assigned.as("a").join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine_similarity6(col("a.v"), col("b.v")).as("cosine"))
+    // NaN vectors assign to no cluster (cid −1) and drop out here
+    val assignedAll = withCells(c, "v", centers, replicas, "cid")
+    val candidates = hotCells match {
+      case HotCellPolicy.Drop =>
+        // over-cap cells drop from BOTH join legs via the one capped
+        // frame; id_a < id_b directly from the join condition
+        val assigned = Dedup.capHotBuckets(assignedAll, Seq("cid"), maxCellSize)
+        assigned.as("a").join(assigned.as("b"),
+            col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.v").as("av"), col("b.v").as("bv"))
+      case HotCellPolicy.Distribute =>
+        // detection: the knnJoin hot-table shape — one map-side-
+        // combined count, collected (bounded at ≤ |corpus|·replicas /
+        // cap rows by construction), empty ⇒ the plain self-join with
+        // zero distribution overhead
+        val hotRows =
+          if (maxCellSize == Long.MaxValue) Array.empty[(Int, Int)]
+          else assignedAll.groupBy(col("cid"))
+            .agg(count(lit(1)).as("_cn")).filter(col("_cn") > maxCellSize)
+            .select(col("cid"),
+              ceil(col("_cn").cast("double") / maxCellSize).cast("int")
+                .as("_m"))
+            .collect().map(r => (r.getInt(0), r.getInt(1)))
+        if (hotRows.isEmpty)
+          assignedAll.as("a").join(assignedAll.as("b"),
+              col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.v").as("av"), col("b.v").as("bv"))
+        else {
+          val sp = corpus.sparkSession
+          import sp.implicits._
+          val hot = hotRows.toSeq.toDF("cid", "_m")
+          // block id: hash (cid, id) so a row replicated into several
+          // hot cells decorrelates its block across them (the knnJoin
+          // salting rule); cold cells are one block (m = 1, b = 0)
+          val blk = assignedAll.join(broadcast(hot), Seq("cid"), "left")
+            .withColumn("_m", coalesce(col("_m"), lit(1)))
+            .withColumn("_b",
+              pmod(xxhash64(col("cid"), col("id")), col("_m")).cast("int"))
+          // triangle replication: a row in block b serves as the LEFT
+          // leg of block pairs (b, j≥b) and the RIGHT leg of (i≤b, b);
+          // every unordered within-cell pair meets at EXACTLY one
+          // (cid, i, j) key — off-diagonal keys take all cross pairs,
+          // the diagonal key orders by id as the plain join does
+          val legA = blk
+            .withColumn("_j", explode(sequence(col("_b"), col("_m") - 1)))
+            .withColumnRenamed("_b", "_i").drop("_m")
+          val legB = blk
+            .withColumn("_i", explode(sequence(lit(0), col("_b"))))
+            .withColumnRenamed("_b", "_j").drop("_m")
+          legA.as("a").join(legB.as("b"),
+              col("a.cid") === col("b.cid") &&
+                col("a._i") === col("b._i") && col("a._j") === col("b._j") &&
+                (col("a._i") =!= col("a._j") || col("a.id") < col("b.id")))
+            .select(least(col("a.id"), col("b.id")).as("id_a"),
+              greatest(col("a.id"), col("b.id")).as("id_b"),
+              col("a.v").as("av"), col("b.v").as("bv"))
+        }
+    }
+    candidates
+      .select(col("id_a"), col("id_b"),
+        cosine_similarity6(col("av"), col("bv")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }
@@ -461,9 +568,10 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     centers: Seq[Seq[Double]], replicas: Int = 2,
                     maxCellSize: Long = DefaultMaxCellSize,
+                    hotCells: HotCellPolicy = HotCellPolicy.Drop,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Dedup.keepCanonical(corpus,
       semanticPairs(corpus, threshold, centers, replicas, maxCellSize,
-        idCol, vecCol),
+        hotCells, idCol, vecCol),
       idCol = idCol)
 }

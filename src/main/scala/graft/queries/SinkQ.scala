@@ -349,7 +349,7 @@ object SinkQ {
   private def manifestPruneLegs(spark: SparkSession, dir: String,
       staged: java.util.concurrent.ConcurrentHashMap[String, String],
       tmpPrefix: String, ingestOrder: Seq[Int],
-      clusterBy: Option[String]): DataFrame = {
+      clusterBy: Option[String], distributed: Boolean = false): DataFrame = {
     val S = graft.sources.Snapshots
     val root = staged.computeIfAbsent(dir, d => {
       val o = Staging.tempDir(tmpPrefix)
@@ -363,7 +363,12 @@ object SinkQ {
         S.append(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
           .coalesce(1), o.toString)
       }
-      S.compactManifests(o.toString, targetLines = 2, clusterBy = clusterBy)
+      if (distributed)
+        // threshold 0 forces the Spark-job path at any body size
+        S.rewriteManifests(spark, o.toString, targetLines = 2,
+          clusterBy = clusterBy, maxDriverSortLines = 0L)
+      else
+        S.compactManifests(o.toString, targetLines = 2, clusterBy = clusterBy)
       o.toString
     })
     val v = S.latestVersion(root)
@@ -382,9 +387,12 @@ object SinkQ {
       ("2_second_half", mn + span * 4 / 8, mx),
       ("3_full", mn, mx),
       ("4_empty", mn - 10, mn - 1)).map { case (name, lo, hi) =>
-      val s0 = S.segmentReads.get()
+      // thread-LOCAL delta (r16, ADVICE): resolution runs synchronously
+      // on this thread, so a concurrent reader elsewhere in the JVM
+      // cannot skew the segments_opened arithmetic
+      val s0 = S.segmentReadsHere
       val nScanned = S.prunedFiles(spark, root, v, "doc_id", lo, hi).size
-      (name, nScanned, (S.segmentReads.get() - s0).toInt, lo, hi)
+      (name, nScanned, (S.segmentReadsHere - s0).toInt, lo, hi)
     }
     val nSegs = S.manifestsTable(spark, root, v).count().toInt
     legs.map { case (name, nScanned, opened, lo, hi) =>
@@ -449,6 +457,30 @@ object SinkQ {
       "graft_clustered_prune_gate", Seq(0, 4, 1, 5, 2, 6, 3, 7),
       clusterBy = Some("doc_id"))
 
+  /** q223 — DISTRIBUTED manifest rewrite (r16; Iceberg runs
+    * `rewrite_manifests` as a Spark action for exactly this reason):
+    * the r15 driver-side cluster sort holds O(table data files) entry
+    * strings in driver memory — GBs at 10⁷ files.
+    * [[graft.sources.Snapshots.rewriteManifests]] bounds it: above
+    * `maxDriverSortLines` the body resolves on EXECUTORS, the cluster
+    * sort becomes a range-shuffle on (group, statMin, position), and
+    * each sorted partition cuts and writes its own content-addressed
+    * segments — the driver holds only pointer lines. The gate is
+    * q221's exact scenario (shuffled-eighth ingest, clusterBy doc_id)
+    * with the job path FORCED (threshold 0): identical oracle,
+    * identical geometry — 4 packed segments, point lookup opens 1,
+    * second half 2, full 4, below-range 0 — proving the distributed
+    * sort reproduces the driver sort's body ordering byte-for-byte
+    * where it matters (entries, stats, file set).
+    */
+  private val distributedPruneStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def distributedManifestPruning(spark: SparkSession, dir: String): DataFrame =
+    manifestPruneLegs(spark, dir, distributedPruneStaged,
+      "graft_distributed_prune_gate", Seq(0, 4, 1, 5, 2, 6, 3, 7),
+      clusterBy = Some("doc_id"), distributed = true)
+
   /** q217 — CHECKED APPEND (Delta CHECK constraints / expectations
     * with fail-the-write semantics;
     * [[graft.sources.Snapshots.appendChecked]]): three legs — a clean
@@ -464,6 +496,58 @@ object SinkQ {
     */
   private val checkedAppendStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q224 — CHECKED DELETE (r16;
+    * [[graft.sources.Snapshots.deleteChecked]] — closing the checked-
+    * DML surface's delete gap): a parent table commits the even
+    * doc_ids; an external CHILD frame references the doc_id % 4 == 0
+    * subset under a declared
+    * [[graft.operators.QualityChecks.InboundRef]]. Deleting the
+    * referenced keys would orphan every child row — REFUSED with the
+    * check named, staged tombstones deleted, no version minted —
+    * while deleting the UNREFERENCED evens (% 4 == 2) publishes
+    * normally. The gate reads both versions' live rows and DuckDB
+    * recomputes them from the base table under the same modulus
+    * arithmetic; versions and the refusal are engine invariants
+    * stated literally (the q217/q219 convention).
+    */
+  private val checkedDeleteStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def checkedDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityChecks.InboundRef
+    val S = graft.sources.Snapshots
+    val root = checkedDeleteStaged.computeIfAbsent(dir, d => {
+      val o = Staging.tempDir("graft_checked_delete_gate")
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      val parent = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      S.append(parent, o.toString)
+      val child = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("ref_doc_id"))
+      val checks = Seq(InboundRef("child_refs_covered", child,
+        col("ref_doc_id"), col("doc_id")))
+      val refused =
+        try {
+          S.deleteChecked(spark, o.toString, "doc_id",
+            parent.filter(pmod(col("doc_id"), lit(4)) === 0), checks)
+          false
+        } catch { case e: IllegalStateException =>
+          e.getMessage.contains("child_refs_covered") }
+      require(refused, "orphaning delete must be refused naming the check")
+      S.deleteChecked(spark, o.toString, "doc_id",
+        parent.filter(pmod(col("doc_id"), lit(4)) === 2), checks)
+      o.toString
+    })
+    // the refusal minted NOTHING: the clean delete is version 2, not 3
+    val noVersionMinted = S.latestVersion(root) == 2
+    def leg(name: String, v: Int): DataFrame =
+      S.read(spark, root, v).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(name).as("leg"), lit(v).as("version"), col("n_docs"),
+          col("sum_chars"),
+          lit(noVersionMinted).as("refusal_minted_no_version"))
+    leg("1_parent_table", 1).unionByName(leg("2_after_checked_delete", 2))
+  }
 
   def checkedAppend(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityChecks.{RowPredicate, Unique}
@@ -816,14 +900,11 @@ object SinkQ {
       o.toString
     })
     val v = S.latestVersion(root)
-    // COUNTER-METERING CONVENTION (r14, ADVICE): the per-leg deltas
-    // below read the global mutable counters Snapshots.segmentReads /
-    // queryPathFooterReads, which any concurrent snapshot activity in
-    // the same session would pollute. Sound under the q165 convention
-    // — the gate/bench harness executes queries single-threaded on the
-    // driver — and the legs themselves resolve synchronously. If the
-    // harness ever parallelizes queries, scope the counters per call
-    // (or serialize counter-metered gates) before trusting the deltas.
+    // COUNTER-METERING CONVENTION (r16, ADVICE): the per-leg deltas
+    // below read THREAD-LOCAL counters (segmentReadsHere /
+    // queryPathFooterReadsHere) — resolution runs synchronously on
+    // this thread, so concurrent snapshot activity elsewhere in the
+    // JVM cannot pollute the arithmetic.
     // table extremes from the MANIFEST (commit-time stats — one list +
     // four segment reads, zero data I/O), so the leg arithmetic is the
     // same integer-quarter formula the oracle replays over the table
@@ -836,11 +917,11 @@ object SinkQ {
       ("2_quarter2", b1, b2 - 1),
       ("3_full", mn, mx),
       ("4_empty", mn - 10, mn - 1)).map { case (name, lo, hi) =>
-      val f0 = S.queryPathFooterReads.get()
-      val s0 = S.segmentReads.get()
+      val f0 = S.queryPathFooterReadsHere
+      val s0 = S.segmentReadsHere
       val nScanned = S.prunedFiles(spark, root, v, "doc_id", lo, hi).size
-      (name, lo, hi, nScanned, (S.segmentReads.get() - s0).toInt,
-        (S.queryPathFooterReads.get() - f0).toInt)
+      (name, lo, hi, nScanned, (S.segmentReadsHere - s0).toInt,
+        (S.queryPathFooterReadsHere - f0).toInt)
     }
     val nSegs = S.manifestsTable(spark, root, v).count().toInt
     legs.map { case (name, lo, hi, nScanned, opened, _) =>
@@ -1903,6 +1984,8 @@ object SinkQ {
     "q219_checked_merge" -> (checkedMerge _),
     "q220_checked_update" -> (checkedUpdate _),
     "q221_clustered_manifest_pruning" -> (clusteredManifestPruning _),
+    "q223_distributed_manifest_rewrite" -> (distributedManifestPruning _),
+    "q224_checked_delete" -> (checkedDelete _),
     "q81_write_roundtrip" -> (writeRoundtrip _),
     "q99_bucketed_join" -> (bucketedJoin _),
     "q109_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -2407,6 +2490,21 @@ object SinkQ {
     // q218's geometry, so the two gates share one oracle BY DESIGN
     "q218_packed_manifest_pruning" -> eighthPruneOracle,
     "q221_clustered_manifest_pruning" -> eighthPruneOracle,
+    // q223 forces the SPARK-JOB rewrite path on q221's scenario: a
+    // lossless re-plumbing of the same sort must land the same
+    // geometry, so the three gates share one oracle BY DESIGN
+    "q223_distributed_manifest_rewrite" -> eighthPruneOracle,
+    // both versions' live rows recomputed under the same modulus
+    // split; versions and the refusal stated literally (q217/q219)
+    "q224_checked_delete" ->
+      """SELECT '1_parent_table' AS leg, 1 AS version,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  TRUE AS refusal_minted_no_version
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT '2_after_checked_delete', 2, count(*),
+        |  CAST(sum(n_chars) AS BIGINT), TRUE
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
     // resolved versions are engine invariants under strict stamp
     // monotonicity, stated literally; content counts recomputed
     "q214_timestamp_travel" ->

@@ -412,6 +412,50 @@ object VectorQ {
         (col("_negs") === 0L).as("no_planted_survives"))
   }
 
+  /** q222 — semanticPairs under [[Similarity.HotCellPolicy.Distribute]]
+    * at a FORCED tiny cap (r16, VERDICT: over-cap cells must be a
+    * drop-vs-distribute caller choice, and distribute must be
+    * LOSSLESS). The q92 augmented corpus joins at maxCellSize = 8 —
+    * every populated cell is over cap at any sf, so the triangle
+    * block-split machinery carries the WHOLE corpus — and the gate
+    * asserts the distributed pair set is bit-identical (ids AND
+    * cosine) to the cap-free ideal, the cap demonstrably engaged
+    * ([[Similarity.droppedCells]] non-empty at the gate cap), and the
+    * planted near-dups all surfaced. No cap guard needed: Distribute
+    * is lossless at ANY cell size, which is exactly the property
+    * under test.
+    */
+  def semanticPairsDistributedGate(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val aug = embs.unionByName(plantedCopies(embs))
+    val ctrs = semCenters(spark, dir)
+    val cap = 8L
+    // localCheckpoint: each leg feeds two+ consumers (set-equality
+    // join + its own count; dist also the planted-recall leg)
+    val dist = Similarity.semanticPairs(aug, threshold = 0.95,
+      centers = ctrs, replicas = 2, maxCellSize = cap,
+      hotCells = Similarity.HotCellPolicy.Distribute).localCheckpoint(false)
+    val ideal = Similarity.semanticPairs(aug, threshold = 0.95,
+      centers = ctrs, replicas = 2,
+      maxCellSize = Long.MaxValue).localCheckpoint(false)
+    val matched = dist.join(ideal, Seq("id_a", "id_b", "cosine"))
+      .agg(count(lit(1)).as("_nm"))
+    val plantedFound = dist
+      .filter(col("id_a") === -col("id_b") - lit(1L) && col("id_b") < 20)
+      .agg(count(lit(1)).as("_nf"))
+    val hotEngaged = Similarity.droppedCells(aug, ctrs, replicas = 2,
+      maxCellSize = cap).agg(count(lit(1)).as("_nhot"))
+    embs.agg(coalesce(sum(when(col("vec_id") < 20, 1L)), lit(0L)).as("n_planted"))
+      .crossJoin(dist.agg(count(lit(1)).as("_nd")))
+      .crossJoin(ideal.agg(count(lit(1)).as("_ni")))
+      .crossJoin(matched).crossJoin(plantedFound).crossJoin(hotEngaged)
+      .select(col("n_planted"),
+        (col("_nm") === col("_nd") && col("_nd") === col("_ni"))
+          .as("pairs_eq_ideal"),
+        (col("_nhot") > 0L).as("hot_cells_engaged"),
+        (col("_nf") === col("n_planted")).as("all_planted_paired"))
+  }
+
   // ---- cap preflight (r15): [[Similarity.semanticPairs]] drops
   // over-cap cells ([[Similarity.DefaultMaxCellSize]]) and its gates'
   // oracles model the cap-free ideal, so Verify must fail LOUDLY if a
@@ -455,7 +499,8 @@ object VectorQ {
     "q97_pq_ann" -> (pqAnn _),
     "q211_knn_join" -> (knnJoinExact _),
     "q212_knn_join_recall" -> (knnJoinPlantedRecall _),
-    "q215_embedding_decontamination" -> (embeddingDecontamination _))
+    "q215_embedding_decontamination" -> (embeddingDecontamination _),
+    "q222_semantic_pairs_distributed" -> (semanticPairsDistributedGate _))
 
   /** q186 — MMR DIVERSITY RE-RANK (Carbonell & Goldstein 1998, λ =
     * 1/2): greedily select 3 of each probe's top-10 cosine candidates
@@ -718,6 +763,15 @@ object VectorQ {
       """SELECT CAST(count(*) AS BIGINT) AS n_planted,
         |  TRUE AS all_planted_paired, TRUE AS planted_cosine_ge_099,
         |  TRUE AS survivors_eq_corpus, TRUE AS planted_kept_canonical
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // lossless-distribution invariants, stated literally (the q83/q92
+    // convention): bit-identical pair sets are an engine-measured
+    // equality, not something DuckDB can replay cheaper than the
+    // ideal leg the gate already computes
+    "q222_semantic_pairs_distributed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  TRUE AS pairs_eq_ideal, TRUE AS hot_cells_engaged,
+        |  TRUE AS all_planted_paired
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     // the FULL exact-top-k oracle (q50's): the PQ shortlist + re-rank
     // must reproduce the exact result row-for-row — recall 1.0 or fail

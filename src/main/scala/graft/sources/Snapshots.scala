@@ -97,18 +97,38 @@ object Snapshots {
     */
   val segmentReads = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** THIS thread's segment-read count (r16): manifest resolution is a
+    * driver-side call, so a gate metering "how many segments did MY
+    * lookup open" delta-reads this instead of the JVM-global
+    * [[segmentReads]] — a concurrent reader in the same JVM (parallel
+    * gates, another table) can no longer skew the delta.
+    */
+  private val segmentReadsTL =
+    ThreadLocal.withInitial[java.lang.Long](() => 0L)
+  def segmentReadsHere: Long = segmentReadsTL.get()
+
   /** Splice segment pointers: each `#segment` ref contributes its
     * file's lines in place, inline refs pass through — resolution
     * preserves manifest order exactly.
     */
   private def resolveBody(rootP: Path, refs: Seq[String]): Seq[String] =
-    refs.flatMap { l =>
+    resolveBodyIter(rootP, refs).toVector
+
+  /** Lazy [[resolveBody]] (r16): one segment's lines in memory at a
+    * time — the bound that lets the non-clustered manifest rewrite
+    * stream a 10⁷-entry body through [[segmentize]]'s O(targetLines)
+    * run buffer instead of materializing O(table files) strings on
+    * the driver.
+    */
+  private def resolveBodyIter(rootP: Path, refs: Seq[String]): Iterator[String] =
+    refs.iterator.flatMap { l =>
       if (l.startsWith(SegmentPtr)) {
         segmentReads.incrementAndGet()
+        segmentReadsTL.set(segmentReadsTL.get() + 1L)
         val name = l.split('\t')(1)
         Files.readAllLines(rootP.resolve("_manifests").resolve(name))
-          .asScala.toSeq.filter(_.nonEmpty)
-      } else Seq(l)
+          .asScala.toSeq.filter(_.nonEmpty).iterator
+      } else Iterator.single(l)
     }
 
   /** Most distinct partition values a `#partagg:` summary records; a
@@ -247,7 +267,18 @@ object Snapshots {
     * only; [[resolveBody]] splices pointers back in place).
     */
   private def segmentize(rootP: Path, lines: Seq[String],
-                         targetLines: Int = SegmentTargetLines): Seq[String] = {
+                         targetLines: Int = SegmentTargetLines): Seq[String] =
+    segmentizeIter(rootP, lines.iterator, targetLines)
+
+  /** Iterator-driven [[segmentize]] core: memory is O(one run) —
+    * ≤ targetLines lines — regardless of body size, so both the
+    * streaming rewrite (driver) and the distributed rewrite's
+    * per-partition writers (executors; segment files are
+    * content-addressed, so concurrent/retried writers converge)
+    * share the ONE cutting spelling.
+    */
+  private def segmentizeIter(rootP: Path, lines: Iterator[String],
+                             targetLines: Int): Seq[String] = {
     require(targetLines > 0, s"targetLines must be positive, got $targetLines")
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val run = scala.collection.mutable.ArrayBuffer[String]()
@@ -423,6 +454,14 @@ object Snapshots {
     * manifests, not N data-file footers from the driver.
     */
   val queryPathFooterReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** THIS thread's query-path footer opens — the
+    * [[segmentReadsHere]] convention applied to the footer counter,
+    * for gates metering their own lookup's cost in a shared JVM.
+    */
+  private val queryPathFooterReadsTL =
+    ThreadLocal.withInitial[java.lang.Long](() => 0L)
+  def queryPathFooterReadsHere: Long = queryPathFooterReadsTL.get()
 
   /** Per-file min/max of every INT64 leaf column, from one footer read
     * (metadata pages only). Used at COMMIT time — once per file
@@ -683,11 +722,28 @@ object Snapshots {
         _.replace(s"data_v${v}_$token", s"data_v${newV}_$token"))
       v = newV
     }
+    val inbounds = checks.collect {
+      case i: graft.operators.QualityChecks.InboundRef => i }
     var committed = -1
     while (committed < 0) {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) reallocate() // stale pre-write allocation
       else {
+      // an InboundRef's post-image basis is invalidated by any
+      // concurrent non-rewrite commit (a delete could remove a
+      // referenced key); unlike the Unique legs there is no cheap
+      // key-scoped revalidation, so the append ABORTS (the
+      // mergeChecked rule) — declaring a post-image check trades
+      // rebase liveness for the stronger promise
+      if (inbounds.nonEmpty && parent != basis && parent > 0 &&
+          lineageBetween(root, math.max(basis, 0), parent).exists(w =>
+            !propsOf(root, w).get("rewrite").contains("true"))) {
+        deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
+        throw new java.util.ConcurrentModificationException(
+          s"checked append aborted: a concurrent commit in ($basis, " +
+            s"$parent] invalidated its InboundRef post-image basis — " +
+            "re-read and re-run")
+      }
       if (uniques.nonEmpty && parent != basis && parent > 0) {
         // the staged dir is deleted on refusal AND on a revalidation
         // error — "a refused batch changes NOTHING" covers error
@@ -739,40 +795,44 @@ object Snapshots {
     * key-column-pruned semi-join of the batch against the survivor
     * scan — O(table's key column), the price of a uniqueness promise
     * without a key index, paid only when a Unique check is declared.
-    * A survivor scan on a schema that predates the key column holds
-    * no matchable value and contributes zero (the
-    * [[keysTouchedBetween]] skip rule); the batch leg has already
-    * proven the key resolves, so the AnalysisException catch below
-    * cannot mask a typo. RowPredicate and RefIntegrity stay
-    * batch-scoped BY CONSTRUCTION, not as a gap: they are row-local,
-    * and rows not in this batch passed them at their own checked
-    * commit (delete/compact commits cannot mint a row-local
-    * violation).
+    * RowPredicate and RefIntegrity stay batch-scoped BY CONSTRUCTION,
+    * not as a gap: they are row-local, and rows not in this batch
+    * passed them at their own checked commit (delete/compact commits
+    * cannot mint a row-local violation).
     */
   /** Cross-batch leg of a snapshot-wide Unique check: per check, how
     * many batch keys collide with `survivors`' keys. Null-SAFE
     * equality — two NULL keys in one batch refuse (report's groupBy
     * leg), so a NULL against a NULL survivor must refuse the same
-    * way; verdicts cannot depend on batching. A survivor schema that
-    * predates the key column holds no matchable value and contributes
-    * zero (the [[keysTouchedBetween]] skip rule — the batch leg has
-    * already proven the key resolves, so this catch can't mask a
-    * typo). Shared by [[validateStagedOrAbort]] and [[casAppend]]'s
+    * way; verdicts cannot depend on batching.
+    *
+    * Schema widening (r16 — the batching-independence rule applied to
+    * evolution): when THIS batch introduces a key column, the
+    * survivor scan predates it. Post-widening reads null-fill those
+    * rows, so the leg validates against the SAME view — survivors
+    * null-filled at every batch column they predate (typed from the
+    * batch, the widener; exactly the image read() returns after the
+    * commit) — rather than silently skipping: a NULL-keyed batch
+    * refuses against pre-evolution survivors exactly as an identical
+    * later batch would refuse against their null-filled read image.
+    * A typo'd key column (absent from the batch too) still fails the
+    * analysis — constraint enforcement fails CLOSED, never open.
+    * Shared by [[validateStagedOrAbort]] and [[casAppend]]'s
     * revalidate-on-rebase.
     */
   private def crossUniqueBad(batch: DataFrame,
       uniques: Seq[graft.operators.QualityChecks.Unique],
       survivors: DataFrame): Seq[(String, Long)] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
+    val surv = batch.schema.fields
+      .filterNot(f => survivors.columns.contains(f.name))
+      .foldLeft(survivors)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
     uniques.map { u =>
-      u.name -> (try {
-        batch.select(u.key.as("_bk"))
-          .join(survivors.select(u.key.as("_sk")),
-            col("_bk") <=> col("_sk"), "left_semi")
-          .count()
-      } catch { // pre-evolution survivor schema: no matchable value
-        case _: org.apache.spark.sql.AnalysisException => 0L
-      })
+      u.name -> batch.select(u.key.as("_bk"))
+        .join(surv.select(u.key.as("_sk")),
+          col("_bk") <=> col("_sk"), "left_semi")
+        .count()
     }.filter(_._2 > 0)
   }
 
@@ -784,6 +844,15 @@ object Snapshots {
     def abort(): Unit = stagedDirs.foreach(deleteTreeQuietly)
     val uniques = checks.collect {
       case u: graft.operators.QualityChecks.Unique => u }
+    // InboundRef (r16) is post-image-scoped BY NATURE: the referencing
+    // table's keys must resolve against the table's full surviving
+    // rows — a lone batch would false-refuse every key it doesn't
+    // happen to carry. Evaluated against batch ∪ survivors below;
+    // batch-local legs exclude it.
+    val inbounds = checks.collect {
+      case i: graft.operators.QualityChecks.InboundRef => i }
+    val batchChecks = checks.filterNot(
+      _.isInstanceOf[graft.operators.QualityChecks.InboundRef])
     // an all-empty-partition write stages no files; nothing written
     // can violate a constraint (and an empty batch collides with
     // nothing). The staged dirs are deleted on EVERY validation
@@ -796,16 +865,32 @@ object Snapshots {
         if (newFiles.isEmpty) Nil
         else {
           val batch = spark.read.parquet(newFiles: _*)
-          val batchBad = graft.operators.QualityChecks.report(batch, checks)
-            .filter(!col("passed"))
-            .collect() // bounded: ≤ one row per declared check
-            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val batchBad =
+            if (batchChecks.isEmpty) Nil
+            else graft.operators.QualityChecks.report(batch, batchChecks)
+              .filter(!col("passed"))
+              .collect() // bounded: ≤ one row per declared check
+              .map(r => (r.getString(0), r.getLong(1))).toSeq
           // `survivors` is by-name and resolved only here: a checked
-          // write with no Unique check never pays the survivor scan
+          // write with no post-image-scoped check (Unique/InboundRef)
+          // never pays the survivor scan
           val crossBad =
             if (uniques.isEmpty) Nil
             else survivors.toSeq.flatMap(crossUniqueBad(batch, uniques, _))
-          (batchBad ++ crossBad).groupBy(_._1)
+          // inbound RI sees the POST-IMAGE: batch ∪ survivors
+          // (allowMissingColumns: a widening batch's survivors
+          // null-fill, the crossUniqueBad read-image rule)
+          val inboundBad =
+            if (inbounds.isEmpty) Nil
+            else {
+              val post = survivors.fold(batch)(s =>
+                batch.unionByName(s, allowMissingColumns = true))
+              graft.operators.QualityChecks.report(post, inbounds)
+                .filter(!col("passed"))
+                .collect()
+                .map(r => (r.getString(0), r.getLong(1))).toSeq
+            }
+          (batchBad ++ crossBad ++ inboundBad).groupBy(_._1)
             .map { case (n, xs) => (n, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
         }
       } catch { case scala.util.control.NonFatal(e) => abort(); throw e }
@@ -864,12 +949,18 @@ object Snapshots {
       checks = checks, validatedBasis = head)
   }
 
-  /** Test seam (SnapshotsSpec): runs between [[appendChecked]]'s
-    * constraint validation and its CAS loop, so the revalidate-on-
-    * rebase path is deterministically exercisable. A no-op in
-    * production.
+  /** Test seam (SnapshotsSpec): runs between a checked write's
+    * ([[appendChecked]]/[[deleteChecked]]) constraint validation and
+    * its CAS loop, so the revalidate-on-rebase and abort-on-basis-move
+    * paths are deterministically exercisable. A no-op in production. CONTRACT: single-threaded tests only — this is
+    * module-global state on a production object, so a test that sets
+    * it must restore it in a finally, and checked appends must not
+    * run concurrently with a test holding it. @volatile so a
+    * restore is at least visible across the suite's threads; the seam
+    * is deliberately not per-call plumbing (production call sites
+    * carry no test parameter).
     */
-  private[sources] var afterCheckedValidation: () => Unit = () => ()
+  @volatile private[sources] var afterCheckedValidation: () => Unit = () => ()
 
   /** COMPACTION — the small-file management every append-only snapshot
     * store accumulates a need for: rewrite the LATEST version's file
@@ -1024,26 +1115,84 @@ object Snapshots {
     */
   def compactManifests(root: String, branch: String = "main",
                        targetLines: Int = SegmentTargetLines,
-                       clusterBy: Option[String] = None): Int = {
+                       clusterBy: Option[String] = None): Int =
+    compactManifestsImpl(None, root, branch, targetLines, clusterBy,
+      Long.MaxValue)
+
+  /** [[compactManifests]] with a DRIVER-MEMORY BOUND (r16 — the
+    * Iceberg lesson that `rewrite_manifests` is a Spark job; named
+    * after it): the no-session overload's cluster sort materializes the whole resolved
+    * body on the driver — O(table data files) entry strings, GBs at
+    * 10⁷ files. This overload counts the body from the pointer
+    * tokens (zero I/O) and, when a `clusterBy` body exceeds
+    * `maxDriverSortLines`, runs the rewrite AS A SPARK JOB: segments
+    * resolve on executors, the cluster sort is a range-shuffle on
+    * (group, statMin, position), and each sorted partition cuts and
+    * writes its own content-addressed segments ([[segmentizeIter]])
+    * — the driver holds only the returned pointer lines,
+    * O(body/targetLines). Ordering is IDENTICAL to the driver sort
+    * (deletes first in manifest order, then data by stable
+    * statMin), so both paths resolve to the same body; only segment
+    * cut points may differ at partition boundaries (bin-packing is
+    * approximate either way). Non-clustered rewrites stream on the
+    * driver at O(segment) memory regardless of the threshold — no
+    * job needed when no sort is.
+    *
+    * Shared-FS contract: executors write `_manifests/_seg_*` files,
+    * exactly as they already write the store's data parquet —
+    * content addressing makes concurrent/retried task writers
+    * converge on identical files, and a lost CAS race orphans
+    * segments that [[removeOrphans]] reaps like data files.
+    */
+  /** Default body-size bound for the driver-side cluster sort
+    * (~40 MB of entry strings); above it the rewrite distributes.
+    */
+  val DriverSortMaxLines: Long = 1L << 18
+
+  def rewriteManifests(spark: SparkSession, root: String,
+                       branch: String = "main",
+                       targetLines: Int = SegmentTargetLines,
+                       clusterBy: Option[String] = None,
+                       maxDriverSortLines: Long = DriverSortMaxLines): Int =
+    compactManifestsImpl(Some(spark), root, branch, targetLines, clusterBy,
+      maxDriverSortLines)
+
+  private def compactManifestsImpl(spark: Option[SparkSession], root: String,
+                                   branch: String, targetLines: Int,
+                                   clusterBy: Option[String],
+                                   maxDriverSortLines: Long): Int = {
     val rootP = Paths.get(root)
     val prev = headOf(root, branch)
     require(prev > 0, s"nothing to compact under $root")
     val schema = schemaOf(root, prev).getOrElse(
       throw new IllegalStateException(
         s"v$prev carries no schema header; commit data before compacting manifests"))
-    val resolved = resolveBody(rootP, bodyRefs(root, prev))
-    val body = clusterBy match {
-      case None => resolved
-      case Some(c) =>
-        val (dels, data) = resolved.partition(l =>
-          l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
-        dels ++ data.sortBy(statMinOf(_, c).getOrElse(Long.MaxValue))
-    }
+    val refs = bodyRefs(root, prev)
+    // body size from the pointers' line-count token — no segment I/O
+    val totalLines = refs.iterator.map(l =>
+      if (l.startsWith(SegmentPtr)) l.split('\t')(2).toLong else 1L).sum
     // pre-cut the resolved body into size-bounded segments HERE (the
     // publish path passes `#segment` pointers through untouched) —
     // segment files are content-addressed and immutable, so writing
     // them before the CAS loop is safe under races
-    val lines = segmentize(rootP, body, targetLines)
+    val lines = (clusterBy, spark) match {
+      case (None, _) =>
+        // streaming re-pack: never materializes the body
+        segmentizeIter(rootP, resolveBodyIter(rootP, refs), targetLines)
+      case (Some(c), Some(sp)) if totalLines > maxDriverSortLines =>
+        distributedClusteredSegments(sp, rootP, refs, c, targetLines,
+          totalLines)
+      case (Some(c), _) =>
+        // in-memory cluster sort — bounded by the threshold when a
+        // session was given; the no-session convenience carries the
+        // O(body) driver bound documented above
+        val resolved = resolveBody(rootP, refs)
+        val (dels, data) = resolved.partition(l =>
+          l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
+        segmentize(rootP,
+          dels ++ data.sortBy(statMinOf(_, c).getOrElse(Long.MaxValue)),
+          targetLines)
+    }
     var v = latestVersion(root) + 1
     var committed = -1
     while (committed < 0) {
@@ -1062,6 +1211,58 @@ object Snapshots {
       }
     }
     committed
+  }
+
+  /** The distributed clustered rewrite (r16 — Iceberg's
+    * `rewrite_manifests` Spark action): resolve every segment on an
+    * executor, range-shuffle the body by (group, statMin, manifest
+    * position) — deletes first in manifest order, data by stable
+    * cluster key, the EXACT order the driver sort produces — and let
+    * each sorted partition cut + write its own segments. Partition
+    * count targets ~8 segments per task; `repartitionByRange` with an
+    * explicit N is exempt from AQE coalescing, and its sampled range
+    * boundaries only move segment CUT POINTS, never line order.
+    * Returns the pointer lines in body order (the only thing the
+    * driver holds).
+    */
+  private def distributedClusteredSegments(sp: SparkSession, rootP: Path,
+      refs: Seq[String], column: String, targetLines: Int,
+      totalLines: Long): Seq[String] = {
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val rootStr = rootP.toString
+    val nPart = math.max(1, math.min(512,
+      math.ceil(totalLines.toDouble / (targetLines.toDouble * 8)).toInt))
+    val resolved = refs.zipWithIndex.toDS()
+      .repartition(math.max(1, math.min(refs.size, nPart)))
+      .flatMap { case (ref, i) =>
+        val ls =
+          if (ref.startsWith(SegmentPtr)) {
+            val name = ref.split('\t')(1)
+            val it = java.nio.file.Files.readAllLines(
+              java.nio.file.Paths.get(rootStr, "_manifests", name))
+            scala.jdk.CollectionConverters.ListHasAsScala(it).asScala
+              .toSeq.filter(_.nonEmpty)
+          } else Seq(ref)
+        ls.zipWithIndex.map { case (line, j) =>
+          val isDel = line.startsWith("#delete\t") ||
+            line.startsWith("#posdelete\t")
+          val key = if (isDel) Long.MinValue
+                    else statMinOf(line, column).getOrElse(Long.MaxValue)
+          (if (isDel) 0 else 1, key, i, j, line)
+        }
+      }.toDF("grp", "key", "i", "j", "line")
+    val ptrs = resolved
+      .repartitionByRange(nPart, col("grp"), col("key"), col("i"), col("j"))
+      .sortWithinPartitions(col("grp"), col("key"), col("i"), col("j"))
+      .select(col("line")).as[String]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        segmentizeIter(Paths.get(rootStr), it, targetLines)
+          .zipWithIndex.map { case (p, k) => (pid, k, p) }.iterator
+      }
+      .collect()
+    ptrs.sortBy(t => (t._1, t._2)).map(_._3).toSeq
   }
 
   /** TOKEN-ONLY stats min of a data entry's `column` — the cluster
@@ -1116,6 +1317,7 @@ object Snapshots {
       }
     else {
       queryPathFooterReads.incrementAndGet()
+      queryPathFooterReadsTL.set(queryPathFooterReadsTL.get() + 1L)
       footerLongStats(conf, f).get(column).map { case (mn, mx) => (f, mn, mx) }
     }
   }
@@ -1731,6 +1933,117 @@ object Snapshots {
     committed
   }
 
+  /** CHECKED equality delete (r16 — closing the checked-DML surface's
+    * delete gap: append/merge/update validated their writes, but a
+    * delete could orphan keys a referencing table depends on).
+    * Stages `keys` exactly like [[deleteWhere]], then validates the
+    * POST-IMAGE — the branch head's live rows minus the staged key
+    * set, derived from the WRITTEN delete bytes — against `checks`
+    * BEFORE any publish attempt. Row removal cannot mint a
+    * RowPredicate or Unique violation (those are write-side
+    * concerns, enforced by the checked writes), so the check class
+    * this path exists for is
+    * [[graft.operators.QualityChecks.InboundRef]]: a parent-side
+    * delete that would orphan a referencing table's keys refuses
+    * with the violation named and counted. A refused delete changes
+    * NOTHING: staged key files deleted, no version, no ref movement.
+    *
+    * Scale shape: the validation is QualityChecks' one-pass report
+    * over the post-image — each InboundRef leg is an anti-join
+    * shipping KEY COLUMNS only, so the cost is O(referencing keys +
+    * table key column), not O(table width).
+    *
+    * Concurrency: every declared check ran against the entry head's
+    * post-image, and there is no key-scoped revalidation that covers
+    * "some other writer re-inserted / re-deleted around me" — so ANY
+    * concurrent non-rewrite commit aborts with
+    * [[java.util.ConcurrentModificationException]] (the
+    * [[mergeChecked]] rule applied to the whole check set); the
+    * caller re-reads and re-runs. Unchecked [[deleteWhere]] keeps
+    * its full rebase liveness.
+    */
+  def deleteChecked(spark: SparkSession, root: String, column: String,
+                    keys: DataFrame,
+                    checks: Seq[graft.operators.QualityChecks.Check],
+                    branch: String = "main"): Int = {
+    import org.apache.spark.sql.functions.col
+    require(checks.nonEmpty, "deleteChecked without checks is deleteWhere")
+    val rootP = Paths.get(root)
+    val base0 = headOf(root, branch)
+    require(base0 > 0, s"nothing to delete from under $root")
+    val token = newToken()
+    var v = latestVersion(root) + 1
+    var delFiles = {
+      val delDir = rootP.resolve(s"delete_v${v}_$token")
+      keys.select(col(column)).distinct()
+        .write.mode("overwrite").parquet(delDir.toString)
+      listParquet(delDir)
+    }
+    def dropStaged(): Unit =
+      deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+    // post-image from the WRITTEN key bytes (deterministic; never
+    // recomputes `keys`) — the appendChecked validate-what-was-
+    // written rule applied to a tombstone set
+    val bad: Seq[(String, Long)] =
+      try {
+        val staged =
+          if (delFiles.isEmpty) keys.select(col(column)).limit(0)
+          else spark.read.parquet(delFiles: _*).select(col(column))
+        val post = read(spark, root, base0)
+          .join(staged, Seq(column), "left_anti")
+        graft.operators.QualityChecks.report(post, checks)
+          .filter(!col("passed"))
+          .collect() // bounded: ≤ one row per declared check
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      } catch { case scala.util.control.NonFatal(e) =>
+        dropStaged(); throw e }
+    if (bad.nonEmpty) {
+      dropStaged()
+      throw new IllegalStateException(
+        "deleteChecked refused — constraint violations: " + bad.map {
+          case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    }
+    afterCheckedValidation()
+    def reallocate(): Unit = {
+      val newV = reallocateStaged(rootP, root, v, token, Seq("delete"))
+      delFiles = delFiles.map(
+        _.replace(s"delete_v${v}_$token", s"delete_v${newV}_$token"))
+      v = newV
+    }
+    var committed = -1
+    while (committed < 0) {
+      val (parent, seq) = commitBasis(root, branch, v)
+      if (v <= parent) { reallocate() } // stale pre-write allocation
+      else {
+      if (parent != base0 &&
+          lineageBetween(root, base0, parent).exists(w =>
+            !propsOf(root, w).get("rewrite").contains("true"))) {
+        dropStaged()
+        throw new java.util.ConcurrentModificationException(
+          s"checked delete aborted: a concurrent commit in ($base0, " +
+            s"$parent] invalidated its post-image validation basis — " +
+            "re-read and re-run")
+      }
+      val schema = schemaOf(root, parent)
+        .getOrElse(rawScan(spark, root, parent, files(root, parent)).schema)
+      require(schema.fieldNames.contains(column),
+        s"delete key column '$column' is not in the table schema")
+      try {
+        if (publish(rootP, root, branch, v, seq, parent, schema,
+            bodyRefs(root, parent) ++
+              delFiles.map(f => s"#delete\t$f\t$column\t$v"),
+            props = Map("op" -> "delete")))
+          committed = v
+        else reallocate()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          reallocate()
+      }
+      }
+    }
+    committed
+  }
+
   /** POSITIONAL DELETE (merge-on-read, Iceberg v2's second delete
     * flavor): commit a new version whose manifest carries a
     * (file_path, pos) tombstone set for every LIVE row matching
@@ -1911,9 +2224,12 @@ object Snapshots {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) { reallocate() } // stale pre-write allocation
       else {
-      // same Unique-scoped validation-basis rule as the checked merge
-      // (rewrites are handled by the dangling-tombstone abort below)
-      if (checks.exists(_.isInstanceOf[graft.operators.QualityChecks.Unique])
+      // same post-image-scoped (Unique/InboundRef) validation-basis
+      // rule as the checked merge (rewrites are handled by the
+      // dangling-tombstone abort below)
+      if (checks.exists(c =>
+            c.isInstanceOf[graft.operators.QualityChecks.Unique] ||
+            c.isInstanceOf[graft.operators.QualityChecks.InboundRef])
           && parent != base0 &&
           lineageBetween(root, base0, parent).exists(w =>
             !propsOf(root, w).get("rewrite").contains("true"))) {
@@ -2065,16 +2381,20 @@ object Snapshots {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) { reallocate() } // stale pre-write allocation
       else {
-      // a checked merge's cross-batch Unique validation ran against
-      // base0's survivors; a later NON-REWRITE commit could add a
-      // colliding row on a column the merge-key serializability check
+      // a checked merge's cross-batch Unique validation (and any
+      // InboundRef post-image leg, r16) ran against base0's
+      // survivors; a later NON-REWRITE commit could add a colliding
+      // row — or delete a referenced key — on a basis the merge-key
+      // serializability check
       // does not cover — abort rather than publish an unvalidated
       // post-image (r15; same re-read-and-re-run contract as a key
       // conflict). Scoped precisely (second review pass): row-local
       // checks are basis-free (they validate the written bytes
       // alone), and a rewrite carries the same rows — neither can
       // invalidate anything, so neither costs liveness here
-      if (checks.exists(_.isInstanceOf[graft.operators.QualityChecks.Unique])
+      if (checks.exists(c =>
+            c.isInstanceOf[graft.operators.QualityChecks.Unique] ||
+            c.isInstanceOf[graft.operators.QualityChecks.InboundRef])
           && parent != base0 &&
           lineageBetween(root, base0, parent).exists(w =>
             !propsOf(root, w).get("rewrite").contains("true"))) {

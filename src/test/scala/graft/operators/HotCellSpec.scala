@@ -82,4 +82,34 @@ class HotCellSpec extends AnyFunSuite with SparkTestSession {
     assert(uncapped.size == capped.size + 30 * 29 / 2,
       "cap off must restore the dense cluster's full pair set")
   }
+
+  test("semanticPairs Distribute: hot cell triangle-split, bit-identical to cap-off") {
+    def pairs(cap: Long, policy: Similarity.HotCellPolicy) =
+      Similarity.semanticPairs(corpus, threshold = 0.9, centers = ctrs,
+          replicas = 1, maxCellSize = cap, hotCells = policy)
+        .select($"id_a", $"id_b", $"cosine")
+        .as[(Long, Long, Double)].collect().toSet
+    val ideal = pairs(Long.MaxValue, Similarity.HotCellPolicy.Drop)
+    // the 30-row dense cell splits into ⌈30/4⌉ = 8 blocks at cap 4 —
+    // 36 block-pair keys — and must reproduce EVERY pair bit-for-bit
+    val distributed = pairs(4, Similarity.HotCellPolicy.Distribute)
+    assert(distributed == ideal,
+      s"distribute lost/invented pairs: ${ideal diff distributed} / ${distributed diff ideal}")
+    assert(ideal.count { case (a, b, _) => a < 100 && b < 100 } == 30 * 29 / 2,
+      "fixture sanity: the dense cluster's full triangle is in the ideal")
+    // no hot cell ⇒ Distribute is the plain self-join (cap above all)
+    assert(pairs(1000, Similarity.HotCellPolicy.Distribute) == ideal)
+  }
+
+  test("semanticPairs Distribute composes with replicas > 1 (cross-cell dedup intact)") {
+    def run(cap: Long, policy: Similarity.HotCellPolicy) =
+      Similarity.semanticPairs(corpus, threshold = 0.9, centers = ctrs,
+          replicas = 2, maxCellSize = cap, hotCells = policy)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    val ideal = run(Long.MaxValue, Similarity.HotCellPolicy.Drop)
+    val dist = run(4, Similarity.HotCellPolicy.Distribute)
+    assert(dist.toSet == ideal.toSet, "pair set must match cap-off")
+    assert(dist.size == dist.toSet.size,
+      "a pair reachable through two cells (or two block keys) must emit once")
+  }
 }

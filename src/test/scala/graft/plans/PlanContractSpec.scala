@@ -81,6 +81,8 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
                               // found-count scalars (the q83/q92 shape)
     "q215_embedding_decontamination", // 1×1×1 cross of the train/purged/
                               // survivor count scalars (the q135 shape)
+    "q222_semantic_pairs_distributed", // 1×1 crosses of six scalar
+                              // invariant aggregates (the q92 shape)
     "q30_clinical_pipeline")  // DistributedLead partition-boundary fix-up:
                               // both sides ≤ spark.sql.shuffle.partitions rows
                               // by construction (bounded by config, not data)

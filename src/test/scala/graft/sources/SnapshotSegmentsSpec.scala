@@ -258,6 +258,64 @@ class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
     assert(Snapshots.read(spark, root).filter($"id" === 305L).count() == 0)
   }
 
+  test("rewriteManifests distributes the cluster sort: same body order, geometry, and content as the driver sort") {
+    // two identical tables, same shuffled ingest; one rewrites on the
+    // driver, one as a Spark job (threshold 0 forces distribution)
+    def build(tag: String): String = {
+      val root = Staging.tempDir(s"seg_dist_$tag").toString
+      Seq(0, 3, 1, 4, 2, 5).foreach { i =>
+        val lo = i * 100L + 1
+        Snapshots.append((lo to lo + 9).map(j => (j, s"r$j")).toDF("id", "s")
+          .coalesce(1), root)
+      }
+      root
+    }
+    val (ra, rb) = (build("drv"), build("job"))
+    val va = Snapshots.compactManifests(ra, targetLines = 2,
+      clusterBy = Some("id"))
+    val vb = Snapshots.rewriteManifests(spark, rb, targetLines = 2,
+      clusterBy = Some("id"), maxDriverSortLines = 0L)
+    // the job must produce the EXACT driver ordering: the body-order
+    // sequence of per-file id mins (file names are write-unique, so
+    // the recorded stats are the comparable identity across tables)
+    def order(root: String, v: Int) =
+      Snapshots.fileStats(spark, root, v, "id").map(_._2)
+    assert(order(rb, vb) == order(ra, va),
+      "distributed sort must reproduce the driver's stable (key, position) order")
+    assert(order(rb, vb) == Seq(1L, 101L, 201L, 301L, 401L, 501L),
+      "clustered body order is the sorted range order")
+    // same pruning geometry: a point lookup opens exactly one segment
+    val before = Snapshots.segmentReads.get()
+    assert(Snapshots.prunedFiles(spark, rb, vb, "id", 305L, 305L).size == 1)
+    assert(Snapshots.segmentReads.get() - before == 1)
+    assert(Snapshots.read(spark, rb).count() == 60)
+    // deletes ride group-0 in manifest order through the job path too
+    Snapshots.deleteWhere(spark, rb, "id", Seq(305L, 6L).toDF("id"))
+    Snapshots.rewriteManifests(spark, rb, targetLines = 2,
+      clusterBy = Some("id"), maxDriverSortLines = 0L)
+    assert(Snapshots.read(spark, rb).count() == 58)
+    assert(Snapshots.read(spark, rb).filter($"id" === 305L).count() == 0)
+    // below the threshold the session overload delegates to the
+    // driver sort — same result, no job
+    val rc = build("auto")
+    val vc = Snapshots.rewriteManifests(spark, rc, targetLines = 2,
+      clusterBy = Some("id"))
+    assert(order(rc, vc) == order(ra, va))
+  }
+
+  test("non-clustered compactManifests streams: packed result identical to r15's materialized path") {
+    val root = Staging.tempDir("seg_stream").toString
+    (1 to 5).foreach { i =>
+      Snapshots.append(Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .coalesce(1), root)
+    }
+    val pre = Snapshots.latestVersion(root)
+    val v = Snapshots.compactManifests(root, targetLines = 2)
+    // entries ride verbatim in order (the q218 ordered-equality claim)
+    assert(Snapshots.files(root, v) == Snapshots.files(root, pre))
+    assert(Snapshots.read(spark, root).count() == 5)
+  }
+
   test("delete commits carry delete lines through segments; DML still round-trips") {
     val root = Staging.tempDir("seg_dml").toString
     Snapshots.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), root)

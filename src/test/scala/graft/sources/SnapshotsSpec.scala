@@ -619,6 +619,93 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
       Seq((1L, 8L)).toDF("id", "v"), root, checks) == 4)
   }
 
+  test("deleteChecked: inbound RI refuses orphaning deletes, cleans staged tombstones, aborts on concurrent commits") {
+    import graft.operators.QualityChecks.InboundRef
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Staging.tempDir("snap_checked_del").toString
+    Snapshots.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s"), root)
+    val child = Seq(2L, 3L).toDF("fk")
+    val checks = Seq(InboundRef("child_fk", child, $"fk", $"id"))
+    def stagedDirs() = {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("delete_v")).toSet
+      finally s.close()
+    }
+    val before = stagedDirs()
+    // deleting a referenced key orphans child rows: refused, named,
+    // staged tombstones removed, no version minted
+    val e = intercept[IllegalStateException] {
+      Snapshots.deleteChecked(spark, root, "id", Seq(3L).toDF("id"), checks)
+    }
+    assert(e.getMessage.contains("child_fk") && e.getMessage.contains("1 rows"))
+    assert(stagedDirs() == before, "refused delete must strand nothing")
+    assert(Snapshots.latestVersion(root) == 1)
+    assert(Snapshots.read(spark, root).count() == 4)
+    // deleting an unreferenced key publishes; referenced rows survive
+    assert(Snapshots.deleteChecked(spark, root, "id",
+      Seq(4L).toDF("id"), checks) == 2)
+    assert(Snapshots.read(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    // NULL fks pass (the RefIntegrity null rule, mirrored)
+    val nullChild = Seq(Option(2L), Option.empty[Long]).toDF("fk")
+    assert(Snapshots.deleteChecked(spark, root, "id", Seq(1L).toDF("id"),
+      Seq(InboundRef("null_fk", nullChild, $"fk", $"id"))) == 3)
+    // a concurrent NON-REWRITE commit between validation and publish
+    // aborts (the post-image basis moved); a REWRITE in the same
+    // window must NOT (same rows — the lineage rule). Seam-injected
+    // for determinism, restored in finally.
+    try {
+      Snapshots.afterCheckedValidation = () =>
+        { Snapshots.append(Seq((50L, "z")).toDF("id", "s"), root); () }
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.deleteChecked(spark, root, "id", Seq(99L).toDF("id"), checks)
+      }
+    } finally Snapshots.afterCheckedValidation = () => ()
+    val live = Snapshots.read(spark, root).count()
+    try {
+      Snapshots.afterCheckedValidation = () =>
+        { Snapshots.compact(spark, root, targetFiles = 1); () }
+      assert(Snapshots.deleteChecked(spark, root, "id",
+        Seq(99L).toDF("id"), checks) > 0,
+        "a rewrite-only window must not abort a checked delete")
+    } finally Snapshots.afterCheckedValidation = () => ()
+    assert(Snapshots.read(spark, root).count() == live,
+      "the no-op delete and the rewrite preserve live rows")
+  }
+
+  test("cross-unique across schema widening: NULL keys see pre-evolution survivors as NULL (batch-independent verdict)") {
+    import graft.operators.QualityChecks.Unique
+    val root = Staging.tempDir("snap_widen_unique").toString
+    Snapshots.append(Seq((1L, 5L), (2L, 7L)).toDF("id", "v"), root)
+    // the widening batch introduces `tag`; survivors predate it and
+    // read back null-filled — so a NULL-tag batch collides with them
+    // EXACTLY as it would against a post-widening read (r16: the
+    // verdict must not depend on whether rows are seen pre- or
+    // post-evolution)
+    val checksTag = Seq(Unique("unique_tag", $"tag"))
+    val e = intercept[IllegalStateException] {
+      Snapshots.appendChecked(
+        Seq((3L, 1L, Option.empty[String])).toDF("id", "v", "tag"),
+        root, checksTag)
+    }
+    assert(e.getMessage.contains("unique_tag"),
+      s"NULL key vs pre-evolution (null-filled) survivors must refuse: $e")
+    // non-null new-column keys collide with nothing pre-evolution
+    assert(Snapshots.appendChecked(
+      Seq((3L, 1L, Option("x"))).toDF("id", "v", "tag"),
+      root, checksTag) == 2)
+    // a typo'd key column (absent from batch AND survivors) fails
+    // CLOSED — analysis error, never a silent pass
+    intercept[Exception] {
+      Snapshots.appendChecked(Seq((4L, 2L, Option("y"))).toDF("id", "v", "tag"),
+        root, Seq(Unique("unique_oops", $"no_such_col")))
+    }
+    assert(Snapshots.latestVersion(root) == 2)
+  }
+
   test("mergeChecked/updateChecked validate the post-image; refusals publish nothing") {
     import graft.operators.QualityChecks.{RowPredicate, Unique}
     import org.apache.spark.sql.functions.lit
