@@ -38,6 +38,14 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
   // r15: stats-clustered rewrite — entry reordering must be invisible
   // to rows, delete scoping, and every remembered version
   private case object CompactManifestsClustered extends Op
+  // r16: the delete side of the checked-DML surface — a delete that
+  // orphans a referenced key must refuse leaving NO version, NO model
+  // drift; a clean one behaves exactly like deleteWhere
+  private case class CheckedDelete(keys: Seq[Long], violate: Boolean) extends Op
+  // r16: the clustered rewrite FORCED down the distributed (Spark-job)
+  // path — must be row-, scoping-, and history-invisible exactly like
+  // the driver-sort spelling it replaces above the memory threshold
+  private case object RewriteManifestsDistributed extends Op
 
   private val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 39L)).map(_.distinct)
   private val opGen: Gen[Op] = Gen.frequency(
@@ -56,7 +64,10 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
       yield CheckedMerge(k, d, bad)),
     1 -> (for { m <- Gen.choose(2L, 5L); d <- Gen.choose(1L, 9L); bad <- Gen.oneOf(true, false) }
       yield CheckedUpdate(m, d, bad)),
-    1 -> Gen.const(CompactManifestsClustered))
+    1 -> Gen.const(CompactManifestsClustered),
+    2 -> (for { k <- keysGen; bad <- Gen.oneOf(true, false) }
+      yield CheckedDelete(k, bad)),
+    1 -> Gen.const(RewriteManifestsDistributed))
 
   // every value any clean op writes is ≥ 0, so the range check passes
   // exactly when no violation was planted
@@ -158,6 +169,32 @@ class SnapshotDmlPropertySpec extends AnyFunSuite with SparkTestSession {
           case CompactManifestsClustered =>
             S.compactManifests(root, targetLines = 3,
               clusterBy = Some("id"))
+          case CheckedDelete(keys, bad) =>
+            // violate: reference the delete keys themselves — none can
+            // resolve in the post-image, so a nonempty key set always
+            // orphans. clean: reference only keys that SURVIVE the
+            // delete (or nothing, when the table empties) — the
+            // post-image resolves them all
+            val live = model.map(_._1).distinct
+            val refKeys =
+              if (bad) keys else live.filterNot(keys.contains).take(3)
+            val ri = Seq(graft.operators.QualityChecks.InboundRef(
+              "ri_orphans", refKeys.toDF("rid"), col("rid"), col("id")))
+            if (bad) {
+              val head = S.latestVersion(root)
+              intercept[IllegalStateException] {
+                S.deleteChecked(spark, root, "id", keys.toDF("id"), ri)
+              }
+              assert(S.latestVersion(root) == head,
+                s"seed $i: refused checked delete minted a version")
+              head
+            } else {
+              model = model.filterNot(r => keys.contains(r._1))
+              S.deleteChecked(spark, root, "id", keys.toDF("id"), ri)
+            }
+          case RewriteManifestsDistributed =>
+            S.rewriteManifests(spark, root, targetLines = 3,
+              clusterBy = Some("id"), maxDriverSortLines = 0L)
         }
         val got = S.read(spark, root)
           .as[(Long, Long)].collect().toVector.sorted
