@@ -107,12 +107,26 @@ object Snapshots {
     ThreadLocal.withInitial[java.lang.Long](() => 0L)
   def segmentReadsHere: Long = segmentReadsTL.get()
 
+  /** Test seam (r16): THIS thread's count of [[resolveBody]] calls —
+    * in-memory body materializations. The memory-bounded rewrite
+    * paths (streaming non-clustered, distributed clustered) claim to
+    * never materialize the resolved body as one driver Seq; a spec
+    * asserts that claim through this counter instead of trusting the
+    * code shape to survive refactors. Thread-local, same convention
+    * as [[segmentReadsHere]].
+    */
+  private val bodyMaterializationsTL =
+    ThreadLocal.withInitial[java.lang.Long](() => 0L)
+  def bodyMaterializationsHere: Long = bodyMaterializationsTL.get()
+
   /** Splice segment pointers: each `#segment` ref contributes its
     * file's lines in place, inline refs pass through — resolution
     * preserves manifest order exactly.
     */
-  private def resolveBody(rootP: Path, refs: Seq[String]): Seq[String] =
+  private def resolveBody(rootP: Path, refs: Seq[String]): Seq[String] = {
+    bodyMaterializationsTL.set(bodyMaterializationsTL.get() + 1L)
     resolveBodyIter(rootP, refs).toVector
+  }
 
   /** Lazy [[resolveBody]] (r16): one segment's lines in memory at a
     * time — the bound that lets the non-clustered manifest rewrite

@@ -271,10 +271,19 @@ class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
       root
     }
     val (ra, rb) = (build("drv"), build("job"))
+    // counted-resolve seam: the driver sort materializes the body
+    // exactly once; the forced-distributed path NEVER does (segments
+    // resolve on executors, the driver holds pointer lines only)
+    val m0 = Snapshots.bodyMaterializationsHere
     val va = Snapshots.compactManifests(ra, targetLines = 2,
       clusterBy = Some("id"))
+    assert(Snapshots.bodyMaterializationsHere - m0 == 1,
+      "driver-side cluster sort must materialize the body exactly once")
+    val m1 = Snapshots.bodyMaterializationsHere
     val vb = Snapshots.rewriteManifests(spark, rb, targetLines = 2,
       clusterBy = Some("id"), maxDriverSortLines = 0L)
+    assert(Snapshots.bodyMaterializationsHere == m1,
+      "distributed rewrite must not materialize the body on the driver")
     // the job must produce the EXACT driver ordering: the body-order
     // sequence of per-file id mins (file names are write-unique, so
     // the recorded stats are the comparable identity across tables)
@@ -310,7 +319,10 @@ class SnapshotSegmentsSpec extends AnyFunSuite with SparkTestSession {
         .coalesce(1), root)
     }
     val pre = Snapshots.latestVersion(root)
+    val m0 = Snapshots.bodyMaterializationsHere
     val v = Snapshots.compactManifests(root, targetLines = 2)
+    assert(Snapshots.bodyMaterializationsHere == m0,
+      "non-clustered re-pack must stream, never materialize the body")
     // entries ride verbatim in order (the q218 ordered-equality claim)
     assert(Snapshots.files(root, v) == Snapshots.files(root, pre))
     assert(Snapshots.read(spark, root).count() == 5)
