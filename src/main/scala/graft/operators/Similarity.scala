@@ -506,17 +506,17 @@ object Similarity {
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             col("a.v").as("av"), col("b.v").as("bv"))
       case HotCellPolicy.Distribute =>
-        // detection: the knnJoin hot-table shape — one map-side-
-        // combined count, collected (bounded at ≤ |corpus|·replicas /
-        // cap rows by construction), empty ⇒ the plain self-join with
-        // zero distribution overhead
+        // detection: [[Dedup.hotBuckets]] — the ONE over-cap counting
+        // spelling shared with capHotBuckets/droppedBuckets, so the
+        // cap and the accounting can never disagree — collected
+        // (bounded at ≤ |corpus|·replicas / cap rows by construction),
+        // empty ⇒ the plain self-join with zero distribution overhead
         val hotRows =
           if (maxCellSize == Long.MaxValue) Array.empty[(Int, Int)]
-          else assignedAll.groupBy(col("cid"))
-            .agg(count(lit(1)).as("_cn")).filter(col("_cn") > maxCellSize)
+          else Dedup.hotBuckets(assignedAll, Seq("cid"), maxCellSize)
             .select(col("cid"),
-              ceil(col("_cn").cast("double") / maxCellSize).cast("int")
-                .as("_m"))
+              ceil(col("bucket_df").cast("double") / maxCellSize)
+                .cast("int").as("_m"))
             .collect().map(r => (r.getInt(0), r.getInt(1)))
         if (hotRows.isEmpty)
           assignedAll.as("a").join(assignedAll.as("b"),
@@ -538,7 +538,13 @@ object Similarity {
           // leg of block pairs (b, j≥b) and the RIGHT leg of (i≤b, b);
           // every unordered within-cell pair meets at EXACTLY one
           // (cid, i, j) key — off-diagonal keys take all cross pairs,
-          // the diagonal key orders by id as the plain join does
+          // the diagonal key orders by id as the plain join does.
+          // Off-diagonal pairs additionally require a.id =!= b.id: the
+          // plain join's a.id < b.id silently drops NULL-id and
+          // duplicate-id pairs (null/false comparisons), and
+          // bit-identity to cap-off means Distribute must drop the
+          // SAME pairs — without it, least/greatest would invent
+          // (x, x) self-pairs for a NULL id meeting x across blocks
           val legA = blk
             .withColumn("_j", explode(sequence(col("_b"), col("_m") - 1)))
             .withColumnRenamed("_b", "_i").drop("_m")
@@ -548,7 +554,9 @@ object Similarity {
           legA.as("a").join(legB.as("b"),
               col("a.cid") === col("b.cid") &&
                 col("a._i") === col("b._i") && col("a._j") === col("b._j") &&
-                (col("a._i") =!= col("a._j") || col("a.id") < col("b.id")))
+                ((col("a._i") =!= col("a._j") &&
+                  col("a.id") =!= col("b.id")) ||
+                 col("a.id") < col("b.id")))
             .select(least(col("a.id"), col("b.id")).as("id_a"),
               greatest(col("a.id"), col("b.id")).as("id_b"),
               col("a.v").as("av"), col("b.v").as("bv"))

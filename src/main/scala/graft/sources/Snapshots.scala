@@ -139,11 +139,22 @@ object Snapshots {
       if (l.startsWith(SegmentPtr)) {
         segmentReads.incrementAndGet()
         segmentReadsTL.set(segmentReadsTL.get() + 1L)
-        val name = l.split('\t')(1)
-        Files.readAllLines(rootP.resolve("_manifests").resolve(name))
-          .asScala.toSeq.filter(_.nonEmpty).iterator
-      } else Iterator.single(l)
+      }
+      refLines(rootP, l).iterator
     }
+
+  /** One ref's lines, NO counters — the pure parsing core of the
+    * segment-pointer grammar, shared by [[resolveBodyIter]] (driver;
+    * counters at the call site) and the distributed rewrite's
+    * executor-side resolve, so a format change can never silently
+    * skip one copy (r16).
+    */
+  private[sources] def refLines(rootP: Path, ref: String): Seq[String] =
+    if (ref.startsWith(SegmentPtr)) {
+      val name = ref.split('\t')(1)
+      Files.readAllLines(rootP.resolve("_manifests").resolve(name))
+        .asScala.toSeq.filter(_.nonEmpty)
+    } else Seq(ref)
 
   /** Most distinct partition values a `#partagg:` summary records; a
     * segment spanning more simply isn't partition-skippable (opened and
@@ -743,15 +754,22 @@ object Snapshots {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) reallocate() // stale pre-write allocation
       else {
-      // an InboundRef's post-image basis is invalidated by any
-      // concurrent non-rewrite commit (a delete could remove a
-      // referenced key); unlike the Unique legs there is no cheap
-      // key-scoped revalidation, so the append ABORTS (the
+      // an InboundRef's post-image basis is invalidated by a
+      // concurrent commit that can REMOVE a referenced key
+      // (delete/merge/update); unlike the Unique legs there is no
+      // cheap key-scoped revalidation, so the append ABORTS (the
       // mergeChecked rule) — declaring a post-image check trades
-      // rebase liveness for the stronger promise
+      // rebase liveness for the stronger promise. Rewrites carry the
+      // same rows and concurrent APPENDS only add keys — InboundRef
+      // is monotone in the table's key set (and cherry-picks strip
+      // delete lines, so op=append is purely additive everywhere) —
+      // so neither costs liveness (r16)
       if (inbounds.nonEmpty && parent != basis && parent > 0 &&
-          lineageBetween(root, math.max(basis, 0), parent).exists(w =>
-            !propsOf(root, w).get("rewrite").contains("true"))) {
+          lineageBetween(root, math.max(basis, 0), parent).exists { w =>
+            val p = propsOf(root, w)
+            !p.get("rewrite").contains("true") &&
+              !p.get("op").contains("append")
+          }) {
         deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
         throw new java.util.ConcurrentModificationException(
           s"checked append aborted: a concurrent commit in ($basis, " +
@@ -838,8 +856,16 @@ object Snapshots {
       uniques: Seq[graft.operators.QualityChecks.Unique],
       survivors: DataFrame): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.{col, lit}
+    // match batch columns against survivors with the ANALYZER's
+    // resolver, not raw string equality (r16): under the default
+    // case-insensitive resolution a batch column 'Tag' vs survivor
+    // 'tag' is the SAME column — a case-sensitive contains() would
+    // treat it as missing and withColumn would REPLACE the survivors'
+    // real key column with nulls, silently failing the Unique check
+    // open for case-variant spellings
+    val resolver = batch.sparkSession.sessionState.analyzer.resolver
     val surv = batch.schema.fields
-      .filterNot(f => survivors.columns.contains(f.name))
+      .filterNot(f => survivors.columns.exists(resolver(_, f.name)))
       .foldLeft(survivors)((df, f) =>
         df.withColumn(f.name, lit(null).cast(f.dataType)))
     uniques.map { u =>
@@ -867,16 +893,28 @@ object Snapshots {
       case i: graft.operators.QualityChecks.InboundRef => i }
     val batchChecks = checks.filterNot(
       _.isInstanceOf[graft.operators.QualityChecks.InboundRef])
-    // an all-empty-partition write stages no files; nothing written
-    // can violate a constraint (and an empty batch collides with
-    // nothing). The staged dirs are deleted on EVERY validation
-    // failure — a malformed check (column typo) or a failed
-    // validation job must not strand the batch's bytes any more than
-    // a refusal does ("a refused batch changes NOTHING" covers the
-    // error paths too)
+    // an all-empty-partition write stages no files; nothing WRITTEN
+    // can violate a write-scoped constraint (and an empty batch
+    // collides with nothing) — but a post-image-scoped InboundRef
+    // must still run against the survivors (r16): its verdict is
+    // about the TABLE, so "verdicts cannot depend on batching" means
+    // an empty append refuses on a pre-existing orphan exactly as a
+    // one-row append would. The staged dirs are deleted on EVERY
+    // validation failure — a malformed check (column typo) or a
+    // failed validation job must not strand the batch's bytes any
+    // more than a refusal does ("a refused batch changes NOTHING"
+    // covers the error paths too)
     val bad: Seq[(String, Long)] =
       try {
-        if (newFiles.isEmpty) Nil
+        if (newFiles.isEmpty) {
+          if (inbounds.isEmpty) Nil
+          else survivors.toSeq.flatMap { s =>
+            graft.operators.QualityChecks.report(s, inbounds)
+              .filter(!col("passed"))
+              .collect()
+              .map(r => (r.getString(0), r.getLong(1))).toSeq
+          }
+        }
         else {
           val batch = spark.read.parquet(newFiles: _*)
           val batchBad =
@@ -1250,14 +1288,13 @@ object Snapshots {
     val resolved = refs.zipWithIndex.toDS()
       .repartition(math.max(1, math.min(refs.size, nPart)))
       .flatMap { case (ref, i) =>
-        val ls =
-          if (ref.startsWith(SegmentPtr)) {
-            val name = ref.split('\t')(1)
-            val it = java.nio.file.Files.readAllLines(
-              java.nio.file.Paths.get(rootStr, "_manifests", name))
-            scala.jdk.CollectionConverters.ListHasAsScala(it).asScala
-              .toSeq.filter(_.nonEmpty)
-          } else Seq(ref)
+        // the shared parsing core ([[refLines]]) — the global counter
+        // increment is exact same-JVM accounting under local mode and
+        // best-effort on a real cluster (executor-side copies of the
+        // object don't report back; the metering convention's gates
+        // are driver-resolved, never this path)
+        if (ref.startsWith(SegmentPtr)) segmentReads.incrementAndGet()
+        val ls = refLines(java.nio.file.Paths.get(rootStr), ref)
         ls.zipWithIndex.map { case (line, j) =>
           val isDel = line.startsWith("#delete\t") ||
             line.startsWith("#posdelete\t")
@@ -1967,14 +2004,24 @@ object Snapshots {
     * shipping KEY COLUMNS only, so the cost is O(referencing keys +
     * table key column), not O(table width).
     *
-    * Concurrency: every declared check ran against the entry head's
+    * Non-inbound checks in `checks` are SKIPPED here, not evaluated:
+    * RowPredicate/Unique are write-side concerns enforced by the
+    * checked writes, a delete cannot mint them, and running them over
+    * the post-image would pay O(table width) to spuriously refuse on
+    * any pre-existing row-local violation — callers may hand the
+    * table's full declared check list and this path validates exactly
+    * the legs a delete can break.
+    *
+    * Concurrency: the inbound legs ran against the entry head's
     * post-image, and there is no key-scoped revalidation that covers
-    * "some other writer re-inserted / re-deleted around me" — so ANY
-    * concurrent non-rewrite commit aborts with
+    * "some other writer re-deleted around me" — so a concurrent
+    * commit that can REMOVE keys (delete/merge/update) aborts with
     * [[java.util.ConcurrentModificationException]] (the
-    * [[mergeChecked]] rule applied to the whole check set); the
-    * caller re-reads and re-runs. Unchecked [[deleteWhere]] keeps
-    * its full rebase liveness.
+    * [[mergeChecked]] rule); the caller re-reads and re-runs.
+    * Rewrites carry the same rows and appends only ADD keys —
+    * InboundRef is monotone in the table's key set — so neither
+    * costs liveness. Unchecked [[deleteWhere]] keeps its full rebase
+    * liveness.
     */
   def deleteChecked(spark: SparkSession, root: String, column: String,
                     keys: DataFrame,
@@ -1982,6 +2029,17 @@ object Snapshots {
                     branch: String = "main"): Int = {
     import org.apache.spark.sql.functions.col
     require(checks.nonEmpty, "deleteChecked without checks is deleteWhere")
+    // row removal cannot mint a RowPredicate or Unique violation —
+    // those are write-side concerns, enforced when the rows were
+    // WRITTEN (the scaladoc's scoping rule made executable, r16):
+    // callers reuse the table's full declared check list, and running
+    // the write-side legs here would (a) pay an O(table width) scan
+    // the delete cannot fail legitimately and (b) spuriously refuse
+    // every delete on a table holding a pre-existing row-local
+    // violation committed before the check was declared. Only the
+    // post-image-scoped inbound legs validate the delete.
+    val inboundOnly = checks.filter(
+      _.isInstanceOf[graft.operators.QualityChecks.InboundRef])
     val rootP = Paths.get(root)
     val base0 = headOf(root, branch)
     require(base0 > 0, s"nothing to delete from under $root")
@@ -2000,15 +2058,18 @@ object Snapshots {
     // written rule applied to a tombstone set
     val bad: Seq[(String, Long)] =
       try {
-        val staged =
-          if (delFiles.isEmpty) keys.select(col(column)).limit(0)
-          else spark.read.parquet(delFiles: _*).select(col(column))
-        val post = read(spark, root, base0)
-          .join(staged, Seq(column), "left_anti")
-        graft.operators.QualityChecks.report(post, checks)
-          .filter(!col("passed"))
-          .collect() // bounded: ≤ one row per declared check
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        if (inboundOnly.isEmpty) Nil
+        else {
+          val staged =
+            if (delFiles.isEmpty) keys.select(col(column)).limit(0)
+            else spark.read.parquet(delFiles: _*).select(col(column))
+          val post = read(spark, root, base0)
+            .join(staged, Seq(column), "left_anti")
+          graft.operators.QualityChecks.report(post, inboundOnly)
+            .filter(!col("passed"))
+            .collect() // bounded: ≤ one row per declared check
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+        }
       } catch { case scala.util.control.NonFatal(e) =>
         dropStaged(); throw e }
     if (bad.nonEmpty) {
@@ -2029,9 +2090,19 @@ object Snapshots {
       val (parent, seq) = commitBasis(root, branch, v)
       if (v <= parent) { reallocate() } // stale pre-write allocation
       else {
-      if (parent != base0 &&
-          lineageBetween(root, base0, parent).exists(w =>
-            !propsOf(root, w).get("rewrite").contains("true"))) {
+      // scoped precisely (r16): rewrites carry the same rows and
+      // APPENDS only add keys — InboundRef (the one check class this
+      // path validates) is monotone in the table's key set, so a
+      // concurrent append cannot invalidate the basis; only a
+      // concurrent delete/merge/update (which can REMOVE a referenced
+      // key) forces the abort. No inbound check ⇒ nothing validated ⇒
+      // full rebase liveness, like deleteWhere.
+      if (inboundOnly.nonEmpty && parent != base0 &&
+          lineageBetween(root, base0, parent).exists { w =>
+            val p = propsOf(root, w)
+            !p.get("rewrite").contains("true") &&
+              !p.get("op").contains("append")
+          }) {
         dropStaged()
         throw new java.util.ConcurrentModificationException(
           s"checked delete aborted: a concurrent commit in ($base0, " +
@@ -2240,13 +2311,22 @@ object Snapshots {
       else {
       // same post-image-scoped (Unique/InboundRef) validation-basis
       // rule as the checked merge (rewrites are handled by the
-      // dangling-tombstone abort below)
-      if (checks.exists(c =>
-            c.isInstanceOf[graft.operators.QualityChecks.Unique] ||
-            c.isInstanceOf[graft.operators.QualityChecks.InboundRef])
-          && parent != base0 &&
-          lineageBetween(root, base0, parent).exists(w =>
-            !propsOf(root, w).get("rewrite").contains("true"))) {
+      // dangling-tombstone abort below). Appends invalidate a Unique
+      // basis (they can add a colliding key) but never an InboundRef
+      // one (only ever add keys — monotone), so an InboundRef-only
+      // check set keeps liveness under concurrent appends (r16)
+      if ({
+            val hasU = checks.exists(
+              _.isInstanceOf[graft.operators.QualityChecks.Unique])
+            val hasI = checks.exists(
+              _.isInstanceOf[graft.operators.QualityChecks.InboundRef])
+            (hasU || hasI) && parent != base0 &&
+              lineageBetween(root, base0, parent).exists { w =>
+                val p = propsOf(root, w)
+                !p.get("rewrite").contains("true") &&
+                  (hasU || !p.get("op").contains("append"))
+              }
+          }) {
         deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
         deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
         throw new java.util.ConcurrentModificationException(
@@ -2405,13 +2485,23 @@ object Snapshots {
       // conflict). Scoped precisely (second review pass): row-local
       // checks are basis-free (they validate the written bytes
       // alone), and a rewrite carries the same rows — neither can
-      // invalidate anything, so neither costs liveness here
-      if (checks.exists(c =>
-            c.isInstanceOf[graft.operators.QualityChecks.Unique] ||
-            c.isInstanceOf[graft.operators.QualityChecks.InboundRef])
-          && parent != base0 &&
-          lineageBetween(root, base0, parent).exists(w =>
-            !propsOf(root, w).get("rewrite").contains("true"))) {
+      // invalidate anything, so neither costs liveness here. Appends
+      // invalidate a Unique basis (can add a colliding key) but never
+      // an InboundRef one (only ever add keys — monotone), so an
+      // InboundRef-only check set keeps liveness under concurrent
+      // appends (r16)
+      if ({
+            val hasU = checks.exists(
+              _.isInstanceOf[graft.operators.QualityChecks.Unique])
+            val hasI = checks.exists(
+              _.isInstanceOf[graft.operators.QualityChecks.InboundRef])
+            (hasU || hasI) && parent != base0 &&
+              lineageBetween(root, base0, parent).exists { w =>
+                val p = propsOf(root, w)
+                !p.get("rewrite").contains("true") &&
+                  (hasU || !p.get("op").contains("append"))
+              }
+          }) {
         deleteTreeQuietly(rootP.resolve(s"data_v${v}_$token"))
         deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
         throw new java.util.ConcurrentModificationException(

@@ -101,6 +101,28 @@ class HotCellSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs(1000, Similarity.HotCellPolicy.Distribute) == ideal)
   }
 
+  test("semanticPairs Distribute drops NULL-id and duplicate-id pairs exactly like the plain join") {
+    // the plain join's a.id < b.id silently never pairs a NULL id or
+    // two rows sharing an id; Distribute's least/greatest spelling
+    // must not resurrect them as invented (x, x) self-pairs when the
+    // cap engages (r16 review finding)
+    val tainted = corpus.unionByName(Seq(
+        (Option.empty[Long], Seq(1.0, 0.0011)),   // NULL id in the hot cell
+        (Option(7L), Seq(1.0, 0.0012))            // duplicates dense id 7
+      ).toDF("vec_id", "embedding"))
+    def pairs(cap: Long, policy: Similarity.HotCellPolicy) =
+      Similarity.semanticPairs(tainted, threshold = 0.9, centers = ctrs,
+          replicas = 1, maxCellSize = cap, hotCells = policy)
+        .select($"id_a", $"id_b", $"cosine")
+        .as[(Option[Long], Option[Long], Double)].collect().toSet
+    val ideal = pairs(Long.MaxValue, Similarity.HotCellPolicy.Drop)
+    val dist = pairs(4, Similarity.HotCellPolicy.Distribute)
+    assert(dist == ideal,
+      s"distribute diverged under NULL/dup ids: ${ideal diff dist} / ${dist diff ideal}")
+    assert(!ideal.exists { case (a, b, _) => a.isEmpty || b.isEmpty || a == b },
+      "fixture sanity: the plain join never emits NULL-id or self pairs")
+  }
+
   test("semanticPairs Distribute composes with replicas > 1 (cross-cell dedup intact)") {
     def run(cap: Long, policy: Similarity.HotCellPolicy) =
       Similarity.semanticPairs(corpus, threshold = 0.9, centers = ctrs,

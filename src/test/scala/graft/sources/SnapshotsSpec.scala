@@ -653,13 +653,14 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     val nullChild = Seq(Option(2L), Option.empty[Long]).toDF("fk")
     assert(Snapshots.deleteChecked(spark, root, "id", Seq(1L).toDF("id"),
       Seq(InboundRef("null_fk", nullChild, $"fk", $"id"))) == 3)
-    // a concurrent NON-REWRITE commit between validation and publish
-    // aborts (the post-image basis moved); a REWRITE in the same
-    // window must NOT (same rows — the lineage rule). Seam-injected
-    // for determinism, restored in finally.
+    // a concurrent commit that can REMOVE keys (here: a delete)
+    // between validation and publish aborts (the post-image basis
+    // moved); a REWRITE must NOT (same rows) and neither must an
+    // APPEND (only adds keys — InboundRef is monotone, r16).
+    // Seam-injected for determinism, restored in finally.
     try {
       Snapshots.afterCheckedValidation = () =>
-        { Snapshots.append(Seq((50L, "z")).toDF("id", "s"), root); () }
+        { Snapshots.deleteWhere(spark, root, "id", Seq(98L).toDF("id")); () }
       intercept[java.util.ConcurrentModificationException] {
         Snapshots.deleteChecked(spark, root, "id", Seq(99L).toDF("id"), checks)
       }
@@ -672,8 +673,22 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
         Seq(99L).toDF("id"), checks) > 0,
         "a rewrite-only window must not abort a checked delete")
     } finally Snapshots.afterCheckedValidation = () => ()
-    assert(Snapshots.read(spark, root).count() == live,
-      "the no-op delete and the rewrite preserve live rows")
+    try {
+      Snapshots.afterCheckedValidation = () =>
+        { Snapshots.append(Seq((51L, "w")).toDF("id", "s"), root); () }
+      assert(Snapshots.deleteChecked(spark, root, "id",
+        Seq(99L).toDF("id"), checks) > 0,
+        "a concurrent APPEND must not abort a checked delete (monotone)")
+    } finally Snapshots.afterCheckedValidation = () => ()
+    assert(Snapshots.read(spark, root).count() == live + 1,
+      "no-op deletes, the rewrite, and the appended row preserve live rows")
+    // write-side checks in the list are skipped, not spuriously
+    // enforced: a RowPredicate no current row satisfies must not
+    // refuse a clean delete (a delete cannot mint it)
+    assert(Snapshots.deleteChecked(spark, root, "id", Seq(99L).toDF("id"),
+      graft.operators.QualityChecks.RowPredicate(
+        "all_rows_bad", org.apache.spark.sql.functions.lit(true)) +: checks) > 0,
+      "deleteChecked must skip row-local checks by construction")
   }
 
   test("cross-unique across schema widening: NULL keys see pre-evolution survivors as NULL (batch-independent verdict)") {
@@ -704,6 +719,76 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
         root, Seq(Unique("unique_oops", $"no_such_col")))
     }
     assert(Snapshots.latestVersion(root) == 2)
+  }
+
+  test("cross-unique matches columns with the analyzer's resolver: case-variant batch columns don't null out survivors") {
+    import graft.operators.QualityChecks.Unique
+    val root = Staging.tempDir("snap_case_unique").toString
+    Snapshots.append(Seq((1L, 5L, "x")).toDF("id", "v", "tag"), root)
+    // under default case-INsensitive resolution, batch column 'TAG' IS
+    // the survivors' 'tag' — a case-sensitive missing-column test
+    // would null-fill it, replacing the survivors' real keys and
+    // letting this genuine collision publish (r16 review finding)
+    val e = intercept[IllegalStateException] {
+      Snapshots.appendChecked(Seq((2L, 6L, "x")).toDF("id", "v", "TAG"),
+        root, Seq(Unique("unique_tag", $"TAG")))
+    }
+    assert(e.getMessage.contains("unique_tag"),
+      s"case-variant batch column must still collide with survivors: $e")
+    assert(Snapshots.latestVersion(root) == 1)
+  }
+
+  test("empty checked batch still validates InboundRef against the table (verdict cannot depend on batching)") {
+    import graft.operators.QualityChecks.InboundRef
+    val root = Staging.tempDir("snap_empty_inbound").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
+    val orphaned = Seq(42L).toDF("fk") // 42 not in the table
+    val ri = Seq(InboundRef("fk_covered", orphaned, $"fk", $"id"))
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    // the table ALREADY violates the declared check: an empty append
+    // must refuse exactly as a one-row append would
+    intercept[IllegalStateException] {
+      Snapshots.appendChecked(empty, root, ri)
+    }
+    assert(Snapshots.latestVersion(root) == 1,
+      "refused empty checked append must mint nothing")
+    // and once the table covers the key, the empty append publishes
+    Snapshots.append(Seq((42L, "b")).toDF("id", "s"), root)
+    assert(Snapshots.appendChecked(empty, root, ri) == 3)
+  }
+
+  test("appendChecked InboundRef basis: concurrent delete aborts, concurrent append keeps liveness") {
+    import graft.operators.QualityChecks.InboundRef
+    val root = Staging.tempDir("snap_append_inbound_basis").toString
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    val ri = Seq(InboundRef("fk_covered", Seq(1L).toDF("fk"), $"fk", $"id"))
+    // a concurrent DELETE between validation and publish can remove
+    // the referenced key — the append must abort, staging nothing
+    try {
+      Snapshots.afterCheckedValidation = () =>
+        { Snapshots.deleteWhere(spark, root, "id", Seq(2L).toDF("id")); () }
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.appendChecked(Seq((3L, "c")).toDF("id", "s"), root, ri)
+      }
+    } finally Snapshots.afterCheckedValidation = () => ()
+    import scala.jdk.CollectionConverters._
+    val stray = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("data_v3")).toSeq finally s.close()
+    }
+    assert(stray.isEmpty, s"aborted append must unstage its files: $stray")
+    // a concurrent APPEND only adds keys — monotone for InboundRef, so
+    // the checked append rebases and publishes (r16)
+    try {
+      Snapshots.afterCheckedValidation = () =>
+        { Snapshots.append(Seq((9L, "z")).toDF("id", "s"), root); () }
+      assert(Snapshots.appendChecked(
+        Seq((4L, "d")).toDF("id", "s"), root, ri) > 0,
+        "a concurrent append must not abort an InboundRef-checked append")
+    } finally Snapshots.afterCheckedValidation = () => ()
+    assert(Snapshots.read(spark, root).select($"id").as[Long]
+      .collect().toSet == Set(1L, 4L, 9L))
   }
 
   test("mergeChecked/updateChecked validate the post-image; refusals publish nothing") {
