@@ -359,20 +359,37 @@ object Snapshots {
       .toMap
   }
 
-  private def entries(root: String, v: Int): Seq[String] =
-    rawLines(root, v).filterNot(l =>
+  // ---- body-line views (r16): each is a pure function of ONE
+  // resolved body, so a read path can resolve the segments once and
+  // derive entries + both delete flavors from the same pass instead
+  // of re-reading every segment file three times per read
+  private def entriesOf(lines: Seq[String]): Seq[String] =
+    lines.filterNot(l =>
       l.startsWith("#delete\t") || l.startsWith("#posdelete\t"))
+
+  private def deleteSetsOf(lines: Seq[String]): Seq[((Int, String), Seq[String])] =
+    lines.collect {
+      case l if l.startsWith("#delete\t") =>
+        val parts = l.split('\t')
+        ((parts(3).toInt, parts(2)), parts(1))
+    }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }.toSeq
+
+  private def posDeleteSetsOf(lines: Seq[String]): Seq[(Int, Seq[String])] =
+    lines.collect {
+      case l if l.startsWith("#posdelete\t") =>
+        val parts = l.split('\t')
+        (parts(2).toInt, parts(1))
+    }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }.toSeq
+
+  private def entries(root: String, v: Int): Seq[String] =
+    entriesOf(rawLines(root, v))
 
   /** Equality-delete sets of snapshot `v`, grouped (commit version,
     * key column) → delete-file paths. The commit version scopes which
     * data files each set applies to (sequence-number semantics).
     */
   def deleteSets(root: String, v: Int): Seq[((Int, String), Seq[String])] =
-    rawLines(root, v).collect {
-      case l if l.startsWith("#delete\t") =>
-        val parts = l.split('\t')
-        ((parts(3).toInt, parts(2)), parts(1))
-    }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }.toSeq
+    deleteSetsOf(rawLines(root, v))
 
   /** POSITIONAL delete sets of snapshot `v` (Iceberg v2's second
     * delete flavor): commit version → parquet files of
@@ -382,20 +399,26 @@ object Snapshots {
     * Same sequence scoping as [[deleteSets]].
     */
   def posDeleteSets(root: String, v: Int): Seq[(Int, Seq[String])] =
-    rawLines(root, v).collect {
-      case l if l.startsWith("#posdelete\t") =>
-        val parts = l.split('\t')
-        (parts(2).toInt, parts(1))
-    }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }.toSeq
+    posDeleteSetsOf(rawLines(root, v))
 
-  /** The commit version a data file belongs to, from its `data_v<N>`
-    * directory — the sequence number that decides which delete sets
-    * apply to it.
+  /** The commit sequence a data file belongs to — the number that
+    * decides which delete sets apply to it — from its
+    * `data_v<N>_<token>` PATH SEGMENT. Anchored to whole segments and
+    * taking the LAST match (r16 review finding): an unanchored
+    * first-match would read a table rooted under an ancestor
+    * directory that happens to be named like `data_v2_lake` as
+    * sequence 2 for EVERY file — mis-scoping all delete sets (a
+    * re-inserted key would silently vanish). The table's own data dir
+    * is always the deepest such segment (partition subdirs below it
+    * are `col=value`-shaped and cannot match a bare segment pattern).
     */
+  private val DataDirSegment = "data_v(\\d+)_[0-9a-f]{8}".r
   private def dataVersionOf(f: String): Int = {
-    val m = "data_v(\\d+)".r.findFirstMatchIn(f)
-    require(m.isDefined, s"data file outside a data_v dir: $f")
-    m.get.group(1).toInt
+    val segs = f.split('/').reverseIterator.collectFirst {
+      case DataDirSegment(n) => n.toInt
+    }
+    require(segs.isDefined, s"data file outside a data_v dir: $f")
+    segs.get
   }
 
   /** The schema snapshot `v` was committed with (r9): each manifest
@@ -498,14 +521,25 @@ object Snapshots {
       f: String): Map[String, (Long, Long)] =
     footerInfo(conf, f)._2
 
-  /** One footer read → (row count, per-INT64-column min/max). Both
+  /** One footer read → (row count, per-integral-column min/max). Both
     * facts ride the same metadata pages; reading them together keeps
     * "one footer open per file lifetime" true after row counts joined
     * the manifest (r9 metadata-tables work).
+    *
+    * INT32 columns record stats too (widened to Long — exact, ints
+    * embed in longs; r16 review finding): the pruner's "no stats
+    * token ⇒ the column holds only nulls in this file ⇒ nothing can
+    * match" rule is only sound if every file with integral VALUES got
+    * a token — an INT32-only filter silently pruned files holding
+    * live int/short/byte/date rows. Non-integral types (strings,
+    * floats) stay tokenless; the stats-pruning entry points REFUSE
+    * those columns loudly ([[requireStatsPrunable]]) instead of
+    * mis-pruning.
     */
   private def footerInfo(
       conf: org.apache.hadoop.conf.Configuration,
       f: String): (Long, Map[String, (Long, Long)]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(f), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -514,19 +548,46 @@ object Snapshots {
       val rows = blocks.map(_.getRowCount).sum
       val stats = blocks
         .flatMap(_.getColumns.asScala)
-        .filter(_.getPrimitiveType.getPrimitiveTypeName ==
-          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+        .filter { c =>
+          val t = c.getPrimitiveType.getPrimitiveTypeName
+          t == PrimitiveTypeName.INT64 || t == PrimitiveTypeName.INT32
+        }
         .filter(c => c.getStatistics != null && c.getStatistics.hasNonNullValue)
         .groupBy(_.getPath.toDotString)
         .map { case (name, chunks) =>
           val st = chunks.map(_.getStatistics)
           name -> (
-            st.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
-            st.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+            st.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+            st.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
         }.toMap
       (rows, stats)
     } finally reader.close()
   }
+
+  /** LOUD refusal for stats pruning on a column whose type the
+    * `col=mn..mx` token grammar cannot carry (r16): the pruner's
+    * missing-token rule reads "all null", so a string/float column
+    * would silently prune files holding live rows — wrong results,
+    * the one thing a pruner must never produce. Integral types
+    * (long/int/short/byte, date, timestamp — INT32/INT64 physical)
+    * are exact in the grammar; everything else must scan.
+    */
+  private def requireStatsPrunable(root: String, version: Int,
+                                   column: String): Unit =
+    schemaOf(root, version).flatMap(_.fields.find(_.name == column))
+      .map(_.dataType).foreach {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType => ()
+        case dt => throw new IllegalArgumentException(
+          s"stats pruning on '$column' ($dt) is unsupported — the " +
+            "manifest stats grammar carries integral ranges only, and " +
+            "treating a tokenless column as all-null would silently " +
+            "drop live files; scan instead")
+      }
 
   /** Manifest entry lines for freshly written files: path + the
     * commit-time stats block. A rowless (or all-null) column simply has
@@ -765,8 +826,7 @@ object Snapshots {
       // delete lines, so op=append is purely additive everywhere) —
       // so neither costs liveness (r16)
       if (inbounds.nonEmpty && parent != basis && parent > 0 &&
-          lineageBetween(root, math.max(basis, 0), parent).exists { w =>
-            val p = propsOf(root, w)
+          basisWindowInvalidated(root, math.max(basis, 0), parent) { p =>
             !p.get("rewrite").contains("true") &&
               !p.get("op").contains("append")
           }) {
@@ -908,11 +968,21 @@ object Snapshots {
       try {
         if (newFiles.isEmpty) {
           if (inbounds.isEmpty) Nil
-          else survivors.toSeq.flatMap { s =>
-            graft.operators.QualityChecks.report(s, inbounds)
-              .filter(!col("passed"))
-              .collect()
-              .map(r => (r.getString(0), r.getLong(1))).toSeq
+          else survivors match {
+            case Some(s) =>
+              graft.operators.QualityChecks.report(s, inbounds)
+                .filter(!col("passed"))
+                .collect()
+                .map(r => (r.getString(0), r.getLong(1))).toSeq
+            case None =>
+              // empty batch on an EMPTY table: the post-image is
+              // empty, so every non-null referencing key is an orphan
+              // — count them directly (report() would need a table
+              // frame that doesn't exist yet)
+              inbounds.map { c =>
+                c.name -> c.referencing.select(c.refKey.as("_k"))
+                  .filter(col("_k").isNotNull).count()
+              }.filter(_._2 > 0)
           }
         }
         else {
@@ -1386,6 +1456,7 @@ object Snapshots {
     */
   def prunedFiles(spark: SparkSession, root: String, version: Int,
                   column: String, lo: Long, hi: Long): Seq[String] = {
+    requireStatsPrunable(root, version, column)
     val rootP = Paths.get(root)
     val conf = spark.sparkContext.hadoopConfiguration
     def fileOverlap(line: String): Option[String] = {
@@ -1651,12 +1722,16 @@ object Snapshots {
           p.getFileName.toString.startsWith("_p="))
         .flatMap { pd =>
           // Spark Hive-escapes special characters in partition dir
-          // names (: -> %3A etc.); the manifest token must carry the
-          // RAW value or [[partitionPrunedFiles]]' literal compare
-          // silently prunes every file of such a partition
-          val value = org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.unescapePathName(
-              pd.getFileName.toString.stripPrefix("_p="))
+          // names (: -> %3A, tab -> %09, newline -> %0A …); the
+          // manifest token carries that ESCAPED spelling VERBATIM
+          // (r16 review finding): un-escaping restored raw tabs and
+          // newlines into a TSV line-oriented grammar — a tab split
+          // the token into two fields (the literal compare silently
+          // pruned the partition), a newline split the ENTRY in two
+          // (the continuation parsed as a bogus path). The prune side
+          // escapes its literal the same way; escaped-to-escaped
+          // compares are exact for every value
+          val value = pd.getFileName.toString.stripPrefix("_p=")
           val inner = Files.list(pd)
           try inner.iterator().asScala
             .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -1720,9 +1795,15 @@ object Snapshots {
     require(specs.nonEmpty && specs.map(_.column).distinct.size == 1,
       s"point lookup needs >= 1 spec, all on one column: $specs")
     val rootP = Paths.get(root)
-    val wants = specs.map(s =>
-      (s"#part:${s.tokenName}=", s"#part:${s.tokenName}=${s.valueFor(literal)}",
-        s"#partagg:${s.tokenName}=", s.valueFor(literal)))
+    // the manifest token carries Spark's Hive-ESCAPED partition value
+    // (TSV/line-grammar safety; see appendPartitioned), so the
+    // literal's home value escapes the same way before comparing
+    val wants = specs.map { s =>
+      val esc = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(s.valueFor(literal))
+      (s"#part:${s.tokenName}=", s"#part:${s.tokenName}=$esc",
+        s"#partagg:${s.tokenName}=", esc)
+    }
     def fileKeep(line: String): Option[String] = {
       if (line.startsWith("#delete\t") || line.startsWith("#posdelete\t"))
         return None
@@ -1847,7 +1928,13 @@ object Snapshots {
     */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version == -1) headOf(root, "main") else version
-    scanWithDeletes(spark, root, v, files(root, v))
+    // ONE body resolve feeds the file list and both delete-set views
+    // (r16): files() + deleteSets() + posDeleteSets() each re-resolved
+    // every segment — 3× O(table files) driver strings and segment
+    // I/O per read at the 10⁷-entry scale this store is sized for
+    val lines = rawLines(root, v)
+    liveScanLines(spark, root, v,
+      entriesOf(lines).map(_.split('\t').head), lines, keepMeta = false)
   }
 
   private def rawScan(spark: SparkSession, root: String, v: Int,
@@ -1886,10 +1973,19 @@ object Snapshots {
     * the common equality-only plan is byte-identical to the old one.
     */
   private def liveScan(spark: SparkSession, root: String, v: Int,
-                       paths: Seq[String], keepMeta: Boolean): DataFrame = {
+                       paths: Seq[String], keepMeta: Boolean): DataFrame =
+    liveScanLines(spark, root, v, paths, rawLines(root, v), keepMeta)
+
+  /** [[liveScan]] over a PRE-RESOLVED body — the single-resolve read
+    * path's core (r16): both delete-set views derive from `lines`
+    * instead of re-resolving the manifest segments.
+    */
+  private def liveScanLines(spark: SparkSession, root: String, v: Int,
+                            paths: Seq[String], lines: Seq[String],
+                            keepMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dels = deleteSets(root, v)
-    val pdels = posDeleteSets(root, v)
+    val dels = deleteSetsOf(lines)
+    val pdels = posDeleteSetsOf(lines)
     def withMeta(df: DataFrame): DataFrame =
       df.select(col("*"), col("_metadata.file_path").as(FileCol),
         col("_metadata.row_index").as(PosCol))
@@ -1962,8 +2058,14 @@ object Snapshots {
       else {
       val schema = schemaOf(root, parent)
         .getOrElse(rawScan(spark, root, parent, files(root, parent)).schema)
-      require(schema.fieldNames.contains(column),
-        s"delete key column '$column' is not in the table schema")
+      if (!schema.fieldNames.contains(column)) {
+        // "a refused batch changes NOTHING" covers error paths too
+        // (r16): a bad key column must not strand the staged
+        // tombstones until an age-guarded orphan sweep
+        deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+        throw new IllegalArgumentException(
+          s"delete key column '$column' is not in the table schema")
+      }
       try {
         if (publish(rootP, root, branch, v, seq, parent, schema,
             bodyRefs(root, parent) ++
@@ -2098,8 +2200,7 @@ object Snapshots {
       // key) forces the abort. No inbound check ⇒ nothing validated ⇒
       // full rebase liveness, like deleteWhere.
       if (inboundOnly.nonEmpty && parent != base0 &&
-          lineageBetween(root, base0, parent).exists { w =>
-            val p = propsOf(root, w)
+          basisWindowInvalidated(root, base0, parent) { p =>
             !p.get("rewrite").contains("true") &&
               !p.get("op").contains("append")
           }) {
@@ -2111,8 +2212,14 @@ object Snapshots {
       }
       val schema = schemaOf(root, parent)
         .getOrElse(rawScan(spark, root, parent, files(root, parent)).schema)
-      require(schema.fieldNames.contains(column),
-        s"delete key column '$column' is not in the table schema")
+      if (!schema.fieldNames.contains(column)) {
+        // "a refused batch changes NOTHING" covers error paths too
+        // (r16): a bad key column must not strand the staged
+        // tombstones until an age-guarded orphan sweep
+        deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+        throw new IllegalArgumentException(
+          s"delete key column '$column' is not in the table schema")
+      }
       try {
         if (publish(rootP, root, branch, v, seq, parent, schema,
             bodyRefs(root, parent) ++
@@ -2251,6 +2358,15 @@ object Snapshots {
     updateImpl(spark, root, where, set, branch, checks)
   }
 
+  /** CONTRACT: `where` must be DETERMINISTIC (r16). The matching set
+    * is evaluated twice over immutable inputs — once to write the
+    * (file, pos) tombstones, once to write the updated images — so a
+    * non-deterministic predicate (rand()-based sampling, current
+    * timestamp) would tombstone one row set and rewrite a different
+    * one, silently losing or duplicating rows. Same inputs + same
+    * deterministic predicate ⇒ identical row sets; Spark itself
+    * makes the matching analysis assumption in its own DML.
+    */
   private def updateImpl(spark: SparkSession, root: String,
                   where: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
@@ -2277,8 +2393,15 @@ object Snapshots {
     // assignments (SET a = b, b = a swaps) must not see each other's
     // new values — and must not depend on the Map's iteration order
     val preimage = matching.drop(FileCol, PosCol)
-    set.keys.foreach(c => require(preimage.columns.contains(c),
-      s"SET names unknown column '$c'"))
+    set.keys.foreach { c =>
+      if (!preimage.columns.contains(c)) {
+        // the tombstones are already staged — a bad SET column must
+        // not strand them until an age-guarded orphan sweep ("a
+        // refused batch changes NOTHING" covers error paths, r16)
+        deleteTreeQuietly(rootP.resolve(s"delete_v${v}_$token"))
+        throw new IllegalArgumentException(s"SET names unknown column '$c'")
+      }
+    }
     val updated = preimage.select(preimage.columns.toIndexedSeq.map(c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     val newFiles = writeDataFiles(updated, rootP, v, token)
@@ -2321,8 +2444,7 @@ object Snapshots {
             val hasI = checks.exists(
               _.isInstanceOf[graft.operators.QualityChecks.InboundRef])
             (hasU || hasI) && parent != base0 &&
-              lineageBetween(root, base0, parent).exists { w =>
-                val p = propsOf(root, w)
+              basisWindowInvalidated(root, base0, parent) { p =>
                 !p.get("rewrite").contains("true") &&
                   (hasU || !p.get("op").contains("append"))
               }
@@ -2496,8 +2618,7 @@ object Snapshots {
             val hasI = checks.exists(
               _.isInstanceOf[graft.operators.QualityChecks.InboundRef])
             (hasU || hasI) && parent != base0 &&
-              lineageBetween(root, base0, parent).exists { w =>
-                val p = propsOf(root, w)
+              basisWindowInvalidated(root, base0, parent) { p =>
                 !p.get("rewrite").contains("true") &&
                   (hasU || !p.get("op").contains("append"))
               }
@@ -2804,6 +2925,7 @@ object Snapshots {
   def metadataMinMax(root: String, version: Int = -1,
                      column: String): (Long, Long) = {
     val v = if (version == -1) headOf(root, "main") else version
+    requireStatsPrunable(root, v, column)
     require(deleteSets(root, v).isEmpty && posDeleteSets(root, v).isEmpty,
       s"v$v has merge-on-read delete sets: manifest extremes are unsound")
     val ranges = entries(root, v).map { line =>
@@ -3073,6 +3195,22 @@ object Snapshots {
     * of `to` (diverged refs have no linear window). Public because the
     * streaming ref tail replays exactly this window per ref advance.
     */
+  /** The checked-DML basis question — "did a commit land in
+    * (from, to] of a kind that can invalidate my validation?" —
+    * fail-SAFE under concurrent ref surgery (r16 review finding): a
+    * concurrent rollback makes `from` a non-ancestor of `to`, and
+    * [[lineageBetween]] would throw its divergence
+    * IllegalArgumentException from INSIDE the abort-condition
+    * expression — skipping the staged-dir cleanup and masking the
+    * documented ConcurrentModificationException contract. A window
+    * the walker cannot even resolve is by definition invalidated.
+    */
+  private def basisWindowInvalidated(root: String, from: Int, to: Int)(
+      invalidates: Map[String, String] => Boolean): Boolean =
+    try lineageBetween(root, from, to)
+      .exists(w => invalidates(propsOf(root, w)))
+    catch { case _: IllegalArgumentException => true }
+
   def lineageBetween(root: String, from: Int, to: Int): Seq[Int] = {
     var v = to
     var acc = List.empty[Int]
@@ -3414,7 +3552,6 @@ object Snapshots {
     val latest = latestVersion(root)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom must be in [1, $latest]: $keepFrom")
-    def pathsOf(v: Int): Seq[String] = storagePathsOf(root, v)
     // retention honors TAGS (r9) and BRANCHES (r11): a tagged version
     // below the cutoff stays fully readable, and every version in a
     // non-main branch's lineage survives regardless of its number —
@@ -3452,9 +3589,14 @@ object Snapshots {
     * expirable iff it is (a) more than `minSnapshotsToKeep` commits
     * behind the branch head AND (b) its manifest is older than
     * `maxAgeMillis` — pass 0 to retain purely by count — AND (c) no
-    * OTHER retention rule owns it: tagged versions, every other ref's
-    * lineage (main's chain, other branches, a tag's own ancestry walk)
-    * and ref heads all survive. Expiring a mid-chain version truncates
+    * OTHER retention rule owns it: tagged versions, every other
+    * BRANCH's full lineage (main's chain included) and ref heads all
+    * survive. A tag pins its own VERSION only, never its ancestry —
+    * reading the tag keeps working, but a lineage walk from it stops
+    * at the first expired parent (the same mid-chain truncation rule
+    * as below; [[removeOrphans]]' reachability is the broader walk,
+    * this op's protection set is deliberately version-scoped).
+    * Expiring a mid-chain version truncates
     * the branch's [[lineage]] walk there (the same dangling-parent
     * stop [[expire]] already produces on main); the head and the
     * retained recent window stay fully readable, and protected older

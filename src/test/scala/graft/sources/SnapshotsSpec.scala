@@ -791,6 +791,105 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
       .collect().toSet == Set(1L, 4L, 9L))
   }
 
+  test("stats pruning covers INT32 columns and refuses non-integral ones loudly") {
+    val root = Staging.tempDir("snap_int32_stats").toString
+    // int/short/date columns are INT32-physical in parquet: without a
+    // stats token the pruner's missing-token = all-null rule would
+    // silently drop their files from a range scan (r16 review finding)
+    Snapshots.append(Seq((1, 10L, "a")).toDF("i", "l", "s").coalesce(1), root)
+    Snapshots.append(Seq((25, 20L, "b")).toDF("i", "l", "s").coalesce(1), root)
+    val v = Snapshots.latestVersion(root)
+    assert(Snapshots.prunedFiles(spark, root, v, "i", 20, 30).size == 1,
+      "the int column's in-range file must be kept, the other pruned")
+    assert(Snapshots.readPruned(spark, root, v, "i", 0, 5)
+      .select($"l").as[Long].collect().toSeq == Seq(10L))
+    assert(Snapshots.readPruned(spark, root, v, "i", 26, 99).count() == 0)
+    assert(Snapshots.metadataMinMax(root, v, "i") == (1L, 25L))
+    // a string column cannot ride the integral token grammar — the
+    // pruner must refuse, never silently treat it as all-null
+    intercept[IllegalArgumentException] {
+      Snapshots.prunedFiles(spark, root, v, "s", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.metadataMinMax(root, v, "s")
+    }
+  }
+
+  test("partition values with tabs and newlines survive the manifest grammar") {
+    val root = Staging.tempDir("snap_part_escape").toString
+    val df = Seq(("San\tFrancisco", 1L), ("Oslo", 2L), ("a\nb", 3L))
+      .toDF("city", "x")
+    Snapshots.appendPartitioned(df, root, Snapshots.IdentityPartition("city"))
+    val v = Snapshots.latestVersion(root)
+    assert(Snapshots.read(spark, root).count() == 3)
+    val spec = Snapshots.IdentityPartition("city")
+    // the raw tab used to split the #part: token mid-line (silently
+    // pruning the partition); the raw newline split the ENTRY in two
+    // (a bogus path-only line). Escaped-to-escaped compares are exact.
+    assert(Snapshots.partitionPrunedFiles(root, v, spec, "San\tFrancisco").size == 1)
+    assert(Snapshots.partitionPrunedFiles(root, v, spec, "a\nb").size == 1)
+    assert(Snapshots.partitionPrunedFiles(root, v, spec, "Oslo").size == 1)
+    assert(Snapshots.partitionPrunedFiles(root, v, spec, "nowhere").isEmpty)
+  }
+
+  test("sequence scoping survives a table rooted under a data_v-shaped ancestor dir") {
+    // the ancestor segment contains 'data_v1' as a substring; an
+    // unanchored first-match would assign EVERY file sequence 1 and
+    // the v2 delete would kill the v3 re-insert (r16 review finding)
+    val parent = Staging.tempDir("data_v1_lake")
+    val root = parent.resolve("t1").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)        // v1
+    Snapshots.deleteWhere(spark, root, "id", Seq(1L).toDF("id"))  // v2
+    Snapshots.append(Seq((1L, "re")).toDF("id", "s"), root)       // v3
+    assert(Snapshots.read(spark, root).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "re")),
+      "a key re-inserted after its delete must survive")
+  }
+
+  test("empty checked batch on an EMPTY table still validates InboundRef") {
+    import graft.operators.QualityChecks.InboundRef
+    val root = Staging.tempDir("snap_empty_empty_inbound").toString
+    val ri = Seq(InboundRef("fk", Seq(1L).toDF("fk"), $"fk", $"id"))
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    // post-image of an empty append on an empty table is empty: every
+    // non-null referencing key is an orphan — refuse, mint nothing
+    intercept[IllegalStateException] {
+      Snapshots.appendChecked(empty, root, ri)
+    }
+    assert(Snapshots.latestVersion(root) == 0)
+  }
+
+  test("checked write racing a rollback aborts with CME and strands nothing") {
+    import graft.operators.QualityChecks.InboundRef
+    import scala.jdk.CollectionConverters._
+    val root = Staging.tempDir("snap_rollback_race").toString
+    Snapshots.append(Seq((1L, "a")).toDF("id", "s"), root)
+    Snapshots.createBranch(root, "dev") // materializes the main ref
+    Snapshots.append(Seq((2L, "b")).toDF("id", "s"), root)
+    val ri = Seq(InboundRef("fk", Seq(1L).toDF("fk"), $"fk", $"id"))
+    // the rollback makes the validation basis a NON-ancestor of the
+    // commit parent; the window walker must treat the unresolvable
+    // window as invalidated (CME + staged cleanup), not leak its
+    // divergence IllegalArgumentException mid-condition
+    try {
+      Snapshots.afterCheckedValidation = () =>
+        { Snapshots.rollback(root, "main", 1); () }
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.appendChecked(Seq((3L, "c")).toDF("id", "s"), root, ri)
+      }
+    } finally Snapshots.afterCheckedValidation = () => ()
+    val stray = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("data_v3") || n.startsWith("data_v4"))
+        .toSeq
+      finally s.close()
+    }
+    assert(stray.isEmpty, s"aborted append must unstage its files: $stray")
+    assert(Snapshots.read(spark, root).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a")), "the rollback's view stands")
+  }
+
   test("mergeChecked/updateChecked validate the post-image; refusals publish nothing") {
     import graft.operators.QualityChecks.{RowPredicate, Unique}
     import org.apache.spark.sql.functions.lit
