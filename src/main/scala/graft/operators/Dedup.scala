@@ -139,7 +139,9 @@ object Dedup {
       .withColumn("content_hash", contentHash(idCol, textCol))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn")
+      // BOTH internals: the cleaned corpus must come back with the
+      // input's schema, not input-plus-a-32-char-hash column (r16)
+      .drop("rn", "content_hash")
   }
 
   /** Groups of exact duplicates (size > 1), for reporting. */
@@ -158,12 +160,25 @@ object Dedup {
     * on shingle sets → threshold.
     *
     * The band self-join is the only shuffle-join; its key
-    * (band_id, band_hash) is uniform. Exact verification re-reads only
-    * candidate docs' shingle sets (joined by id), not the whole corpus.
+    * (band_id, band_hash) is NEARLY uniform — with one documented
+    * exception (r16): docs with fewer than `shingleK` tokens all get
+    * the ONE whole-doc fallback shingle ([[graft.functions
+    * .ShingleHashes]]), so a corpus with m empty/boilerplate-short
+    * docs puts all m in the same bucket of EVERY band —
+    * numBands·m²/2 candidates. `maxBucketDf` caps each band bucket
+    * ([[DefaultMaxBucketDf]], the simhash/media convention): over-cap
+    * buckets drop from candidate generation with the queryable
+    * [[minhashDroppedBands]] report — the m-identical-docs case is the
+    * EXACT-dedup operator's job (groupBy content hash), not the
+    * pigeonhole's. Capped construction is EAGER and needs a
+    * deterministic input (the [[capHotBuckets]] contract). Exact
+    * verification re-reads only candidate docs' shingle sets (joined
+    * by id), not the whole corpus.
     */
   def minhashLsh(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 64,
                  rowsPerBand: Int = 4, jaccardThreshold: Double = 0.8,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
     // integer division would silently DISCARD the trailing hashes (64
     // hashes at 6 per band = 10 bands covering 60 — a different LSH
     // S-curve than the parameters claim); misconfiguration fails loudly
@@ -189,13 +204,15 @@ object Dedup {
     val withSig = sets.select(col("id"),
       graft.functions.MinHashFunctions.minhash_signature(col("sh"), numHashes).as("sig"))
 
-    val banded = withSig.select(col("id"), explode(
-      array((0 until numBands).map(b =>
-        struct(lit(b).as("band_id"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
-            .as("band_hash"))): _*))
-      .as("band"))
-      .select(col("id"), col("band.band_id"), col("band.band_hash"))
+    val banded = capHotBuckets(
+      withSig.select(col("id"), explode(
+        array((0 until numBands).map(b =>
+          struct(lit(b).as("band_id"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
+              .as("band_hash"))): _*))
+        .as("band"))
+        .select(col("id"), col("band.band_id"), col("band.band_hash")),
+      Seq("band_id", "band_hash"), maxBucketDf)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -239,6 +256,13 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text",
                    sketches: Option[DataFrame] = None,
                    maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
+    // the 4-block pigeonhole is complete ONLY through hamming 3: at 4,
+    // a pair differing by one bit per block shares no block and is
+    // silently missing — misconfiguration fails loudly (the minhashLsh
+    // rowsPerBand require, r16)
+    require(maxHamming <= 3,
+      s"maxHamming ($maxHamming) > 3 breaks the 4-block pigeonhole " +
+        "completeness guarantee — pairs would be silently missing")
     val blocked = capHotBuckets(
       blockedSketches(docs, idCol, textCol, sketches),
       Seq("block_id", "block_val"), maxBucketDf)
@@ -284,6 +308,35 @@ object Dedup {
     hotBuckets(blockedSketches(docs, idCol, textCol, sketches),
       Seq("block_id", "block_val"), maxBucketDf)
 
+  /** Over-cap BAND buckets [[minhashLsh]]'s `maxBucketDf` would drop,
+    * with their populations — the queryable drop report of the LSH
+    * cap (the [[simhashDroppedBuckets]] convention; r16). One over-cap
+    * entry per (band_id, band_hash); the dominant real-world cause is
+    * the sub-`shingleK`-token fallback shingle shared by every
+    * empty/near-empty doc.
+    */
+  def minhashDroppedBands(docs: DataFrame, shingleK: Int = 3,
+                          numHashes: Int = 64, rowsPerBand: Int = 4,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val numBands = numHashes / rowsPerBand
+    val withSig = docs.select(col(idCol).as("id"),
+      graft.functions.MinHashFunctions.minhash_signature(
+        graft.functions.ShingleFunctions.shingle_hashes(
+          TextFunctions.tokens(col(textCol)), shingleK), numHashes).as("sig"))
+    hotBuckets(
+      withSig.select(col("id"), explode(
+        array((0 until numBands).map(b =>
+          struct(lit(b).as("band_id"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
+              .as("band_hash"))): _*))
+        .as("band"))
+        .select(col("id"), col("band.band_id"), col("band.band_hash")),
+      Seq("band_id", "band_hash"), maxBucketDf)
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking
     * key (e.g. same language) — the verification-only path when
     * candidate sets are already small.
@@ -313,9 +366,17 @@ object Dedup {
                         numBits: Int = 12, numTables: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // repartition(id) plants the one reusable exchange feeding the
-    // bucket pass AND both verify joins (same pattern as minhashLsh)
+    // bucket pass AND both verify joins (same pattern as minhashLsh).
+    // Rows whose vector is not `dim`-long drop out (r16 review
+    // finding): zip_with null-pads against the hyperplane, the dot
+    // goes null, and EVERY plane's sign falls to the otherwise(0)
+    // branch — all malformed rows would share bucket 0 of every
+    // table, degenerating the candidate join to all-pairs. A
+    // wrong-length vector has no defined cosine against the corpus
+    // anyway (the semanticPairs NaN-vector convention).
     val vecd = embs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .filter(size(col("v")) === dim)
       .repartition(col("id"))
     val bucketed = vecd.select(col("id"), explode(
       array((0 until numTables).map { t =>
@@ -416,6 +477,14 @@ object Dedup {
       iter += 1
     }
     sym.unpersist(false)
+    // exhausting maxIter without the fixpoint must fail LOUDLY (the
+    // file's no-silent-caps doctrine, r16): returning partial labels
+    // would report one true component as several fragments, and
+    // keepCanonical would silently let duplicates survive dedup
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (cluster diameter exceeds the pointer-jump " +
+        "budget); partial labels would under-merge duplicate clusters")
     labels.withColumnRenamed("label", "component")
   }
 

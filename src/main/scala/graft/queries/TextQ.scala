@@ -802,14 +802,19 @@ object TextQ {
     "q200_dup_span_rewrite" -> (dupSpanRewrites _),
     "q85_curation_funnel" -> (curationFunnel _))
 
-  /** Gate-corpus cap preflight for q48 (the MediaQ.capGuards shape):
-    * [[Dedup.simhashPairs]] runs with the bucket-df cap ON while the
-    * DuckDB oracle replays the cap-free pigeonhole — Verify fails the
-    * gate loudly if a corpus ever crosses the cap. (q82 pins the cap
-    * OFF by design and needs no guard; minhashLsh's band keys are
-    * uniform by construction and uncapped.)
+  /** Gate-corpus cap preflight for q48 and q47 (the MediaQ.capGuards
+    * shape): [[Dedup.simhashPairs]] and [[Dedup.minhashLsh]] run with
+    * their bucket-df caps ON while the DuckDB oracles model the
+    * cap-free ideal — Verify fails the gate loudly if a corpus ever
+    * crosses a cap. (q82 pins the simhash cap OFF by design and needs
+    * no guard. minhashLsh's band keys are NOT uniform by construction
+    * — every sub-shingleK-token doc shares the one fallback-shingle
+    * bucket of every band, so the LSH join is capped like its
+    * siblings since r16.)
     */
   private val simhashGuardMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+  private val minhashGuardMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
 
   private[graft] val capGuards: Map[String,
@@ -818,7 +823,13 @@ object TextQ {
       ("simhash 15-bit pigeonhole buckets (Dedup.DefaultMaxBucketDf=" +
         s"${Dedup.DefaultMaxBucketDf})",
         simhashGuardMemo.computeIfAbsent((s, d), _ =>
-          Dedup.simhashDroppedBuckets(Tables.documents(s, d)).count())))))
+          Dedup.simhashDroppedBuckets(Tables.documents(s, d)).count())))),
+    "q47_minhash_pairs" -> ((s, d) => Seq(
+      ("minhash LSH band buckets (Dedup.DefaultMaxBucketDf=" +
+        s"${Dedup.DefaultMaxBucketDf})",
+        minhashGuardMemo.computeIfAbsent((s, d), _ =>
+          Dedup.minhashDroppedBands(Tables.documents(s, d), shingleK = 4,
+            numHashes = 64, rowsPerBand = 4).count())))))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s

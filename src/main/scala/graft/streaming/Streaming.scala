@@ -123,13 +123,28 @@ object Streaming {
             state.remove()
             Iterator(SessionOut(userId, s.start_us, s.last_us, s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts_us)
+            // flatMapGroupsWithState does NOT drop late rows for us
+            // (unlike aggregations — r16 review finding): an event
+            // older than the watermark must be discarded here, or the
+            // timeout it computes can land at-or-below the watermark
+            // and setTimeoutTimestamp kills the query with an
+            // IllegalArgumentException
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val sorted = rows.filter(_.ts_us >= wmUs).toSeq.sortBy(_.ts_us)
             var cur = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                  cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1, total = s.total + e.value))
+                  // min/max, not assignment (r16): a late-but-inside-
+                  // watermark event from an earlier batch must extend
+                  // the session BACKWARD, never drag its end earlier —
+                  // a regressed last_us re-armed the timeout too early
+                  // and could emit end_us < start_us
+                  cur = Some(s.copy(
+                    start_us = math.min(s.start_us, e.ts_us),
+                    last_us = math.max(s.last_us, e.ts_us),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed += SessionOut(userId, s.start_us, s.last_us, s.n, s.total)
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
@@ -137,7 +152,10 @@ object Streaming {
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
               }
             }
-            cur.foreach { s =>
+            // only a batch that contributed events may (re)arm the
+            // timeout: with every row late-dropped, re-arming from
+            // stale state could set a timestamp below the watermark
+            if (sorted.nonEmpty) cur.foreach { s =>
               state.update(s)
               // wake up when the gap can no longer be filled
               state.setTimeoutTimestamp((s.last_us + gapUs) / 1000)

@@ -47,6 +47,67 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("exact dedup returns the INPUT schema (no internal columns leak)") {
+    assert(Dedup.exact(corpus).columns.toSeq == corpus.columns.toSeq)
+  }
+
+  test("minhash LSH band cap: a viral fallback-shingle bucket drops with a report; clean pairs intact") {
+    // sub-shingleK-token docs all carry the ONE whole-doc fallback
+    // shingle — uncapped, m such docs collide in every band
+    // (numBands·m²/2 candidates). Under the cap they drop from
+    // candidate generation with a queryable report, exactly the
+    // simhash/media convention; pairs among real docs are untouched.
+    val tainted = corpus.unionByName(Seq(
+      (100L, ""), (101L, "  "), (102L, ""), (103L, "")
+    ).toDF("doc_id", "text"))
+    val clean = Dedup.minhashLsh(corpus).select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLsh(tainted, maxBucketDf = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped == clean,
+      s"the viral empty-doc band must drop, real pairs must stay: $capped vs $clean")
+    val report = Dedup.minhashDroppedBands(tainted, maxBucketDf = 3)
+    assert(report.count() > 0, "the drop must be queryable, never silent")
+    // cap off: the empty docs pair with each other (they ARE exact
+    // dups — jaccard 1.0 over the shared fallback shingle)
+    val uncapped = Dedup.minhashLsh(tainted, maxBucketDf = Long.MaxValue)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.contains((100L, 103L)),
+      "cap off restores the degenerate bucket's (genuine) pairs")
+  }
+
+  test("simhash pairs refuses maxHamming > 3 (pigeonhole completeness)") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, maxHamming = 4)
+    }
+  }
+
+  test("connected components throws when maxIter is exhausted unconverged") {
+    // a 30-node path needs more than 2 pointer-jump rounds: partial
+    // labels would silently fragment the component
+    val path = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2).collect()
+    }
+  }
+
+  test("embedding near-dups drops wrong-length vectors instead of bucketing them together") {
+    val dim = 4
+    val embs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0001, 0.0, 0.0)),      // near dup of 1
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (10L, Seq(1.0, 2.0)),                   // malformed: wrong dim
+      (11L, Seq(9.0, 9.0))                    // malformed: would share bucket 0
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(embs, dim = dim, numBits = 4,
+        numTables = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "the planted near-dup must surface")
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L),
+      "wrong-length vectors must not pair (null dot ⇒ all-bucket-0 blowup)")
+  }
+
   test("ngram jaccard: identical docs = 1.0; near dup high; different low") {
     val j = Dedup.ngramJaccardPairs(
         corpus.withColumn("blk", lit(1)), shingleK = 2, threshold = 0.0, blockCol = "blk")

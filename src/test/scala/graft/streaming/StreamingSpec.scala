@@ -122,6 +122,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(got.select($"user_id", $"event_type", $"value").distinct().count() == got.count())
   }
 
+  test("sessionize under cross-batch late events: backward extension, below-watermark drop, no timeout crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000L * 1000000 // us
+    val min = 60L * 1000 * 1000
+    def row(u: Long, us: Long, v: Double) =
+      (u, new java.sql.Timestamp(us / 1000), us * 1000, v)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF.toDF("user_id", "ts", "ts_ns", "value")
+    val q = Streaming.sessionize(df).toDF().writeStream.format("memory")
+      .queryName("sess_late").outputMode("append").start()
+    try {
+      // b1: user 1 at T; user 2 at T+5m -> watermark after b1 = T-5m
+      mem.addData(row(1, base, 1.0), row(2, base + 5 * min, 1.0))
+      q.processAllAvailable()
+      // b2: user 1 late by 3m (inside the watermark: must extend the
+      // session BACKWARD, never regress its end) and late by 2h
+      // (below the watermark: must be DROPPED, not crash the query
+      // with a below-watermark setTimeoutTimestamp)
+      mem.addData(row(1, base - 3 * min, 1.0), row(1, base - 120 * min, 9.0))
+      q.processAllAvailable()
+      // two more batches: the first raises the max event time, the
+      // second runs with the raised watermark and fires the timeout
+      mem.addData(row(2, base + 300 * min, 1.0))
+      q.processAllAvailable()
+      mem.addData(row(2, base + 301 * min, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_late").filter($"user_id" === 1L)
+        .select($"start_us", $"end_us", $"n_events", $"total_value").collect()
+      assert(out.length == 1, s"user 1 must emit exactly one session: ${out.toSeq}")
+      val r = out.head
+      assert(r.getLong(0) == base - 3 * min,
+        "the late in-watermark event extends the session start backward")
+      assert(r.getLong(1) == base,
+        "the session end must not regress to a late event's timestamp")
+      assert(r.getLong(2) == 2 && r.getDouble(3) == 2.0,
+        "the below-watermark event is dropped, the in-watermark one merged")
+    } finally q.stop()
+  }
+
   test("session outputs respect the 30-minute gap invariant") {
     val stream = Streaming.sessionize(Streaming.eventStream(spark, streamDir))
     val rows = Streaming.runToMemory(stream.toDF(), "sess2", OutputMode.Append())
