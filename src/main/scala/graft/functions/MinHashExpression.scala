@@ -24,6 +24,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
+  // construction-time validation, the ShingleHashes/WinnowSelect
+  // convention (r16): numHashes < 0 would otherwise throw
+  // NegativeArraySizeException per-row at execution, and 0 would
+  // yield silently empty signatures (and 0 % rowsPerBand == 0 even
+  // passes minhashLsh's banding require — zero bands, zero pairs)
+  require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

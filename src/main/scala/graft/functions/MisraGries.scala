@@ -32,6 +32,12 @@ object MisraGries {
     override def zero: State = new State(0L, new java.util.HashMap)
 
     override def reduce(b: State, x: String): State = {
+      // skip NULLs, the built-in-aggregate convention (r16 review
+      // finding): a null HashMap key survives to finish() and
+      // Catalyst's map encoder then throws "Cannot use null as map
+      // key" far from the cause; a null is also not an item whose
+      // frequency the summary should count
+      if (x == null) return b
       b.n += 1
       // getOrDefault, not get: with a Scala Long value type, a missing
       // key's null would silently unbox to 0 and read as "present"

@@ -31,6 +31,14 @@ object PqUtil {
     */
   def encode(v: ArrayData, centers: Array[Double], m: Int, ksub: Int,
              dsub: Int): ArrayData = {
+    // LOUD dim check (r16 review finding — the CosineSimilarity /
+    // NearestCentroids convention): UnsafeArrayData getDouble has no
+    // bounds check, so a wrong-length vector would silently read
+    // past the array into arbitrary memory and emit garbage codes
+    if (v.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} dims, codebook " +
+          s"expects ${m * dsub} (m=$m × dsub=$dsub)")
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -59,6 +67,10 @@ object PqUtil {
   /** Per-query ADC lookup table: dot(q_sub_j, centroid[j][c]) ∀ j,c. */
   def table(q: ArrayData, centers: Array[Double], m: Int, ksub: Int,
             dsub: Int): ArrayData = {
+    if (q.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_table: query has ${q.numElements()} dims, codebook " +
+          s"expects ${m * dsub} (m=$m × dsub=$dsub)")
     val t = new Array[Double](m * ksub)
     var j = 0
     while (j < m) {
@@ -91,6 +103,12 @@ object PqUtil {
     var s = 0.0
     var j = 0
     val m = codes.numElements()
+    // mismatched codebooks: a code vector longer than the table's m
+    // would read past the table (no bounds check on UnsafeArrayData)
+    if (m * ksub != table.numElements())
+      throw new IllegalArgumentException(
+        s"pq_adc_dot: ${m} codes × ksub=$ksub does not match the " +
+          s"${table.numElements()}-entry lookup table — mismatched codebooks")
     while (j < m) {
       val c = codes.getInt(j)
       if (c < 0) return Double.NaN

@@ -86,9 +86,16 @@ object Similarity {
   /** Per-cell population of `corpus` under `centers` at `replicas`
     * assignments — the index-health report a production deployment
     * checks before trusting a centroid-bucketed join's shuffle shape.
+    *
+    * `replicas` is REQUIRED (r16 review finding): the report is only
+    * meaningful at the SAME replica count as the join it audits, and
+    * the family's joins default differently ([[semanticPairs]] 2,
+    * [[knnJoin]]/[[ivfTopK]] 3) — a defaulted report could disagree
+    * with the join about which cells are hot, and re-index decisions
+    * would be made on false data.
     */
   def cellSizes(corpus: DataFrame, centers: Seq[Seq[Double]],
-                replicas: Int = 3, idCol: String = "vec_id",
+                replicas: Int, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame =
     withCells(
       corpus.select(col(idCol).as("id"),
@@ -99,24 +106,37 @@ object Similarity {
   /** The no-silent-caps report: cells whose population exceeds
     * `maxCellSize`, with their sizes — exactly the cells
     * [[semanticPairs]] drops from candidate generation, and the cells
-    * [[knnJoin]] pays ⌈size/cap⌉× probe replication to salt.
+    * [[knnJoin]] pays ⌈size/cap⌉× probe replication to salt. Pass the
+    * SAME `replicas` as the join under audit (required — see
+    * [[cellSizes]]).
     */
   def droppedCells(corpus: DataFrame, centers: Seq[Seq[Double]],
-                   replicas: Int = 3,
+                   replicas: Int,
                    maxCellSize: Long = DefaultMaxCellSize,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame =
     cellSizes(corpus, centers, replicas, idCol, vecCol)
       .filter(col("cell_size") > maxCellSize)
 
-  /** Exact top-k by cosine for each query vector. */
+  /** Exact top-k by cosine for each query vector.
+    *
+    * `dropSameId` (default true — self-search semantics): excludes
+    * the corpus row sharing the query's id. Pass FALSE for
+    * cross-dataset retrieval where the id spaces merely overlap — a
+    * hardcoded exclusion silently lost the legitimate
+    * (eval 7, train 7) neighbor, exactly the failure [[knnJoin]]
+    * gates behind the same flag (r16 review finding). The exclusion
+    * is null-SAFE: a NULL id on either side is never "the same row".
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dropSameId: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
-    c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+    c.join(broadcast(q),
+        if (dropSameId) !(col("corpus_id") <=> col("query_id")) else lit(true))
       .withColumn("sim", cosine_similarity6(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -132,6 +152,13 @@ object Similarity {
     * (including self) never reach the similarity kernel. At 100 TB the
     * corpus scan dominates and parallelizes per-partition; swap the
     * scan for [[ivfTopK]]'s probe join when exactness can be traded.
+    *
+    * NULL labels are EXCLUDED on both sides (SQL =!= semantics, made
+    * explicit r16): "differs" is undefined against an unknown label —
+    * an unlabeled corpus row is never mined as a negative (it might
+    * share the anchor's class), and an unlabeled query mines nothing.
+    * Label (or drop) unlabeled rows upstream if they should
+    * participate.
     */
   def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                         idCol: String = "vec_id", vecCol: String = "embedding",
@@ -223,8 +250,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, numCentroids: Int = 16,
               nProbe: Int = 6, lloydIters: Int = 2, buildSampleMod: Int = 1,
               replicas: Int = 3, centers: Option[Seq[Seq[Double]]] = None,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorFunctions.nearest_centroids
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dropSameId: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val ctrs = centers.getOrElse(
@@ -247,12 +274,10 @@ object Similarity {
     // what lifts recall past what probe count alone can buy on
     // clusterless data. Index size scales by `replicas` (documented
     // trade; the scan/shuffle shape is unchanged).
-    val assigned = c.select(col("corpus_id"), col("cv"),
-        explode(nearest_centroids(col("cv"), ctrs, replicas)).as("centroid_id"))
-      .filter(col("centroid_id") >= 0)
-    val probes = q.select(col("query_id"), col("qv"),
-        explode(nearest_centroids(col("qv"), ctrs, nProbe)).as("centroid_id"))
-      .filter(col("centroid_id") >= 0)
+    // the ONE cell-assignment spelling (withCells) — an inline copy
+    // here could drift from the cellSizes/droppedCells accounting (r16)
+    val assigned = withCells(c, "cv", ctrs, replicas, "centroid_id")
+    val probes = withCells(q, "qv", ctrs, nProbe, "centroid_id")
 
     // search only probed buckets; a pair reached via two shared buckets
     // must count once, so dedup (query, corpus) before ranking. The
@@ -265,7 +290,10 @@ object Similarity {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     broadcast(probes).join(assigned, Seq("centroid_id"))
-      .filter(col("corpus_id") =!= col("query_id"))
+      // null-safe self-exclusion, opt-out for cross-dataset retrieval
+      // with overlapping id spaces (the bruteForceTopK/knnJoin rule)
+      .filter(if (dropSameId) !(col("corpus_id") <=> col("query_id"))
+              else lit(true))
       .select(col("query_id"), col("corpus_id"),
         cosine_similarity6(col("qv"), col("cv")).as("sim"))
       .dropDuplicates("query_id", "corpus_id")
@@ -372,10 +400,9 @@ object Similarity {
       // equi-join, zero salting overhead beyond this one count job
       val hotRows =
         if (maxCellSize == Long.MaxValue) Array.empty[(Int, Int)]
-        else indexed.groupBy(col("cell"))
-          .agg(count(lit(1)).as("_cn")).filter(col("_cn") > maxCellSize)
+        else Dedup.hotBuckets(indexed, Seq("cell"), maxCellSize)
           .select(col("cell"),
-            ceil(col("_cn").cast("double") / maxCellSize).cast("int")
+            ceil(col("bucket_df").cast("double") / maxCellSize).cast("int")
               .as("_nsalt"))
           .collect().map(r => (r.getInt(0), r.getInt(1)))
       if (hotRows.isEmpty)

@@ -58,4 +58,17 @@ class MisraGriesSpec extends AnyFunSuite with SparkTestSession {
       check(sum)
     }
   }
+
+  test("NULL values are skipped like built-in aggregates (no null map key crash)") {
+    // a null key would survive to finish() and Catalyst's map encoder
+    // throws "Cannot use null as map key" — far from the cause (r16)
+    val withNulls = (xs.map(Option(_)) ++ Seq.fill(5)(Option.empty[String]))
+      .toDF("w")
+    val sum = withNulls
+      .agg(MisraGries.mg_summary(
+        org.apache.spark.sql.functions.col("w"), k).as("mg"))
+      .as[Map[String, Long]].head()
+    check(sum)
+    assert(!sum.contains(null))
+  }
 }

@@ -63,4 +63,26 @@ class ProductQuantizationSpec extends AnyFunSuite with SparkTestSession {
       ProductQuantization.train(embs, m = 7) // 64 % 7 != 0
     }
   }
+
+  test("pq kernels refuse wrong-length vectors instead of reading out of bounds") {
+    import graft.functions.PqFunctions.{pq_encode, pq_table}
+    val cb = ProductQuantization.train(embs)
+    val bad = Seq((1L, Seq.fill(17)(0.5))).toDF("vec_id", "embedding")
+    // UnsafeArrayData has no bounds checks — without the loud guard a
+    // 17-dim vector against a 64-dim codebook read past the array and
+    // produced garbage codes silently (r16 review finding)
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      bad.select(pq_encode($"embedding".cast("array<double>"),
+        cb.centers, cb.m, cb.ksub)).collect()
+    }
+    assert(rootMsg(e1).contains("pq_encode"), rootMsg(e1))
+    val e2 = intercept[Exception] {
+      bad.select(pq_table($"embedding".cast("array<double>"),
+        cb.centers, cb.m, cb.ksub)).collect()
+    }
+    assert(rootMsg(e2).contains("pq_table"), rootMsg(e2))
+  }
 }

@@ -30,6 +30,27 @@ class RecallSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.35, f"recall $recall%.3f below the random-data floor")
   }
 
+  test("dropSameId=false keeps cross-dataset neighbors whose ids merely collide") {
+    // eval-vs-train retrieval with overlapping id spaces: corpus row 7
+    // is NOT query row 7's self — hardcoded self-exclusion silently
+    // lost it from the top-k (r16 review finding)
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter($"vec_id" === 7L)
+      .select($"vec_id", $"embedding") // same id, treat as external
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"corpus_id").as[Long].collect().toSet
+    val kAll = corpus.count().toInt
+    val excl = ids(Similarity.bruteForceTopK(corpus, queries, k = kAll))
+    val incl = ids(Similarity.bruteForceTopK(corpus, queries, k = kAll,
+      dropSameId = false))
+    assert(!excl.contains(7L) && incl.contains(7L),
+      "the flag must gate exactly the id-colliding neighbor")
+    assert(incl.size == excl.size + 1)
+    val ivfIncl = ids(Similarity.ivfTopK(corpus, queries, k = kAll,
+      numCentroids = 5, nProbe = 5, dropSameId = false))
+    assert(ivfIncl.contains(7L), "ivfTopK honors the same opt-out")
+  }
+
   test("over-aggressive build sample falls back to full-corpus seeding; NaN rows don't crash") {
     import org.apache.spark.sql.functions._
     val corpus = Tables.embeddings(spark, dir)
