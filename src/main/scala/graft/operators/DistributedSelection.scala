@@ -25,11 +25,16 @@ object DistributedSelection {
   /** Floor-division bucket id. `div` truncates toward zero, so for
     * signed data bucket 0 would span (−width, +width) — up to
     * 2×width−1 distinct values, double the documented phase-2 memory
-    * bound. pmod is non-negative, so (v − pmod(v,w)) div w is a true
-    * floor and every bucket spans exactly `width` values.
+    * bound; the CASE term turns truncation into a true floor, so
+    * every bucket spans exactly `width` values. Spelled WITHOUT the
+    * earlier `v − pmod(v, w)` (r16 review finding): that subtraction
+    * underflowed Long for v within `width` of Long.MinValue — a
+    * common corrupt-data sentinel — and Spark 4's default ANSI
+    * arithmetic turned it into a query-killing ArithmeticException.
+    * `v div w` with w > 0 can never overflow.
     */
   private def bucketSql(width: Long): String =
-    s"(v - pmod(v, ${width}L)) div ${width}L"
+    s"(v div ${width}L) + (CASE WHEN v % ${width}L < 0 THEN -1L ELSE 0L END)"
 
   /** (group, n, rank_idx, value) — exact order statistics at SEVERAL
     * ranks per group in one two-phase pass (r11; the per-group
@@ -48,16 +53,33 @@ object DistributedSelection {
                         rankSqls: Seq[String],
                         bucketWidth: Long = 10000L): DataFrame = {
     require(bucketWidth > 0 && rankSqls.nonEmpty)
+    // NULL values are excluded and n counts non-null rows — the SQL
+    // aggregate convention (DuckDB's median/quantile ignore NULLs the
+    // same way). Before this filter (r16 review finding) NULLs formed
+    // a nulls-first bucket that inflated n and, when a rank landed in
+    // it, the NULL === NULL join mismatch silently ERASED the whole
+    // group from the output. A group with no non-null values is
+    // absent, as in SQL.
     val o = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val coarse = o.groupBy(col("g"),
         expr(bucketSql(bucketWidth)).as("cb"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
     val nstat = coarse.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
     // (g, n, rank_idx, r): every requested rank, resolved from n
+    // a rank outside [1, n] (or NULL, e.g. a typo'd expression) would
+    // land in no bucket and the (group, rank) pair would silently
+    // vanish — fail LOUDLY instead (assert_true rides the filter so
+    // column pruning cannot elide it)
     val ranks = nstat.select(col("g"), col("n"),
       posexplode(array(rankSqls.map(s => expr(s)): _*))
         .as(Seq("rank_idx", "r")))
+      .filter(assert_true(
+        col("r").isNotNull && col("r") >= 1L && col("r") <= col("n"),
+        concat(lit("orderStatsByGroup: rank expression out of [1, n]: r="),
+          col("r").cast("string"), lit(" n="), col("n").cast("string")))
+        .isNull)
     val wc = Window.partitionBy(col("g")).orderBy(col("cb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val pick = coarse
@@ -115,42 +137,15 @@ object DistributedSelection {
       .drop("_thr")
   }
 
-  /** (group, n, median) — exact lower median of `valueCol` per group. */
+  /** (group, n, median) — exact lower median of `valueCol` per group.
+    * A 3-line wrapper over [[orderStatsByGroup]] at rank (n+1) div 2
+    * (r16: the former inline copy of the two-phase machinery had
+    * already drifted in shape from the multi-rank path — one spelling
+    * means the NULL, overflow, and loud-rank fixes apply once).
+    */
   def medianByGroup(df: DataFrame, groupCol: String, valueCol: String,
-                    bucketWidth: Long = 10000L): DataFrame = {
-    require(bucketWidth > 0)
-    val o = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
-    // two consumers (nstat, pick) over a config-bounded table — one
-    // source scan via the lazy-checkpoint artifact idiom
-    val coarse = o.groupBy(col("g"),
-        expr(bucketSql(bucketWidth)).as("cb"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
-    val wc = Window.partitionBy(col("g")).orderBy(col("cb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val nstat = coarse.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
-    val pick = coarse
-      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
-      .join(nstat, Seq("g"))
-      .withColumn("r", expr("(n + 1L) div 2L"))
-      .filter(col("cum_before") < col("r") &&
-        col("r") <= col("cum_before") + col("cnt"))
-      // renamed to break lineage with `o` (both sides derive from the
-      // same scan — Spark's ambiguous-self-join check rejects df("...")
-      // disambiguation here)
-      .select(col("g").as("p_g"), col("cb").as("p_cb"),
-        col("cum_before"), col("n"), col("r"))
-    val wf = Window.partitionBy(col("g")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    o.join(broadcast(pick),
-        col("g") === col("p_g") &&
-          expr(bucketSql(bucketWidth)) === col("p_cb"))
-      .select(col("g"), col("v"), col("cum_before"), col("n"), col("r"))
-      .groupBy(col("g"), col("v"), col("cum_before"), col("n"), col("r"))
-      .agg(count(lit(1)).as("cnt2"))
-      .withColumn("cum2", coalesce(sum(col("cnt2")).over(wf), lit(0L)))
-      .filter(col("cum_before") + col("cum2") < col("r") &&
-        col("r") <= col("cum_before") + col("cum2") + col("cnt2"))
-      .select(col("g").as(groupCol), col("n"), col("v").as("median"))
-  }
+                    bucketWidth: Long = 10000L): DataFrame =
+    orderStatsByGroup(df, groupCol, valueCol,
+        Seq("(n + 1L) div 2L"), bucketWidth)
+      .select(col(groupCol), col("n"), col("value").as("median"))
 }

@@ -58,8 +58,15 @@ object DupSpanPurge {
   def purgeWithPositions(docs: DataFrame, positions: DataFrame,
                          k: Int, minSpan: Int): DataFrame = {
     require(k >= 1 && minSpan >= k)
+    // NULL text tokenizes to an EMPTY array, not NULL (r16 review
+    // finding): a null `ts` would null-propagate through
+    // remove_dup_spans and size(), so the row came back reshaped —
+    // n_before/n_after NULL (silently poisoning sum() rollups) and
+    // new_text '' where the input was NULL. Empty-array semantics
+    // give the verbatim pass-through the scaladoc promises:
+    // n_before = n_after = 0, new_text = ''
     val toks = docs.select(col("doc_id"), col("source"),
-      tokens(col("text")).as("ts"))
+      coalesce(tokens(col("text")), array().cast("array<string>")).as("ts"))
     val pos = positions.select(col("doc_id"), col("pos"), col("h"))
     // distinct (doc, h) first so the h-rollup counts DOCUMENT
     // frequency; both layers partial-aggregate map-side

@@ -53,27 +53,37 @@ object IncrementalDedup {
   def annotateAgainst(batch: DataFrame, history: DataFrame, bloom: BloomFilter,
                       textCol: String = "text"): DataFrame = {
     val probed = batch
-      .withColumn("_ch", md5(Dedup.canonicalText(col(textCol))))
       .withColumn("bloom_hit",
         bloom_might_contain(xxhash64(Dedup.canonicalText(col(textCol))), bloom))
+      // the join key is CONDITIONAL on the bloom verdict (r16 review
+      // finding — the code now matches the comment below): a
+      // bloom-negative row carries a NULL key, so when the hash side
+      // is too big to broadcast and the join sort-merges, the ~99%
+      // guaranteed-novel rows are never probed against the history —
+      // the exact cost the prefilter exists to avoid
+      .withColumn("_gf_ch",
+        when(col("bloom_hit"), md5(Dedup.canonicalText(col(textCol)))))
     val historyHashes = history
-      .select(md5(Dedup.canonicalText(col(textCol))).as("_ch")).distinct()
-      .withColumn("_seen", lit(true))
+      .select(md5(Dedup.canonicalText(col(textCol))).as("_gf_ch")).distinct()
+      .withColumn("_gf_seen", lit(true))
     // left join keyed on the 128-bit hash; only bloom-positive rows
-    // carry a non-null key, so bloom-negative rows stream through the
-    // join stage without probing (and AQE broadcasts the hash side
-    // whenever it fits)
+    // carry a non-null key (NULL never equi-matches), so bloom-negative
+    // rows stream through the join stage without probing (and AQE
+    // broadcasts the hash side whenever it fits)
     probed
       .join(historyHashes,
-        probed("bloom_hit") && probed("_ch") === historyHashes("_ch"), "left")
-      .drop(historyHashes("_ch"))
-      .withColumn("is_dup", col("_seen").isNotNull)
-      .drop("_seen")
+        probed("_gf_ch") === historyHashes("_gf_ch"), "left")
+      .drop(historyHashes("_gf_ch"))
+      .withColumn("is_dup", col("_gf_seen").isNotNull)
+      // only the two documented annotations leave this operator; the
+      // internal key/marker columns are reserved-prefixed so a batch's
+      // own columns can't be clobbered and dropped here
+      .drop("_gf_seen", "_gf_ch")
   }
 
   /** Batch rows that survive incremental dedup (novel content only). */
   def newDocs(batch: DataFrame, history: DataFrame, bloom: BloomFilter,
               textCol: String = "text"): DataFrame =
     annotateAgainst(batch, history, bloom, textCol)
-      .filter(!col("is_dup")).drop("_ch", "bloom_hit", "is_dup")
+      .filter(!col("is_dup")).drop("bloom_hit", "is_dup")
 }

@@ -47,8 +47,9 @@ object MediaDedup {
     */
   def nearDupPairs(sigs: DataFrame, maxHamming: Int = 3,
                    maxBucketDf: Long = Dedup.DefaultMaxBucketDf): DataFrame = {
-    require(maxHamming < 4,
-      s"4-block pigeonhole only guarantees recall for hamming < 4, got $maxHamming")
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-block pigeonhole only guarantees recall for hamming in [0, 3], " +
+        s"got $maxHamming (negative would silently match nothing)")
     val blocked = Dedup.capHotBuckets(blockedSigs(sigs),
       Seq("block_id", "block_val"), maxBucketDf)
     blocked.as("a")
@@ -100,8 +101,9 @@ object MediaDedup {
     // candidates exist ONLY via a shared frame hash: a zero floor
     // would read as "all pairs" but disjoint-set pairs (J = 0) can
     // never surface — refuse the contract we cannot honor
-    require(minJaccard > 0,
-      s"candidates only meet through a shared frame; minJaccard must be > 0, got $minJaccard")
+    require(minJaccard > 0 && minJaccard <= 1.0,
+      "candidates only meet through a shared frame and J can never " +
+        s"exceed 1; minJaccard must be in (0, 1], got $minJaccard")
     // maxSigDf drops frame hashes present in more than that many
     // VIDEOS from the whole computation — intersection AND union, so
     // the Jaccard stays a true set similarity over the surviving frame

@@ -92,4 +92,33 @@ class DistributedSelectionSpec extends AnyFunSuite with SparkTestSession {
       .collect()
     assert(r.length == 1 && r(0).getLong(2) == 2L)
   }
+
+  test("NULLs are excluded like SQL aggregates; sentinel Long.MinValue buckets without ANSI overflow") {
+    // r16 review findings: NULLs used to form a nulls-first bucket
+    // that inflated n and could silently ERASE the group (NULL ===
+    // NULL join mismatch); v - pmod(v, w) underflowed on the MinValue
+    // sentinel and ANSI arithmetic killed the query
+    val df = Seq(("a", Some(1L)), ("a", None), ("a", None), ("a", None),
+        ("b", Some(Long.MinValue)), ("b", Some(5L)), ("b", Some(7L)))
+      .toDF("g", "v")
+    val byG = DistributedSelection.medianByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byG("a") == (1L, 1L), "n counts NON-NULL rows; the group survives")
+    assert(byG("b") == (3L, 5L), "MinValue buckets cleanly and orders first")
+    val kept = DistributedSelection.topFracByGroup(
+        df.filter($"v".isNotNull), "g", "v", 0.5)
+      .select($"g", $"v").as[(String, Long)].collect().toSet
+    assert(kept.contains(("b", 7L)) && !kept.contains(("b", Long.MinValue)))
+  }
+
+  test("a rank expression outside [1, n] fails loudly instead of silently vanishing") {
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      DistributedSelection.orderStatsByGroup(df, "g", "v", Seq("0L")).collect()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("out of [1, n]"), msgs(e))
+  }
 }
