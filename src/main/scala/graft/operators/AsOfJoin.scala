@@ -64,9 +64,16 @@ object AsOfJoin {
           right.select(rightValueCols.map(col): _*).schema.fields)))
     // null-timestamp right rows would sort first (asc puts NULLs first)
     // and become everyone's "earliest" match — merge_asof / DuckDB ASOF
-    // ignore them, so drop them before tagging
+    // ignore them, so drop them before tagging. NULL-KEY right rows
+    // drop too (r16 review finding): Window.partitionBy groups NULL
+    // keys into one partition (GROUP BY semantics), so a null-key
+    // right row would match null-key left rows — DuckDB ASOF /
+    // merge_asof never match on NULL keys. Null-key LEFT rows still
+    // flow through and emit with a NULL payload (their partition holds
+    // no right rows), the left-join contract.
     val rTagged = right
       .filter(col(rightTs).isNotNull)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .select((keys.map(col) :+
         struct(rightValueCols.map(col): _*).as("_rpay")): _*)
       .withColumn("_ts", col("_rpay").getField(rightTs))
@@ -95,8 +102,19 @@ object AsOfJoin {
 
     val withTol = tolerance match {
       case Some(tol) =>
-        val dist = abs(col("_ts").cast("long") -
-          col("_match").getField(rightTs).cast("long"))
+        // unit-preserving distance (r16 review finding): casting a
+        // TimestampType to long FLOORS to whole seconds, misjudging
+        // sub-second distances in both directions — timestamps
+        // measure in microseconds (Spark's own unit; document
+        // tolerance accordingly), everything else in its native units
+        def asLong(c: Column, dt: org.apache.spark.sql.types.DataType) =
+          dt match {
+            case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+            case _ => c.cast("long")
+          }
+        val tsType = left.schema(leftTs).dataType
+        val dist = abs(asLong(col("_ts"), tsType) -
+          asLong(col("_match").getField(rightTs), tsType))
         matched.withColumn("_match",
           when(col("_match").isNotNull && dist <= tol, col("_match")))
       case None => matched
@@ -123,10 +141,19 @@ object SkewJoin {
   def saltedInner(left: DataFrame, right: DataFrame, keys: Seq[String],
                   saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 0)
-    // deterministic salt from the left row's full content: spreads a hot
-    // key's rows over saltFactor partitions
+    // the internal column would silently overwrite a user's _salt
+    // (withColumn replaces) and then drop it — refuse loudly, the
+    // AsOfJoin reserved-name rule (r16 review finding)
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "column name reserved by SkewJoin: _salt — rename first")
+    // salt by physical row identity, not a content hash (r16): exact
+    // duplicate rows of the hot key all hashed to ONE salt (the skew
+    // survived salting), and xxhash64 rejects unhashable column types
+    // (MapType) the plain join accepts. Placement-only: any salt in
+    // [0, saltFactor) joins the replicated right side identically, so
+    // the OUTPUT is deterministic even though the salt is not
     val leftSalted = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val rightExploded = right.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit(_)): _*)))
     leftSalted.join(rightExploded, keys :+ "_salt").drop("_salt")

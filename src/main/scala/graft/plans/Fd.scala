@@ -49,11 +49,19 @@ object Fd {
       s"declared columns not in the frame: ${missing.mkString(", ")}")
     val token = java.util.UUID.randomUUID().toString
     val tagged = cols.toSet
+    // seed each builder with the column's EXISTING metadata (r16
+    // review finding): a fresh builder silently erased prior metadata
+    // — including an earlier declaration where this column plays the
+    // OTHER role (anchor vs dependent), killing that pushdown. One
+    // token per ROLE still holds (a column dependent on two anchors
+    // keeps only the later TokenKey — declare the tighter anchor
+    // last); cross-role and foreign metadata now survive.
+    def seeded(c: String) = new MetadataBuilder().withMetadata(df.schema(c).metadata)
     df.select(df.columns.map { c =>
       if (c == anchor)
-        col(c).as(c, new MetadataBuilder().putString(AnchorTokenKey, token).build())
+        col(c).as(c, seeded(c).putString(AnchorTokenKey, token).build())
       else if (tagged.contains(c))
-        col(c).as(c, new MetadataBuilder()
+        col(c).as(c, seeded(c)
           .putString(ConstantPerKey, anchor).putString(TokenKey, token).build())
       else col(c)
     }.toSeq: _*)

@@ -29,7 +29,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Registered through SparkSessionExtensions ([[GraftExtensions]]) or
   * `spark.experimental.extraOptimizations`.
   */
-object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
+object UserConstantPredicatePushdown extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private def partitionKeyAttrs(w: Window): Seq[Attribute] =
     w.partitionSpec.collect { case a: Attribute => a }
@@ -58,8 +59,12 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
       // made the declaration (its output attrs carry the LEFT child's
       // metadata), so the FD claim need not hold for the merged
       // partition contents — refuse; declare on the union result
-      // instead if the dependency genuinely holds there
-      !w.child.exists(_.isInstanceOf[Union])
+      // instead if the dependency genuinely holds there. Expand
+      // (cube/rollup/grouping sets) is the same row-merge class (r16
+      // review finding): grouping-set rows NULL the anchor column
+      // while keeping dependent values, so the null-anchor partition
+      // is not dependent-constant
+      !w.child.exists(p => p.isInstanceOf[Union] || p.isInstanceOf[Expand])
   }
 
   /** Is this predicate carried by FD-tagged (or matching-anchor)
@@ -76,7 +81,15 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, w: Window) =>
-      val (push, keep) = splitConjunctivePredicates(cond).partition(pushable(_, w))
+      // only the DETERMINISTIC PREFIX of the conjunction may move
+      // (Catalyst's span discipline, r16 review finding): pushing a
+      // deterministic conjunct past a nondeterministic one (seeded
+      // rand()) changes which row sequence the nondeterministic
+      // predicate consumes, changing the sampled row set
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (detPrefix, ndTail) = conjuncts.span(_.deterministic)
+      val (push, keepDet) = detPrefix.partition(pushable(_, w))
+      val keep = keepDet ++ ndTail
       if (push.isEmpty) f
       else {
         val pushed = w.copy(child = Filter(push.reduce(And), w.child))
@@ -94,7 +107,11 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
       def substitute(e: Expression): Expression = e.transformUp {
         case a: Attribute => aliasMap.getOrElse(a.exprId, a)
       }
-      val (push0, keep) = splitConjunctivePredicates(cond).partition(fdCarried)
+      // same deterministic-prefix discipline as the Window case
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (detPrefix, ndTail) = conjuncts.span(_.deterministic)
+      val (push0, keepDet) = detPrefix.partition(fdCarried)
+      val keep = keepDet ++ ndTail
       val push = push0.map(substitute).filter(e =>
         fdCarried(e) && e.references.subsetOf(p.child.outputSet))
       if (push.isEmpty || push.size != push0.size) f
@@ -104,11 +121,6 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan] {
       }
   }
 
-  private def splitConjunctivePredicates(condition: Expression): Seq[Expression] =
-    condition match {
-      case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-      case other => other :: Nil
-    }
 }
 
 /** Session extension registering the graft optimizer rules and the

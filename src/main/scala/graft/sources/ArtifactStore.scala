@@ -55,6 +55,12 @@ object ArtifactStore {
     */
   def parquet(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
+    // evict artifacts of STOPPED sessions (r16 review finding): the
+    // static maps would otherwise pin every stopped session, its
+    // cached DataFrames, and their plans for the JVM lifetime — a
+    // monotone leak in any long-lived JVM that cycles sessions
+    done.keySet.removeIf(_._1.sparkContext.isStopped)
+    locks.keySet.removeIf(_._1.sparkContext.isStopped)
     val k = (spark, dir, name)
     val hit = done.get(k)
     if (hit != null) return hit

@@ -68,6 +68,20 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(res.toSeq == Seq(1.0, null))
   }
 
+  test("NULL join keys never match (the DuckDB ASOF / merge_asof rule)") {
+    // Window.partitionBy groups NULL keys together — without the
+    // null-key right filter a null-key left row picked up a null-key
+    // right row (r16 review finding)
+    val left = Seq((Option.empty[Long], 5L, "l1"), (Option(1L), 5L, "l2"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((Option.empty[Long], 3L, "r0"), (Option(1L), 3L, "r1"))
+      .toDF("k", "rts", "rv")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+    assert(got("l1").isEmpty, "a NULL-key left row must emit with no match")
+    assert(got("l2").contains("r1"), "real keys still match")
+  }
+
   test("salted inner join equals plain inner join") {
     val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"v$i"))
       .toDF("k", "lv")   // heavy skew on k=1

@@ -123,6 +123,72 @@ class PushdownSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("a deterministic conjunct behind a nondeterministic one stays put (span discipline)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    withRule {
+      val declared = Fd.declareConstantPer(
+        Seq((1L, "F", 1.0), (1L, "F", 2.0), (2L, "M", 3.0))
+          .toDF("UID", "Gender", "v"),
+        "UID", Seq("Gender"))
+      // non-foldable rand predicate (an always-true rand < 2.0 gets
+      // simplified away before this rule ever runs)
+      val filtered = declared
+        .withColumn("cnt", count(lit(1)).over(WSpec.partitionBy($"UID")))
+        .filter(rand(42) < 0.99 && $"Gender" === "F")
+      // the rule must not move Gender='F' past the seeded rand() —
+      // Catalyst's span rule: only the deterministic PREFIX may move
+      // (rand consumes a different row sequence otherwise, r16)
+      val lines = filtered.queryExecution.optimizedPlan.toString
+        .linesIterator.toSeq
+      val winAt = lines.indexWhere(_.contains("Window"))
+      // the inferred isnotnull(Gender) legitimately precedes rand in
+      // the conjunction (deterministic prefix) — only the EQUALITY
+      // must stay above the window
+      assert(winAt >= 0 && !lines.drop(winAt + 1).exists(l =>
+          l.contains("Filter") && l.contains("= F")),
+        s"Gender = F crossed the window past a nondeterministic conjunct:\n${lines.mkString("\n")}")
+      // and the deterministic-prefix case still pushes: Gender FIRST
+      val pushedPlan = declared
+        .withColumn("cnt", count(lit(1)).over(WSpec.partitionBy($"UID")))
+        .filter($"Gender" === "F" && rand(42) < 0.99)
+        .queryExecution.optimizedPlan.toString.linesIterator.toSeq
+      val winAt2 = pushedPlan.indexWhere(_.contains("Window"))
+      assert(winAt2 >= 0 && pushedPlan.drop(winAt2 + 1).exists(l =>
+          l.contains("Filter") && l.contains("= F")),
+        s"the deterministic PREFIX must still push:\n${pushedPlan.mkString("\n")}")
+    }
+  }
+
+  test("a cube/rollup (Expand) below the window blocks the push (null-anchor rows merge)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    withRule {
+      val declared = Fd.declareConstantPer(
+        Seq((1L, "F", 1.0), (2L, "M", 2.0)).toDF("UID", "Gender", "v"),
+        "UID", Seq("Gender"))
+      // cube's grouping-set rows NULL the UID anchor while keeping
+      // Gender values — the NULL-UID partition holds mixed genders,
+      // so the declared FD does not hold below the window (r16)
+      val cubed = declared.cube($"UID", $"Gender")
+        .agg(sum($"v").as("sv"))
+        .withColumn("cnt", count(lit(1)).over(WSpec.partitionBy($"UID")))
+        .filter($"Gender" === "F")
+      val expected = cubed.collect().toSet // rule on — compare against off
+      val lines = cubed.queryExecution.optimizedPlan.toString
+        .linesIterator.toSeq
+      val winAt = lines.indexWhere(_.contains("Window"))
+      assert(winAt >= 0 && !lines.drop(winAt + 1).exists(l =>
+          l.contains("Filter") && l.contains("Gender")),
+        s"Gender crossed the window despite the Expand:\n${lines.mkString("\n")}")
+      spark.experimental.extraOptimizations = Nil
+      assert(cubed.collect().toSet == expected,
+        "rule on/off must agree on the cube plan")
+    }
+  }
+
   test("undeclared column with a UID window is NOT pushed (FD is per-plan, not by name)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
