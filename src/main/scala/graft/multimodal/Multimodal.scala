@@ -149,12 +149,15 @@ object Multimodal {
     * Pure column math — the decoder receives the indices and extracts
     * only those frames.
     */
-  def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame =
+  def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride " +
+      "(sequence() would fail opaquely at execution)")
     features.toDF()
       .filter(col("modality") === "video")
       .select(col("media_id"), col("n_frames"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("sample_frames"))
       .withColumn("n_sampled", size(col("sample_frames")))
+  }
 
   /** Resize spec stage: target box per media row (pure metadata op; a
     * real resize happens inside the codec using this spec).

@@ -202,8 +202,12 @@ object MediaHash {
     val cnt = new Array[Long](65)
     var blk = 0
     while (blk < 65) {
-      val s0 = blk * n / 65
-      val s1 = math.min(math.max((blk + 1) * n / 65, s0 + 1), n)
+      // widen BEFORE multiplying (r16 review finding): blk * n wraps
+      // Int for data chunks >= 32 MiB — negative indices, AIOOBE (or
+      // a silently wrong fingerprint); decodeWav's block math was
+      // already overflow-safe, this copy was not
+      val s0 = (blk.toLong * n / 65).toInt
+      val s1 = math.min(math.max(((blk + 1).toLong * n / 65).toInt, s0 + 1), n)
       var acc = 0L
       var i = s0
       while (i < s1) {

@@ -31,7 +31,10 @@ object BpeLearn {
 
   /** " j o i n " — leading/trailing-spaced symbol string of a word. */
   def spaced(word: Column): Column =
-    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+    // (?s): a bare "." skips line terminators, gluing \n to the next
+    // symbol and silently corrupting the char-level init for any
+    // caller that feeds non-whitespace-split text (r16)
+    concat(lit(" "), regexp_replace(word, "(?s)(.)", "$1 "))
 
   /** ENCODE: apply an ordered merge list to a spaced-symbol column —
     * the tokenizer-application half ([[learn]] is the training half).

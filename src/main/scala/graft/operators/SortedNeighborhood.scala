@@ -31,6 +31,9 @@ object SortedNeighborhood {
     * Expression/window form avoids the single-task sort.
     */
   def globalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String = "rnk"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"column '$rankCol' already exists — pass a different rankCol " +
+        "(a duplicate name makes every downstream reference ambiguous)")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val outSchema = sorted.schema.add(rankCol, LongType, nullable = false)
@@ -47,10 +50,20 @@ object SortedNeighborhood {
     * columns suffixed `_a`/`_b`; callers verify + filter. The probe-key
     * explode keeps this a pure equi-join: no range join, no all-pairs.
     */
+  /** Same-block CONTIGUITY is guaranteed by the operator itself (r16
+    * review finding): the window runs over the GLOBAL rank and is then
+    * filtered by block equality, so if same-block rows were not
+    * contiguous in the total order, a row's `window` predecessors
+    * could contain zero same-block rows and true near-dup pairs would
+    * silently never emit. Instead of trusting callers to lead their
+    * sort with the block columns, the rank ALWAYS sorts by
+    * (blockCols, sortCols) — idempotent for callers that already led
+    * with them, and `sortCols` is simply the within-block order.
+    */
   def candidatePairs(df: DataFrame, blockCols: Seq[String], sortCols: Seq[Column],
                      window: Int): DataFrame = {
     require(window > 0)
-    val ranked = globalRank(df, sortCols, "rnk")
+    val ranked = globalRank(df, blockCols.map(col) ++ sortCols, "rnk")
     val payload = ranked.columns.filterNot(c => blockCols.contains(c) || c == "rnk").toSeq
     val aSide = ranked.select(blockCols.map(col) ++ (col("rnk") +: payload.map(c => col(c).as(s"${c}_a"))): _*)
     val bSide = ranked.select(blockCols.map(col) ++

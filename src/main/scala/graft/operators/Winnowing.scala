@@ -47,8 +47,12 @@ object Winnowing {
     */
   def contamination(all: DataFrame, isBenchmark: Column, k: Int, w: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // a NULL flag (e.g. isBenchmark = source === "x" over a NULL
+    // source) must screen the row as CORPUS, not silently exempt it
+    // from decontamination (!NULL is NULL and drops the row, r16)
     val prints = selectedPrints(
-      all.withColumn("_wn_bench", isBenchmark), k, w, idCol, textCol,
+      all.withColumn("_wn_bench", coalesce(isBenchmark, lit(false))),
+      k, w, idCol, textCol,
       payload = Seq("_wn_bench"))
     val inBench = max(when(col("_wn_bench"), lit(1)).otherwise(lit(0)))
       .over(Window.partitionBy(col("print")))
