@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 220+ unique codegen'd queries in one session outgrow the default
+  // 240 MB code cache; once it fills the JIT stops compiling and the
+  // battery's late half runs interpreted/deopt — the r14-r16
+  // session-aging mechanism. Raised for the bench battery (Bench's
+  // split children inherit it via the parent's input args) and tests.
+  "-XX:ReservedCodeCacheSize=512m",
 )

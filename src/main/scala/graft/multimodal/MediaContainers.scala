@@ -148,45 +148,27 @@ object MediaContainers {
       case _ => payload
     }
 
-  // ---- decode (header + sample parse) ----
+  // ---- decode (layout via the shared [[MediaLayout]] core; pixel /
+  // sample math stays here) ----
 
-  private def rdLe16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-  private def rdLe32(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-
-  def isBmp(b: Array[Byte]): Boolean =
-    b.length >= 54 && b(0) == 'B' && b(1) == 'M'
-  def isWav(b: Array[Byte]): Boolean =
-    b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
-  def isAvi(b: Array[Byte]): Boolean =
-    b.length >= AviHeaderBytes && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+  def isBmp(b: Array[Byte]): Boolean = MediaLayout.isBmp(b)
+  def isWav(b: Array[Byte]): Boolean = MediaLayout.isWav(b)
+  def isAvi(b: Array[Byte]): Boolean = MediaLayout.isAvi(b)
 
   /** (width, height, 16-dim features from actual pixels) for a 24bpp
     * uncompressed BMP; None if the header declares anything else.
     * Features: mean B/G/R, luma variance, and a 12-bin luma histogram.
     */
   def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
-    val dataOffset = rdLe32(b, 10)
-    val w = rdLe32(b, 18); val h = rdLe32(b, 22)
-    val bpp = rdLe16(b, 28); val compression = rdLe32(b, 30)
-    // bound every header field: negative offsets and int-overflowing
-    // row sizes from garbage bytes must yield a clean None (stub
-    // fallback), never a negative array index
-    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
-      w > (1 << 20) || h > (1 << 20) || dataOffset < 54) return None
-    val rowSize = (w * 3 + 3) & ~3
-    if (dataOffset.toLong + rowSize.toLong * h > b.length) return None
+    val lay = MediaLayout.bmp(b).getOrElse(return None)
+    val w = lay.w; val h = lay.h
     var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
     var sumL = 0.0; var sumL2 = 0.0
     val hist = new Array[Int](12)
     var y = 0
     while (y < h) {
       // bottom-up storage: row y of the image is the (h-1-y)-th stored row
-      val rowOff = dataOffset + (h - 1 - y) * rowSize
+      val rowOff = lay.dataOffset + (h - 1 - y) * lay.rowSize
       var x = 0
       while (x < w) {
         val o = rowOff + x * 3
@@ -217,39 +199,9 @@ object MediaContainers {
     * Features: mean, RMS, zero-crossing rate, 13 block RMS values.
     */
   def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-    // long cursor + non-negative-size guard: a hostile/garbage size
-    // field must neither stall the walk (negative sz) nor overflow the
-    // offset (sz near Int.MaxValue) — parsers fed arbitrary corpus
-    // bytes fail CLEAN, they never hang a task
-    var off = 12L
-    var fmtOk = false; var sampleRate = 0; var channels = 0
-    var dataOff = -1; var dataLen = 0
-    var bad = false
-    while (!bad && off + 8 <= b.length) {
-      val io = off.toInt
-      val id = new String(b, io, 4, "US-ASCII")
-      val sz = rdLe32(b, io + 4)
-      if (sz < 0) bad = true
-      else {
-        // the fmt fields must lie INSIDE the chunk's declared size: a
-        // garbage fmt chunk with sz < 16 would otherwise parse the
-        // NEXT chunk's bytes as format fields and return Some(...)
-        // built from misaligned reads instead of failing clean
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
-          val audioFormat = rdLe16(b, io + 8)
-          channels = rdLe16(b, io + 10)
-          sampleRate = rdLe32(b, io + 12)
-          val bits = rdLe16(b, io + 22)
-          fmtOk = audioFormat == 1 && bits == 8 && channels == 1
-        } else if (id == "data") {
-          dataOff = io + 8; dataLen = math.min(sz, b.length - dataOff)
-        }
-        off += 8L + sz + (sz & 1)         // chunks are word-aligned
-      }
-    }
-    if (bad) return None
-    if (!fmtOk || dataOff < 0) return None
-    val n = dataLen
+    val lay = MediaLayout.wav(b).getOrElse(return None)
+    val dataOff = lay.dataOff
+    val n = lay.dataLen
     var sum = 0.0; var sum2 = 0.0; var zc = 0
     var prev = 0.0
     var i = 0
@@ -277,7 +229,7 @@ object MediaContainers {
         bi += 1
       }
     }
-    Some((sampleRate, channels, n, feat))
+    Some((lay.sampleRate, lay.channels, n, feat))
   }
 
   /** (width, height, nFrames, 16-dim features from actual frame pixels)
@@ -289,81 +241,33 @@ object MediaContainers {
     * luma histogram — accumulated across every pixel of every frame.
     */
   def decodeAvi(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-    var w = -1; var h = -1
-    var moviOff = -1L; var moviEnd = -1L
-    var off = 12L
-    var bad = false
-    while (!bad && off + 8 <= b.length) {
-      val io = off.toInt
-      val id = new String(b, io, 4, "US-ASCII")
-      val sz = rdLe32(b, io + 4)
-      if (sz < 0 || off + 8 + sz > b.length) bad = true
-      else {
-        if (id == "LIST" && sz >= 4) {
-          val listType = new String(b, io + 8, 4, "US-ASCII")
-          if (listType == "hdrl") {
-            // scan the list body for the avih chunk
-            var o2 = off + 12
-            val end2 = off + 8 + sz
-            while (!bad && o2 + 8 <= end2) {
-              val i2 = o2.toInt
-              val cid = new String(b, i2, 4, "US-ASCII")
-              val csz = rdLe32(b, i2 + 4)
-              if (csz < 0 || o2 + 8 + csz > end2) bad = true
-              else {
-                if (cid == "avih" && csz >= 40) {
-                  w = rdLe32(b, i2 + 8 + 32); h = rdLe32(b, i2 + 8 + 36)
-                }
-                // LISTs (strl) are skipped whole — dims come from avih
-                o2 += 8L + csz + (csz & 1)
-              }
-            }
-          } else if (listType == "movi") {
-            moviOff = off + 12; moviEnd = off + 8 + sz
-          }
-        }
-        off += 8L + sz + (sz & 1)
-      }
-    }
-    if (bad || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || moviOff < 0)
-      return None
-    val rowSize = (w * 3 + 3) & ~3
-    val frameBytes = rowSize.toLong * h
-    if (frameBytes > Int.MaxValue) return None
+    val lay = MediaLayout.avi(b).getOrElse(return None)
+    val w = lay.w; val h = lay.h
     var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
     var sumL = 0.0; var sumL2 = 0.0
     val hist = new Array[Int](12)
-    var nFrames = 0
-    var fo = moviOff
-    while (!bad && fo + 8 <= moviEnd) {
-      val io = fo.toInt
-      val cid = new String(b, io, 4, "US-ASCII")
-      val csz = rdLe32(b, io + 4)
-      if (csz < 0 || fo + 8 + csz > moviEnd) bad = true
-      else {
-        if ((cid == "00db" || cid == "00dc") && csz == frameBytes) {
-          nFrames += 1
-          val base = io + 8
-          var y = 0
-          while (y < h) {
-            val rowOff = base + y * rowSize
-            var x = 0
-            while (x < w) {
-              val o = rowOff + x * 3
-              val bl = b(o) & 0xFF; val g = b(o + 1) & 0xFF; val r = b(o + 2) & 0xFF
-              sumB += bl; sumG += g; sumR += r
-              val luma = 0.299 * r + 0.587 * g + 0.114 * bl
-              sumL += luma; sumL2 += luma * luma
-              hist(math.min(11, (luma / 256.0 * 12).toInt)) += 1
-              x += 1
-            }
-            y += 1
-          }
+    val nFrames = lay.frameOffsets.length
+    var fi = 0
+    while (fi < nFrames) {
+      val base = lay.frameOffsets(fi)
+      var y = 0
+      while (y < h) {
+        val rowOff = base + y * lay.rowSize
+        var x = 0
+        while (x < w) {
+          val o = rowOff + x * 3
+          val bl = b(o) & 0xFF; val g = b(o + 1) & 0xFF; val r = b(o + 2) & 0xFF
+          sumB += bl; sumG += g; sumR += r
+          val luma = 0.299 * r + 0.587 * g + 0.114 * bl
+          sumL += luma; sumL2 += luma * luma
+          hist(math.min(11, (luma / 256.0 * 12).toInt)) += 1
+          x += 1
         }
-        fo += 8L + csz + (csz & 1)
+        y += 1
       }
+      fi += 1
     }
-    if (bad || nFrames == 0) return None
+    if (nFrames == 0) return None
     val n = w.toLong * h * nFrames
     val meanL = sumL / n
     val feat = new Array[Float](16)

@@ -87,125 +87,44 @@ object MediaHash {
     hash
   }
 
-  /** 64-bit dHash of a 24bpp uncompressed BMP; null otherwise. */
-  def dhashBmp(b: Array[Byte]): java.lang.Long = {
-    if (!MediaContainers.isBmp(b)) return null
-    def rdLe16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-    def rdLe32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-    val dataOffset = rdLe32(10)
-    val w = rdLe32(18); val h = rdLe32(22)
-    val bpp = rdLe16(28); val compression = rdLe32(30)
-    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
-      w > (1 << 20) || h > (1 << 20) || dataOffset < 54) return null
-    val rowSize = (w * 3 + 3) & ~3
-    if (dataOffset.toLong + rowSize.toLong * h > b.length) return null
-    dhashPixels(b, dataOffset, w, h, rowSize)
-  }
+  /** 64-bit dHash of a 24bpp uncompressed BMP; null otherwise. Layout
+    * via the shared [[MediaLayout.bmp]] (one spelling — r16 verdict:
+    * the duplicated parse here is where the WAV overflow fix drifted).
+    */
+  def dhashBmp(b: Array[Byte]): java.lang.Long =
+    MediaLayout.bmp(b) match {
+      case Some(l) => dhashPixels(b, l.dataOffset, l.w, l.h, l.rowSize)
+      case None => null
+    }
 
   /** Per-frame 64-bit dHashes of an uncompressed-DIB AVI, in frame
-    * order; null for any other container flavor or zero frames. Chunk
-    * walk mirrors [[MediaContainers.decodeAvi]]'s hostile-bytes guards.
+    * order; null for any other container flavor or zero frames.
+    * Layout via the shared [[MediaLayout.avi]].
     */
-  def dhashAviFrames(b: Array[Byte]): Array[Long] = {
-    if (!MediaContainers.isAvi(b)) return null
-    def rdLe32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-    var w = -1; var h = -1
-    var moviOff = -1L; var moviEnd = -1L
-    var off = 12L
-    var bad = false
-    while (!bad && off + 8 <= b.length) {
-      val io = off.toInt
-      val id = new String(b, io, 4, "US-ASCII")
-      val sz = rdLe32(io + 4)
-      if (sz < 0 || off + 8 + sz > b.length) bad = true
-      else {
-        if (id == "LIST" && sz >= 4) {
-          val listType = new String(b, io + 8, 4, "US-ASCII")
-          if (listType == "hdrl") {
-            var o2 = off + 12
-            val end2 = off + 8 + sz
-            while (!bad && o2 + 8 <= end2) {
-              val i2 = o2.toInt
-              val cid = new String(b, i2, 4, "US-ASCII")
-              val csz = rdLe32(i2 + 4)
-              if (csz < 0 || o2 + 8 + csz > end2) bad = true
-              else {
-                if (cid == "avih" && csz >= 40) {
-                  w = rdLe32(i2 + 8 + 32); h = rdLe32(i2 + 8 + 36)
-                }
-                o2 += 8L + csz + (csz & 1)
-              }
-            }
-          } else if (listType == "movi") {
-            moviOff = off + 12; moviEnd = off + 8 + sz
-          }
-        }
-        off += 8L + sz + (sz & 1)
-      }
+  def dhashAviFrames(b: Array[Byte]): Array[Long] =
+    MediaLayout.avi(b) match {
+      case Some(l) if l.frameOffsets.nonEmpty =>
+        l.frameOffsets.map(base => dhashPixels(b, base, l.w, l.h, l.rowSize))
+      case _ => null
     }
-    if (bad || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
-      moviOff < 0) return null
-    val rowSize = (w * 3 + 3) & ~3
-    val frameBytes = rowSize.toLong * h
-    if (frameBytes > Int.MaxValue) return null
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var fo = moviOff
-    while (!bad && fo + 8 <= moviEnd) {
-      val io = fo.toInt
-      val cid = new String(b, io, 4, "US-ASCII")
-      val csz = rdLe32(io + 4)
-      if (csz < 0 || fo + 8 + csz > moviEnd) bad = true
-      else {
-        if ((cid == "00db" || cid == "00dc") && csz == frameBytes)
-          out += dhashPixels(b, io + 8, w, h, rowSize)
-        fo += 8L + csz + (csz & 1)
-      }
-    }
-    if (bad || out.isEmpty) null else out.toArray
-  }
 
   /** 64-bit energy-gradient fingerprint of a PCM u8 mono WAV; null for
-    * any other encoding or empty sample data. Chunk walk mirrors
-    * [[MediaContainers.decodeWav]]'s hostile-bytes guards.
+    * any other encoding or empty sample data. Layout via the shared
+    * [[MediaLayout.wav]].
     */
   def fingerprintWav(b: Array[Byte]): java.lang.Long = {
-    if (!MediaContainers.isWav(b)) return null
-    def rdLe16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-    def rdLe32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-    var off = 12L
-    var fmtOk = false
-    var dataOff = -1; var dataLen = 0
-    var bad = false
-    while (!bad && off + 8 <= b.length) {
-      val io = off.toInt
-      val id = new String(b, io, 4, "US-ASCII")
-      val sz = rdLe32(io + 4)
-      if (sz < 0) bad = true
-      else {
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
-          val audioFormat = rdLe16(io + 8)
-          val channels = rdLe16(io + 10)
-          val bits = rdLe16(io + 22)
-          fmtOk = audioFormat == 1 && bits == 8 && channels == 1
-        } else if (id == "data") {
-          dataOff = io + 8; dataLen = math.min(sz, b.length - dataOff)
-        }
-        off += 8L + sz + (sz & 1)
-      }
+    val lay = MediaLayout.wav(b) match {
+      case Some(l) if l.dataLen > 0 => l
+      case _ => return null
     }
-    if (bad || !fmtOk || dataOff < 0 || dataLen <= 0) return null
-    val n = dataLen
+    val dataOff = lay.dataOff
+    val n = lay.dataLen
     val e = new Array[Long](65)
     val cnt = new Array[Long](65)
     var blk = 0
     while (blk < 65) {
-      // widen BEFORE multiplying (r16 review finding): blk * n wraps
-      // Int for data chunks >= 32 MiB — negative indices, AIOOBE (or
-      // a silently wrong fingerprint); decodeWav's block math was
-      // already overflow-safe, this copy was not
+      // widen BEFORE multiplying (r16 review finding, now pinned by
+      // MediaLayoutSpec): blk * n wraps Int for data chunks >= 32 MiB
       val s0 = (blk.toLong * n / 65).toInt
       val s1 = math.min(math.max(((blk + 1).toLong * n / 65).toInt, s0 + 1), n)
       var acc = 0L

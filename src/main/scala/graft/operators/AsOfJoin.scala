@@ -50,6 +50,16 @@ object AsOfJoin {
       left.columns.filter(_.startsWith("_l_"))
     require(clash.isEmpty,
       s"column names reserved by AsOfJoin: ${clash.mkString(", ")} — rename first")
+    // the tolerance distance derives its long conversion from the LEFT
+    // ts type and applies it to both sides (r16 ADVICE): if the sides
+    // differed but union-coerced (DateType left + TimestampType right
+    // → timestamp), both legs would fall to cast("long") SECONDS and
+    // the documented microsecond unit would silently be wrong — refuse
+    // mixed ts types loudly instead of guessing a unit
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"asof timestamp types must match: left $leftTs is " +
+        s"${left.schema(leftTs).dataType} but right $rightTs is " +
+        s"${right.schema(rightTs).dataType} — cast one side first")
 
     // right rows must win ties: for backward they sort BEFORE an equal-ts
     // left row (so last() sees them); for forward AFTER (so first() does)

@@ -179,13 +179,6 @@ object Dedup {
                  rowsPerBand: Int = 4, jaccardThreshold: Double = 0.8,
                  idCol: String = "doc_id", textCol: String = "text",
                  maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
-    // integer division would silently DISCARD the trailing hashes (64
-    // hashes at 6 per band = 10 bands covering 60 — a different LSH
-    // S-curve than the parameters claim); misconfiguration fails loudly
-    require(numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
-        s"($rowsPerBand) — trailing hashes would be silently dropped")
-    val numBands = numHashes / rowsPerBand
     // One pass over hashed shingles feeds BOTH the signatures and the
     // verification joins ([[graft.functions.ShingleHashes]] rolls
     // k-token shingle hashes without materializing shingle strings).
@@ -197,21 +190,10 @@ object Dedup {
     // defeat plain exchange reuse). Jaccard over hash sets equals
     // string Jaccard up to 2^-64 collisions. At production scale the
     // sets/signatures are written to a table instead.
-    val sets = docs.select(col(idCol).as("id"),
-      graft.functions.ShingleFunctions.shingle_hashes(
-        TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
+    val sets = shingleSets(docs, shingleK, idCol, textCol)
       .repartition(col("id"))
-    val withSig = sets.select(col("id"),
-      graft.functions.MinHashFunctions.minhash_signature(col("sh"), numHashes).as("sig"))
-
     val banded = capHotBuckets(
-      withSig.select(col("id"), explode(
-        array((0 until numBands).map(b =>
-          struct(lit(b).as("band_id"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
-              .as("band_hash"))): _*))
-        .as("band"))
-        .select(col("id"), col("band.band_id"), col("band.band_hash")),
+      bandedSignatures(sets, numHashes, rowsPerBand),
       Seq("band_id", "band_hash"), maxBucketDf)
 
     val candidates = banded.as("a")
@@ -318,23 +300,45 @@ object Dedup {
   def minhashDroppedBands(docs: DataFrame, shingleK: Int = 3,
                           numHashes: Int = 64, rowsPerBand: Int = 4,
                           idCol: String = "doc_id", textCol: String = "text",
-                          maxBucketDf: Long = DefaultMaxBucketDf): DataFrame = {
-    require(numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
-    val numBands = numHashes / rowsPerBand
-    val withSig = docs.select(col(idCol).as("id"),
-      graft.functions.MinHashFunctions.minhash_signature(
-        graft.functions.ShingleFunctions.shingle_hashes(
-          TextFunctions.tokens(col(textCol)), shingleK), numHashes).as("sig"))
+                          maxBucketDf: Long = DefaultMaxBucketDf): DataFrame =
     hotBuckets(
-      withSig.select(col("id"), explode(
+      bandedSignatures(shingleSets(docs, shingleK, idCol, textCol),
+        numHashes, rowsPerBand),
+      Seq("band_id", "band_hash"), maxBucketDf)
+
+  /** tokens→shingle-hashes projection — one spelling shared by
+    * [[minhashLsh]] and [[minhashDroppedBands]].
+    */
+  private def shingleSets(docs: DataFrame, shingleK: Int,
+                          idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.ShingleFunctions.shingle_hashes(
+        TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
+
+  /** The (id, band_id, band_hash) banding of the minhash signatures —
+    * ONE spelling shared by [[minhashLsh]] and [[minhashDroppedBands]]
+    * (the [[blockedSketches]] convention, r16 ADVICE): the cap and its
+    * drop report can never disagree on what a band bucket is. The
+    * divisibility guard lives here so both callers fail loudly the
+    * same way: integer division would silently DISCARD the trailing
+    * hashes (64 hashes at 6 per band = 10 bands covering 60 — a
+    * different LSH S-curve than the parameters claim).
+    */
+  private def bandedSignatures(sets: DataFrame, numHashes: Int,
+                               rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — trailing hashes would be silently dropped")
+    val numBands = numHashes / rowsPerBand
+    sets.select(col("id"),
+      graft.functions.MinHashFunctions.minhash_signature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), explode(
         array((0 until numBands).map(b =>
           struct(lit(b).as("band_id"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))
               .as("band_hash"))): _*))
         .as("band"))
-        .select(col("id"), col("band.band_id"), col("band.band_hash")),
-      Seq("band_id", "band_hash"), maxBucketDf)
+      .select(col("id"), col("band.band_id"), col("band.band_hash"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking

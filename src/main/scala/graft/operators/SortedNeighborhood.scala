@@ -60,15 +60,42 @@ object SortedNeighborhood {
     * (blockCols, sortCols) — idempotent for callers that already led
     * with them, and `sortCols` is simply the within-block order.
     */
+  /** SKINNY-PROBE SHAPE (r16 verdict #3): the w-predecessor probe
+    * explode and its shuffle carry ONLY (blockCols, rank) — on a wide
+    * corpus the old spelling replicated the b-side payload `window`
+    * times through the candidate exchange. Payloads re-join ONCE per
+    * side at the end, each an equi-join on the unique global rank, so
+    * total payload bytes through exchanges are 2× the corpus instead
+    * of (window+1)×. SortedNeighborhoodSpec pins the contract on the
+    * optimized plan: the Generate (explode) node's output holds no
+    * payload column.
+    */
   def candidatePairs(df: DataFrame, blockCols: Seq[String], sortCols: Seq[Column],
                      window: Int): DataFrame = {
     require(window > 0)
+    require(!df.columns.contains("rnk_b"),
+      "column 'rnk_b' is reserved by candidatePairs — rename first")
+    // lazy checkpoint: the rank table has FOUR consumers (two skinny
+    // candidate legs + one payload re-join per side), and the ranked
+    // RDD's post-shuffle sort would otherwise rerun once per consumer
+    // (column pruning diverges their projections, so no exchange
+    // reuse). One materialization into block storage instead — the
+    // DistributedLead/PrefixScan convention; a production pipeline at
+    // persistent scale writes the ranked table to a table instead.
     val ranked = globalRank(df, blockCols.map(col) ++ sortCols, "rnk")
+      .localCheckpoint(false)
     val payload = ranked.columns.filterNot(c => blockCols.contains(c) || c == "rnk").toSeq
-    val aSide = ranked.select(blockCols.map(col) ++ (col("rnk") +: payload.map(c => col(c).as(s"${c}_a"))): _*)
-    val bSide = ranked.select(blockCols.map(col) ++
-        (explode(sequence(col("rnk") + 1, col("rnk") + window)).as("rnk") +:
-          payload.map(c => col(c).as(s"${c}_b"))): _*)
-    aSide.join(bSide, blockCols :+ "rnk").drop("rnk")
+    val aKeys = ranked.select(blockCols.map(col) :+ col("rnk"): _*)
+    val bKeys = ranked.select(blockCols.map(col) :+ col("rnk").as("rnk_b"): _*)
+      .select(blockCols.map(col) ++ Seq(col("rnk_b"),
+        explode(sequence(col("rnk_b") + 1, col("rnk_b") + window)).as("rnk")): _*)
+    // (blockCols, rnk = successor a's rank, rnk_b = predecessor b's)
+    val pairs = aKeys.join(bKeys, blockCols :+ "rnk")
+    val payA = ranked.select(col("rnk") +: payload.map(c => col(c).as(s"${c}_a")): _*)
+    val payB = ranked.select(col("rnk").as("rnk_b") +:
+      payload.map(c => col(c).as(s"${c}_b")): _*)
+    pairs.join(payA, Seq("rnk")).join(payB, Seq("rnk_b"))
+      .select(blockCols.map(col) ++ payload.map(c => col(s"${c}_a")) ++
+        payload.map(c => col(s"${c}_b")): _*)
   }
 }

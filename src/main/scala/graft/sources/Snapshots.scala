@@ -1796,20 +1796,29 @@ object Snapshots {
       s"point lookup needs >= 1 spec, all on one column: $specs")
     val rootP = Paths.get(root)
     // the manifest token carries Spark's Hive-ESCAPED partition value
-    // (TSV/line-grammar safety; see appendPartitioned), so the
-    // literal's home value escapes the same way before comparing
+    // (TSV/line-grammar safety; see appendPartitioned) — but manifests
+    // written BEFORE that fix stored the RAW value (r16 ADVICE), so a
+    // pre-existing table with an escapable char in a partition value
+    // (':' → %3A) would silently mis-prune under an escaped-only
+    // compare. Accept BOTH spellings on read: a false KEEP is safe
+    // (the exact predicate downstream re-filters — pruning is an
+    // optimization), and a false PRUNE cannot happen (legacy tokens
+    // match the raw spelling, current tokens the escaped one). When
+    // the value needs no escaping the two spellings coincide.
     val wants = specs.map { s =>
+      val raw = s.valueFor(literal)
       val esc = org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(s.valueFor(literal))
-      (s"#part:${s.tokenName}=", s"#part:${s.tokenName}=$esc",
-        s"#partagg:${s.tokenName}=", esc)
+        .ExternalCatalogUtils.escapePathName(raw)
+      (s"#part:${s.tokenName}=",
+        Set(raw, esc).map(v => s"#part:${s.tokenName}=$v"),
+        s"#partagg:${s.tokenName}=", Set(raw, esc))
     }
     def fileKeep(line: String): Option[String] = {
       if (line.startsWith("#delete\t") || line.startsWith("#posdelete\t"))
         return None
       val parts = line.split('\t')
-      val pruned = wants.exists { case (prefix, want, _, _) =>
-        parts.exists(_.startsWith(prefix)) && !parts.contains(want)
+      val pruned = wants.exists { case (prefix, wantSet, _, _) =>
+        parts.exists(_.startsWith(prefix)) && !parts.exists(wantSet.contains)
       }
       if (pruned) None else Some(parts.head)
     }
@@ -1821,9 +1830,10 @@ object Snapshots {
     bodyRefs(root, version).flatMap { ref =>
       if (ref.startsWith(SegmentPtr)) {
         val toks = ref.split('\t').drop(3)
-        val skippable = wants.exists { case (_, _, aggPrefix, want) =>
+        val skippable = wants.exists { case (_, _, aggPrefix, wantSet) =>
           toks.collectFirst { case t if t.startsWith(aggPrefix) =>
-            !t.stripPrefix(aggPrefix).split(',').contains(want)
+            // both spellings, same legacy tolerance as fileKeep
+            !t.stripPrefix(aggPrefix).split(',').exists(wantSet.contains)
           }.getOrElse(false)
         }
         if (skippable) Nil

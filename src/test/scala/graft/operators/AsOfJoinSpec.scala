@@ -82,6 +82,21 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(got("l2").contains("r1"), "real keys still match")
   }
 
+  test("mixed timestamp types refuse loudly (tolerance unit would be wrong)") {
+    // DateType left + TimestampType right union-coerce to timestamp,
+    // and the tolerance long-conversion derived from the LEFT type
+    // would fall to cast("long") SECONDS on both sides — a silently
+    // wrong unit (r16 ADVICE). Refuse instead of guessing.
+    val left = Seq((1L, java.sql.Date.valueOf("2024-01-02"), "l"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "r"))
+      .toDF("k", "rts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("timestamp types must match"))
+  }
+
   test("salted inner join equals plain inner join") {
     val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"v$i"))
       .toDF("k", "lv")   // heavy skew on k=1

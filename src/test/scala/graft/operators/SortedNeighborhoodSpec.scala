@@ -35,6 +35,31 @@ class SortedNeighborhoodSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.sorted == Seq((2L, 1L), (4L, 3L)))
   }
 
+  test("the probe explode stays skinny: no payload column rides the Generate") {
+    // r16 verdict #3: the old spelling selected every payload column
+    // into the exploded b-side, replicating it `window` times through
+    // the candidate exchange. The contract is structural — the
+    // optimized plan's Generate (explode) output carries only the
+    // block/rank bookkeeping, never a payload column — so payload
+    // creep fails here at build time, not in a 100 TB shuffle.
+    val df = Seq(("x", 1L, "wide payload", 0.5))
+      .toDF("blk", "id", "text", "score")
+    val pairs = SortedNeighborhood.candidatePairs(
+      df, Seq("blk"), Seq($"id"), window = 4)
+    val gens = pairs.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "expected the probe-sequence Generate in the plan")
+    gens.foreach { g =>
+      val leaked = g.output.map(_.name)
+        .filter(n => n.contains("text") || n.contains("score") || n == "id")
+      assert(leaked.isEmpty,
+        s"payload columns leaked into the probe explode: $leaked")
+    }
+    // and the operator still answers correctly with the skinny shape
+    assert(pairs.count() == 0)
+  }
+
   test("q43 SNM recall vs exhaustive char-Jaccard at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val d = graft.sources.Tables.documents(spark, dir).select(

@@ -264,6 +264,52 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("legacy manifests with RAW (unescaped) partition tokens still prune correctly") {
+    // manifests written before the r16 escaping fix stored the raw
+    // partition value in the #part: token; the read path accepts both
+    // spellings (r16 ADVICE) so old tables are not silently mis-pruned.
+    // Simulate a legacy manifest by rewriting the committed token from
+    // the escaped to the raw spelling in whatever file holds it.
+    val root = Staging.tempDir("snap_spec_legacy_esc").toString
+    val df = Seq((1L, "a:b"), (2L, "plain")).toDF("id", "s")
+    Snapshots.appendPartitioned(df, root, Snapshots.IdentityPartition("s"))
+    val esc = "a%3Ab"
+    val raw = "a:b"
+    // version manifests AND content-addressed segments both live in
+    // _manifests/ — rewrite the token wherever it landed
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val holders = {
+      val listing = Files.list(Paths.get(root, "_manifests"))
+      try listing.iterator().asScala.toSeq.filter(Files.isRegularFile(_))
+        .filter(p => new String(Files.readAllBytes(p), "UTF-8").contains(esc))
+      finally listing.close()
+    }
+    assert(holders.nonEmpty, "expected the escaped token in some manifest file")
+    holders.foreach { p =>
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      // rewrite ONLY the #part:/#partagg: token fields — the data-file
+      // PATH also contains the escaped spelling (_p=a%3Ab/…) and
+      // legacy manifests kept paths correct, only token values raw
+      val legacy = txt.split('\n').map { line =>
+        line.split('\t').map { f =>
+          if (f.startsWith("#part:") || f.startsWith("#partagg:"))
+            f.replace(esc, raw)
+          else f
+        }.mkString("\t")
+      }.mkString("\n")
+      Files.write(p, legacy.getBytes("UTF-8"))
+    }
+    val hit = Snapshots.readPartitionPruned(spark, root, 1,
+      Snapshots.IdentityPartition("s"), "a:b")
+    assert(hit.select($"id").as[Long].collect().toSeq == Seq(1L),
+      "legacy raw-spelled partition token must still match the lookup")
+    // and the other partition still prunes/reads fine
+    assert(Snapshots.readPartitionPruned(spark, root, 1,
+      Snapshots.IdentityPartition("s"), "plain")
+      .select($"id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("updateWhere SET right-hand sides all read the OLD row (swap works)") {
     val root = Staging.tempDir("snap_spec_swap").toString
     Snapshots.append(Seq((1L, 10L, 20L), (2L, 30L, 40L))
