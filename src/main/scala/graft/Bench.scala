@@ -68,11 +68,13 @@ object Bench {
     // driver-vs-local divergence: a query that is fast warm but slow
     // on the driver shows WHERE the time goes (disk re-reads vs GC)
     // without touching the driver's stdout contract.
-    // append mode: the two split children share one iostat file (the
-    // harness rm -f's it before the battery), so the second child must
-    // not truncate the first's lines
+    // split children APPEND to the shared iostat file (the second
+    // child must not truncate the first's lines); every other path —
+    // single-JVM battery, profiling subset, split-mode FALLBACK —
+    // truncates, so a rerun or a fallback after a half-completed
+    // shard never leaves duplicate/stale per-query lines behind
     val iostat = sys.env.get("SPARK_GRAFT_IOSTAT").map(p =>
-      new java.io.PrintWriter(new java.io.FileWriter(p, true)))
+      new java.io.PrintWriter(new java.io.FileWriter(p, shard.isDefined)))
     def ioSnap(): (Long, Long, Long) = {
       val src = scala.io.Source.fromFile("/proc/self/io")
       val m = try src.getLines()
@@ -85,7 +87,11 @@ object Bench {
     // rawQueries: the operator WITHOUT the hash-gate's total-sort
     // wrapper (a harness artifact, not operator work) — but WITH every
     // output column materialized via the noop sink below
-    val results = names.map(n => n -> SparkEntry.rawQueries(n)).map { case (name, fn) =>
+    // one registry build — rawQueries is a def that re-merges the
+    // module maps on every call; a per-name lookup would rebuild it
+    // O(battery) times
+    val registry = SparkEntry.rawQueries
+    val results = names.map(n => n -> registry(n)).map { case (name, fn) =>
       val s0 = if (iostat.isDefined) ioSnap() else null
       val w0 = System.nanoTime()
       try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }

@@ -55,11 +55,24 @@ object AsOfJoin {
     // differed but union-coerced (DateType left + TimestampType right
     // → timestamp), both legs would fall to cast("long") SECONDS and
     // the documented microsecond unit would silently be wrong — refuse
-    // mixed ts types loudly instead of guessing a unit
-    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
-      s"asof timestamp types must match: left $leftTs is " +
-        s"${left.schema(leftTs).dataType} but right $rightTs is " +
-        s"${right.schema(rightTs).dataType} — cast one side first")
+    // mixed ts types loudly instead of guessing a unit. Scoped to the
+    // tolerance path: a tolerance-less mixed-type join has no unit to
+    // get wrong (union coercion + window ordering are sound) and
+    // worked before the guard. Field lookup mirrors Spark's default
+    // case-insensitive resolution (exact name first) — a bare
+    // schema(name) apply would throw on case-variant spellings that
+    // col(name) resolves fine.
+    def tsTypeOf(schema: org.apache.spark.sql.types.StructType,
+                 name: String): org.apache.spark.sql.types.DataType =
+      schema.fields.find(_.name == name)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"timestamp column $name not found")).dataType
+    if (tolerance.isDefined)
+      require(tsTypeOf(left.schema, leftTs) == tsTypeOf(right.schema, rightTs),
+        s"asof timestamp types must match under tolerance: left $leftTs is " +
+          s"${tsTypeOf(left.schema, leftTs)} but right $rightTs is " +
+          s"${tsTypeOf(right.schema, rightTs)} — cast one side first")
 
     // right rows must win ties: for backward they sort BEFORE an equal-ts
     // left row (so last() sees them); for forward AFTER (so first() does)
@@ -122,7 +135,7 @@ object AsOfJoin {
             case org.apache.spark.sql.types.TimestampType => unix_micros(c)
             case _ => c.cast("long")
           }
-        val tsType = left.schema(leftTs).dataType
+        val tsType = tsTypeOf(left.schema, leftTs)
         val dist = abs(asLong(col("_ts"), tsType) -
           asLong(col("_match").getField(rightTs), tsType))
         matched.withColumn("_match",

@@ -1774,6 +1774,16 @@ object Snapshots {
     * lands in, per the manifest `#part:` tokens — EXACT pruning (a
     * partition either is or is not the literal's home). Files without
     * the spec's token are kept.
+    *
+    * Exactness caveat (r17): the legacy-spelling tolerance below means
+    * a literal whose RAW spelling coincides with ANOTHER value's
+    * escaped token (possible only when the literal contains '%', e.g.
+    * literal "a%3Ab" vs value "a:b") can over-KEEP that partition's
+    * files. Bounded and safe — reads re-filter on the exact predicate
+    * — but callers treating this count as an exact oracle (q178/q181
+    * n_scanned) must keep their fixture values '%'-free, which the
+    * gate corpora are. Under-pruning the literal's own home is
+    * impossible in every generation.
     */
   def partitionPrunedFiles(root: String, version: Int, spec: PartitionSpec,
                            literal: String): Seq[String] =
@@ -1832,7 +1842,14 @@ object Snapshots {
         val toks = ref.split('\t').drop(3)
         val skippable = wants.exists { case (_, _, aggPrefix, wantSet) =>
           toks.collectFirst { case t if t.startsWith(aggPrefix) =>
-            // both spellings, same legacy tolerance as fileKeep
+            // both spellings, same legacy tolerance as fileKeep. The
+            // comma-split is sound for ANY literal — including one
+            // containing ',' — because a summary is only ever WRITTEN
+            // when every distinct value matches [A-Za-z0-9_.-]+
+            // (segmentAggTokens, guard present since the token's
+            // birth), so an existing summary PROVES the segment holds
+            // no comma/percent-valued partition: skipping on a
+            // no-fragment-match is then correct, never a false prune.
             !t.stripPrefix(aggPrefix).split(',').exists(wantSet.contains)
           }.getOrElse(false)
         }

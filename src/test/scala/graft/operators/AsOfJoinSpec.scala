@@ -82,19 +82,26 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(got("l2").contains("r1"), "real keys still match")
   }
 
-  test("mixed timestamp types refuse loudly (tolerance unit would be wrong)") {
+  test("mixed timestamp types refuse loudly UNDER TOLERANCE only") {
     // DateType left + TimestampType right union-coerce to timestamp,
     // and the tolerance long-conversion derived from the LEFT type
     // would fall to cast("long") SECONDS on both sides — a silently
-    // wrong unit (r16 ADVICE). Refuse instead of guessing.
+    // wrong unit (r16 ADVICE). Refuse instead of guessing — but ONLY
+    // when a tolerance is given: without one there is no unit to get
+    // wrong and the coerced join is sound (pre-guard behavior kept).
     val left = Seq((1L, java.sql.Date.valueOf("2024-01-02"), "l"))
       .toDF("k", "ts", "lv")
     val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "r"))
       .toDF("k", "rts", "rv")
     val e = intercept[IllegalArgumentException] {
-      AsOfJoin.backward(left, right, Seq("k"), "ts", "rts")
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "rts",
+        tolerance = Some(1000000L))
     }
     assert(e.getMessage.contains("timestamp types must match"))
+    // tolerance-less: coerces and matches (quote is before the date)
+    val ok = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts")
+      .select($"rv").as[Option[String]].collect().toSeq
+    assert(ok == Seq(Some("r")))
   }
 
   test("salted inner join equals plain inner join") {

@@ -310,6 +310,30 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestSession {
       .select($"id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("comma-valued partitions never get a #partagg summary and still prune right") {
+    // the comma is the #partagg list separator: a comma-containing
+    // value can never be represented in a summary, so the writer's
+    // token-safe guard must SUPPRESS the summary (segment always
+    // opened → per-entry tokens decide) rather than corrupt the list
+    val root = Staging.tempDir("snap_spec_comma").toString
+    val df = Seq((1L, "a,b"), (2L, "safe")).toDF("id", "s")
+    Snapshots.appendPartitioned(df, root, Snapshots.IdentityPartition("s"))
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(Paths.get(root, "_manifests"))
+    val manifestText = try listing.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString("\n")
+    finally listing.close()
+    assert(!manifestText.contains("#partagg:"),
+      "a comma-containing partition value must suppress the summary")
+    for ((v, id) <- Seq(("a,b", 1L), ("safe", 2L)))
+      assert(Snapshots.readPartitionPruned(spark, root, 1,
+        Snapshots.IdentityPartition("s"), v)
+        .select($"id").as[Long].collect().toSeq == Seq(id),
+        s"value '$v' mispruned")
+  }
+
   test("updateWhere SET right-hand sides all read the OLD row (swap works)") {
     val root = Staging.tempDir("snap_spec_swap").toString
     Snapshots.append(Seq((1L, 10L, 20L), (2L, 30L, 40L))
