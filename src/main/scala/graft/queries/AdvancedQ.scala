@@ -687,17 +687,16 @@ object AdvancedQ {
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 50""".stripMargin,
     "q143_poisson_bootstrap" ->
-      """WITH o AS (
+      s"""WITH o AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
         |    u.r AS replicate
         |  FROM orders, unnest([0, 1, 2]) u(r)),
         |b AS (
         |  SELECT *,
-        |    CAST('0x' || substr(md5(
-        |      CAST(o_orderkey AS VARCHAR) || ':' ||
-        |      CAST(replicate AS VARCHAR) || 'boot'), 18, 15) AS BIGINT)
-        |      % 1000000 AS u
+        |    ${OracleSql.bucketSql(
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(replicate AS VARCHAR)",
+             "boot")} AS u
         |  FROM o),
         |wt AS (
         |  SELECT replicate, o_orderstatus, cents,

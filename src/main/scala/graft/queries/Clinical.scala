@@ -81,10 +81,10 @@ object Clinical {
     * re-executes the full metric stack.
     */
   private val planMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new graft.sources.SessionMemo[(SparkSession, String, String), DataFrame](_._1)
   private def memoized(spark: SparkSession, dir: String, variant: String)
                       (build: => DataFrame): DataFrame =
-    planMemo.computeIfAbsent((spark, dir, variant), _ => build)
+    planMemo.get((spark, dir, variant))(build)
 
   def pipeline(spark: SparkSession, dir: String): DataFrame =
       memoized(spark, dir, "bugcompat") {

@@ -236,17 +236,17 @@ object CurationQ {
     * updates it per accepted batch.
     */
   private val bloomMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      org.apache.spark.util.sketch.BloomFilter]()
+    new graft.sources.SessionMemo[(SparkSession, String),
+      org.apache.spark.util.sketch.BloomFilter](_._1)
 
   /** The memoized history bloom (doc_id % 10 ≠ 0 split) — shared with
     * the streaming twin (q107), which dedups the same batch as a
     * stream against the same persisted-filter stand-in.
     */
   def historyBloom(spark: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter =
-    bloomMemo.computeIfAbsent((spark, dir), _ => IncrementalDedup.contentBloom(
+    bloomMemo.get((spark, dir)) { IncrementalDedup.contentBloom(
       Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(10)) =!= 0),
-      fpp = bloomFpp))
+      fpp = bloomFpp) }
 
   /** q96 — incremental dedup of a "new batch" against corpus history.
     *
@@ -502,15 +502,15 @@ object CurationQ {
     * the k-means centers and the PQ codebook).
     */
   private val mergeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]()
+    new graft.sources.SessionMemo[(SparkSession, String), Seq[(String, String)]](_._1)
   private def learnedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
-    mergeMemo.computeIfAbsent((spark, dir), _ => {
+    mergeMemo.get((spark, dir)) {
       val words = Tables.documents(spark, dir)
         .select(explode(tokens(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("freq"))
         .select(graft.operators.BpeLearn.spaced(col("term")).as("s"), col("freq"))
       graft.operators.BpeLearn.learn(words, steps = 10).map(m => (m._2, m._3))
-    })
+    }
 
   /** q130 — BPE ENCODE: apply the learned merge table to the corpus
     * ([[graft.operators.BpeLearn.applyMerges]]) and report corpus-level
@@ -981,11 +981,11 @@ object CurationQ {
        |  FROM m)""".stripMargin
   }
 
-  /** The portable sampling bucket, as DuckDB SQL (mirrors
-    * [[graft.operators.Sampling.bucket]]: md5-tail low-60-bits mod 1e6).
+  /** The portable sampling bucket, as DuckDB SQL — the ONE shared
+    * spelling ([[OracleSql.bucketSql]], r17: now NULL-sentinel-exact).
     */
   private def bucketSql(key: String, salt: String): String =
-    s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 18, 15) AS BIGINT) % 1000000"
+    OracleSql.bucketSql(key, salt)
 
   private def bpeIterSql(i: Int): String =
     s"""p$i AS (

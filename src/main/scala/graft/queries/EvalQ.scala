@@ -78,14 +78,22 @@ object EvalQ {
         sum(when(col("lang") === "en", 0L).otherwise(1L)).as("n_neg"))
     PrefixScan.strictPrefixSum(g, col("score"), col("n_neg"), "cumneg")
       .withColumn("cumneg", coalesce(col("cumneg"), lit(0L)))
+      // decimal(38,0) per-row products and quotient (r17 review): the
+      // long spelling wrapped once P·N > 4.6e12 (u_times2·1e6 past
+      // int64) — far below the stated corpus scale — while DuckDB's
+      // HUGEINT kept computing; output columns stay BIGINT (the gate
+      // schema), only the intermedates widen
       .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
-        sum(expr("n_pos * (2L * cumneg + n_neg)")).as("u_times2"))
-      .select(col("n_pos"), col("n_neg"), col("u_times2"),
+        sum(expr("cast(n_pos as decimal(38,0)) * (2L * cumneg + n_neg)"))
+          .as("_u2"))
+      .select(col("n_pos"), col("n_neg"),
+        col("_u2").cast("long").as("u_times2"),
         // AUC is undefined with an empty class: emit 0 as the stated
         // contract (Spark's div would yield null, DuckDB's // would
         // raise — two different failures instead of one defined answer)
         when(col("n_pos") > 0 && col("n_neg") > 0,
-            expr("u_times2 * 1000000L div (2L * n_pos * n_neg)"))
+            expr("_u2 * 1000000L div " +
+              "(cast(n_pos as decimal(38,0)) * n_neg * 2)"))
           .otherwise(0L).as("auc_micro"))
   }
 
@@ -99,8 +107,7 @@ object EvalQ {
     * the per-fold event share in millionths.
     */
   def groupKfold(spark: SparkSession, dir: String): DataFrame = {
-    val total = Tables.events(spark, dir).agg(count(lit(1)).as("n_total"))
-    Tables.events(spark, dir)
+    val perFold = Tables.events(spark, dir)
       .withColumn("fold",
         pmod(graft.operators.Sampling.bucket(col("user_id"), "fold"), lit(5L))
           .cast("int"))
@@ -109,10 +116,24 @@ object EvalQ {
         count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("n_purchases"))
+    // n_total = Σ n_events over the ≤5-row aggregate (every event
+    // lands in exactly one fold — the bucket never returns NULL), so
+    // the total rolls up from perFold's OWN exchange (ReuseExchange
+    // dedups the two consumers) instead of a second events scan (r17
+    // review; the old separate count branch re-read the table). NOT a
+    // partitionBy() window — the no-SinglePartition-window contract
+    // holds battery-wide even over 5-row frames.
+    val total = perFold.agg(sum(col("n_events")).as("n_total"))
+    perFold
       .crossJoin(broadcast(total))
       .select(col("fold"), col("n_users"), col("n_events"),
         col("n_purchases"),
-        expr("n_events * 1000000L div n_total").as("share_micro"))
+        // quotient decomposition (the abReadout discipline, r17
+        // review): never forms n_events·1e6 in int64, exactly equal
+        // where both fit
+        expr("""(n_events div n_total) * 1000000L
+               | + (n_events % n_total) * 1000000L div n_total"""
+          .stripMargin).as("share_micro"))
   }
 
   /** q147 — A/B experiment readout, the composition an experimentation
@@ -166,20 +187,18 @@ object EvalQ {
 
   val oracles: Map[String, String] = Map(
     "q147_ab_readout" ->
-      """WITH pu AS (
+      s"""WITH pu AS (
         |  SELECT user_id,
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS purchases,
-        |    CAST((CAST('0x' || substr(md5(
-        |      CAST(user_id AS VARCHAR) || 'exp1'), 18, 15) AS BIGINT)
-        |      % 1000000) % 2 AS INT) AS arm
+        |    CAST((${OracleSql.bucketSql("user_id", "exp1")})
+        |      % 2 AS INT) AS arm
         |  FROM events GROUP BY user_id),
         |r AS (
         |  SELECT pu.*, u.rep AS replicate,
-        |    CAST('0x' || substr(md5(
-        |      CAST(user_id AS VARCHAR) || ':' ||
-        |      CAST(u.rep AS VARCHAR) || 'boot2'), 18, 15) AS BIGINT)
-        |      % 1000000 AS h
+        |    ${OracleSql.bucketSql(
+             "CAST(user_id AS VARCHAR) || ':' || CAST(u.rep AS VARCHAR)",
+             "boot2")} AS h
         |  FROM pu, unnest([-1, 0, 1, 2]) u(rep)),
         |wt AS (
         |  SELECT arm, replicate, purchases,
@@ -197,10 +216,9 @@ object EvalQ {
         |    ELSE 0 END AS mean_purchases_micro
         |FROM wt GROUP BY arm, replicate""".stripMargin,
     "q145_group_kfold" ->
-      """WITH f AS (
-        |  SELECT CAST((CAST('0x' || substr(md5(
-        |      CAST(user_id AS VARCHAR) || 'fold'), 18, 15) AS BIGINT)
-        |      % 1000000) % 5 AS INT) AS fold,
+      s"""WITH f AS (
+        |  SELECT CAST((${OracleSql.bucketSql("user_id", "fold")})
+        |      % 5 AS INT) AS fold,
         |    user_id, event_type
         |  FROM events),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)

@@ -268,12 +268,12 @@ object MediaQ {
   // guard results memoized per (session, dir): q209's guard reuses
   // q202/q204/q208's counts instead of re-running three rollups
   private val guardMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Long]()
+    new graft.sources.SessionMemo[(SparkSession, String, String), Long](_._1)
   private def memoGuard(key: String, s: SparkSession, d: String)
                        (eval: => Long): (String, Long) =
     (s"$key buckets (Dedup.DefaultMaxBucketDf=" +
       s"${graft.operators.Dedup.DefaultMaxBucketDf})",
-      guardMemo.computeIfAbsent((s, d, key), _ => eval))
+      guardMemo.get((s, d, key))(eval))
   private def imageDrops(s: SparkSession, d: String) =
     memoGuard("image dHash pigeonhole", s, d)(
       graft.operators.MediaDedup.droppedBuckets(sigsOf(s, d, "image")).count())

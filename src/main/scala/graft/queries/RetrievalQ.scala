@@ -67,8 +67,8 @@ object RetrievalQ {
         .agg(count(lit(1)).as("tf")))
 
   private val indexStatsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (DataFrame, DataFrame, DataFrame)]()
+    new graft.sources.SessionMemo[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame)](_._1)
 
   /** The index-STATISTICS artifacts beside the postings — `doclen
     * (doc_id, dl)`, `dfreq (term, df)`, `stats (n_docs, total_len)` —
@@ -81,7 +81,7 @@ object RetrievalQ {
     */
   private[queries] def indexStats(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
-    indexStatsMemo.computeIfAbsent((spark, dir), _ => {
+    indexStatsMemo.get((spark, dir)) {
       val postings = postingsArtifact(spark, dir)
       // dl = Σtf — rolls up from the postings table instead of a
       // second explode over the raw text (one corpus tokenization)
@@ -99,7 +99,7 @@ object RetrievalQ {
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
         .localCheckpoint(false)
       (doclen, dfreq, stats)
-    })
+    }
   /** Fixed probe queries (id → query string) for the gate. */
   val probeQueries: Seq[(Int, String)] = Seq(
     1 -> "the model of data",
@@ -144,12 +144,20 @@ object RetrievalQ {
       .crossJoin(broadcast(stats))
       // exact rational BM25 (see scaladoc): all-integer, decimal(38,0)
       // intermediates (num·10⁶ ≈ 8.8e7·N·tf·L overflows int64 at
-      // corpus scale), long quotient — engine-version-proof
+      // corpus scale), long quotient — engine-version-proof. The
+      // decimal factor multiplies in FIRST (r17 review): left-assoc
+      // products like (2·N−2·df+1)·22·tf and 9·dl·N ran in pure
+      // int64 before _L joined, so the very overflow class the
+      // decimal discipline claims to remove survived in the
+      // sub-products (wraps non-ANSI, throws ANSI — while DuckDB's
+      // HUGEINT keeps computing). Values are unchanged where both
+      // spellings fit.
       .withColumn("_L", col("total_len").cast("decimal(38,0)"))
       .withColumn("_num",
-        expr("(2 * n_docs - 2 * df + 1) * 22 * tf * _L"))
+        expr("_L * (2 * n_docs - 2 * df + 1) * 22 * tf"))
       .withColumn("_den",
-        expr("(2 * df + 1) * (10 * tf * _L + 3 * _L + 9 * dl * n_docs)"))
+        expr("(2 * df + 1) * (_L * 10 * tf + _L * 3 + " +
+          "cast(n_docs as decimal(38,0)) * 9 * dl)"))
       .withColumn("ts_millionths",
         expr("CAST((2 * _num * 1000000 + _den) div (2 * _den) AS BIGINT)"))
     val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
@@ -176,13 +184,10 @@ object RetrievalQ {
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val ids = probeQueries.map(_._1)
-    val (perDoc, _) = perDocScored(spark, dir)
-    val wLex = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score_millionths").desc, col("doc_id").asc)
-    val lex = perDoc
-      .withColumn("rn", row_number().over(wLex))
-      .filter(col("rn") <= 10)
+    // the lexical leg IS q100 — one spelling (r17 review): a private
+    // re-derivation of the same window/cut here could silently drift
+    // from the per-leg tie order the fused gate's determinism rides on
+    val lex = bm25TopK(spark, dir)
       .select(col("query_id"), col("doc_id"),
         expr("1000000L div (60 + rn)").as("contrib"))
     val emb = Tables.embeddings(spark, dir)

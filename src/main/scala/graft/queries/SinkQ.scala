@@ -59,24 +59,24 @@ object SinkQ {
   // counter (not dir.hashCode) names the tables
   private val bucketSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val bucketed =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new graft.sources.SessionMemo[(SparkSession, String), String](_._1)
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = bucketed.computeIfAbsent((spark, dir), kd => {
+    val suffix = bucketed.get((spark, dir)) {
       val sfx = s"g${bucketSeq.incrementAndGet()}"
       val o = Staging.tempDir("graft_bucket_gate")
-      Tables.orders(spark, kd._2)
+      Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$o/orders_b").mode("overwrite")
         .saveAsTable(s"orders_b_$sfx")
-      Tables.lineitem(spark, kd._2)
+      Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_quantity"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$o/lineitem_b").mode("overwrite")
         .saveAsTable(s"lineitem_b_$sfx")
       sfx
-    })
+    }
     spark.table(s"orders_b_$suffix")
       .join(spark.table(s"lineitem_b_$suffix"),
         col("o_orderkey") === col("l_orderkey"))

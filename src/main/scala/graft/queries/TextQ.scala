@@ -73,12 +73,12 @@ object TextQ {
     * query RESULTS are never cached.
     */
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.sources.SessionMemo[(SparkSession, String), DataFrame](_._1)
   private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new graft.sources.SessionMemo[(SparkSession, String), DataFrame](_._1)
 
   def charJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-      pairsMemo.computeIfAbsent((spark, dir), _ => {
+      pairsMemo.get((spark, dir)) {
     val d = Tables.documents(spark, dir).select(
       col("lang"), col("source"), col("doc_id"),
       array_sort(array_distinct(split(lower(col("text")), ""))).as("chars"))
@@ -98,15 +98,15 @@ object TextQ {
       // the tiny (id_a, id_b, jaccard) artifact is what callers reuse;
       // materialized by the first consumer's action
       .localCheckpoint(false)
-  })
+  }
 
   /** Memoized (node, component) artifact over [[charJaccardPairs]] —
     * the CC loop's jobs run on first request; the returned label table
     * is the last round's checkpoint, shared by q71/q72.
     */
   private[queries] def dupComponents(spark: SparkSession, dir: String): DataFrame =
-    ccMemo.computeIfAbsent((spark, dir), _ =>
-      Dedup.connectedComponents(charJaccardPairs(spark, dir)))
+    ccMemo.get((spark, dir)) {
+      Dedup.connectedComponents(charJaccardPairs(spark, dir)) }
 
   /** Heuristic language ID vs the labeled lang column (confusion
     * counts). Hash-gated: the marker heuristic is deterministic, and the
@@ -813,23 +813,23 @@ object TextQ {
     * siblings since r16.)
     */
   private val simhashGuardMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+    new graft.sources.SessionMemo[(SparkSession, String), Long](_._1)
   private val minhashGuardMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+    new graft.sources.SessionMemo[(SparkSession, String), Long](_._1)
 
   private[graft] val capGuards: Map[String,
       (SparkSession, String) => Seq[(String, Long)]] = Map(
     "q48_simhash_pairs" -> ((s, d) => Seq(
       ("simhash 15-bit pigeonhole buckets (Dedup.DefaultMaxBucketDf=" +
         s"${Dedup.DefaultMaxBucketDf})",
-        simhashGuardMemo.computeIfAbsent((s, d), _ =>
-          Dedup.simhashDroppedBuckets(Tables.documents(s, d)).count())))),
+        simhashGuardMemo.get((s, d)) {
+          Dedup.simhashDroppedBuckets(Tables.documents(s, d)).count() }))),
     "q47_minhash_pairs" -> ((s, d) => Seq(
       ("minhash LSH band buckets (Dedup.DefaultMaxBucketDf=" +
         s"${Dedup.DefaultMaxBucketDf})",
-        minhashGuardMemo.computeIfAbsent((s, d), _ =>
+        minhashGuardMemo.get((s, d)) {
           Dedup.minhashDroppedBands(Tables.documents(s, d), shingleK = 4,
-            numHashes = 64, rowsPerBand = 4).count())))))
+            numHashes = 64, rowsPerBand = 4).count() }))))
 
   /** DuckDB count of OVERLAPPING occurrences of literal `pat` in column
     * expression `t` — matches [[graft.functions.MultiSubstringCount]]'s
@@ -932,10 +932,9 @@ object TextQ {
         |  CAST(count(DISTINCT wmin) AS BIGINT) AS distinct_prints
         |FROM sel GROUP BY source""".stripMargin,
     "q75_stratified_sample" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT *,
-        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 18, 15) AS BIGINT)
-        |      % 1000000 AS bk
+        |    ${OracleSql.bucketSql("doc_id", "mix1")} AS bk
         |  FROM documents)
         |SELECT source, count(*) AS n_sampled,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
@@ -1414,8 +1413,7 @@ object TextQ {
         |    FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.node),
         |  flagged AS (
         |    SELECT *,
-        |      (CAST('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'cs1'), 18, 15)
-        |        AS BIGINT) % 1000000) < 100000 AS in_eval
+        |      (${OracleSql.bucketSql("cluster", "cs1")}) < 100000 AS in_eval
         |    FROM assigned),
         |  straddle AS (
         |    SELECT count(*) AS n FROM (

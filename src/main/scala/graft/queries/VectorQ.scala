@@ -22,10 +22,10 @@ object VectorQ {
     * q51 and q80 share one build. Results are never cached.
     */
   private val centersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Seq[Double]]]()
+    new graft.sources.SessionMemo[(SparkSession, String), Seq[Seq[Double]]](_._1)
   private def ivfCenters(spark: SparkSession, dir: String): Seq[Seq[Double]] =
-    centersMemo.computeIfAbsent((spark, dir), _ =>
-      Similarity.kmeansCenters(Tables.embeddings(spark, dir)))
+    centersMemo.get((spark, dir)) {
+      Similarity.kmeansCenters(Tables.embeddings(spark, dir)) }
 
   /** The PQ codebook artifact, memoized per (session, dir) like the
     * IVF centers. m=16 subspaces × 256 codes: 32× smaller index rows,
@@ -34,11 +34,11 @@ object VectorQ {
     * qualifies q97 for the FULL hash gate.
     */
   private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      ProductQuantization.Codebook]()
+    new graft.sources.SessionMemo[(SparkSession, String),
+      ProductQuantization.Codebook](_._1)
   private def pqCodebook(spark: SparkSession, dir: String): ProductQuantization.Codebook =
-    pqMemo.computeIfAbsent((spark, dir), _ =>
-      ProductQuantization.train(Tables.embeddings(spark, dir), m = 16, ksub = 256))
+    pqMemo.get((spark, dir)) {
+      ProductQuantization.train(Tables.embeddings(spark, dir), m = 16, ksub = 256) }
 
   /** PQ ADC shortlist + exact re-rank, under the FULL hash gate: the
     * oracle is the exact brute-force top-k SQL (q50's), so the gate
@@ -250,13 +250,13 @@ object VectorQ {
     * metadata only.
     */
   private val semCentersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Seq[Double]]]()
+    new graft.sources.SessionMemo[(SparkSession, String), Seq[Seq[Double]]](_._1)
   private def semCenters(spark: SparkSession, dir: String): Seq[Seq[Double]] =
-    semCentersMemo.computeIfAbsent((spark, dir), _ => {
+    semCentersMemo.get((spark, dir)) {
       val embs = Tables.embeddings(spark, dir)
       val k = math.max(16, math.sqrt(embs.count().toDouble).toInt)
       Similarity.kmeansCenters(embs, numCentroids = k)
-    })
+    }
 
   /** SemDeDup under the HASH gate via planted semantic duplicates (the
     * q83 pattern): 20 near-identical copies (cos ≈ 0.99999) are
@@ -466,12 +466,12 @@ object VectorQ {
   // accounting can't drift from what the gate joins on; the k-means
   // build is deterministic and the count memoized.
   private val cellGuardMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Long]()
+    new graft.sources.SessionMemo[(SparkSession, String, String), Long](_._1)
   private def cellGuard(key: String, s: SparkSession, d: String)
                        (eval: => Long): (String, Long) =
     (s"$key cells (Similarity.DefaultMaxCellSize=" +
       s"${Similarity.DefaultMaxCellSize})",
-      cellGuardMemo.computeIfAbsent((s, d, key), _ => eval))
+      cellGuardMemo.get((s, d, key))(eval))
   private def semDedupCells(s: SparkSession, d: String) =
     cellGuard("q92 SemDeDup-center", s, d) {
       val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))

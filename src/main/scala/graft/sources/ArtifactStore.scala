@@ -78,3 +78,38 @@ object ArtifactStore {
     }
   }
 }
+
+/** Session-keyed memo with [[ArtifactStore.parquet]]'s concurrency and
+  * lifecycle contract, for the in-memory artifacts (checkpointed
+  * doc-/vocab-sized tables, broadcast model rows, metering baselines)
+  * that don't warrant a parquet write: entries of STOPPED sessions are
+  * evicted on every access (a static map would otherwise pin the
+  * session, its DataFrames and their plans for the JVM lifetime — the
+  * r16 ArtifactStore finding, found again in indexStatsMemo by the r17
+  * review), and the multi-second build runs under a PER-KEY monitor,
+  * never inside a ConcurrentHashMap bin lock (an eager computeIfAbsent
+  * body blocks unrelated keys hashing to the same bin and deadlocks on
+  * recursive resolution). One spelling for every query-module memo —
+  * the per-file CHMs this replaces each re-decided eviction (none did)
+  * and lock scope (all built inside the bin lock).
+  *
+  * `sessionOf` extracts the owning session from the key (keys vary:
+  * (session, dir), (session, dir, name)).
+  */
+final class SessionMemo[K, V](sessionOf: K => SparkSession) {
+  private val done = new ConcurrentHashMap[K, Any]()
+  private val locks = new ConcurrentHashMap[K, Object]()
+
+  def get(k: K)(build: => V): V = {
+    done.keySet.removeIf(key => sessionOf(key).sparkContext.isStopped)
+    locks.keySet.removeIf(key => sessionOf(key).sparkContext.isStopped)
+    val hit = done.get(k)
+    if (hit != null) return hit.asInstanceOf[V]
+    val lock = locks.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      val again = done.get(k)
+      if (again != null) again.asInstanceOf[V]
+      else { val v = build; done.put(k, v.asInstanceOf[AnyRef]); v }
+    }
+  }
+}

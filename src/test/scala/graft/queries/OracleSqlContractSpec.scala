@@ -47,6 +47,15 @@ class OracleSqlContractSpec extends AnyFunSuite {
       """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)""")
   }
 
+  test("OracleSql.bucketSql renders the NULL-sentinel-exact spelling") {
+    // mirrors Sampling.bucket INCLUDING the NULL-key coalesce (r17):
+    // an oracle hashing a NULL key to NULL instead of the sentinel
+    // diverges the moment a fixture carries one
+    assert(OracleSql.bucketSql("user_id", "fold") ==
+      "CAST('0x' || substr(md5(coalesce(CAST(user_id AS VARCHAR), " +
+        "chr(0) || 'null') || 'fold'), 18, 15) AS BIGINT) % 1000000")
+  }
+
   /** The float-gate rule (the q100/q125 red-row class): `round()` on a
     * double differs between engines AND across DuckDB versions at .5
     * boundaries (Spark HALF_UP on the shortest decimal repr vs binary
