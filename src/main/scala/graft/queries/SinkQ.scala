@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -777,10 +776,16 @@ object SinkQ {
     * per leg are recomputed by DuckDB with the same WHERE ranges, so a
     * wrong skip surfaces as lost rows, not just a wrong count.
     */
-  private val pruneStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  def prunedSnapshotRead(spark: SparkSession, dir: String): DataFrame = {
-    val root = pruneStaged.computeIfAbsent(dir, d => {
+  /** One staged (doc_id, n_chars) store, compacted to 4 doc_id-sorted
+    * files — SHARED by q160 and q165 (r17 review: the two gates staged
+    * byte-identical copies, each paying a full-table write plus a
+    * clustered compaction). Both gates only READ the store (the
+    * destructive q158/q159 pair keeps separate stores for exactly the
+    * opposite reason).
+    */
+  private val statsStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def statsStagedRoot(spark: SparkSession, dir: String): String =
+    statsStaged.computeIfAbsent(dir, d => {
       val o = Staging.tempDir("graft_prune_gate")
       graft.sources.Snapshots.append(
         Tables.documents(spark, d).select(col("doc_id"), col("n_chars")), o.toString)
@@ -788,6 +793,9 @@ object SinkQ {
         sortBy = Some("doc_id"))
       o.toString
     })
+
+  def prunedSnapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = statsStagedRoot(spark, dir)
     val v = graft.sources.Snapshots.latestVersion(root)
     // global bounds from the footer stats themselves — metadata only
     val stats = graft.sources.Snapshots.fileStats(spark, root, v, "doc_id")
@@ -816,7 +824,7 @@ object SinkQ {
     * caps out around 100k files). The gate stages an append + clustered
     * compact (4 disjoint doc_id ranges), then runs the same three
     * pruning legs as q160 while metering
-    * [[graft.sources.Snapshots.queryPathFooterReads]] around ALL the
+    * [[graft.sources.Snapshots.queryPathFooterReadsHere]] around ALL the
     * planning calls: `n_stats_files` (engine invariant: all 4 manifest
     * entries carry commit-time doc_id stats) and `footer_reads_plan`
     * (the zero) are stated literally by the oracle; the per-leg
@@ -824,21 +832,10 @@ object SinkQ {
     * DuckDB with the same WHERE ranges, so wrong stats surface as lost
     * rows, not just a wrong count.
     */
-  private val manifestStatsStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def manifestStatsPruning(spark: SparkSession, dir: String): DataFrame = {
-    val root = manifestStatsStaged.computeIfAbsent(dir, d => {
-      val o = Staging.tempDir("graft_manifest_stats_gate")
-      graft.sources.Snapshots.append(
-        Tables.documents(spark, d).select(col("doc_id"), col("n_chars")),
-        o.toString)
-      graft.sources.Snapshots.compact(spark, o.toString, targetFiles = 4,
-        sortBy = Some("doc_id"))
-      o.toString
-    })
+    val root = statsStagedRoot(spark, dir)  // shared with q160, read-only
     val v = graft.sources.Snapshots.latestVersion(root)
-    val before = graft.sources.Snapshots.queryPathFooterReads.get()
+    val before = graft.sources.Snapshots.queryPathFooterReadsHere
     val stats = graft.sources.Snapshots.fileStats(spark, root, v, "doc_id")
     val (minId, maxId) = (stats.map(_._2).min, stats.map(_._3).max)
     val legs = Seq(
@@ -857,7 +854,7 @@ object SinkQ {
         .select(lit(name).as("leg"), lit(nScanned).as("n_files_scanned"),
           col("n_docs"), col("sum_chars"))
     }
-    val footerReads = graft.sources.Snapshots.queryPathFooterReads.get() - before
+    val footerReads = graft.sources.Snapshots.queryPathFooterReadsHere - before
     plans.reduce(_.unionByName(_))
       .withColumn("n_stats_files", lit(stats.size))
       .withColumn("footer_reads_plan", lit(footerReads).cast("int"))
@@ -1223,7 +1220,9 @@ object SinkQ {
     * `table.snapshots`/`table.files` and the metadata-only `count(*)`
     * pushdown, all resolved from manifests with ZERO data-file opens
     * (`zero_footer_opens` meters [[graft.sources.Snapshots
-    * .queryPathFooterReads]] around every call — the q165 discipline).
+    * .queryPathFooterReadsHere]] around every call — the q165
+    * discipline; THREAD-LOCAL since r17 so a concurrent reader in the
+    * same JVM can never skew the zero-assertion).
     * Per version: manifest file/delete-set counts, the rewrite flag,
     * the manifest-summed PHYSICAL rows, and `meta_count` — which
     * REFUSES (−1) on v2 because merge-on-read tombstones make physical
@@ -1236,13 +1235,13 @@ object SinkQ {
   def metadataTables(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = mergedRoot(spark, dir)
-    val before = graft.sources.Snapshots.queryPathFooterReads.get()
+    val before = graft.sources.Snapshots.queryPathFooterReadsHere
     val hist = graft.sources.Snapshots.snapshotsTable(spark, root)
       .as[(Int, Int, Int, Long, Boolean)].collect().sortBy(_._1)
     val meta = hist.map(h =>
       try graft.sources.Snapshots.metadataCount(root, h._1)
       catch { case _: IllegalArgumentException => -1L })
-    val zero = graft.sources.Snapshots.queryPathFooterReads.get() == before
+    val zero = graft.sources.Snapshots.queryPathFooterReadsHere == before
     hist.toSeq.zip(meta).map { case ((v, nf, nd, fr, rw), mc) =>
       (v, nf, nd, fr, rw, mc, zero)
     }.toDF("version", "n_files", "n_delete_sets", "file_rows",
@@ -1431,7 +1430,7 @@ object SinkQ {
   def metadataAggregates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = mergedRoot(spark, dir)
-    val before = graft.sources.Snapshots.queryPathFooterReads.get()
+    val before = graft.sources.Snapshots.queryPathFooterReadsHere
     val n = graft.sources.Snapshots.metadataCount(root, 3)
     val (mnI, mxI) = graft.sources.Snapshots.metadataMinMax(root, 3, "doc_id")
     val (mnC, mxC) = graft.sources.Snapshots.metadataMinMax(root, 3, "n_chars")
@@ -1441,7 +1440,7 @@ object SinkQ {
     val v2MinMaxRefused =
       try { graft.sources.Snapshots.metadataMinMax(root, 2, "doc_id"); false }
       catch { case _: IllegalArgumentException => true }
-    val zero = graft.sources.Snapshots.queryPathFooterReads.get() == before
+    val zero = graft.sources.Snapshots.queryPathFooterReadsHere == before
     Seq((n, mnI, mxI, mnC, mxC, v2CountRefused, v2MinMaxRefused, zero))
       .toDF("meta_count", "min_id", "max_id", "min_chars", "max_chars",
         "v2_count_refused", "v2_minmax_refused", "zero_footer_opens")
@@ -1507,6 +1506,14 @@ object SinkQ {
     * recompute if int32/float/decimal(5,2) bytes surface as
     * bigint/double/decimal(12,2) values exactly. All aggregates gate
     * as scaled integers (w ends in .5 → ×2 is exact; d in cents).
+    *
+    * Fixture-scale bounds, stated (r17 review): the v1 leg's casts
+    * assume doc_id < 2³¹ (int) and n_chars < 2²³ (n_chars + 0.5f must
+    * be float-exact for ×2 to round-trip) — true of every driver
+    * fixture by generator construction. A corpus past either bound
+    * would diverge the gate's OWN staging, not the engine; these are
+    * deliberate narrow-type inputs (the gate tests promotion), not
+    * the engine's production arithmetic.
     */
   private val promoStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1576,11 +1583,18 @@ object SinkQ {
       var aborts = 0
       def interleaved(srcRows: Seq[(Long, Long)],
                       concurrent: (Long, Long)): Unit = {
-        serGate.set(new java.util.concurrent.CountDownLatch(1))
-        serEntered.set(new java.util.concurrent.CountDownLatch(1))
+        // latches keyed per staged ROOT (r17 review): object-level
+        // singleton cells cross-wired two concurrent stagings of
+        // different dirs in one JVM; the UDF closes over the root
+        // string and derefs the map, so local-mode tasks still reach
+        // the same cells
+        val rootKey = o
+        serLatches.put(rootKey, (new java.util.concurrent.CountDownLatch(1),
+          new java.util.concurrent.CountDownLatch(1)))
         val wait = udf(() => {
-          SinkQ.serEntered.get().countDown()
-          SinkQ.serGate.get().await()
+          val (gate, entered) = SinkQ.serLatches.get(rootKey)
+          entered.countDown()
+          gate.await()
           true
         })
         val src = srcRows.toDF("doc_id", "n_chars").filter(wait())
@@ -1588,11 +1602,22 @@ object SinkQ {
           graft.sources.Snapshots.merge(spark, o, "doc_id", src))
         new Thread(worker, "gate-merge").start()
         // the merge is parked inside its first action, after its base
-        // capture — the unseen window is deterministically open
-        serEntered.get().await()
+        // capture — the unseen window is deterministically open. Await
+        // WITH a loud timeout (r17 review): if the merge dies before
+        // evaluating its parked source — the exact regression class
+        // this gate polices — the latch never counts down, and a bare
+        // await would hang the whole battery instead of failing the
+        // gate; surface the worker's exception instead
+        if (!serLatches.get(rootKey)._2.await(
+            120, java.util.concurrent.TimeUnit.SECONDS)) {
+          serLatches.get(rootKey)._1.countDown()
+          worker.get()  // rethrows the worker's real failure, if any
+          throw new IllegalStateException(
+            "q188: merge never parked on its source within 120 s")
+        }
         graft.sources.Snapshots.append(
           Seq(concurrent).toDF("doc_id", "n_chars").repartition(1), o)
-        serGate.get().countDown()
+        serLatches.get(rootKey)._1.countDown()
         try { worker.get(); () } catch {
           case e: java.util.concurrent.ExecutionException
               if e.getCause.isInstanceOf[java.util.ConcurrentModificationException] =>
@@ -1615,13 +1640,14 @@ object SinkQ {
         col("n_docs"), col("sum_id"), col("sum_payload"))
   }
 
-  // latches for q188's deterministic interleave — object-level because
-  // the parked UDF is serialized into tasks and must deref the SAME
-  // cells in local mode
-  private val serGate =
-    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.CountDownLatch]()
-  private val serEntered =
-    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.CountDownLatch]()
+  // latches for q188's deterministic interleave — an object-level MAP
+  // keyed by staged root because the parked UDF is serialized into
+  // tasks and must deref the SAME cells in local mode, while two
+  // stagings of different dirs must never cross-wire (r17 review):
+  // (gate, entered) per root
+  private[queries] val serLatches =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (java.util.concurrent.CountDownLatch, java.util.concurrent.CountDownLatch)]()
 
   /** q189 — PARTITION-SPEC EVOLUTION (the Iceberg spec-id contract,
     * completing q178): one table whose LAYOUT changed across commits —
