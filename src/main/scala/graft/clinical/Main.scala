@@ -13,7 +13,6 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   private def parse(args: Array[String]): (String, PipelineConfig) = {
-    val m = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     def bad(msg: String): Nothing = {
       System.err.println(msg)
       System.err.println(
@@ -22,8 +21,12 @@ object Main {
           "[--strict_cohorts true|false] [--dedup true|false]")
       sys.exit(2)
     }
-    args.grouped(2).foreach {
-      case Array(k, _) if !k.startsWith("--") => bad(s"expected a --flag, got '$k'")
+    // ONE pass validates AND collects (r17 review: sliding(2,2) built
+    // the map while a second grouped(2) traversal validated — two
+    // spellings of the same pairing that could drift apart)
+    val m = args.grouped(2).map {
+      case Array(k, _) if !k.startsWith("--") =>
+        bad(s"expected a --flag, got '$k'")
       case Array(k) => bad(s"flag $k is missing a value")
       // a forgotten value would otherwise silently consume the NEXT
       // flag as its value ('--path_to_data --cohort' reads a directory
@@ -31,8 +34,8 @@ object Main {
       // error
       case Array(k, v) if v.startsWith("--") =>
         bad(s"flag $k is missing a value (got the flag '$v' instead)")
-      case _ =>
-    }
+      case Array(k, v) => k -> v
+    }.toMap
     val known = Set("--path_to_data", "--cohort", "--gender", "--min_age",
       "--max_age", "--ClinicID", "--strict_cohorts", "--dedup")
     m.keys.find(!known(_)).foreach(k => bad(s"unknown flag $k"))
@@ -68,7 +71,7 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = Pipeline.runFromCsv(spark, dir, cfg)
-    Pipeline.present(out, cfg).show(50, truncate = false)
+    Pipeline.present(out).show(50, truncate = false)
     spark.stop()
   }
 }

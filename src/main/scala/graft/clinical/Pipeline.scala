@@ -105,23 +105,26 @@ object Pipeline {
       // it costs nothing and documents treatment_TBWL.
   }
 
-  /** Full pipeline from the three (un-renamed) source tables. */
+  /** Full pipeline from the three (un-renamed) source tables. One
+    * spelling (r17 review): delegates to [[runWithCohortExpr]] with the
+    * named column as the cohort expression — `withColumn(name,
+    * col(name))` is an identity projection, and MetricsSpec pins the
+    * equivalence — so the strict/bug-compat dispatch lives in exactly
+    * one place.
+    */
   def run(users: DataFrame, weights: DataFrame, treatments: DataFrame,
-          cfg: PipelineConfig = PipelineConfig()): DataFrame = {
-    // Strict mode: the UserConstantPredicatePushdown rule moves the
-    // late Filters below the windows on its own. Bug-compat mode: the
-    // boundary join blocks that rule, so hand the (user-constant)
-    // predicate to the main branch explicitly; the late Filters pass
-    // below is then a cheap no-op re-check and the single authority
-    // for predicate definitions.
-    val early =
-      if (cfg.strictCohorts) None else Some(Filters.predicate(cfg))
-    val wide = withMetricsCohort(
-      withDerived(joined(users, weights, treatments)),
-      cfg.cohort, cfg.strictCohorts, early)
-    val filtered = Filters(wide, cfg)
-    if (cfg.dedup) filtered.dropDuplicates() else filtered
-  }
+          cfg: PipelineConfig = PipelineConfig()): DataFrame =
+    runWithCohortExpr(users, weights, treatments,
+      col(cfg.cohort), cfg.cohort, cfg)
+
+  /** Column names the metric stack OWNS: a cohort materialized under
+    * one of these would be silently REPLACED by the per-user metric of
+    * the same name, and every later per-cohort window would group by
+    * the metric instead of the cohort — wrong numbers, no error (r17
+    * review). Internal scratch names are covered by the leading "_".
+    */
+  private val reservedMetricNames = Set(
+    "WIR", "PSW", "TSW", "TEW", "wgt_diff", "treatment_TBWL", "patient_TBWL")
 
   /** Pipeline with an ARBITRARY cohort expression (SURVEY §7.5): the
     * expression is materialized as `cohortName` and every per-cohort
@@ -132,8 +135,18 @@ object Pipeline {
   def runWithCohortExpr(users: DataFrame, weights: DataFrame, treatments: DataFrame,
                         cohortExpr: Column, cohortName: String,
                         cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    require(!reservedMetricNames.contains(cohortName) &&
+        !cohortName.startsWith("_"),
+      s"cohort name '$cohortName' collides with a metric/internal " +
+        "column the pipeline derives — pick another name")
     val base = withDerived(joined(users, weights, treatments))
       .withColumn(cohortName, cohortExpr)
+    // Strict mode: the UserConstantPredicatePushdown rule moves the
+    // late Filters below the windows on its own. Bug-compat mode: the
+    // boundary join blocks that rule, so hand the (user-constant)
+    // predicate to the main branch explicitly; the late Filters pass
+    // below is then a cheap no-op re-check and the single authority
+    // for predicate definitions.
     val early =
       if (cfg.strictCohorts) None else Some(Filters.predicate(cfg))
     val wide = withMetricsCohort(base, cohortName, cfg.strictCohorts, early)
@@ -146,7 +159,7 @@ object Pipeline {
     "UID", "Name", "LastName", "Gender", "Age", "ClinicID",
     "week", "month", "WIR", "PSW", "TSW", "patient_TBWL", "treatment_TBWL")
 
-  def present(df: DataFrame, cfg: PipelineConfig): DataFrame =
+  def present(df: DataFrame): DataFrame =
     df.select(presentationColumns.map(col): _*)
       .orderBy(Metrics.sortKeys.take(1) :+ col("week").asc_nulls_last: _*)
 

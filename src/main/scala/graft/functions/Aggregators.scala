@@ -36,9 +36,18 @@ object Aggregators {
     def variance: Option[Double] = if (n < 2) None else Some(m2 / (n - 1))
   }
 
-  class WelfordVariance extends Aggregator[Double, Moments, Option[Double]] {
+  /** BOXED input (r17 review): with a primitive Double input encoder a
+    * NULL row crashed the query ("Null value appeared in non-nullable
+    * field") — or silently counted as 0.0 — instead of being skipped
+    * like the built-in var_samp it mirrors (the MisraGries r16 NULL
+    * convention). All moment arithmetic lives in [[Moments]]; this
+    * class only routes input.
+    */
+  class WelfordVariance
+      extends Aggregator[java.lang.Double, Moments, Option[Double]] {
     override def zero: Moments = Moments(0, 0.0, 0.0)
-    override def reduce(b: Moments, a: Double): Moments = b.add(a)
+    override def reduce(b: Moments, a: java.lang.Double): Moments =
+      if (a == null) b else b.add(a)
     override def merge(a: Moments, b: Moments): Moments = a.merge(b)
     override def finish(r: Moments): Option[Double] = r.variance
     override def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
@@ -47,9 +56,21 @@ object Aggregators {
   }
 
   /** Untyped (DataFrame) column form of the Welford variance. */
-  def welford_variance(c: Column): Column = udaf(new WelfordVariance).apply(c)
+  def welford_variance(c: Column): Column =
+    udaf(new WelfordVariance, Encoders.DOUBLE).apply(c)
 
-  /** Typed column form for Dataset[Double].agg. */
+  /** Typed column form for Dataset[Double].agg — a primitive Double
+    * can't be null by construction, so this thin adapter delegates
+    * every moment step to [[Moments]] (no arithmetic to drift).
+    */
   def welfordVarianceTyped: org.apache.spark.sql.TypedColumn[Double, Option[Double]] =
-    (new WelfordVariance).toColumn
+    (new Aggregator[Double, Moments, Option[Double]] {
+      override def zero: Moments = Moments(0, 0.0, 0.0)
+      override def reduce(b: Moments, a: Double): Moments = b.add(a)
+      override def merge(a: Moments, b: Moments): Moments = a.merge(b)
+      override def finish(r: Moments): Option[Double] = r.variance
+      override def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
+      override def outputEncoder: Encoder[Option[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }).toColumn
 }

@@ -37,7 +37,7 @@ object QDigest {
       extends Serializable
 
   class Quantiles(log2U: Int, k: Int, probes: Seq[Double])
-      extends Aggregator[Long, State, Array[Long]] {
+      extends Aggregator[java.lang.Long, State, Array[Long]] {
     require(log2U >= 1 && log2U <= 40, s"log2U out of range: $log2U")
     require(k >= 8, s"compression factor too small: $k")
     require(probes.nonEmpty && probes.forall(p => p > 0 && p < 1))
@@ -51,7 +51,14 @@ object QDigest {
 
     override def zero: State = new State(0L, new java.util.HashMap)
 
-    override def reduce(b: State, x: Long): State = {
+    override def reduce(b: State, boxed: java.lang.Long): State = {
+      // BOXED input + null skip (r17 review): a primitive Long input
+      // encoder made a NULL row crash the query ("Null value appeared
+      // in non-nullable field") — or silently count as 0 — instead of
+      // being skipped like the built-in percentile() it mirrors (the
+      // MisraGries r16 NULL convention)
+      if (boxed == null) return b
+      val x = boxed.longValue()
       require(x >= 0 && x < U, s"value out of universe [0, $U): $x")
       b.m.merge(U + x, 1L, (a, c) => a + c)
       b.n += 1
@@ -80,20 +87,20 @@ object QDigest {
       var i = 0
       val kit = r.m.keySet().iterator()
       while (kit.hasNext) { ids(i) = kit.next(); i += 1 }
-      val ordered = ids.sortBy { v =>
+      // one spelling of the node geometry (r17 review: the d/width/hi
+      // derivation appeared verbatim in the sort key AND the walk —
+      // the trickiest bit-arithmetic in the file must not fork)
+      def geometry(v: Long): (Long, Long) = {
         val d = 63 - java.lang.Long.numberOfLeadingZeros(v)
         val width = U >> d
-        val hi = (v - (1L << d)) * width + width
-        (hi, width)
+        ((v - (1L << d)) * width + width, width)
       }
+      val ordered = ids.map(v => (v, geometry(v))).sortBy(_._2)
       val targets = probes.map(p => math.max(1L, math.ceil(p * r.n).toLong))
       val out = Array.fill(probes.size)(-1L)
       var cum = 0L
-      for (v <- ordered) {
+      for ((v, (hi, _)) <- ordered) {
         cum += r.m.get(v)
-        val d = 63 - java.lang.Long.numberOfLeadingZeros(v)
-        val width = U >> d
-        val hi = (v - (1L << d)) * width + width
         for (j <- targets.indices)
           if (out(j) < 0 && cum >= targets(j)) out(j) = hi - 1
       }
@@ -168,5 +175,5 @@ object QDigest {
     */
   def qdigest_quantiles(c: Column, log2U: Int, k: Int,
                         probes: Seq[Double]): Column =
-    udaf(new Quantiles(log2U, k, probes)).apply(c)
+    udaf(new Quantiles(log2U, k, probes), Encoders.LONG).apply(c)
 }

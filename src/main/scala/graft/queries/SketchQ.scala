@@ -131,7 +131,7 @@ object SketchQ {
       count(lit(1)).as("n_total"))
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("tok").asc).limit(10)
-    top.crossJoin(sketch)
+    top.crossJoin(broadcast(sketch))
       .select(col("tok"), col("exact_n"),
         cms_estimate(col("sk"), col("tok")).as("_est"), col("n_total"))
       .select(col("tok"), col("exact_n"),
@@ -202,6 +202,13 @@ object SketchQ {
         element_at(col("est"), 1).as("e25"),
         element_at(col("est"), 2).as("e50"),
         element_at(col("est"), 3).as("e75"))
+      // lazy checkpoint (r17 review): est has TWO consumers under
+      // different exchanges (broadcast into ranks, shuffle into the
+      // final join) — no exchange reuse possible, so the battery's
+      // most expensive UDAF pass over lineitem ran twice; and since
+      // digest node sets are batching-dependent, the two evaluations
+      // could even disagree. One materialization of the 3-row table.
+      .localCheckpoint(false)
     // exact ranks of the three estimates, one conditional-sum scan
     val ranks = cents.join(broadcast(est), Seq("flag"))
       .groupBy(col("flag"))

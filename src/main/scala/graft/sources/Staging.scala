@@ -25,10 +25,22 @@ object Staging {
     }
   }
 
+  // ONE shutdown hook draining a queue (r17 review): a dedicated hook
+  // Thread per staged directory accumulated unboundedly in a battery
+  // JVM (StreamQ mints temp dirs in loops — hundreds of hook threads,
+  // all spawned concurrently at exit). tempDir just enqueues.
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val reaperInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = pending.poll()
+      while (p != null) { delTree(p); p = pending.poll() }
+    }, "graft-staging-reaper"))
+
   /** A fresh temp directory reaped at JVM exit. */
   def tempDir(prefix: String): Path = {
+    reaperInstalled
     val p = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(p)))
+    pending.add(p)
     p
   }
 

@@ -17,8 +17,62 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // keyed on (path, mtime, length) — NOT path alone (r17 review): a
+  // path-only key returned a stale nanos/micros verdict after the file
+  // was re-encoded in place within one JVM lifetime, silently
+  // reintroducing the 1000x corruption the probe exists to prevent.
+  // For a directory the status is the dir's own mtime (changes when
+  // children are added/removed).
   private val probeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      java.lang.Boolean]()
+
+  private def probeKey(s: SparkSession, path: String): (String, Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(hPath)
+    (path, st.getModificationTime, st.getLen)
+  }
+
+  /** The nanos→micros factor for the events file/directory at `path`,
+    * memoized ONCE per (JVM, file state) — shared by the batch loader
+    * and [[graft.streaming.Streaming.eventStream]] (r17 review: the
+    * stream re-probed every footer on every definition while batch
+    * callers paid once).
+    */
+  def eventsTsFactor(s: SparkSession, path: String): Long =
+    if (probeMemo.computeIfAbsent(probeKey(s, path),
+      _ => eventsTsIsMicros(s, path))) 1000L else 1L
+
+  /** events schema as stored on disk under EITHER ts encoding (`ts` is
+    * read as the raw physical INT64; the probe decides the unit) — ONE
+    * spelling shared with the streaming source.
+    */
+  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** The (ts_raw → ts_ns, µs TimestampType ts) derivation — ONE
+    * spelling shared by the batch and streaming loaders (r17 review:
+    * the 4-line triplet existed verbatim in both and could drift).
+    * Integer arithmetic only (a double product/division would lose
+    * precision above 2^53 — epoch-ns is ~2^60); the µs truncation is a
+    * true FLOOR (`div` truncates toward zero, which for a NEGATIVE
+    * pre-1970 ts_ns with a sub-µs remainder landed 1 µs late —
+    * subtracting pmod first floors for every sign).
+    */
+  def deriveEventTs(df: DataFrame, factor: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    df.withColumnRenamed("ts", "ts_raw")
+      .withColumn("ts_ns", expr(s"ts_raw * ${factor}L"))
+      .withColumn("ts",
+        timestamp_micros(expr("(ts_ns - pmod(ts_ns, 1000)) div 1000")))
+      .drop("ts_raw")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -42,29 +96,16 @@ object Tables {
     * above 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     val path = s"$d/events.parquet"
     // raw-long read works for BOTH encodings (it bypasses the logical
     // type and reads the physical INT64); the probe only decides the
     // unit. Timestamp semantics are then derived identically for both:
     // timestamp_micros = UTC-epoch micros, matching the oracle's naive
     // TIMESTAMP under the battery's pinned UTC session. The verdict is
-    // immutable per path — memoized so a battery's ~200 events() calls
-    // pay the footer probe once per JVM, not once per gate entry.
-    val factor = if (probeMemo.computeIfAbsent(path,
-      p => eventsTsIsMicros(s, p))) 1000L else 1L
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    s.read.schema(schema).parquet(path)
-      .withColumnRenamed("ts", "ts_raw")
-      // integer arithmetic only — a double product/division would lose
-      // precision above 2^53 (epoch-ns is ~2^60)
-      .withColumn("ts_ns", expr(s"ts_raw * ${factor}L"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .drop("ts_raw")
+    // memoized per file STATE so a battery's ~200 events() calls pay
+    // the footer probe once per JVM, not once per gate entry.
+    deriveEventTs(s.read.schema(eventsRawSchema).parquet(path),
+      eventsTsFactor(s, path))
   }
 
   /** True iff the events file at `path` stores `ts` as TIMESTAMP(MICROS)
@@ -126,8 +167,13 @@ object Tables {
       dt == org.apache.spark.sql.types.TimestampType ||
         dt == org.apache.spark.sql.types.TimestampNTZType
     } catch {
+      // classify by ERROR CLASS first (r17 review: a reworded/localized
+      // message would stop matching, breaking every nanos-era read);
+      // the message substrings stay as a fallback for Spark versions
+      // whose condition is null on this path
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+          if Option(e.getCondition).exists(_.contains("PARQUET_TYPE_ILLEGAL")) ||
+            e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
             e.getMessage.contains("TIMESTAMP(NANOS") =>
         false
     }

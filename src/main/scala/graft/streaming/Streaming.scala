@@ -16,17 +16,10 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema as stored in the legacy nanos encoding (ts = INT64
-    * TIMESTAMP(NANOS) read as a raw long; see
-    * [[graft.sources.Tables.events]]).
+  /** events schema as stored on disk (raw INT64 `ts` under either
+    * encoding) — the ONE spelling lives with the batch loader (r17).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  val eventsRawSchema: StructType = graft.sources.Tables.eventsRawSchema
 
   /** File-based stream of the events table (one parquet per micro-batch
     * in tests). `maxFilesPerTrigger=1` gives deterministic batching.
@@ -41,18 +34,16 @@ object Streaming {
     * encoding as the definition-time population; that contract is now
     * enforced loudly instead of silently misreading.
     */
-  def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val factor =
-      if (graft.sources.Tables.eventsTsIsMicros(spark, dir)) 1000L else 1L
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_raw")
-      .withColumn("ts_ns", expr(s"ts_raw * ${factor}L"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .drop("ts_raw")
-  }
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    // probe + derivation shared with the batch loader (r17 review: the
+    // stream re-probed every footer on every definition and carried a
+    // verbatim copy of the ts derivation that could drift)
+    graft.sources.Tables.deriveEventTs(
+      spark.readStream
+        .schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir),
+      graft.sources.Tables.eventsTsFactor(spark, dir))
 
   /** Tumbling 5-minute windowed counts per event type with a 10-minute
     * watermark (late data beyond it is dropped; state for closed windows

@@ -34,4 +34,15 @@ class AggregatorsSpec extends AnyFunSuite with SparkTestSession {
     val one = spark.range(1).map(_.toDouble)
     assert(one.select(Aggregators.welfordVarianceTyped).collect()(0).isEmpty)
   }
+
+  test("NULL inputs are skipped like var_samp (not crashed, not counted as 0)") {
+    val df = Seq(Some(10.0), None, Some(20.0), None, Some(30.0))
+      .toDF("x")
+    val r = df.agg(Aggregators.welford_variance($"x").as("wv"),
+      var_samp($"x").as("vs")).collect()(0)
+    assert(math.abs(r.getAs[Double]("wv") - r.getAs[Double]("vs")) < 1e-9)
+    // all-NULL input: no variance, like the built-in's NULL
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    assert(allNull.agg(Aggregators.welford_variance($"x")).collect()(0).isNullAt(0))
+  }
 }

@@ -73,4 +73,14 @@ class QDigestSpec extends AnyFunSuite with SparkTestSession {
   test("empty input yields the -1 sentinel") {
     assert(agg.finish(agg.zero).toSeq == probes.map(_ => -1L))
   }
+
+  test("NULL inputs are skipped like percentile (not crashed, not counted as 0)") {
+    import spark.implicits._
+    val withNulls = (xs.map(Option(_)) ++ Seq(None, None)).toDF("x")
+    val est = withNulls
+      .agg(QDigest.qdigest_quantiles(
+        org.apache.spark.sql.functions.col("x"), log2U, k, probes).as("q"))
+      .as[Array[Long]].head()
+    checkBounds(est, xs)  // bounds over the NON-NULL values only
+  }
 }
