@@ -47,6 +47,11 @@ object FuzzyJoin {
                 i -> concat(substring(name, 1, i-1),
                             substring(name, i+1, length(name))))""")
       ))).as("variant"))
+      // lazy checkpoint (r17 review): the deletion-neighborhood
+      // explode — and everything upstream of df — feeds BOTH legs of
+      // the self-join below; one materialization instead of two runs
+      // of the candidate generation
+      .localCheckpoint(false)
     val cand = variants.as("a")
       .join(variants.as("b"),
         col("a.variant") === col("b.variant") &&

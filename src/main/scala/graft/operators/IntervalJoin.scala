@@ -28,10 +28,11 @@ object IntervalJoin {
                       pointCol: String, loCol: String, hiCol: String,
                       bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0)
-    val p = points.withColumn("_b", floorDiv(col(pointCol), bucketWidth))
+    requireNoScratch(points, intervals)
+    val p = points.withColumn("_b", floorDiv(pointCol, bucketWidth))
     val iv = intervals.withColumn("_b",
-      explode(sequence(floorDiv(col(loCol), bucketWidth),
-        floorDiv(col(hiCol), bucketWidth))))
+      explode(sequence(floorDiv(loCol, bucketWidth),
+        floorDiv(hiCol, bucketWidth))))
     p.join(iv, keys :+ "_b")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_b")
@@ -48,24 +49,35 @@ object IntervalJoin {
               lStart: String, lEnd: String, rStart: String, rEnd: String,
               bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0)
+    requireNoScratch(left, right)
     val l = left.withColumn("_b",
-      explode(sequence(floorDiv(col(lStart), bucketWidth),
-        floorDiv(col(lEnd), bucketWidth))))
+      explode(sequence(floorDiv(lStart, bucketWidth),
+        floorDiv(lEnd, bucketWidth))))
     val r = right.withColumn("_b",
-      explode(sequence(floorDiv(col(rStart), bucketWidth),
-        floorDiv(col(rEnd), bucketWidth))))
+      explode(sequence(floorDiv(rStart, bucketWidth),
+        floorDiv(rEnd, bucketWidth))))
     l.join(r, keys :+ "_b")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       // claim: the unique bucket containing max(lStart, rStart)
-      .filter(col("_b") === floorDiv(greatest(col(lStart), col(rStart)), bucketWidth))
+      .filter(col("_b") === floorDiv(s"greatest($lStart, $rStart)", bucketWidth))
       .drop("_b")
   }
 
-  /** Exact floor division for integral columns: subtracting the
-    * non-negative pmod makes the numerator an exact multiple of `w`, so
-    * the double division is exact for |c| < 2^53 (µs epochs through
-    * year ~2255; use coarser units beyond).
+  // the scratch bucket column would silently REPLACE (withColumn) and
+  // then DROP a caller column of the same name — wrong join keys and
+  // data loss with no error; refuse loudly (the globalRank convention)
+  private def requireNoScratch(a: DataFrame, b: DataFrame): Unit =
+    require(!a.columns.contains("_b") && !b.columns.contains("_b"),
+      "column '_b' is reserved by IntervalJoin — rename it first")
+
+  /** Exact floor division of the SQL expression `e`, at ANY long
+    * magnitude: subtracting the non-negative pmod makes the numerator
+    * an exact multiple of `w`, and SQL `div` keeps the quotient in
+    * integer arithmetic end-to-end (r17 review: the earlier double
+    * division was only exact below 2^53 — nanosecond epochs at ~1.7e18
+    * silently rounded into a NEIGHBORING bucket and dropped matching
+    * pairs; the PageRank/PrefixScan `div` discipline applies here too).
     */
-  private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+  private def floorDiv(e: String, w: Long): Column =
+    expr(s"(($e) - pmod(($e), ${w}L)) div ${w}L")
 }

@@ -54,37 +54,19 @@ object LabelPropagation {
   def labelsPrepared(eu: DataFrame, nodes: DataFrame, iters: Int,
                      hubDegreeCutoff: Long = 0): DataFrame = {
     require(iters >= 0)
-    val hubs = if (hubDegreeCutoff > 0)
-      Some(eu.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= hubDegreeCutoff).select(col("src"))
-        .localCheckpoint(false))
-    else None
-    val (eCold, eHub) = hubs match {
-      case Some(h) =>
-        (eu.join(h, Seq("src"), "left_anti").localCheckpoint(false),
-          eu.join(h, Seq("src"), "left_semi").localCheckpoint(false))
-      case None => (eu, eu.limit(0))
-    }
+    // hub split + per-round broadcast machinery: ONE spelling shared
+    // with PageRank ([[GraphSkew]], r17 — the two copies had to evolve
+    // in lockstep, including the load-bearing per-round iterate
+    // checkpoint)
+    val se = GraphSkew.split(eu, hubDegreeCutoff)
     var l = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       // argmax by (count desc, label asc) as a partial-aggregable
       // struct-max — max((c, −label)) picks the same winner a sorted
       // window would, without the per-round sort shuffle
-      val ls0 = l.withColumnRenamed("node", "src")
-      val stream = hubs match {
-        case Some(h) =>
-          // two consumers of the label iterate (tail join + hub
-          // broadcast): lazily checkpoint it or each round's plan
-          // embeds two copies of the previous round's — exponential
-          // plan growth. The "consumed exactly once" no-checkpoint
-          // rule below holds only for the single-consumer default path.
-          val ls = ls0.localCheckpoint(false)
-          def adopted(edges: DataFrame, labs: DataFrame) = edges
-            .join(labs, Seq("src"))
-            .select(col("dst"), col("label"))
-          adopted(eCold, ls).unionByName(
-            adopted(eHub, broadcast(ls.join(h, Seq("src"), "left_semi"))))
-        case None => eCold.join(ls0, Seq("src"))
+      val stream = se.roundStream(l.withColumnRenamed("node", "src")) {
+        (edges, labs) => edges.join(labs, Seq("src"))
+          .select(col("dst"), col("label"))
       }
       val vote = stream
         .groupBy(col("dst").as("node"), col("label"))

@@ -74,46 +74,23 @@ object PageRank {
     require(iters >= 0)
     val dampM = math.round(damping * Scale)
     val baseM = Scale - dampM
+    // iteration-invariant AND feeds every round + the hub split —
+    // lazily checkpointed (r17 review: unchckpointed, the full edge
+    // groupBy re-executed once per iteration on the hub path, exactly
+    // the artifacts-not-iterates waste this file's own doc names)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val hubs = if (hubDegreeCutoff > 0)
-      Some(outDeg.filter(col("deg") >= hubDegreeCutoff).select(col("src"))
-        .localCheckpoint(false))
-    else None
-    // iteration-invariant split: each edge is scanned once per round
-    // on exactly one leg
-    val (eCold, eHub) = hubs match {
-      case Some(h) =>
-        (e.join(h, Seq("src"), "left_anti").localCheckpoint(false),
-          e.join(h, Seq("src"), "left_semi").localCheckpoint(false))
-      case None => (e, e.limit(0))
-    }
+      .localCheckpoint(false)
+    // hub split + per-round broadcast machinery: ONE spelling shared
+    // with LabelPropagation ([[GraphSkew]], r17)
+    val se = GraphSkew.split(e, hubDegreeCutoff, degrees = Some(outDeg))
     var r = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to iters) {
       // `div`, not `/`: Spark's slash on longs is a DOUBLE division
       // whose truncation can disagree with exact integer floor near
       // representability edges — div is true integer division
-      val all = hubs match {
-        case Some(h) =>
-          // node-sized (rank, deg) table built once per round; hub rows
-          // broadcast, tail rows shuffle with bounded fan-in. The LAZY
-          // checkpoint is load-bearing: `ranked` feeds BOTH legs, and
-          // without it each round's plan embeds two copies of the
-          // previous round's — exponential plan growth that hangs the
-          // driver by ~15 iterations. Materializing the node-sized
-          // iterate once per round is the price of the second consumer
-          // (the artifacts-not-iterates rule holds for the single-
-          // consumer default path below).
-          val ranked = r.withColumnRenamed("node", "src")
-            .join(outDeg, Seq("src"))
-            .localCheckpoint(false)
-          def contribs(edges: DataFrame, rk: DataFrame) = edges
-            .join(rk, Seq("src"))
-            .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
-          contribs(eCold, ranked).unionByName(
-            contribs(eHub, broadcast(ranked.join(h, Seq("src"), "left_semi"))))
-        case None => eCold
-          .join(r.withColumnRenamed("node", "src"), Seq("src"))
-          .join(outDeg, Seq("src"))
+      val all = se.roundStream(
+        r.withColumnRenamed("node", "src").join(outDeg, Seq("src"))) {
+        (edges, rk) => edges.join(rk, Seq("src"))
           .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
       }
       val inbound = all

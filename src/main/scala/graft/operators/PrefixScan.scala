@@ -30,8 +30,12 @@ object PrefixScan {
 
   /** Returns `df` plus column `out` = max of `value` over all rows
     * with STRICTLY smaller `key` (null for the globally-first key —
-    * the empty-prefix max, exactly like `max(...) OVER (ORDER BY key
-    * ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`).
+    * the empty-prefix max, like `max(...) OVER (ORDER BY key ROWS
+    * BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`). NULL keys order
+    * LAST (r17 review note: that is DuckDB's ASC default — the gates'
+    * oracle engine — where Spark's own window default is nulls FIRST;
+    * the deliberate choice is pinned here so the two window spellings
+    * are compared against the right reference).
     */
   def strictPrefixMax(df: DataFrame, key: Column, value: Column, out: String,
                       buckets: Int = 32): DataFrame = {

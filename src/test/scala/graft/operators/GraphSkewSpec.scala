@@ -44,8 +44,10 @@ class GraphSkewSpec extends AnyFunSuite with SparkTestSession {
         .contains("BroadcastHashJoin"),
         "hub edges must join a broadcast of the hub ranks, not shuffle " +
           "on the skewed src key")
-      assert(plain.as[(Long, Long)].collect().toMap ==
-        hubbed.as[(Long, Long)].collect().toMap)
+      // sorted SEQ equality, not toMap (r17 review): a duplicate-node
+      // regression would collapse in a map and still "match"
+      assert(plain.as[(Long, Long)].collect().sorted.toSeq ==
+        hubbed.as[(Long, Long)].collect().sorted.toSeq)
     }
   }
 
@@ -58,9 +60,9 @@ class GraphSkewSpec extends AnyFunSuite with SparkTestSession {
       .unionByName(e.select($"dst".as("node"))).distinct()
       .localCheckpoint(false)
     val plain = PageRank.ranksPrepared(e, nodes, iters = 12)
-      .as[(Long, Long)].collect().toMap
+      .as[(Long, Long)].collect().sorted.toSeq
     val hubbed = PageRank.ranksPrepared(e, nodes, iters = 12,
-      hubDegreeCutoff = 100).as[(Long, Long)].collect().toMap
+      hubDegreeCutoff = 100).as[(Long, Long)].collect().sorted.toSeq
     assert(plain == hubbed)
   }
 
@@ -70,9 +72,9 @@ class GraphSkewSpec extends AnyFunSuite with SparkTestSession {
       .unionByName(e.select($"dst".as("node"))).distinct()
       .localCheckpoint(false)
     assert(PageRank.ranksPrepared(e, nodes, 2).as[(Long, Long)]
-      .collect().toMap ==
+      .collect().sorted.toSeq ==
       PageRank.ranksPrepared(e, nodes, 2, hubDegreeCutoff = 100000L)
-        .as[(Long, Long)].collect().toMap)
+        .as[(Long, Long)].collect().sorted.toSeq)
   }
 
   test("LPA: hub split is bit-identical and broadcasts the hub labels") {
@@ -85,11 +87,16 @@ class GraphSkewSpec extends AnyFunSuite with SparkTestSession {
       val plain = LabelPropagation.labelsPrepared(eu, nodes, iters = 2)
       val hubbed = LabelPropagation.labelsPrepared(eu, nodes, iters = 2,
         hubDegreeCutoff = 100)
+      // same precondition the PageRank twin asserts (r17 review): the
+      // broadcast below must come from the explicit hint, not AQE
+      assert(!plain.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "test precondition: the plain plan must not broadcast anything")
       assert(hubbed.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"),
         "hub edges must join a broadcast of the hub labels")
-      assert(plain.as[(Long, Long)].collect().toMap ==
-        hubbed.as[(Long, Long)].collect().toMap)
+      assert(plain.as[(Long, Long)].collect().sorted.toSeq ==
+        hubbed.as[(Long, Long)].collect().sorted.toSeq)
     }
   }
 }
