@@ -84,8 +84,16 @@ object EventsQ {
     */
   def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
+    // FLOOR, not truncation (r17 review): `div 1000` lands a negative
+    // pre-1970 ts_ns 1 µs late vs the oracle's epoch_us(ts) (ts is
+    // floored by Tables.deriveEventTs) — same pmod discipline here.
+    // Lazily checkpointed: obs and the grid bounds BOTH read ev (the
+    // retentionMatrix/attribution multi-consumer idiom; unchecked, the
+    // events scan ran twice per invocation).
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+      .select(col("user_id"),
+        expr("(ts_ns - pmod(ts_ns, 1000)) div 1000").as("ts_us"), col("value"))
+      .localCheckpoint(false)
     val obs = ev.groupBy(col("user_id"), col("ts_us"))
       .agg(max(col("value")).as("obs_value"))
       .withColumnRenamed("ts_us", "obs_us")
@@ -378,7 +386,10 @@ object EventsQ {
         |  FROM ev GROUP BY 1, 2),
         |grid AS (
         |  SELECT user_id,
-        |    unnest(range(t0 - t0 % 3600000000, t1 - t1 % 3600000000 + 1,
+        |    -- floor alignment for every sign (r17): bare % is
+        |    -- sign-of-dividend in DuckDB, pmod-floor in the engine
+        |    unnest(range(t0 - ((t0 % 3600000000) + 3600000000) % 3600000000,
+        |                 t1 - ((t1 % 3600000000) + 3600000000) % 3600000000 + 1,
         |                 3600000000)) AS grid_us
         |  FROM (SELECT user_id, min(ts_us) AS t0, max(ts_us) AS t1
         |        FROM ev GROUP BY user_id)),

@@ -28,6 +28,63 @@ object StreamQ {
   private def stagedEvents(dir: String): String =
     staged.computeIfAbsent(dir, graft.sources.Staging.stageCopy(_, "events.parquet"))
 
+  /** Stage `batches` as single parquet files with strictly increasing
+    * mtimes (pins the file-source batch order) and return a
+    * `maxFilesPerTrigger=1` stream over them, schema'd from the
+    * batches' own projection — ONE spelling shared by q164/q177 (r17
+    * review: each hand-built the loop plus a field-by-field StructType
+    * copy of a schema the written frame already carried). The listing
+    * closes its handle and an empty write fails with the path named
+    * (the bare `.next()` leaked a directory stream per batch and threw
+    * a bare NoSuchElementException on a partless write).
+    */
+  private def stagedBatchStream(spark: SparkSession, prefix: String,
+                                batches: Seq[DataFrame]): DataFrame = {
+    val stage = graft.sources.Staging.tempDir(s"${prefix}_src")
+    for ((b, i) <- batches.zipWithIndex) {
+      val tmp = graft.sources.Staging.tempDir(s"${prefix}_tmp$i")
+      b.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .headOption.getOrElse(sys.error(s"no parquet part written under $tmp"))
+      finally listing.close()
+      val dest = stage.resolve(s"part-$i.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+  }
+
+  /** The CDC-apply fold shared by q191/q197 (r17 review: the signed
+    * delta accumulator existed verbatim in both tails): a fresh
+    * per-source (n, sum) state plus the per-commit apply callback,
+    * counting commits per tail run through the passed counter.
+    */
+  private def cdcAccumulator(): (
+      scala.collection.mutable.HashMap[String, (Long, Long)],
+      java.util.concurrent.atomic.AtomicInteger => (DataFrame, Int) => Unit) = {
+    val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    def applyChanges(counter: java.util.concurrent.atomic.AtomicInteger)
+                    (changes: DataFrame, v: Int): Unit = {
+      counter.incrementAndGet()
+      val sign = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      changes.select(col("source"), sign.as("sgn"), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum(col("sgn") * col("n_chars")).as("ds"))
+        .collect() // |sources| rows per commit — metadata-sized
+        .foreach { r =>
+          val (n0, s0) = acc.getOrElse(r.getString(0), (0L, 0L))
+          acc(r.getString(0)) = (n0 + r.getLong(1), s0 + r.getLong(2))
+        }
+    }
+    (acc, applyChanges)
+  }
+
   /** 5-minute tumbling counts per event type, via the streaming engine. */
   def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
     val res = Streaming.runToMemory(
@@ -48,7 +105,12 @@ object StreamQ {
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val res = Streaming.runToMemory(
-      Streaming.dedupWithinWatermark(Streaming.eventStream(spark, stagedEvents(dir))),
+      // ENFORCE the documented key projection (r17 review: the
+      // scaladoc claimed it, the code didn't — any non-key column
+      // reaching the sink depends on WHICH duplicate survives, and
+      // full-width rows were retained in memory for nothing)
+      Streaming.dedupWithinWatermark(Streaming.eventStream(spark, stagedEvents(dir)))
+        .select(col("user_id"), col("value"), col("event_type")),
       name = "q73_stream_dedup_mem",
       mode = OutputMode.Append,
       skipNoDataBatch = true)
@@ -142,32 +204,11 @@ object StreamQ {
 
   def streamVersionedPublish(spark: SparkSession, dir: String): DataFrame = {
     val root = versionedStaged.computeIfAbsent(dir, d => {
-      val stage = graft.sources.Staging.tempDir("graft_vpub_src")
       val snapRoot = graft.sources.Staging.tempDir("graft_vpub_snap").toString
       val src = graft.sources.Tables.events(spark, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
-      for (i <- 0 to 2) {
-        val tmp = graft.sources.Staging.tempDir(s"graft_vpub_tmp$i")
-        src.filter(pmod(col("event_id"), lit(3)) === i)
-          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).next()
-        val dest = stage.resolve(s"part-$i.parquet")
-        java.nio.file.Files.move(part, dest)
-        // strictly increasing mtimes pin the file-source batch order
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
-      val stream = spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage.toString)
+      val stream = stagedBatchStream(spark, "graft_vpub",
+        (0 to 2).map(i => src.filter(pmod(col("event_id"), lit(3)) === i)))
       Streaming.runForeachBatchSnapshotAppend(stream, snapRoot)
       snapRoot
     })
@@ -197,36 +238,15 @@ object StreamQ {
 
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     val root = upsertStaged.computeIfAbsent(dir, d => {
-      val stage = graft.sources.Staging.tempDir("graft_upsert_src")
       val snapRoot = graft.sources.Staging.tempDir("graft_upsert_snap").toString
       val docs = graft.sources.Tables.documents(spark, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val batches = Seq(
+      val stream = stagedBatchStream(spark, "graft_upsert", Seq(
         docs,
         docs.filter(pmod(col("doc_id"), lit(4)) === 0)
           .withColumn("n_chars", col("n_chars") + 100),
         docs.filter(pmod(col("doc_id"), lit(6)) === 0)
-          .withColumn("n_chars", col("n_chars") + 200))
-      for ((b, i) <- batches.zipWithIndex) {
-        val tmp = graft.sources.Staging.tempDir(s"graft_upsert_tmp$i")
-        b.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).next()
-        val dest = stage.resolve(s"part-$i.parquet")
-        java.nio.file.Files.move(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      }
-      val stream = spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("source",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_chars",
-            org.apache.spark.sql.types.LongType))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage.toString)
+          .withColumn("n_chars", col("n_chars") + 200)))
       Streaming.runForeachBatchSnapshotUpsert(stream, snapRoot, "doc_id")
       snapRoot
     })
@@ -325,15 +345,25 @@ object StreamQ {
     // same staged file — the stream can't afford exact distinct (the
     // sketch exists precisely because of that), so the gate verifies
     // the streaming sketch against batch truth
+    // FLOOR end-to-end in integer arithmetic (r17 review): `div`
+    // truncates toward zero, so a pre-1970 ts_ns bucketed one window
+    // late vs the stream's window() and the oracle's `//` — the
+    // deriveEventTs pmod-floor discipline applies to both steps
     val exact = graft.sources.Tables.events(spark, stagedEvents(dir))
       .groupBy(
-        (floor(expr("ts_ns div 1000000000") / 300) * 300).cast("long")
-          .as("window_start_epoch"),
+        expr("""(ts_ns - pmod(ts_ns, 1000000000)) div 1000000000
+               | - pmod((ts_ns - pmod(ts_ns, 1000000000)) div 1000000000,
+               |        300)""".stripMargin.replace("\n", " "))
+          .cast("long").as("window_start_epoch"),
         col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
     res.select(col("window_start").cast("long").as("window_start_epoch"),
         col("event_type"), col("n"), col("approx_users"))
-      .join(exact, Seq("window_start_epoch", "event_type"))
+      // LEFT join from the stream side (r17 review): an inner join
+      // silently DROPPED a ghost window emitted by the streaming agg
+      // (the extra-emission failure mode this gate exists to police);
+      // a ghost now surfaces with NULL exact_users and hash-fails
+      .join(exact, Seq("window_start_epoch", "event_type"), "left")
       .select(col("window_start_epoch"), col("event_type"), col("n"),
         col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
@@ -420,22 +450,7 @@ object StreamQ {
           .select(col("doc_id")))                                      // v4
       S.append(docs.filter(pmod(col("doc_id"), lit(7)) === 3)
         .repartition(1), root)                                         // v5
-      val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
-      def applyChanges(counter: java.util.concurrent.atomic.AtomicInteger)
-                      (changes: DataFrame, v: Int): Unit = {
-        counter.incrementAndGet()
-        val sign = when(col("_change_type")
-          .isin("insert", "update_postimage"), 1L).otherwise(-1L)
-        changes.select(col("source"), sign.as("sgn"), col("n_chars"))
-          .groupBy(col("source"))
-          .agg(sum(col("sgn")).as("dn"),
-            sum(col("sgn") * col("n_chars")).as("ds"))
-          .collect() // |sources| rows per commit — metadata-sized
-          .foreach { r =>
-            val (n0, s0) = acc.getOrElse(r.getString(0), (0L, 0L))
-            acc(r.getString(0)) = (n0 + r.getLong(1), s0 + r.getLong(2))
-          }
-      }
+      val (acc, applyChanges) = cdcAccumulator()
       val c1 = new java.util.concurrent.atomic.AtomicInteger()
       Streaming.tailChanges(spark, root, ck)(applyChanges(c1))
       // "process death": more commits land, then the tail resumes on
@@ -504,22 +519,7 @@ object StreamQ {
             .withColumn("doc_id", col("doc_id") + 3000000L)
             .withColumn("n_chars", col("n_chars") + 300))
           .repartition(1))                                             // v4 main
-      val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
-      def applyChanges(counter: java.util.concurrent.atomic.AtomicInteger)
-                      (changes: DataFrame, v: Int): Unit = {
-        counter.incrementAndGet()
-        val sign = when(col("_change_type")
-          .isin("insert", "update_postimage"), 1L).otherwise(-1L)
-        changes.select(col("source"), sign.as("sgn"), col("n_chars"))
-          .groupBy(col("source"))
-          .agg(sum(col("sgn")).as("dn"),
-            sum(col("sgn") * col("n_chars")).as("ds"))
-          .collect() // |sources| rows per commit — metadata-sized
-          .foreach { r =>
-            val (n0, s0) = acc.getOrElse(r.getString(0), (0L, 0L))
-            acc(r.getString(0)) = (n0 + r.getLong(1), s0 + r.getLong(2))
-          }
-      }
+      val (acc, applyChanges) = cdcAccumulator()
       val c1 = new java.util.concurrent.atomic.AtomicInteger()
       Streaming.tailChanges(spark, root, ck)(applyChanges(c1))
       // between runs: a rewrite on main (ref advances, feed skips), a
@@ -726,7 +726,11 @@ object StreamQ {
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, "value" FROM events),
         |wm AS (
-        |  SELECT max(us) // 1000 - 600000 AS wm_ms FROM e),
+        |  -- truncating us->ms like the engine's Long /1000 (r17): `//`
+        |  -- floors, which is 1 ms earlier on negative pre-1970 values;
+        |  -- subtracting the C-style remainder first makes the dividend
+        |  -- an exact multiple, so `//` then equals truncation
+        |  SELECT (max(us) - (max(us) % 1000)) // 1000 - 600000 AS wm_ms FROM e),
         |g AS (
         |  SELECT user_id, event_id, us, "value",
         |    CASE WHEN us - lag(us) OVER w IS NULL
@@ -747,5 +751,6 @@ object StreamQ {
         |SELECT user_id, start_us, end_us, n_events, total_value
         |FROM f, wm
         |WHERE session_id < last_sid
-        |   OR (end_us + 1800000000) // 1000 < wm_ms""".stripMargin)
+        |   OR ((end_us + 1800000000)
+        |       - ((end_us + 1800000000) % 1000)) // 1000 < wm_ms""".stripMargin)
 }

@@ -14,16 +14,23 @@ import graft.sources.Tables
 object WindowsQ {
 
   /** Top-3 orders per customer — row_number with a total (deterministic)
-    * tie-break.
+    * tie-break; rank/dense_rank over the PRICE ALONE (r17 review: under
+    * the tie-broken ordering no peer rows exist, so rk/drk provably
+    * equaled rn and the gate never exercised tie semantics — the very
+    * surface these functions were added for). The emitted ROWS stay
+    * pinned by rn; rk/drk VALUES are deterministic because peers share
+    * them by definition.
     */
   def rankTopK(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wTies = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("rn"),
-        rank().over(w).as("rk"),
-        dense_rank().over(w).as("drk"))
+        rank().over(wTies).as("rk"),
+        dense_rank().over(wTies).as("drk"))
       .filter(col("rn") <= 3)
   }
 
@@ -87,10 +94,11 @@ object WindowsQ {
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER w AS INT) AS rn,
-        |    CAST(rank() OVER w AS INT) AS rk,
-        |    CAST(dense_rank() OVER w AS INT) AS drk
+        |    CAST(rank() OVER wt AS INT) AS rk,
+        |    CAST(dense_rank() OVER wt AS INT) AS drk
         |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+        |         wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC))
         |WHERE rn <= 3""".stripMargin,
     "q26_window_lag_lead" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
