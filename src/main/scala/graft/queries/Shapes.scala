@@ -192,13 +192,23 @@ object Shapes {
       variableColumnName = "metric",
       valueColumnName = "n")
 
-  /** Correlated scalar subquery: orders above their customer's average. */
+  /** Correlated scalar subquery: orders above 1.5× their customer's
+    * average — membership decided in EXACT integer cents (r17 review:
+    * `price > avg(price) * 1.5` put a float mean — whose partial-sum
+    * order differs by partitioning AND engine, the q124 class — on a
+    * row-MEMBERSHIP boundary that no output tolerance can absorb;
+    * cents > 1.5·sum/n cross-multiplies to 2·n·cents > 3·sum_cents,
+    * exact on both engines, decimal(38,0) so the products can't wrap).
+    */
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val avgPer = o.groupBy(col("o_custkey").as("k"))
-      .agg(avg(col("o_totalprice")).as("avg_price"))
-    o.join(broadcast(avgPer), col("o_custkey") === col("k"))
-      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .withColumn("cents",
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+    val per = o.groupBy(col("o_custkey").as("k"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+    o.join(broadcast(per), col("o_custkey") === col("k"))
+      .filter(expr("2 * cast(cents as decimal(38,0)) * n" +
+        " > 3 * cast(sum_cents as decimal(38,0))"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
@@ -326,7 +336,14 @@ object Shapes {
         |FROM w, LATERAL (VALUES ('p1', p1), ('p2', p2), ('p3', p3),
         |                        ('p4', p4), ('p5', p5)) u(metric, n)""".stripMargin,
     "q24_scalar_subquery" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
-        |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
-        |                            WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+      """WITH c AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |p AS (SELECT o_custkey AS k, sum(cents) AS sum_cents,
+        |             count(*) AS n
+        |      FROM c GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM c JOIN p ON c.o_custkey = p.k
+        |WHERE 2 * cents * n > 3 * sum_cents""".stripMargin)
 }

@@ -41,8 +41,10 @@ object SummaryQ {
     * detection, SQL-expressible for the oracle.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
+    // floor, not truncation — the q36/q106 negative-ts discipline (r17)
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_type"),
+        expr("(ts_ns - pmod(ts_ns, 1000)) div 1000").as("ts_us"))
     val firstSignup = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
     val firstPurchaseAfter = ev.filter(col("event_type") === "purchase")
