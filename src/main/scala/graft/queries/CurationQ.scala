@@ -43,13 +43,16 @@ object CurationQ {
         tokenCount(col("text")).cast("long").as("n_tok"))
     val totals = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tot"))
       .localCheckpoint(false)
+    // floor(x·1e6 + 0.5), NEVER round(x, 6), on a data-derived double
+    // (r17 review): Spark rounds the shortest decimal repr HALF_UP
+    // while DuckDB rounds the binary double — the battery-wide cosine
+    // spelling applies to this quotient too. frac = thr/1e6 exactly.
     val thr = totals
       .crossJoin(broadcast(totals.agg(min(col("tot")).as("target"))))
       .select(col("source"),
-        round(col("target").cast("double") / col("tot").cast("double"), 6).as("frac"))
-      // frac is already on the 1e-6 grid, so frac*1e6 rounds to an exact
-      // integer threshold — the same bigint DuckDB derives
-      .withColumn("thr", floor(col("frac") * 1000000 + 0.5).cast("long"))
+        floor(col("target").cast("double") / col("tot").cast("double")
+          * 1000000 + 0.5).cast("long").as("thr"))
+      .withColumn("frac", col("thr").cast("double") / 1000000)
     d.join(broadcast(thr), Seq("source"))
       .filter(Sampling.bucket(col("doc_id"), "mix2") < col("thr"))
       .groupBy(col("source"), col("frac"))
@@ -123,8 +126,13 @@ object CurationQ {
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
       .withColumn("shard",
+        // NULL-key sentinel like Sampling.bucket (r17 review: the
+        // oracle renders through bucketSql which coalesces since r17,
+        // so a NULL doc_id would shard NULL here but deterministically
+        // there)
         pmod(Winnowing.portableHash(
-          concat(col("doc_id").cast("string"), lit("#shard"))), lit(nShards.toLong))
+          concat(coalesce(col("doc_id").cast("string"), lit("\u0000null")),
+            lit("#shard"))), lit(nShards.toLong))
           .cast("int"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
@@ -270,12 +278,29 @@ object CurationQ {
     val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val ann = IncrementalDedup.annotateAgainst(batch, history,
       historyBloom(spark, dir))
-    ann.agg(
+    // INDEPENDENT truth leg (r17 review): `is_dup && !bloom_hit` was
+    // structurally impossible — annotateAgainst only assigns the
+    // confirm-join key when the bloom hits, so the old boolean
+    // measured the join against itself, not the filter. True
+    // duplicate-ness is recomputed here WITHOUT the bloom gate (the
+    // full canonical-hash semi-join the prefilter exists to avoid at
+    // scale — this is the GATE measuring the operator, priced at gate
+    // scale), so a mis-built or mis-probed bloom that misses a real
+    // duplicate now fails the gate instead of hiding behind the gating.
+    val truth = batch.select(col("doc_id"),
+        md5(Dedup.canonicalText(col("text"))).as("_tch"))
+      .join(history.select(md5(Dedup.canonicalText(col("text"))).as("_tch"))
+        .distinct().withColumn("_tseen", lit(true)), Seq("_tch"), "left")
+      .select(col("doc_id"), col("_tseen").isNotNull.as("_true_dup"))
+    ann.join(truth, Seq("doc_id"))
+      .agg(
         count(lit(1)).as("n_batch"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
         sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_survivors"),
         sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("_n_hit"),
-        sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L)).as("_fn"))
+        // a TRUE dup the bloom missed, or any is_dup/truth disagreement
+        sum(when((col("_true_dup") && !col("bloom_hit")) ||
+          (col("_true_dup") =!= col("is_dup")), 1L).otherwise(0L)).as("_fn"))
       .select(col("n_batch"), col("n_dup"), col("n_survivors"),
         (col("_fn") === 0L).as("no_false_negatives"),
         ((col("_n_hit") - col("n_dup")) <=
@@ -368,8 +393,12 @@ object CurationQ {
       .agg(count(lit(1)).as("total_occurrences"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_occurrences"))
       .select(col("source"), col("total_occurrences"), col("oov_occurrences"),
-        expr("(2 * oov_occurrences * 1000000 + total_occurrences)" +
-          " div (2 * total_occurrences)")
+        // decimal numerator (r17 review): 2·oov·1e6 wraps int64 at
+        // ~4.6e12 occurrences per source — a tighter, undocumented
+        // bound than the file's q149 paragraph — while DuckDB
+        // auto-promotes; div on decimals is the same truncating divide
+        expr("cast((2 * cast(oov_occurrences as decimal(38,0)) * 1000000" +
+          " + total_occurrences) div (2 * total_occurrences) as bigint)")
           .as("oov_rate_millionths"))
   }
 
@@ -392,20 +421,30 @@ object CurationQ {
     // — checkpoint it once (the q85/q93/q105 diamond)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        md5(Dedup.canonicalText(col("text"))).as("ch"))
+        md5(Dedup.canonicalText(col("text"))).as("ch"),
+        // SECOND, independent content key (r17 review): the residual
+        // check below semi-joined on the SAME ch that defined
+        // `leaked`, so it was empty by construction and could not
+        // trap a broken exclusion; xxhash64 re-derives content
+        // identity through a different function
+        xxhash64(Dedup.canonicalText(col("text"))).as("ch2"))
       .localCheckpoint(false)
     val eval = Sampling.fixedSizePerStratum(docs, col("source"), col("doc_id"),
       k = evalK, salt = "ev1")
     val evalHashes = eval.select(col("ch")).distinct()
+    val evalHashes2 = eval.select(col("ch2")).distinct()
     val rest = docs.join(eval.select(col("doc_id"), lit(true).as("_inEval")),
         Seq("doc_id"), "left")
       .filter(col("_inEval").isNull).drop("_inEval")
     val train = rest.join(evalHashes.withColumn("_leak", lit(true)), Seq("ch"), "left")
       .withColumn("leaked", col("_leak").isNotNull)
     // the invariant as a 1-row scalar aggregate inside the plan (no
-    // driver-side action): surviving train docs sharing an eval hash
+    // driver-side action): surviving train docs sharing eval CONTENT,
+    // re-derived through the independent ch2 key — a broken md5-based
+    // exclusion (wrong key, inverted filter, overlapping strata) now
+    // leaves ch2 matches behind and flips the boolean
     val residual = train.filter(!col("leaked"))
-      .join(evalHashes, Seq("ch"), "semi")
+      .join(evalHashes2, Seq("ch2"), "semi")
       .agg(count(lit(1)).as("_res"))
     train.groupBy(col("source"))
       .agg(count(lit(1)).as("n_rest"),
@@ -1383,8 +1422,10 @@ object CurationQ {
          |tgt AS (SELECT min(tot) AS target FROM tot),
          |thr AS (
          |  SELECT source,
-         |    round(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS frac,
-         |    CAST(floor(round(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE), 6) * 1000000 + 0.5) AS BIGINT) AS thr
+         |    CAST(floor(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE)
+         |      * 1000000 + 0.5) AS BIGINT) AS thr,
+         |    CAST(floor(CAST(target AS DOUBLE) / CAST(tot AS DOUBLE)
+         |      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS frac
          |  FROM tot, tgt),
          |b AS (
          |  SELECT d.source, d.n_tok, thr.frac, thr.thr,

@@ -122,7 +122,13 @@ object VectorQ {
         (col("_hits") >= 4L).as("recall5_ge_08"))
   }
 
-  /** Per-label embedding statistics (norms computed per-element). */
+  /** Per-label embedding statistics (norms computed per-element). The
+    * mean crosses the aggregation as a SCALED INTEGER (r17 review:
+    * avg(double) partial-sum order differs by partitioning AND engine,
+    * and round(x, 6)'s semantics differ between Spark and DuckDB — the
+    * CurationQ discipline applies); per-row norms round to millionths
+    * first, the mean is an exact integer quotient.
+    */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"),
@@ -131,8 +137,11 @@ object VectorQ {
         size(col("embedding")).as("dim"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("norm")), 6).as("avg_norm"),
+        sum(floor(col("norm") * 1000000 + 0.5).cast("long")).as("_sm"),
         min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"))
+      .select(col("label"), col("n"),
+        expr("_sm div n").as("avg_norm_micro"),
+        col("min_dim"), col("max_dim"))
 
   /** Exact cosine near-dup pairs within each label block. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame =
@@ -705,10 +714,16 @@ object VectorQ {
     "q52_embedding_stats" ->
       """WITH n AS (
         |  SELECT label,
-        |    sqrt(CAST(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS DOUBLE)) AS norm,
+        |    -- list_reduce over a prepended 0.0: the LEFT fold Spark's
+        |    -- aggregate() runs (list_sum's summation order is its own)
+        |    sqrt(CAST(list_reduce(
+        |      list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)),
+        |      (a, b) -> a + b) AS DOUBLE)) AS norm,
         |    CAST(len(embedding) AS INT) AS dim
         |  FROM embeddings)
-        |SELECT label, count(*) AS n, round(avg(norm), 6) AS avg_norm,
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(CAST(floor(norm * 1000000 + 0.5) AS BIGINT))
+        |    // count(*) AS BIGINT) AS avg_norm_micro,
         |  min(dim) AS min_dim, max(dim) AS max_dim
         |FROM n GROUP BY label""".stripMargin,
     "q53_cosine_pairs" ->
@@ -728,7 +743,11 @@ object VectorQ {
     // the FULL pipeline mirror: same literal hyperplanes, same
     // left-associated dot fold, same bucket join, same cosine verify
     "q54_lsh_near_dups" -> {
-      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |           FROM embeddings
+         |           -- the engine drops non-64-dim vectors before
+         |           -- bucketing (r16 fix); the mirror must too (r17)
+         |           WHERE len(embedding) = 64),
          |b AS (
          |${lshBucketSql(numBits = 8, dim = 64, numTables = 4)}),
          |cand AS (
