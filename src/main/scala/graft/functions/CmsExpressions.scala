@@ -25,16 +25,29 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * with their UTF-8 bytes, exactly what CountMinSketchAgg adds.
   */
 object CmsUtil {
-  // last-used cache keyed by a FULL-content FNV-64: row extraction
-  // copies the binary per evaluation, so an identity (`eq`) key would
-  // never hit; and SAMPLED fingerprints are unsound here — same-config
-  // sketches share every header byte and can share totalCount, with
-  // only a handful of grid cells differing, so any strided sample has
-  // real collision mass (review-caught twice). Hashing all bytes costs
-  // ~ns/byte per probed row — still several-fold cheaper than the
-  // deserialize+alloc it replaces, and exactly as safe as re-parsing.
+  // small per-thread LRU keyed by a FULL-content FNV-64: row
+  // extraction copies the binary per evaluation, so an identity (`eq`)
+  // key would never hit; and SAMPLED fingerprints are unsound here —
+  // same-config sketches share every header byte and can share
+  // totalCount, with only a handful of grid cells differing, so any
+  // strided sample has real collision mass (review-caught twice).
+  // Hashing all bytes costs ~ns/byte per probed row — still
+  // several-fold cheaper than the deserialize+alloc it replaces, and
+  // exactly as safe as re-parsing. Capacity 4, not 1 (r18 review): a
+  // single-entry cell thrashed to a ZERO hit rate the moment one
+  // projection probed two sketches — `cms_estimate(sk_a, t),
+  // cms_estimate(sk_b, t)` alternates keys per row, so every call
+  // missed and re-parsed ~80 KB. Four covers any projection this repo
+  // emits; eviction is access-order LRU.
   @transient private val cache =
-    new ThreadLocal[((Int, Long), CountMinSketch)]
+    new ThreadLocal[java.util.LinkedHashMap[(Int, Long), CountMinSketch]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[(Int, Long), CountMinSketch](8, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(Int, Long), CountMinSketch]): Boolean =
+            size() > 4
+        }
+    }
 
   private def fp(b: Array[Byte]): (Int, Long) = {
     var h = 0xcbf29ce484222325L
@@ -45,11 +58,12 @@ object CmsUtil {
 
   private def sketchOf(bytes: Array[Byte]): CountMinSketch = {
     val k = fp(bytes)
-    val c = cache.get()
-    if (c != null && c._1 == k) c._2
+    val m = cache.get()
+    val c = m.get(k)
+    if (c != null) c
     else {
       val s = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      cache.set((k, s))
+      m.put(k, s)
       s
     }
   }

@@ -42,57 +42,62 @@ case class MinHashSignature(child: Expression, numHashes: Int)
           s"minhash_signature needs array<bigint> (shingle hashes), got ${t.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val hashes = input.asInstanceOf[ArrayData]
-    val n = hashes.numElements()
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      // skip null hash slots (a null shingle contributes nothing)
-      // rather than minhashing the zeroed slot as hash 0
-      if (hashes.isNullAt(i)) { i += 1 }
-      else {
-      val h = hashes.getLong(i)
-      var j = 0
-      while (j < numHashes) {
-        var z = h + j * -7046029254386353131L  // j * golden-ratio-64
-        z = (z ^ (z >>> 30)) * -4658895280553007687L
-        z = (z ^ (z >>> 27)) * -7723592293110705685L
-        z ^= (z >>> 31)
-        if (z < mins(j)) mins(j) = z
-        j += 1
-      }
-      i += 1
-      }
-    }
-    new GenericArrayData(mins)
-  }
+  override def nullSafeEval(input: Any): Any =
+    MinHashRuntime.signature(input.asInstanceOf[ArrayData], numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
-      val j = ctx.freshName("j"); val n = ctx.freshName("n")
-      val h = ctx.freshName("h"); val z = ctx.freshName("z")
-      s"""
-         |long[] $mins = new long[$numHashes];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |int $n = $a.numElements();
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) continue;
-         |  long $h = $a.getLong($i);
-         |  for (int $j = 0; $j < $numHashes; $j++) {
-         |    long $z = $h + $j * -7046029254386353131L;
-         |    $z = ($z ^ ($z >>> 30)) * -4658895280553007687L;
-         |    $z = ($z ^ ($z >>> 27)) * -7723592293110705685L;
-         |    $z ^= ($z >>> 31);
-         |    if ($z < $mins[$j]) $mins[$j] = $z;
-         |  }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
-       """.stripMargin
-    })
+    // single static call into the shared kernel (the ShingleRuntime
+    // shape) — the empty-input refusal and the splitmix constants get
+    // ONE spelling across both execution paths
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashRuntime.signature($a, $numHashes);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashRuntime {
+  /** All `numHashes` minima in one pass over the hash array; null
+    * slots are skipped (a null shingle contributes nothing) rather
+    * than minhashed as the zeroed slot.
+    *
+    * An input with NO contributing hash is REFUSED loudly (r18
+    * review): the all-Long.MaxValue signature it would produce is
+    * identical for every contentless document, so LSH banding would
+    * bucket them all together and report each pair as a near-dup at
+    * estimated similarity 1.0. No production path can reach this —
+    * [[ShingleHashes]] never returns an empty array (< k tokens hash
+    * as one whole-doc gram) — so the throw is a caller-bug tripwire,
+    * not a data-dependent crash.
+    */
+  def signature(hashes: ArrayData, numHashes: Int): GenericArrayData = {
+    val n = hashes.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var contributed = false
+    var i = 0
+    while (i < n) {
+      if (hashes.isNullAt(i)) { i += 1 }
+      else {
+        contributed = true
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          var z = h + j * -7046029254386353131L  // j * golden-ratio-64
+          z = (z ^ (z >>> 30)) * -4658895280553007687L
+          z = (z ^ (z >>> 27)) * -7723592293110705685L
+          z ^= (z >>> 31)
+          if (z < mins(j)) mins(j) = z
+          j += 1
+        }
+        i += 1
+      }
+    }
+    if (!contributed) throw new IllegalArgumentException(
+      "minhash_signature: input has no non-null shingle hash — the " +
+        "all-MaxValue signature would LSH-match every other contentless " +
+        "document as a 1.0-similarity near-dup; feed shingle_hashes " +
+        "output (never empty) or filter empty arrays upstream")
+    new GenericArrayData(mins)
+  }
 }
 
 object MinHashFunctions {

@@ -38,86 +38,20 @@ case class ShingleHashes(child: Expression, k: Int, dedup: Boolean = true)
           s"shingle_hashes needs array<string> tokens, got ${t.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      }
-      i += 1
-    }
-    val m = if (n <= k) 1 else n - k + 1
-    val width = if (n <= k) n else k
-    val hs = new Array[Long](m)
-    i = 0
-    while (i < m) {
-      var h = -3750763034362895579L  // FNV offset basis as chain seed
-      var j = 0
-      while (j < width) {
-        h = (h ^ th(i + j)) * 1099511628211L
-        h ^= (h >>> 29)
-        j += 1
-      }
-      hs(i) = h
-      i += 1
-    }
-    if (!dedup) return new GenericArrayData(hs)
-    // distinct via sort+unique (no hash-set dependency, cache-friendly)
-    java.util.Arrays.sort(hs)
-    var u = 0
-    i = 0
-    while (i < m) {
-      if (i == 0 || hs(i) != hs(i - 1)) { hs(u) = hs(i); u += 1 }
-      i += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(hs, u))
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleRuntime.shingleHashes(input.asInstanceOf[ArrayData], k, dedup)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val th = ctx.freshName("th")
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val m = ctx.freshName("m"); val w = ctx.freshName("w")
-      val h = ctx.freshName("h"); val s = ctx.freshName("s")
-      val set = ctx.freshName("set")
-      s"""
-         |int $n = $a.numElements();
-         |long[] $th = new long[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |    $th[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |  }
-         |}
-         |int $m = ($n <= $k) ? 1 : ($n - $k + 1);
-         |int $w = ($n <= $k) ? $n : $k;
-         |long[] $set = new long[$m];
-         |for (int $i = 0; $i < $m; $i++) {
-         |  long $h = -3750763034362895579L;
-         |  for (int $j = 0; $j < $w; $j++) {
-         |    $h = ($h ^ $th[$i + $j]) * 1099511628211L;
-         |    $h ^= ($h >>> 29);
-         |  }
-         |  $set[$i] = $h;
-         |}
-         |${if (dedup) s"""
-         |java.util.Arrays.sort($set);
-         |int ${set}_u = 0;
-         |for (int $i = 0; $i < $m; $i++) {
-         |  if ($i == 0 || $set[$i] != $set[$i - 1]) { $set[${set}_u++] = $set[$i]; }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  java.util.Arrays.copyOf($set, ${set}_u));""".stripMargin
-          else s"""
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($set);""".stripMargin}
-       """.stripMargin
-    })
+    // single static call into the shared kernel (the DupGramStats /
+    // TopGramStats shape — r18 review: the token-xxhash + FNV-chain
+    // convention existed in FOUR spellings, and an edit to one would
+    // silently break the documented hash-equality between
+    // shingle_hashes, dup_gram_stats and top_gram_stats with no
+    // compile-time signal; Janino compiles one invocation, HotSpot
+    // inlines it, so nothing is lost over the inline template)
+    nullSafeCodeGen(ctx, ev, a => s"""
+         |${ev.value} = graft.functions.ShingleRuntime.shingleHashes($a, $k, $dedup);
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -176,18 +110,35 @@ case class DupGramStats(child: Expression, k: Int) extends UnaryExpression {
 object ShingleRuntime {
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
-  /** `[n_grams, n_dup_grams]` over the [[ShingleHashes]]-identical
-    * rolled gram hashes — the [[DupGramStats]] kernel as ONE static
-    * (both its eval and codegen call here, the [[TopGramStats]]
-    * shape), so the gram-hash convention lives in this object, not in
-    * a fourth inline spelling.
+  // a NULL token hashes as the EMPTY string (r18 review): the old raw-0
+  // slot made hash-identity disagree with [[gram]]'s string render
+  // (null → "" with separators kept), so tokens ["a", null] and
+  // ["a", ""] counted in different buckets yet rendered identically.
+  // One convention everywhere now: null ≡ "" — unreachable from
+  // [[TextFunctions.tokens]] (containsNull = false), but consistent
+  // for any future caller that passes a nullable array.
+  private val NullTokenHash: Long = {
+    val e = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(e.getBaseObject, e.getBaseOffset, 0, 42L)
+  }
+
+  /** ALL rolled k-gram hashes of a token array, in position order —
+    * THE one spelling of the gram-hash convention (token xxHash64 seed
+    * 42 → FNV-1a-style chain from the offset-basis seed with a >>>29
+    * finisher per step; fewer than k tokens → ONE whole-array gram).
+    * [[ShingleHashes]] (both modes), [[DupGramStats]] and
+    * [[TopGramStats]] all consume this, so their documented
+    * hash-equality is structural, not a convention four copies had to
+    * preserve by hand (r18 review).
     */
-  def dupGramStats(arr: ArrayData, k: Int): Array[Long] = {
+  def rolledHashes(arr: ArrayData, k: Int): Array[Long] = {
     val n = arr.numElements()
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
+      if (arr.isNullAt(i)) th(i) = NullTokenHash
+      else {
         val s = arr.getUTF8String(i)
         th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
@@ -199,7 +150,7 @@ object ShingleRuntime {
     val hs = new Array[Long](m)
     i = 0
     while (i < m) {
-      var h = -3750763034362895579L
+      var h = -3750763034362895579L  // FNV offset basis as chain seed
       var j = 0
       while (j < w) {
         h = (h ^ th(i + j)) * 1099511628211L
@@ -209,9 +160,36 @@ object ShingleRuntime {
       hs(i) = h
       i += 1
     }
+    hs
+  }
+
+  /** [[ShingleHashes]]'s kernel: the rolled gram hashes, optionally
+    * distinct via sort+unique (no hash-set dependency, cache-friendly).
+    */
+  def shingleHashes(arr: ArrayData, k: Int, dedup: Boolean): ArrayData = {
+    val hs = rolledHashes(arr, k)
+    if (!dedup) return new GenericArrayData(hs)
+    val m = hs.length
+    java.util.Arrays.sort(hs)
+    var u = 0
+    var i = 0
+    while (i < m) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(u) = hs(i); u += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, u))
+  }
+
+  /** `[n_grams, n_dup_grams]` over the [[rolledHashes]] — the
+    * [[DupGramStats]] kernel as ONE static (both its eval and codegen
+    * call here, the [[TopGramStats]] shape).
+    */
+  def dupGramStats(arr: ArrayData, k: Int): Array[Long] = {
+    val hs = rolledHashes(arr, k)
+    val m = hs.length
     java.util.Arrays.sort(hs)
     var dup = 0L
-    i = 0
+    var i = 0
     while (i < m) {
       var j = i
       while (j + 1 < m && hs(j + 1) == hs(i)) j += 1
@@ -233,31 +211,9 @@ object ShingleRuntime {
     */
   def topGramStats(arr: ArrayData, k: Int): Array[Long] = {
     val n = arr.numElements()
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      }
-      i += 1
-    }
-    val m = if (n <= k) 1 else n - k + 1
     val w = if (n <= k) n else k
-    val hs = new Array[Long](m)
-    i = 0
-    while (i < m) {
-      var h = -3750763034362895579L
-      var j = 0
-      while (j < w) {
-        h = (h ^ th(i + j)) * 1099511628211L
-        h ^= (h >>> 29)
-        j += 1
-      }
-      hs(i) = h
-      i += 1
-    }
+    val hs = rolledHashes(arr, k)
+    val m = hs.length
     // distinct (value, count) runs of the sorted hashes — per-position
     // count lookups then binary-search THIS table, so a degenerate
     // all-same-gram document (exactly the boilerplate this statistic
@@ -269,7 +225,7 @@ object ShingleRuntime {
     val dCnts = new Array[Int](m)
     var nd = 0
     var maxC = 0
-    i = 0
+    var i = 0
     while (i < m) {
       var j = i
       while (j + 1 < m && sorted(j + 1) == sorted(i)) j += 1
@@ -279,20 +235,30 @@ object ShingleRuntime {
       nd += 1
       i = j + 1
     }
-    var best = -1
+    // Each distinct max-count hash materializes its gram string ONCE —
+    // its count is negated after the first build (r18 review: the
+    // all-same-gram boilerplate doc hit every one of its m positions
+    // and built m identical strings). Equal hash ⇒ equal gram at the
+    // q47 2^-64 odds, so later positions of the same hash add nothing.
     var bestGram: org.apache.spark.unsafe.types.UTF8String = null
     i = 0
     while (i < m) {
       val p = java.util.Arrays.binarySearch(dVals, 0, nd, hs(i))
       if (dCnts(p) == maxC) {
+        dCnts(p) = -dCnts(p)
         val g = gram(arr, i, w)
-        if (best < 0 || g.compareTo(bestGram) > 0) { best = i; bestGram = g }
+        if (bestGram == null || g.compareTo(bestGram) > 0) bestGram = g
       }
       i += 1
     }
     Array(maxC.toLong, if (bestGram == null) 0L else bestGram.numChars().toLong)
   }
 
+  // null token renders as "" WITH separators kept — the string-side
+  // half of the null ≡ "" convention ([[NullTokenHash]]), so
+  // hash-identity and render-identity agree. This diverges from SQL
+  // concat_ws (which skips nulls separator-less) ONLY for nullable
+  // token arrays, which no production tokenizer emits.
   private def gram(arr: ArrayData, i: Int, w: Int)
       : org.apache.spark.unsafe.types.UTF8String = {
     val parts = new Array[org.apache.spark.unsafe.types.UTF8String](w)

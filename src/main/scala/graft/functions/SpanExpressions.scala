@@ -76,11 +76,16 @@ object SpanRuntime {
     val diff = new Array[Int](n + 1)
     var i = 0
     while (i < m) {
-      val d = starts.getInt(i)
-      if (d >= 0 && d < n) {
-        diff(d) += 1
-        val hi = math.min(d + k, n)
-        diff(hi) -= 1
+      // a NULL start is no evidence, not position 0 (r18 review:
+      // getInt unboxes a null slot to 0, which silently marked tokens
+      // [0, k) as duplicated and deleted them at minSpan == k)
+      if (!starts.isNullAt(i)) {
+        val d = starts.getInt(i)
+        if (d >= 0 && d < n) {
+          diff(d) += 1
+          val hi = math.min(d + k, n)
+          diff(hi) -= 1
+        }
       }
       i += 1
     }

@@ -28,8 +28,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * tokens hash as ONE whole-text k-gram, and documents with fewer than
   * w k-grams select nothing.
   *
-  * Contract: token-array elements are non-null (true for
-  * [[TextFunctions.tokens]]).
+  * Null token-array elements are skipped separator-less, exactly as
+  * `concat_ws(" ", …)` does — so the bit-compat claim above holds for
+  * nullable arrays too (no production tokenizer emits them, but the
+  * type check accepts containsNull = true).
   */
 object WinnowUtil {
   private val empty = new GenericArrayData(Array.empty[Long])
@@ -39,19 +41,31 @@ object WinnowUtil {
     val n = arr.numElements()
     val nShingles = if (n <= k) 1 else n - k + 1
     if (nShingles < w) return empty
-    // token bytes once per token (each participates in up to k windows)
+    // token bytes once per token (each participates in up to k windows);
+    // a NULL slot stays null and is skipped separator-less below — the
+    // concat_ws null-skip semantics the md5 claims bit-compat with
+    // (r18 review: getBytes on a null slot NPE'd on GenericArrayData
+    // and read garbage on UnsafeArrayData, though no production
+    // tokenizer emits nullable arrays)
     val toks = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      if (!arr.isNullAt(i)) toks(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
     val h = new Array[Long](nShingles)
     i = 0
     while (i < nShingles) {
       val md = Md5Util.threadDigest()
       val end = math.min(i + k, n)
       var j = i
+      var first = true
       while (j < end) {
-        md.update(toks(j))
-        if (j < end - 1) md.update(space, 0, 1)
+        if (toks(j) != null) {
+          if (!first) md.update(space, 0, 1)
+          md.update(toks(j))
+          first = false
+        }
         j += 1
       }
       h(i) = Md5Util.low60FromDigest(md.digest())

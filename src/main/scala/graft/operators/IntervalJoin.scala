@@ -59,7 +59,7 @@ object IntervalJoin {
     l.join(r, keys :+ "_b")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       // claim: the unique bucket containing max(lStart, rStart)
-      .filter(col("_b") === floorDiv(s"greatest($lStart, $rStart)", bucketWidth))
+      .filter(col("_b") === floorDivGreatest(lStart, rStart, bucketWidth))
       .drop("_b")
   }
 
@@ -70,14 +70,30 @@ object IntervalJoin {
     require(!a.columns.contains("_b") && !b.columns.contains("_b"),
       "column '_b' is reserved by IntervalJoin — rename it first")
 
-  /** Exact floor division of the SQL expression `e`, at ANY long
+  /** Exact floor division of the COLUMN named `name`, at ANY long
     * magnitude: subtracting the non-negative pmod makes the numerator
     * an exact multiple of `w`, and SQL `div` keeps the quotient in
     * integer arithmetic end-to-end (r17 review: the earlier double
     * division was only exact below 2^53 — nanosecond epochs at ~1.7e18
     * silently rounded into a NEIGHBORING bucket and dropped matching
     * pairs; the PageRank/PrefixScan `div` discipline applies here too).
+    * The name is backtick-quoted before interpolation (r17 ADVICE): a
+    * caller column named e.g. `a-b` or `start ts` would otherwise parse
+    * as SQL and silently change semantics where the old col()-based
+    * spelling resolved it as one identifier.
     */
-  private def floorDiv(e: String, w: Long): Column =
+  private def floorDiv(name: String, w: Long): Column =
+    floorDivExpr(quoteId(name), w)
+
+  /** floorDiv over the LATER of two interval starts — built from the
+    * quoted operands so raw caller names never reach the SQL parser.
+    */
+  private def floorDivGreatest(a: String, b: String, w: Long): Column =
+    floorDivExpr(s"greatest(${quoteId(a)}, ${quoteId(b)})", w)
+
+  private def floorDivExpr(e: String, w: Long): Column =
     expr(s"(($e) - pmod(($e), ${w}L)) div ${w}L")
+
+  private def quoteId(name: String): String =
+    "`" + name.replace("`", "``") + "`"
 }

@@ -1591,6 +1591,11 @@ object SinkQ {
         val rootKey = o
         serLatches.put(rootKey, (new java.util.concurrent.CountDownLatch(1),
           new java.util.concurrent.CountDownLatch(1)))
+        // the entry is removed in the finally below once the worker is
+        // joined (r17 ADVICE): latch pairs otherwise accumulate for the
+        // JVM lifetime, and a FAILED run would leave a counted-down
+        // pair that a later staging of the same root would reuse stale
+        try {
         val wait = udf(() => {
           val (gate, entered) = SinkQ.serLatches.get(rootKey)
           entered.countDown()
@@ -1626,6 +1631,12 @@ object SinkQ {
             graft.sources.Snapshots.merge(spark, o, "doc_id",
               srcRows.toDF("doc_id", "n_chars").repartition(1))
         }
+        // every non-exceptional exit above has joined the worker
+        // (worker.get() runs on both the success and the timeout path);
+        // counting down the removed gate latch is a no-op then, and on
+        // a failure BEFORE the countdown it releases the parked worker
+        // so nothing awaits a latch the map no longer owns
+        } finally Option(serLatches.remove(rootKey)).foreach(_._1.countDown())
       }
       interleaved(Seq((5L, -100L), (1000001L, -1L)), (5L, 55L))
       interleaved(Seq((7L, -700L), (1000002L, -2L)), (888888L, 88L))

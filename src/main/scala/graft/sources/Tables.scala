@@ -21,8 +21,12 @@ object Tables {
   // path-only key returned a stale nanos/micros verdict after the file
   // was re-encoded in place within one JVM lifetime, silently
   // reintroducing the 1000x corruption the probe exists to prevent.
-  // For a directory the status is the dir's own mtime (changes when
-  // children are added/removed).
+  // For a directory the dir's own mtime only moves on child add/remove/
+  // rename, so the max direct-child (mtime, length) is folded in too
+  // (r17 ADVICE): an in-place rewrite of an existing part file under
+  // the same name now changes the key. One level is enough — every
+  // writer in this repo (Spark parquet commit, the snapshot store)
+  // lands data files as direct children of the probed path.
   private val probeMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       java.lang.Boolean]()
@@ -31,7 +35,12 @@ object Tables {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(hPath)
-    (path, st.getModificationTime, st.getLen)
+    if (!st.isDirectory) (path, st.getModificationTime, st.getLen)
+    else {
+      val kids = fs.listStatus(hPath)
+      val maxM = (st.getModificationTime +: kids.map(_.getModificationTime)).max
+      (path, maxM, kids.map(_.getLen).sum)
+    }
   }
 
   /** The nanos→micros factor for the events file/directory at `path`,

@@ -27,6 +27,60 @@ class BenchSplitSpec extends AnyFunSuite {
     assert(Bench.parseFullnamesLine("no machine line here").isEmpty)
   }
 
+  test("parseMetaLine round-trips the live metaLine formatter") {
+    val meta = Bench.BenchMeta(
+      la = Seq((0.42, 1.2, 2.31), (18.25, 5.4, 3.0)),
+      rr = Seq("q139_bigram_fluency" -> (8.5, 0.71)),
+      io = Seq("q92_semantic_dedup" -> (123456789L, 456L),
+        "q01_agg" -> (0L, 0L)))
+    val line = Bench.metaLine(meta)
+    val parsed = Bench.parseMetaLine("noise\n" + line + "\ntrailing")
+    assert(parsed.contains(meta))
+  }
+
+  test("parseMetaLine handles empty sections and a missing line") {
+    val empty = Bench.BenchMeta(Nil, Nil, Nil)
+    assert(Bench.parseMetaLine(Bench.metaLine(empty)).contains(empty))
+    assert(Bench.parseMetaLine("no meta line").isEmpty)
+  }
+
+  test("machine line carries the adjudication block inside the kept tail") {
+    val results = Seq("q92_semantic_dedup" -> 4.7, "q222_semantic_pairs_distributed" -> 4.0,
+      "q01_agg" -> 0.1, "q13_x" -> -1.0)
+    val meta = Bench.BenchMeta(
+      la = Seq((0.4, 1.2, 2.3), (18.2, 5.4, 3.0)),
+      rr = Seq("q139_bigram_fluency" -> (8.5, 0.71)),
+      io = Seq("q92_semantic_dedup" -> (123456789L, 4560L),
+        "q222_semantic_pairs_distributed" -> (0L, 0L)))
+    val line = Bench.machineLine(results, "sf0.1", meta)
+    // la/rr/hot sit between "sf" and the trailing "value" — the region
+    // the driver's 2000-char tail always keeps
+    val afterSf = line.substring(line.indexOf("\"sf\":"))
+    assert(afterSf.contains("\"la\":[[0.4,1.2,2.3],[18.2,5.4,3]]"), line)
+    assert(afterSf.contains("\"rr\":{\"139\":[8.5,0.71]}"), line)
+    // hot = slowest-first, [read MB, GC s] of the best run
+    assert(afterSf.contains("\"hot\":{\"92\":[117.7,4.6],\"222\":[0,0]}"), line)
+    assert(afterSf.indexOf("\"value\":") > afterSf.indexOf("\"hot\":"), line)
+    // no meta → no adjudication fields, byte-identical legacy layout
+    assert(!Bench.machineLine(results, "sf0.1").contains("\"la\":"))
+  }
+
+  test("documented heavies move to the shard head, rest keeps order") {
+    val names = Seq("q01_agg", "q222_semantic_pairs_distributed",
+      "q45_x", "q92_semantic_dedup", "q99_z")
+    assert(Bench.heaviesFirst(names) == Seq(
+      "q222_semantic_pairs_distributed", "q92_semantic_dedup",
+      "q01_agg", "q45_x", "q99_z"))
+    // a shard without any heavy is untouched
+    val plain = Seq("q01_agg", "q45_x")
+    assert(Bench.heaviesFirst(plain) == plain)
+    // the full battery still covers every query exactly once
+    val all = SparkEntry.rawQueries.keys.toSeq.sorted
+    val merged = (0 until 2).flatMap(i =>
+      Bench.heaviesFirst(Bench.shardSlice(all, i, 2)))
+    assert(merged.sorted == all)
+  }
+
   test("two shards partition the live registry: every query exactly once") {
     val all = SparkEntry.rawQueries.keys.toSeq.sorted
     val merged = Bench.shardSlice(all, 0, 2) ++ Bench.shardSlice(all, 1, 2)

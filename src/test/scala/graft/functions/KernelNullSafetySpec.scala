@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** r18 adversarial-review pins for the expression kernels: null-slot
+  * semantics (WinnowSelect NPE, RemoveDupSpans null-start-as-0,
+  * Shingle hash/render disagreement), the MinHash empty-input refusal,
+  * and the TopGramStats single-build-per-distinct-hash rewrite. These
+  * inputs are unreachable from the production tokenizers (containsNull
+  * = false) — the pins exist so the kernels stay total and consistent
+  * for any caller the type check admits.
+  */
+class KernelNullSafetySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def nullableTokens(toks: Seq[Option[String]]) =
+    Seq(Tuple1(toks)).toDF("tokens")
+      .select(col("tokens").cast("array<string>").as("tokens"))
+
+  test("winnow_select skips null tokens exactly as concat_ws does") {
+    // null-free result must be byte-stable across the fix
+    val plain = nullableTokens(Seq("a", "b", "c", "d", "e", "f").map(Some(_)))
+      .select(WinnowFunctions.winnow_select($"tokens", 2, 3).as("p"))
+      .as[Seq[Long]].head()
+    assert(plain.nonEmpty)
+    // a null slot no longer NPEs, and each window hashes like
+    // md5(concat_ws(' ', slice(...))) — null skipped WITHOUT a
+    // separator, so ["a", null, "c"] windows render "a c" etc.
+    val withNull = nullableTokens(
+      Seq(Some("a"), None, Some("c"), Some("d"), Some("e"), Some("f")))
+      .select(WinnowFunctions.winnow_select($"tokens", 2, 3).as("p"))
+      .as[Seq[Long]].head()
+    // oracle: the documented SQL form over the same positions
+    val oracle = nullableTokens(
+      Seq(Some("a"), None, Some("c"), Some("d"), Some("e"), Some("f")))
+      .select(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |  i -> cast(conv(substring(md5(concat_ws(' ', slice(tokens, i + 1, 2))), 18, 15), 16, 10)
+          |            as long))""".stripMargin).as("h"))
+      .as[Seq[Long]].head()
+    // winnow mins over w=3 windows of the oracle hashes, distinct-sorted
+    val mins = oracle.sliding(3).map(_.min).toSeq.distinct.sorted
+    assert(withNull == mins,
+      s"winnow with null token diverged from the concat_ws SQL form: $withNull vs $mins")
+  }
+
+  test("remove_dup_spans: a null start is no evidence, not position 0") {
+    val df = Seq(Tuple1(Seq("t0", "t1", "t2", "t3", "t4"))).toDF("tokens")
+      .withColumn("starts", expr("array(cast(null as int))"))
+    val out = df.select(SpanFunctions.remove_dup_spans(
+        $"tokens", $"starts", 2, 2).as("kept"))
+      .as[Seq[String]].head()
+    assert(out == Seq("t0", "t1", "t2", "t3", "t4"),
+      s"null dup-start deleted tokens: $out")
+  }
+
+  test("shingle family: null token ≡ empty string, hash agrees with render") {
+    def hashes(toks: Seq[Option[String]]) = nullableTokens(toks)
+      .select(ShingleFunctions.shingle_hashes($"tokens", 2).as("h"))
+      .as[Seq[Long]].head()
+    assert(hashes(Seq(Some("a"), None)) == hashes(Seq(Some("a"), Some(""))),
+      "null and empty-string tokens must hash identically (both render 'a ')")
+    // top_gram_stats on the same pair: identical [count, char_len]
+    def top(toks: Seq[Option[String]]) = nullableTokens(toks)
+      .select(ShingleFunctions.top_gram_stats($"tokens", 2).as("t"))
+      .as[Seq[Long]].head()
+    assert(top(Seq(Some("a"), None, Some("a"), None)) ==
+      top(Seq(Some("a"), Some(""), Some("a"), Some(""))))
+  }
+
+  test("top_gram_stats: degenerate all-same-gram document stays correct") {
+    // m identical grams: count = m, gram = "x x", char_len = 3 — and
+    // the r18 rewrite builds the gram string once, not m times
+    val m = 500
+    val out = Seq(Tuple1(Seq.fill(m + 1)("x"))).toDF("tokens")
+      .select(ShingleFunctions.top_gram_stats($"tokens", 2).as("t"))
+      .as[Seq[Long]].head()
+    assert(out == Seq(m.toLong, 3L), s"got $out")
+    // tie between two distinct grams: lexicographically larger wins
+    val tie = Seq(Tuple1(Seq("b", "b", "a", "a"))).toDF("tokens")
+      .select(ShingleFunctions.top_gram_stats($"tokens", 2).as("t"))
+      .as[Seq[Long]].head()
+    // grams: "b b"(1) "b a"(1) "a a"(1) — all count 1, max gram "b b"
+    assert(tie == Seq(1L, 3L), s"got $tie")
+  }
+
+  test("minhash_signature refuses an input with no contributing hash") {
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("h")
+    val e = intercept[Exception] {
+      empty.select(MinHashFunctions.minhash_signature($"h", 8)).collect()
+    }
+    // Spark may wrap the refusal — search the cause chain
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("minhash_signature"),
+      s"expected the loud refusal, got: $msgs")
+    // non-empty unchanged: deterministic, numHashes-wide, not MaxValue
+    val sig = Seq(Tuple1(Seq(42L, 7L))).toDF("h")
+      .select(MinHashFunctions.minhash_signature($"h", 8).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig.length == 8 && sig.forall(_ != Long.MaxValue))
+  }
+}
