@@ -8,6 +8,58 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
+/** Shared byte-scan kernel for [[MultiSubstringCount]] and
+  * [[MarkerGroupArgmax]] — ONE spelling of the overlapping-match
+  * convention (r18 review: it existed in four — two interpreted loops
+  * and two codegen templates — the same drift class ShingleRuntime
+  * closed). Both expressions' eval AND codegen paths call these
+  * statics; Janino compiles one invocation and HotSpot inlines it.
+  */
+object MultiCountRuntime {
+  /** Overlapping occurrences of `pat` in `text`, raw byte compare. */
+  def countIn(text: Array[Byte], pat: Array[Byte]): Int = {
+    var c = 0; var i = 0
+    val n = text.length - pat.length
+    while (i <= n) {
+      var j = 0
+      while (j < pat.length && text(i + j) == pat(j)) j += 1
+      if (j == pat.length) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** [[MultiSubstringCount]]'s kernel: one count per pattern. */
+  def counts(input: UTF8String, pats: Array[Array[Byte]]): GenericArrayData = {
+    val text = input.getBytes
+    val out = new Array[Int](pats.length)
+    var p = 0
+    while (p < pats.length) { out(p) = countIn(text, pats(p)); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[MarkerGroupArgmax]]'s kernel: index of the group with the
+    * highest summed count, −1 if every count is zero, first-wins ties.
+    */
+  def groupArgmax(input: UTF8String, pats: Array[Array[Byte]],
+                  groupOf: Array[Int], nGroups: Int): Int = {
+    val text = input.getBytes
+    val sums = new Array[Int](nGroups)
+    var p = 0
+    while (p < pats.length) {
+      sums(groupOf(p)) += countIn(text, pats(p))
+      p += 1
+    }
+    var best = -1; var bestScore = 0
+    var g = 0
+    while (g < nGroups) {
+      if (sums(g) > bestScore) { bestScore = sums(g); best = g }
+      g += 1
+    }
+    best
+  }
+}
+
 /** Occurrence counts of N fixed literal patterns in one scan of the
   * input string (overlapping matches counted, byte-wise over UTF-8).
   *
@@ -38,47 +90,14 @@ case class MultiSubstringCount(child: Expression, patterns: Seq[String])
   @transient private lazy val patternBytes: Array[Array[Byte]] =
     patterns.map(_.getBytes("UTF-8")).toArray
 
-  private def countIn(text: Array[Byte], pat: Array[Byte]): Int = {
-    var c = 0; var i = 0
-    val n = text.length - pat.length
-    while (i <= n) {
-      var j = 0
-      while (j < pat.length && text(i + j) == pat(j)) j += 1
-      if (j == pat.length) c += 1
-      i += 1
-    }
-    c
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].getBytes
-    new GenericArrayData(patternBytes.map(countIn(text, _)))
-  }
+  override def nullSafeEval(input: Any): Any =
+    MultiCountRuntime.counts(input.asInstanceOf[UTF8String], patternBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // patterns as a class-level field, initialized once
     val pats = ctx.addReferenceObj("patterns", patternBytes, "byte[][]")
-    nullSafeCodeGen(ctx, ev, a => {
-      val text = ctx.freshName("text"); val out = ctx.freshName("out")
-      val p = ctx.freshName("p"); val i = ctx.freshName("i")
-      val j = ctx.freshName("j"); val c = ctx.freshName("c")
-      val pat = ctx.freshName("pat")
-      s"""
-         |byte[] $text = $a.getBytes();
-         |int[] $out = new int[${patterns.length}];
-         |for (int $p = 0; $p < ${patterns.length}; $p++) {
-         |  byte[] $pat = $pats[$p];
-         |  int $c = 0;
-         |  for (int $i = 0; $i + $pat.length <= $text.length; $i++) {
-         |    int $j = 0;
-         |    while ($j < $pat.length && $text[$i + $j] == $pat[$j]) $j++;
-         |    if ($j == $pat.length) $c++;
-         |  }
-         |  $out[$p] = $c;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MultiCountRuntime.counts($a, $pats);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -96,6 +115,13 @@ case class MultiSubstringCount(child: Expression, patterns: Seq[String])
   */
 case class MarkerGroupArgmax(child: Expression, patterns: Seq[String],
     groupSizes: Seq[Int]) extends UnaryExpression {
+  // the MultiSubstringCount guards apply here too (r18 review): an
+  // empty pattern phantom-matches at every position and skews the
+  // argmax; a non-positive group size can pass the sum check while
+  // silently misaligning groupOf (Seq.fill(-1) is empty)
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty literals")
+  require(groupSizes.forall(_ >= 1), "every group must hold >= 1 pattern")
   require(groupSizes.sum == patterns.length, "groupSizes must cover patterns")
 
   override def dataType: DataType = IntegerType
@@ -114,57 +140,16 @@ case class MarkerGroupArgmax(child: Expression, patterns: Seq[String],
   @transient private lazy val groupOf: Array[Int] =
     groupSizes.zipWithIndex.flatMap { case (n, g) => Seq.fill(n)(g) }.toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].getBytes
-    val sums = new Array[Int](groupSizes.length)
-    var p = 0
-    while (p < patternBytes.length) {
-      val pat = patternBytes(p)
-      var i = 0; val n = text.length - pat.length
-      while (i <= n) {
-        var j = 0
-        while (j < pat.length && text(i + j) == pat(j)) j += 1
-        if (j == pat.length) sums(groupOf(p)) += 1
-        i += 1
-      }
-      p += 1
-    }
-    var best = -1; var bestScore = 0
-    var g = 0
-    while (g < sums.length) {
-      if (sums(g) > bestScore) { bestScore = sums(g); best = g }
-      g += 1
-    }
-    best
-  }
+  override def nullSafeEval(input: Any): Any =
+    MultiCountRuntime.groupArgmax(input.asInstanceOf[UTF8String],
+      patternBytes, groupOf, groupSizes.length)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pats = ctx.addReferenceObj("patterns", patternBytes, "byte[][]")
     val groups = ctx.addReferenceObj("groupOf", groupOf, "int[]")
-    nullSafeCodeGen(ctx, ev, a => {
-      val text = ctx.freshName("text"); val sums = ctx.freshName("sums")
-      val p = ctx.freshName("p"); val i = ctx.freshName("i")
-      val j = ctx.freshName("j"); val pat = ctx.freshName("pat")
-      val g = ctx.freshName("g"); val best = ctx.freshName("best")
-      val bestScore = ctx.freshName("bestScore")
-      s"""
-         |byte[] $text = $a.getBytes();
-         |int[] $sums = new int[${groupSizes.length}];
-         |for (int $p = 0; $p < $pats.length; $p++) {
-         |  byte[] $pat = $pats[$p];
-         |  for (int $i = 0; $i + $pat.length <= $text.length; $i++) {
-         |    int $j = 0;
-         |    while ($j < $pat.length && $text[$i + $j] == $pat[$j]) $j++;
-         |    if ($j == $pat.length) $sums[$groups[$p]]++;
-         |  }
-         |}
-         |int $best = -1; int $bestScore = 0;
-         |for (int $g = 0; $g < $sums.length; $g++) {
-         |  if ($sums[$g] > $bestScore) { $bestScore = $sums[$g]; $best = $g; }
-         |}
-         |${ev.value} = $best;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.MultiCountRuntime.groupArgmax(
+         |  $a, $pats, $groups, ${groupSizes.length});""".stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

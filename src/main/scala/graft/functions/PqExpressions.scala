@@ -110,8 +110,23 @@ object PqUtil {
         s"pq_adc_dot: ${m} codes × ksub=$ksub does not match the " +
           s"${table.numElements()}-entry lookup table — mismatched codebooks")
     while (j < m) {
+      // a NULL code or table slot is the NaN drop-out, not the zeroed
+      // slot (r18 review — the CosineSimilarity discipline: reading a
+      // null as code 0 / 0.0 ranks a corrupt row with a finite, WRONG
+      // estimate). Both arrays are containsNull = false from our own
+      // producers; this guards foreign data the type check admits.
+      if (codes.isNullAt(j)) return Double.NaN
       val c = codes.getInt(j)
       if (c < 0) return Double.NaN
+      // c >= ksub escapes the total-size guard above whenever m×ksub
+      // happens to match (codes built at ksub=256 probed at ksub=16):
+      // UnsafeArrayData.getDouble would read past the table into
+      // arbitrary memory — the loud-refusal class, not drop-out
+      if (c >= ksub)
+        throw new IllegalArgumentException(
+          s"pq_adc_dot: code $c at subspace $j is out of range for " +
+            s"ksub=$ksub — codes were built against a different codebook")
+      if (table.isNullAt(j * ksub + c)) return Double.NaN
       s += table.getDouble(j * ksub + c)
       j += 1
     }

@@ -43,7 +43,6 @@ object TextFunctions {
   /** The (tiny, English) stopword list used by [[stopwordRatio]]. */
   val stopwordList: Seq[String] = Seq("the", "a", "an", "of", "to", "in", "and",
     "is", "on", "for", "with", "as", "at", "by", "it", "be", "this", "that")
-  private def stopwords = stopwordList
 
   /** Fraction of characters that are letters. */
   def alphaRatio(text: Column): Column = {
@@ -64,7 +63,7 @@ object TextFunctions {
     */
   def stopwordRatio(text: Column): Column = {
     val ts = tokens(text)
-    val sw = typedLit(stopwords)
+    val sw = typedLit(stopwordList)
     when(size(ts) === 0, 0.0).otherwise(
       size(filter(ts, t => array_contains(sw, t))).cast("double") / size(ts))
   }

@@ -50,13 +50,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  // hoisted once per expression instance (r18 review): the interpreted
+  // path re-derived both flags — two dataType traversals + matches —
+  // on EVERY row of the vector hot path; the codegen path already
+  // resolves them once at generation time
+  @transient private lazy val leftIsFloat = elemIsFloat(left)
+  @transient private lazy val rightIsFloat = elemIsFloat(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     require(ys.numElements() == n,
       s"cosine_similarity: length mismatch $n vs ${ys.numElements()}")
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val lf = leftIsFloat; val rf = rightIsFloat
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       // a NULL element propagates (SQL semantics): reading the zeroed

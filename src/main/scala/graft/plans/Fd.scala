@@ -47,7 +47,16 @@ object Fd {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"declared columns not in the frame: ${missing.mkString(", ")}")
-    val token = java.util.UUID.randomUUID().toString
+    // REUSE the anchor's existing token when the same column anchors a
+    // second declaration (r18 review): a fresh UUID would overwrite
+    // AnchorTokenKey and silently orphan every dependent of the earlier
+    // declaration — declareConstantPer(d, "UID", Seq("Gender")) then
+    // (…, "UID", Seq("Age")) must leave BOTH dependents anchored.
+    val token = {
+      val m = df.schema(anchor).metadata
+      if (m.contains(AnchorTokenKey)) m.getString(AnchorTokenKey)
+      else java.util.UUID.randomUUID().toString
+    }
     val tagged = cols.toSet
     // seed each builder with the column's EXISTING metadata (r16
     // review finding): a fresh builder silently erased prior metadata

@@ -63,8 +63,43 @@ object UserConstantPredicatePushdown extends Rule[LogicalPlan]
       // (cube/rollup/grouping sets) is the same row-merge class (r16
       // review finding): grouping-set rows NULL the anchor column
       // while keeping dependent values, so the null-anchor partition
-      // is not dependent-constant
-      !w.child.exists(p => p.isInstanceOf[Union] || p.isInstanceOf[Expand])
+      // is not dependent-constant. A NULL-EXTENDING join is the same
+      // class AGAIN (r18 review) when the declared columns ride the
+      // null-producing side: null-extended rows carry (anchor = null,
+      // dep = null) and merge into the genuine null-anchor partition,
+      // which is then not dependent-constant. The push survives only
+      // when the FD-CARRIED references and the keys anchoring their
+      // tokens all provably ride the PRESERVED side (attribute
+      // identity — an alias above the join breaks the proof and
+      // refuses, conservative but sound): a preserved row's
+      // (anchor, dep) pair is always a genuine declared-table pair,
+      // so every anchor group — the null group included — holds only
+      // declared values. References that ARE partition keys and keys
+      // that anchor nothing referenced (e.g. derived month/week keys,
+      // which only split partitions finer) need no proof: a partition
+      // key is constant within its partition by definition, nulled or
+      // not. The clinical shape (declared dim on the preserved side
+      // of users ⟕ weights ⟕ treatments) keeps its pushdown.
+      !w.child.exists {
+        case _: Union | _: Expand => true
+        case j: Join =>
+          import org.apache.spark.sql.catalyst.plans._
+          val preserved = j.joinType match {
+            case LeftOuter  => Some(j.left.outputSet)
+            case RightOuter => Some(j.right.outputSet)
+            case FullOuter  => Some(AttributeSet.empty)
+            case _          => None // inner/cross/semi/anti: no null extension
+          }
+          preserved.exists { p =>
+            val fdRefs = cond.references.filter(a =>
+              !keys.exists(_.exprId == a.exprId) && Fd.tokenOf(a).isDefined)
+            val usedTokens = fdRefs.toSeq.flatMap(Fd.tokenOf).toSet
+            val anchors = keys.filter(k =>
+              Fd.anchorTokenOf(k).exists(usedTokens.contains))
+            !(fdRefs.forall(p.contains) && anchors.forall(p.contains))
+          }
+        case _ => false
+      }
   }
 
   /** Is this predicate carried by FD-tagged (or matching-anchor)
@@ -150,21 +185,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+  // arity checked in the builder (r18 review): without it, extra SQL
+  // arguments were silently IGNORED (plausible wrong numbers from a
+  // miscalled function) and too few threw a raw IndexOutOfBounds
+  // instead of a function-arity error at analysis time
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+      build(args)
+    }
+
   val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       ("graft_cosine_similarity",
         new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
           "graft_cosine_similarity"),
-        (args: Seq[Expression]) =>
-          graft.functions.CosineSimilarity(args(0), args(1))),
+        arity("graft_cosine_similarity", 2)(args =>
+          graft.functions.CosineSimilarity(args(0), args(1)))),
       ("graft_md5_low60",
         new ExpressionInfo(classOf[graft.functions.Md5Low60].getName,
           "graft_md5_low60"),
-        (args: Seq[Expression]) => graft.functions.Md5Low60(args(0))),
+        arity("graft_md5_low60", 1)(args => graft.functions.Md5Low60(args(0)))),
       ("graft_simhash60",
         new ExpressionInfo(classOf[graft.functions.SimHash60].getName,
           "graft_simhash60"),
-        (args: Seq[Expression]) => graft.functions.SimHash60(args(0))))
+        arity("graft_simhash60", 1)(args => graft.functions.SimHash60(args(0)))))
 
   /** Register on a live session (the driver builds its own session, so
     * gate queries can't rely on `spark.sql.extensions`). */

@@ -86,6 +86,34 @@ class KernelNullSafetySpec extends AnyFunSuite with SparkTestSession {
     assert(tie == Seq(1L, 3L), s"got $tie")
   }
 
+  test("pq_adc_dot refuses an out-of-range code instead of reading past the table") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // m=2, ksub=2 → 4-entry table; code 3 at subspace 0 would read
+    // table[0*2+3] past the end on an unchecked getDouble
+    val table = new GenericArrayData(Array(1.0, 2.0, 3.0, 4.0))
+    val good = new GenericArrayData(Array(1, 0))
+    assert(PqUtil.adcDot(table, good, 2) == 2.0 + 3.0)
+    val oob = new GenericArrayData(Array(3, 0))
+    val e = intercept[IllegalArgumentException] { PqUtil.adcDot(table, oob, 2) }
+    assert(e.getMessage.contains("out of range"))
+    // null code slot is the NaN drop-out, not centroid 0
+    val withNull = new GenericArrayData(Array[Any](null, 0))
+    assert(PqUtil.adcDot(table, withNull, 2).isNaN)
+  }
+
+  test("graft SQL functions validate arity at analysis time") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_md5_low60('a', 'b')").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("expects 1 argument"), msgs)
+    // correct arity still works
+    assert(spark.sql("SELECT graft_md5_low60('abc') AS h").collect()(0)
+      .getLong(0) == 474636617523494770L)
+  }
+
   test("minhash_signature refuses an input with no contributing hash") {
     val empty = Seq(Tuple1(Seq.empty[Long])).toDF("h")
     val e = intercept[Exception] {

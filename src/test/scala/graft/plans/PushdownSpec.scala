@@ -123,6 +123,82 @@ class PushdownSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("a full outer join below the window blocks the push (null-extended rows merge)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    withRule {
+      // genuine declared row with a NULL anchor + a full join that
+      // null-extends unmatched events into the SAME null-UID partition
+      // (r18 review): pushing Gender === "F" below the window would
+      // shrink that partition from 2 rows to 1
+      val users = Fd.declareConstantPer(
+        Seq((Option.empty[Long], "F"), (Some(2L), "M")).toDF("UID", "Gender"),
+        "UID", Seq("Gender"))
+      val events = Seq((10L, 1.0)).toDF("EUID", "v")
+      val joined = events.join(users, $"EUID" === $"UID", "full")
+        .withColumn("cnt", count(lit(1)).over(WSpec.partitionBy($"UID")))
+        .filter($"Gender" === "F")
+      assert(joined.select($"cnt").as[Long].collect().toSeq == Seq(2L),
+        "the genuine null-UID row must still see the null-extended row in its window")
+      val lines = joined.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+      val winAt = lines.indexWhere(_.contains("Window"))
+      assert(winAt >= 0 &&
+        !lines.drop(winAt + 1).exists(l =>
+          l.contains("Filter") && l.contains("Gender")),
+        s"Gender predicate crossed the window despite the outer join:\n${lines.mkString("\n")}")
+    }
+  }
+
+  test("declared dim on the PRESERVED side of a left join still pushes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    withRule {
+      // the clinical shape in miniature: users (declared) ⟕ weights —
+      // preserved-side (anchor, dep) pairs are always genuine, so the
+      // r18 outer-join guard must NOT refuse this
+      val users = Fd.declareConstantPer(
+        Seq((1L, "F"), (2L, "M")).toDF("UID", "Gender"), "UID", Seq("Gender"))
+      val weights = Seq((1L, 70.0), (1L, 69.0)).toDF("MUID", "w")
+      val joined = users.join(weights, $"UID" === $"MUID", "left")
+        .withColumn("cnt", count(lit(1)).over(WSpec.partitionBy($"UID")))
+        .filter($"Gender" === "F")
+      assert(joined.select($"UID", $"cnt").as[(Long, Long)]
+        .collect().toSet == Set((1L, 2L)))
+      val lines = joined.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+      val winAt = lines.indexWhere(_.contains("Window"))
+      assert(winAt >= 0 &&
+        lines.drop(winAt + 1).exists(l =>
+          l.contains("Filter") && l.contains("Gender")),
+        s"preserved-side FD push must fire below the window:\n${lines.mkString("\n")}")
+    }
+  }
+
+  test("re-declaring dependents for the same anchor keeps both declarations live") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions._
+    withRule {
+      // r18 review: the second declaration used to stamp a FRESH
+      // anchor token, orphaning Gender from the first
+      val d1 = Fd.declareConstantPer(
+        Seq((1L, "F", 30), (1L, "F", 30), (2L, "M", 40)).toDF("UID", "Gender", "Age"),
+        "UID", Seq("Gender"))
+      val d2 = Fd.declareConstantPer(d1, "UID", Seq("Age"))
+      val out = d2
+        .withColumn("cnt", count(lit(1)).over(WSpec.partitionBy($"UID")))
+        .filter($"Gender" === "F" && $"Age" < 35)
+      assert(out.select($"cnt").as[Long].collect().toSeq == Seq(2L, 2L))
+      val lines = out.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+      val winAt = lines.indexWhere(_.contains("Window"))
+      assert(winAt >= 0 &&
+        lines.drop(winAt + 1).exists(l =>
+          l.contains("Filter") && l.contains("Gender") && l.contains("Age")),
+        s"both FD declarations must push below the window:\n${lines.mkString("\n")}")
+    }
+  }
+
   test("a deterministic conjunct behind a nondeterministic one stays put (span discipline)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.{Window => WSpec}
