@@ -93,7 +93,7 @@ object Bench {
     // O(battery) times
     val registry = SparkEntry.rawQueries
     val rrB = Seq.newBuilder[(String, (Double, Double))]
-    val ioB = Seq.newBuilder[(String, (Long, Long))]
+    val ioB = Seq.newBuilder[(String, (Long, Long, Long))]
     val results = names.map(n => n -> registry(n)).map { case (name, fn) =>
       val s0 = ioSnap()
       val w0 = System.nanoTime()
@@ -102,11 +102,12 @@ object Bench {
       // a failed run must NOT enter the min as a fast time-to-exception
       // — report only successful runs, or −1 so a flaky query reads as
       // an anomaly in the JSON instead of an impossibly good number.
-      // Each run's /proc/self/io + GC-time delta is snapped OUTSIDE the
-      // timed window (nanoTime stops before the snap) and kept per run
-      // so the artifact can report the BEST run's disk/GC footprint.
+      // Each run's /proc/self/io + GC-time + process-CPU delta is
+      // snapped OUTSIDE the timed window (nanoTime stops before the
+      // snap) and kept per run so the artifact can report the BEST
+      // run's disk/GC/CPU footprint.
       var prevSnap = s0
-      def timed(): (Double, (Long, Long, Long)) = {
+      def timed(): (Double, (Long, Long, Long, Long)) = {
         val pre = prevSnap
         val t0 = System.nanoTime()
         val ok = try { consume(fn(spark, sfDir)); true }
@@ -116,10 +117,11 @@ object Bench {
         val snap = ioSnap()
         prevSnap = snap
         (if (ok) t else Double.NaN,
-          (snap._1 - pre._1, snap._2 - pre._2, snap._3 - pre._3))
+          (snap._1 - pre._1, snap._2 - pre._2, snap._3 - pre._3,
+            snap._4 - pre._4))
       }
       val warmDelta = { val s1 = ioSnap()
-        val d = (s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3)
+        val d = (s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3, s1._4 - s0._4)
         prevSnap = s1; d }
       val (a, da) = timed()
       val (b, db) = timed()
@@ -141,18 +143,20 @@ object Bench {
         dt = dt2
       }
       rerun.foreach(p => rrB += name -> p)
-      // the best successful run's (disk-read bytes, GC ms): the lens
-      // that separates "slow because re-reading/collecting" from "slow
-      // because the host was busy" without leaving the artifact
+      // the best successful run's (disk-read bytes, GC ms, CPU ms):
+      // the lens that separates "slow because re-reading/collecting"
+      // from "slow because the host was busy" without leaving the
+      // artifact — wall up with CPU flat is waiting, wall up with CPU
+      // up is a heavier plan
       runs.filterNot(_._1.isNaN).sortBy(_._1).headOption
-        .foreach { case (_, d) => ioB += name -> (d._1, d._3) }
+        .foreach { case (_, d) => ioB += name -> ((d._1, d._3, d._4)) }
       iostat.foreach { w =>
-        def dj(d: (Long, Long, Long)) = s"[${d._1},${d._2},${d._3}]"
+        def dj(d: (Long, Long, Long, Long)) = s"[${d._1},${d._2},${d._3},${d._4}]"
         def ft(v: Double) = fmt(if (v.isNaN) -1 else v, 3)
         val extra = if (runs.size > 2)
-          s""","t3":${ft(runs(2)._1)},"r3_rwg":${dj(runs(2)._2)}""" else ""
+          s""","t3":${ft(runs(2)._1)},"r3_rwgc":${dj(runs(2)._2)}""" else ""
         w.println(s"""{"q":"$name","t_warm":${ft(tWarm)},"t1":${ft(a)},"t2":${ft(b)},""" +
-          s""""warm_rwg":${dj(warmDelta)},"r1_rwg":${dj(da)},"r2_rwg":${dj(db)}$extra}""")
+          s""""warm_rwgc":${dj(warmDelta)},"r1_rwgc":${dj(da)},"r2_rwgc":${dj(db)}$extra}""")
         w.flush()
       }
       // Between queries (outside the timed window), nudge GC so the
@@ -176,11 +180,13 @@ object Bench {
     * whose outlier policy fired, with (best-of-two before, best after
     * the extra run); `io` = per query, the best run's (disk-read bytes
     * from /proc/self/io — post-page-cache, i.e. real storage traffic —
-    * and GC milliseconds).
+    * GC milliseconds, process-CPU milliseconds). The CPU column is the
+    * cross-round tenancy discriminator: wall up with CPU flat is
+    * waiting, wall up with CPU up is a heavier plan.
     */
   case class BenchMeta(la: Seq[(Double, Double, Double)],
                        rr: Seq[(String, (Double, Double))],
-                       io: Seq[(String, (Long, Long))])
+                       io: Seq[(String, (Long, Long, Long))])
 
   private def loadAvg(): (Double, Double, Double) =
     try {
@@ -189,14 +195,26 @@ object Bench {
       (p(0).toDouble, p(1).toDouble, p(2).toDouble)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
-  private def ioSnap(): (Long, Long, Long) = {
+  /** (disk-read bytes, disk-write bytes, GC ms, process-CPU ms). The
+    * CPU column is the tenancy discriminator loadavg cannot be (r18:
+    * during a battery, loadavg mostly measures OUR OWN 32 threads): a
+    * query whose wall price doubles while its process-CPU delta stays
+    * flat was WAITING (external steal); one whose CPU doubles too got
+    * a heavier plan. Same-query cross-round comparison needs no
+    * baseline model.
+    */
+  private def ioSnap(): (Long, Long, Long, Long) = {
     val src = scala.io.Source.fromFile("/proc/self/io")
     val m = try src.getLines()
       .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }.toMap
     finally src.close()
     val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .stream().mapToLong(_.getCollectionTime).sum()
-    (m.getOrElse("read_bytes", 0L), m.getOrElse("write_bytes", 0L), gc)
+    val cpuMs = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+    (m.getOrElse("read_bytes", 0L), m.getOrElse("write_bytes", 0L), gc, cpuMs)
   }
 
   /** Documented battery heavies run FIRST in their shard (r17 verdict
@@ -262,8 +280,8 @@ object Bench {
       s"[${fmt(a, 2)},${fmt(b, 2)},${fmt(c, 2)}]" }.mkString("[", ",", "]")
     val rr = m.rr.map { case (k, (x, y)) =>
       "\"" + k + s"""":[${fmt(x, 3)},${fmt(y, 3)}]""" }.mkString("{", ",", "}")
-    val io = m.io.map { case (k, (r, g)) =>
-      "\"" + k + s"""":[$r,$g]""" }.mkString("{", ",", "}")
+    val io = m.io.map { case (k, (r, g, c)) =>
+      "\"" + k + s"""":[$r,$g,$c]""" }.mkString("{", ",", "}")
     s"""{"metric":"bench_meta","la":$la,"rr":$rr,"io":$io}"""
   }
 
@@ -271,6 +289,8 @@ object Bench {
     """\[(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)\]""".r
   private val PairEntryRe =
     """"(\w+)":\[(-?[0-9.]+),(-?[0-9.]+)\]""".r
+  private val TripleEntryRe =
+    """"(\w+)":\[(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)\]""".r
 
   /** The merge parse for [[runSplit]]: a child's [[metaLine]] back into
     * a [[BenchMeta]]. Sections are located by their unique markers
@@ -287,8 +307,9 @@ object Bench {
           (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)).toSeq
         val rr = PairEntryRe.findAllMatchIn(line.substring(rrS, ioS)).map(m =>
           m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toSeq
-        val io = PairEntryRe.findAllMatchIn(line.substring(ioS)).map(m =>
-          m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toSeq
+        val io = TripleEntryRe.findAllMatchIn(line.substring(ioS)).map(m =>
+          m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
+            m.group(4).toLong))).toSeq
         BenchMeta(la, rr, io)
       }
 
@@ -325,7 +346,7 @@ object Bench {
       val acc = Seq.newBuilder[(String, Double)]
       val laAcc = Seq.newBuilder[(Double, Double, Double)]
       val rrAcc = Seq.newBuilder[(String, (Double, Double))]
-      val ioAcc = Seq.newBuilder[(String, (Long, Long))]
+      val ioAcc = Seq.newBuilder[(String, (Long, Long, Long))]
       var i = 0
       var ok = true
       while (i < n && ok) {
@@ -480,9 +501,10 @@ object Bench {
     * order — an elevated START triple is external tenancy, sampled
     * before that JVM ramps Spark. `rr`: short-keyed queries whose
     * outlier policy fired, [best-of-two before, best after]. `hot`:
-    * the 6 slowest queries' best-run [disk-read MB, GC seconds] — a
-    * slow entry showing ~0 MB and ~0 GC under a high `la` is
-    * tenancy-owned by its own artifact, no prose needed. Cost: ~150-300
+    * the 6 slowest queries' best-run [disk-read MB, GC seconds,
+    * process-CPU seconds] — a slow entry showing ~0 MB, ~0 GC and a
+    * CPU delta far below wall × active-threads was WAITING on a busy
+    * host; one whose CPU tracks its wall owns its price. Cost: ~150-300
     * chars of the fastest entries clipped from the head — the region
     * the r12 layout already sacrifices first.
     */
@@ -497,8 +519,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val ioByName = meta.io.toMap
     val hot = ordered.reverse.filter(_._2 >= 0).take(6).flatMap { case (k, _) =>
-      ioByName.get(k).map { case (rb, gms) =>
-        "\"" + shortKey(k) + s"""":[${fmtTrim(rb / 1048576.0, 1)},${fmtTrim(gms / 1000.0, 1)}]"""
+      ioByName.get(k).map { case (rb, gms, cms) =>
+        "\"" + shortKey(k) + s"""":[${fmtTrim(rb / 1048576.0, 1)},${fmtTrim(gms / 1000.0, 1)},${fmtTrim(cms / 1000.0, 1)}]"""
       }
     }.mkString("{", ",", "}")
     s""""la":$la,"rr":$rr,"hot":$hot,"""

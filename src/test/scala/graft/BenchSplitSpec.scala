@@ -31,8 +31,8 @@ class BenchSplitSpec extends AnyFunSuite {
     val meta = Bench.BenchMeta(
       la = Seq((0.42, 1.2, 2.31), (18.25, 5.4, 3.0)),
       rr = Seq("q139_bigram_fluency" -> (8.5, 0.71)),
-      io = Seq("q92_semantic_dedup" -> (123456789L, 456L),
-        "q01_agg" -> (0L, 0L)))
+      io = Seq("q92_semantic_dedup" -> ((123456789L, 456L, 38000L)),
+        "q01_agg" -> ((0L, 0L, 0L))))
     val line = Bench.metaLine(meta)
     val parsed = Bench.parseMetaLine("noise\n" + line + "\ntrailing")
     assert(parsed.contains(meta))
@@ -50,16 +50,16 @@ class BenchSplitSpec extends AnyFunSuite {
     val meta = Bench.BenchMeta(
       la = Seq((0.4, 1.2, 2.3), (18.2, 5.4, 3.0)),
       rr = Seq("q139_bigram_fluency" -> (8.5, 0.71)),
-      io = Seq("q92_semantic_dedup" -> (123456789L, 4560L),
-        "q222_semantic_pairs_distributed" -> (0L, 0L)))
+      io = Seq("q92_semantic_dedup" -> ((123456789L, 4560L, 38000L)),
+        "q222_semantic_pairs_distributed" -> ((0L, 0L, 1200L))))
     val line = Bench.machineLine(results, "sf0.1", meta)
     // la/rr/hot sit between "sf" and the trailing "value" — the region
     // the driver's 2000-char tail always keeps
     val afterSf = line.substring(line.indexOf("\"sf\":"))
     assert(afterSf.contains("\"la\":[[0.4,1.2,2.3],[18.2,5.4,3]]"), line)
     assert(afterSf.contains("\"rr\":{\"139\":[8.5,0.71]}"), line)
-    // hot = slowest-first, [read MB, GC s] of the best run
-    assert(afterSf.contains("\"hot\":{\"92\":[117.7,4.6],\"222\":[0,0]}"), line)
+    // hot = slowest-first, [read MB, GC s, CPU s] of the best run
+    assert(afterSf.contains("\"hot\":{\"92\":[117.7,4.6,38],\"222\":[0,0,1.2]}"), line)
     assert(afterSf.indexOf("\"value\":") > afterSf.indexOf("\"hot\":"), line)
     // no meta → no adjudication fields, byte-identical legacy layout
     assert(!Bench.machineLine(results, "sf0.1").contains("\"la\":"))

@@ -18,5 +18,5 @@ echo 3 > /proc/sys/vm/drop_caches
 ERR=${3:-/tmp/bench_stderr.log}
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   SPARK_GRAFT_IOSTAT="$OUT" \
-  sbt -batch "runMain graft.Bench" 2>"$ERR" | tail -2
+  sbt -batch "runMain graft.Bench" 2>"$ERR" | tail -3
 echo "per-query iostat: $OUT" >&2
