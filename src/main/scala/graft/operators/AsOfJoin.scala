@@ -96,7 +96,10 @@ object AsOfJoin {
     // no right rows), the left-join contract.
     val rTagged = right
       .filter(col(rightTs).isNotNull)
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      // reduceOption: keys may legitimately be empty (a GLOBAL as-of
+      // join — one partition by construction, the caller's choice);
+      // a bare reduce threw on the empty list (r18 review)
+      .filter(keys.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
       .select((keys.map(col) :+
         struct(rightValueCols.map(col): _*).as("_rpay")): _*)
       .withColumn("_ts", col("_rpay").getField(rightTs))
@@ -108,8 +111,17 @@ object AsOfJoin {
       (keys.map(col) :+ col("_rpay") :+ col("_ts") :+ col("_side")) ++
         left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
 
+    // _rpay as the final order key (r18 review): several right rows
+    // sharing (key, ts) tied on (_ts, _side), so first()/last() picked
+    // a shuffle-order-dependent payload — run-to-run output
+    // instability no downstream sort can repair. Struct ordering is
+    // total over the payload fields, so backward deterministically
+    // takes the LARGEST tied payload and forward the smallest; rows
+    // tying on every payload field are identical matches. Left rows
+    // all carry a null _rpay and tie harmlessly (their match frames
+    // are unaffected by order within the same side).
     val w0 = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_rpay").asc_nulls_first)
     val matchExpr =
       if (forward)
         first(col("_rpay"), ignoreNulls = true)
@@ -133,6 +145,12 @@ object AsOfJoin {
         def asLong(c: Column, dt: org.apache.spark.sql.types.DataType) =
           dt match {
             case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+            // CAST(date AS BIGINT) is invalid SQL — the mixed-type
+            // guard admits matching DateType sides, so tolerance must
+            // measure them in their native unit (days) explicitly
+            // (r18 review: the fallback arm crashed analysis)
+            case org.apache.spark.sql.types.DateType =>
+              datediff(c, to_date(lit("1970-01-01"))).cast("long")
             case _ => c.cast("long")
           }
         val tsType = tsTypeOf(left.schema, leftTs)

@@ -133,7 +133,17 @@ object Dedup {
     * so wide documents don't travel through the shuffle. Null-text rows
     * all survive (see [[contentHash]]).
     */
+  // the IntervalJoin/AsOfJoin scratch-name convention (r18 review):
+  // withColumn silently REPLACES a caller column of the same name and
+  // the trailing drop then removes it — user data loss with no error
+  private def requireNoScratch(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} are reserved by Dedup — rename first")
+  }
+
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    requireNoScratch(docs, "content_hash", "rn")
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol).asc)
     docs
       .withColumn("content_hash", contentHash(idCol, textCol))
@@ -144,14 +154,23 @@ object Dedup {
       .drop("rn", "content_hash")
   }
 
-  /** Groups of exact duplicates (size > 1), for reporting. */
-  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  /** Groups of exact duplicates (size > 1), for reporting. The
+    * `doc_ids` array IS the deliverable, so per-group aggregation
+    * state is the group itself — bounded by the corpus's duplication
+    * profile, not by this operator. On a viral-duplication corpus
+    * (one text repeated millions of times) the listing is the wrong
+    * tool at any implementation: use [[exact]] plus a count aggregate
+    * there, and keep this for human-scale reports.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    requireNoScratch(docs, "content_hash")
     docs
       .withColumn("content_hash", contentHash(idCol, textCol))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"),
         collect_list(col(idCol)).as("doc_ids"))
       .filter(col("n_dups") > 1)
+  }
 
   /** MinHash + LSH near-dup pairs.
     *
@@ -242,6 +261,9 @@ object Dedup {
     // a pair differing by one bit per block shares no block and is
     // silently missing — misconfiguration fails loudly (the minhashLsh
     // rowsPerBand require, r16)
+    require(maxHamming >= 0,
+      s"maxHamming ($maxHamming) < 0 matches nothing — an empty pair " +
+        "list with no error (the MediaDedup.nearDupPairs guard)")
     require(maxHamming <= 3,
       s"maxHamming ($maxHamming) > 3 breaks the 4-block pigeonhole " +
         "completeness guarantee — pairs would be silently missing")
@@ -314,6 +336,16 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       graft.functions.ShingleFunctions.shingle_hashes(
         TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
+      // NULL-text docs carry a null shingle set and must not reach
+      // candidate generation (r18 review): xxhash64(slice(null,…), b)
+      // hashes only the band id, so every null-text doc would share
+      // the SAME band_hash in EVERY band — numBands·m²/2 dead
+      // candidates under ANSI, and with ansi=false size(null)/-1
+      // arithmetic calls every null pair an exact near-dup, the
+      // mass-deletion class contentHash's null fallback exists to
+      // prevent. A doc with no text has no shingle evidence: not a
+      // near-dup of anything, exactly like [[contentHash]]'s survivors.
+      .filter(col("sh").isNotNull)
 
   /** The (id, band_id, band_hash) banding of the minhash signatures —
     * ONE spelling shared by [[minhashLsh]] and [[minhashDroppedBands]]
@@ -350,6 +382,8 @@ object Dedup {
                         textCol: String = "text"): DataFrame = {
     val sets = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       TextFunctions.shingleSet(col(textCol), shingleK).as("sh"))
+      // same null-set discipline as [[shingleSets]] (r18 review)
+      .filter(col("sh").isNotNull)
     sets.as("a").join(sets.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("jaccard",

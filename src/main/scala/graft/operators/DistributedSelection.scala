@@ -82,9 +82,15 @@ object DistributedSelection {
         .isNull)
     val wc = Window.partitionBy(col("g")).orderBy(col("cb"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-SAFE group joins throughout (r18 review): groupBy keeps a
+    // NULL group — the SQL semantics — but g === g never matches it,
+    // so the null group's rows silently vanished from every consumer
+    // (medianByGroup reported no median, topFracByGroup dropped the
+    // rows even at keepFrac = 1)
     val pick = coarse
       .withColumn("cum_before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
-      .join(ranks, Seq("g"))
+      .join(ranks.withColumnRenamed("g", "r_g"), col("g") <=> col("r_g"))
+      .drop("r_g")
       .filter(col("cum_before") < col("r") &&
         col("r") <= col("cum_before") + col("cnt"))
       .select(col("g").as("p_g"), col("cb").as("p_cb"),
@@ -94,7 +100,7 @@ object DistributedSelection {
     val wf = Window.partitionBy(col("g"), col("rank_idx")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     o.join(broadcast(pick),
-        col("g") === col("p_g") &&
+        col("g") <=> col("p_g") &&
           expr(bucketSql(bucketWidth)) === col("p_cb"))
       .groupBy(col("g"), col("v"), col("cum_before"), col("n"),
         col("rank_idx"), col("r"))
@@ -131,10 +137,14 @@ object DistributedSelection {
     val f = java.math.BigDecimal.valueOf(keepFrac).toPlainString
     val thr = orderStatsByGroup(df, groupCol, valueCol,
         Seq(s"n - CAST(ceil($f * n) AS BIGINT) + 1L"), bucketWidth)
-      .select(col(groupCol), col("value").as("_thr"))
-    df.join(broadcast(thr), Seq(groupCol))
+      .select(col(groupCol).as("_thr_g"), col("value").as("_thr"))
+    // null-SAFE join (r18 review): groupBy keeps NULL as a group and
+    // emits its threshold, but an equi-join on the key never matches
+    // it — every null-group row silently vanished even at keepFrac=1,
+    // where medianByGroup happily reports that same group's median
+    df.join(broadcast(thr), col(groupCol) <=> col("_thr_g"))
       .filter(col(valueCol).cast("long") >= col("_thr"))
-      .drop("_thr")
+      .drop("_thr_g", "_thr")
   }
 
   /** (group, n, median) — exact lower median of `valueCol` per group.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PqFunctions.{pq_adc_dot, pq_encode, pq_table}
-import graft.functions.VectorFunctions.{cosine_similarity, cosine_similarity6}
+import graft.functions.VectorFunctions.cosine_similarity6
 
 /** Product-quantized ANN — the MEMORY-scale path (Jégou et al. 2011).
   *
@@ -49,11 +49,21 @@ object ProductQuantization {
     */
   def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
             idCol: String = "vec_id", vecCol: String = "embedding"): Codebook = {
+    // NULL embeddings never seed (r18 review: a null vector hashing
+    // into the first ksub rows NPE'd the collect; in the Lloyd rounds
+    // nulls already drop — posexplode generates nothing and pq_encode
+    // codes to null → filtered)
     val c = corpus.select(col(idCol).as("id"), asVec(vecCol).as("v"))
+      .filter(col("v").isNotNull)
     val seeds = c.orderBy(xxhash64(col("id")).asc, col("id").asc).limit(ksub)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     if (seeds.isEmpty) return Codebook(m, ksub, 0, Array.empty)
     val dim = seeds(0).length
+    // mixed dims fail LOUDLY here, not as an AIOOBE deep in the seed
+    // cycle (pq_encode's convention; r18 review)
+    val badDim = seeds.find(_.length != dim)
+    require(badDim.isEmpty,
+      s"pq: corpus mixes embedding dims (${badDim.get.length} vs $dim)")
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
     val dsub = dim / m
     var centers = Array.ofDim[Double](m * ksub * dsub)

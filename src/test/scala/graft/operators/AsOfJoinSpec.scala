@@ -104,6 +104,44 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(ok == Seq(Some("r")))
   }
 
+  test("tied right rows at one (key, ts) resolve deterministically (largest payload backward)") {
+    // r18 review: the window tie-broke only on (_ts, _side), so the
+    // matched payload depended on shuffle order; struct order over
+    // _rpay pins it — backward takes the largest tied payload
+    val dupQuotes = Seq(("A", 20L, 1.0), ("A", 20L, 2.0), ("A", 20L, 3.0))
+      .toDF("sym", "qt", "bid").repartition(8)
+    val res = (1 to 5).map { _ =>
+      AsOfJoin.backward(Seq(("A", 25L)).toDF("sym", "t"), dupQuotes,
+          Seq("sym"), "t", "qt")
+        .select($"bid").as[Double].head()
+    }
+    assert(res.toSet == Set(3.0), s"nondeterministic tie payloads: $res")
+    // forward takes the smallest tied payload
+    val fwd = AsOfJoin.forward(Seq(("A", 15L)).toDF("sym", "t"), dupQuotes,
+        Seq("sym"), "t", "qt")
+      .select($"bid").as[Double].head()
+    assert(fwd == 1.0)
+  }
+
+  test("keyless GLOBAL as-of join works (empty keys)") {
+    val res = AsOfJoin.backward(Seq(Tuple1(25L)).toDF("t"),
+        Seq((20L, 2.0), (5L, 1.0)).toDF("qt", "bid"), Seq.empty, "t", "qt")
+      .select($"bid").as[Double].head()
+    assert(res == 2.0)
+  }
+
+  test("DateType tolerance measures in days instead of crashing analysis") {
+    val l = Seq(Tuple1("2024-03-10")).toDF("d").select(to_date($"d").as("ld"))
+    val r = Seq(("2024-03-01", 1.0), ("2024-03-08", 2.0)).toDF("d", "v")
+      .select(to_date($"d").as("rd"), $"v")
+    val within = AsOfJoin.backward(l, r, Seq.empty, "ld", "rd", tolerance = Some(3L))
+      .select($"v").as[Double].head()
+    assert(within == 2.0, "2024-03-08 is 2 days back — inside tolerance 3")
+    val out = AsOfJoin.backward(l, r, Seq.empty, "ld", "rd", tolerance = Some(1L))
+      .select(when($"v".isNull, -1.0).otherwise($"v")).as[Double].head()
+    assert(out == -1.0, "2 days back is outside tolerance 1")
+  }
+
   test("salted inner join equals plain inner join") {
     val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"v$i"))
       .toDF("k", "lv")   // heavy skew on k=1

@@ -51,6 +51,40 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.exact(corpus).columns.toSeq == corpus.columns.toSeq)
   }
 
+  test("exact dedup refuses a caller column named content_hash or rn (r18)") {
+    // withColumn would silently clobber and then DROP the user column
+    val clash = corpus.withColumn("content_hash", lit("mine"))
+    val e = intercept[IllegalArgumentException] { Dedup.exact(clash) }
+    assert(e.getMessage.contains("content_hash"))
+    intercept[IllegalArgumentException] {
+      Dedup.exactDupGroups(corpus.withColumn("content_hash", lit("x")))
+    }
+  }
+
+  test("NULL-text docs never reach LSH candidate generation (r18)") {
+    val withNulls = corpus.unionByName(Seq(
+      (90L, null.asInstanceOf[String]), (91L, null.asInstanceOf[String]),
+      (92L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLsh(withNulls, shingleK = 2, numHashes = 32,
+        rowsPerBand = 4, jaccardThreshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // no pair touches a null-text doc; real pairs intact
+    assert(!pairs.exists(p => p._1 >= 90L || p._2 >= 90L),
+      s"null-text docs paired: $pairs")
+    assert(pairs.contains((1L, 2L)))
+    // and the drop report sees no phantom null bucket
+    val dropped = Dedup.minhashDroppedBands(withNulls, shingleK = 2,
+      numHashes = 32, rowsPerBand = 4)
+    assert(dropped.filter($"bucket_df" >= 3).count() == 0)
+  }
+
+  test("simhash pairs refuses a negative maxHamming (silent-empty guard, r18)") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, maxHamming = -1)
+    }
+    assert(e.getMessage.contains("matches nothing"))
+  }
+
   test("minhash LSH band cap: a viral fallback-shingle bucket drops with a report; clean pairs intact") {
     // sub-shingleK-token docs all carry the ONE whole-doc fallback
     // shingle — uncapped, m such docs collide in every band

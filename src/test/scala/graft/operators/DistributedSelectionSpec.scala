@@ -83,6 +83,18 @@ class DistributedSelectionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("topFracByGroup keeps the NULL group (null-safe threshold join, r18)") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L), (Some("a"), 2L),
+      (Option.empty[String], 5L), (Option.empty[String], 6L))
+      .toDF("g", "v")
+    val kept = DistributedSelection.topFracByGroup(df, "g", "v", keepFrac = 1.0)
+    assert(kept.count() == 4, "keepFrac=1.0 must keep every row, null group included")
+    val halves = DistributedSelection.topFracByGroup(df, "g", "v", keepFrac = 0.5)
+      .select($"v").as[Long].collect().toSet
+    assert(halves == Set(2L, 6L), s"top half per group incl. null group: $halves")
+  }
+
   test("empty input yields empty output; width 1 degenerates correctly") {
     val empty = Seq.empty[(String, Long)].toDF("g", "v")
     assert(DistributedSelection.medianByGroup(empty, "g", "v").count() == 0)

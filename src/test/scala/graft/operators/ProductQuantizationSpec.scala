@@ -13,6 +13,24 @@ class ProductQuantizationSpec extends AnyFunSuite with SparkTestSession {
     .select($"vec_id", $"embedding")
   private lazy val cb = ProductQuantization.train(embs, m = 16, ksub = 256)
 
+  test("train skips NULL embeddings and refuses mixed dims loudly (r18)") {
+    import org.apache.spark.sql.functions._
+    // a null vector whose id hashes early must not NPE the seed collect
+    val withNull = embs.limit(8).unionByName(
+      embs.limit(1).select($"vec_id" + 1000000L as "vec_id",
+        lit(null).cast("array<float>").as("embedding")))
+    val cb1 = ProductQuantization.train(withNull, m = 2, ksub = 4)
+    assert(cb1.centers.nonEmpty)
+    // mixed dims: loud refusal, not an ArrayIndexOutOfBounds
+    val mixed = embs.limit(4).unionByName(
+      embs.limit(1).select($"vec_id" + 2000000L as "vec_id",
+        expr("slice(embedding, 1, 8)").as("embedding")))
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantization.train(mixed, m = 2, ksub = 8)
+    }
+    assert(e.getMessage.contains("mixes embedding dims"), e.getMessage)
+  }
+
   test("codebook shape and deterministic rebuild") {
     assert(cb.m == 16 && cb.ksub == 256 && cb.dsub == 4)
     assert(cb.centers.length == 16 * 256 * 4)
