@@ -40,6 +40,7 @@ object PrefixScan {
   def strictPrefixMax(df: DataFrame, key: Column, value: Column, out: String,
                       buckets: Int = 32): DataFrame = {
     require(buckets > 0)
+    requireNoScratch(df)
     // lazy checkpoint: globalRank's range-sampling pass materializes the
     // (one-row-per-key, aggregate-sized) input once; the count job and
     // both scan legs below read cached blocks
@@ -88,6 +89,7 @@ object PrefixScan {
   def strictPrefixSum(df: DataFrame, key: Column, value: Column, out: String,
                       buckets: Int = 32): DataFrame = {
     require(buckets > 0)
+    requireNoScratch(df)
     val src = df.localCheckpoint(false)
     val n = src.count()
     val width = math.max(1L, (n + buckets - 1) / buckets)
@@ -116,5 +118,17 @@ object PrefixScan {
           .otherwise(coalesce(col("_ps_in"), lit(0L)) +
             coalesce(col("_ps_prev"), lit(0L))))
       .drop("_ps_rnk", "_ps_bkt", "_ps_in", "_ps_prev")
+  }
+
+  // the Dedup.requireNoScratch convention (r18 review): the _ps_*
+  // working columns are written with withColumn and dropped at the
+  // end — a caller column of the same name would be silently
+  // destroyed. _ps_rnk alone was guarded (globalRank's require);
+  // the other three were not.
+  private def requireNoScratch(df: DataFrame): Unit = {
+    val clash = Seq("_ps_rnk", "_ps_bkt", "_ps_in", "_ps_prev", "_ps_bmax")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} are reserved by PrefixScan — rename first")
   }
 }

@@ -67,7 +67,13 @@ object QualityChecks {
           .select(col("r.check_name"), col("r.n_violations")))
       }
     val uniqueLegs = checks.collect { case c: Unique =>
-      df.groupBy(c.key.as("_k")).agg(count(lit(1)).as("_cnt"))
+      // NULL keys never violate uniqueness (r18 review): SQL UNIQUE
+      // does not compare nulls, and the sibling RefIntegrity /
+      // InboundRef checks document the same nulls-pass policy —
+      // forbidding nulls is a completeness RowPredicate's job. The
+      // old groupBy counted two null keys as duplicates of each other.
+      df.select(c.key.as("_k")).filter(col("_k").isNotNull)
+        .groupBy(col("_k")).agg(count(lit(1)).as("_cnt"))
         .agg(coalesce(sum(col("_cnt") - 1L), lit(0L)).as("n_violations"))
         .select(lit(c.name).as("check_name"), col("n_violations"))
     }

@@ -29,9 +29,13 @@ object Winnowing {
   def portableHash(s: Column): Column =
     graft.functions.Md5Functions.md5_low60(s)
 
-  /** Contamination check — the decontamination primitive: for every
-    * non-benchmark document, how many winnowing prints it shares with
-    * the benchmark rows (`isBenchmark` = true). Any verbatim overlap of
+  /** Contamination check — the decontamination primitive: one row per
+    * CONTAMINATED non-benchmark document with its shared-print count
+    * `n_shared` (always ≥ 1). Clean documents — zero shared prints,
+    * or too short to select any print (< w k-grams) — emit NO row
+    * (r18 review: the contract is screen-only; consumers purge by
+    * anti-joining the reported ids, never by joining expecting a row
+    * per corpus doc). Any verbatim overlap of
     * length ≥ w + k − 1 tokens is guaranteed to surface (the winnowing
     * guarantee), so `n_shared > 0` is a sound screen for benchmark
     * leakage. Plan: ONE print pass over the whole table (the benchmark

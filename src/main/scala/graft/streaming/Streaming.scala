@@ -143,13 +143,23 @@ object Streaming {
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
               }
             }
-            // only a batch that contributed events may (re)arm the
-            // timeout: with every row late-dropped, re-arming from
-            // stale state could set a timestamp below the watermark
             if (sorted.nonEmpty) cur.foreach { s =>
               state.update(s)
               // wake up when the gap can no longer be filled
               state.setTimeoutTimestamp((s.last_us + gapUs) / 1000)
+            } else cur.foreach { s =>
+              // an all-late batch must RE-ARM, not skip (r18 review,
+              // verified against the shipped Spark 4.1.2 bytecode):
+              // every function invocation resets the stored timeout,
+              // so the old skip-when-empty guard silently DISARMED an
+              // open session's timeout — if the user never sent
+              // another event, the session was never emitted and its
+              // state leaked forever. Clamping to watermark + 1 keeps
+              // the setTimeoutTimestamp above-watermark contract the
+              // guard existed for; an already-elapsed gap then fires
+              // on the next watermark advance and emits normally.
+              state.setTimeoutTimestamp(
+                math.max((s.last_us + gapUs) / 1000, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
@@ -498,7 +508,7 @@ object Streaming {
         def applyCommit(v: Int): Unit =
           if (!S.propsOf(root, v).get("rewrite").contains("true") &&
               S.commitHasChanges(root, v))
-            apply(S.changesBetween(spark, root, S.parentOf(root, v), v), v)
+            apply(resolveChanges(spark, root, S.parentOf(root, v), v), v)
         while (pending.contains(hwm + 1)) {
           val v = pending(hwm + 1)
           if (chainTip == 0)
@@ -517,8 +527,23 @@ object Streaming {
             val window =
               try Some(S.lineageBetween(root, chainTip, v))
               catch { case e: IllegalArgumentException =>
-                if (S.lineage(root, chainTip).contains(v)) None
-                else throw e
+                val tipChain = S.lineage(root, chainTip)
+                if (tipChain.contains(v)) None // rollback, history intact
+                else if (!tipChain.contains(chainTip)) {
+                  // chainTip's own manifest is GONE (r18 review): a
+                  // rollback abandons the old chain and removeOrphans
+                  // may reap it before the tail catches up, so the
+                  // ancestor test above can no longer run — without
+                  // this arm a legitimate rollback became a permanent
+                  // poison pill (same seq re-crashing every restart).
+                  // A reaped tip chain is itself the rollback
+                  // signature (only abandonment orphans manifests);
+                  // accept it as one, loudly.
+                  System.err.println(s"[tailRef] tip $chainTip's chain was " +
+                    s"reaped (rollback + removeOrphans); resuming from $v " +
+                    "without retraction, the documented rollback semantics")
+                  None
+                } else throw e
               }
             window.foreach(_.foreach(applyCommit))
           }
@@ -540,6 +565,31 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** changesBetween with an ACTIONABLE failure when the feed fell
+    * behind expiry (r18 review): a delete/merge commit resolves its
+    * preimage from the PARENT version, and if `expire` reaped that
+    * parent's manifest while the tail was offline, the raw require
+    * from deep inside the read was an unrecoverable riddle replayed
+    * on every restart. The feed may never silently skip history (the
+    * Delta-CDF rule: a log vacuumed past your position errors), so
+    * this stays an error — but one that names the situation and the
+    * remedy.
+    */
+  private def resolveChanges(spark: SparkSession, root: String,
+                             parent: Int, v: Int): DataFrame =
+    try graft.sources.Snapshots.changesBetween(spark, root, parent, v)
+    catch {
+      case e: Exception if parent > 0 && !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "_manifests", s"$parent.txt")) =>
+        throw new IllegalStateException(
+          s"change feed fell behind expiry: version $v needs its parent " +
+            s"$parent's manifest for the preimage, but it was expired. " +
+            "Re-sync the consumer from a full read at the current " +
+            "version with a FRESH checkpoint (the Delta CDF " +
+            "vacuumed-log semantics); raise the expiry retention if " +
+            "the tail must survive longer outages.", e)
+    }
 
   private def tailManifests(spark: SparkSession, root: String,
                             checkpoint: String)
@@ -589,8 +639,7 @@ object Streaming {
             if (!graft.sources.Snapshots.propsOf(root, next)
                 .get("rewrite").contains("true") &&
                 graft.sources.Snapshots.commitHasChanges(root, next))
-              apply(graft.sources.Snapshots
-                .changesBetween(spark, root, next - 1, next), next)
+              apply(resolveChanges(spark, root, next - 1, next), next)
             pending -= next; hwm = next
           } else if (!java.nio.file.Files.exists(manifests.resolve(s"$next.txt")))
             hwm = next // expired before discovery — will never arrive

@@ -46,4 +46,15 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(ann.filter($"is_dup").count() == 0L)
     assert(ann.count() == batch.count())
   }
+
+  test("annotation-name collisions refuse loudly (r18 scratch guard)") {
+    import org.apache.spark.sql.functions._
+    val batch = Seq((1L, "a")).toDF("doc_id", "text").withColumn("is_dup", lit(false))
+    val history = Seq((0L, "b")).toDF("doc_id", "text")
+    val bloom = IncrementalDedup.contentBloom(history)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.annotateAgainst(batch, history, bloom)
+    }
+    assert(e.getMessage.contains("is_dup"))
+  }
 }

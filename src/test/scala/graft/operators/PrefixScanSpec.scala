@@ -76,4 +76,16 @@ class PrefixScanSpec extends AnyFunSuite with SparkTestSession {
       .orderBy(col("k")).limit(1).collect()(0)
     assert(first.isNullAt(first.fieldIndex("ps")))
   }
+
+  test("strict prefix ops refuse caller _ps_* columns (r18 scratch guard)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5).select(col("id"), lit(1L).as("_ps_in"))
+    val e = intercept[IllegalArgumentException] {
+      PrefixScan.strictPrefixMax(df, col("id"), col("id"), "out")
+    }
+    assert(e.getMessage.contains("_ps_in"))
+    intercept[IllegalArgumentException] {
+      PrefixScan.strictPrefixSum(df, col("id"), col("id"), "out")
+    }
+  }
 }

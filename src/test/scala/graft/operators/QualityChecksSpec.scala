@@ -54,4 +54,13 @@ class QualityChecksSpec extends AnyFunSuite with SparkTestSession {
       .collect()
     assert(rep2.forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
   }
+
+  test("Unique does not count NULL keys as duplicates (SQL UNIQUE semantics, r18)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(Some(1L), None, None, Some(2L)).toDF("k")
+    val rep = report(df, Seq(Unique("u", $"k"))).collect()
+    assert(rep.length == 1 && rep.head.getAs[Long]("n_violations") == 0L &&
+      rep.head.getAs[Boolean]("passed"),
+      s"two NULL keys must pass UNIQUE: ${rep.toSeq}")
+  }
 }

@@ -76,4 +76,13 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     val tiny = Sampling.fixedSizePerStratum(df.filter(col("id") <= 3), col("g"), col("id"), 20)
     assert(tiny.count() == 3)
   }
+
+  test("fixedSizePerStratum refuses a caller _rk column (r18 scratch guard)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(5).select($"id", lit(1).as("_rk"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.fixedSizePerStratum(df, lit(1), $"id", 2)
+    }
+    assert(e.getMessage.contains("_rk"))
+  }
 }

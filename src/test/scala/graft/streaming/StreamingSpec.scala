@@ -162,6 +162,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("an all-late batch re-arms the session timeout instead of disarming it (r18)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000L * 1000000
+    val min = 60L * 1000 * 1000
+    def row(u: Long, us: Long, v: Double) =
+      (u, new java.sql.Timestamp(us / 1000), us * 1000, v)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF.toDF("user_id", "ts", "ts_ns", "value")
+    val q = Streaming.sessionize(df).toDF().writeStream.format("memory")
+      .queryName("sess_disarm").outputMode("append").start()
+    try {
+      // b1: user 1 opens a session (timeout armed); user 2 keeps the
+      // watermark advancing later
+      mem.addData(row(1, base, 1.0), row(2, base + 6 * min, 1.0))
+      q.processAllAvailable()
+      // b2: user 1's ONLY row is below the watermark — every row
+      // late-dropped. Spark resets the stored timeout on each function
+      // invocation, so skipping the re-arm here silently disarmed the
+      // open session (it would then never emit — the state leak)
+      mem.addData(row(1, base - 120 * min, 9.0))
+      q.processAllAvailable()
+      // advance the watermark past user 1's gap; the re-armed timeout
+      // must fire and emit the session
+      mem.addData(row(2, base + 50 * min, 1.0))
+      q.processAllAvailable()
+      mem.addData(row(2, base + 51 * min, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_disarm").filter($"user_id" === 1L)
+        .select($"start_us", $"end_us", $"n_events").collect()
+      assert(out.length == 1,
+        s"user 1's session must still emit after an all-late batch: ${out.toSeq}")
+      assert(out.head.getLong(0) == base && out.head.getLong(1) == base &&
+        out.head.getLong(2) == 1L)
+    } finally q.stop()
+  }
+
   test("session outputs respect the 30-minute gap invariant") {
     val stream = Streaming.sessionize(Streaming.eventStream(spark, streamDir))
     val rows = Streaming.runToMemory(stream.toDF(), "sess2", OutputMode.Append())
