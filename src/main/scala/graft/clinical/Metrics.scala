@@ -56,11 +56,24 @@ object Metrics {
     * over MICROSECONDS — `unix_timestamp` truncates each side to whole
     * seconds first, which breaks the floor-of-timedelta parity on
     * sub-second times (0.5 s short of a full day truncated UP to a
-    * day); micro differences are exact integers in double to 2^53, so
-    * the floor is exact.
+    * day). INTEGER floor (r18 review): the earlier double division was
+    * only exact while the micro delta stayed within double's 2^53 —
+    * beyond ~2^17-day spans a delta one microsecond short of a whole
+    * day rounded UP to the next day, off-by-one vs pandas .dt.days.
+    * Subtracting the non-negative pmod makes the numerator an exact
+    * multiple of a day (true floor for negative deltas too, matching
+    * timedelta.days' floor-toward−∞); the final double quotient of
+    * that multiple has relative error ~1e-16 over a quotient ≤ ~1e8,
+    * so round() recovers the exact integer (the IntervalJoin/Tables
+    * div discipline, spelled with Column ops). No underflow risk: the
+    * delta of two representable timestamps is ≤ ~2e17 µs.
     */
-  def dayDiff(a: Column, b: Column): Column =
-    floor((unix_micros(a) - unix_micros(b)) / lit(86400000000.0))
+  def dayDiff(a: Column, b: Column): Column = {
+    val us = unix_micros(a) - unix_micros(b)
+    val day = 86400000000L
+    round((us - pmod(us, lit(day))).cast("double") / lit(day.toDouble))
+      .cast("long")
+  }
 
   /** Months since treatment start: floor(days / 30.417) — pandas whole-day
     * truncation semantics (SURVEY.md §2.8 decision 1;

@@ -139,8 +139,26 @@ object Pipeline {
         !cohortName.startsWith("_"),
       s"cohort name '$cohortName' collides with a metric/internal " +
         "column the pipeline derives — pick another name")
-    val base = withDerived(joined(users, weights, treatments))
-      .withColumn(cohortName, cohortExpr)
+    val pre = withDerived(joined(users, weights, treatments))
+    // materializing a cohort under an EXISTING column name silently
+    // replaces that column for every downstream metric, window key and
+    // filter (r18 review: cohortName = "Weight" with a bucketing
+    // expression corrupts PSW/TSW/TEW with no error — the exact class
+    // the reservedMetricNames guard covers for DERIVED names). The one
+    // legitimate overlap is the built-in path's self-reference
+    // (cohort = an existing column named by itself: `run` passes
+    // col(cfg.cohort)), which replaces the column with its own value.
+    // Column.toString renders the unresolved column node ("month" for
+    // col("month"), "FLOOR((Weight / 10))" for an expression) — the
+    // stable public discriminator; Spark 4's ColumnNodeExpression
+    // wrapping makes a catalyst-node match brittle. Pinned both ways
+    // in MetricsSpec.
+    val isSelfRef = cohortExpr.toString == col(cohortName).toString
+    require(isSelfRef || !pre.columns.contains(cohortName),
+      s"cohort name '$cohortName' collides with an input/base column — " +
+        "the cohort expression would silently replace it for every " +
+        "downstream metric; pick another name")
+    val base = pre.withColumn(cohortName, cohortExpr)
     // Strict mode: the UserConstantPredicatePushdown rule moves the
     // late Filters below the windows on its own. Bug-compat mode: the
     // boundary join blocks that rule, so hand the (user-constant)

@@ -159,16 +159,19 @@ object MediaContainers {
     * uncompressed BMP; None if the header declares anything else.
     * Features: mean B/G/R, luma variance, and a 12-bin luma histogram.
     */
-  def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
-    val lay = MediaLayout.bmp(b).getOrElse(return None)
-    val w = lay.w; val h = lay.h
-    var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
-    var sumL = 0.0; var sumL2 = 0.0
-    val hist = new Array[Int](12)
-    var y = 0
-    while (y < h) {
-      // bottom-up storage: row y of the image is the (h-1-y)-th stored row
-      val rowOff = lay.dataOffset + (h - 1 - y) * lay.rowSize
+  /** Shared per-pixel accumulator for the 24bpp BGR frame features —
+    * ONE spelling of the mean-B/G/R + luma-variance + 12-bin-histogram
+    * math for BOTH the BMP and AVI decoders (r18 review: the ~30-line
+    * accumulation existed twice and the copies had already diverged in
+    * row addressing — harmless only while every feature is
+    * row-order-invariant; now structurally shared, like the
+    * [[MediaLayout]] parses and [[MediaHash]]'s grid math).
+    */
+  private final class PixelStats {
+    private var sumB = 0.0; private var sumG = 0.0; private var sumR = 0.0
+    private var sumL = 0.0; private var sumL2 = 0.0
+    private val hist = new Array[Int](12)
+    def accumRow(b: Array[Byte], rowOff: Int, w: Int): Unit = {
       var x = 0
       while (x < w) {
         val o = rowOff + x * 3
@@ -179,18 +182,31 @@ object MediaContainers {
         hist(math.min(11, (luma / 256.0 * 12).toInt)) += 1
         x += 1
       }
+    }
+    def features(n: Double): Array[Float] = {
+      val meanL = sumL / n
+      val feat = new Array[Float](16)
+      feat(0) = (sumB / n / 255.0).toFloat
+      feat(1) = (sumG / n / 255.0).toFloat
+      feat(2) = (sumR / n / 255.0).toFloat
+      feat(3) = ((sumL2 / n - meanL * meanL) / (255.0 * 255.0)).toFloat
+      var i = 0
+      while (i < 12) { feat(4 + i) = (hist(i) / n).toFloat; i += 1 }
+      feat
+    }
+  }
+
+  def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val lay = MediaLayout.bmp(b).getOrElse(return None)
+    val w = lay.w; val h = lay.h
+    val st = new PixelStats
+    var y = 0
+    while (y < h) {
+      // bottom-up storage: row y of the image is the (h-1-y)-th stored row
+      st.accumRow(b, lay.dataOffset + (h - 1 - y) * lay.rowSize, w)
       y += 1
     }
-    val n = (w.toLong * h).toDouble
-    val meanL = sumL / n
-    val feat = new Array[Float](16)
-    feat(0) = (sumB / n / 255.0).toFloat
-    feat(1) = (sumG / n / 255.0).toFloat
-    feat(2) = (sumR / n / 255.0).toFloat
-    feat(3) = ((sumL2 / n - meanL * meanL) / (255.0 * 255.0)).toFloat
-    var i = 0
-    while (i < 12) { feat(4 + i) = (hist(i) / n).toFloat; i += 1 }
-    Some((w, h, feat))
+    Some((w, h, st.features((w.toLong * h).toDouble)))
   }
 
   /** (sampleRate, channels, nSamples, 16-dim features from actual
@@ -243,41 +259,21 @@ object MediaContainers {
   def decodeAvi(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     val lay = MediaLayout.avi(b).getOrElse(return None)
     val w = lay.w; val h = lay.h
-    var sumB = 0.0; var sumG = 0.0; var sumR = 0.0
-    var sumL = 0.0; var sumL2 = 0.0
-    val hist = new Array[Int](12)
     val nFrames = lay.frameOffsets.length
+    if (nFrames == 0) return None
+    val st = new PixelStats
     var fi = 0
     while (fi < nFrames) {
       val base = lay.frameOffsets(fi)
       var y = 0
       while (y < h) {
-        val rowOff = base + y * lay.rowSize
-        var x = 0
-        while (x < w) {
-          val o = rowOff + x * 3
-          val bl = b(o) & 0xFF; val g = b(o + 1) & 0xFF; val r = b(o + 2) & 0xFF
-          sumB += bl; sumG += g; sumR += r
-          val luma = 0.299 * r + 0.587 * g + 0.114 * bl
-          sumL += luma; sumL2 += luma * luma
-          hist(math.min(11, (luma / 256.0 * 12).toInt)) += 1
-          x += 1
-        }
+        st.accumRow(b, base + y * lay.rowSize, w)
         y += 1
       }
       fi += 1
     }
-    if (nFrames == 0) return None
-    val n = w.toLong * h * nFrames
-    val meanL = sumL / n
-    val feat = new Array[Float](16)
-    feat(0) = (sumB / n / 255.0).toFloat
-    feat(1) = (sumG / n / 255.0).toFloat
-    feat(2) = (sumR / n / 255.0).toFloat
-    feat(3) = ((sumL2 / n - meanL * meanL) / (255.0 * 255.0)).toFloat
-    var i = 0
-    while (i < 12) { feat(4 + i) = (hist(i) / n.toDouble).toFloat; i += 1 }
-    Some((w, h, nFrames, feat))
+    Some((w, h, nFrames,
+      st.features((w.toLong * h * nFrames).toDouble)))
   }
 }
 

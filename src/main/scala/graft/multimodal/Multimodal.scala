@@ -154,8 +154,15 @@ object Multimodal {
       "(sequence() would fail opaquely at execution)")
     features.toDF()
       .filter(col("modality") === "video")
+      // n_frames <= 0 yields an EMPTY plan, not a crashed job (r18
+      // review): decode keys on byte-sniffing, so a row LABELED video
+      // whose bytes decode as something frameless (e.g. an empty-data
+      // WAV) carries n_frames = 0, and sequence(0, -1, stride) throws
+      // an IllegalArgumentException that aborts the whole stage
       .select(col("media_id"), col("n_frames"),
-        sequence(lit(0), col("n_frames") - 1, lit(stride)).as("sample_frames"))
+        when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>")).as("sample_frames"))
       .withColumn("n_sampled", size(col("sample_frames")))
   }
 

@@ -140,7 +140,15 @@ object MediaHash {
     var hash = 0L
     blk = 0
     while (blk < 64) {
-      if (e(blk + 1) * cnt(blk) > e(blk) * cnt(blk + 1))
+      // exact cross-multiply at ANY chunk size (r18 review): the long
+      // products overflow above ~1.5 GiB data chunks — (n/65)² ·
+      // 16384 crosses 2^63 — silently inverting gradient bits and
+      // breaking the integer oracle-replay contract (the r16 fix
+      // caught the 32 MiB blk·n Int wrap; the comparison itself had a
+      // 2× thinner margin). BigInt costs 64 comparisons per FILE —
+      // nothing next to the per-sample scan above.
+      if (BigInt(e(blk + 1)) * BigInt(cnt(blk)) >
+          BigInt(e(blk)) * BigInt(cnt(blk + 1)))
         hash |= 1L << (63 - blk)
       blk += 1
     }

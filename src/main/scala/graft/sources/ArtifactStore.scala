@@ -28,23 +28,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtifactStore {
 
-  // COMPLETED readers in one map, per-key build locks in another: the
-  // multi-second Spark write action must execute OUTSIDE any CHM bin
-  // lock (advisor r9 — an eager computeIfAbsent body blocks unrelated
-  // keys hashing to the same bin for the whole build, and a build that
-  // itself resolves another artifact recursively would deadlock or
-  // throw IllegalStateException). computeIfAbsent only ALLOCATES the
-  // per-key monitor; racing builders serialize on it, and the
-  // double-check inside keeps the once-per-key guarantee. Unlike the
-  // earlier lazy-cell spelling, the `build` THUNK is released once the
-  // artifact materializes — a lazy val's closure retained the builder
-  // (and every DataFrame/plan it captured) for the JVM lifetime — and
-  // a FAILED build deletes its staged directory before rethrowing, so
-  // retries don't accumulate orphan temp trees.
-  private val done =
-    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private val locks =
-    new ConcurrentHashMap[(SparkSession, String, String), Object]()
+  // ONE memo protocol, not a second hand-rolled copy of it (r18
+  // review): the evict-stopped-sessions + per-key-monitor +
+  // double-check machinery lives in [[SessionMemo]] — the "one
+  // spelling" this file itself established — and this object only
+  // contributes the parquet staging. A FAILED build deletes its
+  // staged directory before rethrowing, so retries don't accumulate
+  // orphan temp trees; the build thunk is released once the artifact
+  // materializes.
+  private val memo =
+    new SessionMemo[(SparkSession, String, String), DataFrame](_._1)
 
   /** Build `df` once per (session, dir, name), write it as parquet to a
     * reaped temp directory, and return a reader over the written files.
@@ -54,29 +47,14 @@ object ArtifactStore {
     * java-deserializing the lineage.
     */
   def parquet(spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame = {
-    // evict artifacts of STOPPED sessions (r16 review finding): the
-    // static maps would otherwise pin every stopped session, its
-    // cached DataFrames, and their plans for the JVM lifetime — a
-    // monotone leak in any long-lived JVM that cycles sessions
-    done.keySet.removeIf(_._1.sparkContext.isStopped)
-    locks.keySet.removeIf(_._1.sparkContext.isStopped)
-    val k = (spark, dir, name)
-    val hit = done.get(k)
-    if (hit != null) return hit
-    val lock = locks.computeIfAbsent(k, _ => new Object)
-    lock.synchronized {
-      val again = done.get(k)
-      if (again != null) return again
+      (build: => DataFrame): DataFrame =
+    memo.get((spark, dir, name)) {
       val stage = Staging.tempDir(s"graft_artifact_${name}_")
       val path = stage.resolve("data").toString
       try build.write.mode("overwrite").parquet(path)
       catch { case e: Throwable => Staging.delTree(stage); throw e }
-      val df = spark.read.parquet(path)
-      done.put(k, df)
-      df
+      spark.read.parquet(path)
     }
-  }
 }
 
 /** Session-keyed memo with [[ArtifactStore.parquet]]'s concurrency and

@@ -121,4 +121,34 @@ class MetricsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.toString).sorted.toSeq
     assert(canon(dfW) == canon(viaExpr))
   }
+
+  test("dayDiff is exact at extreme spans (integer floor, r18)") {
+    import org.apache.spark.sql.functions._
+    // delta = K days minus 1 microsecond over a ~2.9M-day span: the
+    // old double division rounded UP to K; the true floor is K - 1
+    val df = Seq((
+      java.sql.Timestamp.valueOf("9999-12-26 00:00:00"),
+      new java.sql.Timestamp(java.sql.Timestamp.valueOf("1970-01-01 00:00:00").getTime) {
+        setNanos(1000) // +1 microsecond
+      })).toDF("a", "b")
+    val got = df.select(Metrics.dayDiff(col("a"), col("b"))).as[Long].head()
+    val wholeDays = df.select(
+      (unix_micros(col("a")) - unix_micros(col("b"))).as("us"))
+      .as[Long].head()
+    assert(wholeDays % 86400000000L != 0, "fixture must be off a day boundary")
+    assert(got == wholeDays / 86400000000L, s"floor must truncate: got $got")
+  }
+
+  test("cohort name colliding with a base column refuses loudly (r18)") {
+    import org.apache.spark.sql.functions._
+    val dir = "fixtures/clinical"
+    val (u, w, t) = (Sources.usersCsv(spark, dir),
+      Sources.weightsCsv(spark, dir), Sources.treatmentsCsv(spark, dir))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runWithCohortExpr(u, w, t, floor(col("Weight") / 10), "Weight")
+    }
+    assert(e.getMessage.contains("collides with an input/base column"))
+    // the built-in self-reference path stays legal
+    assert(Pipeline.runWithCohortExpr(u, w, t, col("month"), "month").count() > 0)
+  }
 }

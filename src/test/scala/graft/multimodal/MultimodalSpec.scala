@@ -175,4 +175,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val video = stats(2)
     assert(video.getAs[Int]("max_frames") > 1)
   }
+
+  test("frame plan yields an empty sample list for frameless video rows (r18)") {
+    import org.apache.spark.sql.functions._
+    // a row LABELED video whose bytes decode frameless must not crash
+    // the stage with sequence(0, -1)
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, "video", 0, 0, 0, 100L, 7L, Array.fill(16)(0.0f)),
+      Multimodal.MediaFeatures(2L, "video", 2, 2, 3, 100L, 8L, Array.fill(16)(0.0f))
+    ).toDS()
+    val plan = Multimodal.frameSamplePlan(feats, stride = 2)
+      .orderBy(col("media_id"))
+      .select(col("n_sampled")).as[Int].collect().toSeq
+    assert(plan == Seq(0, 2), s"frameless row samples nothing: $plan")
+  }
 }
