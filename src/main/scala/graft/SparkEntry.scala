@@ -81,8 +81,17 @@ object SparkEntry {
     * own point), so timing it would charge every query a
     * harness-artifact sort. Verify keeps the wrapped [[queries]].
     */
-  private[graft] def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._2).reduce(_ ++ _)
+  private[graft] def rawQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.map(_._2).reduce(_ ++ _)
+    // same duplicate-key guard as [[queries]] (r18 review): without it
+    // the bench/explain surfaces silently shadowed a colliding query
+    // and timed the wrong implementation while Verify failed loudly
+    require(merged.size == modules.map(_._2.size).sum,
+      "duplicate query key across modules: " +
+        modules.flatMap(_._2.keys).groupBy(identity)
+          .collect { case (k, vs) if vs.size > 1 => k }.mkString(", "))
+    merged
+  }
 
   /** Gate-corpus cap preflights (r14, ADVICE): for each capped gate
     * whose oracle models the cap-free ideal, a guard returning

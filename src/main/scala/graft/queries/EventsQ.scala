@@ -218,7 +218,12 @@ object EventsQ {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("purchase", "click", "view"))
       .select(col("user_id"), col("event_id"),
-        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+        // floor, not truncation — the q106/funnel negative-ts
+        // discipline (r18 review: the truncating spelling diverged
+        // from the oracle's floored epoch_us on a nanos-encoded
+        // pre-1970 event by 1 µs)
+        expr("(ts_ns - pmod(ts_ns, 1000)) div 1000").as("ts_us"),
+        col("event_type"))
       .localCheckpoint(false)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
@@ -255,14 +260,19 @@ object EventsQ {
     * (ts, event_id) sort, so Catalyst plans ONE exchange + sort and the
     * post-filter windows reuse it; state per user is bounded by that
     * user's run count. Timestamps cross the gate as exact integer
-    * microseconds (the q150 `ts_ns div 1000` idiom), never as floats.
+    * microseconds (the q150 floored `ts_ns` → µs idiom), never as floats.
     */
   def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+        // floor, not truncation — the q106/funnel negative-ts
+        // discipline (r18 review: the truncating spelling diverged
+        // from the oracle's floored epoch_us on a nanos-encoded
+        // pre-1970 event by 1 µs)
+        expr("(ts_ns - pmod(ts_ns, 1000)) div 1000").as("ts_us"),
+        col("event_type"))
       .withColumn("prev_attr", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_attr").isNull || col("prev_attr") =!= col("event_type"))
       .withColumn("version", row_number().over(byUser).cast("long"))

@@ -166,7 +166,11 @@ object Shapes {
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"),
         round(avg(col("o_totalprice")), 2).as("avg_price"),
-        round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+        // Spark's stddev_samp is NaN for a 1-row group, DuckDB's is
+        // NULL (r18 review) — pin the SQL semantics so a small group
+        // can never flip the hash gate
+        when(!isnan(stddev_samp(col("o_totalprice"))),
+          round(stddev_samp(col("o_totalprice")), 2)).as("sd_price"),
         sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
 
   /** Manual pivot: one column per order-priority class (groupBy().pivot()
@@ -206,7 +210,12 @@ object Shapes {
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
     val per = o.groupBy(col("o_custkey").as("k"))
       .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
-    o.join(broadcast(per), col("o_custkey") === col("k"))
+    // plain equi-join, NOT a forced broadcast (r18 review): `per` has
+    // one row per CUSTOMER — unbounded cardinality, never a bounded
+    // dimension — and a broadcast hint would collect it to the driver
+    // at scale; both sides key on o_custkey, so the shuffle equi-join
+    // is the 100 TB shape (AQE may still broadcast at gate scale)
+    o.join(per, col("o_custkey") === col("k"))
       .filter(expr("2 * cast(cents as decimal(38,0)) * n" +
         " > 3 * cast(sum_cents as decimal(38,0))"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
