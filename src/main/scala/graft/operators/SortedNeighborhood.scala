@@ -73,8 +73,9 @@ object SortedNeighborhood {
   def candidatePairs(df: DataFrame, blockCols: Seq[String], sortCols: Seq[Column],
                      window: Int): DataFrame = {
     require(window > 0)
-    require(!df.columns.contains("rnk_b"),
-      "column 'rnk_b' is reserved by candidatePairs — rename first")
+    require(!df.columns.exists(c => c == "rnk_b" || c.startsWith("_sn_")),
+      "columns 'rnk_b' and the '_sn_' prefix are reserved by " +
+        "candidatePairs — rename first")
     // lazy checkpoint: the rank table has FOUR consumers (two skinny
     // candidate legs + one payload re-join per side), and the ranked
     // RDD's post-shuffle sort would otherwise rerun once per consumer
@@ -89,8 +90,20 @@ object SortedNeighborhood {
     val bKeys = ranked.select(blockCols.map(col) :+ col("rnk").as("rnk_b"): _*)
       .select(blockCols.map(col) ++ Seq(col("rnk_b"),
         explode(sequence(col("rnk_b") + 1, col("rnk_b") + window)).as("rnk")): _*)
-    // (blockCols, rnk = successor a's rank, rnk_b = predecessor b's)
-    val pairs = aKeys.join(bKeys, blockCols :+ "rnk")
+    // (blockCols, rnk = successor a's rank, rnk_b = predecessor b's).
+    // NULL-SAFE on the block keys (r18 review): globalRank sorts the
+    // NULL block contiguously (asc_nulls_first), but the old
+    // name-based equi-join dropped every pair inside it — true
+    // near-dups in a NULL-valued block (lang unknown, source missing)
+    // were silently never compared. Same class and same fix as
+    // DistributedSelection's null group: <=> keys, still a hash join.
+    val bSafe = bKeys.select(blockCols.map(c => col(c).as(s"_sn_$c")) ++
+      Seq(col("rnk_b"), col("rnk").as("_sn_rnk")): _*)
+    val joinCond = blockCols
+      .map(c => col(c) <=> col(s"_sn_$c"))
+      .foldLeft(col("rnk") === col("_sn_rnk"))(_ && _)
+    val pairs = aKeys.join(bSafe, joinCond)
+      .drop("_sn_rnk").drop(blockCols.map(c => s"_sn_$c"): _*)
     val payA = ranked.select(col("rnk") +: payload.map(c => col(c).as(s"${c}_a")): _*)
     val payB = ranked.select(col("rnk").as("rnk_b") +:
       payload.map(c => col(c).as(s"${c}_b")): _*)

@@ -74,7 +74,12 @@ object MediaQ {
   def mediaFrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSamplePlan(
         Multimodal.decodeFeatures(
-          Multimodal.syntheticMedia(Tables.documents(spark, dir))),
+          // filter BEFORE the typed decode (r18 review): the modality
+          // filter inside frameSamplePlan sits past mapPartitions,
+          // where Catalyst cannot push it — two-thirds of the corpus
+          // paid full BMP/WAV decode only to be dropped
+          Multimodal.syntheticMedia(Tables.documents(spark, dir))
+            .filter(col("modality") === "video")),
         stride = 3)
       .select(col("media_id"), col("n_frames"), col("n_sampled"))
 

@@ -264,7 +264,18 @@ object RetrievalQ {
     * vocabulary (here the whole vocab already fits), keeping t_d
     * bounded.
     */
-  def termCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+  def termCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    // session ARTIFACT, not a per-invocation plan (r18 review): q135
+    // and q156 each re-ran the Sigma(t_d choose 2) pair self-join just
+    // to rebuild the identical lift >= 1 edge list — the term graph is
+    // ingest-time state beside the corpus (the media_sigs/postings
+    // convention); one build per (session, dir), every consumer scans
+    // the columnar table
+    graft.sources.ArtifactStore.parquet(spark, dir, "term_cooc") {
+      termCooccurrenceBuild(spark, dir)
+    }
+
+  private def termCooccurrenceBuild(spark: SparkSession, dir: String): DataFrame = {
     // the tf-postings artifact is already distinct per (doc, term) —
     // dropping tf IS the distinct-postings table, no extra shuffle
     val postings = postingsArtifact(spark, dir)

@@ -129,8 +129,7 @@ object SketchQ {
     val sketch = toks.agg(
       expr(s"count_min_sketch(tok, ${cmsEps}D, 0.99D, 42)").as("sk"),
       count(lit(1)).as("n_total"))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("tok").asc).limit(10)
+    val top = exactTop10(spark, dir)
     top.crossJoin(broadcast(sketch))
       .select(col("tok"), col("exact_n"),
         cms_estimate(col("sk"), col("tok")).as("_est"), col("n_total"))
@@ -226,7 +225,11 @@ object SketchQ {
     def within(q: Double, lt: String, le: String) = {
       val eps = ceil(col("n") * lit(qdigLog2U.toDouble / qdigK)).cast("long")
       val target = ceil(col("n") * lit(q)).cast("long")
-      (col(lt) <= target + eps) && (col(le) >= target - eps)
+      // the estimate's occupied rank interval is [lt + 1, le], so the
+      // ±eps intersection test is lt + 1 <= target + eps (r18 review:
+      // `lt <= target + eps` admitted a sketch whose lowest rank sits
+      // exactly one past the published bound)
+      (col(lt) < target + eps) && (col(le) >= target - eps)
     }
     est.join(ranks, Seq("flag")).join(exact, Seq("flag"))
       .select(col("flag"), col("n"), col("median_cents"),
@@ -256,8 +259,7 @@ object SketchQ {
     val summary = toks.agg(
       graft.functions.MisraGries.mg_summary(col("tok"), mgK).as("mg"),
       count(lit(1)).as("n_total"))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("tok").asc).limit(10)
+    val top = exactTop10(spark, dir)
     top.crossJoin(broadcast(summary))
       .select(col("tok"), col("exact_n"),
         element_at(col("mg"), col("tok")).as("_est"), col("n_total"))
@@ -270,6 +272,18 @@ object SketchQ {
         (col("exact_n") <= expr(s"n_total div ${mgK + 1}L") ||
           col("_est").isNotNull).as("heavy_hitter_present"))
   }
+
+  /** Exact top-10 tokens as a rollup of the shared postings artifact
+    * (r18 review): the sketch legs NEED the raw token stream, but the
+    * exact verification harness is sum(tf) over the postings — the
+    * same tokenizer, one fewer full corpus tokenization per query
+    * (two across q98 + q193).
+    */
+  private def exactTop10(spark: SparkSession, dir: String): DataFrame =
+    RetrievalQ.postingsArtifact(spark, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term").asc).limit(10)
+      .select(col("term").as("tok"), col("exact_n"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_mg_heavy_hitters" -> (mgHeavyHitters _),

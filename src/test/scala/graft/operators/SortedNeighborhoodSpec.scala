@@ -35,6 +35,19 @@ class SortedNeighborhoodSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.sorted == Seq((2L, 1L), (4L, 3L)))
   }
 
+  test("a NULL-valued block pairs within itself and never across (r18)") {
+    // null-safe block keys: the NULL block sorts contiguously
+    // (asc_nulls_first) and its in-window pairs must be emitted — the
+    // old name-based equi-join silently dropped every one of them
+    val df = Seq((Some("x"), 1L), (Some("x"), 2L),
+      (Option.empty[String], 3L), (Option.empty[String], 4L))
+      .toDF("blk", "id")
+    val pairs = SortedNeighborhood.candidatePairs(df, Seq("blk"), Seq($"id"), window = 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.sorted == Seq((2L, 1L), (4L, 3L)),
+      s"null block must pair within itself only: $pairs")
+  }
+
   test("the probe explode stays skinny: no payload column rides the Generate") {
     // r16 verdict #3: the old spelling selected every payload column
     // into the exploded b-side, replicating it `window` times through
