@@ -168,9 +168,40 @@ object Bench {
     }
     iostat.foreach(_.close())
     printResultLines(results, sfDir,
-      BenchMeta(Seq(laStart, loadAvg()), rrB.result(), ioB.result()))
+      BenchMeta(Seq(laStart, loadAvg()), rrB.result(), ioB.result(),
+        cpuFraction(results, ioB.result()).toSeq))
     spark.stop()
   }
+
+  /** Shard-level CPU-fraction sentinel (r18 verdict #1): Σ best-run
+    * process-CPU seconds ÷ (Σ best-run wall seconds × machine cores),
+    * over every query whose best run succeeded. The spike-triggered
+    * outlier policy (`rr`) cannot see SUSTAINED external load — it
+    * inflates the warm run and both timed runs together, so
+    * best-of-two never exceeds 2.5× warm and `rr` stays empty at
+    * loadavg 6 (exactly the r18 artifact) — but uniform steal shows
+    * directly here: the battery attains a much smaller fraction of
+    * the machine during its timed windows than the quiet-box value
+    * for the same plans. None when no query carries a CPU sample
+    * (OperatingSystemMXBean without process-CPU, e.g. non-HotSpot —
+    * [[ioSnap]] then reports a constant -1 whose deltas are 0, which
+    * must read as "no evidence", not "total steal").
+    */
+  def cpuFraction(results: Seq[(String, Double)],
+                  io: Seq[(String, (Long, Long, Long))]): Option[Double] = {
+    if (!cpuSampled) return None
+    val ioMap = io.toMap
+    val pairs = results.collect { case (k, dt) if dt >= 0 && ioMap.contains(k) =>
+      (ioMap(k)._3, dt) }
+    val wall = pairs.map(_._2).sum
+    if (pairs.isEmpty || wall <= 0) None
+    else Some(pairs.map(_._1).sum / 1000.0 /
+      (wall * Runtime.getRuntime.availableProcessors()))
+  }
+
+  private def cpuSampled: Boolean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .isInstanceOf[com.sun.management.OperatingSystemMXBean]
 
   /** Battery adjudication evidence (r17 verdict #1) carried by the meta
     * and machine lines: `la` = /proc/loadavg (1/5/15-min) triples in
@@ -186,7 +217,8 @@ object Bench {
     */
   case class BenchMeta(la: Seq[(Double, Double, Double)],
                        rr: Seq[(String, (Double, Double))],
-                       io: Seq[(String, (Long, Long, Long))])
+                       io: Seq[(String, (Long, Long, Long))],
+                       cf: Seq[Double] = Nil)
 
   private def loadAvg(): (Double, Double, Double) =
     try {
@@ -204,10 +236,16 @@ object Bench {
     * baseline model.
     */
   private def ioSnap(): (Long, Long, Long, Long) = {
-    val src = scala.io.Source.fromFile("/proc/self/io")
-    val m = try src.getLines()
-      .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }.toMap
-    finally src.close()
+    // r18 ADVICE: /proc/self/io is absent on some hosts/sandboxes —
+    // degrade to zero deltas (the loadAvg() pattern) instead of
+    // crashing the whole battery at its first query; the disk column
+    // is evidence, never a precondition of the artifact
+    val m = try {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      try src.getLines()
+        .map(_.split(":\\s*")).collect { case Array(k, v) => k -> v.toLong }.toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty[String, Long] }
     val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .stream().mapToLong(_.getCollectionTime).sum()
     val cpuMs = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -282,7 +320,8 @@ object Bench {
       "\"" + k + s"""":[${fmt(x, 3)},${fmt(y, 3)}]""" }.mkString("{", ",", "}")
     val io = m.io.map { case (k, (r, g, c)) =>
       "\"" + k + s"""":[$r,$g,$c]""" }.mkString("{", ",", "}")
-    s"""{"metric":"bench_meta","la":$la,"rr":$rr,"io":$io}"""
+    val cf = m.cf.map(fmt(_, 3)).mkString("[", ",", "]")
+    s"""{"metric":"bench_meta","la":$la,"rr":$rr,"io":$io,"cf":$cf}"""
   }
 
   private val TripleRe =
@@ -291,6 +330,7 @@ object Bench {
     """"(\w+)":\[(-?[0-9.]+),(-?[0-9.]+)\]""".r
   private val TripleEntryRe =
     """"(\w+)":\[(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)\]""".r
+  private val NumRe = """-?[0-9.]+""".r
 
   /** The merge parse for [[runSplit]]: a child's [[metaLine]] back into
     * a [[BenchMeta]]. Sections are located by their unique markers
@@ -299,18 +339,30 @@ object Bench {
     */
   def parseMetaLine(out: String): Option[BenchMeta] =
     out.linesIterator
-      .find(_.startsWith("{\"metric\":\"bench_meta\"")).map { line =>
-        val laS = line.indexOf("\"la\":[") + "\"la\":".length
-        val rrS = line.indexOf("\"rr\":{")
-        val ioS = line.indexOf("\"io\":{")
-        val la = TripleRe.findAllMatchIn(line.substring(laS, rrS)).map(m =>
-          (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)).toSeq
-        val rr = PairEntryRe.findAllMatchIn(line.substring(rrS, ioS)).map(m =>
-          m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toSeq
-        val io = TripleEntryRe.findAllMatchIn(line.substring(ioS)).map(m =>
-          m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
-            m.group(4).toLong))).toSeq
-        BenchMeta(la, rr, io)
+      .find(_.startsWith("{\"metric\":\"bench_meta\"")).flatMap { line =>
+        // r18 ADVICE: a present-but-TRUNCATED meta line (a marker
+        // missing → indexOf -1 → substring throws) must degrade to
+        // "no meta" for this shard, not propagate to runSplit's outer
+        // catch and discard the other shard's already-parsed results —
+        // a missing meta line degrades the EVIDENCE, never the artifact
+        scala.util.Try {
+          val laS = line.indexOf("\"la\":[") + "\"la\":".length
+          val rrS = line.indexOf("\"rr\":{")
+          val ioS = line.indexOf("\"io\":{")
+          val cfS = line.indexOf("\"cf\":[")
+          val ioE = if (cfS >= 0) cfS else line.length
+          val la = TripleRe.findAllMatchIn(line.substring(laS, rrS)).map(m =>
+            (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble)).toSeq
+          val rr = PairEntryRe.findAllMatchIn(line.substring(rrS, ioS)).map(m =>
+            m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toSeq
+          val io = TripleEntryRe.findAllMatchIn(line.substring(ioS, ioE)).map(m =>
+            m.group(1) -> ((m.group(2).toLong, m.group(3).toLong,
+              m.group(4).toLong))).toSeq
+          val cf = if (cfS < 0) Nil
+            else NumRe.findAllIn(line.substring(cfS + "\"cf\":".length))
+              .map(_.toDouble).toSeq
+          BenchMeta(la, rr, io, cf)
+        }.toOption
       }
 
   /** Shard `i` of `n`: one contiguous slice of the name-sorted battery
@@ -347,6 +399,7 @@ object Bench {
       val laAcc = Seq.newBuilder[(Double, Double, Double)]
       val rrAcc = Seq.newBuilder[(String, (Double, Double))]
       val ioAcc = Seq.newBuilder[(String, (Long, Long, Long))]
+      val cfAcc = Seq.newBuilder[Double]
       var i = 0
       var ok = true
       while (i < n && ok) {
@@ -366,7 +419,8 @@ object Bench {
             // a missing meta line degrades the EVIDENCE, never the
             // artifact: results merge regardless
             parseMetaLine(out) match {
-              case Some(m) => laAcc ++= m.la; rrAcc ++= m.rr; ioAcc ++= m.io
+              case Some(m) =>
+                laAcc ++= m.la; rrAcc ++= m.rr; ioAcc ++= m.io; cfAcc ++= m.cf
               case None =>
                 System.err.println(s"[bench] shard $i/$n: no meta line")
             }
@@ -377,7 +431,8 @@ object Bench {
         i += 1
       }
       if (ok) Some((acc.result(),
-        BenchMeta(laAcc.result(), rrAcc.result(), ioAcc.result())))
+        BenchMeta(laAcc.result(), rrAcc.result(), ioAcc.result(),
+          cfAcc.result())))
       else None
     } catch {
       case e: Throwable =>
@@ -511,6 +566,17 @@ object Bench {
   private def adjudication(meta: BenchMeta,
                            ordered: Seq[(String, Double)]): String = {
     if (meta.la.isEmpty && meta.rr.isEmpty && meta.io.isEmpty) return ""
+    // cf (r18 verdict #1): battery-level CPU fraction — Σ best-run
+    // process-CPU-s ÷ (Σ best-run wall-s × cores) — recomputed here
+    // over the MERGED results+io so it covers the whole battery, plus
+    // the shards' own values (cfs). The one-number quiet-vs-loaded
+    // discriminator: rr is spike-only (empty under sustained uniform
+    // steal) and hot covers only the 6 slowest; a cf far below the
+    // quiet-round value for the same plans is battery-wide steal.
+    val cfStr = cpuFraction(ordered, meta.io).map(v =>
+      s""""cf":${fmtTrim(v, 2)},""").getOrElse("")
+    val cfsStr = if (meta.cf.isEmpty) "" else
+      meta.cf.map(fmtTrim(_, 2)).mkString("\"cfs\":[", ",", "],")
     val la = meta.la.map { case (a, b, c) =>
       s"[${fmtTrim(a, 2)},${fmtTrim(b, 2)},${fmtTrim(c, 2)}]"
     }.mkString("[", ",", "]")
@@ -523,7 +589,7 @@ object Bench {
         "\"" + shortKey(k) + s"""":[${fmtTrim(rb / 1048576.0, 1)},${fmtTrim(gms / 1000.0, 1)},${fmtTrim(cms / 1000.0, 1)}]"""
       }
     }.mkString("{", ",", "}")
-    s""""la":$la,"rr":$rr,"hot":$hot,"""
+    s"""$cfStr$cfsStr"la":$la,"rr":$rr,"hot":$hot,"""
   }
 
   /** [[machineLine]]'s precision-degradation trigger: the driver's
