@@ -104,11 +104,41 @@ object SparkEntry {
       (SparkSession, String) => Seq[(String, Long)]] =
     MediaQ.capGuards ++ TextQ.capGuards ++ VectorQ.capGuards
 
+  /** Queries deliberately gated rows-only (no DuckDB-expressible
+    * oracle). Currently empty — every registered query carries an
+    * oracle — and kept explicit so a FUTURE rows-only gate is a
+    * reviewed decision here, never an accident [[oracleSql]]'s
+    * coverage guard would otherwise hide.
+    */
+  private[graft] val rowsOnlyQueries: Set[String] = Set.empty
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] =
-    modules.map(_._3).reduce(_ ++ _).map { case (name, sql) =>
+  def oracleSql: Map[String, String] = {
+    val merged = modules.map(_._3).reduce(_ ++ _)
+    // the guards queries/rawQueries carry, applied to the ORACLE side
+    // (r18 verdict #4, gate-harness review): a duplicated oracle key
+    // across modules silently replaced one query's SQL with another's
+    // (Map ++ keeps the later entry) — the gate would then compare the
+    // wrong semantics, or a typo'd oracle name would orphan its query
+    // into the driver's weaker rows-only check without anyone deciding
+    // that. Key-set equality (minus the explicit rows-only allowlist)
+    // makes either drift a build-time failure at every entry point.
+    require(merged.size == modules.map(_._3.size).sum,
+      "duplicate oracle key across modules: " +
+        modules.flatMap(_._3.keys).groupBy(identity)
+          .collect { case (k, vs) if vs.size > 1 => k }.mkString(", "))
+    val qKeys = modules.flatMap(_._2.keys).toSet
+    val orphanOracles = merged.keySet -- qKeys
+    val uncheckedQueries = qKeys -- merged.keySet -- rowsOnlyQueries
+    require(orphanOracles.isEmpty && uncheckedQueries.isEmpty,
+      s"oracle/query key drift — oracles without a query: " +
+        s"${orphanOracles.toSeq.sorted.mkString(",")}; queries without an " +
+        s"oracle (add SQL or the rowsOnlyQueries allowlist): " +
+        s"${uncheckedQueries.toSeq.sorted.mkString(",")}")
+    merged.map { case (name, sql) =>
       name -> s"SELECT * FROM (\n$sql\n) _gate ORDER BY ALL NULLS FIRST"
     }
+  }
 }

@@ -33,6 +33,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // a contentless input (empty / all-null hash array) yields a NULL
+  // signature even when the child is non-nullable (r18 ADVICE — see
+  // [[MinHashRuntime.signature]]); without this override the planner
+  // could legally assume non-null output and miscompile consumers
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(LongType, _) =>
@@ -50,7 +56,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     // shape) — the empty-input refusal and the splitmix constants get
     // ONE spelling across both execution paths
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.MinHashRuntime.signature($a, $numHashes);")
+      s"""${ev.value} = graft.functions.MinHashRuntime.signature($a, $numHashes);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -60,14 +67,15 @@ object MinHashRuntime {
     * slots are skipped (a null shingle contributes nothing) rather
     * than minhashed as the zeroed slot.
     *
-    * An input with NO contributing hash is REFUSED loudly (r18
-    * review): the all-Long.MaxValue signature it would produce is
-    * identical for every contentless document, so LSH banding would
-    * bucket them all together and report each pair as a near-dup at
-    * estimated similarity 1.0. No production path can reach this —
-    * [[ShingleHashes]] never returns an empty array (< k tokens hash
-    * as one whole-doc gram) — so the throw is a caller-bug tripwire,
-    * not a data-dependent crash.
+    * An input with NO contributing hash yields a NULL signature (r18
+    * ADVICE, revising the r18-review throw): the all-Long.MaxValue
+    * signature it would otherwise produce is identical for every
+    * contentless document, so LSH banding would bucket them all
+    * together and report each pair as a 1.0-similarity near-dup.
+    * NULL is the SQL-style row-local answer — it cannot band-match
+    * anything, is filterable upstream, and one contentless row in a
+    * user-built array (SQL callers outside [[ShingleHashes]], which
+    * never returns an empty array) no longer aborts the whole stage.
     */
   def signature(hashes: ArrayData, numHashes: Int): GenericArrayData = {
     val n = hashes.numElements()
@@ -91,12 +99,7 @@ object MinHashRuntime {
         i += 1
       }
     }
-    if (!contributed) throw new IllegalArgumentException(
-      "minhash_signature: input has no non-null shingle hash — the " +
-        "all-MaxValue signature would LSH-match every other contentless " +
-        "document as a 1.0-similarity near-dup; feed shingle_hashes " +
-        "output (never empty) or filter empty arrays upstream")
-    new GenericArrayData(mins)
+    if (!contributed) null else new GenericArrayData(mins)
   }
 }
 

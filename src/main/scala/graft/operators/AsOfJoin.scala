@@ -120,8 +120,22 @@ object AsOfJoin {
     // tying on every payload field are identical matches. Left rows
     // all carry a null _rpay and tie harmlessly (their match frames
     // are unaffected by order within the same side).
+    // Only ORDERABLE payload fields join the tie-break (r18 ADVICE):
+    // ordering by the whole _rpay made every right value column an
+    // ordering key, so a MapType payload — legal in the join itself —
+    // failed analysis. Project the orderable fields into the order
+    // struct; rows tying on those but differing in an unorderable
+    // field remain a documented nondeterminism (no total order
+    // exists for them without serializing the map).
+    val orderablePay = rightValueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+    val tieBreak =
+      if (orderablePay.isEmpty) Nil
+      else Seq(struct(orderablePay.map(f =>
+        col("_rpay").getField(f).as(f)): _*).asc_nulls_first)
     val w0 = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc, col("_rpay").asc_nulls_first)
+      .orderBy(Seq(col("_ts").asc, col("_side").asc) ++ tieBreak: _*)
     val matchExpr =
       if (forward)
         first(col("_rpay"), ignoreNulls = true)

@@ -413,7 +413,13 @@ object CurationQ {
     * oracle states literally; sizes and exclusions are exact DuckDB
     * arithmetic.
     */
-  val evalK = 25
+  // 10, not 25 (r18-verdict vacuous-gate class): the sf0.01 gate
+  // corpus holds EXACTLY 25 docs per source, so k=25 put every doc
+  // in eval and the grouped result over the empty remainder was 0
+  // rows — the split, the leak exclusion and the residual invariant
+  // all passed trivially for any implementation returning empty.
+  // k=10 leaves 15 docs per source in the remainder at gate scale.
+  val evalK = 10
 
   def evalSplit(spark: SparkSession, dir: String): DataFrame = {
     // the canonicalize+md5 scan feeds five plan legs (sample window,

@@ -49,10 +49,16 @@ object Joins {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
-  /** Left-anti: customers with no orders at all. */
+  /** Left-anti: customers with no HIGH-VALUE order. The original
+    * "no orders at all" phrasing returned 0 rows at every gate SF
+    * (every customer has an order by fixture construction), so the
+    * gate passed trivially for ANY implementation returning empty —
+    * the r18-verdict vacuous-gate class. The >250k predicate leaves
+    * real survivors at sf0.01 while gating the same left_anti plan.
+    */
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir),
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 250000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
@@ -146,7 +152,8 @@ object Joins {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
     "q05_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
     "q06_join_right" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
         |  round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent

@@ -156,7 +156,17 @@ object MediaQ {
     sigsOf(spark, dir, "audio")
       .select(col("media_id"), format_string("%016x", col("sig")).as("fp"))
 
-  /** q204 — near-duplicate AUDIO, the q202 shape over WAV fingerprints. */
+  /** q204 — near-duplicate AUDIO, the q202 shape over WAV fingerprints.
+    *
+    * 0 rows at sf0.01 is the CORRECT answer, not a vacuous gate (the
+    * r18-verdict audit measured min pairwise Hamming 14 across the 167
+    * gate-corpus fingerprints — the synthetic WAVs are genuinely all
+    * distinct, and 14/64 bits is noise, not near-duplication): the
+    * audio KERNEL is gated non-trivially by q203 (167 hash-matched
+    * fingerprints) and the shared pigeonhole pair join by q202's 30
+    * image pairs, so every code path this query runs is exercised
+    * with data elsewhere in the battery.
+    */
   def audioNearDups(spark: SparkSession, dir: String): DataFrame =
     stillPairsArtifact(spark, dir, "audio")
 

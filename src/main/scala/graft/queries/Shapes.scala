@@ -110,16 +110,22 @@ object Shapes {
     hi.unionAll(lo)
   }
 
-  /** INTERSECT / EXCEPT via order-year slices of customers. */
+  /** INTERSECT / EXCEPT via order-year slices of customers. Years
+    * 1995/1996 — the fixture's order dates START at 1995, so the
+    * original 1994 slice was empty and BOTH set-op legs returned 0
+    * rows at every SF: the gate passed trivially for any
+    * implementation returning empty (the r18-verdict vacuous-gate
+    * class). 1995∩1996 and 1995∖1996 are both populated.
+    */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
       .select(col("o_custkey")).distinct()
-    val both = buyers(1994).intersect(buyers(1995))
-      .withColumn("relation", lit("both_94_95"))
-    val only94 = buyers(1994).except(buyers(1995))
-      .withColumn("relation", lit("only_94"))
-    both.unionAll(only94)
+    val both = buyers(1995).intersect(buyers(1996))
+      .withColumn("relation", lit("both_95_96"))
+    val only95 = buyers(1995).except(buyers(1996))
+      .withColumn("relation", lit("only_95"))
+    both.unionAll(only95)
   }
 
   /** ROLLUP: subtotals + grand total over two group keys. */
@@ -295,11 +301,11 @@ object Shapes {
         |UNION ALL
         |SELECT o_orderkey, 'low' AS band FROM orders WHERE o_totalprice < 20000""".stripMargin,
     "q19_set_ops" ->
-      """WITH b94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
-        |     b95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
-        |SELECT o_custkey, 'both_94_95' AS relation FROM (SELECT * FROM b94 INTERSECT SELECT * FROM b95)
+      """WITH b95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     b96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'both_95_96' AS relation FROM (SELECT * FROM b95 INTERSECT SELECT * FROM b96)
         |UNION ALL
-        |SELECT o_custkey, 'only_94' AS relation FROM (SELECT * FROM b94 EXCEPT SELECT * FROM b95)""".stripMargin,
+        |SELECT o_custkey, 'only_95' AS relation FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b96)""".stripMargin,
     "q20_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

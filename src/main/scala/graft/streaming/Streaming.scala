@@ -102,7 +102,11 @@ object Streaming {
 
     val typed = events
       .withWatermark("ts", "10 minutes")
-      .select(col("user_id"), col("ts"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+      // floored micros, not bare `div` (r18 sweep: truncating div on a
+      // signable ts_ns rounds pre-1970 values TOWARD ZERO while the
+      // oracle's epoch_us floors — the q150/q154/Tables class)
+      .select(col("user_id"), col("ts"),
+        expr("(ts_ns - pmod(ts_ns, 1000)) div 1000").as("ts_us"), col("value"))
       .as[SessionEvent]
 
     typed.groupByKey(_.user_id)
@@ -268,7 +272,9 @@ object Streaming {
       // decimal repr HALF_UP while DuckDB rounds the binary double
       // (and changed semantics across versions) — floor of the same
       // IEEE double is engine- and version-exact for any sign
-      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+      .select(col("user_id"),
+        // floored micros (r18 sweep — the q150/q154/Tables class)
+        expr("(ts_ns - pmod(ts_ns, 1000)) div 1000").as("ts_us"),
         col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       .as[RunEvent]
       .groupByKey(_.user_id)
@@ -524,9 +530,21 @@ object Streaming {
             // changes (a consumer needing exactness re-syncs — the
             // Delta CDF restore semantics); post-rollback commits
             // then flow as ordinary windows from the new head.
+            val mf = (w: Int) => java.nio.file.Files.exists(
+              java.nio.file.Paths.get(root, "_manifests", s"$w.txt"))
             val window =
               try Some(S.lineageBetween(root, chainTip, v))
               catch { case e: IllegalArgumentException =>
+                // a ref advance naming a DEAD version is never a
+                // rollback (rollback targets live ancestors; new
+                // heads commit their manifest before the seq) —
+                // manifest-store corruption or a manual delete, named
+                // actionably instead of the raw walk require
+                if (!mf(v)) throw new IllegalStateException(
+                  s"ref advance named version $v but its manifest is " +
+                    "missing — manifest store corruption or a manual " +
+                    "delete, not a rollback; restore the manifests or " +
+                    "re-sync the consumer with a fresh checkpoint", e)
                 val tipChain = S.lineage(root, chainTip)
                 if (tipChain.contains(v)) None // rollback, history intact
                 else if (!tipChain.contains(chainTip)) {
@@ -536,12 +554,34 @@ object Streaming {
                   // ancestor test above can no longer run — without
                   // this arm a legitimate rollback became a permanent
                   // poison pill (same seq re-crashing every restart).
-                  // A reaped tip chain is itself the rollback
-                  // signature (only abandonment orphans manifests);
-                  // accept it as one, loudly.
+                  // A missing tip manifest ALONE is not the rollback
+                  // signature though (r18 ADVICE): corruption or a
+                  // manual delete looks identical from here, and
+                  // silently absorbing those would skip history. The
+                  // full signature also needs the NEW head to be live
+                  // and to NOT descend from the tip — walk v's parent
+                  // pointers: meeting chainTip means v descends from
+                  // it, and a live head's ancestor manifest is never
+                  // reaped by removeOrphans (only abandonment orphans
+                  // manifests), so that is corruption/expiry, loud.
+                  var w = v
+                  while (w > 0 && w != chainTip && mf(w)) w = S.parentOf(root, w)
+                  if (w == chainTip) throw new IllegalStateException(
+                    s"version $v descends from tip $chainTip whose manifest " +
+                      "is missing: a live head's ancestor is never orphaned " +
+                      "by a rollback, so this is manifest corruption, a " +
+                      s"manual delete, or retention expiry past the tail's " +
+                      "position. Restore _manifests/" + chainTip + ".txt or " +
+                      "re-sync the consumer from a full read with a fresh " +
+                      "checkpoint.", e)
+                  // w == 0 (walked to the root: tip provably not an
+                  // ancestor) or the live chain is retention-expired
+                  // below some w != chainTip (non-descent as far as
+                  // evidence exists) — rollback confirmed
                   System.err.println(s"[tailRef] tip $chainTip's chain was " +
-                    s"reaped (rollback + removeOrphans); resuming from $v " +
-                    "without retraction, the documented rollback semantics")
+                    s"reaped (rollback + removeOrphans); live head $v does " +
+                    s"not descend from it; resuming from $v without " +
+                    "retraction, the documented rollback semantics")
                   None
                 } else throw e
               }

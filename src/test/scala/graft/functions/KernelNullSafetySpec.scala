@@ -114,16 +114,18 @@ class KernelNullSafetySpec extends AnyFunSuite with SparkTestSession {
       .getLong(0) == 474636617523494770L)
   }
 
-  test("minhash_signature refuses an input with no contributing hash") {
-    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("h")
-    val e = intercept[Exception] {
-      empty.select(MinHashFunctions.minhash_signature($"h", 8)).collect()
-    }
-    // Spark may wrap the refusal — search the cause chain
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.contains("minhash_signature"),
-      s"expected the loud refusal, got: $msgs")
+  test("minhash_signature yields NULL for an input with no contributing hash") {
+    // r18 ADVICE (revising the r18-review throw): contentless input is
+    // row-local NULL — never an all-MaxValue signature (which would
+    // LSH-band every contentless doc together at similarity 1.0), and
+    // never a stage-aborting throw for SQL callers with user-built
+    // arrays
+    val rows = Seq(Tuple1(Seq.empty[Long]), Tuple1(Seq(42L, 7L)))
+      .toDF("h")
+      .select(MinHashFunctions.minhash_signature($"h", 8).as("s"))
+      .collect()
+    assert(rows(0).isNullAt(0), "empty hash array must yield NULL signature")
+    assert(!rows(1).isNullAt(0), "a real row in the same stage still signs")
     // non-empty unchanged: deterministic, numHashes-wide, not MaxValue
     val sig = Seq(Tuple1(Seq(42L, 7L))).toDF("h")
       .select(MinHashFunctions.minhash_signature($"h", 8).as("s"))

@@ -123,6 +123,29 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(fwd == 1.0)
   }
 
+  test("a MapType payload column joins (tie-break skips unorderable fields)") {
+    // r18 ADVICE: ordering by the whole _rpay struct made every right
+    // value column an ordering key, so a MapType payload — legal in
+    // the join itself — failed analysis. Orderable fields still
+    // tie-break deterministically; the map rides through as payload.
+    val right = Seq(("A", 20L, 2.0, Map("k" -> 1)), ("A", 5L, 1.0, Map("j" -> 2)))
+      .toDF("sym", "qt", "bid", "meta")
+    val res = AsOfJoin.backward(Seq(("A", 25L)).toDF("sym", "t"), right,
+        Seq("sym"), "t", "qt")
+      .select($"bid", $"meta").collect()
+    assert(res.length == 1 && res(0).getDouble(0) == 2.0)
+    assert(res(0).getMap[String, Int](1) == Map("k" -> 1))
+    // ties still deterministic on the orderable fields beside the map
+    val tied = Seq(("A", 20L, 1.0, Map("a" -> 1)), ("A", 20L, 2.0, Map("b" -> 2)))
+      .toDF("sym", "qt", "bid", "meta").repartition(8)
+    val picks = (1 to 5).map { _ =>
+      AsOfJoin.backward(Seq(("A", 25L)).toDF("sym", "t"), tied,
+          Seq("sym"), "t", "qt")
+        .select($"bid").as[Double].head()
+    }
+    assert(picks.toSet == Set(2.0), s"nondeterministic: $picks")
+  }
+
   test("keyless GLOBAL as-of join works (empty keys)") {
     val res = AsOfJoin.backward(Seq(Tuple1(25L)).toDF("t"),
         Seq((20L, 2.0), (5L, 1.0)).toDF("qt", "bid"), Seq.empty, "t", "qt")

@@ -28,6 +28,22 @@ class OracleSqlContractSpec extends AnyFunSuite {
       s"non-canonical tokenizer spelling in: ${offenders.mkString(", ")}")
   }
 
+  test("every registered query carries an oracle (1:1 minus explicit allowlist)") {
+    // r18 verdict #4 (gate-harness review): a typo'd or duplicated
+    // oracle key silently downgraded its query to the driver's weaker
+    // rows-only check. oracleSql's assembly guard refuses drift; this
+    // spec pins the CURRENT state — full coverage, empty allowlist —
+    // so loosening either is a visible, reviewed decision.
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert(q == o, s"coverage drift — queries without oracle: " +
+      s"${(q -- o).toSeq.sorted.mkString(",")}; orphan oracles: " +
+      s"${(o -- q).toSeq.sorted.mkString(",")}")
+    assert(graft.SparkEntry.rowsOnlyQueries.isEmpty,
+      "rowsOnlyQueries gained an entry — confirm the op is genuinely " +
+        "SQL-inexpressible before weakening its gate")
+  }
+
   test("QUERIES.md stays in sync with the live registry") {
     val md = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("QUERIES.md")),

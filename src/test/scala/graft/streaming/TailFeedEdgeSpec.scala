@@ -51,6 +51,36 @@ class TailFeedEdgeSpec extends AnyFunSuite with SparkTestSession {
       s"the post-rollback commit v$vNew must flow (no retraction, no crash): $seen2")
   }
 
+  test("a ref advance naming a dead version fails loudly, not silent absorption") {
+    // r18 ADVICE: a missing tip manifest alone is not the rollback
+    // signature — when the NEW head's manifest is missing too this is
+    // manifest-store corruption (or a manual delete), and absorbing
+    // it silently would let the tail skip history. The strengthened
+    // arm requires a LIVE new head before accepting a reaped tip as
+    // a rollback.
+    val root = graft.sources.Staging.tempDir("graft_tail_corrupt").toString
+    val ck = graft.sources.Staging.tempDir("graft_tail_corrupt_ck").toString
+    S.append(docs(1L, 2L).repartition(1), root)            // v1 main
+    S.createBranch(root, "side")                           // refs exist now
+    S.append(docs(3L).repartition(1), root)                // v2 main
+    S.append(docs(5L).repartition(1), root)                // v3 main
+    Streaming.tailChanges(spark, root, ck) { (_, _) => () } // chainTip = 3
+    S.rollback(root, "main", 1)
+    S.removeOrphans(root, olderThanMillis = 0L)            // reaps 2, 3
+    val vNew = S.append(docs(4L).repartition(1), root)     // new head + seq
+    // corruption: the ref advance survives but the named manifest dies
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_manifests", s"$vNew.txt"))
+    val e = intercept[Exception] {
+      Streaming.tailChanges(spark, root, ck) { (_, _) => () }
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("manifest store corruption") ||
+      msgs.contains("manifest is missing too"),
+      s"expected the loud corruption refusal, got: $msgs")
+  }
+
   test("a delete commit whose expired parent is gone fails with the re-sync remedy") {
     val root = graft.sources.Staging.tempDir("graft_tail_expired").toString
     val ck = graft.sources.Staging.tempDir("graft_tail_expired_ck").toString

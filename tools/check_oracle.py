@@ -30,6 +30,23 @@ STRICT = "--strict" in sys.argv
 sf_dir, out_dir = args[0], args[1]
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
+# r18 verdict #4 (gate-harness review): two vacuous-pass shapes.
+# An EMPTY oracle set must never exit green — "0/0 queries match" is
+# a broken Verify run (or a filter that matched nothing), not a pass.
+if not oracle:
+    print("FAIL: oracle_sql.json holds zero queries — nothing was gated")
+    sys.exit(1)
+# A dumped result directory with no oracle entry is either key drift
+# (now refused at assembly by SparkEntry.oracleSql's coverage guard)
+# or a stale dump from a prior broader run into a reused out_dir —
+# warn loudly; only the oracle-keyed set below is the gate.
+orphans = sorted(d for d in os.listdir(out_dir)
+                 if os.path.isdir(os.path.join(out_dir, d)) and d not in oracle)
+if orphans:
+    print(f"WARN: {len(orphans)} result dirs have no oracle entry "
+          f"(stale dumps from a prior run?): {', '.join(orphans[:5])}"
+          + (" ..." if len(orphans) > 5 else ""), file=sys.stderr)
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -62,23 +79,26 @@ def dtype_kind(dt) -> str:
         return "bool"
     return "other"
 
-fails = 0
-for name in sorted(oracle):
+def check_one(name):
+    """Compare one query; returns True on pass. Raises nothing the
+    caller can't survive — a malformed result (unsortable mixed-type
+    object column, unreadable parquet) must FAIL that query, not abort
+    the remaining battery mid-run (r18 verdict #4)."""
     res_dir = os.path.join(out_dir, name)
     files = glob.glob(os.path.join(res_dir, "*.parquet"))
     if not files:
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        print(f"FAIL {name}: no spark output"); return False
     got_raw = pq.read_table(files[0]).to_pandas()
     got = canon(got_raw)
     try:
         exp_raw = con.execute(oracle[name]).df()
         exp = canon(exp_raw)
     except Exception as e:
-        print(f"FAIL {name}: oracle sql error: {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle sql error: {e}"); return False
     if list(got.columns) != list(exp.columns):
-        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); fails += 1; continue
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); return False
     if len(got) != len(exp):
-        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); return False
     ok = True
     for c in got.columns:
         gk, ek = dtype_kind(got[c].dtype), dtype_kind(exp[c].dtype)
@@ -128,7 +148,19 @@ for name in sorted(oracle):
     if ok:
         print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
     else:
-        print(f"FAIL {name}"); fails += 1
+        print(f"FAIL {name}")
+    return ok
+
+fails = 0
+for name in sorted(oracle):
+    try:
+        if not check_one(name):
+            fails += 1
+    except Exception as e:
+        # containment, not a verdict: an unexpected error IS a failure
+        # for this query, and the rest of the battery still runs
+        print(f"FAIL {name}: checker error: {type(e).__name__}: {e}")
+        fails += 1
 
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
 sys.exit(1 if fails else 0)
