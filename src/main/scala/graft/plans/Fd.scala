@@ -47,6 +47,13 @@ object Fd {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"declared columns not in the frame: ${missing.mkString(", ")}")
+    // a programmatically-built cols list that happens to include the
+    // anchor would otherwise hit the anchor branch below, stamp no
+    // TokenKey, and the pushdown would silently never fire for it —
+    // the same silent-no-op class the `missing` require refuses (r19
+    // review)
+    require(!cols.contains(anchor),
+      s"anchor $anchor cannot also be declared as its own dependent")
     // REUSE the anchor's existing token when the same column anchors a
     // second declaration (r18 review): a fresh UUID would overwrite
     // AnchorTokenKey and silently orphan every dependent of the earlier
@@ -65,14 +72,19 @@ object Fd {
     // token per ROLE still holds (a column dependent on two anchors
     // keeps only the later TokenKey — declare the tighter anchor
     // last); cross-role and foreign metadata now survive.
+    // backtick-quote before col() (r19 review, the IntervalJoin
+    // quoteId rule): the bare form PARSES the name, so a legal column
+    // literally named "a.b" would fail to resolve (or resolve a
+    // same-named nested field) right after the requires accepted it
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
     def seeded(c: String) = new MetadataBuilder().withMetadata(df.schema(c).metadata)
     df.select(df.columns.map { c =>
       if (c == anchor)
-        col(c).as(c, seeded(c).putString(AnchorTokenKey, token).build())
+        q(c).as(c, seeded(c).putString(AnchorTokenKey, token).build())
       else if (tagged.contains(c))
-        col(c).as(c, seeded(c)
+        q(c).as(c, seeded(c)
           .putString(ConstantPerKey, anchor).putString(TokenKey, token).build())
-      else col(c)
+      else q(c)
     }.toSeq: _*)
   }
 

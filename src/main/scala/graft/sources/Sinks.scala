@@ -28,10 +28,17 @@ object Sinks {
   /** CSV with RFC-4180 quoting (quote chars escaped by doubling, not
     * the Univocity backslash default) and NO write-side whitespace
     * trimming — the writer must be byte-faithful so the matching
-    * reader (`header` + `multiLine` + `escape="` ) can reproduce the
-    * exact text. CsvFidelitySpec roundtrips hostile content (quotes,
-    * newlines, backslashes, edge whitespace, unicode) through this
-    * pair; q110 gates the corpus roundtrip.
+    * reader can reproduce the exact text. The FULL reader recipe is
+    * `header` + `multiLine` + `escape="` + **`nullValue` remapped to
+    * a sentinel that cannot occur in the data** (both working readers
+    * use `.option("nullValue", "\\u0000")`): the reader's DEFAULT
+    * nullValue is the empty string, which silently folds a written
+    * `""` cell back to NULL — without the remap the documented
+    * byte-fidelity contract is unsatisfiable for empty strings (r19
+    * review; SinkQ's roundtrip md5 leg breaks exactly there).
+    * CsvFidelitySpec roundtrips hostile content (quotes, newlines,
+    * backslashes, edge whitespace, unicode, empty-vs-null) through
+    * this pair; q110 gates the corpus roundtrip.
     */
   def csv(df: DataFrame, path: String, header: Boolean = true,
           mode: SaveMode = SaveMode.Overwrite): Unit =
