@@ -67,7 +67,15 @@ object GraphSkew {
         .getOrElse(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
         .filter(col("deg") >= hubDegreeCutoff).select(col("src"))
         .localCheckpoint(false)
-      SplitEdges(
+      // NO hubs under the cutoff → degrade to the plain plan (r19
+      // review): the Some branch charges every round a node-sized
+      // iterate checkpoint plus an empty semi-join/broadcast leg —
+      // 20 extra jobs on a 20-iteration PageRank — for zero benefit.
+      // The hub table is bounded (≤ |E|/cutoff) and already
+      // checkpointed, so the emptiness probe is one cheap job at
+      // split time (the capHotBuckets skip-when-empty move).
+      if (h.isEmpty) SplitEdges(e, e.limit(0), None)
+      else SplitEdges(
         e.join(h, Seq("src"), "left_anti").localCheckpoint(false),
         e.join(h, Seq("src"), "left_semi").localCheckpoint(false),
         Some(h))

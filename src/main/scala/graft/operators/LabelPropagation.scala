@@ -54,6 +54,16 @@ object LabelPropagation {
   def labelsPrepared(eu: DataFrame, nodes: DataFrame, iters: Int,
                      hubDegreeCutoff: Long = 0): DataFrame = {
     require(iters >= 0)
+    // the (count desc, label asc) tie-break is spelled max(struct(c,
+    // −label)), and UnaryMinus needs a NUMERIC node id: a string id
+    // would either throw per-row (ANSI) or cast to null and silently
+    // reset every node to its own label (non-ANSI) — refuse at plan
+    // time instead (r19 review). Widening to arbitrary orderable ids
+    // needs a min_by-style tie-break, a reviewed change.
+    val idType = eu.schema("src").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"LabelPropagation needs numeric node ids (tie-break negates the " +
+        s"label); got ${idType.catalogString} — map ids to longs first")
     // hub split + per-round broadcast machinery: ONE spelling shared
     // with PageRank ([[GraphSkew]], r17 — the two copies had to evolve
     // in lockstep, including the load-bearing per-round iterate

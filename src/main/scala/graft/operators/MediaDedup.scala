@@ -50,8 +50,12 @@ object MediaDedup {
     require(maxHamming >= 0 && maxHamming < 4,
       s"4-block pigeonhole only guarantees recall for hamming in [0, 3], " +
         s"got $maxHamming (negative would silently match nothing)")
+    // BOTH legs of the self-join read the capped frame (r19 review,
+    // the FuzzyJoin.ed1Pairs rule): an AQE broadcast conversion of one
+    // leg defeats plain exchange reuse and re-executes the distinct +
+    // hot-set anti-join pipeline per consumer — checkpoint once
     val blocked = Dedup.capHotBuckets(blockedSigs(sigs),
-      Seq("block_id", "block_val"), maxBucketDf)
+      Seq("block_id", "block_val"), maxBucketDf).localCheckpoint(false)
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.block_id") === col("b.block_id") &&
@@ -115,9 +119,17 @@ object MediaDedup {
     // [[droppedFrameSigs]], never silent. Capped construction is
     // EAGER and needs a deterministic input (the Dedup.capHotBuckets
     // contract).
+    // null-sig frame rows (a caller's undecodable-frame marker —
+    // dhashAviFrames can't produce one, but the parameter contract
+    // shouldn't depend on that) would never match in the self-join
+    // yet COUNT into na/nb, silently deflating every Jaccard the
+    // video participates in — drop them, matching signatures()
+    // (r19 review). THREE consumers read the capped frame (sz + both
+    // self-join legs): checkpoint once, the FuzzyJoin rule again.
     val d = Dedup.capHotBuckets(
-      frames.select(col("media_id"), col("sig")).distinct(),
-      Seq("sig"), maxSigDf)
+      frames.select(col("media_id"), col("sig"))
+        .filter(col("sig").isNotNull).distinct(),
+      Seq("sig"), maxSigDf).localCheckpoint(false)
     val sz = d.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
     val inter = d.as("a")
       .join(d.as("b"),

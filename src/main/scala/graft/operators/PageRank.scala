@@ -72,6 +72,13 @@ object PageRank {
                     damping: Double = 0.85,
                     hubDegreeCutoff: Long = 0): DataFrame = {
     require(iters >= 0)
+    // the overflow-free integer damping identity below holds only for
+    // non-negative operands (its own comment's premise): damping
+    // outside [0,1] makes baseM negative, feeds negative ranks into
+    // truncate-toward-zero div, and the bit-parity contract breaks
+    // silently (r19 review)
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0, 1], got $damping")
     val dampM = math.round(damping * Scale)
     val baseM = Scale - dampM
     // iteration-invariant AND feeds every round + the hub split —

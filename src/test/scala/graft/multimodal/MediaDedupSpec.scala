@@ -128,6 +128,21 @@ class MediaDedupSpec extends AnyFunSuite with SparkTestSession {
       "only the majority-overlap pair clears the 0.5 floor")
   }
 
+  test("null-sig frame rows do not deflate Jaccard denominators") {
+    // r19 review: a caller's undecodable-frame marker (null sig) can
+    // never match in the self-join yet counted into na/nb, silently
+    // deflating every Jaccard its video participates in
+    val shared = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L))
+    val withNulls = (shared.map { case (m, s) => (m, Some(s)) } ++
+      Seq((1L, None: Option[Long]), (2L, None)))
+      .toDF("media_id", "sig")
+    val pairs = MediaDedup.frameJaccardPairs(withNulls, minJaccard = 0.9)
+      .select($"id_a", $"id_b", $"jaccard_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1000000L)),
+      s"identical frame SETS must read J=1.0 despite null markers: $pairs")
+  }
+
   test("viral image bucket: the df cap bounds candidates and the drop report names it") {
     // 8 uniform-black images — every gradient bit zero by construction,
     // so all four 16-bit blocks of all eight land in the same (b, 0)

@@ -33,6 +33,17 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestSession {
     assert(l1 == Map(5L -> 7L, 7L -> 5L))
   }
 
+  test("string node ids refuse loudly (tie-break negates the label)") {
+    // r19 review: UnaryMinus on a string id either throws per-row
+    // (ANSI) or casts to null and silently resets every node to its
+    // own label — the guard fails at plan time instead
+    val e = intercept[IllegalArgumentException] {
+      LabelPropagation.labels(
+        Seq(("a", "b")).toDF("src", "dst"), 1).collect()
+    }
+    assert(e.getMessage.contains("numeric node ids"))
+  }
+
   test("all-tied votes pick the smallest label") {
     // node 100's neighbors {9, 5, 7} each vote their own label once
     val edges = Seq((100L, 9L), (100L, 5L), (100L, 7L)).toDF("src", "dst")

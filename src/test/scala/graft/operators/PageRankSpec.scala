@@ -33,6 +33,14 @@ class PageRankSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("damping outside [0,1] refuses loudly (integer identity premise)") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    for (bad <- Seq(-0.1, 1.2))
+      assert(intercept[IllegalArgumentException] {
+        PageRank.ranks(e, 1, damping = bad)
+      }.getMessage.contains("damping"))
+  }
+
   test("empty edge list yields empty ranks") {
     assert(PageRank.ranks(Seq.empty[(Long, Long)].toDF("src", "dst"), 3).count() == 0L)
   }
