@@ -46,8 +46,10 @@ object QualityStatsUtil {
     s
   }
 
+  // the RE2 \s set (TextFunctions.WsClass, r19 review): NO U+000B —
+  // the oracles' '\s+' runs under RE2, which excludes vertical tab
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** (n_tok, q) of one document; see class doc for the contract. */
   def compute(text: UTF8String): InternalRow = {

@@ -10,16 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** The ONE whitespace class every tokenizing spelling uses, spelled
+    * out as the RE2 `\s` set `[\t\n\f\r ]` (r19 review): the oracles
+    * run `'\s+'` under DuckDB's RE2, which EXCLUDES vertical tab
+    * , while Java's `\s` includes it — a document containing a
+    * vertical tab would tokenize differently on the two engines and
+    * flip every token-derived hash gate. The engine adopts the RE2
+    * set so `\s+` stays the canonical oracle spelling
+    * (OracleSqlContractSpec); [[QualityStatsUtil.isWs]] mirrors this
+    * set character-for-character.
+    */
+  val WsClass = "[ \\t\\n\\f\\r]"
+
   /** Whitespace tokens of the lowercased text (empty tokens dropped). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(lower(text), WsClass + "+"), t => length(t) > 0)
 
   /** BPE-ish subword segmentation: splits on word/number/punctuation
     * boundaries like a GPT-style pre-tokenizer regex (letters runs,
     * digit runs, single non-space punctuation).
     */
   def bpeishTokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

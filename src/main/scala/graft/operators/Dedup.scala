@@ -116,7 +116,10 @@ object Dedup {
 
   /** Canonical text for exact dedup: lowercased, whitespace-collapsed. */
   def canonicalText(text: Column): Column =
-    regexp_replace(trim(lower(text)), "\\s+", " ")
+    // the RE2 \s set, one spelling with the oracles' '\s+'
+    // (TextFunctions.WsClass — r19 review: Java \s includes U+000B,
+    // RE2 does not)
+    regexp_replace(trim(lower(text)), graft.functions.TextFunctions.WsClass + "+", " ")
 
   /** Per-row dedup key: the 128-bit hash of the canonical text, with
     * NULL text keyed by the row's own id — a failed extraction is not

@@ -173,6 +173,24 @@ object Clinical {
        |  SELECT *, $cohortExprSql AS $cohort
        |  FROM joined)""".stripMargin
 
+  /** The clinical fw-window spellings, ONE copy (r19 review): q60's
+    * summary oracle hand-copied the WIR/TSW/TEW window block, so a fix
+    * to the ordering or IGNORE NULLS spelling could land in one gate
+    * family and not the other — the drift hazard syntheticCtePrefix
+    * already closed for the table prefix. All consumers render from
+    * these.
+    */
+  private[queries] val sixKeyOrderSql: String =
+    "ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST"
+  private[queries] val fullFrameSql: String =
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+  private[queries] def wirSql(cohort: String): String =
+    s"count(Wts_UpdatedDate) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, $cohort) AS WIR"
+  private[queries] val tswSql: String =
+    s"first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate $sixKeyOrderSql $fullFrameSql) AS TSW"
+  private[queries] val tewSql: String =
+    s"last_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate $sixKeyOrderSql $fullFrameSql) AS TEW"
+
   private def oracle(leadPartition: String,
                      cohort: String = "week",
                      cohortExprSql: String = weekExprSql,
@@ -181,14 +199,14 @@ object Clinical {
     s"""WITH ${syntheticCtePrefix(cohort, cohortExprSql)},
        |fw AS (
        |  SELECT *,
-       |    count(Wts_UpdatedDate) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, $cohort) AS WIR,
-       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS PSW,
-       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS TSW,
-       |    last_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS TEW,
-       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, $cohort ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cohort_fw
+       |    ${wirSql(cohort)},
+       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID $sixKeyOrderSql $fullFrameSql) AS PSW,
+       |    $tswSql,
+       |    $tewSql,
+       |    first_value(Weight IGNORE NULLS) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, $cohort $sixKeyOrderSql $fullFrameSql) AS cohort_fw
        |  FROM derived),
        |diffed AS (
-       |  SELECT *, cohort_fw - lead(cohort_fw) OVER ($leadPartition ORDER BY UID ASC NULLS LAST, UIDCreatedDate ASC NULLS LAST, TreatmentTypeID ASC NULLS LAST, Tmt_StartDate ASC NULLS LAST, Wts_CreatedDate ASC NULLS LAST, Wts_UpdatedDate ASC NULLS LAST) AS wgt_diff
+       |  SELECT *, cohort_fw - lead(cohort_fw) OVER ($leadPartition $sixKeyOrderSql) AS wgt_diff
        |  FROM fw),
        |final AS (
        |  SELECT *, max(wgt_diff) OVER (PARTITION BY UID, TreatmentTypeID, Tmt_StartDate, $cohort) AS patient_TBWL

@@ -87,7 +87,15 @@ object EvalQ {
         sum(expr("cast(n_pos as decimal(38,0)) * (2L * cumneg + n_neg)"))
           .as("_u2"))
       .select(col("n_pos"), col("n_neg"),
-        col("_u2").cast("long").as("u_times2"),
+        // loud on a u_times2 past int64 (r19 review): Spark's
+        // non-ANSI decimal→long cast yields NULL silently where
+        // DuckDB's CAST raises — ~2.1e9 docs per class reaches the
+        // bound, inside stated scale; matching loud failures beat a
+        // silent NULL gate column on one engine
+        when(col("_u2") > lit(Long.MaxValue),
+            expr(s"raise_error('q132: u_times2 exceeds int64 — " +
+              "widen the gate column to decimal')"))
+          .otherwise(col("_u2")).cast("long").as("u_times2"),
         // AUC is undefined with an empty class: emit 0 as the stated
         // contract (Spark's div would yield null, DuckDB's // would
         // raise — two different failures instead of one defined answer)

@@ -19,7 +19,13 @@ object EventsQ {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("total_value"))
+        // scaled-integer total, not round(sum(double)) (r19 review):
+        // double summation ORDER differs between Spark's partition
+        // combine and DuckDB's sequential sum, so a group total
+        // landing on a half-cent boundary flips the rounded digit —
+        // integer cents are boundary-free (the q60 rule; floor of
+        // the same IEEE double is engine-exact)
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("total_value_cents"))
 
   /** Tumbling 1-hour buckets per event type. At scale this is the
     * pre-aggregation shape: map-side partial agg per (bucket, type), tiny
@@ -30,7 +36,8 @@ object EventsQ {
       .withColumn("hour_epoch", unix_timestamp(date_trunc("hour", col("ts"))))
       .groupBy(col("hour_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("total_value"))
+        // integer cents, the q32 rule (r19 review)
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("total_value_cents"))
 
   /** Gap-based sessionization (gap > 30 min ⇒ new session), the
     * lag-flag-cumsum idiom, then per-user session stats. The batch twin
@@ -166,7 +173,13 @@ object EventsQ {
     val tot = tr.groupBy(col("prev_type")).agg(sum(col("n")).as("n_from"))
     tr.join(tot, Seq("prev_type"))
       .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
-        expr("n * 1000000L div n_from").as("p_micro"))
+        // quotient decomposition, not n·1e6 (r19 review): the raw
+        // product wraps int64 past ~9.2e12 transitions of one
+        // prev_type — inside 100 TB scale — where DuckDB's HUGEINT
+        // keeps computing; (n div d)·1e6 + (n % d)·1e6 div d is exact
+        // with every operand bounded by 1e6·d (the q145/q147 rule)
+        expr("(n div n_from) * 1000000L + ((n % n_from) * 1000000L) div n_from")
+          .as("p_micro"))
   }
 
   /** q142 — top opening paths (path mining, the funnel-DISCOVERY
@@ -386,7 +399,8 @@ object EventsQ {
         |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
         |        FROM tr GROUP BY 1)
         |SELECT tr.prev_type, tr.next_type, tr.n, tot.n_from,
-        |  CAST(tr.n * 1000000 // tot.n_from AS BIGINT) AS p_micro
+        |  CAST((tr.n // tot.n_from) * 1000000
+        |    + ((tr.n % tot.n_from) * 1000000) // tot.n_from AS BIGINT) AS p_micro
         |FROM tr JOIN tot ON tr.prev_type = tot.prev_type""".stripMargin,
     "q106_resample_ffill" ->
       """WITH ev AS (
@@ -415,11 +429,13 @@ object EventsQ {
         |FROM j GROUP BY user_id""".stripMargin,
     "q32_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
-        |  count(*) AS n, round(sum("value"), 2) AS total_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1""".stripMargin,
     "q33_time_buckets" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-        |  event_type, count(*) AS n, round(sum("value"), 2) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     // the cumulative session counter must order by FULL-precision ts
     // (+ event_id), exactly like the gap lag above it and the Spark

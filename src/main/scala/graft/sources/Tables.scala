@@ -198,15 +198,19 @@ object Tables {
     * coalescing the tiny shuffle straight back to one task.)
     */
   private val spreadMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[((String, Long, Long), Int),
+      java.lang.Boolean]()
 
   private def spread(s: SparkSession, df: DataFrame, key: String,
                      path: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // the split count of an immutable source path never changes —
-    // memoize the verdict so repeated loads skip the physical-plan
-    // instantiation df.rdd costs per call
-    val starved = spreadMemo.computeIfAbsent((path, target),
+    // keyed on (probeKey, target) — NOT path alone (r19 review, the
+    // exact staleness class probeMemo was converted away from in r17):
+    // a file regenerated in place within one JVM lifetime must re-take
+    // the starvation verdict, or a now single-split file never spreads
+    // (all per-row compute on one task) / a well-split one pays a
+    // pointless full repartition
+    val starved = spreadMemo.computeIfAbsent((probeKey(s, path), target),
       _ => df.rdd.getNumPartitions < math.max(2, target / 2))
     if (!starved) df
     // hash-partition on the table's unique id: unlike round-robin

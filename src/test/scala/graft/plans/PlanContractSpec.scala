@@ -229,7 +229,7 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
     "q22_agg_funcs", "q24_scalar_subquery", "q25_window_topk",
     "q26_window_lag_lead", "q27_window_running", "q28_window_distribution",
     "q29_window_range_frame", "q30_clinical_pipeline",
-    "q31_clinical_pipeline_strict", "q32_json_extract", "q33_time_buckets",
+    "q31_clinical_pipeline_strict",
     "q35_type_share", "q36_asof_join", "q38_percentiles", "q39_salted_join",
     "q40_text_stats", "q43_char_jaccard_pairs", "q45_quality_report",
     "q47_minhash_pairs", "q49_bpe_token_counts", "q50_ann_brute_force",
