@@ -218,12 +218,23 @@ object MediaContainers {
     val lay = MediaLayout.wav(b).getOrElse(return None)
     val dataOff = lay.dataOff
     val n = lay.dataLen
+    // ONE pass (r19 review: the block-RMS loop re-read and re-squared
+    // every byte the mean/RMS/zero-crossing pass had just processed —
+    // 2× memory traffic on the per-row decode hot path). Block
+    // boundaries depend only on n, so the per-block sum-of-squares
+    // accumulates in the same ascending order as the old inner loops —
+    // identical float addition order, bit-identical features.
+    val block = math.max(1, n / 13)
+    val blockAcc = new Array[Double](13)
     var sum = 0.0; var sum2 = 0.0; var zc = 0
     var prev = 0.0
     var i = 0
     while (i < n) {
       val x = ((b(dataOff + i) & 0xFF) - 128) / 128.0
-      sum += x; sum2 += x * x
+      val x2 = x * x
+      sum += x; sum2 += x2
+      val bi = i / block
+      if (bi < 13) blockAcc(bi.toInt) += x2
       if (i > 0 && ((x > 0 && prev <= 0) || (x < 0 && prev >= 0))) zc += 1
       prev = x; i += 1
     }
@@ -232,16 +243,11 @@ object MediaContainers {
       feat(0) = (sum / n).toFloat
       feat(1) = math.sqrt(sum2 / n).toFloat
       feat(2) = (zc.toDouble / n).toFloat
-      val block = math.max(1, n / 13)
       var bi = 0
       while (bi < 13) {
         val s = bi * block; val e = math.min(n, s + block)
-        var acc = 0.0; var j = s
-        while (j < e) {
-          val x = ((b(dataOff + j) & 0xFF) - 128) / 128.0
-          acc += x * x; j += 1
-        }
-        feat(3 + bi) = (if (e > s) math.sqrt(acc / (e - s)) else 0.0).toFloat
+        feat(3 + bi) =
+          (if (e > s) math.sqrt(blockAcc(bi) / (e - s)) else 0.0).toFloat
         bi += 1
       }
     }

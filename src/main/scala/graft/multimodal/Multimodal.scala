@@ -25,17 +25,6 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** media item: id + modality + raw bytes + source-side metadata. */
-  val mediaSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("modality", StringType, nullable = false),   // image|audio|video
-    StructField("bytes", BinaryType, nullable = false),
-    StructField("meta", StructType(Seq(
-      StructField("source", StringType),
-      StructField("declared_w", IntegerType),
-      StructField("declared_h", IntegerType),
-      StructField("sample_rate", IntegerType))))))
-
   /** Decoded-frame features (decode stage output). */
   case class MediaFeatures(
       media_id: Long, modality: String,
@@ -54,6 +43,15 @@ object Multimodal {
     val featureDim = 16
 
     def decode(mediaId: Long, modality: String, bytes: Array[Byte]): MediaFeatures = {
+      // fail CLEAN per row on a null payload (r19 review): the only
+      // in-repo producer (syntheticMedia over a null text) emits null
+      // bytes, and isBmp/contentHash would NPE and abort the whole
+      // stage — the hostile-input contract is per-row. content_hash 0
+      // marks the null row distinctly from an EMPTY payload (whose
+      // rolling hash is the nonzero seed).
+      if (bytes == null)
+        return MediaFeatures(mediaId, modality, 0, 0, 0, 0L, 0L,
+          new Array[Float](featureDim))
       if (MediaContainers.isBmp(bytes)) {
         MediaContainers.decodeBmp(bytes) match {
           case Some((w, h, feat)) =>
@@ -159,12 +157,26 @@ object Multimodal {
       // whose bytes decode as something frameless (e.g. an empty-data
       // WAV) carries n_frames = 0, and sequence(0, -1, stride) throws
       // an IllegalArgumentException that aborts the whole stage
+      // the frameless guard's sibling bound (r19 review): decode keys
+      // on byte-sniffing, so a row LABELED video whose bytes decode as
+      // AUDIO carries n_frames = nSamples — hundreds of millions for a
+      // long PCM stream — and the sequence would materialize a
+      // pathological per-row array (executor OOM / array-size throw).
+      // No genuine video reaches MaxPlanFrames; rows above it get the
+      // same empty plan as frameless rows, visibly (their n_frames
+      // rides the output, sample_frames empty).
       .select(col("media_id"), col("n_frames"),
-        when(col("n_frames") > 0,
+        when(col("n_frames") > 0 && col("n_frames") <= MaxPlanFrames,
           sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .otherwise(array().cast("array<int>")).as("sample_frames"))
       .withColumn("n_sampled", size(col("sample_frames")))
   }
+
+  /** [[frameSamplePlan]]'s per-row bound: no real video clip carries
+    * this many frames (1e6 ≈ 9 hours at 30 fps); counts above it are
+    * mislabeled non-video decodes.
+    */
+  val MaxPlanFrames = 1000000L
 
   /** Resize spec stage: target box per media row (pure metadata op; a
     * real resize happens inside the codec using this spec).

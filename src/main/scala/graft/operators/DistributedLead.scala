@@ -41,6 +41,15 @@ object DistributedLead {
     */
   def withSuccessorValue(df: DataFrame, key: Column, value: Column,
                          out: String): DataFrame = {
+    // the requireNoScratch convention (r19 review — the one operator
+    // in the family without it): a caller column named `out` would
+    // ride the join into TWO identically-named output columns and
+    // throw AMBIGUOUS_REFERENCE far from the cause; _dl_rnk would
+    // make the self-join key itself ambiguous
+    val clash = Seq("_dl_rnk", out).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} are reserved by DistributedLead " +
+        "(rank scratch / output) — rename first")
     // lazy checkpoint: globalRank's sampling pass is the job that
     // materializes the (small, one-row-per-key) input, so the count job
     // and every downstream consumer read cached blocks instead of

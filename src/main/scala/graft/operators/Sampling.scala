@@ -18,15 +18,27 @@ object Sampling {
 
   private val Buckets = 1000000L  // rate granularity: 1e-6
 
+  /** The salted hash-input string of a (key, salt) pair — THE one
+    * spelling every bucket/shard consumer hashes ([[bucket]],
+    * CurationQ.shardPlan; mirrored by `OracleSql.bucketSql`).
+    * NULL keys map to a sentinel instead of propagating null: a null
+    * filter predicate silently DROPS the row, so a "100% sample" of a
+    * table with null keys would lose them — null-key rows instead get
+    * one consistent deterministic bucket like any other key value.
+    * \u0001 separator between key and salt (r19 review): bare
+    * concatenation made (key "a", salt "s0") and (key "as", salt
+    * "0") hash identically, so "independent" samples could correlate
+    * at boundary-aliased keys — the separator makes the (key, salt)
+    * -> string map injective for salts that carry no \u0001 (all of
+    * ours). One spelling with OracleSql.bucketSql's chr(1).
+    */
+  def saltedKey(key: Column, salt: String): Column =
+    concat(coalesce(key.cast("string"), lit("\u0000null")),
+      lit("\u0001"), lit(salt))
+
   /** The row's sampling bucket in [0, 1e6): portable and salt-keyed. */
   def bucket(key: Column, salt: String): Column =
-    // NULL keys hash as a sentinel instead of propagating null: a null
-    // filter predicate silently DROPS the row, so a "100% sample" of a
-    // table with null keys would lose them — null-key rows instead get
-    // one consistent deterministic bucket like any other key value
-    pmod(Winnowing.portableHash(concat(
-      coalesce(key.cast("string"), lit("\u0000null")), lit(salt))),
-      lit(Buckets))
+    pmod(Winnowing.portableHash(saltedKey(key, salt)), lit(Buckets))
 
   /** Poisson(1) replicate weight from a [[bucket]] value — the
     * distributed-bootstrap kernel (Chamandy et al. 2012). Thresholds

@@ -130,9 +130,12 @@ object CurationQ {
         // oracle renders through bucketSql which coalesces since r17,
         // so a NULL doc_id would shard NULL here but deterministically
         // there)
+        // THROUGH Sampling.saltedKey (r19 review: this site hand-copied
+        // the key||salt concat and missed the r19 separator change on
+        // the first pass — the oracle renders through bucketSql and
+        // diverged; one shared spelling now)
         pmod(Winnowing.portableHash(
-          concat(coalesce(col("doc_id").cast("string"), lit("\u0000null")),
-            lit("#shard"))), lit(nShards.toLong))
+          Sampling.saltedKey(col("doc_id"), "#shard")), lit(nShards.toLong))
           .cast("int"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),

@@ -25,5 +25,5 @@ object OracleSql {
     */
   def bucketSql(key: String, salt: String): String =
     s"CAST('0x' || substr(md5(coalesce(CAST($key AS VARCHAR), " +
-      s"chr(0) || 'null') || '$salt'), 18, 15) AS BIGINT) % 1000000"
+      s"chr(0) || 'null') || chr(1) || '$salt'), 18, 15) AS BIGINT) % 1000000"
 }

@@ -148,6 +148,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(f.byte_len == bmp32.length)   // stub path still yields features
   }
 
+  test("null payload decodes to a clean zero row, not an NPE (r19)") {
+    val f = Multimodal.MediaCodec.decode(7L, "image", null)
+    assert(f.media_id == 7L && f.n_frames == 0 && f.byte_len == 0L &&
+      f.content_hash == 0L && f.feature.forall(_ == 0f))
+    // distinct from an EMPTY payload (nonzero rolling-hash seed)
+    val e = Multimodal.MediaCodec.decode(8L, "image", Array.empty[Byte])
+    assert(e.content_hash != 0L)
+  }
+
+  test("frame plan refuses pathological frame counts with an empty plan (r19)") {
+    import spark.implicits._
+    // a video-LABELED row whose bytes decoded as long audio: n_frames
+    // = nSamples, far past any real clip — must not materialize a
+    // hundreds-of-MB per-row sequence
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, "video", 8, 8, 5, 100L, 1L, Array.fill(16)(0f)),
+      Multimodal.MediaFeatures(2L, "video", 16000, 1, 200000000, 9L, 2L, Array.fill(16)(0f)))
+      .toDS()
+    val plan = Multimodal.frameSamplePlan(feats, stride = 2)
+      .select($"media_id", $"n_sampled").as[(Long, Int)].collect().toMap
+    assert(plan(1L) == 3)
+    assert(plan(2L) == 0, "over-bound count must yield the empty plan")
+  }
+
   test("frame sampling plan emits stride-spaced indices for videos only") {
     val feats = Multimodal.decodeFeatures(media)
     val plan = Multimodal.frameSamplePlan(feats, stride = 10)

@@ -69,7 +69,7 @@ class OracleSqlContractSpec extends AnyFunSuite {
     // diverges the moment a fixture carries one
     assert(OracleSql.bucketSql("user_id", "fold") ==
       "CAST('0x' || substr(md5(coalesce(CAST(user_id AS VARCHAR), " +
-        "chr(0) || 'null') || 'fold'), 18, 15) AS BIGINT) % 1000000")
+        "chr(0) || 'null') || chr(1) || 'fold'), 18, 15) AS BIGINT) % 1000000")
   }
 
   /** The float-gate rule (the q100/q125 red-row class): `round()` on a
