@@ -9,10 +9,15 @@ import graft.sources.Tables
   * a general engine needs (SURVEY.md §2 "categories with no
   * representative").
   *
-  * Scale design: dimension sides (region/nation/customer/supplier/part)
-  * are explicitly `broadcast()` — the fact tables (lineitem/orders)
-  * never shuffle for these joins. Fact-to-fact (orders⋈lineitem) relies
-  * on sort-merge with AQE; both sides hash-partition on the join key.
+  * Scale design: BOUNDED dimension sides (region/nation — fixed 5/25
+  * rows at any SF) are explicitly `broadcast()`; SF-proportional
+  * tables (customer/supplier/part/orders/lineitem) carry no hint —
+  * AQE broadcasts them while they are small and falls back to a
+  * co-keyed shuffle join when they are not (r19 review: a forced
+  * broadcast of an unbounded side aborts at the broadcast-relation
+  * limit exactly when the data grows). Fact-to-fact (orders⋈lineitem)
+  * relies on sort-merge with AQE; both sides hash-partition on the
+  * join key.
   */
 object Joins {
 
@@ -24,7 +29,14 @@ object Joins {
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("o_orderstatus"))
 
-  /** Star join: fact ⋈ 3 broadcast dims, revenue per region/nation. */
+  /** Star join: fact ⋈ dims, revenue per region/nation. nation/region
+    * are BOUNDED dimensions (25/5 rows at any SF) and broadcast
+    * explicitly; customer scales WITH the corpus, so its join carries
+    * no hint (r19 review — the q24 rule: per-customer cardinality is
+    * never a bounded dimension; a forced broadcast aborts at the 8 GB
+    * relation limit exactly when the data is big, while AQE still
+    * broadcasts it at gate scale where it is small).
+    */
   def starJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -32,7 +44,7 @@ object Joins {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

@@ -6,7 +6,7 @@ import graft.sources.Tables
 
 /** Core relational operators over the driver's TPC-H-ish test tables.
   *
-  * Each query has a DuckDB oracle in [[Oracles.relational]]; column names
+  * Each query has a DuckDB oracle in this module's own `oracles` map (consumed via `SparkEntry.modules`); column names
   * and value rounding match the oracle exactly (the driver sorts columns
   * by name and hashes values).
   *

@@ -118,9 +118,18 @@ object Shapes {
     * class). 1995∩1996 and 1995∖1996 are both populated.
     */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
-      .select(col("o_custkey")).distinct()
+    // ONE scan + distinct feeds all four set-op legs (r19 review: the
+    // per-year derivation was planned independently per leg — orders
+    // scanned and distinct-shuffled FOUR times; Spark does not dedupe
+    // identical subplans). The intersect/except operators themselves
+    // stay — they are the surface this gate exists to exercise.
+    val buyersByYear = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(year(col("o_orderdate")).as("y"), col("o_custkey"))
+      .distinct()
+      .localCheckpoint(false)
+    def buyers(y: Int) =
+      buyersByYear.filter(col("y") === y).select(col("o_custkey"))
     val both = buyers(1995).intersect(buyers(1996))
       .withColumn("relation", lit("both_95_96"))
     val only95 = buyers(1995).except(buyers(1996))

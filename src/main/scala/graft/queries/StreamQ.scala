@@ -269,11 +269,17 @@ object StreamQ {
     * lost micro-batch, a partial overwrite, or a mangled file breaks
     * the match. Output dir staged per (JVM, source dir) like q81's.
     */
-  // the OUTPUT DIRECTORY is staged per (JVM, source dir); the STREAM
-  // re-runs on every invocation (streaming entries are never memoized —
-  // executing the stream is the operator under test), and re-running
-  // into the same path is exactly the idempotent-replay story: the
-  // overwrite leaves the same final state
+  // the OUTPUT DIRECTORY is staged per (JVM, source dir); THIS stream
+  // re-runs on every invocation, and re-running into the same path is
+  // exactly the idempotent-replay story: the overwrite leaves the same
+  // final state. Scope note (r19 review — the old comment overclaimed
+  // "streaming entries are never memoized"): the lakehouse-lifecycle
+  // gates q164/q177/q191/q197 DO memoize their stream execution per
+  // (JVM, dir) — their correctness gate is the written/derived state,
+  // and replaying a publish pipeline per bench run would re-commit
+  // snapshots into the shared store. Streaming OPERATOR cost is priced
+  // by the non-memoized entries (q95/q101/q107/q117/q118/q66/q73/q91/
+  // q94/q125); the memoized four price their read-back surface.
   private val sinkDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def streamSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
@@ -303,14 +309,15 @@ object StreamQ {
     * DuckDB recomputes the truth by canonical-text semi-join.
     */
   def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val history = graft.sources.Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val batchStream = spark.readStream.schema(docsSchema)
+    // schema FROM the staged frame, not a hand-built copy (r19 review,
+    // the q164/q177 stagedBatchStream rule): a re-encoded or renamed
+    // documents column would adapt in the batch loader while a
+    // hardcoded StructType silently read nulls or threw — q107 would
+    // break while its batch twin q96 kept passing
+    val batchStream = spark.readStream
+      .schema(spark.read.parquet(stagedDocs(dir)).schema)
       .option("maxFilesPerTrigger", "1").parquet(stagedDocs(dir))
       .filter(pmod(col("doc_id"), lit(10)) === 0)
     val ann = graft.operators.IncrementalDedup.annotateAgainst(

@@ -56,16 +56,50 @@ object WindowsQ {
         count(lit(1)).over(w).as("run_n"))
   }
 
-  /** ntile / percent_rank / cume_dist within each order-year. */
+  /** ntile / percent_rank / cume_dist within each order-year —
+    * DISTRIBUTED (r19 review): the obvious
+    * `Window.partitionBy(year)` spelling has only as many partitions
+    * as the corpus spans years (~7 here), so at 100 TB one year's
+    * billions of orders sort and rank inside a single task — the
+    * near-global-window cliff the battery's scale rule exists for.
+    * Instead: ONE range-partitioned global rank over (year, price,
+    * key) — [[graft.operators.SortedNeighborhood.globalRank]], the
+    * same machinery as PrefixScan — then each row's within-year rank
+    * is its global rank minus the year's start offset, and the three
+    * distribution stats are integer/double arithmetic on (rank, n):
+    * the per-year offset table is #years rows, a true broadcast
+    * dimension. The ordering key is unique (orderkey breaks price
+    * ties), so percent_rank = (rk−1)/(n−1) and cume_dist = rk/n are
+    * the tie-free forms, and ntile follows Spark's own
+    * first-(n mod b)-buckets-get-one-extra rule — double divisions
+    * have the SAME operands the window functions would produce, so
+    * results are bit-identical to the window spelling and the DuckDB
+    * oracle keeps the plain ntile/percent_rank/cume_dist SQL.
+    */
   def distribution(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(year(col("o_orderdate")))
-      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.orders(spark, dir)
+    val ranked = graft.operators.SortedNeighborhood.globalRank(
+      Tables.orders(spark, dir)
+        .select(year(col("o_orderdate")).as("y"), col("o_orderkey"),
+          col("o_totalprice")),
+      Seq(col("y").asc, col("o_totalprice").asc, col("o_orderkey").asc),
+      "_g")
+      .localCheckpoint(false) // two consumers: offsets + the join back
+    val years = ranked.groupBy(col("y"))
+      .agg(min(col("_g")).as("_y0"), count(lit(1)).as("_n"))
+    ranked.join(broadcast(years), Seq("y"))
+      .withColumn("_rk", col("_g") - col("_y0") + 1)
       .select(
-        year(col("o_orderdate")).as("y"), col("o_orderkey"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        col("y"), col("o_orderkey"),
+        // Spark's NTile: q = n div b, r = n mod b; the first r tiles
+        // hold q+1 rows
+        expr("""CASE WHEN _rk <= (_n % 4) * (_n div 4 + 1)
+               |  THEN (_rk - 1) div (_n div 4 + 1) + 1
+               |  ELSE _n % 4 + ((_rk - 1) - (_n % 4) * (_n div 4 + 1)) div (_n div 4) + 1
+               |END""".stripMargin.replace("\n", " ")).cast("int").as("quartile"),
+        round(when(col("_n") === 1, lit(0.0))
+          .otherwise((col("_rk") - 1).cast("double") / (col("_n") - 1)), 6)
+          .as("pct_rank"),
+        round(col("_rk").cast("double") / col("_n"), 6).as("cume"))
   }
 
   /** RANGE frame: count + sum of each customer's orders in the
