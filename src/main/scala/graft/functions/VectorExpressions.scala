@@ -114,6 +114,153 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Left-to-right sum of squares of a numeric array (float or double
+  * elements) — the norm² half of [[CosineSimilarity]] split out so the
+  * O(pairs) similarity joins can compute each ROW's norm once instead
+  * of once per CANDIDATE PAIR (guide §1.2 "per-task work": the pair
+  * stage's inner loop was 3 fused accumulations — dot, na, nb — of
+  * which two redo per-row work |cell| times). The accumulation is the
+  * SAME sequential double association as CosineSimilarity's `na`
+  * (x*x added left to right), so `dot/(sqrt(na)*sqrt(nb))` built from
+  * these parts is bit-identical to the fused expression. Null array →
+  * null; null ELEMENT → null (same corrupt-embedding policy).
+  */
+case class SumSquares(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"norm_sq needs array<float|double>, got ${t.catalogString}")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val f = isFloat
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val x = if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
+      acc += x * x; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val bad = ctx.freshName("hasNullElem")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  double $x = (double) $a.$get($i);
+         |  $acc += $x * $x;
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Left-to-right dot product of two numeric arrays — the pair-local
+  * third of [[CosineSimilarity]] (see [[SumSquares]]). Same checks and
+  * semantics as the fused expression: length mismatch throws, null
+  * array or null element → null, accumulation order identical.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val leftIsFloat = elemIsFloat(left)
+  @transient private lazy val rightIsFloat = elemIsFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    require(ys.numElements() == n,
+      s"cosine_similarity: length mismatch $n vs ${ys.numElements()}")
+    val lf = leftIsFloat; val rf = rightIsFloat
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
+      dot += x * y; i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val bad = ctx.freshName("hasNullElem")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_similarity: length mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  double $x = (double) $a.$lGet($i);
+         |  double $y = (double) $b.$rGet($i);
+         |  $dot += $x * $y;
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 60-bit SimHash of an array of token strings.
   *
   * Classic Charikar sketch: each token votes ±1 on every bit of its
@@ -325,6 +472,53 @@ object VectorFunctions {
   def cosine_similarity6(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.floor(
       cosine_similarity(a, b) * 1000000.0d + 0.5d) / 1000000.0d
+
+  /** Column API for [[SumSquares]]. */
+  def norm_sq(v: Column): Column =
+    ColumnBridge.column(SumSquares(ColumnBridge.expression(v)))
+
+  /** Column API for [[DotProduct]]. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine from a pair-local dot and PRE-COMPUTED per-row norms² —
+    * bit-identical to [[cosine_similarity]]: the three accumulations
+    * are the same left-to-right double sums (each its own accumulator
+    * chain, so fusing or splitting them cannot change any of the
+    * three), and the combine `dot/(sqrt(na)*sqrt(nb))` is the same
+    * IEEE expression. Null propagation matches: null array or null
+    * element nulls the norm (or the dot) and the `when` guard returns
+    * null BEFORE the zero-norm branch can see a null operand — without
+    * that guard, `na null, nb == 0` would return 0.0 where the fused
+    * expression returns null. The guard checks the NORMS only: a null
+    * dot implies a null norm (same null sources — so `dot.isNull`
+    * would be redundant, and listing it forced a second dot-loop
+    * evaluation in operators without common-subexpression elimination,
+    * e.g. a codegen'd Filter; r19 measurement). Contract: nsqA/nsqB
+    * must be [[SumSquares]] of the SAME arrays the dot consumes —
+    * with unrelated columns the null/zero short-circuits are
+    * meaningless. One spelled-out divergence from the fused form: an
+    * all-zeros vector against a WRONG-LENGTH operand returns 0.0 here
+    * (the zero-norm branch short-circuits past the dot) where the
+    * fused expression throws — malformed input either way. Use in
+    * O(pairs) join stages where the fused spelling redoes both norms
+    * per candidate (guide §1.2).
+    */
+  def cosine_from_parts(dot: Column, nsqA: Column, nsqB: Column): Column =
+    org.apache.spark.sql.functions.when(
+        nsqA.isNull || nsqB.isNull,
+        org.apache.spark.sql.functions.lit(null).cast(DoubleType))
+      .when(nsqA === 0.0 || nsqB === 0.0, 0.0)
+      .otherwise(dot / (org.apache.spark.sql.functions.sqrt(nsqA) *
+        org.apache.spark.sql.functions.sqrt(nsqB)))
+
+  /** [[cosine_from_parts]] at the gate's version-proof 6 decimals —
+    * the parts twin of [[cosine_similarity6]] (same floor spelling).
+    */
+  def cosine_from_parts6(dot: Column, nsqA: Column, nsqB: Column): Column =
+    org.apache.spark.sql.functions.floor(
+      cosine_from_parts(dot, nsqA, nsqB) * 1000000.0d + 0.5d) / 1000000.0d
 
   /** Column API for [[SimHash60]]. */
   def simhash60(tokens: Column): Column =

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.{cosine_similarity, cosine_similarity6}
+import graft.functions.VectorFunctions.{cosine_similarity, cosine_similarity6,
+  cosine_from_parts, cosine_from_parts6, dot_product, norm_sq}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -131,13 +132,21 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      dropSameId: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    // norms² once per row (r19): the |corpus|×|queries| product
+    // recomputed the corpus row's norm per query and the query's per
+    // corpus row — parts cosine is bit-identical (see VectorFunctions)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("_cnsq", norm_sq(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("_qnsq", norm_sq(col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     c.join(broadcast(q),
         if (dropSameId) !(col("corpus_id") <=> col("query_id")) else lit(true))
-      .withColumn("sim", cosine_similarity6(col("qv"), col("cv")))
+      .withColumn("sim", cosine_from_parts6(
+        dot_product(col("qv"), col("cv")), col("_qnsq"), col("_cnsq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))
@@ -165,8 +174,10 @@ object Similarity {
                         labelCol: String = "label"): DataFrame = {
     val c = corpus.select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
       col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("_cnsq", norm_sq(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
       col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("_qnsq", norm_sq(col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_micro").desc, col("neg_id").asc)
     // floor(x·1e6 + 0.5) into a LONG, not round(x, 6): Spark's round on
@@ -176,7 +187,8 @@ object Similarity {
     // ranking on the integer removes double-ordering divergence too
     c.join(broadcast(q), col("neg_label") =!= col("query_label"))
       .withColumn("sim_micro",
-        floor(cosine_similarity(col("qv"), col("cv")) * 1000000.0 + 0.5)
+        floor(cosine_from_parts(dot_product(col("qv"), col("cv")),
+          col("_qnsq"), col("_cnsq")) * 1000000.0 + 0.5)
           .cast("long"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -275,9 +287,13 @@ object Similarity {
     // clusterless data. Index size scales by `replicas` (documented
     // trade; the scan/shuffle shape is unchanged).
     // the ONE cell-assignment spelling (withCells) — an inline copy
-    // here could drift from the cellSizes/droppedCells accounting (r16)
-    val assigned = withCells(c, "cv", ctrs, replicas, "centroid_id")
-    val probes = withCells(q, "qv", ctrs, nProbe, "centroid_id")
+    // here could drift from the cellSizes/droppedCells accounting (r16).
+    // Norms² once per row (the semanticPairs r19 precompute): the
+    // probe join's per-candidate cosine drops to a bare dot
+    val assigned = withCells(c.withColumn("_cnsq", norm_sq(col("cv"))),
+      "cv", ctrs, replicas, "centroid_id")
+    val probes = withCells(q.withColumn("_qnsq", norm_sq(col("qv"))),
+      "qv", ctrs, nProbe, "centroid_id")
 
     // search only probed buckets; a pair reached via two shared buckets
     // must count once, so dedup (query, corpus) before ranking. The
@@ -295,7 +311,8 @@ object Similarity {
       .filter(if (dropSameId) !(col("corpus_id") <=> col("query_id"))
               else lit(true))
       .select(col("query_id"), col("corpus_id"),
-        cosine_similarity6(col("qv"), col("cv")).as("sim"))
+        cosine_from_parts6(dot_product(col("qv"), col("cv")),
+          col("_qnsq"), col("_cnsq")).as("sim"))
       .dropDuplicates("query_id", "corpus_id")
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
@@ -379,9 +396,13 @@ object Similarity {
     if (ctrs.isEmpty)
       return l.limit(0).crossJoin(r.limit(0)).select(
         col("left_id"), col("right_id"), lit(0.0).as("sim"), lit(0).as("rn"))
-    // NaN vectors (cell −1) drop from index and probes, as in ivfTopK
-    val indexed = withCells(r, "rv", ctrs, replicas, "cell")
-    val probes = withCells(l, "lv", ctrs, nProbe, "cell")
+    // NaN vectors (cell −1) drop from index and probes, as in ivfTopK.
+    // Norms² once per row before cell/salt replication (the
+    // semanticPairs r19 precompute — bit-identical parts cosine)
+    val indexed = withCells(r.withColumn("_rnsq", norm_sq(col("rv"))),
+      "rv", ctrs, replicas, "cell")
+    val probes = withCells(l.withColumn("_lnsq", norm_sq(col("lv"))),
+      "lv", ctrs, nProbe, "cell")
     val wTop = Window.partitionBy(col("left_id"))
       .orderBy(col("sim").desc, col("right_id").asc)
     // hot-cell salting (see scaladoc): cells whose index population
@@ -429,7 +450,8 @@ object Similarity {
       (if (dropSameId) candidates.filter(col("left_id") =!= col("right_id"))
        else candidates)
         .select(col("left_id"), col("right_id"),
-          cosine_similarity6(col("lv"), col("rv")).as("sim"))
+          cosine_from_parts6(dot_product(col("lv"), col("rv")),
+            col("_lnsq"), col("_rnsq")).as("sim"))
     // replicas == 1 ⇒ each right row lives in exactly one cell, so a
     // (left, right) pair can meet at most once regardless of nProbe —
     // the dedup exchange is provably a no-op; skip it (one of the two
@@ -451,9 +473,12 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .withColumn("_nsq", norm_sq(col("v")))
     c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine_similarity6(col("a.v"), col("b.v")))
+      .withColumn("cosine", cosine_from_parts6(
+        dot_product(col("a.v"), col("b.v")),
+        col("a._nsq"), col("b._nsq")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
@@ -521,8 +546,17 @@ object Similarity {
       return c.limit(0).select(col("id").as("id_a"))
         .crossJoin(c.limit(0).select(col("id").as("id_b")))
         .select(col("id_a"), col("id_b"), lit(0.0).as("cosine"))
-    // NaN vectors assign to no cluster (cid −1) and drop out here
-    val assignedAll = withCells(c, "v", centers, replicas, "cid")
+    // NaN vectors assign to no cluster (cid −1) and drop out here.
+    // Norm² precomputed ONCE per corpus row BEFORE cell replication
+    // (r19 opt, guide §1.2): the O(Σ|cell|²) pair stage recomputed
+    // both operands' sums of squares per candidate — 3× the FLOPs of
+    // the pair-local dot — and rode them through every join leg; one
+    // extra double per row through the shuffle buys a pair stage
+    // that only dots. cosine_from_parts6 is bit-identical to the
+    // fused cosine_similarity6 (same accumulation order, same IEEE
+    // combine — see the helper's scaladoc).
+    val assignedAll = withCells(c.withColumn("_nsq", norm_sq(col("v"))),
+      "v", centers, replicas, "cid")
     val candidates = hotCells match {
       case HotCellPolicy.Drop =>
         // over-cap cells drop from BOTH join legs via the one capped
@@ -531,7 +565,8 @@ object Similarity {
         assigned.as("a").join(assigned.as("b"),
             col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            col("a.v").as("av"), col("b.v").as("bv"))
+            col("a.v").as("av"), col("b.v").as("bv"),
+            col("a._nsq").as("anq"), col("b._nsq").as("bnq"))
       case HotCellPolicy.Distribute =>
         // detection: [[Dedup.hotBuckets]] — the ONE over-cap counting
         // spelling shared with capHotBuckets/droppedBuckets, so the
@@ -549,7 +584,8 @@ object Similarity {
           assignedAll.as("a").join(assignedAll.as("b"),
               col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
             .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.v").as("av"), col("b.v").as("bv"))
+              col("a.v").as("av"), col("b.v").as("bv"),
+              col("a._nsq").as("anq"), col("b._nsq").as("bnq"))
         else {
           val sp = corpus.sparkSession
           import sp.implicits._
@@ -586,12 +622,14 @@ object Similarity {
                  col("a.id") < col("b.id")))
             .select(least(col("a.id"), col("b.id")).as("id_a"),
               greatest(col("a.id"), col("b.id")).as("id_b"),
-              col("a.v").as("av"), col("b.v").as("bv"))
+              col("a.v").as("av"), col("b.v").as("bv"),
+              col("a._nsq").as("anq"), col("b._nsq").as("bnq"))
         }
     }
     candidates
       .select(col("id_a"), col("id_b"),
-        cosine_similarity6(col("av"), col("bv")).as("cosine"))
+        cosine_from_parts6(dot_product(col("av"), col("bv")),
+          col("anq"), col("bnq")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

@@ -438,8 +438,15 @@ object CurationQ {
         // identity through a different function
         xxhash64(Dedup.canonicalText(col("text"))).as("ch2"))
       .localCheckpoint(false)
+    // eval is BOUNDED (k per stratum) with FOUR consumers (evalHashes,
+    // evalHashes2, the rest anti-filter, the n_eval aggregate) — each
+    // re-derived the full docs-wide rank window from the checkpointed
+    // docs (r19 plan audit: the pmod(md5low60(..)) sample salt appeared
+    // in 5 plan legs). The lazy checkpoint runs the window once; the
+    // materialized frame is k·|sources| rows at any scale.
     val eval = Sampling.fixedSizePerStratum(docs, col("source"), col("doc_id"),
       k = evalK, salt = "ev1")
+      .localCheckpoint(false)
     val evalHashes = eval.select(col("ch")).distinct()
     val evalHashes2 = eval.select(col("ch2")).distinct()
     val rest = docs.join(eval.select(col("doc_id"), lit(true).as("_inEval")),
