@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PqFunctions.{pq_adc_dot, pq_encode, pq_table}
-import graft.functions.VectorFunctions.{cosine_from_parts6, dot_product, norm_sq}
+import graft.functions.VectorFunctions.cosine_similarity6
 
 /** Product-quantized ANN — the MEMORY-scale path (Jégou et al. 2011).
   *
@@ -149,19 +149,17 @@ object ProductQuantization {
     val r = if (shortlist > 0) shortlist else math.max(20 * k, 100)
     val cand = adcTopK(corpus, queries, r, cb, idCol, vecCol)
       .select(col("query_id"), col("corpus_id"))
-    // norms² once per row (the Similarity r19 precompute): the
-    // shortlist×query product re-ran both norms per candidate pair
+    // fused cosine kernel, deliberately (r19): the parts-cosine
+    // precompute regressed here (q97 CPU 3.2→3.7-5.0 s) — the
+    // shortlist join's row machinery dominates, not the cosine
     val cv = corpus.select(col(idCol).as("corpus_id"), asVec(vecCol).as("cv"))
-      .withColumn("_cnsq", norm_sq(col("cv")))
     val qv = queries.select(col(idCol).as("query_id"), asVec(vecCol).as("qv"))
-      .withColumn("_qnsq", norm_sq(col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id").asc)
     cand
       .join(cv, Seq("corpus_id"))
       .join(broadcast(qv), Seq("query_id"))
-      .withColumn("sim", cosine_from_parts6(
-        dot_product(col("qv"), col("cv")), col("_qnsq"), col("_cnsq")))
+      .withColumn("sim", cosine_similarity6(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("sim"), col("rn"))

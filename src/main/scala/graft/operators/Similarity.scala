@@ -471,14 +471,14 @@ object Similarity {
     */
   def thresholdPairs(corpus: DataFrame, blockCol: String, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // fused kernel, deliberately (r19): same blocked-self-join shape
+    // as semanticPairs, where the parts-cosine precompute measurably
+    // regressed — the pair machinery, not the cosine, is the cost
     val c = corpus.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("_nsq", norm_sq(col("v")))
     c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine_from_parts6(
-        dot_product(col("a.v"), col("b.v")),
-        col("a._nsq"), col("b._nsq")))
+      .withColumn("cosine", cosine_similarity6(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
@@ -547,16 +547,15 @@ object Similarity {
         .crossJoin(c.limit(0).select(col("id").as("id_b")))
         .select(col("id_a"), col("id_b"), lit(0.0).as("cosine"))
     // NaN vectors assign to no cluster (cid −1) and drop out here.
-    // Norm² precomputed ONCE per corpus row BEFORE cell replication
-    // (r19 opt, guide §1.2): the O(Σ|cell|²) pair stage recomputed
-    // both operands' sums of squares per candidate — 3× the FLOPs of
-    // the pair-local dot — and rode them through every join leg; one
-    // extra double per row through the shuffle buys a pair stage
-    // that only dots. cosine_from_parts6 is bit-identical to the
-    // fused cosine_similarity6 (same accumulation order, same IEEE
-    // combine — see the helper's scaladoc).
-    val assignedAll = withCells(c.withColumn("_nsq", norm_sq(col("v"))),
-      "v", centers, replicas, "cid")
+    // NOTE (r19 measurement): the knnJoin/ivfTopK norm-precompute
+    // (cosine_from_parts6) was tried here too and REGRESSED — q222
+    // isolated 3.2→4.0 s median, CPU 36-49→54-77 s. This pair stage's
+    // cost is the SMJ pair machinery (row buffering/copies of the
+    // d×8-byte vectors across the triangle-replicated legs), not the
+    // cosine loop, so the extra column on every replicated leg row
+    // plus the CaseWhen combine outweighed the saved norm FLOPs. The
+    // fused kernel stays.
+    val assignedAll = withCells(c, "v", centers, replicas, "cid")
     val candidates = hotCells match {
       case HotCellPolicy.Drop =>
         // over-cap cells drop from BOTH join legs via the one capped
@@ -565,8 +564,7 @@ object Similarity {
         assigned.as("a").join(assigned.as("b"),
             col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            col("a.v").as("av"), col("b.v").as("bv"),
-            col("a._nsq").as("anq"), col("b._nsq").as("bnq"))
+            col("a.v").as("av"), col("b.v").as("bv"))
       case HotCellPolicy.Distribute =>
         // detection: [[Dedup.hotBuckets]] — the ONE over-cap counting
         // spelling shared with capHotBuckets/droppedBuckets, so the
@@ -584,8 +582,7 @@ object Similarity {
           assignedAll.as("a").join(assignedAll.as("b"),
               col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
             .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.v").as("av"), col("b.v").as("bv"),
-              col("a._nsq").as("anq"), col("b._nsq").as("bnq"))
+              col("a.v").as("av"), col("b.v").as("bv"))
         else {
           val sp = corpus.sparkSession
           import sp.implicits._
@@ -622,14 +619,12 @@ object Similarity {
                  col("a.id") < col("b.id")))
             .select(least(col("a.id"), col("b.id")).as("id_a"),
               greatest(col("a.id"), col("b.id")).as("id_b"),
-              col("a.v").as("av"), col("b.v").as("bv"),
-              col("a._nsq").as("anq"), col("b._nsq").as("bnq"))
+              col("a.v").as("av"), col("b.v").as("bv"))
         }
     }
     candidates
       .select(col("id_a"), col("id_b"),
-        cosine_from_parts6(dot_product(col("av"), col("bv")),
-          col("anq"), col("bnq")).as("cosine"))
+        cosine_similarity6(col("av"), col("bv")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

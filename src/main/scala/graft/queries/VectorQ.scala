@@ -529,22 +529,20 @@ object VectorQ {
     */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // norm² once per row (the Similarity r19 precompute): the
-    // |corpus|×|probes| scoring join re-ran both norms per pair
+    // fused cosine kernel, deliberately (r19): the parts-cosine
+    // precompute was tried on this BroadcastNestedLoopJoin scoring
+    // stage and regressed ~2× in CPU (2.0→4.0 s) — at 10 probes the
+    // per-pair expression overhead outweighs the saved norms
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("_nsq", graft.functions.VectorFunctions.norm_sq(col("v")))
     val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("_nsq").as("_qnsq"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("simq").desc, col("vec_id").asc)
     val cands = emb.join(broadcast(probes), col("vec_id") =!= col("query_id"))
       .withColumn("simq",
-        floor(graft.functions.VectorFunctions.cosine_from_parts(
-          graft.functions.VectorFunctions.dot_product(col("qv"), col("v")),
-          col("_qnsq"), col("_nsq")) * 1000000.0d + 0.5d)
+        floor(cosine_similarity(col("qv"), col("v")) * 1000000.0d + 0.5d)
           .cast("long"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id").as("cand_id"),
