@@ -23,25 +23,26 @@ object SketchQ {
     * partitioning), and the exact count is plain SQL.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    // sketches and the exact count in SEPARATE aggregates joined on
-    // the group key (r11): mixing countDistinct with non-distinct
-    // sketch aggregates makes Spark run the Expand-based
-    // distinct-rewrite — every input row doubled, the HLL buffers
-    // dragged through the distinct machinery — measured 3.0 s vs
-    // 1.9 s split at sf0.1, and at 100 TB the Expand is a 2× scan tax.
-    // The exact side is the classic two-phase distinct (pre-distinct
-    // partial-aggregates map-side); |statuses| rows join broadcast.
-    val orders = Tables.orders(spark, dir)
-    val sketches = orders
+    // ONE scan (r19, guide §2.4): both legs roll up from the SAME
+    // two-phase distinct table — an HLL sketch over a multiset equals
+    // the sketch over its distinct set (per-register max is idempotent
+    // under duplicates), so the sketches lose nothing by running after
+    // the dedup, and the exact count is a plain count over the same
+    // frame. This replaces the r11 split (two scans + a broadcast
+    // join, kept to dodge the Expand-based distinct-rewrite): the
+    // rewrite stays dodged — no distinct-aggregate mixes with the
+    // sketches because the DISTINCT already happened below them — and
+    // the second corpus scan plus the join disappear (plan: 5 nodes →
+    // 2 Exchanges; 2 parquet scans → 1). Estimates, bounds booleans
+    // and exact counts are bit-identical to the split spelling.
+    val distinctPairs = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_custkey")).distinct()
+    distinctPairs
       .groupBy(col("o_orderstatus"))
       .agg(
         approx_count_distinct(col("o_custkey")).as("a_default"),
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a_1pct"))
-    val exact = orders
-      .select(col("o_orderstatus"), col("o_custkey")).distinct()
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("exact_customers"))
-    sketches.join(broadcast(exact), Seq("o_orderstatus"))
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a_1pct"),
+        count(lit(1)).as("exact_customers"))
       .select(
         col("o_orderstatus"),
         (abs(col("a_default") - col("exact_customers")).cast("double") /
