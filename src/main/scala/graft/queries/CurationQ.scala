@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.BigramFunctions.{bigram_counts, token_hash_counts}
 import graft.operators.{Dedup, DistributedSelection, IncrementalDedup, Sampling, Winnowing}
 import graft.sources.Tables
 
@@ -611,43 +612,45 @@ object CurationQ {
     * monotone in the true geometric-mean likelihood's arithmetic-mean
     * analog, engine-portable, no float ever crosses an aggregate.
     *
-    * Plan: one scan → per-doc bigram multiset (partial-agg shuffle on
-    * (doc, w1, w2)); the model's C(w1,w2) rolls up FROM that table
-    * (shuffle on (w1,w2), co-keyed with the scoring join), C(w1·) rolls
-    * up from C(w1,w2) (tiny) and broadcasts back; final per-doc mean is
-    * one more partial agg. Every shuffle is on a key the next step
+    * Plan: one scan → per-doc bigram multiset (counted IN-ROW by
+    * [[graft.functions.BigramCounts]] since r20 — no shuffle, the old
+    * (doc, w1, w2) partial-agg exchange was row-local work); the
+    * model's C(w1,w2) rolls up FROM that table (shuffle on (w1,w2),
+    * co-keyed with the scoring join), C(w1·) rolls up from C(w1,w2)
+    * (tiny) and broadcasts back; final per-doc mean is one more
+    * partial agg. Every remaining shuffle is on a key the next step
     * joins or aggregates on — at 100 TB the bigram-type table is the
     * only large intermediate and it never carries text bodies.
     */
-  /** Exploded HASHED bigram rows from a (doc_id, ts) token-array
-    * frame — the ONE spelling of the fiddly index expression
-    * (q139/q149 share it so the two can never drift): h1 =
+  /** Exploded PRE-COUNTED hashed-bigram rows from a (doc_id, ts)
+    * token-array frame — the ONE spelling of the bigram hash
+    * convention (q139/q149 share it so the two can never drift): h1 =
     * xxhash64(w1), h2 = xxhash64(w2), h12 = xxhash64(w1, w2)
     * (chained-seed, so token boundaries can't alias). Token text is
     * needed only to IDENTIFY a bigram, never shown in any output, so
     * every model shuffle and scoring join runs on fixed-width int64
     * keys — hash-keyed counts equal string-keyed counts at 2^-64
     * collision odds (the q47/q153 convention; oracles keep grouping by
-    * token strings). Returned PRE-aggregation so each caller groups on
-    * the key it actually needs: per-doc consumers on (doc_id, h1, h12),
-    * the corpus-model build directly on (h1, h12) with cross-doc
-    * map-side combining and one shuffle; h2 exists for the unigram
-    * backoff join (q149) and prunes away for callers that drop it.
+    * token strings).
+    *
+    * r20 (guide §2.4, verdict #2): the multiset is counted IN-ROW by
+    * [[graft.functions.BigramCounts]] before the explode — the old
+    * `transform(sequence…)` → explode → groupBy spelling materialized
+    * one struct per bigram OCCURRENCE through an interpreted HOF
+    * lambda, a Generate and a hash-agg probe, with 4 string hashes per
+    * pair where the kernel pays 1 (h12 chains from h1's value;
+    * BigramCountsSpec pins hash-and-count equality against the builtin
+    * spelling). Per-doc consumers need NO shuffle at all now — their
+    * old groupBy (doc_id, …) was logically row-local; the cross-doc
+    * model build (q149 c12) feeds its one shuffle distinct-per-doc
+    * (h1, h12, m) rows instead of every occurrence. m rides pre-summed,
+    * so per-doc consumers use it directly and cross-doc consumers
+    * sum(m) — identical to the old count(1) over occurrences.
     */
-  private def bigramRows(toks: DataFrame): DataFrame = toks
-    .filter(size(col("ts")) >= 2)
-    .select(col("doc_id"), explode(
-      expr("transform(sequence(0, size(ts)-2), i -> struct(" +
-        "xxhash64(ts[i]) AS h1, xxhash64(ts[i+1]) AS h2," +
-        " xxhash64(ts[i], ts[i+1]) AS h12))"))
-      .as("b"))
-    .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"),
-      col("b.h12").as("h12"))
-
   private def docBigramsOf(toks: DataFrame): DataFrame =
-    bigramRows(toks)
-      .groupBy(col("doc_id"), col("h1"), col("h2"), col("h12"))
-      .agg(count(lit(1)).as("m"))
+    toks.select(col("doc_id"), explode(bigram_counts(col("ts"))).as("b"))
+      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h2").as("h2"),
+        col("b.h12").as("h12"), col("b.m").as("m"))
 
   def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
     // three consumers (c12 rollup → c1, and the scoring join's left
@@ -661,21 +664,32 @@ object CurationQ {
     // derived table has at 100 TB anyway.
     //
     // r10: the artifact stores bigram HASHES, not strings — the shared
-    // [[bigramRows]] spelling (r11: re-unified with q149, which now
-    // runs the same hash convention). Carrying strings through the
+    // [[docBigramsOf]] convention (r11: re-unified with q149, which
+    // now runs the same hash convention). Carrying strings through the
     // artifact and both (w1, w2)-keyed shuffles paid string storage,
     // string hashing and string comparison on every run for nothing
     // (the driver priced it at 4.1 s while a warm page cache hid it
-    // locally). h2 is dropped before the groupBy, so generator-struct
-    // pruning keeps it out of the artifact.
+    // locally). h2 is dropped in the projection, so it never reaches
+    // the artifact. r20: the multiset is counted in-row by
+    // [[graft.functions.BigramCounts]] (see [[docBigramsOf]]) — the
+    // artifact build's (doc_id, h1, h12) groupBy SHUFFLE is gone
+    // entirely; the build is now scan → project → write.
     val docBigrams = graft.sources.ArtifactStore.parquet(
       spark, dir, "doc_bigrams")(
-      bigramRows(Tables.documents(spark, dir)
-        .select(col("doc_id"), tokens(col("text")).as("ts")))
-        .groupBy(col("doc_id"), col("h1"), col("h12"))
-        .agg(count(lit(1)).as("m")))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), explode(bigram_counts(col("ts"))).as("b"))
+        .select(col("doc_id"), col("b.h1").as("h1"),
+          col("b.h12").as("h12"), col("b.m").as("m")))
+    // r20 (guide §2.4 double-compute sweep): c12 feeds TWO consumers
+    // (the scoring join's model side + the c1 rollup) and was REBUILT
+    // for each — two artifact scans and two (h1, h12) aggregations per
+    // run where one suffices. Same rule as q149's c12: the AGGREGATED,
+    // vocab-sized bigram-type table earns a checkpoint; per-doc tables
+    // don't.
     val c12 = docBigrams.groupBy(col("h1"), col("h12"))
       .agg(sum(col("m")).as("c12"))
+      .localCheckpoint(false)
     val c1 = c12.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
     docBigrams
       .join(c12, Seq("h1", "h12"))
@@ -745,15 +759,26 @@ object CurationQ {
     // keys end to end — r11 closed the last string-keyed bigram plan
     // (the train split's full bigram stream shuffled as token text;
     // the driver priced it at 2.7 s while q139's hashed twin ran 1.8).
-    // c12 feeds two branches (c1 rollup + the scoring left-join):
-    // checkpoint the aggregated bigram-type table so each reads the
-    // materialized model, not a re-explode of the train split
-    val c12 = bigramRows(train).groupBy(col("h1"), col("h12"))
-      .agg(count(lit(1)).as("c12"))
+    // r20: rows arrive PRE-COUNTED per doc ([[docBigramsOf]]'s in-row
+    // kernel), so the shuffle and partial agg see distinct-per-doc
+    // (h1, h12, m) rows, not every occurrence; sum(m) ≡ the old
+    // count(1). c12 feeds two branches (c1 rollup + the scoring
+    // left-join): checkpoint the aggregated bigram-type table so each
+    // reads the materialized model, not a re-explode of the train split
+    val c12 = train
+      .select(explode(bigram_counts(col("ts"))).as("b"))
+      .groupBy(col("b.h1").as("h1"), col("b.h12").as("h12"))
+      .agg(sum(col("b.m")).as("c12"))
       .localCheckpoint(false)
     val c1 = c12.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
-    val uni = train.select(explode(col("ts")).as("w"))
-      .groupBy(xxhash64(col("w")).as("h2")).agg(count(lit(1)).as("c2"))
+    // r20 (guide §2.4 double-compute sweep): uni feeds TWO consumers
+    // (the backoff broadcast join + the t_tokens scalar) and was
+    // REBUILT for each — the t leg re-scanned and re-tokenized the
+    // whole train split to sum a table the join leg had already
+    // aggregated. Vocab-sized ⇒ earns the checkpoint (the c12 rule).
+    val uni = train.select(explode(token_hash_counts(col("ts"))).as("u"))
+      .groupBy(col("u.h").as("h2")).agg(sum(col("u.m")).as("c2"))
+      .localCheckpoint(false)
     val t = uni.agg(sum(col("c2")).as("t_tokens"))
     docBigramsOf(held)
       .join(c12, Seq("h1", "h12"), "left")
